@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- SparkEntry.benchQueries) {
+      val t0 = System.nanoTime()
+      val n = try SparkEntry.queries(name)(spark, sfDir).count() catch { case e: Throwable => println(s"$name ERR ${e.getMessage}"); -1L }
+      println(f"$name%-25s ${(System.nanoTime()-t0)/1e9}%8.2fs  rows=$n")
+    }
+    spark.stop()
+  }
+}

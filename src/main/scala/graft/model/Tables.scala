@@ -1,0 +1,74 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables, plus the reference-domain
+  * views mapped onto them (see FIXTURES.md §B for the mapping rationale).
+  *
+  * Reference data model: `Student` nodes with typed similarity edges
+  * (reference: fastapi/models/student.py:5-42,
+  * fastapi/services/create_relationships.py:16-93). The reference stores every
+  * string field lowercased at ingest (fastapi/routes/student_routes.py:26-33);
+  * the `students` view normalizes identically.
+  *
+  * Scale note: all views are lazy projections over parquet scans — column
+  * pruning and predicate pushdown reach the scan, so a 100 TB `customer`
+  * table only materializes the five columns the view needs.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
+  def events(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** The reference's `Student` node table mapped onto `customer`:
+    *   id      = c_custkey
+    *   name    = lower(c_name)                      (ingest lowercasing, student_routes.py:27)
+    *   college = lower(c_mktsegment)                (5 values — the "SAME_COLLEGE" key)
+    *   board   = c_nationkey as string              (25 values — the "SAME_BOARD" key)
+    *   stream  = c_custkey % 7 as string            (synthetic 7-way key — "SAME_STREAM")
+    *   address = floor(c_acctbal/1000) band string  (11-ish values — the "NEARBY" key)
+    * `interests: array<string>` has no natural customer-side analog; the
+    * array-overlap operators are exercised on `part` name tokens instead
+    * (see [[partInterests]]), and on the golden reference-domain fixture in
+    * the test suite.
+    */
+  def students(spark: SparkSession, sfDir: String): DataFrame =
+    customer(spark, sfDir).select(
+      col("c_custkey").as("id"),
+      lower(col("c_name")).as("name"),
+      lower(col("c_mktsegment")).as("college"),
+      col("c_nationkey").cast("string").as("board"),
+      (col("c_custkey") % 7).cast("string").as("stream"),
+      floor(col("c_acctbal") / 1000).cast("int").cast("string").as("address"))
+
+  /** SQL text of the students view, for embedding in DuckDB oracle queries.
+    * MUST stay expression-for-expression identical to [[students]]. */
+  val studentsSql: String =
+    """SELECT c_custkey AS id, lower(c_name) AS name,
+      | lower(c_mktsegment) AS college,
+      | CAST(c_nationkey AS VARCHAR) AS board,
+      | CAST(c_custkey % 7 AS VARCHAR) AS stream,
+      | CAST(CAST(floor(c_acctbal/1000) AS INT) AS VARCHAR) AS address
+      | FROM customer""".stripMargin.replace("\n", "")
+
+  /** "Interests" analog: each part's normalized name-token array — the
+    * `interests: array<string>` column of the reference schema
+    * (fastapi/models/student.py:11), realized on the `part` table per
+    * FIXTURES.md. */
+  def partInterests(spark: SparkSession, sfDir: String): DataFrame =
+    part(spark, sfDir).select(
+      col("p_partkey").as("id"),
+      split(lower(col("p_name")), " ").as("interests"))
+}

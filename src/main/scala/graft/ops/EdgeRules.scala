@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Norm
+
+/** The reference's batch relationship-backfill pipeline
+  * (fastapi/services/create_relationships.py:16-93): materialize typed
+  * similarity edges between all student pairs.
+  *
+  * Physical shape (SURVEY.md §2.3 J1/J2, §4):
+  *  - Each attribute rule is an EQUI self-join on the normalized attribute —
+  *    Catalyst plans a shuffled hash / sort-merge join on `norm(attr)`, NOT a
+  *    cartesian product (the Cypher `MATCH (a),(b)` all-pairs pattern must
+  *    never become a cross join at scale).
+  *  - The interest rule's `arrays_overlap` predicate has no equi key, so we
+  *    rewrite it as explode → equi-join on token → group back — all shuffles
+  *    on token/pair keys that scale linearly with data × token frequency.
+  *  - `a.id < b.id` dedupes unordered pairs (create_relationships.py:19).
+  *  - MERGE's create-if-absent semantics = left_anti join + union (J7).
+  */
+object EdgeRules {
+
+  /** One equi-rule: pairs with equal non-null normalized `attr`
+    * (create_relationships.py:16-77 — SAME_COLLEGE / SAME_BOARD /
+    * SAME_STREAM / NEARBY are all this shape). */
+  def equiRule(students: DataFrame, attr: String, relType: String): DataFrame = {
+    val a = students.select(col("id").as("src"), Norm.norm(col(attr)).as("k"))
+      .filter(col(attr).isNotNull && Norm.norm(col(attr)) =!= "")
+      .withColumn("salt", pmod(col("src"), lit(PairSalt)).cast("int"))
+      // Low-cardinality join key (a handful of colleges/boards): without the
+      // salt the join has ≤|distinct k| parallel units and the pair
+      // explosion serializes into a few tasks. Salting left by src and
+      // replicating right PairSalt× spreads each key's quadratic output.
+      // The repartition also fixes probe-side parallelism when the input is
+      // a single small file (1 scan partition would otherwise produce the
+      // entire join output in 1 task under a broadcast join).
+      .repartition(col("k"), col("salt"))
+    val b = students.select(col("id").as("dst"), Norm.norm(col(attr)).as("k"))
+      .filter(col(attr).isNotNull && Norm.norm(col(attr)) =!= "")
+      .withColumn("salt", explode(sequence(lit(0), lit(PairSalt - 1))))
+    a.join(b, Seq("k", "salt"))              // equi-join on (normalized key, salt)
+      .filter(col("src") < col("dst"))       // unordered-pair dedupe
+      .select(col("src"), col("dst"), lit(relType).as("rel_type"))
+  }
+
+  /** SHARES_INTEREST (create_relationships.py:80-93): pairs whose normalized
+    * interest arrays overlap, with the intersection as the edge property
+    * `common`. Explode-join rewrite: token-level equi-join, then group the
+    * matched tokens back into the `common` array (sorted for determinism).
+    *
+    * Input: (id, interests array<string>). At scale, hot tokens are the skew
+    * risk — AQE skew-join handles moderate skew; stopword-like tokens should
+    * be filtered upstream by the caller if the token frequency distribution
+    * is Zipfian.
+    */
+  /** Salt fan-out for pair-producing self-joins: join keys (token / college /
+    * board...) are low-cardinality and Zipfian, so a bare equi-join has
+    * ≤|vocab| distinct keys — the hottest key's quadratic pair production
+    * serializes into one task. Salting the left side by `src % SALT` and
+    * replicating the right side SALT× spreads it (classic skew salting). */
+  private val PairSalt = 16
+
+  def interestRule(withInterests: DataFrame): DataFrame = {
+    val norm = withInterests
+      .select(col("id"), array_distinct(Norm.normArr(col("interests"))).as("arr"))
+    val toks = norm.select(col("id"), col("arr"), explode(col("arr")).as("tok"))
+    val a = toks.select(col("id").as("src"), col("arr").as("a_arr"), col("tok"))
+      .withColumn("salt", pmod(col("src"), lit(PairSalt)).cast("int"))
+      .repartition(col("tok"), col("salt")) // see equiRule: parallelism + skew
+    val b = toks.select(col("id").as("dst"), col("arr").as("b_arr"), col("tok"))
+      .withColumn("salt", explode(sequence(lit(0), lit(PairSalt - 1))))
+    // A pair sharing k tokens appears k times in the token join; emitting it
+    // only on its MINIMUM shared token dedupes without any post-join shuffle
+    // (no groupBy/distinct over the pair explosion). The intersection uses
+    // filter+array_contains, NOT array_intersect: array_intersect builds a
+    // hash set per evaluated row (~50× slower on short arrays, measured at
+    // sf0.1), while the nested-loop filter is codegen-cheap.
+    a.join(b, Seq("tok", "salt"))
+      .withColumn("common", sort_array(filter(col("a_arr"), x => array_contains(col("b_arr"), x))))
+      .filter(col("src") < col("dst") && col("tok") === element_at(col("common"), 1))
+      .select(col("src"), col("dst"), lit("SHARES_INTEREST").as("rel_type"), col("common"))
+  }
+
+  /** Full backfill over the students view: the four equi rules unioned
+    * (run_all, create_relationships.py:96-106). The interest rule lives on
+    * the part-token table and is exposed separately. */
+  def backfill(students: DataFrame): DataFrame =
+    Seq(
+      equiRule(students, "college", "SAME_COLLEGE"),
+      equiRule(students, "board", "SAME_BOARD"),
+      equiRule(students, "stream", "SAME_STREAM"),
+      equiRule(students, "address", "NEARBY")
+    ).reduce(_.unionByName(_))
+
+  /** MERGE-as-anti-join (J7): edges in `candidates` not already present in
+    * `existing` on the (src, dst, rel_type) key —
+    * `MERGE (s)-[:T]->(o)` creates the edge iff absent
+    * (create_relationships.py:22,38,54,70,85). */
+  def mergeNew(candidates: DataFrame, existing: DataFrame): DataFrame =
+    candidates.join(
+      existing.select("src", "dst", "rel_type"),
+      Seq("src", "dst", "rel_type"), "left_anti")
+
+  /** Incremental variant (J5, EP1 step c — student_service.py:62-106): edges
+    * between ONE new student and all existing ones. The new side is a single
+    * row → broadcast it; each rule is one streaming pass over `existing`. */
+  def incrementalEdges(existing: DataFrame, newStudent: DataFrame): DataFrame = {
+    val n = broadcast(newStudent.select(
+      col("id").as("n_id"), col("college").as("n_college"),
+      col("board").as("n_board"), col("stream").as("n_stream"),
+      col("address").as("n_address")))
+    val joined = existing.crossJoin(n).filter(col("id") =!= col("n_id"))
+    def rule(attr: String, relType: String) =
+      joined
+        .filter(col(attr).isNotNull && col(s"n_$attr").isNotNull &&
+          Norm.norm(col(attr)) =!= "" && Norm.normEq(col(attr), col(s"n_$attr")))
+        .select(
+          least(col("id"), col("n_id")).as("src"),
+          greatest(col("id"), col("n_id")).as("dst"),
+          lit(relType).as("rel_type"))
+    Seq(rule("college", "SAME_COLLEGE"), rule("board", "SAME_BOARD"),
+      rule("stream", "SAME_STREAM"), rule("address", "NEARBY"))
+      .reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Norm
+
+/** EP2 — the reference's flagship read query `recommend_people`
+  * (fastapi/services/student_service.py:134-190): anchor student × all
+  * others, four null-safe normalized-equality match flags, additive score,
+  * `WHERE score > 0`, `ORDER BY score DESC`.
+  *
+  * Physical shape: the anchor side is ONE row, so this is a broadcast
+  * nested-loop join (SURVEY.md §2.3 J3) — the students scan streams once,
+  * no shuffle. At 100 TB the plan is a single pass over `students` with the
+  * anchor in every executor's memory; the final order-by is a
+  * TakeOrderedAndProject when a limit is applied, or a 1-column range sort
+  * otherwise.
+  */
+object Recommend {
+
+  private def flag(c: Column): Column = when(c, 1).otherwise(0)
+
+  /** The match-flag/scoring core. Reproduces the coalesce-to-'' semantics of
+    * student_service.py:151-154 exactly: two NULL (or empty) fields count as
+    * a match — the "''=''" quirk of SURVEY.md §7.4. Includes interest
+    * intersection when an `interests` column is present (kept with the
+    * OTHER student's casing, student_service.py:155). */
+  def recommend(students: DataFrame, anchorId: Long): DataFrame = {
+    val hasInterests = students.columns.contains("interests")
+    val anchorCols = Seq("college", "board", "stream", "address") ++
+      (if (hasInterests) Seq("interests") else Nil)
+    val anchor = students
+      .filter(col("id") === lit(anchorId))
+      .select(anchorCols.map(c => col(c).as(s"s_$c")): _*)
+
+    val base = students
+      .filter(col("id") =!= lit(anchorId))
+      .crossJoin(broadcast(anchor))
+      .withColumn("bm", flag(Norm.normEq(col("board"), col("s_board"))))
+      .withColumn("sm", flag(Norm.normEq(col("stream"), col("s_stream"))))
+      .withColumn("cm", flag(Norm.normEq(col("college"), col("s_college"))))
+      .withColumn("am", flag(Norm.normEq(col("address"), col("s_address"))))
+
+    val withInterests =
+      if (hasInterests)
+        base.withColumn("matching_interests",
+          Norm.intersectKeepLeft(col("interests"), col("s_interests")))
+      else
+        base.withColumn("matching_interests", Norm.emptyStrArray)
+
+    withInterests
+      .withColumn("score",
+        col("bm") + col("sm") + col("cm") + col("am") + size(col("matching_interests")))
+      .filter(col("score") > 0)
+      // matched_on list assembled engine-side (the reference does this in
+      // Python post-processing, student_service.py:165-190); order follows
+      // the reference's flag order: board, stream, college, address, interests.
+      .withColumn("matched_on",
+        filter(
+          array(
+            when(col("bm") === 1, "board"),
+            when(col("sm") === 1, "stream"),
+            when(col("cm") === 1, "college"),
+            when(col("am") === 1, "address"),
+            when(size(col("matching_interests")) > 0, "interests")),
+          x => x.isNotNull))
+      .select(col("id"), col("name"), col("bm"), col("sm"), col("cm"),
+        col("am"), col("matching_interests"), col("matched_on"), col("score"))
+      // score DESC per the reference; id tiebreak for deterministic output.
+      .orderBy(desc("score"), col("id"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Headline relational pipelines over the TPC-H-ish driver tables — the
+  * scan → filter → join → aggregate → top-k surface (SURVEY.md §2.2-§2.5)
+  * at bench scale.
+  *
+  * Money math is done in DECIMAL(18,2) and cast to DOUBLE at the end: decimal
+  * aggregation is exact and associative, so results are identical across
+  * partition orders (and across engines — the DuckDB oracle does the same),
+  * while the final double keeps the output schema simple.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact discounted revenue: extendedprice * (1 - discount) in decimals. */
+  def revenue: Column = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+
+  /** TPC-H Q1-shaped pricing summary: hash aggregate with map-side partial
+    * aggregation; the only shuffle is on the 6-value group key. */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+        sum(revenue).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-shaped top-k revenue per order for one segment. The
+    * customer→orders join keys are pre-filtered on the dimension side;
+    * orderBy+limit plans as TakeOrderedAndProject (no global sort). */
+  def q3TopRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), revenue.as("rev"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped per-nation revenue: lineitem joined to three broadcast
+    * dimensions — ONE shuffle total (the final group-by), because every
+    * dimension is broadcast. */
+  def q5NationRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, sfDir).select("r_regionkey")
+    Tables.lineitem(spark, sfDir).select(col("l_suppkey"), revenue.as("rev"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Set-ops surface (SURVEY.md §2.6 extension): urgent orders ∩ big orders,
+    * minus orders with any returned lineitem, ∪ the single largest order.
+    * Exercises intersect / except / union as distinct-set operators. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val big = o.filter(col("o_totalprice") > 150000.0).select("o_orderkey")
+    val returned = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey").as("o_orderkey"))
+    val top1 = o.orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(1).select("o_orderkey")
+    urgent.intersect(big).except(returned).union(top1)
+      .distinct()
+      .orderBy(col("o_orderkey"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point lookups and the two "authoritative template" queries the
+  * reference's NL front-end compiles to (src/llm_cypher.py:85-102):
+  * single-student detail and two-name pair relationship.
+  */
+object StudentQueries {
+
+  /** S2 — `MATCH (s:Student {id: $id})` point lookup
+    * (student_service.py:110-132). Parquet predicate pushdown makes this a
+    * row-group-pruned scan, not a full read. */
+  def byId(students: DataFrame, id: Long): DataFrame =
+    students.filter(col("id") === lit(id))
+
+  /** P2 — case-insensitive name equality (the sanitizer's canonical form,
+    * llm_cypher.py:165-183): `WHERE toLower(s.name) = toLower($name)`. */
+  def byName(students: DataFrame, name: String): DataFrame =
+    students.filter(lower(col("name")) === lit(name.toLowerCase)).limit(1)
+
+  /** J6 — existence guard before recommending (student_service.py:139-144),
+    * generalized to a semi-join when used in a pipeline. */
+  def existing(students: DataFrame, ids: DataFrame): DataFrame =
+    students.join(ids, Seq("id"), "left_semi")
+
+  /** J4 — the two-name relationship template (llm_cypher.py:86-96):
+    *   MATCH (a {name: $n1}), (b {name: $n2})
+    *   OPTIONAL MATCH p = (a)-[r]-(b)
+    *   RETURN a.*, b.*, type(r), a.college = b.college AS same_college, ...
+    * Pair details survive even when no edge exists (left outer), and the
+    * undirected `-[r]-` pattern must probe BOTH orientations of the directed
+    * edge table (edges stored with src < dst, create_relationships.py:19).
+    *
+    * Physical shape: both name filters reduce to ≤1 row each, so the a×b
+    * pair is a 1-row broadcast cross; the edge probe is a broadcast join of
+    * the 1-row pair against `edges` — at scale this is a pushdown-filtered
+    * scan of the edge table on (src, dst).
+    */
+  def pairRelationship(
+      students: DataFrame, edges: DataFrame,
+      name1: String, name2: String): DataFrame = {
+    val a = students.filter(lower(col("name")) === lit(name1.toLowerCase)).limit(1)
+      .select(col("id").as("a_id"), col("name").as("a_name"),
+        col("college").as("a_college"), col("board").as("a_board"),
+        col("stream").as("a_stream"))
+    val b = students.filter(lower(col("name")) === lit(name2.toLowerCase)).limit(1)
+      .select(col("id").as("b_id"), col("name").as("b_name"),
+        col("college").as("b_college"), col("board").as("b_board"),
+        col("stream").as("b_stream"))
+    val pair = broadcast(a).crossJoin(broadcast(b))
+    // Undirected probe: (a->b) OR (b->a).
+    val undirected =
+      (col("src") === col("a_id") && col("dst") === col("b_id")) ||
+      (col("src") === col("b_id") && col("dst") === col("a_id"))
+    pair.join(edges, undirected, "left_outer")
+      .select(
+        col("a_id"), col("a_name"), col("b_id"), col("b_name"),
+        col("rel_type"),
+        (col("a_college") === col("b_college")).cast("int").as("same_college"),
+        (col("a_board") === col("b_board")).cast("int").as("same_board"),
+        (col("a_stream") === col("b_stream")).cast("int").as("same_stream"))
+      .orderBy(col("rel_type"))
+      .limit(25) // the template's LIMIT 25 (llm_cypher.py:96)
+  }
+}

@@ -1,0 +1,16 @@
+package graft
+
+/** Smoke: the driver's entry contract — flagship query returns rows. */
+class EntrySmokeSpec extends SparkSpec {
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+  test("every bench query exists") {
+    val missing = SparkEntry.benchQueries.toSet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty)
+  }
+}
