@@ -109,16 +109,129 @@ object SparkEntry {
     "q3_top_revenue" -> ((s, d) => Relational.q3TopRevenue(s, d)),
     "q5_region_revenue" -> ((s, d) => Relational.q5NationRevenue(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
+    // training-data pipeline: dedup
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignature(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "dedup_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    // training-data pipeline: text analysis
+    "text_tokens" -> ((s, d) => TextAnalysis.tokens(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // training-data pipeline: similarity search
+    "sim_topk_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
   )
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_top_revenue", "q5_region_revenue", "set_ops",
-    "edges_backfill", "j2_shares_interest", "j3_recommend", "fuzzy_search_lev")
+    "edges_backfill", "j2_shares_interest", "j3_recommend", "fuzzy_search_lev",
+    "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
+    "text_quality", "sim_topk_bruteforce")
 
   // ---------------------------------------------------------------- oracle
 
+  /** Shared document-shingling CTEs (DuckDB lists are 1-based, Spark SQL
+    * arrays 0-based — the index arithmetic differs accordingly but the
+    * shingle strings are identical). */
+  private val docNorm =
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val shingleCtes: String =
+    s"W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+    "SH AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN " +
+    "list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) " +
+    "ELSE [array_to_string(w, ' ')] END)) AS sh FROM W), " +
+    "SIG AS (SELECT doc_id, " +
+    (0 until Dedup.NumHashes).map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(", ") +
+    " FROM SH GROUP BY doc_id), " +
+    "BANDS AS (" +
+    (0 until Dedup.NumBands).map(j =>
+      s"SELECT doc_id, $j AS b, md5(h${2 * j} || h${2 * j + 1}) AS k FROM SIG")
+      .mkString(" UNION ALL ") + "), " +
+    "PAIRS AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM BANDS a " +
+    "JOIN BANDS b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id)"
+
+  private val embCtes: String =
+    "E AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      (s"SELECT md5($docNorm) AS h, min(doc_id) AS keeper, count(*) AS n " +
+       "FROM documents GROUP BY 1 ORDER BY h"),
+    "dedup_minhash_sig" ->
+      (s"WITH $shingleCtes SELECT * FROM SIG ORDER BY doc_id"),
+    "dedup_lsh_pairs" ->
+      (s"WITH $shingleCtes SELECT * FROM PAIRS ORDER BY src, dst"),
+    "dedup_ngram_jaccard" ->
+      (s"WITH $shingleCtes, " +
+       "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
+       "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
+       "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
+       "GROUP BY p.src, p.dst) " +
+       "SELECT c.src, c.dst, round(CAST(ncommon AS DOUBLE) / " +
+       "CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) AS jaccard " +
+       "FROM COMMONS c JOIN SIZES sa ON sa.doc_id = c.src " +
+       "JOIN SIZES sb ON sb.doc_id = c.dst ORDER BY src, dst"),
+    "dedup_simhash" ->
+      (s"WITH WD AS (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS wd FROM documents), " +
+       "M AS (SELECT doc_id, md5(wd) AS m FROM WD), " +
+       "B AS (SELECT doc_id, unnest(range(32)) AS b, m FROM M), " +
+       "C AS (SELECT doc_id, b, 2 * (((strpos('0123456789abcdef', substr(m, CAST(b // 4 AS INT) + 1, 1)) - 1) " +
+       ">> CAST(b % 4 AS INT)) & 1) - 1 AS contrib FROM B), " +
+       "S AS (SELECT doc_id, b, sum(contrib) AS s FROM C GROUP BY doc_id, b) " +
+       "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash " +
+       "FROM S GROUP BY doc_id ORDER BY doc_id"),
+    "text_tokens" ->
+      (s"SELECT doc_id, CAST(len(string_split($docNorm, ' ')) AS INT) AS ws_tokens, " +
+       "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS word_tokens, " +
+       "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS symbol_tokens " +
+       "FROM documents ORDER BY doc_id"),
+    "text_quality" ->
+      (s"WITH base AS (SELECT doc_id, text, $docNorm AS nt, string_split($docNorm, ' ') AS w FROM documents), " +
+       "q AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars, CAST(len(w) AS INT) AS n_tokens, " +
+       "round(CAST(length(replace(nt, ' ', '')) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4) AS mean_tok_len, " +
+       "round(CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE) / " +
+       "CAST(len(w) AS DOUBLE), 4) AS stopword_ratio, " +
+       "round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio " +
+       "FROM base) " +
+       "SELECT *, CASE WHEN n_tokens < 5 THEN 'too_short' " +
+       "WHEN stopword_ratio < 0.01 THEN 'low_stopword' ELSE 'keep' END AS quality " +
+       "FROM q ORDER BY doc_id"),
+    "text_langid" ->
+      (s"WITH base AS (SELECT doc_id, lang, string_split($docNorm, ' ') AS w FROM documents), " +
+       "h AS (SELECT doc_id, lang AS labeled_lang, " +
+       "CAST(len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) AS INT) AS en_hits, " +
+       "CAST(len(list_filter(w, x -> list_contains(['der','die','und','das'], x))) AS INT) AS de_hits, " +
+       "CAST(len(list_filter(w, x -> list_contains(['le','et','les','une'], x))) AS INT) AS fr_hits, " +
+       "CAST(len(list_filter(w, x -> list_contains(['el','y','los','una'], x))) AS INT) AS es_hits " +
+       "FROM base) " +
+       "SELECT *, CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en' " +
+       "WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de' " +
+       "WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS predicted_lang " +
+       "FROM h ORDER BY doc_id"),
+    "text_fingerprint" ->
+      (s"SELECT doc_id, md5($docNorm) AS fp, substr(md5($docNorm), 1, 8) AS fp_short " +
+       "FROM documents ORDER BY doc_id"),
+    "sim_topk_bruteforce" ->
+      (s"WITH $embCtes, " +
+       "Q AS (SELECT vec_id AS qid, v AS qv FROM E WHERE vec_id < 8), " +
+       s"J AS (SELECT Q.qid, E.vec_id, round(${cosSql("E.v", "Q.qv")}, 6) AS cos " +
+       "FROM E CROSS JOIN Q WHERE E.vec_id <> Q.qid), " +
+       "R AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J) " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos " +
+       "FROM R WHERE rank <= 5 ORDER BY qid, rank"),
+    "sim_near_dup" ->
+      (s"WITH $embCtes, " +
+       "A AS (SELECT vec_id AS src, label, v AS av FROM E WHERE vec_id % 100 = 0), " +
+       s"J AS (SELECT A.src, E.vec_id AS dst, round(${cosSql("A.av", "E.v")}, 4) AS cos " +
+       "FROM A JOIN E ON A.label = E.label AND A.src <> E.vec_id) " +
+       "SELECT src, dst, cos FROM J WHERE cos >= 0.25 ORDER BY src, dst"),
     "s1_students_scan" -> withStudents("SELECT * FROM students ORDER BY id"),
     "s2_point_lookup" -> withStudents("SELECT * FROM students WHERE id = 42"),
     "p2_ci_name_eq" -> withStudents(

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators over the `documents`
+  * table: exact (hash groupBy), MinHash+LSH (shingle → minhash → band →
+  * bucket join), n-gram Jaccard verification, and SimHash fingerprints.
+  *
+  * Hash portability: every hash is `md5` over an explicit string, and
+  * "minimum hash" = lexicographic min of the hex string — identical in any
+  * engine, so the DuckDB oracle reproduces signatures bit-for-bit (no
+  * engine-specific murmur seeds anywhere).
+  *
+  * Scale shape: everything is explode → hash-partitioned groupBy/join on
+  * high-cardinality keys (shingle, band key, doc pair) — no all-pairs
+  * product ever materializes; LSH bounds the candidate set, and the exact
+  * Jaccard verify runs only on candidates.
+  */
+object Dedup {
+
+  /** Whitespace-normalized lowercase text (the dedup canonical form). */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  def words(c: Column): Column = split(normText(c), " ")
+
+  /** 3-word shingles (0-based `w[i]` in Spark SQL); docs shorter than 3
+    * words contribute their whole text as one shingle. */
+  private val shinglesExpr: String =
+    "CASE WHEN size(w) >= 3 THEN " +
+    "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])) " +
+    "ELSE array(array_join(w, ' ')) END"
+
+  /** (doc_id, sh) — distinct 3-shingles per document. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("sh"))
+
+  /** Exact dedup: group by content hash; keeper = min doc id per group
+    * (standard keep-first policy). One shuffle on the hash. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(normText(col("text")).cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .orderBy(col("h"))
+
+  val NumHashes = 8
+  val NumBands = 4 // rows-per-band r = 2
+
+  /** MinHash signature: h_i = min over shingles of md5("i|" ++ shingle)
+    * (lexicographic min over hex = a valid uniform min-hash, and portable).
+    * One shuffle: groupBy doc_id with partial min aggregation map-side. */
+  def minhashSignature(docs: DataFrame): DataFrame =
+    shingles(docs).groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0|"), col("sh")).cast("binary"))).as("h0"),
+        (1 until NumHashes).map(i =>
+          min(md5(concat(lit(s"$i|"), col("sh")).cast("binary"))).as(s"h$i")): _*)
+
+  /** LSH banding: band key j = md5(h_{2j} ++ h_{2j+1}); docs sharing any
+    * band key are candidate near-duplicates. The band join key has high
+    * cardinality (hash values), so the self-join partitions evenly — this is
+    * the structure that replaces the O(n²) all-pairs compare at 100 TB. */
+  def lshBands(docs: DataFrame): DataFrame = {
+    val sig = minhashSignature(docs)
+    val bandStructs = (0 until NumBands).map { j =>
+      struct(lit(j).as("b"),
+        md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")).cast("binary")).as("k"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.b").as("b"), col("e.k").as("k"))
+  }
+
+  /** Candidate near-duplicate pairs from LSH bucket collisions. */
+  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    val bands = lshBands(docs)
+    val a = bands.select(col("doc_id").as("src"), col("b"), col("k"))
+    val b = bands.select(col("doc_id").as("dst"), col("b"), col("k"))
+    a.join(b, Seq("b", "k"))
+      .filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+      .orderBy("src", "dst")
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard computed ONLY for LSH candidates:
+    * |A∩B| via a shingle equi-join on the pairs, |A∪B| = |A|+|B|-|A∩B|. */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val pairs = lshCandidatePairs(docs)
+    val aSh = sh.select(col("doc_id").as("src"), col("sh"))
+    val bSh = sh.select(col("doc_id").as("dst"), col("sh"))
+    pairs.join(aSh, "src").join(bSh, Seq("dst", "sh"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("ncommon"))
+      .join(sizes.withColumnRenamed("doc_id", "src").withColumnRenamed("nsh", "na"), "src")
+      .join(sizes.withColumnRenamed("doc_id", "dst").withColumnRenamed("nsh", "nb"), "dst")
+      .select(col("src"), col("dst"),
+        round(col("ncommon").cast("double") /
+          (col("na") + col("nb") - col("ncommon")).cast("double"), 4).as("jaccard"))
+      .orderBy("src", "dst")
+  }
+
+  /** 32-bit SimHash over word unigrams. Bit b of a word's contribution comes
+    * from hex digit b/4 of md5(word) (4 bits per hex char); the fingerprint
+    * bit is the sign of the per-bit contribution sum. Pure integer math →
+    * engine-portable. Two cascaded aggregations, both hash-partitioned. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("wd"))
+      .select(col("doc_id"), md5(col("wd").cast("binary")).as("m"))
+      .select(col("doc_id"), expr("explode(sequence(0, 31))").as("b"), col("m"))
+      .select(col("doc_id"), col("b"),
+        expr("2 * pmod(shiftright(instr('0123456789abcdef', substring(m, CAST(b DIV 4 AS INT) + 1, 1)) - 1, " +
+          "CAST(pmod(b, 4) AS INT)), 2) - 1").as("contrib"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("CAST(power(2, b) AS BIGINT)")).otherwise(0L)).as("simhash"))
+      .orderBy(col("doc_id"))
+}

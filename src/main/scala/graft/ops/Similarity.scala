@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over the `embeddings` table
+  * (vec_id, embedding ARRAY<FLOAT>, label).
+  *
+  * Dot products run on `array<double>` via zip_with + a sequential aggregate
+  * fold — deterministic summation order, so results are reproducible across
+  * engines (the DuckDB oracle computes the same doubles; final values are
+  * rounded to absorb any last-ulp divergence).
+  *
+  * Scale path: brute-force top-k is the correctness baseline (fine when the
+  * query set is small — broadcast queries × one pass over vectors). For
+  * corpus×corpus similarity the label/LSH-blocked variant bounds candidates;
+  * a full IVF would add a coarse-quantizer bucket column and probe only
+  * nearby buckets — same join shape as [[nearDupPairs]].
+  */
+object Similarity {
+
+  /** Sequential-fold dot product (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def vecs(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+
+  /** Brute-force cosine top-k: queries (small) broadcast against every
+    * vector; per-query top-k via a rank window partitioned by query —
+    * ranking on the ROUNDED cosine with vec_id tiebreak keeps the cut
+    * deterministic across engines. */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val e = vecs(embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    import org.apache.spark.sql.expressions.Window
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Blocked near-duplicate pairs: sampled anchors joined only against
+    * vectors in the same `label` block (the IVF/LSH-bucket join shape),
+    * keeping pairs above a cosine threshold. */
+  def nearDupPairs(embeddings: DataFrame, anchorMod: Int = 100,
+      threshold: Double = 0.25): DataFrame = {
+    val e = vecs(embeddings)
+    val anchors = e.filter(col("vec_id") % anchorMod === 0)
+      .select(col("vec_id").as("src"), col("label"), col("v").as("av"))
+    anchors.join(e.withColumnRenamed("vec_id", "dst"), Seq("label"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos", round(cosine(col("av"), col("v")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("src"), col("dst"), col("cos"))
+      .orderBy(col("src"), col("dst"))
+  }
+}

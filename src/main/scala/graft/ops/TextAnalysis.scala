@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting, quality scoring, n-gram-heuristic language ID, and
+  * content fingerprinting. All pure `functions._` compositions — one scan,
+  * zero shuffles (per-row), fully codegen'd.
+  */
+object TextAnalysis {
+
+  private def normText: Column = Dedup.normText(col("text"))
+  private def w: Column = Dedup.words(col("text"))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (alnum runs and single non-alnum symbols each count as one token). */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(w).as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z0-9]+")).as("word_tokens"),
+      regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).as("symbol_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  private def hits(list: Seq[String]): Column =
+    size(filter(w, x => array_contains(array(list.map(lit): _*), x)))
+
+  /** Quality scoring: length, mean token length, stopword ratio,
+    * punctuation ratio, and a CASE-based keep/flag label — the standard
+    * cheap pre-filters applied before expensive dedup at corpus scale. */
+  def quality(docs: DataFrame): DataFrame = {
+    val nTok = size(w)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      nTok.as("n_tokens"),
+      round(length(regexp_replace(normText, lit(" "), lit(""))).cast("double") /
+        nTok.cast("double"), 4).as("mean_tok_len"),
+      round(hits(stopwords).cast("double") / nTok.cast("double"), 4).as("stopword_ratio"),
+      round(regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+        length(col("text")).cast("double"), 4).as("punct_ratio"))
+      .withColumn("quality",
+        when(col("n_tokens") < 5, "too_short")
+          .when(col("stopword_ratio") < 0.01, "low_stopword")
+          .otherwise("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "et", "les", "une"),
+    "es" -> Seq("el", "y", "los", "una"))
+
+  /** Stopword-hit language ID (n-gram heuristic): argmax of per-language
+    * stopword hit counts with a fixed priority order on ties. */
+  def langId(docs: DataFrame): DataFrame = {
+    val hitCols = langStops.map { case (l, ws) => hits(ws).as(s"${l}_hits") }
+    docs.select((col("doc_id") +: col("lang").as("labeled_lang") +: hitCols): _*)
+      .withColumn("predicted_lang",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+          col("en_hits") >= col("es_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), "de")
+          .when(col("fr_hits") >= col("es_hits"), "fr")
+          .otherwise("es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercase text —
+    * the join key for cross-corpus exact dedup. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(normText.cast("binary")).as("fp"),
+      substring(md5(normText.cast("binary")), 1, 8).as("fp_short"))
+      .orderBy(col("doc_id"))
+}
