@@ -124,6 +124,22 @@ object SparkEntry {
     // training-data pipeline: similarity search
     "sim_topk_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
+    // time windows / sessionization (batch form of the streaming surface)
+    "w1_event_windows" -> ((s, d) => Windows.tumblingCounts(Tables.events(s, d))),
+    "w2_sessionize" -> ((s, d) => Windows.sessionize(Tables.events(s, d))),
+    "stream_event_windows" -> ((s, d) =>
+      graft.streaming.Streams.windowedEventCounts(Tables.events(s, d))
+        .orderBy(col("hour"), col("event_type"))),
+    // GraphX analytics
+    "graph_cc" -> ((s, d) =>
+      graft.graph.GraphOps.connectedComponents(s, Tables.customer(s, d))),
+    "graph_degrees" -> ((s, d) =>
+      graft.graph.GraphOps.degrees(s, Tables.customer(s, d))),
+    "graph_pagerank" -> ((s, d) =>
+      graft.graph.GraphOps.pageRank(s, Tables.customer(s, d))),
+    // multimodal plumbing (stubbed decode)
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))),
   )
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
@@ -131,7 +147,8 @@ object SparkEntry {
     "q1_agg", "q3_top_revenue", "q5_region_revenue", "set_ops",
     "edges_backfill", "j2_shares_interest", "j3_recommend", "fuzzy_search_lev",
     "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
-    "text_quality", "sim_topk_bruteforce")
+    "text_quality", "sim_topk_bruteforce",
+    "w1_event_windows", "w2_sessionize", "graph_cc")
 
   // ---------------------------------------------------------------- oracle
 
@@ -154,6 +171,12 @@ object SparkEntry {
       .mkString(" UNION ALL ") + "), " +
     "PAIRS AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM BANDS a " +
     "JOIN BANDS b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id)"
+
+  private val eventWindowsSql: String =
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, " +
+    "event_type, count(*) AS n, " +
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+    "FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
 
   private val embCtes: String =
     "E AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
@@ -232,6 +255,39 @@ object SparkEntry {
        s"J AS (SELECT A.src, E.vec_id AS dst, round(${cosSql("A.av", "E.v")}, 4) AS cos " +
        "FROM A JOIN E ON A.label = E.label AND A.src <> E.vec_id) " +
        "SELECT src, dst, cos FROM J WHERE cos >= 0.25 ORDER BY src, dst"),
+    "w1_event_windows" -> eventWindowsSql,
+    "stream_event_windows" -> eventWindowsSql,
+    "w2_sessionize" ->
+      ("WITH S AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
+       "lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_sec " +
+       "FROM events), " +
+       "N AS (SELECT user_id, ts, sec, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session FROM S), " +
+       "X AS (SELECT user_id, ts, sec, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM N) " +
+       "SELECT user_id, session_idx, count(*) AS n_events, " +
+       "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
+       "max(sec) - min(sec) AS duration_sec " +
+       "FROM X GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+    "graph_cc" ->
+      ("SELECT c_custkey AS id, min(c_custkey) OVER " +
+       "(PARTITION BY c_nationkey, c_mktsegment) AS component " +
+       "FROM customer ORDER BY id"),
+    "graph_degrees" ->
+      ("WITH G AS (SELECT c_custkey AS id, " +
+       "min(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment) AS hub, " +
+       "count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n FROM customer) " +
+       "SELECT id, CAST(CASE WHEN id = hub THEN n - 1 ELSE 1 END AS INT) AS degree " +
+       "FROM G WHERE n > 1 ORDER BY id"),
+    "mm_features" ->
+      ("WITH M AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+       "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, md5(text) AS h FROM documents) " +
+       "SELECT doc_id, kind, CAST(octet_length(from_hex(h)) AS INT) AS byte_len, " +
+       "CAST(16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) + " +
+       "strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS INT) AS width, " +
+       "CAST(16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) + " +
+       "strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS INT) AS height, " +
+       "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INT) AS channels " +
+       "FROM M ORDER BY doc_id"),
     "s1_students_scan" -> withStudents("SELECT * FROM students ORDER BY id"),
     "s2_point_lookup" -> withStudents("SELECT * FROM students WHERE id = 42"),
     "p2_ci_name_eq" -> withStudents(

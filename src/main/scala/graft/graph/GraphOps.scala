@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX analytics layer — the "graph database" analytics the reference
+  * delegates to Neo4j (path-based discovery over the similarity graph,
+  * src/llm_cypher.py:76,88-96), re-expressed as batch graph algorithms per
+  * the north-star (GraphX for analytics, NOT OLTP traversals).
+  *
+  * Graph construction: similarity groups (same nationkey + mktsegment —
+  * the "same board & college" cohort) are connected as a STAR around each
+  * group's minimum member rather than as full cliques: a star has n-1 edges
+  * per group vs n(n-1)/2, produces the identical connected components, and
+  * keeps graph size linear in the data — the construction that survives
+  * 100 TB.
+  */
+object GraphOps {
+
+  /** (id, hub) pairs: each customer with its group's min custkey. */
+  private def hubs(customer: DataFrame): DataFrame = {
+    val groups = customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(min(col("c_custkey")).as("hub"))
+    customer.select(col("c_custkey").as("id"), col("c_nationkey"), col("c_mktsegment"))
+      .join(groups, Seq("c_nationkey", "c_mktsegment"))
+      .select(col("id"), col("hub"))
+  }
+
+  /** Star similarity graph over all customers (isolated groups of one keep
+    * their vertex, with no edge). */
+  def similarityGraph(customer: DataFrame): Graph[Long, Int] = {
+    val h = hubs(customer)
+    val vertices = customer.select(col("c_custkey")).rdd
+      .map(r => (r.getLong(0): VertexId, r.getLong(0)))
+    val edges = h.filter(col("id") =!= col("hub")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph(vertices, edges)
+  }
+
+  /** Connected components: GraphX label propagation to the minimum vertex
+    * id — for the star construction the component id is provably
+    * min(custkey) per (nationkey, mktsegment) group, which is the closed
+    * form the DuckDB oracle checks. */
+  def connectedComponents(spark: SparkSession, customer: DataFrame): DataFrame = {
+    val cc = similarityGraph(customer).connectedComponents().vertices
+    spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
+      .toDF("id", "component")
+      .orderBy(col("id"))
+  }
+
+  /** Vertex degrees of the similarity graph (vertices with ≥1 edge — GraphX
+    * `degrees` omits isolated vertices, so the oracle filters groups of 1). */
+  def degrees(spark: SparkSession, customer: DataFrame): DataFrame = {
+    val deg = similarityGraph(customer).degrees
+    spark.createDataFrame(deg.map { case (id, d) => (id, d) })
+      .toDF("id", "degree")
+      .orderBy(col("id"))
+  }
+
+  /** PageRank over the star graph (no closed-form oracle — covered by the
+    * rows-only check + ScalaTest structural assertions). */
+  def pageRank(spark: SparkSession, customer: DataFrame, iters: Int = 10): DataFrame = {
+    val pr = similarityGraph(customer).staticPageRank(iters).vertices
+    spark.createDataFrame(pr.map { case (id, r) => (id, math.round(r * 10000.0) / 10000.0) })
+      .toDF("id", "rank")
+      .orderBy(col("id"))
+  }
+}

@@ -28,7 +28,15 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
-  def events(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs and
+    * convert (floor) to a microsecond TIMESTAMP — same truncation DuckDB
+    * applies reading nanos, so second-granularity outputs agree exactly. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 

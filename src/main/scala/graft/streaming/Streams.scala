@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.EdgeRules
+
+/** Structured Streaming surface: the reference's only "incremental" behavior
+  * is per-insert edge maintenance (student_service.py:62-106) and the
+  * startup backfill thread (src/main.py:25-35); here both become standard
+  * Spark streaming patterns:
+  *   - windowed event aggregation with a watermark (the extension surface
+  *     BASELINE.json asks for, exercised on the `events` table), and
+  *   - onboarding-as-stream: foreachBatch running the incremental edge
+  *     join per micro-batch against the persisted students table.
+  */
+object Streams {
+
+  /** Stream/batch-shared transform: tumbling 1-hour counts per event type.
+    * In streaming mode a 2-hour watermark bounds state; the same call works
+    * on a batch DataFrame (watermark applies only when streaming). */
+  def windowedEventCounts(events: DataFrame): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** File-source stream over an events directory → in-memory sink (complete
+    * mode, suitable for tests/demos; swap format for kafka/delta in prod). */
+  def startWindowedCounts(
+      spark: SparkSession, dir: String, schema: StructType,
+      queryName: String): StreamingQuery =
+    windowedEventCounts(
+      spark.readStream.schema(schema).parquet(dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+
+  /** Onboarding-as-stream: each micro-batch of new students is joined
+    * against the existing students table with the incremental edge rules
+    * (EP1 step c) and the results are handed to `sink` (in production an
+    * append to the edges table — kept injectable for tests). */
+  def incrementalIngest(
+      spark: SparkSession, newStudents: DataFrame, existing: DataFrame,
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    newStudents.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(EdgeRules.incrementalEdges(existing, batch), id)
+      }
+      .outputMode("append")
+      .start()
+}

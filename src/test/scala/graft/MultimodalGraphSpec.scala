@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Multimodal
+import graft.graph.GraphOps
+
+/** Multimodal plumbing + GraphX structural checks. */
+class MultimodalGraphSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("media table synthesizes binary payloads with typed kinds") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sfDir))
+    assert(media.schema("bytes").dataType.typeName === "binary")
+    val kinds = media.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds === Set("image", "audio", "video"))
+    assert(media.filter(octet_length(col("bytes")) =!= 16).count() === 0)
+  }
+
+  test("feature extraction is deterministic and batch-driven") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sfDir))
+    val f1 = Multimodal.extractFeatures(spark, media).collect()
+    val f2 = Multimodal.extractFeatures(spark, media.repartition(7)).collect()
+    assert(f1.toSeq === f2.toSeq) // partitioning/batch boundaries don't change results
+    val row = f1.head
+    assert(row.getAs[Int]("byte_len") === 16)
+    assert(row.getAs[Int]("width") >= 0 && row.getAs[Int]("width") <= 255)
+  }
+
+  test("graphx components equal their closed form and pagerank favors hubs") {
+    val customer = Tables.customer(spark, sfDir)
+    val cc = GraphOps.connectedComponents(spark, customer)
+    val expected = customer
+      .select(col("c_custkey").as("id"),
+        min(col("c_custkey")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("c_nationkey", "c_mktsegment")).as("component"))
+    assert(cc.except(expected).count() === 0 && expected.except(cc).count() === 0)
+
+    val pr = GraphOps.pageRank(spark, customer)
+    // hubs (component ids with degree > 1) should outrank leaves on average
+    val hubRank = pr.join(cc, "id").filter(col("id") === col("component"))
+      .agg(avg("rank")).first().getDouble(0)
+    val leafRank = pr.join(cc, "id").filter(col("id") =!= col("component"))
+      .agg(avg("rank")).first().getDouble(0)
+    assert(hubRank > leafRank)
+  }
+}

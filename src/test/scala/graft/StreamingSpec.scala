@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.streaming.Streams
+
+/** Structured Streaming: the shared windowed transform must produce the same
+  * result streamed as in batch, and the foreachBatch incremental-ingest hook
+  * must compute the per-batch edge delta. */
+class StreamingSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("windowed event counts: stream == batch") {
+    val batchEvents = Tables.events(spark, sfDir)
+    val expected = Streams.windowedEventCounts(batchEvents)
+      .orderBy("hour", "event_type").collect().toSeq
+
+    // File stream source needs a directory of just this table's files.
+    val dir = Files.createTempDirectory("events-stream").toFile
+    batchEvents.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val q = Streams.startWindowedCounts(
+      spark, dir.getAbsolutePath, batchEvents.schema, "wc_test")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wc_test").orderBy("hour", "event_type").collect().toSeq
+    assert(got === expected)
+  }
+
+  test("incremental ingest computes per-batch edge deltas via foreachBatch") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false), StructField("name", StringType),
+      StructField("address", StringType), StructField("college", StringType),
+      StructField("board", StringType), StructField("stream", StringType)))
+    val existing = spark.createDataFrame(Seq(
+      Row(1L, "a", "x", "c1", "b1", "s1"),
+      Row(2L, "b", "y", "c2", "b1", "s2")).asJava, schema)
+
+    val dir = Files.createTempDirectory("students-stream").toFile
+    spark.createDataFrame(Seq(
+      Row(3L, "c", "x", "c1", "b2", "s2")).asJava, schema)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    var edges = Seq.empty[(Long, Long, String)]
+    val q = Streams.incrementalIngest(
+      spark,
+      spark.readStream.schema(schema).parquet(dir.getAbsolutePath),
+      existing,
+      (delta, _) => edges = delta.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(edges.toSet === Set(
+      (1L, 3L, "SAME_COLLEGE"), (1L, 3L, "NEARBY"), (2L, 3L, "SAME_STREAM")))
+  }
+}
