@@ -42,6 +42,8 @@ object SparkEntry {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   private val fuzzyQuery = "customer#000000012"
+  private val tokenQuestion =
+    "who is customr#000000042 nearby custoner#000000011 and friends"
   private def levScoreSql(colName: String) =
     s"round((1.0 - CAST(levenshtein($colName, '$fuzzyQuery') AS DOUBLE) / " +
     s"CAST(greatest(length($colName), length('$fuzzyQuery')) AS DOUBLE)) * 100.0, 4)"
@@ -99,6 +101,8 @@ object SparkEntry {
     "fuzzy_search_lev" -> ((s, d) =>
       FuzzySearch.topK(Tables.students(s, d), fuzzyQuery,
         c => FuzzySearch.levRatio(c, lit(fuzzyQuery)))),
+    "u2_token_correct" -> ((s, d) =>
+      FuzzySearch.correctTokens(Tables.students(s, d), tokenQuestion)),
     "fuzzy_search_indel" -> ((s, d) => {
       IndelRatio.register(s)
       FuzzySearch.topK(Tables.students(s, d), fuzzyQuery,
@@ -348,6 +352,18 @@ object SparkEntry {
     "fuzzy_search_lev" -> withStudents(
       s"SELECT id, name, ${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
+    "u2_token_correct" -> withStudents(
+      s", T AS (SELECT unnest(string_split(lower('$tokenQuestion'), ' ')) AS token), " +
+      "F AS (SELECT token FROM T WHERE length(token) >= 3 AND token NOT IN " +
+      "('the','a','an','of','and','who','what','is','are','in','on','with','find','show')), " +
+      "SC AS (SELECT f.token, s.name, " +
+      "round((1.0 - CAST(levenshtein(s.name, f.token) AS DOUBLE) / " +
+      "CAST(greatest(length(s.name), length(f.token)) AS DOUBLE)) * 100.0, 4) AS score " +
+      "FROM F f CROSS JOIN students s), " +
+      "R AS (SELECT token, name, score, row_number() OVER " +
+      "(PARTITION BY token ORDER BY score DESC, name) AS rn FROM SC) " +
+      "SELECT token, name AS corrected, score FROM R " +
+      "WHERE rn = 1 AND score >= 75.0 ORDER BY token"),
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, " +
        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

@@ -21,6 +21,29 @@ object FuzzySearch {
           greatest(length(a), length(b)).cast("double")) * 100.0,
       4)
 
+  /** U2 — the chatbot's fuzzy question-preprocessing (src/llm_cypher.py:41-57):
+    * tokenize the question, and for each non-stopword token of ≥3 chars find
+    * the best-matching student name above a threshold. The reference loops
+    * tokens client-side over a collected name list; here it's one vectorized
+    * plan: explode(tokens) × names → score → per-token top-1 window. */
+  def correctTokens(
+      students: DataFrame, question: String,
+      threshold: Double = 75.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("the", "a", "an", "of", "and", "who", "what", "is", "are",
+      "in", "on", "with", "find", "show")
+    val tokens = students.sparkSession.range(1)
+      .select(explode(split(lower(lit(question)), " ")).as("token"))
+      .filter(length(col("token")) >= 3 && !col("token").isin(stop: _*))
+    tokens.crossJoin(students.select(col("name")))
+      .withColumn("score", levRatio(col("name"), col("token")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("token")).orderBy(desc("score"), col("name"))))
+      .filter(col("rn") === 1 && col("score") >= threshold)
+      .select(col("token"), col("name").as("corrected"), col("score"))
+      .orderBy(col("token"))
+  }
+
   /** Top-k fuzzy search with the reference's defaults (threshold 70, limit 10,
     * student_service.py:230). `scoreCol` lets callers pick the scorer:
     * [[levRatio]] (oracle-checkable) or the exact rapidfuzz-parity

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Norm
+
+/** EP1 — the reference's onboarding write path (fastapi/services/
+  * student_service.py:21-108): assign id = MAX(id)+1, create the node,
+  * then materialize the five incremental similarity edges against all
+  * existing students, with MERGE (create-iff-absent) semantics.
+  *
+  * Persistence model: students/edges are parquet tables with append /
+  * copy-on-write semantics under a single-writer assumption — the
+  * documented substitute for Neo4j's transactional MERGE (SURVEY.md §4).
+  * The MAX(id)+1 read-modify-write is an inherently serial OLTP idiom; we
+  * reproduce it faithfully and note that a distributed writer would use
+  * monotonically_increasing_id or an external sequence instead.
+  */
+object Ingest {
+
+  /** Next id: MAX(s.id)+1 with the reference's null→0 coalesce
+    * (student_service.py:34-38). Single-row action. */
+  def nextId(students: DataFrame): Long = {
+    val row = students.agg(coalesce(max(col("id")), lit(0L)).as("m")).first()
+    row.getLong(0) + 1L
+  }
+
+  /** Ingest-normalization: every string field lowercased
+    * (student_routes.py:26-33), interests elements normalized. */
+  def normalizeNew(newStudent: DataFrame): DataFrame = {
+    val strCols = Seq("name", "address", "college", "board", "stream")
+    val lowered = strCols.foldLeft(newStudent) { (df, c) =>
+      if (df.columns.contains(c)) df.withColumn(c, lower(col(c))) else df
+    }
+    if (lowered.columns.contains("interests"))
+      lowered.withColumn("interests", Norm.normArr(col("interests")))
+    else lowered
+  }
+
+  /** One onboarding step, in-memory form: returns (students', edges') after
+    * appending the new student (with assigned id) and the MERGE-deduped
+    * incremental edges (equi rules + interest rule when present). */
+  def onboard(
+      students: DataFrame, edges: DataFrame,
+      newStudent: DataFrame): (DataFrame, Long, DataFrame) = {
+    val id = nextId(students)
+    val withId = normalizeNew(newStudent).withColumn("id", lit(id))
+    val appended = students.unionByName(withId, allowMissingColumns = true)
+
+    val equiDelta = EdgeRules.incrementalEdges(students, withId)
+    val interestDelta =
+      if (withId.columns.contains("interests") && students.columns.contains("interests")) {
+        val pairSide = students.select(col("id"), col("interests"))
+          .unionByName(withId.select(col("id"), col("interests")))
+        EdgeRules.interestRule(pairSide)
+          .filter(col("src") === id || col("dst") === id)
+      } else null
+    val delta0 = Option(interestDelta)
+      .map(d => equiDelta.withColumn("common", Norm.emptyStrArray).unionByName(d))
+      .getOrElse(equiDelta.withColumn("common", Norm.emptyStrArray))
+    val delta = EdgeRules.mergeNew(delta0, edges)
+    (appended, id, delta)
+  }
+
+  /** Persisted form: append the new student + edge delta to parquet tables
+    * (single-writer; copy-on-write for updates per SURVEY.md S6). */
+  def onboardAndWrite(
+      spark: SparkSession, studentsPath: String, edgesPath: String,
+      newStudent: DataFrame): Long = {
+    val students = spark.read.parquet(studentsPath)
+    val edges = spark.read.parquet(edgesPath)
+    val (_, id, delta) = onboard(students, edges, newStudent)
+    val withId = normalizeNew(newStudent).withColumn("id", lit(id))
+    withId.write.mode(SaveMode.Append).parquet(studentsPath)
+    delta.write.mode(SaveMode.Append).parquet(edgesPath)
+    id
+  }
+
+  /** S6 — batch property update with copy-on-write semantics: the
+    * reference's `sync_lowercase_students` (student_service.py:201-220)
+    * SET s.name = toLower(s.name) over all rows. Returns the updated table
+    * and the processed count (the reference RETURNs count(s)). */
+  def syncLowercase(students: DataFrame): (DataFrame, Long) = {
+    val updated = students
+      .withColumn("name", lower(col("name")))
+      .withColumn("college", lower(col("college")))
+      .withColumn("board", lower(col("board")))
+      .withColumn("stream", lower(col("stream")))
+    (updated, updated.count())
+  }
+}
