@@ -1,0 +1,20 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: dump formatted physical plans of key queries for scale review. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = new java.io.PrintWriter(args.lift(1).getOrElse("/tmp/plans.txt"))
+    for (name <- Seq("s2_point_lookup", "q1_agg", "q3_top_revenue",
+        "j3_recommend", "fuzzy_search_lev", "edges_backfill", "sim_topk_bruteforce")) {
+      out.println(s"==== $name ====")
+      out.println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    out.close(); spark.stop()
+  }
+}
