@@ -128,6 +128,13 @@ object SparkEntry {
     // training-data pipeline: similarity search
     "sim_topk_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
+    "sim_ann_lsh" -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
+    // misc surface: ping (S7), JSON shaping (F13)
+    "s7_ping" -> ((s, _) => s.sql("SELECT 1 AS ok")),
+    "f13_json_shape" -> ((s, d) =>
+      Tables.students(s, d)
+        .select(col("id"), to_json(struct(col("id"), col("name"))).as("payload"))
+        .orderBy(col("id")).limit(20)),
     // time windows / sessionization (batch form of the streaming surface)
     "w1_event_windows" -> ((s, d) => Windows.tumblingCounts(Tables.events(s, d))),
     "w2_sessionize" -> ((s, d) => Windows.sessionize(Tables.events(s, d))),
@@ -259,6 +266,23 @@ object SparkEntry {
        s"J AS (SELECT A.src, E.vec_id AS dst, round(${cosSql("A.av", "E.v")}, 4) AS cos " +
        "FROM A JOIN E ON A.label = E.label AND A.src <> E.vec_id) " +
        "SELECT src, dst, cos FROM J WHERE cos >= 0.25 ORDER BY src, dst"),
+    "sim_ann_lsh" ->
+      ("WITH E0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "E AS (SELECT vec_id, v, array_to_string(list_transform(range(6), p -> " +
+       "CASE WHEN list_sum(list_transform(range(64), d -> v[d+1] * " +
+       "(CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1 " +
+       "THEN 1.0 ELSE -1.0 END))) > 0 THEN '1' ELSE '0' END), '') AS bucket FROM E0), " +
+       "Q AS (SELECT vec_id AS qid, v AS qv, bucket FROM E WHERE vec_id < 8), " +
+       s"J AS (SELECT Q.qid, E.vec_id, E.bucket, round(${cosSql("E.v", "Q.qv")}, 6) AS cos " +
+       "FROM E JOIN Q ON E.bucket = Q.bucket AND E.vec_id <> Q.qid), " +
+       "R AS (SELECT qid, vec_id, bucket, cos, row_number() OVER " +
+       "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J) " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, bucket " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    "s7_ping" -> "SELECT 1 AS ok",
+    "f13_json_shape" -> withStudents(
+      "SELECT id, CAST(to_json(struct_pack(id := id, name := name)) AS VARCHAR) AS payload " +
+      "FROM students ORDER BY id LIMIT 20"),
     "w1_event_windows" -> eventWindowsSql,
     "stream_event_windows" -> eventWindowsSql,
     "w2_sessionize" ->

@@ -50,6 +50,49 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  val NumPlanes = 6
+  val Dim = 64
+
+  /** Deterministic random-hyperplane signs: sign(p,d) = parity of the first
+    * md5 hex digit of "p_d" — reproducible in any engine with md5 (the
+    * DuckDB oracle recomputes the same planes in SQL). */
+  private lazy val planeSigns: Array[Array[Double]] =
+    Array.tabulate(NumPlanes, Dim) { (p, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 1) 1.0 else -1.0
+    }
+
+  /** Sign-sketch bucket: one bit per hyperplane (sign of the projection). */
+  def bucketCol(v: Column): Column =
+    concat((0 until NumPlanes).map { p =>
+      val s = array(planeSigns(p).map(lit): _*)
+      when(dot(v, s) > 0, "1").otherwise("0")
+    }: _*)
+
+  /** LSH-bucketed ANN — the scale path for similarity search: vectors are
+    * sketched into 2^NumPlanes sign buckets; queries probe ONLY their own
+    * bucket (candidates ≈ N/2^planes instead of N). Same equi-join shape an
+    * IVF index would use with a coarse-quantizer cell id. Recall is partial
+    * by construction (single-probe); multi-probe = also joining neighboring
+    * buckets at Hamming distance 1. */
+  def annTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(embeddings).withColumn("bucket", bucketCol(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("cos"), 4).as("cos"), col("bucket"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Blocked near-duplicate pairs: sampled anchors joined only against
     * vectors in the same `label` block (the IVF/LSH-bucket join shape),
     * keeping pairs above a cosine threshold. */
