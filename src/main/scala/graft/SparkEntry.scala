@@ -148,6 +148,8 @@ object SparkEntry {
       graft.graph.GraphOps.degrees(s, Tables.customer(s, d))),
     "graph_pagerank" -> ((s, d) =>
       graft.graph.GraphOps.pageRank(s, Tables.customer(s, d))),
+    "graph_khop" -> ((s, d) =>
+      graft.graph.GraphOps.kHop(s, Tables.customer(s, d), 7L)),
     // multimodal plumbing (stubbed decode)
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -300,6 +302,13 @@ object SparkEntry {
       ("SELECT c_custkey AS id, min(c_custkey) OVER " +
        "(PARTITION BY c_nationkey, c_mktsegment) AS component " +
        "FROM customer ORDER BY id"),
+    "graph_khop" ->
+      ("WITH G AS (SELECT c_custkey AS id, min(c_custkey) OVER " +
+       "(PARTITION BY c_nationkey, c_mktsegment) AS hub FROM customer), " +
+       "A AS (SELECT id, hub FROM G WHERE id = 7) " +
+       "SELECT g.id, CAST(CASE WHEN g.id = a.id THEN 0 " +
+       "WHEN g.id = g.hub OR a.id = a.hub THEN 1 ELSE 2 END AS INT) AS dist " +
+       "FROM G g CROSS JOIN A a WHERE g.hub = a.hub ORDER BY g.id"),
     "graph_degrees" ->
       ("WITH G AS (SELECT c_custkey AS id, " +
        "min(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment) AS hub, " +

@@ -59,6 +59,18 @@ object GraphOps {
       .orderBy(col("id"))
   }
 
+  /** K-hop neighborhood (the reference's path-based discovery,
+    * llm_cypher.py:76): Pregel-based single-source shortest paths from an
+    * anchor over the star graph. For the star construction distances have a
+    * closed form the oracle checks: 0 = anchor, 1 = hub↔anchor's direct
+    * neighbors, 2 = rest of the group. */
+  def kHop(spark: SparkSession, customer: DataFrame, anchorId: Long): DataFrame = {
+    val sp = org.apache.spark.graphx.lib.ShortestPaths
+      .run(similarityGraph(customer), Seq(anchorId)).vertices
+    val reached = sp.flatMap { case (id, m) => m.get(anchorId).map(d => (id, d)) }
+    spark.createDataFrame(reached).toDF("id", "dist").orderBy(col("id"))
+  }
+
   /** PageRank over the star graph (no closed-form oracle — covered by the
     * rows-only check + ScalaTest structural assertions). */
   def pageRank(spark: SparkSession, customer: DataFrame, iters: Int = 10): DataFrame = {

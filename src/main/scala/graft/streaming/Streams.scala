@@ -5,7 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
 import graft.ops.EdgeRules
+
+/** Output row of the stateful per-user counter. */
+case class UserCount(user_id: Long, n: Long)
 
 /** Structured Streaming surface: the reference's only "incremental" behavior
   * is per-insert edge maintenance (student_service.py:62-106) and the
@@ -43,6 +48,23 @@ object Streams {
       .writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
       .start()
+
+  /** Custom streaming state via flatMapGroupsWithState: a running per-user
+    * event counter (the KeyValueGroupedDataset state API the north star
+    * calls for). Works on both batch and streaming inputs; in streaming
+    * each micro-batch emits the updated running count per touched user. */
+  def runningUserCounts(events: DataFrame): org.apache.spark.sql.Dataset[UserCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator(UserCount(uid, n))
+      }
+  }
 
   /** Onboarding-as-stream: each micro-batch of new students is joined
     * against the existing students table with the incremental edge rules

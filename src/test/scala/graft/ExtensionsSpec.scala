@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The GraftExtensions optimizer rule + injected function, on the shared
+  * session (registered in SparkSpec's builder). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("array_intersect on non-null string arrays is rewritten to filter form") {
+    // non-foldable input (column-dependent) so constant folding can't
+    // pre-evaluate the expression before the rewrite is observable
+    val df = spark.range(1).selectExpr(
+      "array_intersect(array('b', 'a', 'b', cast(id AS STRING)), array('a','b','9')) AS i")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("array_distinct"), s"expected rewrite in:\n$optimized")
+    assert(!optimized.contains("array_intersect"), s"rule did not fire:\n$optimized")
+    // semantics preserved: distinct, left first-occurrence order
+    assert(df.collect().head.getSeq[String](0) === Seq("b", "a"))
+  }
+
+  test("nullable-element arrays are left untouched (semantics guard)") {
+    val df = spark.sql(
+      "SELECT array_intersect(array('a', NULL), array('a', NULL)) AS i")
+    assert(df.collect().head.getSeq[String](0) === Seq("a", null))
+  }
+
+  test("indel_ratio is available via extensions without manual registration") {
+    val r = spark.sql("SELECT indel_ratio('aayush', 'ayush') AS r")
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 100.0 * (1 - 1.0 / 11)) < 1e-9)
+  }
+}

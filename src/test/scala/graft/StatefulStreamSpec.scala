@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.model.Tables
+import graft.streaming.Streams
+
+/** flatMapGroupsWithState running counters: streamed final state must equal
+  * the batch group-by counts. */
+class StatefulStreamSpec extends SparkSpec {
+
+  test("stateful running user counts: final stream state == batch counts") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = events.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val dir = Files.createTempDirectory("events-state").toFile
+    // two chunks → two micro-batches → state genuinely accumulates
+    events.filter(col("event_id") % 2 === 0).write.parquet(dir + "/p1")
+    val q = Streams.runningUserCounts(
+      spark.readStream.schema(events.schema).parquet(dir + "/p1"))
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("ruc").start()
+    q.processAllAvailable()
+    events.filter(col("event_id") % 2 === 1).write.mode("append").parquet(dir + "/p1")
+    q.processAllAvailable()
+    q.stop()
+
+    // latest emitted count per user across micro-batches
+    val got = spark.table("ruc").groupBy("user_id").agg(max("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+}
