@@ -97,6 +97,19 @@ object SparkEntry {
       StudentQueries.pairRelationship(
         st, EdgeRules.backfill(st), "Customer#000000000", "Customer#000000001")
     }),
+    "j8_asof_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+      AsOfJoin.asofLeft(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+          o, key = "user_id", leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
     // §2.9 fuzzy search
     "fuzzy_search_lev" -> ((s, d) =>
       FuzzySearch.topK(Tables.students(s, d), fuzzyQuery,
@@ -382,6 +395,12 @@ object SparkEntry {
       "CAST(a_stream = b_stream AS INT) AS same_stream " +
       "FROM a CROSS JOIN b LEFT JOIN e ON (e.src = a_id AND e.dst = b_id) " +
       "OR (e.src = b_id AND e.dst = a_id) ORDER BY rel_type LIMIT 25"),
+    "j8_asof_join" ->
+      ("WITH O AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey " +
+       "FROM orders GROUP BY o_custkey, o_orderdate) " +
+       "SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s, " +
+       "o.o_orderkey FROM events e ASOF LEFT JOIN O o " +
+       "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.event_id"),
     "fuzzy_search_lev" -> withStudents(
       s"SELECT id, name, ${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
