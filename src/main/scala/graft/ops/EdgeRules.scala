@@ -36,7 +36,7 @@ object EdgeRules {
       // The repartition also fixes probe-side parallelism when the input is
       // a single small file (1 scan partition would otherwise produce the
       // entire join output in 1 task under a broadcast join).
-      .repartition(col("k"), col("salt"))
+      .repartition(pairParallelism(students), col("k"), col("salt"))
     val b = students.select(col("id").as("dst"), Norm.norm(col(attr)).as("k"))
       .filter(col(attr).isNotNull && Norm.norm(col(attr)) =!= "")
       .withColumn("salt", explode(sequence(lit(0), lit(PairSalt - 1))))
@@ -62,13 +62,20 @@ object EdgeRules {
     * replicating the right side SALT× spreads it (classic skew salting). */
   private val PairSalt = 16
 
+  /** Pair-producing stages get 4× the session's shuffle partitions: their
+    * cost is in join OUTPUT rows (quadratic per key), not input bytes, so
+    * finer tasks give the scheduler stragglers/work-stealing room — input
+    * rows are tiny, so the extra shuffle overhead is negligible. */
+  private def pairParallelism(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions * 4
+
   def interestRule(withInterests: DataFrame): DataFrame = {
     val norm = withInterests
       .select(col("id"), array_distinct(Norm.normArr(col("interests"))).as("arr"))
     val toks = norm.select(col("id"), col("arr"), explode(col("arr")).as("tok"))
     val a = toks.select(col("id").as("src"), col("arr").as("a_arr"), col("tok"))
       .withColumn("salt", pmod(col("src"), lit(PairSalt)).cast("int"))
-      .repartition(col("tok"), col("salt")) // see equiRule: parallelism + skew
+      .repartition(pairParallelism(withInterests), col("tok"), col("salt")) // see equiRule
     val b = toks.select(col("id").as("dst"), col("arr").as("b_arr"), col("tok"))
       .withColumn("salt", explode(sequence(lit(0), lit(PairSalt - 1))))
     // A pair sharing k tokens appears k times in the token join; emitting it
