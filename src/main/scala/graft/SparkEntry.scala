@@ -133,6 +133,14 @@ object SparkEntry {
     "dedup_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "dedup_keepset" -> ((s, d) => Dedup.keepSet(Tables.documents(s, d))),
+    "a5_stats" -> ((s, d) =>
+      Tables.orders(s, d).agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"))),
     // training-data pipeline: text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
@@ -227,6 +235,28 @@ object SparkEntry {
        "CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) AS jaccard " +
        "FROM COMMONS c JOIN SIZES sa ON sa.doc_id = c.src " +
        "JOIN SIZES sb ON sb.doc_id = c.dst ORDER BY src, dst"),
+    "dedup_keepset" ->
+      (s"WITH $shingleCtes, " +
+       s"Q0 AS (SELECT doc_id, $docNorm AS nt, string_split($docNorm, ' ') AS w, text FROM documents), " +
+       "QUAL AS (SELECT doc_id FROM (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, " +
+       "round(CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE) / " +
+       "CAST(len(w) AS DOUBLE), 4) AS stopword_ratio FROM Q0) " +
+       "WHERE NOT (n_tokens < 5) AND NOT (stopword_ratio < 0.01)), " +
+       s"KEEPERS AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($docNorm)), " +
+       "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
+       "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
+       "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
+       "GROUP BY p.src, p.dst), " +
+       "DROPS AS (SELECT c.dst AS doc_id FROM COMMONS c " +
+       "JOIN SIZES sa ON sa.doc_id = c.src JOIN SIZES sb ON sb.doc_id = c.dst " +
+       "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5) " +
+       "SELECT q.doc_id FROM QUAL q WHERE EXISTS (SELECT 1 FROM KEEPERS k WHERE k.doc_id = q.doc_id) " +
+       "AND NOT EXISTS (SELECT 1 FROM DROPS d WHERE d.doc_id = q.doc_id) ORDER BY doc_id"),
+    "a5_stats" ->
+      ("SELECT count(DISTINCT o_custkey) AS n_cust, min(o_totalprice) AS min_price, " +
+       "max(o_totalprice) AS max_price, " +
+       "round(quantile_cont(o_totalprice, 0.5), 4) AS median_price, " +
+       "round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price FROM orders"),
     "dedup_simhash" ->
       (s"WITH WD AS (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS wd FROM documents), " +
        "M AS (SELECT doc_id, md5(wd) AS m FROM WD), " +

@@ -100,6 +100,23 @@ object Dedup {
       .orderBy("src", "dst")
   }
 
+  /** The composed training-data keep-set — the full pipeline shape: cheap
+    * quality filter first (prunes before expensive ops), exact-dedup keepers,
+    * then greedy near-dup removal (drop the higher doc_id of every LSH
+    * candidate pair whose exact 3-gram Jaccard ≥ threshold). */
+  def keepSet(docs: DataFrame, jaccardThreshold: Double = 0.5): DataFrame = {
+    val qualityKeep = TextAnalysis.quality(docs)
+      .filter(col("quality") === "keep").select(col("doc_id"))
+    val exactKeepers = exact(docs).select(col("keeper").as("doc_id"))
+    val nearDupDrops = ngramJaccard(docs)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("dst").as("doc_id"))
+    qualityKeep
+      .join(exactKeepers, Seq("doc_id"), "left_semi")
+      .join(nearDupDrops, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** 32-bit SimHash over word unigrams. Bit b of a word's contribution comes
     * from hex digit b/4 of md5(word) (4 bits per hex char); the fingerprint
     * bit is the sign of the per-bit contribution sum. Pure integer math →
