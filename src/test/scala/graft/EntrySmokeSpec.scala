@@ -13,4 +13,11 @@ class EntrySmokeSpec extends SparkSpec {
     val missing = SparkEntry.benchQueries.toSet -- SparkEntry.queries.keySet
     assert(missing.isEmpty)
   }
+  test("every registered query returns rows at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with empty results: $empty")
+  }
 }
