@@ -20,11 +20,13 @@ object Bench {
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      // failures are flagged as -1, never reported as a (bogus) fast time
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -190,7 +190,7 @@ object SparkEntry {
     * arrays 0-based — the index arithmetic differs accordingly but the
     * shingle strings are identical). */
   private val docNorm =
-    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    "regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r]+', ' ', 'g')"
   private val shingleCtes: String =
     s"W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
     "SH AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN " +
@@ -269,7 +269,7 @@ object SparkEntry {
     "text_tokens" ->
       (s"SELECT doc_id, CAST(len(string_split($docNorm, ' ')) AS INT) AS ws_tokens, " +
        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS word_tokens, " +
-       "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS symbol_tokens " +
+       "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\f\\r]')) AS INT) AS symbol_tokens " +
        "FROM documents ORDER BY doc_id"),
     "text_quality" ->
       (s"WITH base AS (SELECT doc_id, text, $docNorm AS nt, string_split($docNorm, ' ') AS w FROM documents), " +

@@ -33,9 +33,14 @@ object Tables {
     * convert (floor) to a microsecond TIMESTAMP — same truncation DuckDB
     * applies reading nanos, so second-granularity outputs agree exactly. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // Session-wide knob, set here as well as in the session builders so the
+    // queries-map contract works on any caller-provided session. It only
+    // affects TIMESTAMP(NANOS) columns (this repo: events.ts alone).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, NOT `/`: double division loses ulps above 2^53 and
+      // int64 nanos (~1.7e18) are far beyond that.
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -23,7 +23,13 @@ object AsOfJoin {
 
   /** leftDf(keyCol, timeCol, ...) asof-left-join rightDf(keyCol, timeCol,
     * payload...): right payload columns are appended (null when no right row
-    * precedes). Right side must be unique per (key, time) — pre-dedupe. */
+    * precedes). Right side must be unique per (key, time) — pre-dedupe.
+    *
+    * The carried value is the whole payload STRUCT, not per-column
+    * last(ignoreNulls): with per-column carry, a NULL field in the matching
+    * right row would wrongly resurrect an older row's value. The struct is
+    * non-null for every right row, so last(ignoreNulls) picks exactly the
+    * most recent right ROW. */
   def asofLeft(
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
@@ -33,8 +39,8 @@ object AsOfJoin {
       .withColumn("__side", lit(1)) // left sorts AFTER right at equal time (<=)
       .withColumn("__key", col(key))
     val rTagged = right.select(
-      (col(key).as("__key") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        payload.map(c => col(c).as(s"__p_$c"))): _*)
+      col(key).as("__key"), col(rightTime).as("__t"), lit(0).as("__side"),
+      struct(payload.map(col): _*).as("__p"))
 
     val unioned = lTagged
       .drop(payload.filter(lTagged.columns.contains): _*)
@@ -44,11 +50,10 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    payload.foldLeft(unioned) { (df, c) =>
-        df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(timeline))
-      }
+    val carried = unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(timeline))
       .filter(col("__side") === 1)
-      .drop("__key", "__t", "__side")
-      .withColumnsRenamed(payload.map(c => s"__p_$c" -> c).toMap)
+    payload.foldLeft(carried)((df, c) => df.withColumn(c, col("__p").getField(c)))
+      .drop("__key", "__t", "__side", "__p")
   }
 }

@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace-normalized lowercase text (the dedup canonical form). */
+  /** Whitespace-normalized lowercase text (the dedup canonical form).
+    * Explicit class, not \s: Java's \s includes \x0B while DuckDB's RE2 \s
+    * does not — the explicit class keeps engine and oracle bit-identical
+    * on any input. */
+  val WsClass = "[ \\t\\n\\f\\r]"
+
   def normText(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
+    regexp_replace(lower(trim(c)), s"$WsClass+", " ")
 
   def words(c: Column): Column = split(normText(c), " ")
 

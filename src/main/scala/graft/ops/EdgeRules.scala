@@ -110,6 +110,29 @@ object EdgeRules {
       existing.select("src", "dst", "rel_type"),
       Seq("src", "dst", "rel_type"), "left_anti")
 
+  /** One-vs-all interest delta (J5 for SHARES_INTEREST): the new student's
+    * few tokens are broadcast against the existing token table — a pass
+    * proportional to matching-token rows, never the all-pairs token
+    * self-join. Same min-token dedupe + filter/contains intersection as
+    * [[interestRule]], so deltas are bit-identical to a full re-backfill. */
+  def incrementalInterestEdges(existing: DataFrame, newStudent: DataFrame): DataFrame = {
+    val exToks = existing
+      .select(col("id"), array_distinct(Norm.normArr(col("interests"))).as("arr"))
+      .select(col("id"), col("arr"), explode(col("arr")).as("tok"))
+    val nb = broadcast(newStudent
+      .select(col("id").as("n_id"), array_distinct(Norm.normArr(col("interests"))).as("n_arr"))
+      .select(col("n_id"), col("n_arr"), explode(col("n_arr")).as("tok")))
+    exToks.join(nb, Seq("tok"))
+      .filter(col("id") =!= col("n_id"))
+      .withColumn("common",
+        sort_array(filter(col("arr"), x => array_contains(col("n_arr"), x))))
+      .filter(col("tok") === element_at(col("common"), 1))
+      .select(
+        least(col("id"), col("n_id")).as("src"),
+        greatest(col("id"), col("n_id")).as("dst"),
+        lit("SHARES_INTEREST").as("rel_type"), col("common"))
+  }
+
   /** Incremental variant (J5, EP1 step c — student_service.py:62-106): edges
     * between ONE new student and all existing ones. The new side is a single
     * row → broadcast it; each rule is one streaming pass over `existing`. */

@@ -50,12 +50,9 @@ object Ingest {
 
     val equiDelta = EdgeRules.incrementalEdges(students, withId)
     val interestDelta =
-      if (withId.columns.contains("interests") && students.columns.contains("interests")) {
-        val pairSide = students.select(col("id"), col("interests"))
-          .unionByName(withId.select(col("id"), col("interests")))
-        EdgeRules.interestRule(pairSide)
-          .filter(col("src") === id || col("dst") === id)
-      } else null
+      if (withId.columns.contains("interests") && students.columns.contains("interests"))
+        EdgeRules.incrementalInterestEdges(students, withId)
+      else null
     val delta0 = Option(interestDelta)
       .map(d => equiDelta.withColumn("common", Norm.emptyStrArray).unionByName(d))
       .getOrElse(equiDelta.withColumn("common", Norm.emptyStrArray))
@@ -70,9 +67,9 @@ object Ingest {
       newStudent: DataFrame): Long = {
     val students = spark.read.parquet(studentsPath)
     val edges = spark.read.parquet(edgesPath)
-    val (_, id, delta) = onboard(students, edges, newStudent)
-    val withId = normalizeNew(newStudent).withColumn("id", lit(id))
-    withId.write.mode(SaveMode.Append).parquet(studentsPath)
+    val (appended, id, delta) = onboard(students, edges, newStudent)
+    // persist exactly the row onboard appended (no re-derivation drift)
+    appended.filter(col("id") === lit(id)).write.mode(SaveMode.Append).parquet(studentsPath)
     delta.write.mode(SaveMode.Append).parquet(edgesPath)
     id
   }

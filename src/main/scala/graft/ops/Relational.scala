@@ -37,12 +37,14 @@ object Relational {
     * customer→orders join keys are pre-filtered on the dimension side;
     * orderBy+limit plans as TakeOrderedAndProject (no global sort). */
   def q3TopRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    // No broadcast hint on customer: it grows with the data (unlike true
+    // dims); Catalyst/AQE picks BHJ while it fits and SMJ beyond that.
     val c = Tables.customer(spark, sfDir)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), revenue.as("rev"))
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(sum(col("rev")).cast("double").as("revenue"))

@@ -20,7 +20,8 @@ object TextAnalysis {
       col("doc_id"),
       size(w).as("ws_tokens"),
       regexp_count(col("text"), lit("[A-Za-z0-9]+")).as("word_tokens"),
-      regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).as("symbol_tokens"))
+      // explicit whitespace class — see Dedup.WsClass for the \s caveat
+      regexp_count(col("text"), lit("[^A-Za-z0-9 \\t\\n\\f\\r]")).as("symbol_tokens"))
       .orderBy(col("doc_id"))
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
