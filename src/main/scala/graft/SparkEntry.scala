@@ -97,6 +97,8 @@ object SparkEntry {
       StudentQueries.pairRelationship(
         st, EdgeRules.backfill(st), "Customer#000000000", "Customer#000000001")
     }),
+    "j9_range_join" -> ((s, d) =>
+      RangeJoin.eventPairsWithin(Tables.events(s, d), 600L)),
     "j8_asof_join" -> ((s, d) => {
       val o = Tables.orders(s, d)
         .groupBy(col("o_custkey"), col("o_orderdate"))
@@ -132,7 +134,12 @@ object SparkEntry {
       Dedup.minhashSignature(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "dedup_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
-    "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => {
+      graft.functions.SimHash32.register(s)
+      Tables.documents(s, d).select(col("doc_id"),
+        call_function("simhash32", Dedup.words(col("text"))).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
     "dedup_keepset" -> ((s, d) => Dedup.keepSet(Tables.documents(s, d))),
     "a5_stats" -> ((s, d) =>
       Tables.orders(s, d).agg(
@@ -425,6 +432,13 @@ object SparkEntry {
       "CAST(a_stream = b_stream AS INT) AS same_stream " +
       "FROM a CROSS JOIN b LEFT JOIN e ON (e.src = a_id AND e.dst = b_id) " +
       "OR (e.src = b_id AND e.dst = a_id) ORDER BY rel_type LIMIT 25"),
+    "j9_range_join" ->
+      ("WITH E AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events) " +
+       "SELECT a.user_id AS user_id, a.event_id AS src, b.event_id AS dst, b.sec - a.sec AS dt_sec " +
+       "FROM E a JOIN E b ON a.user_id = b.user_id AND b.sec >= a.sec " +
+       "AND b.sec - a.sec <= 600 " +
+       "AND (a.sec < b.sec OR (a.sec = b.sec AND a.event_id < b.event_id)) " +
+       "ORDER BY a.user_id, src, dst"),
     "j8_asof_join" ->
       ("WITH O AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey " +
        "FROM orders GROUP BY o_custkey, o_orderdate) " +
