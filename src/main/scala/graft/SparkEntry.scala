@@ -157,6 +157,21 @@ object SparkEntry {
     "sim_topk_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
+    // custom TopKPerKey physical operator (partial/final heap split); same
+    // semantics as the window form, k rows shuffled per key per partition
+    "sim_topk_custom" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("v"), col("qv")), 6).as("cos"))
+      graft.plans.TopK.perKey(scored, Seq("qid"), "cos", "vec_id", 5)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), desc("cos"), col("vec_id"))
+    }),
     // misc surface: ping (S7), JSON shaping (F13)
     "s7_ping" -> ((s, _) => s.sql("SELECT 1 AS ok")),
     "f13_json_shape" -> ((s, d) =>
@@ -318,6 +333,14 @@ object SparkEntry {
        s"J AS (SELECT A.src, E.vec_id AS dst, round(${cosSql("A.av", "E.v")}, 4) AS cos " +
        "FROM A JOIN E ON A.label = E.label AND A.src <> E.vec_id) " +
        "SELECT src, dst, cos FROM J WHERE cos >= 0.25 ORDER BY src, dst"),
+    "sim_topk_custom" ->
+      (s"WITH $embCtes, " +
+       "Q AS (SELECT vec_id AS qid, v AS qv FROM E WHERE vec_id < 8), " +
+       s"J AS (SELECT Q.qid, E.vec_id, round(${cosSql("E.v", "Q.qv")}, 6) AS cos " +
+       "FROM E CROSS JOIN Q WHERE E.vec_id <> Q.qid), " +
+       "R AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J) " +
+       "SELECT qid, vec_id, round(cos, 4) AS cos FROM R WHERE rank <= 5 " +
+       "ORDER BY qid, round(cos, 4) DESC, vec_id"),
     "sim_ann_lsh" ->
       ("WITH E0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
        "E AS (SELECT vec_id, v, array_to_string(list_transform(range(6), p -> " +

@@ -46,6 +46,7 @@ object ArrayIntersectToFilter extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ArrayIntersectToFilter)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     e.injectFunction((
       new FunctionIdentifier("indel_ratio"),
       new ExpressionInfo(classOf[IndelRatio].getName, "indel_ratio"),

@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.GraftSql
+
+/** Planner strategy for [[TopKPerKey]]: partial heaps → (exchange inserted
+  * by EnsureRequirements from the final's required distribution) → final
+  * heaps. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, ord, k, child) =>
+      TopKPerKeyFinalExec(keys, ord, k,
+        TopKPerKeyPartialExec(keys, ord, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing API for the custom operator. */
+object TopK {
+  /** Keep the `k` best rows per distinct `keys` value, "best" = highest
+    * `scoreCol` with ascending `tiebreakCol` resolving ties. */
+  def perKey(df: DataFrame, keys: Seq[String], scoreCol: String,
+      tiebreakCol: String, k: Int): DataFrame = {
+    val ordering = Seq(
+      SortOrder(UnresolvedAttribute.quoted(scoreCol), Descending),
+      SortOrder(UnresolvedAttribute.quoted(tiebreakCol), Ascending))
+    GraftSql.ofRows(df.sparkSession,
+      TopKPerKey(keys.map(UnresolvedAttribute.quoted), ordering, k,
+        df.queryExecution.logical))
+  }
+}
