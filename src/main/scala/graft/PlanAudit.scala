@@ -10,7 +10,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val out = new java.io.PrintWriter(args.lift(1).getOrElse("/tmp/plans.txt"))
-    for (name <- Seq("s2_point_lookup", "q1_agg", "q3_top_revenue",
+    for (name <- Seq("s2_point_lookup", "q1_agg", "q3_top_revenue", "j8_asof_join", "j9_range_join", "sim_topk_custom",
         "j3_recommend", "fuzzy_search_lev", "edges_backfill", "sim_topk_bruteforce")) {
       out.println(s"==== $name ====")
       out.println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
