@@ -11,14 +11,15 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 /** Logical top-k-per-key: keep the k best rows (by `ordering`) for every
   * distinct value of `keys`.
   *
-  * Why a custom operator (SURVEY.md §7.3 ladder, rung (c)): the built-in
-  * formulations both move EVERY row of a group across the network — a rank
-  * window shuffles + sorts the full input; an Aggregator ships array
-  * buffers through an ObjectHashAggregate. The dedicated physical operator
-  * below does a map-side partial top-k (bounded heap per key), so the
-  * shuffle carries at most k rows per key per input partition, then a final
-  * heap pass after the exchange. Same two-phase shape as partial/final
-  * aggregation, applied to row selection.
+  * Why a custom operator (SURVEY.md §7.3 ladder, rung (c)): demonstrates
+  * the full logical-node → strategy → physical-operator machinery with a
+  * partial/final split — bounded heaps per key map-side, so the exchange
+  * carries at most k rows per key per input partition, then a final heap
+  * pass. Note Spark 4's WindowGroupLimit also limits rank windows
+  * map-side; the remaining difference here is selection by insertion into
+  * k-bounded buffers with NO sort operator on either side of the exchange
+  * (WindowGroupLimit still plans local + global sorts), plus no rank
+  * column materialization.
   */
 case class TopKPerKey(
     keys: Seq[Expression], ordering: Seq[SortOrder], k: Int,
