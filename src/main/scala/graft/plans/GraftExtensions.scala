@@ -46,6 +46,7 @@ object ArrayIntersectToFilter extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ArrayIntersectToFilter)
+    e.injectOptimizerRule(_ => ArraysOverlapJoinToExplodeJoin)
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     e.injectFunction((
       new FunctionIdentifier("indel_ratio"),
