@@ -127,6 +127,9 @@ object SparkEntry {
     "q1_agg" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_top_revenue" -> ((s, d) => Relational.q3TopRevenue(s, d)),
     "q5_region_revenue" -> ((s, d) => Relational.q5NationRevenue(s, d)),
+    "q7_volume" -> ((s, d) => Relational.q7Volume(s, d)),
+    "q9_profit" -> ((s, d) => Relational.q9Profit(s, d)),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     // training-data pipeline: dedup
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -157,6 +160,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
+    "sim_ann_multiprobe" -> ((s, d) => Similarity.annMultiProbeTopK(Tables.embeddings(s, d))),
     // custom TopKPerKey physical operator (partial/final heap split); same
     // semantics as the window form, k rows shuffled per key per partition
     "sim_topk_custom" -> ((s, d) => {
@@ -200,7 +204,7 @@ object SparkEntry {
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
   def benchQueries: Seq[String] = Seq(
-    "q1_agg", "q3_top_revenue", "q5_region_revenue", "set_ops",
+    "q1_agg", "q3_top_revenue", "q5_region_revenue", "q7_volume", "q9_profit", "set_ops",
     "edges_backfill", "j2_shares_interest", "j3_recommend", "fuzzy_search_lev",
     "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
     "text_quality", "sim_topk_bruteforce",
@@ -354,6 +358,22 @@ object SparkEntry {
        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J) " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, bucket " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    "sim_ann_multiprobe" ->
+      ("WITH E0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "E AS (SELECT vec_id, v, array_to_string(list_transform(range(6), p -> " +
+       "CASE WHEN list_sum(list_transform(range(64), d -> v[d+1] * " +
+       "(CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1 " +
+       "THEN 1.0 ELSE -1.0 END))) > 0 THEN '1' ELSE '0' END), '') AS bucket FROM E0), " +
+       "Q AS (SELECT vec_id AS qid, v AS qv, unnest([bucket] || list_transform(range(6), p -> " +
+       "substr(bucket, 1, CAST(p AS INT)) || (CASE WHEN substr(bucket, CAST(p AS INT) + 1, 1) = '1' THEN '0' ELSE '1' END) || " +
+       "substr(bucket, CAST(p AS INT) + 2, 6 - CAST(p AS INT) - 1))) AS bucket " +
+       "FROM E WHERE vec_id < 8), " +
+       s"J AS (SELECT Q.qid, E.vec_id, round(${cosSql("E.v", "Q.qv")}, 6) AS cos " +
+       "FROM E JOIN Q ON E.bucket = Q.bucket AND E.vec_id <> Q.qid), " +
+       "R AS (SELECT qid, vec_id, cos, row_number() OVER " +
+       "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J) " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
     "s7_ping" -> "SELECT 1 AS ok",
     "f13_json_shape" -> withStudents(
       "SELECT id, CAST(to_json(struct_pack(id := id, name := name)) AS VARCHAR) AS payload " +
@@ -502,6 +522,32 @@ object SparkEntry {
        "JOIN nation ON s_nationkey = n_nationkey " +
        "JOIN region ON n_regionkey = r_regionkey " +
        "GROUP BY n_name ORDER BY n_name"),
+    "q7_volume" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+       "year(l_shipdate) AS yr, " +
+       s"CAST(sum($decRev) AS DOUBLE) AS volume, count(*) AS n " +
+       "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+       "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+       "WHERE n1.n_name <> n2.n_name " +
+       "GROUP BY supp_nation, cust_nation, yr ORDER BY supp_nation, cust_nation, yr"),
+    "q9_profit" ->
+      ("SELECT n_name, year(l_shipdate) AS yr, " +
+       s"CAST(sum($decRev - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "WHERE p_name LIKE '%widget%' " +
+       "GROUP BY n_name, yr ORDER BY n_name, yr"),
+    "q18_large_orders" ->
+      ("WITH BIG AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty " +
+       "FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150) " +
+       "SELECT c_custkey, o_orderkey, CAST(total_qty AS DOUBLE) AS total_qty, o_totalprice " +
+       "FROM orders JOIN BIG ON o_orderkey = l_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "ORDER BY total_qty DESC, o_orderkey LIMIT 20"),
     "set_ops" ->
       ("SELECT DISTINCT o_orderkey FROM (" +
        "SELECT o_orderkey FROM (" +

@@ -68,6 +68,66 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q7-shaped bi-directional trade volume: fact joined to two
+    * broadcast nation dims through supplier and customer⋈orders, grouped by
+    * (supp_nation, cust_nation, year). */
+  def q7Volume(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("yr"), revenue.as("rev"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      .agg(sum(col("rev")).cast("double").as("volume"), count(lit(1)).as("n"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+  }
+
+  /** TPC-H Q9-shaped profit: revenue minus a retail-price-based cost,
+    * by supplier nation and year; part filter pushed to the dim scan. */
+  def q9Profit(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), dec(col("p_retailprice")).as("cost"))
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), year(col("l_shipdate")).as("yr"),
+        revenue.as("rev"), dec(col("l_quantity")).as("qty"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("yr"))
+      .agg(sum(col("rev") - col("cost") * col("qty")).cast("double").as("profit"))
+      .orderBy(col("n_name"), col("yr"))
+  }
+
+  /** TPC-H Q18-shaped large orders: HAVING on a fact aggregate, then a
+    * semi-join-shaped enrichment back through orders⋈customer. */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > 150) // HAVING
+    Tables.orders(spark, sfDir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        col("total_qty").cast("double").as("total_qty"),
+        col("o_totalprice"))
+      .orderBy(desc("total_qty"), col("o_orderkey"))
+      .limit(20)
+  }
+
   /** Set-ops surface (SURVEY.md §2.6 extension): urgent orders ∩ big orders,
     * minus orders with any returned lineitem, ∪ the single largest order.
     * Exercises intersect / except / union as distinct-set operators. */

@@ -93,6 +93,32 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Multi-probe ANN: queries probe their own bucket AND every bucket at
+    * Hamming distance 1 (one sign bit flipped) — the standard recall lever
+    * for sign-sketch LSH. Candidates ≈ (1+planes)·N/2^planes; still an
+    * equi-join on bucket. */
+  def annMultiProbeTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(embeddings).withColumn("bucket", bucketCol(col("v")))
+    val flips = (0 until NumPlanes).map { p =>
+      concat(
+        substring(col("bucket"), 1, p),
+        when(substring(col("bucket"), p + 1, 1) === "1", "0").otherwise("1"),
+        substring(col("bucket"), p + 2, NumPlanes - p - 1))
+    }
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Blocked near-duplicate pairs: sampled anchors joined only against
     * vectors in the same `label` block (the IVF/LSH-bucket join shape),
     * keeping pairs above a cosine threshold. */
