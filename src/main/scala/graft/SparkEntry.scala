@@ -185,6 +185,19 @@ object SparkEntry {
     // time windows / sessionization (batch form of the streaming surface)
     "w1_event_windows" -> ((s, d) => Windows.tumblingCounts(Tables.events(s, d))),
     "w2_sessionize" -> ((s, d) => Windows.sessionize(Tables.events(s, d))),
+    "w3_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day"))),
+    "a6_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
     "stream_event_windows" -> ((s, d) =>
       graft.streaming.Streams.windowedEventCounts(Tables.events(s, d))
         .orderBy(col("hour"), col("event_type"))),
@@ -380,6 +393,19 @@ object SparkEntry {
       "FROM students ORDER BY id LIMIT 20"),
     "w1_event_windows" -> eventWindowsSql,
     "stream_event_windows" -> eventWindowsSql,
+    "w3_pivot" ->
+      ("SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, " +
+       "count(*) FILTER (event_type = 'click') AS click, " +
+       "count(*) FILTER (event_type = 'error') AS error, " +
+       "count(*) FILTER (event_type = 'purchase') AS purchase, " +
+       "count(*) FILTER (event_type = 'signup') AS signup, " +
+       "count(*) FILTER (event_type = 'view') AS view " +
+       "FROM events GROUP BY day ORDER BY day"),
+    "a6_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +
+       "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+       "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
     "w2_sessionize" ->
       ("WITH S AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
        "lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_sec " +
