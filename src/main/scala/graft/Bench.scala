@@ -20,7 +20,11 @@ object Bench {
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      // noop sink, not count(): count() lets Catalyst prune every unused
+      // column and eliminate final sorts, so it under-times the real query.
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
@@ -31,7 +35,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout for a human; a file for the driver — sbt prefixes stdout with
+    // "[info] " which made BENCH_r01 unparseable ("parsed": null).
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/bench_out.json"), json + "\n")
     spark.stop()
   }
 }

@@ -72,8 +72,13 @@ object SparkEntry {
         .select(col("c_custkey").as("id"), col("c_acctbal"))
         .orderBy(desc("c_acctbal"), col("id")).limit(10)),
     // §2.3 joins
+    // ARRAY outputs are serialized to '|'-joined strings for the driver's
+    // oracle gate (pandas sort_values can't hash numpy arrays); the array
+    // forms stay covered by GoldenFixtureSpec.
     "j3_recommend" -> ((s, d) =>
-      Recommend.recommend(Tables.students(s, d), 1L).drop("matching_interests")),
+      Recommend.recommend(Tables.students(s, d), 1L)
+        .withColumn("matched_on", array_join(col("matched_on"), "|"))
+        .drop("matching_interests")),
     "j6_exists" -> ((s, d) =>
       StudentQueries.existing(
         Tables.students(s, d),
@@ -84,6 +89,7 @@ object SparkEntry {
         .orderBy(col("rel_type"), col("src"), col("dst"))),
     "j2_shares_interest" -> ((s, d) =>
       EdgeRules.interestRule(Tables.partInterests(s, d))
+        .withColumn("common", array_join(col("common"), "|")) // see j3 note
         .orderBy(col("src"), col("dst"))),
     "j7_merge_anti" -> ((s, d) => {
       val st = Tables.students(s, d)
@@ -463,9 +469,9 @@ object SparkEntry {
       "CASE WHEN lower(trim(coalesce(o.address,''))) = lower(trim(coalesce(s.address,''))) THEN 1 ELSE 0 END AS am " +
       "FROM students o, s WHERE o.id <> 1) " +
       "SELECT id, name, bm, sm, cm, am, " +
-      "list_filter([CASE WHEN bm = 1 THEN 'board' END, CASE WHEN sm = 1 THEN 'stream' END, " +
+      "array_to_string(list_filter([CASE WHEN bm = 1 THEN 'board' END, CASE WHEN sm = 1 THEN 'stream' END, " +
       "CASE WHEN cm = 1 THEN 'college' END, CASE WHEN am = 1 THEN 'address' END], " +
-      "x -> x IS NOT NULL) AS matched_on, " +
+      "x -> x IS NOT NULL), '|') AS matched_on, " +
       "bm + sm + cm + am AS score FROM scored WHERE bm + sm + cm + am > 0 " +
       "ORDER BY score DESC, id"),
     "j6_exists" -> withStudents(
@@ -477,7 +483,7 @@ object SparkEntry {
       ("WITH toks AS (SELECT DISTINCT p_partkey AS id, " +
        "unnest(string_split(lower(p_name), ' ')) AS tok FROM part) " +
        "SELECT a.id AS src, b.id AS dst, 'SHARES_INTEREST' AS rel_type, " +
-       "list_sort(list(a.tok)) AS common " +
+       "array_to_string(list_sort(list(a.tok)), '|') AS common " +
        "FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id " +
        "GROUP BY a.id, b.id ORDER BY src, dst"),
     "j7_merge_anti" -> withStudents(

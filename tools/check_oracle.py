@@ -44,6 +44,16 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            # The DRIVER's gate (unlike this checker) crashes on list/array
+            # output columns (pandas sort_values -> unhashable numpy.ndarray,
+            # see VERDICT.md round 1). Flag them as hard failures here too.
+            list_cols = [c for c, t in zip(got.columns, got.types)
+                         if str(t).endswith("[]") or "STRUCT" in str(t)]
+            if list_cols:
+                print(f"FAIL {name}: ARRAY/STRUCT output cols {list_cols} "
+                      "would crash the driver gate - array_join them")
+                n_bad += 1
+                continue
             gcols, grows = canon(got.columns, got.fetchall())
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
