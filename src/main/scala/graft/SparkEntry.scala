@@ -91,6 +91,16 @@ object SparkEntry {
       EdgeRules.interestRule(Tables.partInterests(s, d))
         .withColumn("common", array_join(col("common"), "|")) // see j3 note
         .orderBy(col("src"), col("dst"))),
+    // Scale-bounded J2 variant (the one benched at sf0.1): df-capped token
+    // pairs over documents words. The uncapped all-pairs form above keeps
+    // the reference's exact semantics for the sf0.01 oracle.
+    "j2_rare_token_pairs" -> ((s, d) =>
+      EdgeRules.interestRuleCapped(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("id"), Dedup.words(col("text")).as("interests")),
+        maxDf = 250L)
+        .withColumn("common", array_join(col("common"), "|"))
+        .orderBy(col("src"), col("dst"))),
     "j7_merge_anti" -> ((s, d) => {
       val st = Tables.students(s, d)
       EdgeRules.mergeNew(
@@ -224,7 +234,7 @@ object SparkEntry {
   /** Headline subset timed by Bench (bench runs at sf0.1). */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_top_revenue", "q5_region_revenue", "q7_volume", "q9_profit", "set_ops",
-    "edges_backfill", "j2_shares_interest", "j3_recommend", "fuzzy_search_lev",
+    "edges_backfill", "j2_rare_token_pairs", "j3_recommend", "fuzzy_search_lev",
     "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
     "text_quality", "sim_topk_bruteforce",
     "w1_event_windows", "w2_sessionize", "graph_cc")
@@ -479,6 +489,14 @@ object SparkEntry {
       "(SELECT 1 FROM orders o WHERE o.o_custkey = st.id) ORDER BY id"),
     "edges_backfill" -> withStudents(
       s", e AS ($edgesSql) SELECT * FROM e ORDER BY rel_type, src, dst"),
+    "j2_rare_token_pairs" ->
+      (s"WITH toks AS (SELECT doc_id AS id, unnest(list_distinct(string_split($docNorm, ' '))) AS tok FROM documents), " +
+       "rare AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM toks GROUP BY tok) WHERE df <= 250), " +
+       "rt AS (SELECT id, tok FROM toks JOIN rare USING (tok)) " +
+       "SELECT a.id AS src, b.id AS dst, 'SHARES_RARE_TOKEN' AS rel_type, " +
+       "array_to_string(list_sort(list(a.tok)), '|') AS common " +
+       "FROM rt a JOIN rt b ON a.tok = b.tok AND a.id < b.id " +
+       "GROUP BY a.id, b.id ORDER BY src, dst"),
     "j2_shares_interest" ->
       ("WITH toks AS (SELECT DISTINCT p_partkey AS id, " +
        "unnest(string_split(lower(p_name), ' ')) AS tok FROM part) " +

@@ -26,9 +26,10 @@ object EdgeRules {
     * (create_relationships.py:16-77 — SAME_COLLEGE / SAME_BOARD /
     * SAME_STREAM / NEARBY are all this shape). */
   def equiRule(students: DataFrame, attr: String, relType: String): DataFrame = {
+    val salt = pairSalt(students)
     val a = students.select(col("id").as("src"), Norm.norm(col(attr)).as("k"))
       .filter(col(attr).isNotNull && Norm.norm(col(attr)) =!= "")
-      .withColumn("salt", pmod(col("src"), lit(PairSalt)).cast("int"))
+      .withColumn("salt", pmod(col("src"), lit(salt)).cast("int"))
       // Low-cardinality join key (a handful of colleges/boards): without the
       // salt the join has ≤|distinct k| parallel units and the pair
       // explosion serializes into a few tasks. Salting left by src and
@@ -39,7 +40,7 @@ object EdgeRules {
       .repartition(pairParallelism(students), col("k"), col("salt"))
     val b = students.select(col("id").as("dst"), Norm.norm(col(attr)).as("k"))
       .filter(col(attr).isNotNull && Norm.norm(col(attr)) =!= "")
-      .withColumn("salt", explode(sequence(lit(0), lit(PairSalt - 1))))
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
     a.join(b, Seq("k", "salt"))              // equi-join on (normalized key, salt)
       .filter(col("src") < col("dst"))       // unordered-pair dedupe
       .select(col("src"), col("dst"), lit(relType).as("rel_type"))
@@ -59,8 +60,15 @@ object EdgeRules {
     * board...) are low-cardinality and Zipfian, so a bare equi-join has
     * ≤|vocab| distinct keys — the hottest key's quadratic pair production
     * serializes into one task. Salting the left side by `src % SALT` and
-    * replicating the right side SALT× spreads it (classic skew salting). */
-  private val PairSalt = 16
+    * replicating the right side SALT× spreads it (classic skew salting).
+    *
+    * Tunable per session (`spark.graft.pairSalt`): the right value grows
+    * with per-key group size — at 1000 executors on skewed keys you want
+    * salt ≈ a small multiple of cores-per-hot-key. Any value yields
+    * identical results (SaltEquivalenceSpec proves it under forced SMJ). */
+  val PairSaltConf = "spark.graft.pairSalt"
+  private def pairSalt(df: DataFrame): Int =
+    df.sparkSession.conf.get(PairSaltConf, "16").toInt
 
   /** Pair-producing stages get 4× the session's shuffle partitions: their
     * cost is in join OUTPUT rows (quadratic per key), not input bytes, so
@@ -72,12 +80,20 @@ object EdgeRules {
   def interestRule(withInterests: DataFrame): DataFrame = {
     val norm = withInterests
       .select(col("id"), array_distinct(Norm.normArr(col("interests"))).as("arr"))
+    pairJoinOnTokens(norm, "SHARES_INTEREST")
+  }
+
+  /** The explode → salted equi-join → min-token-dedupe core shared by
+    * [[interestRule]] and [[interestRuleCapped]]. Input: (id, arr) with
+    * `arr` already normalized + distinct. */
+  private def pairJoinOnTokens(norm: DataFrame, relType: String): DataFrame = {
+    val salt = pairSalt(norm)
     val toks = norm.select(col("id"), col("arr"), explode(col("arr")).as("tok"))
     val a = toks.select(col("id").as("src"), col("arr").as("a_arr"), col("tok"))
-      .withColumn("salt", pmod(col("src"), lit(PairSalt)).cast("int"))
-      .repartition(pairParallelism(withInterests), col("tok"), col("salt")) // see equiRule
+      .withColumn("salt", pmod(col("src"), lit(salt)).cast("int"))
+      .repartition(pairParallelism(norm), col("tok"), col("salt")) // see equiRule
     val b = toks.select(col("id").as("dst"), col("arr").as("b_arr"), col("tok"))
-      .withColumn("salt", explode(sequence(lit(0), lit(PairSalt - 1))))
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
     // A pair sharing k tokens appears k times in the token join; emitting it
     // only on its MINIMUM shared token dedupes without any post-join shuffle
     // (no groupBy/distinct over the pair explosion). The intersection uses
@@ -87,7 +103,32 @@ object EdgeRules {
     a.join(b, Seq("tok", "salt"))
       .withColumn("common", sort_array(filter(col("a_arr"), x => array_contains(col("b_arr"), x))))
       .filter(col("src") < col("dst") && col("tok") === element_at(col("common"), 1))
-      .select(col("src"), col("dst"), lit("SHARES_INTEREST").as("rel_type"), col("common"))
+      .select(col("src"), col("dst"), lit(relType).as("rel_type"), col("common"))
+  }
+
+  /** Scale-bounded SHARES_INTEREST: only tokens whose global document
+    * frequency is ≤ `maxDf` participate, and `common` is the shared RARE
+    * tokens. High-DF tokens carry near-zero similarity signal but ALL of the
+    * quadratic cost (a token shared by d docs yields d(d-1)/2 pairs), so
+    * capping df bounds total output by Σ_{df≤cap} df² ≤ cap · Σdf — LINEAR
+    * in data for a fixed cap. This is the standard stopword/high-frequency
+    * prune of set-similarity joins (cf. prefix-filtering, PPJoin) and the
+    * variant to run at 100 TB; the uncapped [[interestRule]] keeps the
+    * reference's exact semantics (create_relationships.py:80-93) for the
+    * oracle at small SF, where its Θ(n²) output is affordable. */
+  def interestRuleCapped(withInterests: DataFrame, maxDf: Long): DataFrame = {
+    val norm = withInterests
+      .select(col("id"), array_distinct(Norm.normArr(col("interests"))).as("arr"))
+    val toks = norm.select(col("id"), explode(col("arr")).as("tok"))
+    // df table is an aggregate over tokens — small vs the data; plain
+    // equi-join (AQE broadcasts it when it fits, shuffles when the long
+    // tail of a real vocabulary makes it big).
+    val rare = toks.join(
+      toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("tok"),
+      Seq("tok"))
+    val rarr = rare.groupBy("id").agg(sort_array(collect_set(col("tok"))).as("arr"))
+    pairJoinOnTokens(rarr, "SHARES_RARE_TOKEN")
   }
 
   /** Full backfill over the students view: the four equi rules unioned

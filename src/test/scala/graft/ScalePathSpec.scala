@@ -28,4 +28,34 @@ class ScalePathSpec extends SparkSpec {
       assert(i === broadcastInterests)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("pair salt is a pure parallelism knob: salt 1 == 16 == 64 under forced SMJ") {
+    val students = Tables.students(spark, sfDir)
+    def run(): (Long, Long) = {
+      val e = EdgeRules.backfill(students)
+      val i = EdgeRules.interestRule(Tables.partInterests(spark, sfDir))
+      (e.count(), i.agg(sum(size(col("common")))).first().getLong(0))
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val baseline = run() // default salt (16), broadcast allowed
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (salt <- Seq("1", "64")) {
+        spark.conf.set(EdgeRules.PairSaltConf, salt)
+        assert(run() === baseline, s"salt=$salt diverged")
+      }
+    } finally {
+      spark.conf.unset(EdgeRules.PairSaltConf)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("df-capped interest rule with cap >= max df equals the exact rule") {
+    val toks = Tables.partInterests(spark, sfDir)
+    val exact = EdgeRules.interestRule(toks)
+      .select(col("src"), col("dst"), col("common"))
+    val capped = EdgeRules.interestRuleCapped(toks, maxDf = Long.MaxValue)
+      .select(col("src"), col("dst"), col("common"))
+    assert(capped.exceptAll(exact).isEmpty && exact.exceptAll(capped).isEmpty)
+  }
 }
