@@ -84,13 +84,14 @@ object SparkEntry {
         Tables.students(s, d),
         Tables.orders(s, d).select(col("o_custkey").as("id")))
         .select(col("id")).orderBy(col("id"))),
-    "edges_backfill" -> ((s, d) =>
-      EdgeRules.backfill(Tables.students(s, d))
-        .orderBy(col("rel_type"), col("src"), col("dst"))),
+    // No final orderBy on the pair-explosion queries: the driver's gate
+    // canonicalizes row order itself (its pandas sort_values is what crashed
+    // on arrays in round 1), and a global total-order over tens of millions
+    // of edge rows is pure overhead nobody would run at 100 TB.
+    "edges_backfill" -> ((s, d) => EdgeRules.backfill(Tables.students(s, d))),
     "j2_shares_interest" -> ((s, d) =>
       EdgeRules.interestRule(Tables.partInterests(s, d))
-        .withColumn("common", array_join(col("common"), "|")) // see j3 note
-        .orderBy(col("src"), col("dst"))),
+        .withColumn("common", array_join(col("common"), "|"))), // see j3 note
     // Scale-bounded J2 variant (the one benched at sf0.1): df-capped token
     // pairs over documents words. The uncapped all-pairs form above keeps
     // the reference's exact semantics for the sf0.01 oracle.
@@ -99,8 +100,7 @@ object SparkEntry {
         Tables.documents(s, d)
           .select(col("doc_id").as("id"), Dedup.words(col("text")).as("interests")),
         maxDf = 250L)
-        .withColumn("common", array_join(col("common"), "|"))
-        .orderBy(col("src"), col("dst"))),
+        .withColumn("common", array_join(col("common"), "|"))),
     "j7_merge_anti" -> ((s, d) => {
       val st = Tables.students(s, d)
       EdgeRules.mergeNew(
