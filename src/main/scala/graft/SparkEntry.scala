@@ -41,6 +41,24 @@ object SparkEntry {
   private val decRev =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
+  // ------------------------------------------------------------ EP1 fixtures
+  // Literal new-student row for the onboarding queries — MIXED case on
+  // purpose so the gate proves the F10 ingest lowercasing.
+  private def newStudentDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("New Student", "5", "BUILDING", "7", "3"))
+      .toDF("name", "address", "college", "board", "stream")
+  }
+  private def emptyEdges(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Long, String)].toDF("src", "dst", "rel_type")
+  }
+  /** The same literal row as a DuckDB CTE (normalized + id assigned). */
+  private val newStudentSql: String =
+    ", n AS (SELECT (SELECT CAST(coalesce(max(id), 0) + 1 AS BIGINT) FROM students) AS id, " +
+    "lower('New Student') AS name, lower('BUILDING') AS college, lower('7') AS board, " +
+    "lower('3') AS stream, lower('5') AS address)"
+
   private val fuzzyQuery = "customer#000000012"
   private val tokenQuestion =
     "who is customr#000000042 nearby custoner#000000011 and friends"
@@ -112,6 +130,19 @@ object SparkEntry {
       val st = Tables.students(s, d)
       StudentQueries.pairRelationship(
         st, EdgeRules.backfill(st), "Customer#000000000", "Customer#000000001")
+    }),
+    // EP1 onboarding (S4 node create + F10 ingest lowercasing + J5
+    // incremental edges + J7 MERGE) exercised through Ingest.onboard as pure
+    // read queries — the write path's exact outputs under the oracle gate.
+    "ingest_onboard_row" -> ((s, d) => {
+      val (appended, id, _) =
+        Ingest.onboard(Tables.students(s, d), emptyEdges(s), newStudentDf(s))
+      appended.filter(col("id") === lit(id))
+    }),
+    "ingest_onboard_delta" -> ((s, d) => {
+      val (_, _, delta) =
+        Ingest.onboard(Tables.students(s, d), emptyEdges(s), newStudentDf(s))
+      delta.drop("common").orderBy(col("rel_type"), col("src"), col("dst"))
     }),
     "j9_range_join" -> ((s, d) =>
       RangeJoin.eventPairsWithin(Tables.events(s, d), 600L)),
@@ -444,6 +475,20 @@ object SparkEntry {
        "SELECT g.id, CAST(CASE WHEN g.id = a.id THEN 0 " +
        "WHEN g.id = g.hub OR a.id = a.hub THEN 1 ELSE 2 END AS INT) AS dist " +
        "FROM G g CROSS JOIN A a WHERE g.hub = a.hub ORDER BY g.id"),
+    // Closed form for static PageRank(resetProb 0.15) on the star
+    // construction: leaves/isolated vertices converge to 0.15 after one
+    // iteration (no in-edges), hubs to 0.15 + 0.85*0.15*(n-1) after two
+    // (each of the n-1 leaves sends rank/outDeg = 0.15); GraphX then
+    // normalizes so ranks sum to the vertex count. Verified value-for-value
+    // against GraphX output at sf0.001.
+    "graph_pagerank" ->
+      ("WITH G AS (SELECT c_custkey AS id, min(c_custkey) OVER " +
+       "(PARTITION BY c_nationkey, c_mktsegment) AS hub, " +
+       "count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n FROM customer), " +
+       "U AS (SELECT id, CASE WHEN id = hub THEN 0.15 + 0.85 * 0.15 * (n - 1) " +
+       "ELSE 0.15 END AS u FROM G), " +
+       "F AS (SELECT count(*) / sum(u) AS f FROM U) " +
+       "SELECT id, round(u * f, 4) AS rank FROM U, F ORDER BY id"),
     "graph_degrees" ->
       ("WITH G AS (SELECT c_custkey AS id, " +
        "min(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment) AS hub, " +
@@ -484,6 +529,20 @@ object SparkEntry {
       "x -> x IS NOT NULL), '|') AS matched_on, " +
       "bm + sm + cm + am AS score FROM scored WHERE bm + sm + cm + am > 0 " +
       "ORDER BY score DESC, id"),
+    "ingest_onboard_row" -> withStudents(
+      s"$newStudentSql SELECT id, name, college, board, stream, address FROM n"),
+    "ingest_onboard_delta" -> withStudents(
+      newStudentSql + ", delta AS (" +
+      Seq("college" -> "SAME_COLLEGE", "board" -> "SAME_BOARD",
+          "stream" -> "SAME_STREAM", "address" -> "NEARBY")
+        .map { case (a, t) =>
+          s"SELECT least(s.id, n.id) AS src, greatest(s.id, n.id) AS dst, '$t' AS rel_type " +
+          s"FROM students s, n WHERE s.id <> n.id " +
+          s"AND s.$a IS NOT NULL AND n.$a IS NOT NULL " +
+          s"AND lower(trim(coalesce(s.$a,''))) <> '' " +
+          s"AND lower(trim(coalesce(s.$a,''))) = lower(trim(coalesce(n.$a,'')))"
+        }.mkString(" UNION ALL ") +
+      ") SELECT * FROM delta ORDER BY rel_type, src, dst"),
     "j6_exists" -> withStudents(
       "SELECT id FROM students st WHERE EXISTS " +
       "(SELECT 1 FROM orders o WHERE o.o_custkey = st.id) ORDER BY id"),

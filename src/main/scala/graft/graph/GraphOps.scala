@@ -71,8 +71,10 @@ object GraphOps {
     spark.createDataFrame(reached).toDF("id", "dist").orderBy(col("id"))
   }
 
-  /** PageRank over the star graph (no closed-form oracle — covered by the
-    * rows-only check + ScalaTest structural assertions). */
+  /** PageRank over the star graph. The star has a closed form the DuckDB
+    * oracle checks: leaves/isolated = 0.15, hub = 0.15 + 0.85·0.15·(n−1)
+    * (a two-value fixpoint reached by iteration 2), then GraphX normalizes
+    * ranks to sum to the vertex count. */
   def pageRank(spark: SparkSession, customer: DataFrame, iters: Int = 10): DataFrame = {
     val pr = similarityGraph(customer).staticPageRank(iters).vertices
     spark.createDataFrame(pr.map { case (id, r) => (id, math.round(r * 10000.0) / 10000.0) })

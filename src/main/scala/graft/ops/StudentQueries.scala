@@ -50,11 +50,19 @@ object StudentQueries {
         col("college").as("b_college"), col("board").as("b_board"),
         col("stream").as("b_stream"))
     val pair = broadcast(a).crossJoin(broadcast(b))
-    // Undirected probe: (a->b) OR (b->a).
-    val undirected =
-      (col("src") === col("a_id") && col("dst") === col("b_id")) ||
-      (col("src") === col("b_id") && col("dst") === col("a_id"))
-    pair.join(edges, undirected, "left_outer")
+    // Undirected probe: union BOTH orientations of the directed edge table
+    // and join on plain (src, dst) equality — an OR-of-orientations join
+    // condition has no equi keys, so Catalyst would fall back to a
+    // nested-loop probe over the whole edge table; the doubled-orientation
+    // equi-join keeps (src, dst) pushdown/broadcast-hash-join viable at any
+    // edge count. Edges are stored src < dst, so the two orientations are
+    // disjoint and the union introduces no duplicate matches.
+    val bothOrientations = edges.unionByName(
+      edges.withColumnRenamed("src", "tmp")
+        .withColumnRenamed("dst", "src").withColumnRenamed("tmp", "dst")
+        .select(edges.columns.map(col): _*))
+    pair.join(bothOrientations,
+      col("src") === col("a_id") && col("dst") === col("b_id"), "left_outer")
       .select(
         col("a_id"), col("a_name"), col("b_id"), col("b_name"),
         col("rel_type"),
