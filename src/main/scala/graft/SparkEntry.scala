@@ -177,7 +177,31 @@ object SparkEntry {
     "q7_volume" -> ((s, d) => Relational.q7Volume(s, d)),
     "q9_profit" -> ((s, d) => Relational.q9Profit(s, d)),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q4_priority_exists" -> ((s, d) => Relational.q4PriorityExists(s, d)),
+    "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
+    // multi-DISTINCT aggregate (Expand-based plan) + window-function breadth
+    "a7_distinct_agg" -> ((s, d) =>
+      Tables.orders(s, d).agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"),
+        count(lit(1)).as("n"))),
+    "w4_order_ranks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(byPrice).as("price_rn"),
+        ntile(4).over(byDate).as("quartile"),
+        lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
+        lag(col("o_totalprice"), 1).over(byDate).as("prev_price"))
+        .filter(col("price_rn") <= 3)
+        .orderBy(col("o_custkey"), col("price_rn"))
+    }),
     // training-data pipeline: dedup
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_sig" -> ((s, d) =>
@@ -208,6 +232,7 @@ object SparkEntry {
     "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
     "sim_ann_multiprobe" -> ((s, d) => Similarity.annMultiProbeTopK(Tables.embeddings(s, d))),
+    "sim_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(Tables.embeddings(s, d))),
     // custom TopKPerKey physical operator (partial/final heap split); same
     // semantics as the window form, k rows shuffled per key per partition
     "sim_topk_custom" -> ((s, d) => {
@@ -433,6 +458,43 @@ object SparkEntry {
        "R AS (SELECT qid, vec_id, cos, row_number() OVER " +
        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J) " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    "q4_priority_exists" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders FROM orders o " +
+       "WHERE EXISTS (SELECT 1 FROM lineitem l " +
+       "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') " +
+       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q10_returned_items" ->
+      (s"SELECT c_custkey, c_name, n_name, CAST(sum($decRev) AS DOUBLE) AS revenue " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name, n_name " +
+       "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "a7_distinct_agg" ->
+      ("SELECT count(DISTINCT o_custkey) AS n_cust, " +
+       "count(DISTINCT o_orderpriority) AS n_prio, " +
+       "count(DISTINCT year(o_orderdate)) AS n_years, count(*) AS n FROM orders"),
+    "w4_order_ranks" ->
+      ("WITH W AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+       "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rn, " +
+       "CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile, " +
+       "lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price, " +
+       "lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price " +
+       "FROM orders) " +
+       "SELECT * FROM W WHERE price_rn <= 3 ORDER BY o_custkey, price_rn"),
+    "sim_ann_ivf" ->
+      ("WITH E0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "E AS (SELECT vec_id, v, concat_ws('_', " +
+       "CAST(CAST(floor(v[1]/0.2) AS BIGINT) AS VARCHAR), " +
+       "CAST(CAST(floor(v[2]/0.2) AS BIGINT) AS VARCHAR), " +
+       "CAST(CAST(floor(v[3]/0.2) AS BIGINT) AS VARCHAR)) AS cell FROM E0), " +
+       "Q AS (SELECT vec_id AS qid, v AS qv, cell FROM E WHERE vec_id < 8), " +
+       s"J AS (SELECT Q.qid, E.vec_id, E.cell, round(${cosSql("E.v", "Q.qv")}, 6) AS cos " +
+       "FROM E JOIN Q ON E.cell = Q.cell AND E.vec_id <> Q.qid), " +
+       "R AS (SELECT qid, vec_id, cell, cos, row_number() OVER " +
+       "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J) " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
     "s7_ping" -> "SELECT 1 AS ok",
     "f13_json_shape" -> withStudents(

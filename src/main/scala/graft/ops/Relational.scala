@@ -128,6 +128,38 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q4-shaped EXISTS aggregation: orders with at least one returned
+    * line (left-semi join — the EXISTS plan shape), counted per priority.
+    * The semi-join build side carries only the join key. */
+  def q4PriorityExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .join(returned, Seq("o_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q10-shaped returned-item reporting: lost revenue per customer
+    * over returned lines, top 20 — fact filter first, broadcast nation,
+    * TakeOrderedAndProject for the cut. */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revenue.as("rev"))
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
   /** Set-ops surface (SURVEY.md §2.6 extension): urgent orders ∩ big orders,
     * minus orders with any returned lineitem, ∪ the single largest order.
     * Exercises intersect / except / union as distinct-set operators. */

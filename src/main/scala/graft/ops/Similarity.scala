@@ -119,6 +119,36 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  val IvfDims = 3
+  val IvfCell = 0.2
+
+  /** IVF-style ANN with a DETERMINISTIC coarse quantizer: the centroid set
+    * is a fixed lattice (cell width [[IvfCell]] over the first [[IvfDims]]
+    * dimensions) — grid-cell assignment IS nearest-centroid assignment for
+    * a lattice, the inverted lists are the cell groups, and probing is an
+    * equi-join on cell id (nprobe=1). A production IVF trains centroids
+    * with k-means; a lattice is used so the oracle can recompute cells in
+    * SQL (trained centroids aren't reproducible across engines). Recall
+    * rises with wider cells or neighbor-cell probes, exactly like
+    * [[annMultiProbeTopK]]'s Hamming-1 expansion. */
+  def annIvfTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cellExpr = concat_ws("_", (0 until IvfDims).map(d =>
+      floor(col("v")(d) / IvfCell).cast("long").cast("string")): _*)
+    val e = vecs(embeddings).withColumn("cell", cellExpr)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+    e.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("cos"), 4).as("cos"), col("cell"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Blocked near-duplicate pairs: sampled anchors joined only against
     * vectors in the same `label` block (the IVF/LSH-bucket join shape),
     * keeping pairs above a cosine threshold. */
