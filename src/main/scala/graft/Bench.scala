@@ -17,6 +17,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the session once (codegen compiler, parquet footer reader,
+    // shuffle machinery) so the first timed query doesn't absorb one-time
+    // JVM costs; steady-state is what BASELINE.md compares across rounds.
+    spark.sql("SELECT 1").count()
+    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -50,6 +50,19 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("j4 undirected probe is an equi-join, not a nested loop") {
+    val st = Tables.students(spark, sfDir)
+    val q = graft.ops.StudentQueries.pairRelationship(
+      st, EdgeRules.backfill(st), "Customer#000000000", "Customer#000000001")
+    val plan = q.queryExecution.executedPlan.toString
+    // The 1-row x 1-row name-pair cross is a legitimate BNLJ(Cross); the
+    // EDGE probe (the LeftOuter join) must be an equi-join on (src, dst).
+    assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, LeftOuter") &&
+           !plan.contains("BroadcastNestedLoopJoin BuildLeft, LeftOuter"),
+      "undirected edge probe fell back to a nested loop")
+    assert(q.count() >= 1)
+  }
+
   test("df-capped interest rule with cap >= max df equals the exact rule") {
     val toks = Tables.partInterests(spark, sfDir)
     val exact = EdgeRules.interestRule(toks)
