@@ -144,6 +144,17 @@ object SparkEntry {
         Ingest.onboard(Tables.students(s, d), emptyEdges(s), newStudentDf(s))
       delta.drop("common").orderBy(col("rel_type"), col("src"), col("dst"))
     }),
+    // J5's interest variant under the oracle: one new member's interests
+    // (mixed case + an unknown token, exercising normArr) broadcast against
+    // the existing token table — never an all-pairs join.
+    "ingest_interest_delta" -> ((s, d) => {
+      import s.implicits._
+      val newcomer = Seq((10000000L, Seq("Burnished ", "GIZMO", "red", "unobtainium")))
+        .toDF("id", "interests")
+      EdgeRules.incrementalInterestEdges(Tables.partInterests(s, d), newcomer)
+        .withColumn("common", array_join(col("common"), "|"))
+        .orderBy(col("src"), col("dst"))
+    }),
     "j9_range_join" -> ((s, d) =>
       RangeJoin.eventPairsWithin(Tables.events(s, d), 600L)),
     "j8_asof_join" -> ((s, d) => {
@@ -625,6 +636,14 @@ object SparkEntry {
        "array_to_string(list_sort(list(a.tok)), '|') AS common " +
        "FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id " +
        "GROUP BY a.id, b.id ORDER BY src, dst"),
+    "ingest_interest_delta" ->
+      ("WITH toks AS (SELECT DISTINCT p_partkey AS id, " +
+       "unnest(string_split(lower(p_name), ' ')) AS tok FROM part), " +
+       "n AS (SELECT unnest(['burnished','gizmo','red','unobtainium']) AS tok), " +
+       "c AS (SELECT t.id, list_sort(list(t.tok)) AS common FROM toks t JOIN n USING (tok) GROUP BY t.id) " +
+       "SELECT least(id, 10000000) AS src, greatest(id, 10000000) AS dst, " +
+       "'SHARES_INTEREST' AS rel_type, array_to_string(common, '|') AS common " +
+       "FROM c ORDER BY src, dst"),
     "j7_merge_anti" -> withStudents(
       ", cand AS (SELECT a.id AS src, b.id AS dst, 'SAME_BOARD' AS rel_type " +
       "FROM students a JOIN students b ON a.board = b.board AND a.id < b.id " +
