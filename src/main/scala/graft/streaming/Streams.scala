@@ -66,6 +66,43 @@ object Streams {
       }
   }
 
+  /** Streaming dedup — the training-data pipeline's exact-dedup on a live
+    * feed: first event per (user_id, event_type) key. Streaming uses
+    * `dropDuplicatesWithinWatermark`, which BOUNDS state by event time (a
+    * plain streaming dropDuplicates keeps every key forever and OOMs on an
+    * unbounded stream); batch mode is the ordinary dropDuplicates. Output
+    * is projected to the key columns so stream and batch agree exactly
+    * (which duplicate's payload survives is engine-dependent). */
+  def dedupEvents(events: DataFrame): DataFrame = {
+    val deduped =
+      if (events.isStreaming)
+        events.withWatermark("ts", "2 hours")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+      else events.dropDuplicates("user_id", "event_type")
+    deduped.select(col("user_id"), col("event_type"))
+  }
+
+  /** Stream-stream interval join: purchases within 1 hour after a click by
+    * the same user. Both sides carry watermarks and the join condition has
+    * the time-range bound Structured Streaming needs to expire state; the
+    * same call runs on batch DataFrames (watermarks no-op). At scale this
+    * is the attribution-join shape: state per side ≈ watermark horizon ×
+    * arrival rate, partitioned by user_id. */
+  def purchasesAfterClicks(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", "2 hours") else df
+    val c = wm(clicks).filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = wm(purchases).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Onboarding-as-stream: each micro-batch of new students is joined
     * against the existing students table with the incremental edge rules
     * (EP1 step c) and the results are handed to `sink` (in production an

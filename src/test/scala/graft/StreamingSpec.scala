@@ -59,4 +59,41 @@ class StreamingSpec extends SparkSpec {
     assert(edges.toSet === Set(
       (1L, 3L, "SAME_COLLEGE"), (1L, 3L, "NEARBY"), (2L, 3L, "SAME_STREAM")))
   }
+
+  test("streaming dedup (dropDuplicatesWithinWatermark): stream keys == batch keys") {
+    val batchEvents = Tables.events(spark, sfDir)
+    val expected = Streams.dedupEvents(batchEvents)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val dir = Files.createTempDirectory("events-dedup").toFile
+    batchEvents.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val q = Streams.dedupEvents(
+      spark.readStream.schema(batchEvents.schema).parquet(dir.getAbsolutePath))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_test")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_test")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expected)
+  }
+
+  test("stream-stream interval join: purchases within 1h of a click, stream == batch") {
+    val batchEvents = Tables.events(spark, sfDir)
+    val expected = Streams.purchasesAfterClicks(batchEvents, batchEvents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val dir = Files.createTempDirectory("events-ssjoin").toFile
+    batchEvents.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    def stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(dir.getAbsolutePath)
+    val q = Streams.purchasesAfterClicks(stream, stream)
+      .writeStream.outputMode("append").format("memory").queryName("ssjoin_test")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty && got === expected)
+  }
 }
