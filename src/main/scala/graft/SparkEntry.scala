@@ -281,6 +281,12 @@ object SparkEntry {
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+    "a8_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
     "stream_event_windows" -> ((s, d) =>
       graft.streaming.Streams.windowedEventCounts(Tables.events(s, d))
         .orderBy(col("hour"), col("event_type"))),
@@ -521,6 +527,11 @@ object SparkEntry {
        "count(*) FILTER (event_type = 'signup') AS signup, " +
        "count(*) FILTER (event_type = 'view') AS view " +
        "FROM events GROUP BY day ORDER BY day"),
+    "a8_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+       "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+       "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
     "a6_rollup" ->
       ("SELECT l_returnflag, l_linestatus, " +
        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n " +

@@ -12,8 +12,13 @@ object TimeQ {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- SparkEntry.benchQueries) {
       val t0 = System.nanoTime()
-      val n = try SparkEntry.queries(name)(spark, sfDir).count() catch { case e: Throwable => println(s"$name ERR ${e.getMessage}"); -1L }
-      println(f"$name%-25s ${(System.nanoTime()-t0)/1e9}%8.2fs  rows=$n")
+      // noop sink to match Bench's materialization semantics (count() lets
+      // Catalyst prune columns and drop sorts).
+      val ok = try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); true
+      } catch { case e: Throwable => println(s"$name ERR ${e.getMessage}"); false }
+      println(f"$name%-25s ${(System.nanoTime()-t0)/1e9}%8.2fs  ok=$ok")
     }
     spark.stop()
   }
