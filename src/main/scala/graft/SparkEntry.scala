@@ -260,6 +260,23 @@ object SparkEntry {
         .orderBy(col("qid"), desc("cos"), col("vec_id"))
     }),
     // misc surface: ping (S7), JSON shaping (F13)
+    // F5's exact quirk under the gate: case-insensitive intersection that
+    // KEEPS the left argument's original casing (student_service.py:155) —
+    // raw-cased document words vs a mixed-case probe list.
+    "f5_keepcase_intersect" -> ((s, d) => {
+      val rawWords = split(
+        regexp_replace(trim(col("text")), s"${Dedup.WsClass}+", " "), " ")
+      Tables.documents(s, d).select(col("doc_id"),
+        array_join(functions.Norm.intersectKeepLeft(
+          rawWords, array(lit("THE"), lit("Of"), lit("and"), lit("IS"))), "|").as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+    // S6 batch property update (sync_lowercase) as a pure read query: an
+    // upper-cased students view pushed through the real copy-on-write op.
+    "s6_sync_lowercase" -> ((s, d) => {
+      val shouting = Tables.students(s, d).withColumn("name", upper(col("name")))
+      Ingest.syncLowercase(shouting)._1.orderBy(col("id"))
+    }),
     "s7_ping" -> ((s, _) => s.sql("SELECT 1 AS ok")),
     "f13_json_shape" -> ((s, d) =>
       Tables.students(s, d)
@@ -513,6 +530,17 @@ object SparkEntry {
        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J) " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // coalesce(text,'') mirrors intersectKeepLeft's null→[] semantics
+    // (the reference treats null lists as [], student_service.py:131).
+    "f5_keepcase_intersect" ->
+      (s"SELECT doc_id, coalesce(array_to_string(list_filter(" +
+       "string_split(regexp_replace(trim(coalesce(text, '')), '[ \\t\\n\\f\\r]+', ' ', 'g'), ' '), " +
+       "x -> list_contains(['the','of','and','is'], lower(trim(x)))), '|'), '') AS kept " +
+       "FROM documents ORDER BY doc_id"),
+    "s6_sync_lowercase" -> withStudents(
+      "SELECT id, lower(upper(name)) AS name, lower(college) AS college, " +
+      "lower(board) AS board, lower(stream) AS stream, address " +
+      "FROM students ORDER BY id"),
     "s7_ping" -> "SELECT 1 AS ok",
     "f13_json_shape" -> withStudents(
       "SELECT id, CAST(to_json(struct_pack(id := id, name := name)) AS VARCHAR) AS payload " +
