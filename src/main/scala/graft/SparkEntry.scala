@@ -319,6 +319,8 @@ object SparkEntry {
     // multimodal plumbing (stubbed decode)
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))),
+    "mm_frames" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.mediaTable(Tables.documents(s, d)))),
   )
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
@@ -617,6 +619,18 @@ object SparkEntry {
        "strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS INT) AS height, " +
        "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INT) AS channels " +
        "FROM M ORDER BY doc_id"),
+    "mm_frames" ->
+      ("WITH M AS (SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id % 3 = 2), " +
+       "D AS (SELECT doc_id, " +
+       "greatest(16*(strpos('0123456789abcdef', substr(hx,1,1))-1) + strpos('0123456789abcdef', substr(hx,2,1))-1, 1) AS w, " +
+       "greatest(16*(strpos('0123456789abcdef', substr(hx,3,1))-1) + strpos('0123456789abcdef', substr(hx,4,1))-1, 1) AS h, " +
+       "16*(strpos('0123456789abcdef', substr(hx,5,1))-1) + strpos('0123456789abcdef', substr(hx,6,1))-1 + 1 AS n_frames FROM M), " +
+       "F AS (SELECT doc_id, w, h, n_frames, unnest(range(0, n_frames, 8)) AS frame_idx FROM D) " +
+       "SELECT doc_id, CAST(n_frames AS INT) AS n_frames, CAST(frame_idx AS INT) AS frame_idx, " +
+       "md5(CAST(doc_id AS VARCHAR) || '_' || CAST(frame_idx AS VARCHAR)) AS frame_hash, " +
+       "CAST(least(w, 64) AS INT) AS rw, " +
+       "CAST(greatest((h * least(w, 64)) // w, 1) AS INT) AS rh " +
+       "FROM F ORDER BY doc_id, frame_idx"),
     "s1_students_scan" -> withStudents("SELECT * FROM students ORDER BY id"),
     "s2_point_lookup" -> withStudents("SELECT * FROM students WHERE id = 42"),
     "p2_ci_name_eq" -> withStudents(

@@ -47,6 +47,31 @@ object Multimodal {
       height = m.bytes(1) & 0xff,
       channels = if (m.kind == "audio") 1 else 3)
 
+  /** Frame sampling + resize planning for video rows — the third multimodal
+    * plumbing shape (per-row EXPLODE into sampled frames, then per-frame
+    * arithmetic), all Spark built-ins inside whole-stage codegen. The
+    * "container header" (frame count, source dims) is the same deterministic
+    * stub as [[decodeStub]] (leading payload bytes); frame extraction itself
+    * would replace the md5 frame-hash stub with a real decoder call inside
+    * [[extractFeatures]]'s batching. Resize preserves aspect ratio with
+    * integer math (engine-portable, no float rounding). */
+  def frameSample(media: DataFrame, stride: Int = 8, maxDim: Int = 64): DataFrame = {
+    def hexPair(pos: Int) =
+      conv(substring(lower(hex(col("bytes"))), pos, 2), 16, 10).cast("int")
+    media.filter(col("kind") === "video")
+      .withColumn("w", greatest(hexPair(1), lit(1)))
+      .withColumn("h", greatest(hexPair(3), lit(1)))
+      .withColumn("n_frames", hexPair(5) + 1)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .withColumn("rw", least(col("w"), lit(maxDim)))
+      .withColumn("rh", greatest(expr("(h * rw) div w"), lit(1L)).cast("int"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        md5(concat_ws("_", col("doc_id"), col("frame_idx")).cast("binary")).as("frame_hash"),
+        col("rw"), col("rh"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Batched feature extraction: partitions stream through the stub decoder
     * in [[BatchSize]] chunks. Runs fully parallel per partition; no shuffle. */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
