@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward forked-run stdout verbatim (no "[info] " logger prefix): the
+// driver parses Bench's one-line JSON from stdout, and the prefix made
+// round 1's bench output unparseable. (Bench also writes bench_out.json.)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
