@@ -63,6 +63,62 @@ class ScalePathSpec extends SparkSpec {
     assert(q.count() >= 1)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // Force the shuffle-join path (broadcast joins don't need the filter)
+      // and drop the 10GB application-side threshold so the local fact
+      // table qualifies; at real scale the defaults fire on their own.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val dim = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val fact = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      assert(j.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "no bloom filter injected on the fact scan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
+  test("AQE splits a skewed shuffle-join partition (input-skew case)") {
+    import spark.implicits._
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // Local data is tiny, so lower AQE's skew thresholds; at real scale
+      // the 256MB defaults fire on their own. This covers INPUT skew —
+      // OUTPUT-explosion skew (pair joins) needs the salting in EdgeRules,
+      // which AQE's byte-based splitting cannot see.
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // one hot key (0) with 200k rows + a uniform tail
+      val left = spark.range(200000).map(i => (0L, i)).toDF("k", "v")
+        .union(spark.range(20000).map(i => (1L + i % 100, i)).toDF("k", "v"))
+      val right = spark.range(101).map(i => (i, s"r$i")).toDF("k", "name")
+      // keep the payload column: a constant-key-only partition compresses
+      // to nothing in the shuffle and never crosses the skew threshold
+      val j = left.join(right, "k").select(col("k"), col("v"))
+      // run THIS dataset's own query execution (count() would plan a new
+      // one and leave j's adaptive plan unexecuted at isFinalPlan=false)
+      assert(j.collect().length === 220000)
+      assert(j.queryExecution.executedPlan.toString.contains("skew=true"),
+        "AQE did not mark the hot partition as skewed")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    }
+  }
+
   test("df-capped interest rule with cap >= max df equals the exact rule") {
     val toks = Tables.partInterests(spark, sfDir)
     val exact = EdgeRules.interestRule(toks)
