@@ -247,6 +247,7 @@ object SparkEntry {
     // custom TopKPerKey physical operator (partial/final heap split); same
     // semantics as the window form, k rows shuffled per key per partition
     "sim_topk_custom" -> ((s, d) => {
+      graft.functions.DotProduct.register(s) // cosine's native kernel
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val q = e.filter(col("vec_id") < 8)

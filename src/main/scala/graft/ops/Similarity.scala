@@ -19,16 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product (deterministic). */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product (deterministic): native codegen expression
+    * (one loop, no per-row intermediate array). Bit-identical to
+    * [[dotDataflow]] — same summation order. Callers with a session in
+    * reach must ensure [[graft.functions.DotProduct.register]] ran (all
+    * entry points in this object do). */
+  def dot(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  /** The built-ins-only dataflow form, kept as the portability baseline and
+    * for the equivalence spec. */
+  def dotDataflow(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  private def vecs(embeddings: DataFrame): DataFrame =
+  private def vecs(embeddings: DataFrame): DataFrame = {
+    graft.functions.DotProduct.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
+  }
 
   /** Brute-force cosine top-k: queries (small) broadcast against every
     * vector; per-query top-k via a rank window partitioned by query —

@@ -52,5 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("indel_ratio"),
       new ExpressionInfo(classOf[IndelRatio].getName, "indel_ratio"),
       (exprs: Seq[Expression]) => IndelRatio(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => graft.functions.DotProduct(exprs(0), exprs(1))))
   }
 }
