@@ -226,6 +226,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "dedup_keepset" -> ((s, d) => Dedup.keepSet(Tables.documents(s, d))),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "a5_stats" -> ((s, d) =>
       Tables.orders(s, d).agg(
         countDistinct(col("o_custkey")).as("n_cust"),
@@ -354,6 +355,18 @@ object SparkEntry {
     "PAIRS AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM BANDS a " +
     "JOIN BANDS b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id)"
 
+  /** SimHash-per-doc CTE chain (ends with SIG(doc_id, simhash)); mirrors
+    * functions.SimHash32 bit-for-bit. */
+  private val simhashCtes: String =
+    s"WD AS (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS wd FROM documents), " +
+    "M AS (SELECT doc_id, md5(wd) AS m FROM WD), " +
+    "B AS (SELECT doc_id, unnest(range(32)) AS b, m FROM M), " +
+    "C AS (SELECT doc_id, b, 2 * (((strpos('0123456789abcdef', substr(m, CAST(b // 4 AS INT) + 1, 1)) - 1) " +
+    ">> CAST(b % 4 AS INT)) & 1) - 1 AS contrib FROM B), " +
+    "S AS (SELECT doc_id, b, sum(contrib) AS s FROM C GROUP BY doc_id, b), " +
+    "SIG AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash " +
+    "FROM S GROUP BY doc_id)"
+
   private val eventWindowsSql: String =
     "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, " +
     "event_type, count(*) AS n, " +
@@ -406,14 +419,16 @@ object SparkEntry {
        "round(quantile_cont(o_totalprice, 0.5), 4) AS median_price, " +
        "round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price FROM orders"),
     "dedup_simhash" ->
-      (s"WITH WD AS (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS wd FROM documents), " +
-       "M AS (SELECT doc_id, md5(wd) AS m FROM WD), " +
-       "B AS (SELECT doc_id, unnest(range(32)) AS b, m FROM M), " +
-       "C AS (SELECT doc_id, b, 2 * (((strpos('0123456789abcdef', substr(m, CAST(b // 4 AS INT) + 1, 1)) - 1) " +
-       ">> CAST(b % 4 AS INT)) & 1) - 1 AS contrib FROM B), " +
-       "S AS (SELECT doc_id, b, sum(contrib) AS s FROM C GROUP BY doc_id, b) " +
-       "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash " +
-       "FROM S GROUP BY doc_id ORDER BY doc_id"),
+      (s"WITH $simhashCtes SELECT doc_id, simhash FROM SIG ORDER BY doc_id"),
+    "dedup_simhash_pairs" ->
+      (s"WITH $simhashCtes, " +
+       "BANDS AS (SELECT doc_id, simhash, unnest(range(4)) AS band FROM SIG), " +
+       "BB AS (SELECT doc_id, simhash, band, (simhash >> CAST(band * 8 AS INT)) & 255 AS byte FROM BANDS), " +
+       "P AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst, " +
+       "bit_count(xor(a.simhash, b.simhash)) AS hamming " +
+       "FROM BB a JOIN BB b ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id) " +
+       "SELECT src, dst, CAST(hamming AS INT) AS hamming FROM P WHERE hamming <= 3 " +
+       "ORDER BY src, dst"),
     "text_tokens" ->
       (s"SELECT doc_id, CAST(len(string_split($docNorm, ' ')) AS INT) AS ws_tokens, " +
        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS word_tokens, " +
