@@ -6,16 +6,19 @@ import org.apache.spark.sql.functions._
 /** Embedding similarity search over the `embeddings` table
   * (vec_id, embedding ARRAY<FLOAT>, label).
   *
-  * Dot products run on `array<double>` via zip_with + a sequential aggregate
-  * fold — deterministic summation order, so results are reproducible across
-  * engines (the DuckDB oracle computes the same doubles; final values are
-  * rounded to absorb any last-ulp divergence).
+  * Dot products run on `array<double>` through the native
+  * [[graft.functions.DotProduct]] codegen expression — a sequential
+  * left-to-right fold, deterministic summation order, so results are
+  * reproducible across engines (the DuckDB oracle computes the same
+  * doubles; final values are rounded to absorb any last-ulp divergence).
+  * Norms are computed once per VECTOR, not per pair — the pair row does one
+  * dot product and one multiply.
   *
   * Scale path: brute-force top-k is the correctness baseline (fine when the
   * query set is small — broadcast queries × one pass over vectors). For
-  * corpus×corpus similarity the label/LSH-blocked variant bounds candidates;
-  * a full IVF would add a coarse-quantizer bucket column and probe only
-  * nearby buckets — same join shape as [[nearDupPairs]].
+  * corpus×corpus similarity the label/LSH-blocked, sign-sketch (ANN),
+  * lattice-IVF, and multi-probe variants bound candidates — all bucket
+  * equi-joins.
   */
 object Similarity {
 
@@ -34,6 +37,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Pair-side cosine from PRE-COMPUTED norms: one dot product per pair
+    * instead of three. sqrt(dot(v,v)) is computed once per VECTOR and
+    * multiplied in the pair row — the same doubles in the same order as
+    * [[cosine]], so results are bit-identical (the oracle rows prove it);
+    * only the redundant per-pair recomputation is gone. */
+  private def cosFromNorms(v: Column, qv: Column, nrm: Column, qnrm: Column): Column =
+    dot(v, qv) / (nrm * qnrm)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
   private def vecs(embeddings: DataFrame): DataFrame = {
     graft.functions.DotProduct.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"), col("label"),
@@ -45,13 +59,14 @@ object Similarity {
     * ranking on the ROUNDED cosine with vec_id tiebreak keeps the cut
     * deterministic across engines. */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val e = vecs(embeddings)
+    val e = withNorm(vecs(embeddings))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     import org.apache.spark.sql.expressions.Window
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("cos",
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("qid"))
           .orderBy(desc("cos"), col("vec_id"))))
@@ -89,12 +104,14 @@ object Similarity {
     * buckets at Hamming distance 1. */
   def annTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = vecs(embeddings).withColumn("bucket", bucketCol(col("v")))
+    val e = withNorm(vecs(embeddings)).withColumn("bucket", bucketCol(col("v")))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket"))
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("cos",
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
       .filter(col("rank") <= k)
@@ -109,7 +126,7 @@ object Similarity {
     * equi-join on bucket. */
   def annMultiProbeTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = vecs(embeddings).withColumn("bucket", bucketCol(col("v")))
+    val e = withNorm(vecs(embeddings)).withColumn("bucket", bucketCol(col("v")))
     val flips = (0 until NumPlanes).map { p =>
       concat(
         substring(col("bucket"), 1, p),
@@ -117,11 +134,12 @@ object Similarity {
         substring(col("bucket"), p + 2, NumPlanes - p - 1))
     }
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(array(col("bucket") +: flips: _*)).as("bucket"))
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("cos",
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
       .filter(col("rank") <= k)
@@ -145,12 +163,14 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cellExpr = concat_ws("_", (0 until IvfDims).map(d =>
       floor(col("v")(d) / IvfCell).cast("long").cast("string")): _*)
-    val e = vecs(embeddings).withColumn("cell", cellExpr)
+    val e = withNorm(vecs(embeddings)).withColumn("cell", cellExpr)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell"))
     e.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("cos",
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
       .filter(col("rank") <= k)
@@ -164,12 +184,15 @@ object Similarity {
     * keeping pairs above a cosine threshold. */
   def nearDupPairs(embeddings: DataFrame, anchorMod: Int = 100,
       threshold: Double = 0.25): DataFrame = {
-    val e = vecs(embeddings)
+    val e = withNorm(vecs(embeddings))
     val anchors = e.filter(col("vec_id") % anchorMod === 0)
-      .select(col("vec_id").as("src"), col("label"), col("v").as("av"))
-    anchors.join(e.withColumnRenamed("vec_id", "dst"), Seq("label"))
+      .select(col("vec_id").as("src"), col("label"),
+        col("v").as("av"), col("nrm").as("anrm"))
+    anchors.join(
+        e.withColumnRenamed("vec_id", "dst"), Seq("label"))
       .filter(col("src") =!= col("dst"))
-      .withColumn("cos", round(cosine(col("av"), col("v")), 4))
+      .withColumn("cos",
+        round(cosFromNorms(col("av"), col("v"), col("anrm"), col("nrm")), 4))
       .filter(col("cos") >= threshold)
       .select(col("src"), col("dst"), col("cos"))
       .orderBy(col("src"), col("dst"))
