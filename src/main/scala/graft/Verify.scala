@@ -26,9 +26,21 @@ object Verify {
         }
         rm(dest)
       }
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // The driver's oracle gate crashes on ARRAY/STRUCT output cells
+        // (pandas sort_values; cost round 1 its two flagship rows) —
+        // surface the hazard at dump time, loudly.
+        val bad = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] => f.name
+        }
+        if (bad.nonEmpty)
+          System.err.println(
+            s"[verify] WARNING $name outputs array/struct cols ${bad.mkString(",")} — " +
+            "the driver gate cannot hash these; array_join them")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
