@@ -327,10 +327,12 @@ object SparkEntry {
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
   def benchQueries: Seq[String] = Seq(
-    "q1_agg", "q3_top_revenue", "q5_region_revenue", "q7_volume", "q9_profit", "set_ops",
-    "edges_backfill", "j2_rare_token_pairs", "j3_recommend", "fuzzy_search_lev",
-    "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
-    "text_quality", "sim_topk_bruteforce",
+    "q1_agg", "q3_top_revenue", "q5_region_revenue", "q7_volume", "q9_profit",
+    "q10_returned_items", "set_ops",
+    "edges_backfill", "j2_rare_token_pairs", "j3_recommend", "j8_asof_join",
+    "fuzzy_search_lev",
+    "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "text_quality", "sim_topk_bruteforce", "sim_ann_multiprobe", "mm_features",
     "w1_event_windows", "w2_sessionize", "graph_cc")
 
   // ---------------------------------------------------------------- oracle
