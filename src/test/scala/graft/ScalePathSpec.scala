@@ -119,6 +119,21 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("sketch aggregates track exact stats (the 100TB path for a5_stats)") {
+    // a5_stats uses exact count(DISTINCT)/percentile for the oracle; at
+    // 100 TB those become HLL++ / approx quantiles. Not oracle-checkable
+    // (sketches aren't cross-engine deterministic) — bound the error here.
+    val o = Tables.orders(spark, sfDir)
+    val exact = o.agg(
+      countDistinct(col("o_custkey")).cast("double").as("n"),
+      expr("percentile(o_totalprice, 0.5)").as("p50")).first()
+    val approx = o.agg(
+      approx_count_distinct(col("o_custkey"), 0.02).cast("double").as("n"),
+      expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50")).first()
+    assert(math.abs(approx.getDouble(0) - exact.getDouble(0)) / exact.getDouble(0) < 0.05)
+    assert(math.abs(approx.getDouble(1) - exact.getDouble(1)) / exact.getDouble(1) < 0.05)
+  }
+
   test("df-capped interest rule with cap >= max df equals the exact rule") {
     val toks = Tables.partInterests(spark, sfDir)
     val exact = EdgeRules.interestRule(toks)
