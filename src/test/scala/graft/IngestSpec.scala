@@ -60,6 +60,28 @@ class IngestSpec extends SparkSpec {
     assert(merged.count() === 0)
   }
 
+  test("incremental onboarding equals a from-scratch backfill (delta consistency)") {
+    def fullEdges(students: org.apache.spark.sql.DataFrame) =
+      EdgeRules.backfill(students)
+        .withColumn("common", graft.functions.Norm.emptyStrArray)
+        .unionByName(EdgeRules.interestRule(students.select("id", "interests"))
+          .select(col("src"), col("dst"), col("rel_type"), col("common")))
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("src"), col("dst"), col("rel_type"),
+          array_join(col("common"), "|").as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+
+    val existing = fullEdges(fixture)
+    val newbie = spark.createDataFrame(Seq(
+      Row(0L, "KESHAV", "Lalitpur", "Trinity College", "Nepal Board", null, Seq("Math", "cricket"))
+    ).asJava, schema).drop("id")
+    val (students2, _, delta) = Ingest.onboard(fixture, existing, newbie)
+    // the write path's core guarantee: old edges + the incremental delta is
+    // bit-identical to recomputing the whole backfill over the new table
+    assert(edgeSet(existing.unionByName(delta)) === edgeSet(fullEdges(students2)))
+  }
+
   test("syncLowercase rewrites all string attrs and reports the count") {
     val uppered = fixture.withColumn("name", upper(col("name")))
     val (updated, n) = Ingest.syncLowercase(uppered)
