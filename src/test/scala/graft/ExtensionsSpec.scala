@@ -29,4 +29,11 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(r - 100.0 * (1 - 1.0 / 11)) < 1e-9)
   }
+
+  test("dot_product is available via extensions without manual registration") {
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, -2.0d, 3.0d), array(4.0d, 5.0d, -6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === (4.0 - 10.0 - 18.0))
+  }
 }
