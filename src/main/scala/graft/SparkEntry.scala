@@ -189,7 +189,9 @@ object SparkEntry {
     "q9_profit" -> ((s, d) => Relational.q9Profit(s, d)),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "q4_priority_exists" -> ((s, d) => Relational.q4PriorityExists(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
     "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
+    "q14_promo_effect" -> ((s, d) => Relational.q14PromoEffect(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     // multi-DISTINCT aggregate (Expand-based plan) + window-function breadth
     "a7_distinct_agg" -> ((s, d) =>
@@ -518,6 +520,14 @@ object SparkEntry {
        "WHERE EXISTS (SELECT 1 FROM lineitem l " +
        "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') " +
        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q6_forecast_revenue" ->
+      ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+       "count(*) AS n FROM lineitem " +
+       "WHERE year(l_shipdate) = 1996 AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q14_promo_effect" ->
+      (s"SELECT round(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $decRev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 / " +
+       s"CAST(sum($decRev) AS DOUBLE), 6) AS promo_pct, count(*) AS n " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey"),
     "q10_returned_items" ->
       (s"SELECT c_custkey, c_name, n_name, CAST(sum($decRev) AS DOUBLE) AS revenue " +
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +

@@ -160,6 +160,30 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q6-shaped forecasting: pure filter + aggregate, no joins — the
+    * canonical pushdown showcase (every predicate reaches the scan). */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(year(col("l_shipdate")) === 1996 &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q14-shaped promo-revenue ratio: conditional aggregation (two
+    * sums over one pass) against a broadcast part dim. */
+  def q14PromoEffect(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), revenue.as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round((sum(when(col("p_type").startsWith("PROMO"), col("rev"))
+            .otherwise(lit(BigDecimal(0)))).cast("double") * 100.0 /
+          sum(col("rev")).cast("double")), 6).as("promo_pct"),
+        count(lit(1)).as("n"))
+  }
+
   /** Set-ops surface (SURVEY.md §2.6 extension): urgent orders ∩ big orders,
     * minus orders with any returned lineitem, ∪ the single largest order.
     * Exercises intersect / except / union as distinct-set operators. */
