@@ -16,13 +16,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Summation is the same left-to-right sequential fold as the dataflow form
   * and DuckDB's `list_dot_product`, so results agree bit-for-bit (proven in
-  * DotProductSpec and by the sim_* oracle rows). Null ELEMENTS are not
-  * supported (inputs are cast dense embeddings); length = min(|a|, |b|).
+  * DotProductSpec and by the sim_* oracle rows). A null ELEMENT makes the
+  * result null — same as the dataflow form, where `zip_with` yields a null
+  * product and the `aggregate` fold absorbs it. When the static type says
+  * `containsNull=false` the per-element check is skipped entirely.
+  * Length = min(|a|, |b|).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+
+  private def elementsMayBeNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true // pre-typecheck; resolved inputs are always ArrayType
+    }
+  }
+
+  override def nullable: Boolean = super.nullable || elementsMayBeNull
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -33,10 +45,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (elementsMayBeNull)
+      DotProduct.computeBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProduct.compute($a, $b)")
+    if (elementsMayBeNull) {
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double graft_dp_r = graft.functions.DotProduct.computeBoxed($a, $b);
+        if (graft_dp_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = graft_dp_r.doubleValue(); }
+      """)
+    } else {
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProduct.compute($a, $b)")
+    }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -45,12 +68,27 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
 object DotProduct {
 
-  /** Static entry for interpreted eval and generated code. */
+  /** Static entry for interpreted eval and generated code (no-null fast
+    * path, used when both inputs are `containsNull=false`). */
   def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** Null-aware path: a null element anywhere in the overlapped prefix makes
+    * the whole result null, matching `aggregate(zip_with(a,b,_*_),0.0,_+_)`. */
+  def computeBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 

@@ -67,8 +67,14 @@ object EdgeRules {
     * salt ≈ a small multiple of cores-per-hot-key. Any value yields
     * identical results (SaltEquivalenceSpec proves it under forced SMJ). */
   val PairSaltConf = "spark.graft.pairSalt"
-  private def pairSalt(df: DataFrame): Int =
-    df.sparkSession.conf.get(PairSaltConf, "16").toInt
+  private def pairSalt(df: DataFrame): Int = {
+    val v = df.sparkSession.conf.get(PairSaltConf, "16").toInt
+    // A non-positive salt would make pmod(src, 0) yield null on the probe
+    // side while sequence(0, salt-1) explodes to nothing on the build side —
+    // the join would silently emit zero pairs. Fail fast instead.
+    require(v >= 1, s"$PairSaltConf must be >= 1, got $v")
+    v
+  }
 
   /** Pair-producing stages get 4× the session's shuffle partitions: their
     * cost is in join OUTPUT rows (quadratic per key), not input bytes, so

@@ -38,6 +38,20 @@ class DotProductSpec extends SparkSpec {
     assert(rows.map(_.getDouble(0)).toSeq === Seq(0.0, -7.0, 1.0 * 4 - 2 * 5 + 3 * -6))
   }
 
+  test("null element => null result, matching the dataflow fold") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](4.0, 5.0, 6.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0))
+    ).toDF("a", "b")
+    val rows = df.select(
+        Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotDataflow(col("a"), col("b")).as("dataflow"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(0) === 11.0 && rows(1).getDouble(1) === 11.0)
+  }
+
   test("whole-stage codegen covers the native kernel") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("embedding").cast("array<double>").as("v"))

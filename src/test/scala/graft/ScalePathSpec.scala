@@ -50,6 +50,16 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("non-positive pair salt fails fast instead of silently emitting zero pairs") {
+    try {
+      spark.conf.set(EdgeRules.PairSaltConf, "0")
+      val ex = intercept[IllegalArgumentException] {
+        EdgeRules.interestRule(Tables.partInterests(spark, sfDir)).count()
+      }
+      assert(ex.getMessage.contains(EdgeRules.PairSaltConf))
+    } finally spark.conf.unset(EdgeRules.PairSaltConf)
+  }
+
   test("j4 undirected probe is an equi-join, not a nested loop") {
     val st = Tables.students(spark, sfDir)
     val q = graft.ops.StudentQueries.pairRelationship(
