@@ -192,6 +192,17 @@ object SparkEntry {
     "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
     "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
     "q14_promo_effect" -> ((s, d) => Relational.q14PromoEffect(s, d)),
+    "q2_top_acctbal" -> ((s, d) => Relational.q2TopAcctbalPerNation(s, d)),
+    "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "q11_important_parts" -> ((s, d) => Relational.q11ImportantParts(s, d)),
+    "q12_priority_class" -> ((s, d) => Relational.q12PriorityByStatus(s, d)),
+    "q13_order_distribution" -> ((s, d) => Relational.q13OrderDistribution(s, d)),
+    "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    "q16_supplier_cnt" -> ((s, d) => Relational.q16SupplierCount(s, d)),
+    "q17_small_qty_revenue" -> ((s, d) => Relational.q17SmallQtyRevenue(s, d)),
+    "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(s, d)),
+    "q21_sole_returner" -> ((s, d) => Relational.q21SoleReturner(s, d)),
+    "q22_idle_customers" -> ((s, d) => Relational.q22IdleCustomers(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     // multi-DISTINCT aggregate (Expand-based plan) + window-function breadth
     "a7_distinct_agg" -> ((s, d) =>

@@ -184,6 +184,225 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** TPC-H Q2-shaped correlated scalar subquery: for each nation, the
+    * customer(s) holding that nation's maximum account balance. Decorrelates
+    * into a per-group max (map-side partial, 25 output rows) broadcast back
+    * onto the fact on (group, value) — never a window over the whole table,
+    * and never a per-row subquery. */
+  def q2TopAcctbalPerNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val mx = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(max(col("c_acctbal")).as("max_bal"))
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    c.join(broadcast(mx),
+        col("c_nationkey") === col("nk") && col("c_acctbal") === col("max_bal"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("n_name"), col("c_custkey"))
+  }
+
+  /** TPC-H Q8-shaped market share: one nation's fraction of the revenue
+    * flowing through one region's suppliers, per order-year. Conditional
+    * aggregation (two sums in one pass); the supplier→nation→region chain is
+    * pre-collapsed and broadcast so the fact shuffles only for orders. */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, sfDir)
+      .filter(col("r_name") === "EUROPE").select("r_regionkey")
+    val sn = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), revenue.as("rev"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("yr"))
+      .agg(
+        round(sum(when(col("n_name") === "NATION_3", col("rev"))
+            .otherwise(lit(BigDecimal(0)))).cast("double") /
+          sum(col("rev")).cast("double"), 6).as("mkt_share"),
+        count(lit(1)).as("n"))
+      .orderBy(col("yr"))
+  }
+
+  /** TPC-H Q11-shaped global-threshold HAVING: parts whose total line value
+    * exceeds a fixed fraction of the grand total. The grand total is a 1-row
+    * broadcast; the threshold compare is cross-multiplied in exact decimals
+    * (value * 2000 > total, i.e. fraction 1/2000) so no float boundary can
+    * diverge between engines. */
+  def q11ImportantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        (dec(col("l_extendedprice")) * dec(col("l_quantity"))).as("v"))
+    val per = li.groupBy(col("l_partkey")).agg(sum(col("v")).as("value"))
+    val total = li.agg(sum(col("v")).as("total"))
+    per.crossJoin(broadcast(total))
+      .filter(col("value") * 2000 > col("total"))
+      .select(col("l_partkey"), col("value").cast("double").as("value"))
+      .orderBy(desc("value"), col("l_partkey"))
+  }
+
+  /** TPC-H Q12-shaped two-class conditional count: per line status, how many
+    * lines belong to high- vs low-priority orders. orders is NOT broadcast —
+    * it scales with the fact, so this is the canonical co-partitioned
+    * fact⋈fact shuffle join feeding a tiny aggregate. */
+  def q12PriorityByStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderpriority"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_linestatus"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q13-shaped distribution: orders-per-customer histogram including
+    * zero-order customers — LEFT OUTER join then two cascaded aggregations
+    * (per-customer count, then count-of-counts; the second input is already
+    * tiny). `count(o_orderkey)` counts only matched rows, never the null. */
+  def q13OrderDistribution(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select("c_custkey")
+      .join(Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** TPC-H Q15-shaped argmax against an aggregated view: per-supplier
+    * revenue over one year, keep the supplier(s) hitting the maximum. The
+    * max is a 1-row broadcast; equality on exact decimals. */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    Tables.supplier(spark, sfDir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16-shaped NOT-IN + COUNT DISTINCT: distinct suppliers per part
+    * (brand, type, size) bucket, excluding one brand, PROMO types, and
+    * suppliers on a deny-list (negative balance) — the NOT IN compiles to a
+    * left-anti join (keys are non-null so the semantics coincide). part is
+    * left unhinted: it's a true dimension here and AQE broadcasts it while
+    * it fits. */
+  def q16SupplierCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val badSupp = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").startsWith("PROMO") &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, sfDir).select(col("l_partkey"), col("l_suppkey"))
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q17-shaped correlated average threshold: revenue from lines whose
+    * quantity is below 20% of their part's average quantity. The correlated
+    * AVG decorrelates to a per-part (sum, count) broadcast, and the
+    * threshold compare is cross-multiplied into exact decimal arithmetic
+    * (5 * qty * cnt < sum_qty ⇔ qty < 0.2 * avg) — float-free. */
+  def q17SmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#3").select("p_partkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val avgq = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(broadcast(avgq), col("l_partkey") === col("pk"))
+      .filter(dec(col("l_quantity")) * 5 * col("cnt") < col("sum_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q19-shaped disjunctive predicate: three OR'd brand/size/quantity
+    * clauses. The shared part of each conjunct (the join key) stays an
+    * equi-join; Catalyst pushes the common `p_size >= 1` bound and the
+    * residual OR evaluates post-join inside codegen. */
+  def q19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), revenue.as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q21-shaped EXISTS + NOT EXISTS: suppliers with a returned line in
+    * a multi-supplier order where NO other supplier's line was returned —
+    * a left-semi then a left-anti on the same (order, other-supplier)
+    * correlation, both equi-joins on orderkey with a `supp <> supp` residual.
+    * Pairs are pre-DISTINCTed so the count is over (order, supplier). */
+  def q21SoleReturner(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val returned = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val others = pairs
+      .select(col("l_orderkey").as("o2_ok"), col("l_suppkey").as("o2_sk"))
+    val returnedOthers = returned
+      .select(col("l_orderkey").as("r2_ok"), col("l_suppkey").as("r2_sk"))
+    returned
+      .join(others,
+        col("l_orderkey") === col("o2_ok") && col("l_suppkey") =!= col("o2_sk"),
+        "left_semi")
+      .join(returnedOthers,
+        col("l_orderkey") === col("r2_ok") && col("l_suppkey") =!= col("r2_sk"),
+        "left_anti")
+      .join(broadcast(Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22-shaped anti-join + global scalar threshold: customers with no
+    * orders whose balance beats the average positive balance, summarized per
+    * nation. The average is carried as exact (sum, count) and the compare is
+    * cross-multiplied (bal * cnt > sum) — decimal-exact on both engines. */
+  def q22IdleCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val thresh = c.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("sum_bal"), count(lit(1)).as("cnt"))
+    c.join(Tables.orders(spark, sfDir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(thresh))
+      .filter(dec(col("c_acctbal")) * col("cnt") > col("sum_bal"))
+      .join(broadcast(Tables.nation(spark, sfDir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
   /** Set-ops surface (SURVEY.md §2.6 extension): urgent orders ∩ big orders,
     * minus orders with any returned lineitem, ∪ the single largest order.
     * Exercises intersect / except / union as distinct-set operators. */
