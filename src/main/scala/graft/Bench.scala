@@ -27,6 +27,8 @@ object Bench {
     // is a far more stable regression signal than a single sample, at the
     // cost of ~2× bench wall time.
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    require(iterations >= 1,
+      s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iterations")
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to iterations).map { _ =>
@@ -47,9 +49,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // A failed query (-1 marker) must not DEFLATE the headline total — sum
+    // only successes and surface the failure count alongside.
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // stdout for a human; a file for the driver — sbt prefixes stdout with
     // "[info] " which made BENCH_r01 unparseable ("parsed": null). The path
     // is cwd-relative (= repo root under sbt) and overridable via argv.

@@ -258,6 +258,9 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
     "sim_ann_multiprobe" -> ((s, d) => Similarity.annMultiProbeTopK(Tables.embeddings(s, d))),
     "sim_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(Tables.embeddings(s, d))),
+    // ANN quality gate: recall@3 of the multi-probe ANN vs brute force —
+    // the price of the candidate pruning, per query id.
+    "sim_ann_recall" -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
     // custom TopKPerKey physical operator (partial/final heap split); same
     // semantics as the window form, k rows shuffled per key per partition
     "sim_topk_custom" -> ((s, d) => {
@@ -331,6 +334,10 @@ object SparkEntry {
       graft.graph.GraphOps.pageRank(s, Tables.customer(s, d))),
     "graph_khop" -> ((s, d) =>
       graft.graph.GraphOps.kHop(s, Tables.customer(s, d), 7L)),
+    // Chain-shaped k-hop: Pregel genuinely iterates (max dist 7 from anchor
+    // 7 in blocks of 10), unlike the star's 0/1/2 closed form.
+    "graph_khop_chain" -> ((s, d) =>
+      graft.graph.GraphOps.kHopChain(s, Tables.customer(s, d), 7L)),
     // multimodal plumbing (stubbed decode)
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -346,7 +353,10 @@ object SparkEntry {
     "fuzzy_search_lev",
     "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
     "text_quality", "sim_topk_bruteforce", "sim_ann_multiprobe", "mm_features",
-    "w1_event_windows", "w2_sessionize", "graph_cc")
+    "w1_event_windows", "w2_sessionize", "graph_cc",
+    // round-4 additions: the fact⋈fact-heavy q-series shapes
+    "q12_priority_class", "q13_order_distribution", "q16_supplier_cnt",
+    "q21_sole_returner")
 
   // ---------------------------------------------------------------- oracle
 
@@ -392,6 +402,25 @@ object SparkEntry {
     "E AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** Shared sign-sketch bucket CTEs (E0 = vectors, E = vectors + bucket);
+    * mirrors Similarity.bucketCol's md5-derived hyperplanes bit-for-bit. */
+  private val annBucketCtes: String =
+    "E0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+    "E AS (SELECT vec_id, v, array_to_string(list_transform(range(6), p -> " +
+    "CASE WHEN list_sum(list_transform(range(64), d -> v[d+1] * " +
+    "(CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1 " +
+    "THEN 1.0 ELSE -1.0 END))) > 0 THEN '1' ELSE '0' END), '') AS bucket FROM E0)"
+
+  /** Multi-probe probe set: the query's own bucket plus every Hamming-1
+    * flip (mirrors Similarity.annMultiProbeTopK's probe expansion). */
+  private val annMultiProbeQCte: String =
+    "Q AS (SELECT vec_id AS qid, v AS qv, unnest([bucket] || list_transform(range(6), p -> " +
+    "substr(bucket, 1, CAST(p AS INT)) || (CASE WHEN substr(bucket, CAST(p AS INT) + 1, 1) = '1' THEN '0' ELSE '1' END) || " +
+    "substr(bucket, CAST(p AS INT) + 2, 6 - CAST(p AS INT) - 1))) AS bucket " +
+    "FROM E WHERE vec_id < 8)"
+
+  private val chainBlock = graft.graph.GraphOps.ChainBlock
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -498,11 +527,7 @@ object SparkEntry {
        "SELECT qid, vec_id, round(cos, 4) AS cos FROM R WHERE rank <= 5 " +
        "ORDER BY qid, round(cos, 4) DESC, vec_id"),
     "sim_ann_lsh" ->
-      ("WITH E0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-       "E AS (SELECT vec_id, v, array_to_string(list_transform(range(6), p -> " +
-       "CASE WHEN list_sum(list_transform(range(64), d -> v[d+1] * " +
-       "(CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1 " +
-       "THEN 1.0 ELSE -1.0 END))) > 0 THEN '1' ELSE '0' END), '') AS bucket FROM E0), " +
+      (s"WITH $annBucketCtes, " +
        "Q AS (SELECT vec_id AS qid, v AS qv, bucket FROM E WHERE vec_id < 8), " +
        s"J AS (SELECT Q.qid, E.vec_id, E.bucket, round(${cosSql("E.v", "Q.qv")}, 6) AS cos " +
        "FROM E JOIN Q ON E.bucket = Q.bucket AND E.vec_id <> Q.qid), " +
@@ -511,21 +536,31 @@ object SparkEntry {
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, bucket " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
     "sim_ann_multiprobe" ->
-      ("WITH E0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-       "E AS (SELECT vec_id, v, array_to_string(list_transform(range(6), p -> " +
-       "CASE WHEN list_sum(list_transform(range(64), d -> v[d+1] * " +
-       "(CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 1 " +
-       "THEN 1.0 ELSE -1.0 END))) > 0 THEN '1' ELSE '0' END), '') AS bucket FROM E0), " +
-       "Q AS (SELECT vec_id AS qid, v AS qv, unnest([bucket] || list_transform(range(6), p -> " +
-       "substr(bucket, 1, CAST(p AS INT)) || (CASE WHEN substr(bucket, CAST(p AS INT) + 1, 1) = '1' THEN '0' ELSE '1' END) || " +
-       "substr(bucket, CAST(p AS INT) + 2, 6 - CAST(p AS INT) - 1))) AS bucket " +
-       "FROM E WHERE vec_id < 8), " +
+      (s"WITH $annBucketCtes, $annMultiProbeQCte, " +
        s"J AS (SELECT Q.qid, E.vec_id, round(${cosSql("E.v", "Q.qv")}, 6) AS cos " +
        "FROM E JOIN Q ON E.bucket = Q.bucket AND E.vec_id <> Q.qid), " +
        "R AS (SELECT qid, vec_id, cos, row_number() OVER " +
        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J) " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // recall@3 of the multi-probe ANN vs the brute-force truth: the two
+    // already-oracled chains composed, LEFT JOIN so misses count as 0.
+    "sim_ann_recall" ->
+      (s"WITH $annBucketCtes, $annMultiProbeQCte, " +
+       s"JM AS (SELECT Q.qid, E.vec_id, round(${cosSql("E.v", "Q.qv")}, 6) AS cos " +
+       "FROM E JOIN Q ON E.bucket = Q.bucket AND E.vec_id <> Q.qid), " +
+       "RM AS (SELECT qid, vec_id, row_number() OVER " +
+       "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM JM), " +
+       "ANN AS (SELECT qid, vec_id FROM RM WHERE rank <= 3), " +
+       "QB AS (SELECT vec_id AS qid, v AS qv FROM E0 WHERE vec_id < 8), " +
+       s"JB AS (SELECT QB.qid, E0.vec_id, round(${cosSql("E0.v", "QB.qv")}, 6) AS cos " +
+       "FROM E0 CROSS JOIN QB WHERE E0.vec_id <> QB.qid), " +
+       "RB AS (SELECT qid, vec_id, row_number() OVER " +
+       "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM JB), " +
+       "BF AS (SELECT qid, vec_id FROM RB WHERE rank <= 3) " +
+       "SELECT b.qid, round(CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall " +
+       "FROM BF b LEFT JOIN ANN a ON a.qid = b.qid AND a.vec_id = b.vec_id " +
+       "GROUP BY b.qid ORDER BY b.qid"),
     "q4_priority_exists" ->
       ("SELECT o_orderpriority, count(*) AS n_orders FROM orders o " +
        "WHERE EXISTS (SELECT 1 FROM lineitem l " +
@@ -838,5 +873,100 @@ object SparkEntry {
        "EXCEPT SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_returnflag = 'R') " +
        "UNION ALL (SELECT o_orderkey FROM orders " +
        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1)) ORDER BY o_orderkey"),
+    "q2_top_acctbal" ->
+      ("WITH MX AS (SELECT c_nationkey AS nk, max(c_acctbal) AS max_bal " +
+       "FROM customer GROUP BY c_nationkey) " +
+       "SELECT n_name, c_custkey, c_name, c_acctbal FROM customer " +
+       "JOIN MX ON c_nationkey = nk AND c_acctbal = max_bal " +
+       "JOIN nation ON c_nationkey = n_nationkey ORDER BY n_name, c_custkey"),
+    "q8_market_share" ->
+      ("SELECT year(o_orderdate) AS yr, " +
+       s"round(CAST(sum(CASE WHEN n_name = 'NATION_3' THEN $decRev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / " +
+       s"CAST(sum($decRev) AS DOUBLE), 6) AS mkt_share, count(*) AS n " +
+       "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE r_name = 'EUROPE' GROUP BY yr ORDER BY yr"),
+    "q11_important_parts" ->
+      ("WITH LI AS (SELECT l_partkey, " +
+       "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem), " +
+       "PER AS (SELECT l_partkey, sum(v) AS value FROM LI GROUP BY l_partkey), " +
+       "TOT AS (SELECT sum(v) AS total FROM LI) " +
+       "SELECT l_partkey, CAST(value AS DOUBLE) AS value FROM PER, TOT " +
+       "WHERE value * 2000 > total ORDER BY value DESC, l_partkey"),
+    "q12_priority_class" ->
+      ("SELECT l_linestatus, " +
+       "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+       "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "GROUP BY l_linestatus ORDER BY l_linestatus"),
+    "q13_order_distribution" ->
+      ("WITH PER AS (SELECT c_custkey, count(o_orderkey) AS c_count " +
+       "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
+       "SELECT c_count, count(*) AS custdist FROM PER GROUP BY c_count " +
+       "ORDER BY custdist DESC, c_count DESC"),
+    "q15_top_supplier" ->
+      (s"WITH REV AS (SELECT l_suppkey, sum($decRev) AS total_rev FROM lineitem " +
+       "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' " +
+       "GROUP BY l_suppkey), " +
+       "MX AS (SELECT max(total_rev) AS mx FROM REV) " +
+       "SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev " +
+       "FROM supplier JOIN REV ON s_suppkey = l_suppkey, MX " +
+       "WHERE total_rev = mx ORDER BY s_suppkey"),
+    "q16_supplier_cnt" ->
+      ("SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%' " +
+       "AND p_size IN (1, 4, 9, 16, 25, 36, 49) " +
+       "AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_acctbal < 0 AND s_suppkey = l_suppkey) " +
+       "GROUP BY p_brand, p_type, p_size " +
+       "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+    "q17_small_qty_revenue" ->
+      ("WITH LI AS (SELECT l_partkey, l_quantity, l_extendedprice " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#3'), " +
+       "A AS (SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
+       "count(*) AS cnt FROM LI GROUP BY l_partkey) " +
+       "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly, " +
+       "count(*) AS n FROM LI JOIN A ON l_partkey = pk " +
+       "WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty"),
+    "q19_disjunctive" ->
+      (s"SELECT CAST(sum($decRev) AS DOUBLE) AS revenue, count(*) AS n " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) " +
+       "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) " +
+       "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"),
+    "q21_sole_returner" ->
+      ("WITH PAIRS AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), " +
+       "RET AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R') " +
+       "SELECT s_name, count(*) AS numwait FROM RET r " +
+       "JOIN supplier ON r.l_suppkey = s_suppkey " +
+       "WHERE EXISTS (SELECT 1 FROM PAIRS p WHERE p.l_orderkey = r.l_orderkey AND p.l_suppkey <> r.l_suppkey) " +
+       "AND NOT EXISTS (SELECT 1 FROM RET r2 WHERE r2.l_orderkey = r.l_orderkey AND r2.l_suppkey <> r.l_suppkey) " +
+       "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
+    "q22_idle_customers" ->
+      ("WITH T AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal, count(*) AS cnt " +
+       "FROM customer WHERE c_acctbal > 0) " +
+       "SELECT n_name, count(*) AS numcust, " +
+       "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal " +
+       "FROM customer c JOIN nation ON c_nationkey = n_nationkey, T " +
+       "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+       s"AND o.o_orderdate >= DATE '${graft.ops.Relational.IdleCutoff}') " +
+       "AND CAST(c_acctbal AS DECIMAL(18,2)) * cnt > sum_bal " +
+       "GROUP BY n_name ORDER BY n_name"),
+    // BFS over the undirected chain graph as a recursive CTE; UNION (not
+    // UNION ALL) dedupes (id, dist) states so the recursion terminates.
+    "graph_khop_chain" ->
+      ("WITH RECURSIVE E AS (" +
+       "SELECT a.c_custkey AS src, b.c_custkey AS dst FROM customer a " +
+       s"JOIN customer b ON b.c_custkey = a.c_custkey + 1 WHERE a.c_custkey % $chainBlock <> ${chainBlock - 1} " +
+       "UNION ALL " +
+       "SELECT b.c_custkey AS src, a.c_custkey AS dst FROM customer a " +
+       s"JOIN customer b ON b.c_custkey = a.c_custkey + 1 WHERE a.c_custkey % $chainBlock <> ${chainBlock - 1}), " +
+       "BFS AS (SELECT CAST(7 AS BIGINT) AS id, 0 AS dist " +
+       "UNION " +
+       "SELECT E.dst AS id, BFS.dist + 1 AS dist FROM BFS JOIN E ON E.src = BFS.id " +
+       "WHERE BFS.dist < 30) " +
+       "SELECT id, CAST(min(dist) AS INT) AS dist FROM BFS GROUP BY id ORDER BY id"),
   )
 }

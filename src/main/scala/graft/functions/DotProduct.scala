@@ -52,11 +52,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (elementsMayBeNull) {
-      nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        java.lang.Double graft_dp_r = graft.functions.DotProduct.computeBoxed($a, $b);
-        if (graft_dp_r == null) { ${ev.isNull} = true; }
-        else { ${ev.value} = graft_dp_r.doubleValue(); }
-      """)
+      // freshName, NOT a fixed local: with non-nullable array children whose
+      // elements are nullable, nullSafeCodeGen emits this snippet unguarded,
+      // so two dot_product calls in one generated function would otherwise
+      // declare the same Java local twice (Janino error → silent interpreted
+      // fallback). The braces scope the temp regardless.
+      nullSafeCodeGen(ctx, ev, { (a, b) =>
+        val r = ctx.freshName("graftDotProdRes")
+        s"""
+        {
+          java.lang.Double $r = graft.functions.DotProduct.computeBoxed($a, $b);
+          if ($r == null) { ${ev.isNull} = true; }
+          else { ${ev.value} = $r.doubleValue(); }
+        }
+      """
+      })
     } else {
       defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProduct.compute($a, $b)")
     }

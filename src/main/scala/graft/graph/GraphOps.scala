@@ -71,6 +71,42 @@ object GraphOps {
     spark.createDataFrame(reached).toDF("id", "dist").orderBy(col("id"))
   }
 
+  /** Chain length for [[kHopChain]]: customers are linked id→id+1 inside
+    * blocks of this many consecutive custkeys, giving a graph of diameter
+    * ChainBlock-1 — distances with NO closed form, so Pregel genuinely
+    * iterates (≥ block/2 supersteps from a mid-chain anchor). */
+  val ChainBlock = 10
+
+  /** Chain similarity graph: edge (k, k+1) whenever both custkeys exist and
+    * k is not the last slot of its block. Both directions are materialized
+    * because GraphX's ShortestPaths propagates dst→src only — a single
+    * direction would make the chain one-way. Edge count is 2·(n − n/block):
+    * linear in the data, same scale contract as the star construction. */
+  def chainGraph(customer: DataFrame): Graph[Long, Int] = {
+    val ids = customer.select(col("c_custkey").as("id"))
+    val fwd = ids.filter(col("id") % ChainBlock =!= (ChainBlock - 1))
+      .join(ids.select(col("id").as("nid")), col("nid") === col("id") + 1)
+    val vertices = ids.rdd.map(r => (r.getLong(0): VertexId, r.getLong(0)))
+    val edges = fwd.rdd.flatMap { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      Iterator(Edge(a, b, 1), Edge(b, a, 1))
+    }
+    Graph(vertices, edges)
+  }
+
+  /** K-hop over the CHAIN graph — the fixture where Pregel genuinely
+    * iterates (the star's 0/1/2 closed form never exercises >2 supersteps;
+    * round-3 verdict item 7). From a mid-chain anchor the frontier advances
+    * one hop per superstep until the block ends, so max(dist) reaches
+    * anchor's offset in its block (≥ 3 for anchor 7 in blocks of 10).
+    * Oracled against a DuckDB recursive-CTE BFS. */
+  def kHopChain(spark: SparkSession, customer: DataFrame, anchorId: Long): DataFrame = {
+    val sp = org.apache.spark.graphx.lib.ShortestPaths
+      .run(chainGraph(customer), Seq(anchorId)).vertices
+    val reached = sp.flatMap { case (id, m) => m.get(anchorId).map(d => (id, d)) }
+    spark.createDataFrame(reached).toDF("id", "dist").orderBy(col("id"))
+  }
+
   /** PageRank over the star graph. The star has a closed form the DuckDB
     * oracle checks: leaves/isolated = 0.15, hub = 0.15 + 0.85·0.15·(n−1)
     * (a two-value fixpoint reached by iteration 2), then GraphX normalizes

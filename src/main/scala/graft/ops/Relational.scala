@@ -171,12 +171,15 @@ object Relational {
         count(lit(1)).as("n"))
 
   /** TPC-H Q14-shaped promo-revenue ratio: conditional aggregation (two
-    * sums over one pass) against a broadcast part dim. */
+    * sums over one pass) against the part dim. part is deliberately
+    * UNHINTED: it grows with SF (~20B rows at 100 TB), so a forced
+    * broadcast would hit the driver/8GB limit at scale — AQE broadcasts
+    * while it fits and switches to a shuffled join beyond that. */
   def q14PromoEffect(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type"))
     Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), revenue.as("rev"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .agg(
         round((sum(when(col("p_type").startsWith("PROMO"), col("rev"))
             .otherwise(lit(BigDecimal(0)))).cast("double") * 100.0 /
@@ -204,7 +207,10 @@ object Relational {
   /** TPC-H Q8-shaped market share: one nation's fraction of the revenue
     * flowing through one region's suppliers, per order-year. Conditional
     * aggregation (two sums in one pass); the supplier→nation→region chain is
-    * pre-collapsed and broadcast so the fact shuffles only for orders. */
+    * pre-collapsed to (s_suppkey, n_name) before touching the fact. The
+    * collapsed side is NOT hinted — supplier is SF-proportional, so only
+    * the true dims (nation, region) carry broadcast hints and AQE decides
+    * the supplier join by size. */
   def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
     val n = Tables.nation(spark, sfDir)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
@@ -218,7 +224,7 @@ object Relational {
       .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"), revenue.as("rev"))
-      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("yr"))
       .agg(
@@ -278,12 +284,22 @@ object Relational {
 
   /** TPC-H Q15-shaped argmax against an aggregated view: per-supplier
     * revenue over one year, keep the supplier(s) hitting the maximum. The
-    * max is a 1-row broadcast; equality on exact decimals. */
+    * max is a 1-row broadcast; equality on exact decimals.
+    *
+    * The aggregated view is PERSISTED (memory-and-disk) because two
+    * consumers need it — the global max and the supplier join — and
+    * without it each branch re-derives the aggregate from lineitem, i.e.
+    * two full fact scans (round-3 verdict item 5; exchange reuse does not
+    * fire here because AQE plans the two branches differently). The cached
+    * view is one row per supplier with ≥1 shipment that year — linear in
+    * suppliers, a few GB at 100 TB, exactly what executor storage memory is
+    * for. Q15PlanSpec asserts the single-scan shape. */
   def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val rev = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
       .groupBy(col("l_suppkey"))
       .agg(sum(revenue).as("total_rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mx = rev.agg(max(col("total_rev")).as("mx"))
     Tables.supplier(spark, sfDir)
       .join(rev, col("s_suppkey") === col("l_suppkey"))
@@ -317,18 +333,23 @@ object Relational {
 
   /** TPC-H Q17-shaped correlated average threshold: revenue from lines whose
     * quantity is below 20% of their part's average quantity. The correlated
-    * AVG decorrelates to a per-part (sum, count) broadcast, and the
-    * threshold compare is cross-multiplied into exact decimal arithmetic
-    * (5 * qty * cnt < sum_qty ⇔ qty < 0.2 * avg) — float-free. */
+    * AVG decorrelates to a per-part (sum, count) aggregate joined back on
+    * partkey, and the threshold compare is cross-multiplied into exact
+    * decimal arithmetic (5 * qty * cnt < sum_qty ⇔ qty < 0.2 * avg) —
+    * float-free. Neither join side is hinted: the Brand#3 slice of part and
+    * the per-part aggregate are both a fixed FRACTION of an SF-proportional
+    * table (linear growth), so a forced broadcast dies at scale; both joins
+    * are equi-joins on partkey and AQE picks broadcast only while the side
+    * actually fits. */
   def q17SmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables.part(spark, sfDir)
       .filter(col("p_brand") === "Brand#3").select("p_partkey")
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
     val avgq = li.groupBy(col("l_partkey").as("pk"))
       .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
-    li.join(broadcast(avgq), col("l_partkey") === col("pk"))
+    li.join(avgq, col("l_partkey") === col("pk"))
       .filter(dec(col("l_quantity")) * 5 * col("cnt") < col("sum_qty"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
         count(lit(1)).as("n"))
@@ -337,12 +358,13 @@ object Relational {
   /** TPC-H Q19-shaped disjunctive predicate: three OR'd brand/size/quantity
     * clauses. The shared part of each conjunct (the join key) stays an
     * equi-join; Catalyst pushes the common `p_size >= 1` bound and the
-    * residual OR evaluates post-join inside codegen. */
+    * residual OR evaluates post-join inside codegen. part is unhinted
+    * (SF-proportional — see q14); AQE chooses the join strategy by size. */
   def q19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_size")
     Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_quantity"), revenue.as("rev"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
           col("l_quantity").between(1, 11)) ||
@@ -383,16 +405,27 @@ object Relational {
       .limit(20)
   }
 
+  /** The Q22 idleness cutoff: a customer is "idle" with no orders ON OR
+    * AFTER this date. Every generated SF shares the same 1995–2001 date
+    * range, so the cutoff is data-independent; "no orders ever" would be
+    * vacuously empty on the driver's data (every customer orders at least
+    * once — round-3 verdict item 1). */
+  val IdleCutoff = "2000-01-01"
+
   /** TPC-H Q22-shaped anti-join + global scalar threshold: customers with no
-    * orders whose balance beats the average positive balance, summarized per
-    * nation. The average is carried as exact (sum, count) and the compare is
-    * cross-multiplied (bal * cnt > sum) — decimal-exact on both engines. */
+    * RECENT orders (none on/after [[IdleCutoff]]) whose balance beats the
+    * average positive balance, summarized per nation. The average is carried
+    * as exact (sum, count) and the compare is cross-multiplied
+    * (bal * cnt > sum) — decimal-exact on both engines. The date filter is
+    * pushed to the orders scan before the anti-join, so the build side
+    * shrinks with the cutoff. */
   def q22IdleCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val thresh = c.filter(col("c_acctbal") > 0)
       .agg(sum(dec(col("c_acctbal"))).as("sum_bal"), count(lit(1)).as("cnt"))
-    c.join(Tables.orders(spark, sfDir).select(col("o_custkey")),
-        col("c_custkey") === col("o_custkey"), "left_anti")
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= IdleCutoff).select(col("o_custkey"))
+    c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .crossJoin(broadcast(thresh))
       .filter(dec(col("c_acctbal")) * col("cnt") > col("sum_bal"))
       .join(broadcast(Tables.nation(spark, sfDir).select("n_nationkey", "n_name")),

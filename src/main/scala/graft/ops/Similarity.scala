@@ -179,6 +179,25 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Recall@k of the multi-probe ANN against the brute-force ground truth —
+    * the number that prices the ANN's candidate pruning: "the structure
+    * scales" is only half the story; this measures what the pruning costs
+    * in quality (per query id, the fraction of the true top-k the ANN
+    * recovered). Both sides are the already-oracled queries, so the join is
+    * tiny (nQueries·k rows each); recall ∈ [0, 1] with 1 = lossless. */
+  def annRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val bf = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("qid"), col("vec_id"))
+    val ann = annMultiProbeTopK(embeddings, nQueries, k)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    bf.join(ann, col("qid") === col("aqid") && col("vec_id") === col("avid"),
+        "left_outer")
+      .groupBy(col("qid"))
+      .agg(round(count(col("avid")).cast("double") / count(lit(1)).cast("double"), 4)
+        .as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** Blocked near-duplicate pairs: sampled anchors joined only against
     * vectors in the same `label` block (the IVF/LSH-bucket join shape),
     * keeping pairs above a cosine threshold. */

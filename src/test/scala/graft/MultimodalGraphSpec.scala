@@ -47,4 +47,27 @@ class MultimodalGraphSpec extends SparkSpec {
       .agg(avg("rank")).first().getDouble(0)
     assert(hubRank > leafRank)
   }
+
+  test("chain k-hop genuinely iterates: distances follow |id - anchor| in-block") {
+    val customer = Tables.customer(spark, sfDir)
+    val d = GraphOps.kHopChain(spark, customer, 7L).collect()
+    // anchor 7 in block [0, 10): reaches exactly its block, dist = |id - 7|
+    assert(d.length === GraphOps.ChainBlock)
+    d.foreach(r => assert(r.getInt(1) === math.abs(r.getLong(0) - 7L).toInt))
+    // the whole point of the fixture: Pregel ran past the star's 0/1/2 form
+    assert(d.map(_.getInt(1)).max >= 3)
+  }
+
+  test("ann recall is within (0, 1] and 1 exactly when ANN's top-k equals brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val recall = graft.ops.Similarity.annRecall(emb).collect()
+    assert(recall.length === 8)
+    recall.foreach { r =>
+      val v = r.getDouble(1)
+      assert(v >= 0.0 && v <= 1.0, s"recall out of range: $v")
+    }
+    // multi-probe must beat the single-probe information floor somewhere:
+    // average recall over the 8 queries is strictly positive
+    assert(recall.map(_.getDouble(1)).sum > 0.0)
+  }
 }

@@ -144,6 +144,31 @@ class ScalePathSpec extends SparkSpec {
     assert(math.abs(approx.getDouble(1) - exact.getDouble(1)) / exact.getDouble(1) < 0.05)
   }
 
+  test("q15 reads the cached aggregate view — lineitem is scanned once, not per branch") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = graft.ops.Relational.q15TopSupplier(spark, sfDir)
+    assert(df.collect().nonEmpty)
+    def lineitemScans(p: SparkPlan): Int = {
+      val self = p match {
+        case f: FileSourceScanExec if f.toString.contains("lineitem") => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      self + kids.map(lineitemScans).sum
+    }
+    val plan = df.queryExecution.executedPlan
+    // Both consumers (global max + supplier join) must read the persisted
+    // view; the only lineitem scan is the one that populated the cache.
+    assert(plan.toString.contains("InMemoryTableScan"),
+      "q15 no longer reads the cached aggregate view")
+    assert(lineitemScans(plan) === 0,
+      s"lineitem rescanned outside the cached view:\n$plan")
+  }
+
   test("df-capped interest rule with cap >= max df equals the exact rule") {
     val toks = Tables.partInterests(spark, sfDir)
     val exact = EdgeRules.interestRule(toks)
