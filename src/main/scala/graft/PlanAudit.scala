@@ -12,7 +12,9 @@ object PlanAudit {
     val out = new java.io.PrintWriter(args.lift(1).getOrElse("/tmp/plans.txt"))
     for (name <- Seq("s2_point_lookup", "q1_agg", "q3_top_revenue", "j8_asof_join", "j9_range_join", "sim_topk_custom",
         "j3_recommend", "fuzzy_search_lev", "edges_backfill", "sim_topk_bruteforce",
-        "j4_pair_relationship", "j2_rare_token_pairs", "sim_ann_ivf", "q10_returned_items")) {
+        "j4_pair_relationship", "j2_rare_token_pairs", "sim_ann_ivf", "q10_returned_items",
+        "q12_priority_class", "q13_order_distribution", "q15_top_supplier",
+        "q16_supplier_cnt", "q21_sole_returner", "q22_idle_customers", "sim_ann_recall")) {
       out.println(s"==== $name ====")
       out.println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
