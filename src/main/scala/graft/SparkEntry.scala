@@ -201,6 +201,7 @@ object SparkEntry {
     "q16_supplier_cnt" -> ((s, d) => Relational.q16SupplierCount(s, d)),
     "q17_small_qty_revenue" -> ((s, d) => Relational.q17SmallQtyRevenue(s, d)),
     "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(s, d)),
+    "q20_recent_concentration" -> ((s, d) => Relational.q20RecentConcentration(s, d)),
     "q21_sole_returner" -> ((s, d) => Relational.q21SoleReturner(s, d)),
     "q22_idle_customers" -> ((s, d) => Relational.q22IdleCustomers(s, d)),
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
@@ -356,7 +357,7 @@ object SparkEntry {
     "w1_event_windows", "w2_sessionize", "graph_cc",
     // round-4 additions: the fact⋈fact-heavy q-series shapes
     "q12_priority_class", "q13_order_distribution", "q16_supplier_cnt",
-    "q21_sole_returner")
+    "q21_sole_returner", "q20_recent_concentration")
 
   // ---------------------------------------------------------------- oracle
 
@@ -936,6 +937,15 @@ object SparkEntry {
        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) " +
        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) " +
        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"),
+    "q20_recent_concentration" ->
+      ("WITH PS AS (SELECT l_suppkey, l_partkey, " +
+       "sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty, " +
+       "sum(CASE WHEN year(l_shipdate) = 1996 THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty96 " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "WHERE p_name LIKE '%widget%' GROUP BY l_suppkey, l_partkey) " +
+       "SELECT s_suppkey, s_name, count(*) AS n_conc FROM supplier " +
+       "JOIN PS ON l_suppkey = s_suppkey WHERE qty96 * 2 > total_qty " +
+       "GROUP BY s_suppkey, s_name ORDER BY s_suppkey"),
     "q21_sole_returner" ->
       ("WITH PAIRS AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), " +
        "RET AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R') " +

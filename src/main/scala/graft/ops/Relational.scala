@@ -375,6 +375,36 @@ object Relational {
       .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n"))
   }
 
+  /** TPC-H Q20-shaped nested aggregate threshold, reshaped partsupp-free
+    * (the driver's testdata has no partsupp table): per supplier, how many
+    * widget parts have their shipments CONCENTRATED in 1996 (that year's
+    * quantity exceeds half the all-time quantity) — Q20's "availqty >
+    * half-year demand" correlated-aggregate pattern re-keyed onto lineitem
+    * itself. Conditional decimal sums in one pass per (supplier, part);
+    * threshold cross-multiplied (2·qty96 > total) so it is float-free; the
+    * count re-aggregation input is already small (≤ parts per supplier).
+    * No hints anywhere: part's widget slice and the per-pair aggregate both
+    * scale with SF. */
+  def q20RecentConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains("widget")).select("p_partkey")
+    val conc = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_partkey"), dec(col("l_quantity")).as("qty"),
+        year(col("l_shipdate")).as("yr"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("qty")).as("total_qty"),
+        sum(when(col("yr") === 1996, col("qty")).otherwise(lit(BigDecimal(0))))
+          .as("qty96"))
+      .filter(col("qty96") * 2 > col("total_qty"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_conc"))
+    Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
+      .join(conc, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_conc"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** TPC-H Q21-shaped EXISTS + NOT EXISTS: suppliers with a returned line in
     * a multi-supplier order where NO other supplier's line was returned —
     * a left-semi then a left-anti on the same (order, other-supplier)

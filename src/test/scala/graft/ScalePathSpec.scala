@@ -169,6 +169,25 @@ class ScalePathSpec extends SparkSpec {
       s"lineitem rescanned outside the cached view:\n$plan")
   }
 
+  test("de-hinted q-series agree between AQE-broadcast and forced shuffle-join paths") {
+    // These queries deliberately carry NO broadcast hints on SF-growing
+    // sides (r3 verdict item 3): locally AQE broadcasts them, at 100 TB
+    // they run as shuffled joins. Force the shuffle path and assert
+    // bit-identical results — the plan that ships is the plan tested.
+    val names = Seq("q8_market_share", "q14_promo_effect",
+      "q17_small_qty_revenue", "q19_disjunctive", "q20_recent_concentration")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val base = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sfDir).collect().toSeq).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      names.foreach { n =>
+        val got = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
+        assert(got === base(n), s"$n diverged under forced shuffle joins")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("df-capped interest rule with cap >= max df equals the exact rule") {
     val toks = Tables.partInterests(spark, sfDir)
     val exact = EdgeRules.interestRule(toks)
