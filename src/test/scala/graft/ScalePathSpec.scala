@@ -144,38 +144,53 @@ class ScalePathSpec extends SparkSpec {
     assert(math.abs(approx.getDouble(1) - exact.getDouble(1)) / exact.getDouble(1) < 0.05)
   }
 
-  test("q15 reads the cached aggregate view — lineitem is scanned once, not per branch") {
+  test("q15 reads the cached aggregate view — lineitem is scanned once, inside the cache") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val df = graft.ops.Relational.q15TopSupplier(spark, sfDir)
     assert(df.collect().nonEmpty)
-    def lineitemScans(p: SparkPlan): Int = {
+    // QueryStageExec is a LeafExecNode in Spark 4.1, so a children-only
+    // traversal never looks inside materialized AQE stages (round-4 advice:
+    // the old `=== 0` assertion passed vacuously). Descend into stages
+    // explicitly, and into the cached relation behind each in-memory scan —
+    // deduped, because both q15 consumers share one InMemoryRelation.
+    val seenCaches = scala.collection.mutable.Set[SparkPlan]()
+    def scans(p: SparkPlan, inCache: Boolean): (Int, Int) = {
       val self = p match {
-        case f: FileSourceScanExec if f.toString.contains("lineitem") => 1
-        case _ => 0
+        case f: FileSourceScanExec if f.toString.contains("lineitem") =>
+          if (inCache) (0, 1) else (1, 0)
+        case _ => (0, 0)
       }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case other => other.children
+      val kids: Seq[(SparkPlan, Boolean)] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan -> inCache)
+        case q: QueryStageExec => Seq(q.plan -> inCache)
+        case m: InMemoryTableScanExec =>
+          val cached = m.relation.cachedPlan
+          if (seenCaches.add(cached)) Seq(cached -> true) else Nil
+        case other => other.children.map(_ -> inCache)
       }
-      self + kids.map(lineitemScans).sum
+      kids.map { case (k, c) => scans(k, c) }
+        .foldLeft(self) { case ((a, b), (x, y)) => (a + x, b + y) }
     }
     val plan = df.queryExecution.executedPlan
-    // Both consumers (global max + supplier join) must read the persisted
-    // view; the only lineitem scan is the one that populated the cache.
     assert(plan.toString.contains("InMemoryTableScan"),
       "q15 no longer reads the cached aggregate view")
-    assert(lineitemScans(plan) === 0,
-      s"lineitem rescanned outside the cached view:\n$plan")
+    val (outside, inside) = scans(plan, inCache = false)
+    assert(outside === 0, s"lineitem rescanned outside the cached view:\n$plan")
+    assert(inside === 1,
+      s"expected exactly one lineitem scan inside the cached-view subtree, got $inside:\n$plan")
   }
 
   test("de-hinted q-series agree between AQE-broadcast and forced shuffle-join paths") {
     // These queries deliberately carry NO broadcast hints on SF-growing
-    // sides (r3 verdict item 3): locally AQE broadcasts them, at 100 TB
-    // they run as shuffled joins. Force the shuffle path and assert
+    // sides (r3 verdict item 3; r4 verdict item 1 extended the rule to the
+    // supplier/part sides of q5/q7/q9/q21): locally AQE broadcasts them, at
+    // 100 TB they run as shuffled joins. Force the shuffle path and assert
     // bit-identical results — the plan that ships is the plan tested.
-    val names = Seq("q8_market_share", "q14_promo_effect",
-      "q17_small_qty_revenue", "q19_disjunctive", "q20_recent_concentration")
+    val names = Seq("q5_region_revenue", "q7_volume", "q8_market_share",
+      "q9_profit", "q14_promo_effect", "q17_small_qty_revenue",
+      "q19_disjunctive", "q20_recent_concentration", "q21_sole_returner")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val base = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sfDir).collect().toSeq).toMap
