@@ -96,6 +96,7 @@ object SparkEntry {
     "j3_recommend" -> ((s, d) =>
       Recommend.recommend(Tables.students(s, d), 1L)
         .withColumn("matched_on", array_join(col("matched_on"), "|"))
+        .withColumn("interests", array_join(col("interests"), "|"))
         .drop("matching_interests")),
     "j6_exists" -> ((s, d) =>
       StudentQueries.existing(
@@ -128,8 +129,16 @@ object SparkEntry {
     }),
     "j4_pair_relationship" -> ((s, d) => {
       val st = Tables.students(s, d)
+      // Edge table carries SHARES_INTEREST edges (with their `common`
+      // property) alongside the 4-rule backfill, so properties(rel)
+      // parity is non-trivially exercised (F9): the named pair (ids 0, 1)
+      // shares the synthetic interest token p0.
+      val edges = EdgeRules.backfill(st)
+        .withColumn("common", lit(null).cast("array<string>"))
+        .unionByName(EdgeRules.interestRule(Tables.studentInterests(s, d)))
       StudentQueries.pairRelationship(
-        st, EdgeRules.backfill(st), "Customer#000000000", "Customer#000000001")
+        st, edges, "Customer#000000000", "Customer#000000001")
+        .withColumn("common", array_join(col("common"), "|"))
     }),
     // EP1 onboarding (S4 node create + F10 ingest lowercasing + J5
     // incremental edges + J7 MERGE) exercised through Ingest.onboard as pure
@@ -718,13 +727,13 @@ object SparkEntry {
        "ORDER BY c_acctbal DESC, id LIMIT 10"),
     "j3_recommend" -> withStudents(
       ", s AS (SELECT * FROM students WHERE id = 1), scored AS (" +
-      "SELECT o.id, o.name, " +
+      "SELECT o.id, o.name, o.address, " +
       "CASE WHEN lower(trim(coalesce(o.board,''))) = lower(trim(coalesce(s.board,''))) THEN 1 ELSE 0 END AS bm, " +
       "CASE WHEN lower(trim(coalesce(o.stream,''))) = lower(trim(coalesce(s.stream,''))) THEN 1 ELSE 0 END AS sm, " +
       "CASE WHEN lower(trim(coalesce(o.college,''))) = lower(trim(coalesce(s.college,''))) THEN 1 ELSE 0 END AS cm, " +
       "CASE WHEN lower(trim(coalesce(o.address,''))) = lower(trim(coalesce(s.address,''))) THEN 1 ELSE 0 END AS am " +
       "FROM students o, s WHERE o.id <> 1) " +
-      "SELECT id, name, bm, sm, cm, am, " +
+      "SELECT id, name, address, CAST(NULL AS VARCHAR) AS interests, bm, sm, cm, am, " +
       "array_to_string(list_filter([CASE WHEN bm = 1 THEN 'board' END, CASE WHEN sm = 1 THEN 'stream' END, " +
       "CASE WHEN cm = 1 THEN 'college' END, CASE WHEN am = 1 THEN 'address' END], " +
       "x -> x IS NOT NULL), '|') AS matched_on, " +
@@ -780,7 +789,14 @@ object SparkEntry {
       "WHERE e.src = c.src AND e.dst = c.dst AND e.src < 100 AND e.dst < 100) " +
       "ORDER BY src, dst"),
     "j4_pair_relationship" -> withStudents(
-      s", e AS ($edgesSql), " +
+      s", eq AS ($edgesSql), " +
+      "si_toks AS (SELECT id, unnest(['p' || CAST(id // 2 AS VARCHAR), " +
+      "'r' || CAST(id AS VARCHAR)]) AS tok FROM students), " +
+      "si AS (SELECT a.id AS src, b.id AS dst, 'SHARES_INTEREST' AS rel_type, " +
+      "list_sort(list(a.tok)) AS common FROM si_toks a JOIN si_toks b " +
+      "ON a.tok = b.tok AND a.id < b.id GROUP BY a.id, b.id), " +
+      "e AS (SELECT src, dst, rel_type, CAST(NULL AS VARCHAR[]) AS common FROM eq " +
+      "UNION ALL SELECT * FROM si), " +
       "a AS (SELECT id AS a_id, name AS a_name, college AS a_college, " +
       "board AS a_board, stream AS a_stream FROM students " +
       "WHERE lower(name) = lower('Customer#000000000')), " +
@@ -788,6 +804,7 @@ object SparkEntry {
       "board AS b_board, stream AS b_stream FROM students " +
       "WHERE lower(name) = lower('Customer#000000001')) " +
       "SELECT a_id, a_name, b_id, b_name, e.rel_type, " +
+      "array_to_string(e.common, '|') AS common, " +
       "CAST(a_college = b_college AS INT) AS same_college, " +
       "CAST(a_board = b_board AS INT) AS same_board, " +
       "CAST(a_stream = b_stream AS INT) AS same_stream " +

@@ -76,6 +76,20 @@ object Tables {
       | CAST(CAST(floor(c_acctbal/1000) AS INT) AS VARCHAR) AS address
       | FROM customer""".stripMargin.replace("\n", "")
 
+  /** Deterministic `interests` for the students view, so the J4
+    * pair-relationship template can surface a SHARES_INTEREST edge's
+    * `common` property (reference returns `properties(rel)`,
+    * llm_cypher.py:91). Two tokens per student: a pair token shared by
+    * consecutive ids (`p<id/2>`) and a unique token (`r<id>`), so the
+    * SHARES_INTEREST edge set is exactly the (2k, 2k+1) pairs — LINEAR in
+    * students, never a dense token explosion. */
+  def studentInterests(spark: SparkSession, sfDir: String): DataFrame =
+    students(spark, sfDir).select(
+      col("id"),
+      array(
+        concat(lit("p"), floor(col("id") / 2).cast("long").cast("string")),
+        concat(lit("r"), col("id").cast("string"))).as("interests"))
+
   /** "Interests" analog: each part's normalized name-token array — the
     * `interests: array<string>` column of the reference schema
     * (fastapi/models/student.py:11), realized on the `part` table per

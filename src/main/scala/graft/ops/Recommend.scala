@@ -65,7 +65,13 @@ object Recommend {
             when(col("am") === 1, "address"),
             when(size(col("matching_interests")) > 0, "interests")),
           x => x.isNotNull))
-      .select(col("id"), col("name"), col("bm"), col("sm"), col("cm"),
+      // Response parity with the reference's StudentResponse
+      // (student_service.py:158-160, models/student.py:14-21): the OTHER
+      // student's address and interests ride along; `am` is same_address.
+      .select(col("id"), col("name"), col("address"),
+        (if (hasInterests) col("interests")
+         else lit(null).cast("array<string>")).as("interests"),
+        col("bm"), col("sm"), col("cm"),
         col("am"), col("matching_interests"), col("matched_on"), col("score"))
       // score DESC per the reference; id tiebreak for deterministic output.
       .orderBy(desc("score"), col("id"))

@@ -28,10 +28,15 @@ object StudentQueries {
   /** J4 — the two-name relationship template (llm_cypher.py:86-96):
     *   MATCH (a {name: $n1}), (b {name: $n2})
     *   OPTIONAL MATCH p = (a)-[r]-(b)
-    *   RETURN a.*, b.*, type(r), a.college = b.college AS same_college, ...
+    *   RETURN a.*, b.*, type(r), properties(r), a.college = b.college AS ...
     * Pair details survive even when no edge exists (left outer), and the
     * undirected `-[r]-` pattern must probe BOTH orientations of the directed
     * edge table (edges stored with src < dst, create_relationships.py:19).
+    *
+    * `properties(r)` parity (llm_cypher.py:91): every edge column beyond the
+    * (src, dst, rel_type) key is an edge property and passes through the
+    * projection — e.g. a SHARES_INTEREST edge's `common` array
+    * (create_relationships.py:85) surfaces next to `rel_type`.
     *
     * Physical shape: both name filters reduce to ≤1 row each, so the a×b
     * pair is a 1-row broadcast cross; the edge probe is a broadcast join of
@@ -61,14 +66,16 @@ object StudentQueries {
       edges.withColumnRenamed("src", "tmp")
         .withColumnRenamed("dst", "src").withColumnRenamed("tmp", "dst")
         .select(edges.columns.map(col): _*))
+    val propCols = edges.columns.filterNot(Set("src", "dst", "rel_type")).toSeq
     pair.join(bothOrientations,
       col("src") === col("a_id") && col("dst") === col("b_id"), "left_outer")
       .select(
-        col("a_id"), col("a_name"), col("b_id"), col("b_name"),
-        col("rel_type"),
-        (col("a_college") === col("b_college")).cast("int").as("same_college"),
-        (col("a_board") === col("b_board")).cast("int").as("same_board"),
-        (col("a_stream") === col("b_stream")).cast("int").as("same_stream"))
+        Seq(col("a_id"), col("a_name"), col("b_id"), col("b_name"),
+          col("rel_type")) ++
+        propCols.map(col) ++ Seq(
+          (col("a_college") === col("b_college")).cast("int").as("same_college"),
+          (col("a_board") === col("b_board")).cast("int").as("same_board"),
+          (col("a_stream") === col("b_stream")).cast("int").as("same_stream")): _*)
       .orderBy(col("rel_type"))
       .limit(25) // the template's LIMIT 25 (llm_cypher.py:96)
   }
