@@ -348,6 +348,23 @@ object SparkEntry {
     // 7 in blocks of 10), unlike the star's 0/1/2 closed form.
     "graph_khop_chain" -> ((s, d) =>
       graft.graph.GraphOps.kHopChain(s, Tables.customer(s, d), 7L)),
+    // Path reconstruction (relationships(p), llm_cypher.py:211-216): the
+    // ordered edge list of each shortest path, serialized src->dst|... for
+    // the driver gate.
+    "graph_khop_paths" -> ((s, d) =>
+      graft.graph.GraphOps.kHopChainPaths(s, Tables.customer(s, d), 7L)
+        .withColumn("path", array_join(
+          transform(col("path"), e =>
+            concat(e("src").cast("string"), lit("->"), e("dst").cast("string"))),
+          "|"))),
+    // Stream-stream interval join, batch form (stream==batch parity is
+    // spec-proven in StreamingSpec; this registers the attribution shape
+    // under the DuckDB oracle).
+    "stream_attribution" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.streaming.Streams.purchasesAfterClicks(e, e)
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
     // multimodal plumbing (stubbed decode)
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -360,7 +377,9 @@ object SparkEntry {
     "q1_agg", "q3_top_revenue", "q5_region_revenue", "q7_volume", "q9_profit",
     "q10_returned_items", "set_ops",
     "edges_backfill", "j2_rare_token_pairs", "j3_recommend", "j8_asof_join",
-    "fuzzy_search_lev",
+    // both fuzzy scorers: the built-in levenshtein and the custom codegen
+    // IndelRatio expression, so the custom path's cost is a recorded number
+    "fuzzy_search_lev", "fuzzy_search_indel",
     "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
     "text_quality", "sim_topk_bruteforce", "sim_ann_multiprobe", "mm_features",
     "w1_event_windows", "w2_sessionize", "graph_cc",
@@ -995,5 +1014,33 @@ object SparkEntry {
        "SELECT E.dst AS id, BFS.dist + 1 AS dist FROM BFS JOIN E ON E.src = BFS.id " +
        "WHERE BFS.dist < 30) " +
        "SELECT id, CAST(min(dist) AS INT) AS dist FROM BFS GROUP BY id ORDER BY id"),
+    // Path-accumulating BFS: walks (not states) are enumerated, so UNION ALL
+    // is correct and the dist bound terminates the recursion — on the chain
+    // graph walks of length <= 9 from one anchor are a few hundred rows.
+    // arg_min picks the (unique) shortest walk's edge list per node.
+    "graph_khop_paths" ->
+      ("WITH RECURSIVE E AS (" +
+       "SELECT a.c_custkey AS src, b.c_custkey AS dst FROM customer a " +
+       s"JOIN customer b ON b.c_custkey = a.c_custkey + 1 WHERE a.c_custkey % $chainBlock <> ${chainBlock - 1} " +
+       "UNION ALL " +
+       "SELECT b.c_custkey AS src, a.c_custkey AS dst FROM customer a " +
+       s"JOIN customer b ON b.c_custkey = a.c_custkey + 1 WHERE a.c_custkey % $chainBlock <> ${chainBlock - 1}), " +
+       "BFS AS (SELECT CAST(7 AS BIGINT) AS id, 0 AS dist, CAST('' AS VARCHAR) AS path " +
+       "UNION ALL " +
+       "SELECT E.dst AS id, BFS.dist + 1 AS dist, " +
+       "path || (CASE WHEN path = '' THEN '' ELSE '|' END) || " +
+       "CAST(BFS.id AS VARCHAR) || '->' || CAST(E.dst AS VARCHAR) AS path " +
+       "FROM BFS JOIN E ON E.src = BFS.id " +
+       s"WHERE BFS.dist < ${chainBlock - 1}) " +
+       "SELECT id, CAST(min(dist) AS INT) AS dist, arg_min(path, dist) AS path " +
+       "FROM BFS GROUP BY id ORDER BY id"),
+    "stream_attribution" ->
+      ("WITH C AS (SELECT user_id, event_id AS click_id, ts AS click_ts " +
+       "FROM events WHERE event_type = 'click'), " +
+       "P AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts " +
+       "FROM events WHERE event_type = 'purchase') " +
+       "SELECT user_id, click_id, purchase_id FROM C JOIN P ON user_id = p_user " +
+       "AND purchase_ts >= click_ts AND purchase_ts <= click_ts + INTERVAL 1 HOUR " +
+       "ORDER BY user_id, click_id, purchase_id"),
   )
 }

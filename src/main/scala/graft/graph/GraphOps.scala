@@ -107,6 +107,56 @@ object GraphOps {
     spark.createDataFrame(reached).toDF("id", "dist").orderBy(col("id"))
   }
 
+  /** Bounded variable-length path reconstruction over the chain graph — the
+    * reference's path concept `MATCH p = ... RETURN relationships(p)`
+    * (llm_cypher.py:211-216): for every node within `maxHops` of the anchor,
+    * the ordered edge list of its shortest path from the anchor.
+    *
+    * Iterative DataFrame BFS: each round extends the frontier by one
+    * equi-join on the edge table and anti-joins the visited set, so work per
+    * round is frontier × degree — never all-pairs. The path payload grows
+    * with the hop count, which is why the bound is part of the operator
+    * contract (Cypher's `[*..k]`). Frontier/visited are localCheckpoint'ed
+    * per round to keep lineage flat across iterations (at cluster scale:
+    * `checkpoint` to reliable storage instead — same shape). */
+  def kHopChainPaths(
+      spark: SparkSession, customer: DataFrame, anchorId: Long,
+      maxHops: Int = ChainBlock - 1): DataFrame = {
+    val ids = customer.select(col("c_custkey").as("id"))
+    val fwd = ids.filter(col("id") % ChainBlock =!= (ChainBlock - 1))
+      .join(ids.select(col("id").as("nid")), col("nid") === col("id") + 1)
+      .select(col("id").as("src"), col("nid").as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).localCheckpoint()
+    val emptyPath = array().cast("array<struct<src:bigint,dst:bigint>>")
+    var frontier = ids.filter(col("id") === anchorId)
+      .select(col("id"), emptyPath.as("path")).localCheckpoint()
+    var visited = frontier.select(col("id")).localCheckpoint()
+    var out = frontier
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      val next = frontier.join(edges, frontier("id") === edges("src"))
+        .select(edges("dst").as("id"),
+          concat(col("path"),
+            array(struct(edges("src").as("src"), edges("dst").as("dst")))).as("path"))
+        .join(visited, Seq("id"), "left_anti")
+        // Two frontier nodes can reach the same node in one round (not on a
+        // chain, but the operator must not assume chain-ness): keep the
+        // lexicographically smallest path, deterministically.
+        .groupBy(col("id"))
+        .agg(min_by(col("path"),
+          array_join(transform(col("path"),
+            e => concat_ws("-", e("src"), e("dst"))), "|")).as("path"))
+        .localCheckpoint()
+      visited = visited.unionByName(next.select(col("id"))).localCheckpoint()
+      out = out.unionByName(next)
+      frontier = next
+      hop += 1
+    }
+    out.select(col("id"), size(col("path")).as("dist"), col("path"))
+      .orderBy(col("id"))
+  }
+
   /** PageRank over the star graph. The star has a closed form the DuckDB
     * oracle checks: leaves/isolated = 0.15, hub = 0.15 + 0.85·0.15·(n−1)
     * (a two-value fixpoint reached by iteration 2), then GraphX normalizes

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Locks in the pair-join scale shapes the round-4 audit proved: a
+  * pair-producing query must never fall back to an all-pairs physical join
+  * (CartesianProduct / BroadcastNestedLoopJoin) — a regression here is
+  * invisible at test SF and fatal at 100 TB. j3_recommend's BNLJ is
+  * intentional (a 1-row broadcast anchor) and deliberately NOT guarded. */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val guarded =
+    Seq("edges_backfill", "dedup_lsh_pairs", "dedup_simhash_pairs",
+      "j2_rare_token_pairs")
+
+  /** All-pairs join nodes anywhere in the executed plan, descending into
+    * materialized AQE query stages (LeafExecNodes in Spark 4.1), cached
+    * relations, and subqueries — the same traversal lesson as the q15 scan
+    * assertion in ScalePathSpec. */
+  private def allPairsJoins(p: SparkPlan): Seq[String] = {
+    val bad = p match {
+      case _: CartesianProductExec         => Seq(p.nodeName)
+      case _: BroadcastNestedLoopJoinExec  => Seq(p.nodeName)
+      case _                               => Nil
+    }
+    val kids: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec  => Seq(a.executedPlan)
+      case q: QueryStageExec         => Seq(q.plan)
+      case m: InMemoryTableScanExec  => Seq(m.relation.cachedPlan)
+      case other                     => other.children
+    }
+    bad ++ kids.flatMap(allPairsJoins) ++
+      p.subqueries.flatMap(allPairsJoins)
+  }
+
+  guarded.foreach { name =>
+    test(s"$name plans no CartesianProduct / BroadcastNestedLoopJoin") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // finalize the adaptive plan before auditing it
+      val offending = allPairsJoins(df.queryExecution.executedPlan)
+      assert(offending.isEmpty,
+        s"$name fell back to an all-pairs join: ${offending.mkString(", ")}\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+}
