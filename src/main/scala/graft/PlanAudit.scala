@@ -10,7 +10,9 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val out = new java.io.PrintWriter(args.lift(1).getOrElse("/tmp/plans.txt"))
-    for (name <- Seq("s2_point_lookup", "q1_agg", "q3_top_revenue", "j8_asof_join", "j9_range_join", "sim_topk_custom",
+    for (name <- Seq("s2_point_lookup", "q1_agg", "q3_top_revenue",
+        "q5_region_revenue", "q7_volume", "q9_profit",
+        "j8_asof_join", "j9_range_join", "sim_topk_custom",
         "j3_recommend", "fuzzy_search_lev", "edges_backfill", "sim_topk_bruteforce",
         "j4_pair_relationship", "j2_rare_token_pairs", "sim_ann_ivf", "q10_returned_items",
         "q12_priority_class", "q13_order_distribution", "q15_top_supplier",
