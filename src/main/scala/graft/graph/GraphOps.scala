@@ -127,10 +127,21 @@ object GraphOps {
       .join(ids.select(col("id").as("nid")), col("nid") === col("id") + 1)
       .select(col("id").as("src"), col("nid").as("dst"))
     val edges = fwd.unionByName(
-      fwd.select(col("dst").as("src"), col("src").as("dst"))).localCheckpoint()
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    bfsPaths(edges, anchorId, maxHops)
+  }
+
+  /** The BFS-with-path-accumulation core behind [[kHopChainPaths]], over an
+    * ARBITRARY directed edge table (src, dst) — undirected graphs pass both
+    * orientations. When two frontier nodes reach the same node in one round
+    * (impossible on a chain, routine on general graphs) the
+    * lexicographically smallest path wins, deterministically — proved on a
+    * diamond graph in GraphPathsSpec. */
+  def bfsPaths(edgeTable: DataFrame, anchorId: Long, maxHops: Int): DataFrame = {
+    val edges = edgeTable.select(col("src"), col("dst")).localCheckpoint()
     val emptyPath = array().cast("array<struct<src:bigint,dst:bigint>>")
-    var frontier = ids.filter(col("id") === anchorId)
-      .select(col("id"), emptyPath.as("path")).localCheckpoint()
+    var frontier = edges.sparkSession.range(1)
+      .select(lit(anchorId).as("id"), emptyPath.as("path")).localCheckpoint()
     var visited = frontier.select(col("id")).localCheckpoint()
     var out = frontier
     var hop = 0
@@ -140,9 +151,6 @@ object GraphOps {
           concat(col("path"),
             array(struct(edges("src").as("src"), edges("dst").as("dst")))).as("path"))
         .join(visited, Seq("id"), "left_anti")
-        // Two frontier nodes can reach the same node in one round (not on a
-        // chain, but the operator must not assume chain-ness): keep the
-        // lexicographically smallest path, deterministically.
         .groupBy(col("id"))
         .agg(min_by(col("path"),
           array_join(transform(col("path"),

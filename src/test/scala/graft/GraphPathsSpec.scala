@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphOps
+
+/** Unit coverage for the BFS-paths core on a NON-chain graph: the oracle
+  * exercises it on chains only (graph_khop_paths), where same-round
+  * collisions and cycles cannot occur. A diamond with a back-edge has both.
+  *
+  *   1 → 2 → 4 → 1 (cycle)
+  *   1 → 3 → 4     (second equal-length route into 4)
+  */
+class GraphPathsSpec extends SparkSpec {
+
+  private def diamond = {
+    import spark.implicits._
+    Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+  }
+
+  private def pathOf(rows: Array[org.apache.spark.sql.Row], id: Long): Seq[(Long, Long)] =
+    rows.find(_.getLong(0) == id).get.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+  test("diamond: same-round collision resolves to the lexicographically smallest path") {
+    val rows = GraphOps.bfsPaths(diamond, 1L, maxHops = 5).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(r => r.getLong(0) -> r.getInt(1)).toMap ===
+      Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    // 4 is reached from 2 and 3 in the same round; "1-2|2-4" < "1-3|3-4".
+    assert(pathOf(rows, 4L) === Seq((1L, 2L), (2L, 4L)))
+    // The 4→1 back-edge must not resurrect the visited anchor (termination).
+    assert(pathOf(rows, 1L) === Seq.empty)
+  }
+
+  test("hop bound cuts the frontier exactly at maxHops") {
+    val rows = GraphOps.bfsPaths(diamond, 1L, maxHops = 1).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("chain wrapper is unchanged by the core extraction") {
+    import spark.implicits._
+    val customers = (0L to 24L).toDF("c_custkey")
+    val got = GraphOps.kHopChainPaths(spark, customers, 7L)
+      .select(col("id"), col("dist")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // block 0-9 around anchor 7: dist = |id - 7| inside the block, nothing
+    // beyond the block boundary.
+    assert(got === (0L to 9L).map(i => i -> math.abs(i - 7).toInt).toMap)
+  }
+}
