@@ -885,7 +885,8 @@ object SparkEntry {
        "o.o_orderkey FROM events e ASOF LEFT JOIN O o " +
        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.event_id"),
     "fuzzy_search_lev" -> withStudents(
-      s"SELECT id, name, ${levScoreSql("name")} AS score FROM students " +
+      "SELECT id, name, college, board, stream, address, " +
+      s"${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
     "u2_token_correct" -> withStudents(
       s", T AS (SELECT unnest(string_split(lower('$tokenQuestion'), ' ')) AS token), " +

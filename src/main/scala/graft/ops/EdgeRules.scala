@@ -161,7 +161,15 @@ object EdgeRules {
     * few tokens are broadcast against the existing token table — a pass
     * proportional to matching-token rows, never the all-pairs token
     * self-join. Same min-token dedupe + filter/contains intersection as
-    * [[interestRule]], so deltas are bit-identical to a full re-backfill. */
+    * [[interestRule]], so deltas are bit-identical to a full re-backfill.
+    *
+    * Note the reference's own two code paths disagree here: the batch rule
+    * compares tokens normalized (`toLower(trim(...))`,
+    * create_relationships.py:84-86) while the per-insert rule compares RAW
+    * (`x IN s.interests WHERE x IN o.interests`,
+    * student_service.py:98-106), so its deltas can diverge from its own
+    * backfill on mixed-case data. This engine follows the batch (normalized)
+    * form on both paths — delta == re-backfill is the invariant kept. */
   def incrementalInterestEdges(existing: DataFrame, newStudent: DataFrame): DataFrame = {
     val exToks = existing
       .select(col("id"), array_distinct(Norm.normArr(col("interests"))).as("arr"))

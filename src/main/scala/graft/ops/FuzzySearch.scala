@@ -47,7 +47,12 @@ object FuzzySearch {
   /** Top-k fuzzy search with the reference's defaults (threshold 70, limit 10,
     * student_service.py:230). `scoreCol` lets callers pick the scorer:
     * [[levRatio]] (oracle-checkable) or the exact rapidfuzz-parity
-    * `indel_ratio` expression (graft.functions.IndelRatio). */
+    * `indel_ratio` expression (graft.functions.IndelRatio).
+    *
+    * Projection parity: the reference returns the FULL StudentDetail per hit
+    * (student_service.py:244-266), so every student column rides along with
+    * the score (the score itself is kept — it orders the cut and the
+    * reference sorts by it before dropping it). */
   def topK(
       students: DataFrame, query: String,
       scoreOf: Column => Column,
@@ -55,7 +60,6 @@ object FuzzySearch {
     students
       .withColumn("score", scoreOf(col("name")))
       .filter(col("score") >= threshold)
-      .select(col("id"), col("name"), col("score"))
       .orderBy(desc("score"), col("id")) // id tiebreak → deterministic top-k
       .limit(k)
 }
