@@ -120,6 +120,11 @@ object SparkEntry {
         .withColumn("matched_on", array_join(col("matched_on"), "|"))
         .withColumn("interests", array_join(col("interests"), "|"))
         .drop("matching_interests")),
+    // The endpoint's response envelope (student_routes.py:46-62),
+    // assembled engine-side; the 0/1/2-name grammar branches (vacuous at
+    // oracle SF) are golden-tested on the fixture in GoldenFixtureSpec.
+    "recommend_message" -> ((s, d) =>
+      Recommend.responseMessage(Recommend.recommend(Tables.students(s, d), 1L))),
     "j6_exists" -> ((s, d) =>
       StudentQueries.existing(
         Tables.students(s, d),
@@ -132,7 +137,7 @@ object SparkEntry {
     "edges_backfill" -> ((s, d) => EdgeRules.backfill(Tables.students(s, d))),
     // Skew-resilience evidence (round-4 verdict item 8): the same salted
     // pair join driven by a deliberately Zipfian 3-value key (80/10/10 over
-    // a FIXED 3k-student slice — a controlled workload, identical at every
+    // a FIXED 12k-student slice — a controlled workload, identical at every
     // SF, so salted vs salt=1 is an apples-to-apples recorded number in the
     // bench). Output is a 1-row count+checksum: the ~46M-pair explosion is
     // fully produced and map-side-aggregated, while the oracle compare
@@ -798,6 +803,21 @@ object SparkEntry {
       "x -> x IS NOT NULL), '|') AS matched_on, " +
       "bm + sm + cm + am AS score FROM scored WHERE bm + sm + cm + am > 0 " +
       "ORDER BY score DESC, id"),
+    "recommend_message" -> withStudents(
+      ", s AS (SELECT * FROM students WHERE id = 1), scored AS (" +
+      "SELECT o.id, o.name, " +
+      "(CASE WHEN lower(trim(coalesce(o.board,''))) = lower(trim(coalesce(s.board,''))) THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN lower(trim(coalesce(o.stream,''))) = lower(trim(coalesce(s.stream,''))) THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN lower(trim(coalesce(o.college,''))) = lower(trim(coalesce(s.college,''))) THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN lower(trim(coalesce(o.address,''))) = lower(trim(coalesce(s.address,''))) THEN 1 ELSE 0 END) AS score " +
+      "FROM students o, s WHERE o.id <> 1), " +
+      "m AS (SELECT list(name ORDER BY score DESC, id) AS names FROM scored WHERE score > 0) " +
+      "SELECT CASE WHEN len(names) = 0 THEN 'Sorry, no matches found for this platform.' " +
+      "WHEN len(names) = 1 THEN names[1] || ' is also in this platform.' " +
+      "WHEN len(names) = 2 THEN names[1] || ' and ' || names[2] || ' are also in this platform.' " +
+      "ELSE array_to_string(names[1:len(names)-1], ', ') || ', and ' || names[-1] || " +
+      "' are also in this platform.' END AS message, " +
+      "CAST(len(names) AS BIGINT) AS total_matches FROM m"),
     "ingest_onboard_row" -> withStudents(
       s"$newStudentSql SELECT id, name, college, board, stream, address FROM n"),
     "ingest_onboard_delta" -> withStudents(

@@ -76,4 +76,31 @@ object Recommend {
       // score DESC per the reference; id tiebreak for deterministic output.
       .orderBy(desc("score"), col("id"))
   }
+
+  /** EP2's response envelope (student_routes.py:46-62): the recommended
+    * names in response order (score DESC, id) rendered with the reference's
+    * 1/2/n-name grammar, plus total_matches. Ordering survives distribution
+    * because the names are collected as (-score, id, name) structs and
+    * sort_array'd — a deterministic ordered aggregation, not a
+    * single-partition trick. The reduce to one row is inherent to the
+    * endpoint (one message per call), and the row is bounded by the
+    * recommendation count, not the table size. */
+  def responseMessage(recs: DataFrame): DataFrame =
+    recs.select(col("score"), col("id"), col("name"))
+      .agg(sort_array(collect_list(
+        struct((-col("score")).as("ns"), col("id"), col("name")))).as("arr"))
+      .select(transform(col("arr"), x => x("name")).as("names"))
+      .select(
+        when(size(col("names")) === 0,
+          lit("Sorry, no matches found for this platform."))
+        .when(size(col("names")) === 1,
+          concat(element_at(col("names"), 1), lit(" is also in this platform.")))
+        .when(size(col("names")) === 2,
+          concat(element_at(col("names"), 1), lit(" and "),
+            element_at(col("names"), 2), lit(" are also in this platform.")))
+        .otherwise(
+          concat(array_join(slice(col("names"), lit(1), size(col("names")) - 1), ", "),
+            lit(", and "), element_at(col("names"), -1),
+            lit(" are also in this platform."))).as("message"),
+        size(col("names")).cast("bigint").as("total_matches"))
 }

@@ -96,6 +96,28 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(got.map(_._7) === got.map(_._7).sorted.reverse)
   }
 
+  test("response message covers the 0/1/2/n-name grammar (student_routes.py:46-62)") {
+    def msg(students: DataFrame, anchor: Long): (String, Long) = {
+      val r = Recommend.responseMessage(Recommend.recommend(students, anchor))
+        .collect().head
+      (r.getString(0), r.getLong(1))
+    }
+    // Anchor sita (5): umesh matches on the ''='' board quirk, aayush on
+    // the shared "math" interest — equal scores, so id orders the names.
+    assert(msg(fixture, 5L) ===
+      ("aayush and umesh are also in this platform.", 2L))
+    // Restricting the table exercises the 1-name and 0-name branches.
+    assert(msg(fixture.filter(col("id").isin(5L, 4L)), 5L) ===
+      ("umesh is also in this platform.", 1L))
+    assert(msg(fixture.filter(col("id").isin(5L, 3L)), 5L) ===
+      ("Sorry, no matches found for this platform.", 0L))
+    // Anchor umesh (4): every other student scores exactly 1 (rohan via
+    // college, dikshanta/aayush via stream, sita via the null board quirk)
+    // → the n>=3 Oxford-comma branch in id order.
+    assert(msg(fixture, 4L) ===
+      ("aayush, dikshanta, rohan, and sita are also in this platform.", 4L))
+  }
+
   test("interest intersection keeps left-side casing (student_service.py:155)") {
     import graft.functions.Norm
     val df = spark.sql("SELECT array('Math', 'PROG') AS a, array('math ', 'music') AS b")
