@@ -176,13 +176,17 @@ object SparkEntry {
       // Edge table carries SHARES_INTEREST edges (with their `common`
       // property) alongside the 4-rule backfill, so properties(rel)
       // parity is non-trivially exercised (F9): the named pair (ids 0, 1)
-      // shares the synthetic interest token p0.
+      // shares the synthetic interest token p0. The student side carries
+      // interests too, so the template's common_interests projection
+      // (llm_cypher.py:99) is exercised as well.
       val edges = EdgeRules.backfill(st)
         .withColumn("common", lit(null).cast("array<string>"))
         .unionByName(EdgeRules.interestRule(Tables.studentInterests(s, d)))
       StudentQueries.pairRelationship(
-        st, edges, "Customer#000000000", "Customer#000000001")
+        st.join(Tables.studentInterests(s, d), Seq("id")),
+        edges, "Customer#000000000", "Customer#000000001")
         .withColumn("common", array_join(col("common"), "|"))
+        .withColumn("common_interests", array_join(col("common_interests"), "|"))
     }),
     // EP1 onboarding (S4 node create + F10 ingest lowercasing + J5
     // incremental edges + J7 MERGE) exercised through Ingest.onboard as pure
@@ -879,16 +883,20 @@ object SparkEntry {
       "e AS (SELECT src, dst, rel_type, CAST(NULL AS VARCHAR[]) AS common FROM eq " +
       "UNION ALL SELECT * FROM si), " +
       "a AS (SELECT id AS a_id, name AS a_name, college AS a_college, " +
-      "board AS a_board, stream AS a_stream FROM students " +
-      "WHERE lower(name) = lower('Customer#000000000')), " +
+      "board AS a_board, stream AS a_stream, " +
+      "['p' || CAST(id // 2 AS VARCHAR), 'r' || CAST(id AS VARCHAR)] AS a_arr " +
+      "FROM students WHERE lower(name) = lower('Customer#000000000')), " +
       "b AS (SELECT id AS b_id, name AS b_name, college AS b_college, " +
-      "board AS b_board, stream AS b_stream FROM students " +
-      "WHERE lower(name) = lower('Customer#000000001')) " +
+      "board AS b_board, stream AS b_stream, " +
+      "['p' || CAST(id // 2 AS VARCHAR), 'r' || CAST(id AS VARCHAR)] AS b_arr " +
+      "FROM students WHERE lower(name) = lower('Customer#000000001')) " +
       "SELECT a_id, a_name, b_id, b_name, e.rel_type, " +
       "array_to_string(e.common, '|') AS common, " +
       "CAST(a_college = b_college AS INT) AS same_college, " +
       "CAST(a_board = b_board AS INT) AS same_board, " +
-      "CAST(a_stream = b_stream AS INT) AS same_stream " +
+      "CAST(a_stream = b_stream AS INT) AS same_stream, " +
+      "array_to_string(list_filter(a_arr, x -> list_contains(b_arr, x)), '|') " +
+      "AS common_interests " +
       "FROM a CROSS JOIN b LEFT JOIN e ON (e.src = a_id AND e.dst = b_id) " +
       "OR (e.src = b_id AND e.dst = a_id) ORDER BY rel_type LIMIT 25"),
     "j9_range_join" ->

@@ -46,14 +46,18 @@ object StudentQueries {
   def pairRelationship(
       students: DataFrame, edges: DataFrame,
       name1: String, name2: String): DataFrame = {
-    val a = students.filter(lower(col("name")) === lit(name1.toLowerCase)).limit(1)
-      .select(col("id").as("a_id"), col("name").as("a_name"),
-        col("college").as("a_college"), col("board").as("a_board"),
-        col("stream").as("a_stream"))
-    val b = students.filter(lower(col("name")) === lit(name2.toLowerCase)).limit(1)
-      .select(col("id").as("b_id"), col("name").as("b_name"),
-        col("college").as("b_college"), col("board").as("b_board"),
-        col("stream").as("b_stream"))
+    // When the student table carries interests, the template's
+    // `[x IN a.interests WHERE x IN b.interests] AS common_interests`
+    // (llm_cypher.py:99) is projected too — RAW membership, a's order,
+    // exactly as written (the template does not normalize here).
+    val hasInterests = students.columns.contains("interests")
+    val sideCols = Seq("id", "name", "college", "board", "stream") ++
+      (if (hasInterests) Seq("interests") else Nil)
+    def side(name: String, p: String) =
+      students.filter(lower(col("name")) === lit(name.toLowerCase)).limit(1)
+        .select(sideCols.map(c => col(c).as(s"${p}_$c")): _*)
+    val a = side(name1, "a")
+    val b = side(name2, "b")
     val pair = broadcast(a).crossJoin(broadcast(b))
     // Undirected probe: union BOTH orientations of the directed edge table
     // and join on plain (src, dst) equality — an OR-of-orientations join
@@ -67,6 +71,11 @@ object StudentQueries {
         .withColumnRenamed("dst", "src").withColumnRenamed("tmp", "dst")
         .select(edges.columns.map(col): _*))
     val propCols = edges.columns.filterNot(Set("src", "dst", "rel_type")).toSeq
+    val interestCols =
+      if (hasInterests)
+        Seq(filter(col("a_interests"),
+          x => array_contains(col("b_interests"), x)).as("common_interests"))
+      else Nil
     pair.join(bothOrientations,
       col("src") === col("a_id") && col("dst") === col("b_id"), "left_outer")
       .select(
@@ -75,7 +84,8 @@ object StudentQueries {
         propCols.map(col) ++ Seq(
           (col("a_college") === col("b_college")).cast("int").as("same_college"),
           (col("a_board") === col("b_board")).cast("int").as("same_board"),
-          (col("a_stream") === col("b_stream")).cast("int").as("same_stream")): _*)
+          (col("a_stream") === col("b_stream")).cast("int").as("same_stream")) ++
+        interestCols: _*)
       .orderBy(col("rel_type"))
       .limit(25) // the template's LIMIT 25 (llm_cypher.py:96)
   }
