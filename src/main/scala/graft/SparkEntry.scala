@@ -125,6 +125,15 @@ object SparkEntry {
     // oracle SF) are golden-tested on the fixture in GoldenFixtureSpec.
     "recommend_message" -> ((s, d) =>
       Recommend.responseMessage(Recommend.recommend(Tables.students(s, d), 1L))),
+    // U4's deterministic renderer over a small detail result, and its
+    // single-count fast-path (llm_cypher.py:258-261) — the non-LLM half of
+    // result-to-text, engine-side.
+    "u4_explain_students" -> ((s, d) =>
+      StudentQueries.explainStudents(Tables.students(s, d).filter(col("id") < 5))),
+    "u4_explain_count" -> ((s, d) =>
+      Tables.students(s, d).agg(count(lit(1)).as("n"))
+        .select(concat(lit("There are "), col("n"),
+          lit(" students matching your query in the database.")).as("response"))),
     "j6_exists" -> ((s, d) =>
       StudentQueries.existing(
         Tables.students(s, d),
@@ -822,6 +831,17 @@ object SparkEntry {
       "ELSE array_to_string(names[1:len(names)-1], ', ') || ', and ' || names[-1] || " +
       "' are also in this platform.' END AS message, " +
       "CAST(len(names) AS BIGINT) AS total_matches FROM m"),
+    "u4_explain_students" -> withStudents(
+      ", D AS (SELECT id, concat_ws(chr(10), 'Name: ' || name, " +
+      "'Address: ' || address, 'College: ' || college, 'Board: ' || board, " +
+      "'Stream: ' || stream) AS d FROM students WHERE id < 5) " +
+      "SELECT CASE WHEN count(*) = 0 THEN " +
+      "'I''m sorry, but I couldn''t find any students matching your query in the database.' " +
+      "ELSE 'I found the following students matching your query:' || chr(10) || chr(10) || " +
+      "string_agg(d, chr(10) || chr(10) ORDER BY id) END AS response FROM D"),
+    "u4_explain_count" -> withStudents(
+      "SELECT 'There are ' || count(*) || " +
+      "' students matching your query in the database.' AS response FROM students"),
     "ingest_onboard_row" -> withStudents(
       s"$newStudentSql SELECT id, name, college, board, stream, address FROM n"),
     "ingest_onboard_delta" -> withStudents(

@@ -25,6 +25,37 @@ object StudentQueries {
   def existing(students: DataFrame, ids: DataFrame): DataFrame =
     students.join(ids, Seq("id"), "left_semi")
 
+  /** U4's deterministic renderer (`explain_result`, llm_cypher.py:248-289 —
+    * the non-LLM fallback): per-student "Name/Address/College/Board/Stream"
+    * field blocks joined under the header, or the sorry-string when empty.
+    * A null field's line is skipped, matching the reference exactly: Neo4j
+    * omits null properties from `record.data()`, so its `if "address" in
+    * student` guard drops the line — here `concat` nulls the line and
+    * `concat_ws` drops it. Ordered by id via the same sort_array technique
+    * as the response envelope; one row out, bounded by the result size. */
+  def explainStudents(students: DataFrame): DataFrame = {
+    val hasInterests = students.columns.contains("interests")
+    val detail = concat_ws("\n",
+      (Seq(
+        concat(lit("Name: "), col("name")),
+        concat(lit("Address: "), col("address")),
+        concat(lit("College: "), col("college")),
+        concat(lit("Board: "), col("board")),
+        concat(lit("Stream: "), col("stream"))) ++
+       (if (hasInterests)
+          Seq(concat(lit("Interests: "), array_join(col("interests"), ", ")))
+        else Nil)): _*)
+    students.select(col("id"), detail.as("d"))
+      .agg(sort_array(collect_list(struct(col("id"), col("d")))).as("arr"))
+      .select(
+        when(size(col("arr")) === 0,
+          lit("I'm sorry, but I couldn't find any students matching your query in the database."))
+        .otherwise(concat(
+          lit("I found the following students matching your query:\n\n"),
+          array_join(transform(col("arr"), x => x("d")), "\n\n")))
+        .as("response"))
+  }
+
   /** J4 — the two-name relationship template (llm_cypher.py:86-96):
     *   MATCH (a {name: $n1}), (b {name: $n2})
     *   OPTIONAL MATCH p = (a)-[r]-(b)
