@@ -422,6 +422,12 @@ object SparkEntry {
       graft.streaming.Streams.purchasesAfterClicks(e, e)
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }),
+    // Native session_window (batch form; stream==batch parity in
+    // StreamingSpec) — the streaming-native sessionization next to the
+    // window-function form w2_sessionize.
+    "stream_session_window" -> ((s, d) =>
+      graft.streaming.Streams.sessionWindows(Tables.events(s, d))
+        .orderBy(col("user_id"), col("session_start"))),
     // multimodal plumbing (stubbed decode)
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -1125,6 +1131,19 @@ object SparkEntry {
        s"WHERE BFS.dist < ${chainBlock - 1}) " +
        "SELECT id, CAST(min(dist) AS INT) AS dist, arg_min(path, dist) AS path " +
        "FROM BFS GROUP BY id ORDER BY id"),
+    // Gap computed on raw timestamps (not floored seconds): session_window
+    // merges at microsecond precision, so the oracle must too.
+    "stream_session_window" ->
+      ("WITH S AS (SELECT user_id, ts, " +
+       "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), " +
+       "N AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL OR " +
+       "ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session FROM S), " +
+       "X AS (SELECT user_id, ts, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM N) " +
+       "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
+       "strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end, " +
+       "count(*) AS n_events FROM X GROUP BY user_id, session_idx " +
+       "ORDER BY user_id, session_start"),
     "stream_attribution" ->
       ("WITH C AS (SELECT user_id, event_id AS click_id, ts AS click_ts " +
        "FROM events WHERE event_type = 'click'), " +

@@ -49,6 +49,29 @@ object Streams {
       .format("memory").queryName(queryName)
       .start()
 
+  /** Native session windows (Spark's `session_window`): per-user sessions
+    * that merge while consecutive events fall strictly inside the gap
+    * (split at >= gap — the built-in's boundary convention; the
+    * window-function form `Windows.sessionize` keeps the reference
+    * analysis' > gap split, each oracled under its own convention). This
+    * is the streaming-native sessionization: session state MERGES across
+    * micro-batches and the watermark expires closed sessions; the same
+    * call runs on batch input. At scale: state per user ≈ open sessions
+    * only, partitioned by the grouping key. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    withWm
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+  }
+
   /** Custom streaming state via flatMapGroupsWithState: a running per-user
     * event counter (the KeyValueGroupedDataset state API the north star
     * calls for). Works on both batch and streaming inputs; in streaming

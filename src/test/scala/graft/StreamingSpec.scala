@@ -30,6 +30,23 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("session windows: stream == batch (native session_window state)") {
+    val batchEvents = Tables.events(spark, sfDir)
+    val expected = Streams.sessionWindows(batchEvents)
+      .orderBy("user_id", "session_start").collect().toSeq
+    val dir = Files.createTempDirectory("events-session-stream").toFile
+    batchEvents.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val q = Streams.sessionWindows(
+        spark.readStream.schema(batchEvents.schema).parquet(dir.getAbsolutePath))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sw_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sw_test")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(got === expected)
+  }
+
   test("incremental ingest computes per-batch edge deltas via foreachBatch") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
