@@ -428,6 +428,11 @@ object SparkEntry {
     "stream_session_window" -> ((s, d) =>
       graft.streaming.Streams.sessionWindows(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
+    // Sliding windows (the remaining §2.8 window type next to tumbling/
+    // session): 1h length, 15min slide.
+    "w5_sliding_counts" -> ((s, d) =>
+      graft.streaming.Streams.slidingEventCounts(Tables.events(s, d))
+        .orderBy(col("win_start"), col("event_type"))),
     // multimodal plumbing (stubbed decode)
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -1131,6 +1136,16 @@ object SparkEntry {
        s"WHERE BFS.dist < ${chainBlock - 1}) " +
        "SELECT id, CAST(min(dist) AS INT) AS dist, arg_min(path, dist) AS path " +
        "FROM BFS GROUP BY id ORDER BY id"),
+    // Sliding-window membership via k-range expansion: window starts are
+    // the 900s multiples in ((sec-3600)/900, sec/900]; boundaries are
+    // integral seconds, so floored-sec membership is exact even for
+    // fractional event times.
+    "w5_sliding_counts" ->
+      ("WITH E AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
+       "W AS (SELECT event_type, unnest(range(CAST(floor((sec - 3600) / 900.0) AS BIGINT) + 1, " +
+       "CAST(floor(sec / 900.0) AS BIGINT) + 1)) AS k FROM E) " +
+       "SELECT strftime(make_timestamp(k * 900 * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start, " +
+       "event_type, count(*) AS n FROM W GROUP BY 1, 2 ORDER BY win_start, event_type"),
     // Gap computed on raw timestamps (not floored seconds): session_window
     // merges at microsecond precision, so the oracle must too.
     "stream_session_window" ->

@@ -49,6 +49,22 @@ object Streams {
       .format("memory").queryName(queryName)
       .start()
 
+  /** Sliding-window counts (1 h window, 15 min slide): each event expands
+    * to window/slide = 4 overlapping windows via Spark's window() generator
+    * — a bounded 4× row fan-out feeding the hash aggregate, no additional
+    * shuffle versus the tumbling form. Same call on stream (watermarked)
+    * and batch. */
+  def slidingEventCounts(events: DataFrame): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"))
+  }
+
   /** Native session windows (Spark's `session_window`): per-user sessions
     * that merge while consecutive events fall strictly inside the gap
     * (split at >= gap — the built-in's boundary convention; the
