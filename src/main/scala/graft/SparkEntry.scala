@@ -428,6 +428,14 @@ object SparkEntry {
     "stream_session_window" -> ((s, d) =>
       graft.streaming.Streams.sessionWindows(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
+    // Unattributed-clicks variant: the left-outer interval join (distinct
+    // streaming operator — null-padded rows emit on watermark expiry).
+    "stream_attribution_outer" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.streaming.Streams.purchasesAfterClicks(e, e, "left_outer")
+        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("click_id"),
+          asc_nulls_first("purchase_id"))
+    }),
     // Sliding windows (the remaining §2.8 window type next to tumbling/
     // session): 1h length, 15min slide.
     "w5_sliding_counts" -> ((s, d) =>
@@ -1165,6 +1173,14 @@ object SparkEntry {
        "P AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts " +
        "FROM events WHERE event_type = 'purchase') " +
        "SELECT user_id, click_id, purchase_id FROM C JOIN P ON user_id = p_user " +
+       "AND purchase_ts >= click_ts AND purchase_ts <= click_ts + INTERVAL 1 HOUR " +
+       "ORDER BY user_id, click_id, purchase_id"),
+    "stream_attribution_outer" ->
+      ("WITH C AS (SELECT user_id, event_id AS click_id, ts AS click_ts " +
+       "FROM events WHERE event_type = 'click'), " +
+       "P AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts " +
+       "FROM events WHERE event_type = 'purchase') " +
+       "SELECT user_id, click_id, purchase_id FROM C LEFT JOIN P ON user_id = p_user " +
        "AND purchase_ts >= click_ts AND purchase_ts <= click_ts + INTERVAL 1 HOUR " +
        "ORDER BY user_id, click_id, purchase_id"),
   )

@@ -126,8 +126,16 @@ object Streams {
     * the time-range bound Structured Streaming needs to expire state; the
     * same call runs on batch DataFrames (watermarks no-op). At scale this
     * is the attribution-join shape: state per side ≈ watermark horizon ×
-    * arrival rate, partitioned by user_id. */
-  def purchasesAfterClicks(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    * arrival rate, partitioned by user_id.
+    *
+    * `joinType` "left_outer" gives the unattributed-clicks variant — in
+    * streaming mode the null-padded row for a never-matched click emits
+    * once the watermark passes its interval (so the tail of a finite test
+    * stream never emits; the batch form is what the oracle checks), with
+    * the same bounded state. */
+  def purchasesAfterClicks(
+      clicks: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     def wm(df: DataFrame) =
       if (df.isStreaming) df.withWatermark("ts", "2 hours") else df
     val c = wm(clicks).filter(col("event_type") === "click")
@@ -138,7 +146,8 @@ object Streams {
     c.join(p,
       col("user_id") === col("p_user") &&
       col("purchase_ts") >= col("click_ts") &&
-      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
