@@ -446,6 +446,35 @@ object SparkEntry {
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))),
     "mm_frames" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.mediaTable(Tables.documents(s, d)))),
+    // training-data pipeline: text cleaning (markup/URL strip + ws collapse;
+    // the corpus is synthetic-clean, so the gate wraps docs in deterministic
+    // markup first — see TextAnalysis.withMarkup)
+    "text_clean" -> ((s, d) => TextAnalysis.textClean(Tables.documents(s, d))),
+    // training-data pipeline: stateless reproducible train/val/test split
+    // (hash-keyed, no RNG — the only split semantics that survive retries
+    // and repartitioning at 100 TB)
+    "sample_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d))),
+    // grouped exact percentiles (sort-based agg next to a5's global form)
+    "a9_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_qty"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+        .orderBy(col("l_returnflag"))),
+    // time-series gap-fill: dense per-user daily counts, zero-filled
+    "w6_gapfill" -> ((s, d) => Windows.gapfillDaily(Tables.events(s, d))),
+    // JSON path extraction over event props (the parse direction of F13's
+    // to_json shaping) + per-type aggregate
+    "f14_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
   )
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
@@ -1183,5 +1212,51 @@ object SparkEntry {
        "SELECT user_id, click_id, purchase_id FROM C LEFT JOIN P ON user_id = p_user " +
        "AND purchase_ts >= click_ts AND purchase_ts <= click_ts + INTERVAL 1 HOUR " +
        "ORDER BY user_id, click_id, purchase_id"),
+    // Markup construction mirrored verbatim; \n and \t are real characters
+    // in both engines' literals (DuckDB standard strings don't interpret
+    // backslashes, so the Scala-level escape is what lands in the SQL).
+    "text_clean" ->
+      ("WITH R AS (SELECT doc_id, text, concat('<doc id=\"', CAST(doc_id AS VARCHAR), " +
+       "'\" src=\"', source, '\">  http://', source, '.example.com/', " +
+       "CAST(doc_id AS VARCHAR), ' \n', text, '  <br/>\t</doc>') AS raw FROM documents), " +
+       "C AS (SELECT doc_id, text, raw, trim(regexp_replace(regexp_replace(regexp_replace(" +
+       "raw, '<[^>]*>', ' ', 'g'), 'https?://[^ \t\n]+', ' ', 'g'), " +
+       "'[ \t\n\f\r]+', ' ', 'g')) AS cleaned FROM R) " +
+       "SELECT doc_id, length(raw) AS n_raw, length(cleaned) AS n_clean, " +
+       "CAST(cleaned = trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')) AS INT) AS roundtrip_ok, " +
+       "md5(cleaned) AS clean_fp FROM C ORDER BY doc_id"),
+    "sample_split" ->
+      (s"WITH B AS (SELECT doc_id, md5(concat('split|', CAST(doc_id AS VARCHAR))) AS h FROM documents), " +
+       "K AS (SELECT doc_id, (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+       "instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket FROM B) " +
+       "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, " +
+       s"CASE WHEN bucket < ${graft.ops.Sampling.TrainUpper} THEN 'train' " +
+       s"WHEN bucket < ${graft.ops.Sampling.ValUpper} THEN 'val' ELSE 'test' END AS split " +
+       "FROM K ORDER BY doc_id"),
+    "a9_percentiles" ->
+      ("SELECT l_returnflag, " +
+       "round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty, " +
+       "round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty, " +
+       "round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty, " +
+       "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // generate_series can't take lateral column args in DuckDB — the list
+    // form under unnest can, hence the one-row SPAN CTE exploded directly.
+    "w6_gapfill" ->
+      ("WITH SPAN AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events), " +
+       "DAYS AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), " +
+       "CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM SPAN), " +
+       "U AS (SELECT DISTINCT user_id FROM events), " +
+       "D AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2) " +
+       "SELECT u.user_id, strftime(d.day, '%Y-%m-%d') AS day, " +
+       "CAST(coalesce(n.n, 0) AS BIGINT) AS n_events " +
+       "FROM U u CROSS JOIN DAYS d LEFT JOIN D n ON n.user_id = u.user_id AND n.day = d.day " +
+       "ORDER BY u.user_id, d.day"),
+    "f14_json_extract" ->
+      ("SELECT event_type, count(*) AS n, " +
+       "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+       "CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, " +
+       "CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
+       "FROM events GROUP BY event_type ORDER BY event_type"),
   )
 }

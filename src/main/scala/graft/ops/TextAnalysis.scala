@@ -77,4 +77,44 @@ object TextAnalysis {
       md5(normText.cast("binary")).as("fp"),
       substring(md5(normText.cast("binary")), 1, 8).as("fp_short"))
       .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------ text cleaning
+
+  /** Deterministic markup wrapper for the cleaning gate: the synthetic corpus
+    * is already clean (plain lowercase words — a cleaner over it would pass
+    * vacuously), so the gate WRAPS each doc in markup + a URL derived from its
+    * own columns, then proves [[clean]] recovers the canonical text. Same
+    * construction on the oracle side, so the regex semantics — not the
+    * fixture — are what's compared. */
+  def withMarkup(docs: DataFrame): DataFrame =
+    docs.withColumn("raw", concat(
+      lit("<doc id=\""), col("doc_id").cast("string"),
+      lit("\" src=\""), col("source"),
+      lit("\">  http://"), col("source"), lit(".example.com/"),
+      col("doc_id").cast("string"), lit(" \n"),
+      col("text"), lit("  <br/>\t</doc>")))
+
+  /** Training-corpus text cleaning: strip markup tags, strip URLs, collapse
+    * whitespace, trim. Pure per-row codegen'd regexes — one scan, zero
+    * shuffles, and every pattern is in the RE2∩Java subset (explicit
+    * whitespace class, no backreferences) so the oracle replays it exactly. */
+  def clean(c: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(c,
+      "<[^>]*>", " "),
+      "https?://[^ \t\n]+", " "),
+      s"${Dedup.WsClass}+", " "))
+
+  /** The cleaning gate: markup-wrapped docs pushed through [[clean]];
+    * `roundtrip_ok` certifies cleaned == whitespace-normalized original. */
+  def textClean(docs: DataFrame): DataFrame = {
+    val cleaned = clean(col("raw"))
+    val normOrig = trim(regexp_replace(col("text"), s"${Dedup.WsClass}+", " "))
+    withMarkup(docs).select(
+      col("doc_id"),
+      length(col("raw")).as("n_raw"),
+      length(cleaned).as("n_clean"),
+      (cleaned === normOrig).cast("int").as("roundtrip_ok"),
+      md5(cleaned.cast("binary")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -44,4 +44,30 @@ object Windows {
         (max(sec) - min(sec)).as("duration_sec"))
       .orderBy(col("user_id"), col("session_idx"))
   }
+
+  /** Gap-fill / resample: per-user daily event counts over the corpus's full
+    * date span with inactive days zero-filled — the dense time series every
+    * downstream rate/trend computation wants.
+    *
+    * Scale shape: the calendar is ONE global min/max row exploded into a
+    * |days|-row dim and broadcast; the user dim is a distinct over the fact
+    * table (one shuffle); the fill is users × broadcast(days) then a left
+    * join against the per-(user, day) counts. Cost at 100 TB is
+    * |users|·|days| output rows — never a per-event sequence explode, and
+    * no all-pairs anything. */
+  def gapfillDaily(events: DataFrame): DataFrame = {
+    val days = events
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val users = events.select(col("user_id")).distinct()
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    users.crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("user_id"), col("day"))
+  }
 }
