@@ -475,6 +475,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
+    // training-data pipeline: Gopher-style per-doc repetition signals
+    // (dup-word / top-word / top-bigram fractions + flag)
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    // training-data pipeline: benchmark decontamination — 3-shingle overlap
+    // of every training doc against the held-out src0 eval slice
+    "decontam_overlap" -> ((s, d) => Decontam.overlap(Tables.documents(s, d))),
+    // training-data pipeline: PII redaction (emails/IPv4/phones) with a
+    // zero-residual certificate; corpus is synthetic-clean so the gate
+    // injects deterministic PII first — see TextAnalysis.withPii
+    "text_pii" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
+    // training-data pipeline: per-source hash quota sample through the
+    // custom TopKPerKey operator (bounded map-side heaps, no per-source
+    // single-reducer window)
+    "sample_stratified" -> ((s, d) => Sampling.stratifiedQuota(Tables.documents(s, d))),
   )
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
@@ -1258,5 +1272,63 @@ object SparkEntry {
        "CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, " +
        "CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
        "FROM events GROUP BY event_type ORDER BY event_type"),
+    // DuckDB lists are 1-based (w[i]/w[i+1] over generate_series(1, n-1))
+    // vs Spark's 0-based transform(sequence(0, n-2)) — same bigrams. All
+    // divisions CAST AS DOUBLE on both sides so round(·, 4) sees the same
+    // IEEE value; flags compare the ROUNDED fractions.
+    "text_repetition" ->
+      (s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+       "WD AS (SELECT doc_id, unnest(w) AS wd FROM W), " +
+       "WG AS (SELECT doc_id, wd, count(*) AS c FROM WD GROUP BY 1, 2), " +
+       "WA AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw, count(*) AS nd, max(c) AS mw FROM WG GROUP BY 1), " +
+       "BG AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1), " +
+       "i -> w[i] || ' ' || w[i+1])) AS bg FROM W WHERE len(w) >= 2), " +
+       "BGG AS (SELECT doc_id, bg, count(*) AS c FROM BG GROUP BY 1, 2), " +
+       "BA AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS mb FROM BGG GROUP BY 1), " +
+       "J AS (SELECT a.doc_id, nw AS n_words, " +
+       "round(1 - CAST(nd AS DOUBLE) / CAST(nw AS DOUBLE), 4) AS dup_word_frac, " +
+       "round(CAST(mw AS DOUBLE) / CAST(nw AS DOUBLE), 4) AS top_word_frac, " +
+       "round(coalesce(CAST(mb AS DOUBLE) / CAST(nb AS DOUBLE), 0), 4) AS top_bigram_frac " +
+       "FROM WA a LEFT JOIN BA b ON a.doc_id = b.doc_id) " +
+       "SELECT doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac, " +
+       "CAST(dup_word_frac >= 0.65 OR top_bigram_frac >= 0.15 AS INT) AS repetitive " +
+       "FROM J ORDER BY doc_id"),
+    "decontam_overlap" ->
+      (s"WITH W AS (SELECT doc_id, source, string_split($docNorm, ' ') AS w FROM documents), " +
+       "SH AS (SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN " +
+       "list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) " +
+       "ELSE [array_to_string(w, ' ')] END)) AS sh FROM W), " +
+       "BENCH AS (SELECT DISTINCT sh FROM SH WHERE source = 'src0'), " +
+       "CORP AS (SELECT doc_id, sh FROM SH WHERE source <> 'src0'), " +
+       "CNT AS (SELECT doc_id, count(*) AS n_sh FROM CORP GROUP BY 1), " +
+       "HIT AS (SELECT doc_id, count(*) AS n_hit FROM CORP SEMI JOIN BENCH USING (sh) GROUP BY 1), " +
+       "J AS (SELECT c.doc_id, c.n_sh, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, " +
+       "round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(c.n_sh AS DOUBLE), 4) AS overlap_frac " +
+       "FROM CNT c LEFT JOIN HIT h ON c.doc_id = h.doc_id) " +
+       s"SELECT doc_id, n_sh, n_hit, overlap_frac, " +
+       s"CAST(overlap_frac >= ${graft.ops.Decontam.ContaminatedFrac} AS INT) AS contaminated " +
+       "FROM J ORDER BY doc_id"),
+    // PII construction mirrored verbatim; regexes are shared constants from
+    // TextAnalysis (RE2∩Java subset) interpolated into both engines.
+    "text_pii" -> {
+      val (em, ip, ph) = (TextAnalysis.EmailRe, TextAnalysis.IpRe, TextAnalysis.PhoneRe)
+      s"WITH R AS (SELECT doc_id, concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
+      "'@mail.example.com or call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), " +
+      "' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.1') AS raw FROM documents), " +
+      s"D AS (SELECT doc_id, raw, regexp_replace(regexp_replace(regexp_replace(raw, " +
+      s"'$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS red FROM R) " +
+      "SELECT doc_id, " +
+      s"CAST(len(regexp_extract_all(raw, '$em')) AS INT) AS n_emails, " +
+      s"CAST(len(regexp_extract_all(raw, '$ip')) AS INT) AS n_ips, " +
+      s"CAST(len(regexp_extract_all(raw, '$ph')) AS INT) AS n_phones, " +
+      s"CAST(len(regexp_extract_all(red, '$em')) + len(regexp_extract_all(red, '$ip')) + " +
+      s"len(regexp_extract_all(red, '$ph')) AS INT) AS residual_pii, " +
+      "md5(red) AS redacted_fp FROM D ORDER BY doc_id"
+    },
+    "sample_stratified" ->
+      ("WITH H AS (SELECT doc_id, source, md5('strat|' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+       "R AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM H) " +
+       "SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM R WHERE rk <= 10 " +
+       "ORDER BY source, rk"),
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / dataset splitting for training-data pipelines.
@@ -41,4 +42,29 @@ object Sampling {
           .when(col("bucket") < ValUpper, "val")
           .otherwise("test"))
       .orderBy(col("doc_id"))
+
+  /** Per-source quota sample: the `quota` docs with the SMALLEST
+    * md5(salt|id) per source — the per-domain cap every corpus pipeline
+    * applies so no single crawl source dominates the mix. Deterministic for
+    * the same reasons as [[hashSplit]] (pure function of the key set, no
+    * RNG), and ranking by a uniform hash makes the quota a uniform random
+    * sample of each source in distribution while staying replayable.
+    *
+    * Scale shape: selection runs through the custom [[graft.plans.TopKPerKey]]
+    * operator — bounded per-key heaps map-side, so the exchange carries at
+    * most `quota` rows per source per input partition. A plain
+    * `row_number() OVER (PARTITION BY source)` would instead funnel EVERY
+    * row of a source through one reducer — the classic skew cliff when one
+    * domain is 30% of the crawl. The rank column is materialized by a
+    * window AFTER selection, over ≤ quota·|sources| rows. */
+  def stratifiedQuota(docs: DataFrame, quota: Int = 10,
+      salt: String = "strat"): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("source"),
+      md5(concat(lit(salt + "|"), col("doc_id").cast("string")).cast("binary")).as("h"))
+    graft.plans.TopK.perKeyMin(hashed, Seq("source"), "h", "doc_id", quota)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))).cast("bigint"))
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
 }

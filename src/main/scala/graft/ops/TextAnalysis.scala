@@ -104,6 +104,85 @@ object TextAnalysis {
       "https?://[^ \t\n]+", " "),
       s"${Dedup.WsClass}+", " "))
 
+  // ------------------------------------------------------- repetition signals
+
+  /** Gopher-style per-document repetition signals: duplicate-word fraction
+    * (1 − distinct/total), top-word fraction, and top-bigram fraction — the
+    * cheap repetition filters run before dedup in a pre-training pipeline
+    * (Rae et al. 2021 §A1.1 use the same family over lines/n-grams).
+    *
+    * Scale shape: explode → two cascaded hash aggregations per signal, both
+    * keyed on (doc_id[, gram]) — high-cardinality keys, map-side partial
+    * aggregation, no per-doc state beyond the running counts. The flag is
+    * computed on the 4-dp rounded fractions (same ulp rationale as
+    * [[Decontam.ContaminatedFrac]]). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val wordStats = docs.select(col("doc_id"), explode(w).as("wd"))
+      .groupBy(col("doc_id"), col("wd")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_w"))
+    val bigramStats = docs.select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bg"), max(col("c")).as("top_bg"))
+    wordStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_words").cast("double"), 4).as("dup_word_frac"),
+        round(col("top_w").cast("double") /
+          col("n_words").cast("double"), 4).as("top_word_frac"),
+        round(coalesce(col("top_bg").cast("double") /
+          col("n_bg").cast("double"), lit(0.0)), 4).as("top_bigram_frac"))
+      .withColumn("repetitive",
+        (col("dup_word_frac") >= 0.65 || col("top_bigram_frac") >= 0.15).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------- PII redaction
+
+  /** PII patterns, all in the RE2∩Java subset (character classes + bounded
+    * repetition only — no lookaround, no backreferences) so the oracle
+    * replays them byte-identically. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** Deterministic PII wrapper (same fixture rationale as [[withMarkup]]:
+    * the synthetic corpus contains no PII, so the gate injects one email,
+    * one phone, one IP per doc, all derived from doc_id). */
+  def withPii(docs: DataFrame): DataFrame =
+    docs.withColumn("raw", concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+      lit(" or call 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1")))
+
+  /** PII scrubbing: count + redact emails, IPv4s, phone-shaped numbers
+    * (email before IP before phone — the orders that can't shadow each
+    * other), and certify `residual_pii == 0` on the redacted text. Pure
+    * per-row codegen'd regexes — one scan, zero shuffles. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val raw = col("raw")
+    val redacted = regexp_replace(regexp_replace(regexp_replace(raw,
+      lit(EmailRe), lit("<EMAIL>")),
+      lit(IpRe), lit("<IP>")),
+      lit(PhoneRe), lit("<PHONE>"))
+    withPii(docs).select(
+      col("doc_id"),
+      regexp_count(raw, lit(EmailRe)).as("n_emails"),
+      regexp_count(raw, lit(IpRe)).as("n_ips"),
+      regexp_count(raw, lit(PhoneRe)).as("n_phones"),
+      (regexp_count(redacted, lit(EmailRe)) + regexp_count(redacted, lit(IpRe)) +
+        regexp_count(redacted, lit(PhoneRe))).as("residual_pii"),
+      md5(redacted.cast("binary")).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The cleaning gate: markup-wrapped docs pushed through [[clean]];
     * `roundtrip_ok` certifies cleaned == whitespace-normalized original. */
   def textClean(docs: DataFrame): DataFrame = {

@@ -24,9 +24,21 @@ object TopK {
   /** Keep the `k` best rows per distinct `keys` value, "best" = highest
     * `scoreCol` with ascending `tiebreakCol` resolving ties. */
   def perKey(df: DataFrame, keys: Seq[String], scoreCol: String,
+      tiebreakCol: String, k: Int): DataFrame =
+    build(df, keys, scoreCol, Descending, tiebreakCol, k)
+
+  /** Keep the `k` SMALLEST rows per key (ascending `scoreCol`) — same
+    * operator; used for deterministic hash-quota sampling where "best"
+    * means lowest hash. */
+  def perKeyMin(df: DataFrame, keys: Seq[String], scoreCol: String,
+      tiebreakCol: String, k: Int): DataFrame =
+    build(df, keys, scoreCol, Ascending, tiebreakCol, k)
+
+  private def build(df: DataFrame, keys: Seq[String], scoreCol: String,
+      dir: org.apache.spark.sql.catalyst.expressions.SortDirection,
       tiebreakCol: String, k: Int): DataFrame = {
     val ordering = Seq(
-      SortOrder(UnresolvedAttribute.quoted(scoreCol), Descending),
+      SortOrder(UnresolvedAttribute.quoted(scoreCol), dir),
       SortOrder(UnresolvedAttribute.quoted(tiebreakCol), Ascending))
     GraftSql.ofRows(df.sparkSession,
       TopKPerKey(keys.map(UnresolvedAttribute.quoted), ordering, k,

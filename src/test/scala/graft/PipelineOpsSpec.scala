@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{Sampling, TextAnalysis, Windows}
+import graft.ops.{Decontam, Sampling, TextAnalysis, Windows}
 
 /** Round-5 pipeline operators: text cleaning, hash-keyed dataset split,
   * and time-series gap-fill. The DuckDB oracle proves engine parity; these
@@ -44,6 +44,65 @@ class PipelineOpsSpec extends SparkSpec {
         s == (if (b < Sampling.TrainUpper) "train"
               else if (b < Sampling.ValUpper) "val" else "test")
     })
+  }
+
+  test("repetition flags a degenerate doc and clears a diverse one") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "spam spam spam spam spam spam"),          // one word repeated
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // all distinct
+      (3L, "one")).toDF("doc_id", "text")             // single word, no bigrams
+    val out = TextAnalysis.repetition(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("repetitive") == 1)
+    assert(out(1L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(out(2L).getAs[Int]("repetitive") == 0)
+    assert(out(2L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(out(3L).getAs[Double]("top_bigram_frac") == 0.0)
+    // fractions are fractions
+    val all = TextAnalysis.repetition(docs).collect()
+    assert(all.forall { r =>
+      Seq("dup_word_frac", "top_word_frac", "top_bigram_frac")
+        .map(r.getAs[Double]).forall(f => f >= 0.0 && f <= 1.0)
+    })
+  }
+
+  test("decontam flags an exact benchmark copy and clears disjoint text") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "src0"), // benchmark
+      (2L, "the quick brown fox jumps over the lazy dog", "src1"), // verbatim leak
+      (3L, "completely different words with zero shingle overlap here", "src1"))
+      .toDF("doc_id", "text", "source")
+    val out = Decontam.overlap(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(1L)) // benchmark docs are not scored
+    assert(out(2L).getAs[Int]("contaminated") == 1 &&
+      out(2L).getAs[Double]("overlap_frac") == 1.0)
+    assert(out(3L).getAs[Int]("contaminated") == 0 &&
+      out(3L).getAs[Long]("n_hit") == 0L)
+  }
+
+  test("piiRedact counts every injected pattern and leaves zero residual") {
+    val out = TextAnalysis.piiRedact(docs).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Int]("n_emails") == 1 &&
+      r.getAs[Int]("n_ips") == 1 && r.getAs[Int]("n_phones") == 1 &&
+      r.getAs[Int]("residual_pii") == 0))
+  }
+
+  test("stratifiedQuota takes min(quota, |source|) rows, stable across layout") {
+    val quota = 10
+    val out = Sampling.stratifiedQuota(docs, quota)
+    val got = out.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(got.keySet === sizes.keySet)
+    assert(got.forall { case (s, n) => n == math.min(quota.toLong, sizes(s)) })
+    // pure function of the key set: identical under repartitioning
+    assert(out.collect().toSeq ===
+      Sampling.stratifiedQuota(docs.repartition(13), quota).collect().toSeq)
   }
 
   test("gapfillDaily yields a dense users × days grid with zero-filled gaps") {
