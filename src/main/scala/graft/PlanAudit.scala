@@ -17,7 +17,8 @@ object PlanAudit {
         "j4_pair_relationship", "j2_rare_token_pairs", "sim_ann_ivf", "q10_returned_items",
         "q12_priority_class", "q13_order_distribution", "q15_top_supplier",
         "q16_supplier_cnt", "q21_sole_returner", "q22_idle_customers", "sim_ann_recall",
-        "w6_gapfill", "a9_percentiles", "text_clean", "sample_split", "f14_json_extract")) {
+        "w6_gapfill", "a9_percentiles", "text_clean", "sample_split", "f14_json_extract",
+        "text_repetition", "decontam_overlap", "text_pii", "sample_stratified")) {
       out.println(s"==== $name ====")
       out.println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

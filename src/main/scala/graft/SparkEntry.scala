@@ -505,7 +505,10 @@ object SparkEntry {
     "w1_event_windows", "w2_sessionize", "graph_cc",
     // round-4 additions: the fact⋈fact-heavy q-series shapes
     "q12_priority_class", "q13_order_distribution", "q16_supplier_cnt",
-    "q21_sole_returner", "q20_recent_concentration")
+    "q21_sole_returner", "q20_recent_concentration",
+    // round-5 corpus-hygiene additions: the two with real shuffle work
+    // (decontam's shingle join, repetition's cascaded gram aggregates)
+    "decontam_overlap", "text_repetition")
 
   // ---------------------------------------------------------------- oracle
 

@@ -30,14 +30,15 @@ object Decontam {
     * appear anywhere in the benchmark), overlap_frac, contaminated. */
   def overlap(docs: DataFrame, benchSource: String = "src0"): DataFrame = {
     val benchSh = Dedup.shingles(docs.filter(col("source") === benchSource))
-      .select("sh").distinct()
+      .select("sh").distinct().withColumn("hit", lit(1))
     val corpusSh = Dedup.shingles(docs.filter(col("source") =!= benchSource))
-    val counts = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val hits = corpusSh.join(benchSh, Seq("sh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    counts.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_sh"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    // One corpus shingle pass: LEFT join against the (distinct) benchmark
+    // set — multiplicity stays 1 — then a single per-doc aggregate counts
+    // totals and hits together. A semi-join + separate total count would
+    // shingle the corpus twice on different exchange keys (no reuse).
+    corpusSh.join(benchSh, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
       .withColumn("overlap_frac",
         round(col("n_hit").cast("double") / col("n_sh").cast("double"), 4))
       .withColumn("contaminated",
