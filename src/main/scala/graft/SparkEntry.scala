@@ -489,6 +489,9 @@ object SparkEntry {
     // custom TopKPerKey operator (bounded map-side heaps, no per-source
     // single-reducer window)
     "sample_stratified" -> ((s, d) => Sampling.stratifiedQuota(Tables.documents(s, d))),
+    // training-data pipeline: context-window chunking (32-token sequences,
+    // ragged tail; chunks reassemble to the normalized doc — spec-certified)
+    "text_chunks" -> ((s, d) => TextAnalysis.chunks(Tables.documents(s, d))),
   )
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
@@ -1333,5 +1336,16 @@ object SparkEntry {
        "R AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM H) " +
        "SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM R WHERE rk <= 10 " +
        "ORDER BY source, rk"),
+    // DuckDB list slicing w[a:b] is 1-based inclusive = Spark slice(w, a, k);
+    // unnest(generate_series(...)) repeats the carried columns per element.
+    "text_chunks" -> {
+      val k = TextAnalysis.ChunkTokens
+      s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+      s"C AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(len(w) / $k.0) AS INT) - 1)) AS i, w FROM W) " +
+      s"SELECT doc_id, CAST(i AS INT) AS chunk_idx, " +
+      s"array_to_string(w[i * $k + 1 : i * $k + $k], ' ') AS chunk, " +
+      s"CAST(len(w[i * $k + 1 : i * $k + $k]) AS INT) AS n_tokens " +
+      "FROM C ORDER BY doc_id, chunk_idx"
+    },
   )
 }

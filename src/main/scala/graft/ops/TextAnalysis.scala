@@ -142,6 +142,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------ sequence chunking
+
+  /** Tokens per training chunk (sequence length of the fixture). */
+  val ChunkTokens = 32
+
+  /** Context-window chunking: split every document into consecutive
+    * `ChunkTokens`-token chunks (last chunk ragged) — the sequence-length
+    * prep step between cleaning and tokenization in a training pipeline.
+    * Per-row transform + posexplode: output grows linearly with token
+    * count, no shuffle beyond the presentation sort, and chunks
+    * concatenate back to the normalized document (spec-certified). */
+  def chunks(docs: DataFrame): DataFrame = {
+    val k = ChunkTokens
+    docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size(w) / $k.0) AS INT) - 1), " +
+        s"i -> named_struct(" +
+        s"'chunk', array_join(slice(w, i * $k + 1, $k), ' '), " +
+        s"'n_tokens', size(slice(w, i * $k + 1, $k))))")))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col.chunk").as("chunk"), col("col.n_tokens").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   // ---------------------------------------------------------- PII redaction
 
   /** PII patterns, all in the RE2∩Java subset (character classes + bounded

@@ -105,6 +105,31 @@ class PipelineOpsSpec extends SparkSpec {
       Sampling.stratifiedQuota(docs.repartition(13), quota).collect().toSeq)
   }
 
+  test("chunks reassemble to the normalized document, all full but the tail") {
+    val k = TextAnalysis.ChunkTokens
+    val rejoined = TextAnalysis.chunks(docs)
+      .groupBy("doc_id")
+      .agg(
+        // order inside the agg: collect_list has no cross-partition order
+        expr("array_join(transform(array_sort(collect_list(struct(chunk_idx, chunk))), " +
+          "s -> s.chunk), ' ')").as("rejoined"),
+        sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_tokens") =!= k, 1).otherwise(0)).as("ragged"))
+    val orig = docs.select(col("doc_id"),
+      graft.ops.Dedup.normText(col("text")).as("nt"),
+      size(graft.ops.Dedup.words(col("text"))).as("n_tok"))
+    val joined = rejoined.join(orig, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[String]("rejoined") === r.getAs[String]("nt"))
+      assert(r.getAs[Long]("total_tokens") === r.getAs[Int]("n_tok").toLong)
+      assert(r.getAs[Long]("n_chunks") ===
+        (r.getAs[Int]("n_tok") + k - 1) / k)
+      assert(r.getAs[Long]("ragged") <= 1) // at most the tail is short
+    }
+  }
+
   test("gapfillDaily yields a dense users × days grid with zero-filled gaps") {
     val events = Tables.events(spark, sfDir)
     val filled = Windows.gapfillDaily(events)

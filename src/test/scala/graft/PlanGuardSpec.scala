@@ -16,7 +16,10 @@ class PlanGuardSpec extends SparkSpec {
 
   private val guarded =
     Seq("edges_backfill", "dedup_lsh_pairs", "dedup_simhash_pairs",
-      "j2_rare_token_pairs")
+      "j2_rare_token_pairs",
+      // round-5 hygiene joins: the shingle-overlap join and the custom
+      // TopKPerKey quota path must stay equi-join / bounded-heap shaped
+      "decontam_overlap", "sample_stratified")
 
   /** All-pairs join nodes anywhere in the executed plan, descending into
     * materialized AQE query stages (LeafExecNodes in Spark 4.1), cached
