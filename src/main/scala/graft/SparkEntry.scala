@@ -492,6 +492,9 @@ object SparkEntry {
     // training-data pipeline: context-window chunking (32-token sequences,
     // ragged tail; chunks reassemble to the normalized doc — spec-certified)
     "text_chunks" -> ((s, d) => TextAnalysis.chunks(Tables.documents(s, d))),
+    // training-data pipeline: weighted source mixing (per-domain hash
+    // thresholds against a broadcast weights dim — the mixture recipe step)
+    "sample_mix" -> ((s, d) => Sampling.weightedMix(Tables.documents(s, d))),
   )
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
@@ -1347,5 +1350,13 @@ object SparkEntry {
       s"CAST(len(w[i * $k + 1 : i * $k + $k]) AS INT) AS n_tokens " +
       "FROM C ORDER BY doc_id, chunk_idx"
     },
+    "sample_mix" ->
+      ("WITH B AS (SELECT doc_id, source, md5(concat('mix|', CAST(doc_id AS VARCHAR))) AS h FROM documents), " +
+       "K AS (SELECT doc_id, source, (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+       "instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket FROM B), " +
+       "W AS (SELECT DISTINCT source, 64 * (1 + CAST(substr(source, 4) AS INT) % 4) AS keep_below FROM documents) " +
+       "SELECT doc_id, k.source, CAST(w.keep_below AS INT) AS keep_below " +
+       "FROM K k JOIN W w ON k.source = w.source WHERE k.bucket < w.keep_below " +
+       "ORDER BY doc_id"),
   )
 }

@@ -57,6 +57,31 @@ object Sampling {
     * row of a source through one reducer — the classic skew cliff when one
     * domain is 30% of the crawl. The rank column is materialized by a
     * window AFTER selection, over ≤ quota·|sources| rows. */
+  /** Per-source mixture thresholds on the 256-bucket space: source
+    * `src<n>` keeps buckets below 64·(1 + n mod 4) — i.e. 25/50/75/100%
+    * of its docs. A deterministic stand-in for the tuned per-domain
+    * mixture weights of a real corpus recipe; the mechanism (hash
+    * threshold per source, not RNG) is the part that matters. */
+  def sourceWeights(docs: DataFrame): DataFrame =
+    docs.select(col("source")).distinct()
+      .withColumn("keep_below",
+        lit(64) * (lit(1) + pmod(substring(col("source"), 4, 10).cast("int"), lit(4))))
+
+  /** Weighted source mixing: down-sample each source to its target weight
+    * by hash threshold — the "data mixture" step that turns raw crawl
+    * proportions into the training recipe. Same retry/layout determinism
+    * as [[hashSplit]] (the keep decision is a pure function of doc_id and
+    * the source's weight). The weights side is a TRUE dimension (fixed
+    * source vocabulary, SF-independent — verified 20 sources at every SF)
+    * so it carries a broadcast hint per the repo-wide policy. */
+  def weightedMix(docs: DataFrame, salt: String = "mix"): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        bucket256(salt, col("doc_id")).as("bucket"))
+      .join(broadcast(sourceWeights(docs)), "source")
+      .filter(col("bucket") < col("keep_below"))
+      .select(col("doc_id"), col("source"), col("keep_below"))
+      .orderBy(col("doc_id"))
+
   def stratifiedQuota(docs: DataFrame, quota: Int = 10,
       salt: String = "strat"): DataFrame = {
     val hashed = docs.select(col("doc_id"), col("source"),

@@ -105,6 +105,26 @@ class PipelineOpsSpec extends SparkSpec {
       Sampling.stratifiedQuota(docs.repartition(13), quota).collect().toSeq)
   }
 
+  test("weightedMix keeps full-weight sources whole and is layout-stable") {
+    val mixed = Sampling.weightedMix(docs)
+    val out = mixed.collect().toSeq
+    assert(out.nonEmpty)
+    // full-weight sources (src<n> with n % 4 == 3 → keep_below = 256) lose nothing
+    val fullSources = Sampling.sourceWeights(docs)
+      .filter(col("keep_below") === 256)
+      .collect().map(_.getAs[String]("source")).toSet
+    assert(fullSources.nonEmpty)
+    val perSourceIn = docs.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val perSourceKept = mixed.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    fullSources.foreach(s => assert(perSourceKept.getOrElse(s, 0L) == perSourceIn(s)))
+    // down-weighted sources never gain docs
+    perSourceKept.foreach { case (s, n) => assert(n <= perSourceIn(s)) }
+    // pure function of (doc_id, source): identical under repartitioning
+    assert(out === Sampling.weightedMix(docs.repartition(13)).collect().toSeq)
+  }
+
   test("chunks reassemble to the normalized document, all full but the tail") {
     val k = TextAnalysis.ChunkTokens
     val rejoined = TextAnalysis.chunks(docs)
