@@ -436,6 +436,12 @@ object SparkEntry {
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("click_id"),
           asc_nulls_first("purchase_id"))
     }),
+    // Stream-static enrichment join, batch form (stream==batch parity in
+    // StreamingSpec): the zero-state streaming join type, dim side static.
+    "stream_enrich" -> ((s, d) =>
+      graft.streaming.Streams.enrichedEventCounts(
+        Tables.events(s, d), Tables.customer(s, d))
+        .orderBy(col("hour"), col("nation"))),
     // Sliding windows (the remaining §2.8 window type next to tumbling/
     // session): 1h length, 15min slide.
     "w5_sliding_counts" -> ((s, d) =>
@@ -1235,6 +1241,11 @@ object SparkEntry {
        "SELECT user_id, click_id, purchase_id FROM C LEFT JOIN P ON user_id = p_user " +
        "AND purchase_ts >= click_ts AND purchase_ts <= click_ts + INTERVAL 1 HOUR " +
        "ORDER BY user_id, click_id, purchase_id"),
+    "stream_enrich" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, " +
+       "c_nationkey AS nation, count(*) AS n " +
+       "FROM events e JOIN customer c ON c.c_custkey = e.user_id " +
+       "GROUP BY 1, 2 ORDER BY hour, nation"),
     // Markup construction mirrored verbatim; \n and \t are real characters
     // in both engines' literals (DuckDB standard strings don't interpret
     // backslashes, so the Scala-level escape is what lands in the SQL).

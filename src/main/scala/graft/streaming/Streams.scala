@@ -65,6 +65,27 @@ object Streams {
         col("event_type"), col("n"))
   }
 
+  /** Stream-static enrichment join: the event stream joined to a STATIC
+    * customer dimension, then windowed per-nation counts. This is the
+    * zero-state streaming join type — the static side needs no watermark
+    * and the join buffers nothing; each micro-batch hash-joins against the
+    * dimension as-of that batch (at scale: a broadcast of the dim per
+    * batch, the cheapest streaming join there is). The same call on a
+    * batch DataFrame is the DuckDB-oracled `stream_enrich` form;
+    * stream==batch parity is spec-proven in StreamingSpec. */
+  def enrichedEventCounts(events: DataFrame, customer: DataFrame): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    val dim = customer.select(col("c_custkey").as("user_id"),
+      col("c_nationkey").as("nation"))
+    withWm.join(dim, "user_id")
+      .groupBy(window(col("ts"), "1 hour"), col("nation"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("nation"), col("n"))
+  }
+
   /** Native session windows (Spark's `session_window`): per-user sessions
     * that merge while consecutive events fall strictly inside the gap
     * (split at >= gap — the built-in's boundary convention; the

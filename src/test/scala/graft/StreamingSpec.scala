@@ -47,6 +47,25 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("stream-static enrichment join: stream == batch") {
+    val batchEvents = Tables.events(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    val expected = Streams.enrichedEventCounts(batchEvents, customer)
+      .orderBy("hour", "nation").collect().toSeq
+    assert(expected.nonEmpty)
+    val dir = Files.createTempDirectory("events-enrich-stream").toFile
+    batchEvents.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val q = Streams.enrichedEventCounts(
+        spark.readStream.schema(batchEvents.schema).parquet(dir.getAbsolutePath),
+        customer)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("enrich_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_test").orderBy("hour", "nation").collect().toSeq
+    assert(got === expected)
+  }
+
   test("incremental ingest computes per-batch edge deltas via foreachBatch") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
