@@ -377,6 +377,18 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy(col("day"))),
+    // unpivot/melt — the inverse relational operator of w3's pivot: the
+    // wide per-day table melts back to (day, event_type, n) long form.
+    "w7_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+        .orderBy(col("day"), col("event_type"))
+    }),
     "a6_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -795,6 +807,15 @@ object SparkEntry {
        "count(*) FILTER (event_type = 'signup') AS signup, " +
        "count(*) FILTER (event_type = 'view') AS view " +
        "FROM events GROUP BY day ORDER BY day"),
+    "w7_unpivot" ->
+      ("WITH D AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, " +
+       "event_type, count(*) AS c FROM events GROUP BY 1, 2), " +
+       "DAYS AS (SELECT DISTINCT day FROM D), " +
+       "T AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type) " +
+       "SELECT d.day, t.event_type, CAST(coalesce(c.c, 0) AS BIGINT) AS n " +
+       "FROM DAYS d CROSS JOIN T t " +
+       "LEFT JOIN D c ON c.day = d.day AND c.event_type = t.event_type " +
+       "ORDER BY d.day, t.event_type"),
     "a8_cube" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +

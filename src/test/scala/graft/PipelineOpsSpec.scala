@@ -150,6 +150,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("pivot -> unpivot roundtrips to the direct long-form counts") {
+    val events = Tables.events(spark, sfDir)
+    val long = SparkEntry.queries("w7_unpivot")(spark, sfDir)
+    // melting the wide table recovers every non-zero direct count...
+    val direct = events
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val melted = long.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    direct.foreach { case (k, n) => assert(melted(k) === n) }
+    // ...and the zero-filled remainder is exactly the missing combinations
+    assert(melted.count(_._2 == 0L) === melted.size - direct.size)
+  }
+
   test("gapfillDaily yields a dense users × days grid with zero-filled gaps") {
     val events = Tables.events(spark, sfDir)
     val filled = Windows.gapfillDaily(events)
