@@ -513,6 +513,11 @@ object SparkEntry {
     // training-data pipeline: weighted source mixing (per-domain hash
     // thresholds against a broadcast weights dim — the mixture recipe step)
     "sample_mix" -> ((s, d) => Sampling.weightedMix(Tables.documents(s, d))),
+    // KMV cardinality sketch (the oracle-able approx-distinct; estimate is
+    // a pure function of the k-th smallest md5, maintained by TopKPerKey's
+    // bounded heaps) with the exact count alongside
+    "a10_kmv_distinct" -> ((s, d) =>
+      Sketches.kmvDistinct(Tables.lineitem(s, d), "l_returnflag", "l_orderkey")),
   )
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
@@ -1390,5 +1395,18 @@ object SparkEntry {
        "SELECT doc_id, k.source, CAST(w.keep_below AS INT) AS keep_below " +
        "FROM K k JOIN W w ON k.source = w.source WHERE k.bucket < w.keep_below " +
        "ORDER BY doc_id"),
+    "a10_kmv_distinct" -> {
+      val k = graft.ops.Sketches.DefaultK
+      s"WITH H AS (SELECT DISTINCT l_returnflag AS g, md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem), " +
+      "R AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM H), " +
+      s"K AS (SELECT g, max(h) AS kth, count(*) AS k_actual FROM R WHERE rk <= $k GROUP BY g), " +
+      s"V AS (SELECT g, k_actual, (${graft.ops.Sketches.hexToLongSql("kth")}) AS v FROM K), " +
+      "X AS (SELECT g, count(*) AS exact_distinct FROM H GROUP BY g) " +
+      "SELECT v.g AS l_returnflag, CAST(v.k_actual AS BIGINT) AS k_actual, " +
+      s"round(CASE WHEN v.k_actual < $k THEN CAST(v.k_actual AS DOUBLE) " +
+      s"ELSE ${(k - 1).toDouble} / (CAST(v.v AS DOUBLE) / 4294967296.0) END, 4) AS est_distinct, " +
+      "CAST(x.exact_distinct AS BIGINT) AS exact_distinct " +
+      "FROM V v JOIN X x ON v.g = x.g ORDER BY l_returnflag"
+    },
   )
 }

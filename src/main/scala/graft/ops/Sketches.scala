@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketching via K-Minimum-Values (KMV; Bar-Yossef
+  * et al. 2002) — the north-star "approx distinct" slot (SURVEY §2.9).
+  *
+  * Why KMV and not HyperLogLog here: HLL registers are engine-specific, so
+  * an HLL estimate can never hash-match a DuckDB oracle. KMV's estimate is
+  * a pure function of the k-th smallest DISTINCT md5 of the values —
+  * deterministic in any engine — so this sketch keeps the bit-exact
+  * cross-engine oracle the rest of the repo enjoys while still being a
+  * real mergeable sketch: the k-smallest set is exactly the bounded
+  * per-key heap [[graft.plans.TopKPerKey]] maintains map-side, i.e. the
+  * shuffle carries at most k hashes per group per partition no matter the
+  * input size. Estimator: n̂ = (k−1) / h_(k) with h normalized to [0,1);
+  * groups with fewer than k distinct values report their exact count (the
+  * heap holds ALL their hashes).
+  */
+object Sketches {
+
+  val DefaultK = 64
+
+  /** First 8 md5 hex digits as a fraction of 2^32 — the [0,1) uniform
+    * position of the hash, computed identically by the oracle via
+    * per-digit instr arithmetic. */
+  private def hexFrac(h: Column): Column =
+    conv(substring(h, 1, 8), 16, 10).cast("bigint").cast("double") /
+      lit(4294967296.0)
+
+  /** Per-group KMV distinct estimate of `valueCol`, with the exact count
+    * alongside so the estimate's quality is a recorded number (same
+    * measure-don't-assume policy as `sim_ann_recall`). */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = DefaultK): DataFrame = {
+    val hashed = df.select(col(groupCol),
+      md5(col(valueCol).cast("string").cast("binary")).as("h")).distinct()
+    val kmin = graft.plans.TopK.perKeyMin(hashed, Seq(groupCol), "h", "h", k)
+      .groupBy(col(groupCol))
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("k_actual"))
+    val exact = hashed.groupBy(col(groupCol)).agg(count(lit(1)).as("exact_distinct"))
+    kmin.join(exact, groupCol)
+      .select(col(groupCol), col("k_actual"),
+        round(when(col("k_actual") < k, col("k_actual").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / hexFrac(col("kth"))), 4)
+          .as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy(col(groupCol))
+  }
+
+  /** The DuckDB spelling of [[hexFrac]]'s hex parse (no conv() there):
+    * Σ digit_i · 16^(8−i) over the first 8 hex chars of column `c`. */
+  def hexToLongSql(c: String): String =
+    (1 to 8).map(i =>
+      s"(instr('0123456789abcdef', substr($c, $i, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (8 - i))} AS BIGINT)")
+      .mkString(" + ")
+}

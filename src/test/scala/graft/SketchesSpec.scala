@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Sketches
+
+/** KMV cardinality sketch: estimator accuracy on real data, the exact
+  * fallback for small groups, and layout determinism (the properties the
+  * hash-match oracle can't phrase). */
+class SketchesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("KMV estimate lands within the k=64 error envelope on lineitem") {
+    val out = Sketches.kmvDistinct(Tables.lineitem(spark, sfDir),
+      "l_returnflag", "l_orderkey").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      // std err ≈ 1/sqrt(k−2) ≈ 12.7%; 4σ envelope — deterministic given
+      // the fixed hash, loose enough to never flap
+      assert(math.abs(est - exact) / exact < 0.51,
+        s"${r.get(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("groups with fewer than k distinct values report exactly") {
+    import spark.implicits._
+    val tiny = Seq.tabulate(40)(i => ("g1", i % 7))        // 7 distinct < k
+      .appendedAll(Seq.tabulate(300)(i => ("g2", i)))      // 300 distinct > k
+      .toDF("g", "v")
+    val out = Sketches.kmvDistinct(tiny, "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("g1").getAs[Double]("est_distinct") == 7.0)
+    assert(out("g1").getAs[Long]("k_actual") == 7L)
+    assert(out("g2").getAs[Long]("k_actual") == Sketches.DefaultK.toLong)
+    // determinism across partition layouts (heap merge order can't matter)
+    val again = Sketches.kmvDistinct(tiny.repartition(13), "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("est_distinct")).toMap
+    out.foreach { case (g, r) =>
+      assert(again(g) == r.getAs[Double]("est_distinct"))
+    }
+  }
+}
