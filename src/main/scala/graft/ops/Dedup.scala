@@ -56,7 +56,13 @@ object Dedup {
     * (lexicographic min over hex = a valid uniform min-hash, and portable).
     * One shuffle: groupBy doc_id with partial min aggregation map-side. */
   def minhashSignature(docs: DataFrame): DataFrame =
-    shingles(docs).groupBy(col("doc_id"))
+    minhashSignatureOf(shingles(docs))
+
+  /** Signature from an existing (doc_id, sh) set — lets multi-consumer
+    * pipelines (ngramJaccard) feed a cached shingle set instead of
+    * re-deriving it from the scan. */
+  def minhashSignatureOf(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(
         min(md5(concat(lit("0|"), col("sh")).cast("binary"))).as("h0"),
         (1 until NumHashes).map(i =>
@@ -66,8 +72,10 @@ object Dedup {
     * band key are candidate near-duplicates. The band join key has high
     * cardinality (hash values), so the self-join partitions evenly — this is
     * the structure that replaces the O(n²) all-pairs compare at 100 TB. */
-  def lshBands(docs: DataFrame): DataFrame = {
-    val sig = minhashSignature(docs)
+  def lshBands(docs: DataFrame): DataFrame = lshBandsOf(shingles(docs))
+
+  private def lshBandsOf(sh: DataFrame): DataFrame = {
+    val sig = minhashSignatureOf(sh)
     val bandStructs = (0 until NumBands).map { j =>
       struct(lit(j).as("b"),
         md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")).cast("binary")).as("k"))
@@ -85,8 +93,11 @@ object Dedup {
     * Renaming before the join (the obvious spelling) defeats the reuse and
     * doubles the most expensive stage — measured 2.6s → 1.7s at sf0.1, and
     * at 100 TB it's a full corpus re-shingle saved. */
-  def lshCandidatePairs(docs: DataFrame): DataFrame = {
-    val bands = lshBands(docs)
+  def lshCandidatePairs(docs: DataFrame): DataFrame =
+    lshCandidatePairsOf(shingles(docs))
+
+  private def lshCandidatePairsOf(sh: DataFrame): DataFrame = {
+    val bands = lshBandsOf(sh)
     bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
@@ -99,21 +110,26 @@ object Dedup {
   /** Exact n-gram (3-shingle) Jaccard computed ONLY for LSH candidates:
     * |A∩B| via a shingle equi-join on the pairs, |A∪B| = |A|+|B|-|A∩B|.
     *
-    * The verify side re-shingles the corpus here rather than restricting to
-    * candidate documents first. Both variants were measured at sf0.1: the
-    * candidate-restricted form (checkpoint the collided pairs, semi-join
-    * docs before the verify shingling) costs two extra barriers and loses
-    * the verify/LSH stage overlap — 2.9s vs 1.94s locally, where
-    * re-shingling a small corpus is nearly free. At 100 TB the economics
-    * invert (shingle the corpus once inside the signature pass, verify only
-    * the collided sliver): a production deployment materializes
-    * `lshCandidatePairs` between the bucket and verify phases and runs this
-    * verify against the semi-joined slice — same operators, one line moved,
-    * measured and documented rather than silently pre-pessimized here. */
+    * The verify side reads the PERSISTED shingle view (below) rather than
+    * restricting to candidate documents first. The candidate-restricted
+    * form (checkpoint the collided pairs, semi-join docs before the verify
+    * shingling) was measured at sf0.1: two extra barriers, loses the
+    * verify/LSH stage overlap — 2.9s vs 1.94s locally. At 100 TB the
+    * economics invert (verify only the collided sliver): a production
+    * deployment materializes `lshCandidatePairs` between the bucket and
+    * verify phases and runs this verify against the semi-joined slice —
+    * same operators, one line moved, measured and documented rather than
+    * silently pre-pessimized here. */
   def ngramJaccard(docs: DataFrame): DataFrame = {
+    // Four consumers of the shingle set (signature pass, per-doc sizes,
+    // both verify join sides) on FOUR different exchange keys — exchange
+    // reuse can't merge them, so cache the one shingle pass instead (same
+    // persisted-view rationale as q15; at corpus scale this is the
+    // materialize-between-phases shape the doc below describes).
     val sh = shingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val pairs = lshCandidatePairs(docs)
+    val pairs = lshCandidatePairsOf(sh)
     val aSh = sh.select(col("doc_id").as("src"), col("sh"))
     val bSh = sh.select(col("doc_id").as("dst"), col("sh"))
     pairs.join(aSh, "src").join(bSh, Seq("dst", "sh"))
