@@ -518,6 +518,10 @@ object SparkEntry {
     // bounded heaps) with the exact count alongside
     "a10_kmv_distinct" -> ((s, d) =>
       Sketches.kmvDistinct(Tables.lineitem(s, d), "l_returnflag", "l_orderkey")),
+    // near-dup clustering: GraphX connected components over the verified
+    // Jaccard pairs; oracle = recursive-CTE reachability closure
+    "dedup_components" -> ((s, d) =>
+      Dedup.nearDupComponents(Tables.documents(s, d))),
   )
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
@@ -638,6 +642,23 @@ object SparkEntry {
        "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5) " +
        "SELECT q.doc_id FROM QUAL q WHERE EXISTS (SELECT 1 FROM KEEPERS k WHERE k.doc_id = q.doc_id) " +
        "AND NOT EXISTS (SELECT 1 FROM DROPS d WHERE d.doc_id = q.doc_id) ORDER BY doc_id"),
+    // Transitive closure of the verified near-dup pairs (UNION-dedup
+    // recursion; components are near-dup chains — tiny — so the closure
+    // stays small even though reachability is quadratic per component).
+    "dedup_components" ->
+      (s"WITH RECURSIVE $shingleCtes, " +
+       "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
+       "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
+       "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
+       "GROUP BY p.src, p.dst), " +
+       "NEAR AS (SELECT c.src, c.dst FROM COMMONS c " +
+       "JOIN SIZES sa ON sa.doc_id = c.src JOIN SIZES sb ON sb.doc_id = c.dst " +
+       "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5), " +
+       "UND AS (SELECT src AS a, dst AS b FROM NEAR UNION ALL SELECT dst, src FROM NEAR), " +
+       "REACH(a, b) AS (SELECT doc_id, doc_id FROM documents " +
+       "UNION SELECT r.a, u.b FROM REACH r JOIN UND u ON u.a = r.b) " +
+       "SELECT a AS doc_id, min(b) AS component, " +
+       "CAST(a = min(b) AS INT) AS is_keeper FROM REACH GROUP BY a ORDER BY doc_id"),
     "a5_stats" ->
       ("SELECT count(DISTINCT o_custkey) AS n_cust, min(o_totalprice) AS min_price, " +
        "max(o_totalprice) AS max_price, " +

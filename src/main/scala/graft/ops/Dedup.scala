@@ -159,6 +159,29 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * Jaccard pairs (GraphX), keeper = min doc_id per component. The
+    * principled completion of [[keepSet]]'s greedy pair drop: transitive
+    * chains a—b—c collapse to ONE keeper even when (a, c) itself never
+    * collided in any LSH band. Every doc is a vertex (singletons form
+    * their own component), edges are only the verified pairs — the graph
+    * is linear in docs + near-dup pairs, never quadratic. */
+  def nearDupComponents(docs: DataFrame,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph, VertexId}
+    val spark = docs.sparkSession
+    val pairs = ngramJaccard(docs).filter(col("jaccard") >= jaccardThreshold)
+    val vertices = docs.select(col("doc_id")).rdd
+      .map(r => (r.getLong(0): VertexId, r.getLong(0)))
+    val edges = pairs.select(col("src"), col("dst")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val cc = Graph(vertices, edges).connectedComponents().vertices
+    spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
+      .toDF("doc_id", "component")
+      .withColumn("is_keeper", (col("doc_id") === col("component")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-duplicate candidate pairs, Manku-style (the WWW'07
     * "Detecting Near-Duplicates for Web Crawling" structure): split the
     * 32-bit fingerprint into 4 byte-bands — any pair within Hamming

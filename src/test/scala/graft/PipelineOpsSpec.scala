@@ -150,6 +150,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("nearDupComponents: verified pairs share components, keepers are minima") {
+    import spark.implicits._
+    // identical texts guarantee LSH collision (equal signatures) and
+    // jaccard 1.0 — a deterministic 3-doc cluster plus a singleton
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fixture = Seq(
+      (10L, t), (11L, t), (12L, t),
+      (20L, "totally unrelated words with no shingle overlap at all here"))
+      .toDF("doc_id", "text")
+    val comp = graft.ops.Dedup.nearDupComponents(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[Int]("is_keeper"))).toMap
+    assert(comp(10L) == (10L, 1) && comp(11L) == (10L, 0) && comp(12L) == (10L, 0))
+    assert(comp(20L) == (20L, 1))
+    // real corpus: every verified pair is intra-component; component ids
+    // are their own members' minimum; exactly one keeper per component
+    val out = graft.ops.Dedup.nearDupComponents(docs).collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    graft.ops.Dedup.ngramJaccard(docs).filter(col("jaccard") >= 0.5)
+      .collect().foreach { r =>
+        assert(byDoc(r.getAs[Long]("src")) === byDoc(r.getAs[Long]("dst")))
+      }
+    val members = byDoc.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    members.foreach { case (compId, minMember) => assert(compId === minMember) }
+    assert(out.count(_.getAs[Int]("is_keeper") == 1) === members.size)
+  }
+
   test("pivot -> unpivot roundtrips to the direct long-form counts") {
     val events = Tables.events(spark, sfDir)
     val long = SparkEntry.queries("w7_unpivot")(spark, sfDir)
