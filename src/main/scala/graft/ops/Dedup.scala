@@ -54,13 +54,23 @@ object Dedup {
 
   /** MinHash signature: h_i = min over shingles of md5("i|" ++ shingle)
     * (lexicographic min over hex = a valid uniform min-hash, and portable).
-    * One shuffle: groupBy doc_id with partial min aggregation map-side. */
-  def minhashSignature(docs: DataFrame): DataFrame =
-    minhashSignatureOf(shingles(docs))
+    *
+    * Computed by the single-pass native [[graft.functions.MinHashSigs]]
+    * expression INSIDE the scan stage — zero shuffle, zero shingle
+    * row blow-up (the dataflow form below is kept as the proven-equal
+    * reference; MinHashSpec pins the equality). */
+  def minhashSignature(docs: DataFrame): DataFrame = {
+    graft.functions.MinHashSigs.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        call_function("minhash_sigs", words(col("text"))).as("hs"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => col("hs").getItem(i).as(s"h$i")): _*)
+  }
 
-  /** Signature from an existing (doc_id, sh) set — lets multi-consumer
-    * pipelines (ngramJaccard) feed a cached shingle set instead of
-    * re-deriving it from the scan. */
+  /** Dataflow form of the signature from an exploded (doc_id, sh) set:
+    * explode → groupBy doc_id with partial min aggregation map-side (one
+    * small shuffle). Kept as the reference implementation the expression
+    * path is proven equal to. */
   def minhashSignatureOf(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id"))
       .agg(
@@ -72,10 +82,8 @@ object Dedup {
     * band key are candidate near-duplicates. The band join key has high
     * cardinality (hash values), so the self-join partitions evenly — this is
     * the structure that replaces the O(n²) all-pairs compare at 100 TB. */
-  def lshBands(docs: DataFrame): DataFrame = lshBandsOf(shingles(docs))
-
-  private def lshBandsOf(sh: DataFrame): DataFrame = {
-    val sig = minhashSignatureOf(sh)
+  def lshBands(docs: DataFrame): DataFrame = {
+    val sig = minhashSignature(docs)
     val bandStructs = (0 until NumBands).map { j =>
       struct(lit(j).as("b"),
         md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")).cast("binary")).as("k"))
@@ -87,17 +95,14 @@ object Dedup {
   /** Candidate near-duplicate pairs from LSH bucket collisions.
     *
     * Self-join via aliases with the src/dst rename AFTER the join: both
-    * sides then canonicalize to the identical (shingle → minhash → band)
+    * sides then canonicalize to the identical (scan → minhash_sigs → band)
     * subtree under the same (b, k) exchange, so Spark's ReusedExchange
     * computes the whole signature pass ONCE and reads the shuffle twice.
     * Renaming before the join (the obvious spelling) defeats the reuse and
     * doubles the most expensive stage — measured 2.6s → 1.7s at sf0.1, and
     * at 100 TB it's a full corpus re-shingle saved. */
-  def lshCandidatePairs(docs: DataFrame): DataFrame =
-    lshCandidatePairsOf(shingles(docs))
-
-  private def lshCandidatePairsOf(sh: DataFrame): DataFrame = {
-    val bands = lshBandsOf(sh)
+  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    val bands = lshBands(docs)
     bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
@@ -121,15 +126,15 @@ object Dedup {
     * same operators, one line moved, measured and documented rather than
     * silently pre-pessimized here. */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    // Four consumers of the shingle set (signature pass, per-doc sizes,
-    // both verify join sides) on FOUR different exchange keys — exchange
-    // reuse can't merge them, so cache the one shingle pass instead (same
-    // persisted-view rationale as q15; at corpus scale this is the
-    // materialize-between-phases shape the doc below describes).
+    // Three consumers of the exploded shingle set (per-doc sizes, both
+    // verify join sides) on THREE different exchange keys — exchange reuse
+    // can't merge them, so cache the one shingle pass (same persisted-view
+    // rationale as q15). The LSH candidate side no longer reads it at all:
+    // signatures come from the map-side MinHashSigs expression.
     val sh = shingles(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val pairs = lshCandidatePairsOf(sh)
+    val pairs = lshCandidatePairs(docs)
     val aSh = sh.select(col("doc_id").as("src"), col("sh"))
     val bSh = sh.select(col("doc_id").as("dst"), col("sh"))
     pairs.join(aSh, "src").join(bSh, Seq("dst", "sh"))
