@@ -541,7 +541,10 @@ object SparkEntry {
     "q21_sole_returner", "q20_recent_concentration",
     // round-5 corpus-hygiene additions: the two with real shuffle work
     // (decontam's shingle join, repetition's cascaded gram aggregates)
-    "decontam_overlap", "text_repetition")
+    "decontam_overlap", "text_repetition",
+    // near-dup clustering: LSH + verify + GraphX connected components —
+    // the full dedup pipeline's cost in one number
+    "dedup_components")
 
   // ---------------------------------------------------------------- oracle
 

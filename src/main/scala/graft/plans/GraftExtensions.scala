@@ -56,5 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => graft.functions.DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[graft.functions.SimHash32].getName, "simhash32"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash32(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => graft.functions.MinHashSigs(exprs.head)))
   }
 }

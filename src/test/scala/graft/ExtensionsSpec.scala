@@ -36,4 +36,16 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(r === (4.0 - 10.0 - 18.0))
   }
+
+  test("simhash32 and minhash_sigs are available via extensions") {
+    val r = spark.sql(
+      "SELECT simhash32(array('a', 'b')) AS s, minhash_sigs(array('x')) AS m")
+      .collect().head
+    assert(r.getLong(0) === graft.functions.SimHash32.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(org.apache.spark.unsafe.types.UTF8String.fromString("a"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("b")))))
+    assert(r.getSeq[String](1).head ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("0|x"))
+  }
 }
