@@ -306,6 +306,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "dedup_keepset" -> ((s, d) => Dedup.keepSet(Tables.documents(s, d))),
+    // continuous-ingest shape: a 20% delta batch checked against the
+    // remaining 80% as the standing index
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+    }),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "a5_stats" -> ((s, d) =>
       Tables.orders(s, d).agg(
@@ -662,6 +670,25 @@ object SparkEntry {
        "UNION SELECT r.a, u.b FROM REACH r JOIN UND u ON u.a = r.b) " +
        "SELECT a AS doc_id, min(b) AS component, " +
        "CAST(a = min(b) AS INT) AS is_keeper FROM REACH GROUP BY a ORDER BY doc_id"),
+    // Delta-vs-index: band collisions across the mod-5 split, Jaccard
+    // verified on the collided candidates only.
+    "dedup_incremental" ->
+      (s"WITH $shingleCtes, " +
+       "DB AS (SELECT doc_id AS delta_id, b, k FROM BANDS WHERE doc_id % 5 = 0), " +
+       "IB AS (SELECT doc_id AS index_id, b, k FROM BANDS WHERE doc_id % 5 <> 0), " +
+       "CAND AS (SELECT DISTINCT d.delta_id, i.index_id FROM DB d " +
+       "JOIN IB i ON d.b = i.b AND d.k = i.k), " +
+       "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
+       "COMMONS AS (SELECT c.delta_id, c.index_id, count(*) AS ncommon FROM CAND c " +
+       "JOIN SH a ON a.doc_id = c.delta_id " +
+       "JOIN SH b2 ON b2.doc_id = c.index_id AND b2.sh = a.sh " +
+       "GROUP BY c.delta_id, c.index_id) " +
+       "SELECT c.delta_id, c.index_id, " +
+       "round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) AS jaccard " +
+       "FROM COMMONS c JOIN SIZES sa ON sa.doc_id = c.delta_id " +
+       "JOIN SIZES sb ON sb.doc_id = c.index_id " +
+       "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5 " +
+       "ORDER BY delta_id, index_id"),
     "a5_stats" ->
       ("SELECT count(DISTINCT o_custkey) AS n_cust, min(o_totalprice) AS min_price, " +
        "max(o_totalprice) AS max_price, " +

@@ -187,6 +187,38 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental near-dup check: a DELTA batch of new documents against an
+    * already-INDEXED corpus — the continuous-ingest shape of the pipeline.
+    * Candidates come from a band equi-join of the delta's (map-side)
+    * signatures against the index's; the exact Jaccard verify then runs on
+    * the collided SLIVER only (index shingles semi-joined to candidates —
+    * the materialize-between-phases economics ngramJaccard's doc describes,
+    * here structural because the delta is small by construction). In
+    * production the index side's bands/shingles are precomputed once and
+    * stored; here both derive from the same table split so the DuckDB
+    * oracle can reproduce the whole thing. Output: every (delta, index)
+    * pair with Jaccard ≥ threshold. */
+  def incrementalNearDup(index: DataFrame, delta: DataFrame,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val ib = lshBands(index).select(col("doc_id").as("index_id"), col("b"), col("k"))
+    val db = lshBands(delta).select(col("doc_id").as("delta_id"), col("b"), col("k"))
+    val cand = db.join(ib, Seq("b", "k"))
+      .select(col("delta_id"), col("index_id")).distinct()
+    val dSh = shingles(delta).select(col("doc_id").as("delta_id"), col("sh"))
+    val iSh = shingles(index).select(col("doc_id").as("index_id"), col("sh"))
+      .join(cand.select(col("index_id")).distinct(), Seq("index_id"), "left_semi")
+    val dSizes = dSh.groupBy("delta_id").agg(count(lit(1)).as("na"))
+    val iSizes = iSh.groupBy("index_id").agg(count(lit(1)).as("nb"))
+    cand.join(dSh, "delta_id").join(iSh, Seq("index_id", "sh"))
+      .groupBy("delta_id", "index_id").agg(count(lit(1)).as("ncommon"))
+      .join(dSizes, "delta_id").join(iSizes, "index_id")
+      .select(col("delta_id"), col("index_id"),
+        round(col("ncommon").cast("double") /
+          (col("na") + col("nb") - col("ncommon")).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .orderBy(col("delta_id"), col("index_id"))
+  }
+
   /** SimHash near-duplicate candidate pairs, Manku-style (the WWW'07
     * "Detecting Near-Duplicates for Web Crawling" structure): split the
     * 32-bit fingerprint into 4 byte-bands — any pair within Hamming

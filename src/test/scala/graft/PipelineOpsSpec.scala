@@ -177,6 +177,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.count(_.getAs[Int]("is_keeper") == 1) === members.size)
   }
 
+  test("incrementalNearDup == the cross-split slice of the full-corpus verify") {
+    // band keys are per-document properties, so a delta×index band
+    // collision is exactly a full-corpus collision that crosses the split;
+    // the verified incremental pairs must therefore equal the cross-split
+    // subset of ngramJaccard's verified pairs (orientation normalized)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val index = docs.filter(col("doc_id") % 5 =!= 0)
+    val inc = graft.ops.Dedup.incrementalNearDup(index, delta).collect()
+      .map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("index_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    val full = graft.ops.Dedup.ngramJaccard(docs)
+      .filter(col("jaccard") >= 0.5).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"), r.getAs[Double]("jaccard")))
+      .collect {
+        case (s, d, j) if s % 5 == 0 && d % 5 != 0 => (s, d, j)
+        case (s, d, j) if d % 5 == 0 && s % 5 != 0 => (d, s, j)
+      }.toSet
+    assert(inc === full)
+    // and a fresh exact duplicate of an index doc is flagged at jaccard 1.0
+    import spark.implicits._
+    val idx = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "completely different content with other words here")).toDF("doc_id", "text")
+    val dup = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val hits = graft.ops.Dedup.incrementalNearDup(idx, dup).collect()
+    assert(hits.length === 1 &&
+      hits.head.getAs[Long]("index_id") === 1L &&
+      hits.head.getAs[Double]("jaccard") === 1.0)
+  }
+
   test("pivot -> unpivot roundtrips to the direct long-form counts") {
     val events = Tables.events(spark, sfDir)
     val long = SparkEntry.queries("w7_unpivot")(spark, sfDir)
