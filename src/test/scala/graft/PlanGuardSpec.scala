@@ -19,7 +19,9 @@ class PlanGuardSpec extends SparkSpec {
       "j2_rare_token_pairs",
       // round-5 hygiene joins: the shingle-overlap join and the custom
       // TopKPerKey quota path must stay equi-join / bounded-heap shaped
-      "decontam_overlap", "sample_stratified")
+      "decontam_overlap", "sample_stratified",
+      // delta-vs-index band join + sliver verify: both phases equi-joins
+      "dedup_incremental")
 
   /** All-pairs join nodes anywhere in the executed plan, descending into
     * materialized AQE query stages (LeafExecNodes in Spark 4.1), cached
