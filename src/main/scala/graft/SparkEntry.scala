@@ -530,6 +530,15 @@ object SparkEntry {
     // Jaccard pairs; oracle = recursive-CTE reachability closure
     "dedup_components" -> ((s, d) =>
       Dedup.nearDupComponents(Tables.documents(s, d))),
+    // write-layout key: the 62-bit Z-curve interleave of (user_id, day) —
+    // the sort key Layout.writeZOrdered files by (native codegen expr)
+    "layout_zvalue" -> ((s, d) => {
+      graft.functions.ZValue.register(s)
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+        .withColumn("z", call_function("z_value", col("user_id"), col("day")))
+        .orderBy(col("z"), col("event_id"))
+    }),
   )
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
@@ -670,6 +679,16 @@ object SparkEntry {
        "UNION SELECT r.a, u.b FROM REACH r JOIN UND u ON u.a = r.b) " +
        "SELECT a AS doc_id, min(b) AS component, " +
        "CAST(a = min(b) AS INT) AS is_keeper FROM REACH GROUP BY a ORDER BY doc_id"),
+    // Z-curve interleave re-derived with plain shift/mask arithmetic
+    // (31 bits per dimension: max shift 61 — DuckDB BIGINT << overflows
+    // at 63, which the expression's 31-bit width is chosen to avoid).
+    "layout_zvalue" ->
+      ("SELECT event_id, user_id, " +
+       "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day, " +
+       "CAST(list_sum(list_transform(range(31), b -> " +
+       "((user_id >> b) & 1) * (CAST(1 AS BIGINT) << (2*b)) + " +
+       "((day >> b) & 1) * (CAST(1 AS BIGINT) << (2*b+1)))) AS BIGINT) AS z " +
+       "FROM events ORDER BY z, event_id"),
     // Delta-vs-index: band collisions across the mod-5 split, Jaccard
     // verified on the collided candidates only.
     "dedup_incremental" ->

@@ -64,5 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "minhash_sigs"),
       (exprs: Seq[Expression]) => graft.functions.MinHashSigs(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("z_value"),
+      new ExpressionInfo(classOf[graft.functions.ZValue].getName, "z_value"),
+      (exprs: Seq[Expression]) => graft.functions.ZValue(exprs(0), exprs(1))))
   }
 }

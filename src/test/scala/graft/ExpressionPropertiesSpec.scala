@@ -6,7 +6,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{DotProduct, IndelRatio, MinHashSigs, SimHash32}
+import graft.functions.{DotProduct, IndelRatio, MinHashSigs, SimHash32, ZValue}
 
 /** Property-based checks of the custom expressions' static kernels against
   * independently re-derived reference implementations (full-matrix DP,
@@ -120,6 +120,20 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
   test("simhash32 == digest-bit reference on random word arrays") {
     check("simhash", Prop.forAll(wordsGen) { words =>
       SimHash32.compute(utf8Array(words)) == refSimhash(words)
+    })
+  }
+
+  // --- ZValue Morton interleave ----------------------------------------
+
+  test("z_value: deinterleave inverts compute; result non-negative") {
+    val dim = Gen.chooseNum(0L, 0x7FFFFFFFL)
+    check("z roundtrip", Prop.forAll(dim, dim) { (x, y) =>
+      val z = ZValue.compute(x, y)
+      z >= 0L && ZValue.deinterleave(z) == ((x, y))
+    })
+    // high bits beyond 31 are masked, never smeared into the key
+    check("z mask", Prop.forAll(dim, dim) { (x, y) =>
+      ZValue.compute(x | (1L << 40), y) == ZValue.compute(x, y)
     })
   }
 

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZValue
+import graft.model.Tables
+import graft.sources.Layout
+
+/** Write-side layout: range compaction (file count / sorting / disjoint
+  * ranges / size cap) and Z-ordering (every file bounds BOTH dimensions —
+  * the property that lets parquet footer stats prune filters on either
+  * column, which a single-column sort only provides for its own column). */
+class LayoutSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def partFiles(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSeq
+
+  test("writeRangeCompacted: n sorted files, disjoint ranges, nothing lost") {
+    val orders = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("orders-compact").toString
+    Layout.writeRangeCompacted(orders, col("o_orderkey"), dir, numFiles = 4)
+    val files = partFiles(dir)
+    assert(files.size === 4)
+    val ranges = files.map { f =>
+      val rows = spark.read.parquet(f).select(col("o_orderkey")).collect().map(_.getLong(0))
+      assert(rows.toSeq === rows.sorted.toSeq, s"file $f not sorted")
+      (rows.min, rows.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, "file key ranges overlap")
+      case _ => ()
+    }
+    assert(spark.read.parquet(dir).count() === orders.count())
+  }
+
+  test("maxRecordsPerFile caps every file") {
+    val orders = Tables.orders(spark, sfDir)
+    val dir = Files.createTempDirectory("orders-capped").toString
+    Layout.writeRangeCompacted(orders, col("o_orderkey"), dir,
+      numFiles = 2, maxRecordsPerFile = 500L)
+    val files = partFiles(dir)
+    assert(files.size > 2, "cap should split the 2 range partitions")
+    files.foreach(f => assert(spark.read.parquet(f).count() <= 500L))
+  }
+
+  test("z-ordered files bound BOTH dimensions; single-column sort does not") {
+    val events = Tables.events(spark, sfDir).select(col("event_id"),
+      col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("long").as("day"))
+
+    def avgSpans(dir: String): (Double, Double) = {
+      val spans = partFiles(dir).map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max("user_id") - min("user_id"), max("day") - min("day"))
+          .collect().head
+        (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      }
+      (spans.map(_._1).sum / spans.size, spans.map(_._2).sum / spans.size)
+    }
+
+    val zDir = Files.createTempDirectory("events-z").toString
+    Layout.writeZOrdered(events, col("user_id"), col("day"), zDir, numFiles = 8)
+    val uDir = Files.createTempDirectory("events-u").toString
+    Layout.writeRangeCompacted(events, col("user_id"), uDir, numFiles = 8)
+
+    val (gUser, gDay) = {
+      val r = events.agg(max("user_id") - min("user_id"), max("day") - min("day"))
+        .collect().head
+      (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+    val (zUser, zDay) = avgSpans(zDir)
+    val (uUser, uDay) = avgSpans(uDir)
+    info(f"global ($gUser%.0f, $gDay%.0f)  z ($zUser%.1f, $zDay%.1f)  userSort ($uUser%.1f, $uDay%.1f)")
+
+    // single-column layout: its own column clusters hard...
+    assert(uUser <= 0.3 * gUser)
+    // ...but the other dimension spans ~the whole domain in every file
+    assert(uDay >= 0.8 * gDay)
+    // z-layout bounds BOTH dimensions well below their global spans
+    assert(zUser <= 0.75 * gUser, s"z user span $zUser vs global $gUser")
+    assert(zDay <= 0.75 * gDay, s"z day span $zDay vs global $gDay")
+    // and beats the single-column layout on the dimension it neglects
+    assert(zDay < uDay)
+
+    // the pruning semantics directly: a filter on one dimension can skip
+    // every file whose footer [min,max] excludes the value — count
+    // candidate files over every point predicate in the domain
+    def candidates(dir: String, colName: String, lo: Long, hi: Long): Long = {
+      val ranges = partFiles(dir).map { f =>
+        val r = spark.read.parquet(f).agg(min(colName), max(colName)).collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      (lo to hi).map(v => ranges.count { case (mn, mx) => mn <= v && v <= mx }.toLong).sum
+    }
+    val zDayCand = candidates(zDir, "day", 19723L, 19752L)
+    val uDayCand = candidates(uDir, "day", 19723L, 19752L)
+    info(s"day-predicate candidate files: z=$zDayCand userSort=$uDayCand")
+    // user-sorted layout can essentially never skip a file for a day
+    // predicate (tiny slack: a file may happen to miss the domain's edge)
+    assert(uDayCand >= (0.95 * 30 * 8).toLong)
+    assert(zDayCand <= (0.6 * uDayCand).toLong, s"z=$zDayCand u=$uDayCand")
+    // round-trip: the layout never loses rows
+    assert(spark.read.parquet(zDir).count() === events.count())
+  }
+
+  test("z_value interleave round-trips through deinterleave") {
+    assert(ZValue.deinterleave(ZValue.compute(12345L, 67890L)) === ((12345L, 67890L)))
+    assert(ZValue.compute(0L, 0L) === 0L)
+    // bit b of x lands at 2b; bit b of y at 2b+1
+    assert(ZValue.compute(1L, 0L) === 1L)
+    assert(ZValue.compute(0L, 1L) === 2L)
+    assert(ZValue.compute(3L, 1L) === (1L | 4L | 2L))
+  }
+}
