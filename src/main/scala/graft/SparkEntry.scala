@@ -530,6 +530,9 @@ object SparkEntry {
     // Jaccard pairs; oracle = recursive-CTE reachability closure
     "dedup_components" -> ((s, d) =>
       Dedup.nearDupComponents(Tables.documents(s, d))),
+    // near-dup cluster density: per-doc triangle counts (clique vs chain)
+    "graph_triangles" -> ((s, d) =>
+      Dedup.nearDupTriangles(Tables.documents(s, d))),
     // write-layout key: the 62-bit Z-curve interleave of (user_id, day) —
     // the sort key Layout.writeZOrdered files by (native codegen expr)
     "layout_zvalue" -> ((s, d) => {
@@ -679,6 +682,24 @@ object SparkEntry {
        "UNION SELECT r.a, u.b FROM REACH r JOIN UND u ON u.a = r.b) " +
        "SELECT a AS doc_id, min(b) AS component, " +
        "CAST(a = min(b) AS INT) AS is_keeper FROM REACH GROUP BY a ORDER BY doc_id"),
+    // Per-vertex triangle counts over the verified near-dup pairs: pairs
+    // (b, c) of a's neighbors that are themselves an edge, counted once
+    // per unordered pair (b < c).
+    "graph_triangles" ->
+      (s"WITH $shingleCtes, " +
+       "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
+       "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
+       "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
+       "GROUP BY p.src, p.dst), " +
+       "E AS (SELECT c.src, c.dst FROM COMMONS c " +
+       "JOIN SIZES sa ON sa.doc_id = c.src JOIN SIZES sb ON sb.doc_id = c.dst " +
+       "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5), " +
+       "NB AS (SELECT src AS v, dst AS n FROM E UNION ALL SELECT dst, src FROM E), " +
+       "T AS (SELECT n1.v, count(*) AS tri FROM NB n1 " +
+       "JOIN NB n2 ON n2.v = n1.v AND n1.n < n2.n " +
+       "JOIN E ON E.src = n1.n AND E.dst = n2.n GROUP BY n1.v) " +
+       "SELECT d.doc_id, CAST(COALESCE(t.tri, 0) AS INT) AS triangles " +
+       "FROM documents d LEFT JOIN T t ON t.v = d.doc_id ORDER BY doc_id"),
     // Z-curve interleave re-derived with plain shift/mask arithmetic
     // (31 bits per dimension: max shift 61 — DuckDB BIGINT << overflows
     // at 63, which the expression's 31-bit width is chosen to avoid).

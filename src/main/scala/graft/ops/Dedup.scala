@@ -219,6 +219,30 @@ object Dedup {
       .orderBy(col("delta_id"), col("index_id"))
   }
 
+  /** Per-document triangle counts in the verified near-dup graph (GraphX
+    * TriangleCount over the same vertices/edges as [[nearDupComponents]]).
+    * Triangles measure cluster DENSITY: a component that is a clique
+    * (mutual near-dups — safe to keep one doc) is triangle-rich, while a
+    * chained component (a—b—c with no a—c edge, the transitive-drift case)
+    * has none. Same linear-in-pairs graph; TriangleCount's message load is
+    * Σ deg² over the near-dup graph, which is tiny by construction. */
+  def nearDupTriangles(docs: DataFrame,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
+    val spark = docs.sparkSession
+    val pairs = ngramJaccard(docs).filter(col("jaccard") >= jaccardThreshold)
+    val vertices = docs.select(col("doc_id")).rdd
+      .map(r => (r.getLong(0): VertexId, r.getLong(0)))
+    val edges = pairs.select(col("src"), col("dst")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val tc = Graph(vertices, edges)
+      .partitionBy(PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices
+    spark.createDataFrame(tc.map { case (id, n) => (id, n) })
+      .toDF("doc_id", "triangles")
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-duplicate candidate pairs, Manku-style (the WWW'07
     * "Detecting Near-Duplicates for Web Crawling" structure): split the
     * 32-bit fingerprint into 4 byte-bands — any pair within Hamming

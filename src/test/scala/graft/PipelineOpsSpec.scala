@@ -177,6 +177,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.count(_.getAs[Int]("is_keeper") == 1) === members.size)
   }
 
+  test("nearDupTriangles: cliques count, chains and singletons are zero") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fixture = Seq(
+      (10L, t), (11L, t), (12L, t), // identical triple → one triangle
+      (20L, "totally unrelated words with no shingle overlap at all here"))
+      .toDF("doc_id", "text")
+    val tri = graft.ops.Dedup.nearDupTriangles(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("triangles")).toMap
+    assert(tri === Map(10L -> 1, 11L -> 1, 12L -> 1, 20L -> 0))
+  }
+
   test("incrementalNearDup == the cross-split slice of the full-corpus verify") {
     // band keys are per-document properties, so a delta×index band
     // collision is exactly a full-corpus collision that crosses the split;
