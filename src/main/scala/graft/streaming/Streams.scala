@@ -86,6 +86,22 @@ object Streams {
         col("nation"), col("n"))
   }
 
+  /** Streaming near-dup flagging: each incoming document's LSH band keys
+    * (computed map-side by the native `minhash_sigs` expression — no
+    * explode-shuffle, no aggregation) semi-joined against the standing
+    * index's band-key set. Completely STATELESS — the stream accumulates
+    * nothing across micro-batches, so it runs forever at ingest rate; the
+    * exact Jaccard verdict happens downstream on the flagged sliver
+    * (Dedup.incrementalNearDup's batch verify). Emits one row per
+    * colliding band: (doc_id, b, k). Same call works on batch input. */
+  def nearDupCandidates(docs: DataFrame, index: DataFrame): DataFrame = {
+    val indexKeys = graft.ops.Dedup.lshBands(index)
+      .select(col("b"), col("k")).distinct()
+    graft.ops.Dedup.lshBands(docs)
+      .join(indexKeys, Seq("b", "k"), "left_semi")
+      .select(col("doc_id"), col("b"), col("k"))
+  }
+
   /** Native session windows (Spark's `session_window`): per-user sessions
     * that merge while consecutive events fall strictly inside the gap
     * (split at >= gap — the built-in's boundary convention; the

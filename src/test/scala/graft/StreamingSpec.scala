@@ -114,6 +114,34 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("streaming near-dup flags: stream == batch, and the plan is stateless") {
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val index = docs.filter(col("doc_id") % 5 =!= 0)
+    val expected = Streams.nearDupCandidates(delta, index)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(expected.nonEmpty)
+    // the flagged docs must cover every verified incremental near-dup
+    val verified = graft.ops.Dedup.incrementalNearDup(index, delta)
+      .collect().map(_.getAs[Long]("delta_id")).toSet
+    assert(verified.subsetOf(expected.map(_._1)))
+
+    val dir = Files.createTempDirectory("docs-delta-stream").toFile
+    delta.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val q = Streams.nearDupCandidates(
+        spark.readStream.schema(delta.schema).parquet(dir.getAbsolutePath), index)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_test")
+      .start()
+    q.processAllAvailable()
+    val stateOps = Option(q.lastProgress)
+      .map(_.stateOperators.length).getOrElse(0)
+    q.stop()
+    val got = spark.table("neardup_test")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === expected)
+    assert(stateOps === 0, "the flagging stream must hold no state")
+  }
+
   test("stream-stream interval join: purchases within 1h of a click, stream == batch") {
     val batchEvents = Tables.events(spark, sfDir)
     val expected = Streams.purchasesAfterClicks(batchEvents, batchEvents)
