@@ -327,6 +327,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // corpus heavy hitters: boilerplate phrases by document frequency
+    "text_ngram_topk" -> ((s, d) => TextAnalysis.ngramTopK(Tables.documents(s, d))),
     // training-data pipeline: similarity search
     "sim_topk_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
@@ -776,6 +778,11 @@ object SparkEntry {
     "text_fingerprint" ->
       (s"SELECT doc_id, md5($docNorm) AS fp, substr(md5($docNorm), 1, 8) AS fp_short " +
        "FROM documents ORDER BY doc_id"),
+    // Document frequency = plain count because SH is distinct per doc;
+    // the (df DESC, gram) order is total, so LIMIT is deterministic.
+    "text_ngram_topk" ->
+      (s"WITH $shingleCtes SELECT sh AS gram, count(*) AS df FROM SH " +
+       "GROUP BY sh ORDER BY df DESC, gram LIMIT 20"),
     "sim_topk_bruteforce" ->
       (s"WITH $embCtes, " +
        "Q AS (SELECT vec_id AS qid, v AS qv FROM E WHERE vec_id < 8), " +

@@ -86,6 +86,21 @@ object TextAnalysis {
     * own columns, then proves [[clean]] recovers the canonical text. Same
     * construction on the oracle side, so the regex semantics — not the
     * fixture — are what's compared. */
+  /** Corpus-level heavy hitters: top-k 3-grams by DOCUMENT frequency — the
+    * boilerplate-phrase miner (phrases shared verbatim across many docs
+    * are template/navigation text, the cross-document complement of
+    * [[repetition]]'s within-document signals). Scale shape: shingle
+    * explode (distinct per doc, so df = a plain count) → map-side-combined
+    * count per gram → TakeOrderedAndProject for the top k. The gram-count
+    * shuffle is the only wide stage, keyed by the gram itself (high
+    * cardinality, uniform). Deterministic tiebreak on the gram. */
+  def ngramTopK(docs: DataFrame, k: Int = 20): DataFrame =
+    Dedup.shingles(docs)
+      .groupBy(col("sh").as("gram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("gram"))
+      .limit(k)
+
   def withMarkup(docs: DataFrame): DataFrame =
     docs.withColumn("raw", concat(
       lit("<doc id=\""), col("doc_id").cast("string"),
