@@ -535,6 +535,18 @@ object SparkEntry {
     // near-dup cluster density: per-doc triangle counts (clique vs chain)
     "graph_triangles" -> ((s, d) =>
       Dedup.nearDupTriangles(Tables.documents(s, d))),
+    // training-data pipeline: sequence packing — concat-then-chunk slot
+    // assignment over (lang, shard) prefix sums; shard = portable md5
+    // bucket so the only shuffle's cardinality is a config knob
+    "pack_sequences" -> ((s, d) => Packing.packSequences(Tables.documents(s, d))),
+    // packing-efficiency inventory: sequences + pad tokens per shard
+    "pack_stats" -> ((s, d) => Packing.packingStats(Tables.documents(s, d))),
+    // lexical retrieval: BM25 top-k for a fixed term set — per-doc tfs in
+    // the scan, corpus stats as one broadcast row, TakeOrderedAndProject
+    "bm25_search" -> ((s, d) => Search.bm25TopK(Tables.documents(s, d))),
+    // SCD2 dimension build: effective-dated customer-priority versions,
+    // run-length-merged, all windows sharing one o_custkey exchange
+    "scd2_priority" -> ((s, d) => Scd.customerPriorityScd2(Tables.orders(s, d))),
     // write-layout key: the 62-bit Z-curve interleave of (user_id, day) —
     // the sort key Layout.writeZOrdered files by (native codegen expr)
     "layout_zvalue" -> ((s, d) => {
@@ -1506,5 +1518,67 @@ object SparkEntry {
       "CAST(x.exact_distinct AS BIGINT) AS exact_distinct " +
       "FROM V v JOIN X x ON v.g = x.g ORDER BY l_returnflag"
     },
+    // sequence packing: md5-bucket shard (same instr arithmetic as
+    // sample_split), per-(lang,shard) prefix sums, floor/mod slotting
+    "pack_sequences" -> {
+      val b = graft.ops.Packing.SeqTokens
+      val sh = graft.ops.Packing.Shards
+      s"WITH H AS (SELECT doc_id, lang, md5(concat('pack|', CAST(doc_id AS VARCHAR))) AS h, " +
+      s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+      "T AS (SELECT doc_id, lang, n_tokens, ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+      s"instr('0123456789abcdef', substr(h, 2, 1)) - 1) % $sh AS shard FROM H), " +
+      "C AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM T) " +
+      "SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens, " +
+      s"CAST(floor(cum_before / $b.0) AS BIGINT) AS seq_id, " +
+      s"CAST(cum_before % $b AS BIGINT) AS seq_offset FROM C ORDER BY doc_id"
+    },
+    "pack_stats" -> {
+      val b = graft.ops.Packing.SeqTokens
+      val sh = graft.ops.Packing.Shards
+      s"WITH H AS (SELECT doc_id, lang, md5(concat('pack|', CAST(doc_id AS VARCHAR))) AS h, " +
+      s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+      "T AS (SELECT doc_id, lang, n_tokens, ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+      s"instr('0123456789abcdef', substr(h, 2, 1)) - 1) % $sh AS shard FROM H), " +
+      "G AS (SELECT lang, CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "sum(n_tokens) AS total_tokens, " +
+      s"CAST(ceil(sum(n_tokens) / $b.0) AS BIGINT) AS n_sequences FROM T GROUP BY lang, shard) " +
+      s"SELECT lang, shard, n_docs, total_tokens, n_sequences, " +
+      s"n_sequences * $b - total_tokens AS pad_tokens FROM G ORDER BY lang, shard"
+    },
+    // BM25: tf per query term from the normalized word list, corpus stats
+    // in one row, Lucene-form idf; round(…,4) + doc_id tie-break makes the
+    // ln/division ulp-stable across engines
+    "bm25_search" -> {
+      import graft.ops.Search.{K1, B => B25, TopK, QueryTerms}
+      val tfs = QueryTerms.map(t =>
+        s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf_$t").mkString(", ")
+      val dfs = QueryTerms.map(t =>
+        s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(", ")
+      val parts = QueryTerms.map(t =>
+        s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1) * (tf_$t * ${K1 + 1}) / " +
+        s"(tf_$t + $K1 * (${1 - B25} + $B25 * dl / avgdl))").mkString(" + ")
+      val outTfs = QueryTerms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")
+      s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+      s"D AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfs FROM W), " +
+      s"S AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfs FROM D), " +
+      s"X AS (SELECT doc_id, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")}, " +
+      s"round($parts, 4) AS score FROM D CROSS JOIN S) " +
+      s"SELECT doc_id, CAST(dl AS BIGINT) AS dl, $outTfs, score FROM X " +
+      s"WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $TopK"
+    },
+    // SCD2: dedup-within-day by max orderkey, run-starts via lag, close
+    // versions via lead — same three-window chain as the Spark side
+    "scd2_priority" ->
+      ("WITH DAILY AS (SELECT o_custkey, o_orderdate AS valid_from, o_orderpriority AS priority " +
+       "FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn " +
+       "FROM orders) WHERE rn = 1), " +
+       "R AS (SELECT *, lag(priority) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS prev FROM DAILY), " +
+       "F AS (SELECT o_custkey, valid_from, priority FROM R WHERE prev IS NULL OR prev <> priority), " +
+       "V AS (SELECT o_custkey, valid_from, priority, " +
+       "lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to, " +
+       "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY valid_from) AS BIGINT) AS version FROM F) " +
+       "SELECT o_custkey, version, valid_from, valid_to, priority, (valid_to IS NULL) AS is_current " +
+       "FROM V ORDER BY o_custkey, version"),
   )
 }

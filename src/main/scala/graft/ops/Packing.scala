@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign every document a (shard, seq_id, offset) slot
+  * in a stream of fixed token-budget training sequences — the
+  * "concatenate-then-chunk" packing step that turns a filtered corpus
+  * into equal-length LLM training rows.
+  *
+  * Shape at 100 TB: packing is a prefix-sum, and a GLOBAL prefix sum over
+  * the corpus would funnel everything through one ordered partition. Real
+  * pipelines never need one global document order — they need *some*
+  * deterministic order with bounded coordination — so the corpus is first
+  * split into `Shards` deterministic shards by content-id hash (same
+  * portable md5 bucket as [[Sampling.bucket256]], so retries and layout
+  * changes can't move a document between shards), and the running token
+  * count is a window prefix-sum PARTITIONed by (lang, shard): one shuffle
+  * on a key whose cardinality scales with the configured shard count, each
+  * partition packed independently and in parallel. Sequence identity is
+  * the triple (lang, shard, seq_id) — globally unique without any
+  * cross-shard coordination. A document longer than the budget simply
+  * spans sequences, exactly as concat-then-chunk does.
+  */
+object Packing {
+
+  /** Tokens per packed training sequence (toy-sized for the test corpus;
+    * the real knob would be the model context length). */
+  val SeqTokens = 512
+
+  /** Deterministic shard count: at real scale this is O(cores in the
+    * cluster); 8 keeps the toy corpus's per-shard streams non-trivial. */
+  val Shards = 8
+
+  /** Per-document packing assignment: shard, running token offset, the
+    * sequence (chunk) the document starts in, and the offset within it. */
+  def packSequences(docs: DataFrame, budget: Int = SeqTokens,
+      shards: Int = Shards): DataFrame = {
+    val counted = docs.select(
+      col("doc_id"), col("lang"),
+      pmod(Sampling.bucket256("pack", col("doc_id")), lit(shards)).as("shard"),
+      size(Dedup.words(col("text"))).cast("bigint").as("n_tokens"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        (col("cum_before") / budget).cast("bigint").as("seq_id"),
+        pmod(col("cum_before"), lit(budget.toLong)).as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Packed-sequence inventory: sequences started per (lang, shard) and
+    * the padding the LAST partial sequence of each shard would carry —
+    * the packing-efficiency number a pipeline reports. Derived from the
+    * same prefix sums, aggregated per shard (one small shuffle). */
+  def packingStats(docs: DataFrame, budget: Int = SeqTokens,
+      shards: Int = Shards): DataFrame =
+    packSequences(docs, budget, shards)
+      .groupBy(col("lang"), col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        // ceil-div: sequences needed to hold the shard's token stream
+        ceil(sum(col("n_tokens")).cast("double") / budget).cast("bigint")
+          .as("n_sequences"))
+      .withColumn("pad_tokens",
+        col("n_sequences") * budget - col("total_tokens"))
+      .orderBy(col("lang"), col("shard"))
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (SCD type 2) build: turn an event/fact
+  * history into effective-dated dimension versions — the snapshotting
+  * step every long-lived pipeline needs for point-in-time-correct joins
+  * (training-data cutoffs included: "what was this entity's attribute
+  * when the example was created" is an as-of join against exactly this
+  * table, see [[AsOfJoin]]).
+  *
+  * Built here from `orders`: each order is treated as an observation of
+  * its customer's priority attribute; the output is one row per
+  * (customer, attribute run) with [valid_from, valid_to) ranges.
+  *
+  * Shape at 100 TB: everything is windowed over `o_custkey` — a
+  * high-cardinality key, so the single shuffle spreads evenly (no
+  * window-over-constant skew funnel). Three window passes share one
+  * partitioning: Catalyst plans a single Exchange and three Window
+  * operators on the same sort — `.explain` shows no re-shuffle between
+  * them. Dedup-within-day picks the max-orderkey observation, so late
+  * replays of the same day converge (deterministic, not arrival-order).
+  */
+object Scd {
+
+  /** Effective-dated customer-priority versions:
+    * (o_custkey, version, valid_from, valid_to, priority, is_current)
+    * with consecutive identical values run-length-merged. */
+  def customerPriorityScd2(orders: DataFrame): DataFrame = {
+    val perDay = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(desc("o_orderkey"))
+    val daily = orders
+      .withColumn("rn", row_number().over(perDay))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderdate").as("valid_from"),
+        col("o_orderpriority").as("priority"))
+    val byCust = Window.partitionBy(col("o_custkey")).orderBy(col("valid_from"))
+    // keep only run starts (value differs from the previous observation) …
+    val runStarts = daily
+      .withColumn("prev", lag(col("priority"), 1).over(byCust))
+      .filter(col("prev").isNull || col("prev") =!= col("priority"))
+    // … then close each version with the next run's start date.
+    runStarts
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byCust))
+      .withColumn("version", row_number().over(byCust).cast("bigint"))
+      .select(col("o_custkey"), col("version"), col("valid_from"),
+        col("valid_to"), col("priority"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword search over `documents` — the lexical retrieval half of a
+  * corpus-curation stack (the dense half is [[Similarity]]'s ANN family).
+  *
+  * Shape at 100 TB: for a bounded query-term set, per-document term
+  * frequencies are computed IN THE SCAN (a `filter(words, ...)` count per
+  * term — codegen'd, no explode, no per-token row blow-up), the corpus
+  * statistics BM25 needs (N, avgdl, per-term document frequencies) reduce
+  * to ONE summary row (map-side partial aggregation), and that row is
+  * broadcast back for scoring. Total cost: two scans of the text column,
+  * one 1-row exchange, one top-k (`TakeOrderedAndProject`) — nothing
+  * proportional to corpus size ever shuffles. An inverted index (the
+  * [[DedupIndex]]-style materialized variant) only wins once the query
+  * load is repeated; this is the scan-time form.
+  *
+  * Scores are rounded to 4 decimals and tie-broken by doc_id so ranking
+  * is reproducible across engines (`ln`/division are IEEE-double but
+  * last-ulp-sensitive; the rounding makes the oracle compare exact).
+  */
+object Search {
+
+  /** The fixed query-term set the driver oracle exercises. */
+  val QueryTerms: Seq[String] = Seq("spark", "shuffle", "hash")
+
+  /** Okapi BM25 parameters (the standard defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  val TopK = 20
+
+  private def tf(term: String): Column =
+    size(filter(Dedup.words(col("text")), x => x === lit(term)))
+      .cast("double")
+
+  /** BM25 top-k: score every document against [[QueryTerms]], keep the
+    * best [[TopK]]. Output: doc_id, per-term tf, doc length, score. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String] = QueryTerms,
+      k: Int = TopK): DataFrame = {
+    val perDoc = docs.select(
+      (col("doc_id") +:
+        size(Dedup.words(col("text"))).cast("double").as("dl") +:
+        terms.map(t => tf(t).as(s"tf_$t"))): _*)
+    // one summary row: corpus size, average doc length, per-term df
+    val statCols = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double")
+          .as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    // idf_t = ln((N - df + 0.5) / (df + 0.5) + 1)  (Lucene/ATIRE form:
+    // strictly positive, so a term in >half the corpus can't flip signs)
+    def idf(t: String): Column =
+      log((col("n_docs") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5)) + lit(1.0))
+    def part(t: String): Column =
+      idf(t) * (col(s"tf_$t") * (K1 + 1)) /
+        (col(s"tf_$t") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    val score = round(terms.map(part).reduce(_ + _), 4)
+    perDoc.crossJoin(broadcast(stats))
+      .select(
+        (col("doc_id") +: col("dl").cast("bigint").as("dl") +:
+          terms.map(t => col(s"tf_$t").cast("bigint").as(s"tf_$t"))) :+
+          score.as("score"): _*)
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Packing, Search, Scd}
+
+/** Unit semantics for the round-5 additions: sequence packing, BM25
+  * retrieval, and the SCD2 dimension build. The DuckDB oracle proves
+  * engine parity at sf0.01; these pin the hand-checkable invariants. */
+class PackingSearchScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), col("text"))
+
+  test("packSequences: offsets are consecutive within a (lang,shard) stream") {
+    val d = docs((1L to 40L).map(i => (i, "en", ("tok " * i.toInt).trim)): _*)
+    val packed = Packing.packSequences(d, budget = 16).collect()
+    // group rows back into their shard streams and replay the prefix sum
+    packed.groupBy(r => (r.getString(1), r.getLong(2))).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(4) === cum / 16, s"seq_id at doc ${r.getLong(0)}")
+        assert(r.getLong(5) === cum % 16, s"seq_offset at doc ${r.getLong(0)}")
+        cum += r.getLong(3)
+      }
+    }
+  }
+
+  test("packSequences: a document never moves between shards when others change") {
+    val base = docs((1L to 20L).map(i => (i, "en", "a b c")): _*)
+    val more = docs((1L to 40L).map(i => (i, "en", "a b c")): _*)
+    val s1 = Packing.packSequences(base).select("doc_id", "shard").as[(Long, Long)]
+      .collect().toMap
+    val s2 = Packing.packSequences(more).select("doc_id", "shard").as[(Long, Long)]
+      .collect().toMap
+    s1.foreach { case (id, sh) => assert(s2(id) === sh) }
+  }
+
+  test("packingStats: pad + tokens = sequences * budget, per shard") {
+    val d = docs((1L to 50L).map(i => (i, if (i % 2 == 0) "en" else "de",
+      ("w " * (i.toInt % 7 + 1)).trim)): _*)
+    Packing.packingStats(d, budget = 8).collect().foreach { r =>
+      val (total, nSeq, pad) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nSeq * 8 === total + pad)
+      assert(pad >= 0 && pad < 8)
+    }
+  }
+
+  test("bm25: rarer term outranks common term at equal tf") {
+    val d = docs(
+      (1L, "en", "spark only here"),            // rare term
+      (2L, "en", "shuffle word word"),          // common term, same tf/dl
+      (3L, "en", "shuffle noise alpha"),
+      (4L, "en", "shuffle beta gamma"),
+      (5L, "en", "plain text row"))
+    val out = Search.bm25TopK(d, Seq("spark", "shuffle"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L), "df=1 term must outscore df=3 term")
+    assert(!out.contains(5L), "zero-score docs are filtered")
+  }
+
+  test("bm25: tf saturates (diminishing returns, bounded by k1+1 factor)") {
+    val d = docs(
+      (1L, "en", "spark b c d e f g h"),
+      (2L, "en", "spark spark c d e f g h"),
+      (3L, "en", "spark spark spark spark spark spark d e"),
+      (4L, "en", "x b c d e f g h"))
+    val s = Search.bm25TopK(d, Seq("spark"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val (g12, g23) = (s(2L) - s(1L), s(3L) - s(2L))
+    assert(g12 > 0 && g23 > 0 && g23 < g12 * 5,
+      "score grows with tf but sub-linearly")
+  }
+
+  test("scd2: versions tile each customer's history with no gaps or overlaps") {
+    val orders = Seq(
+      // cust 1: P1 on d1 (two orders same day — max orderkey wins), P1 on
+      // d2 (run-merged), P2 on d3, P1 on d4
+      (101L, 1L, "1995-01-01", "P1"), (102L, 1L, "1995-01-01", "P9"),
+      (103L, 1L, "1995-02-01", "P1"), (104L, 1L, "1995-03-01", "P2"),
+      (105L, 1L, "1995-04-01", "P1"),
+      // cust 2: single observation
+      (201L, 2L, "1995-06-01", "P5"))
+      .toDF("o_orderkey", "o_custkey", "d", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("d")))
+    // within-day winner is orderkey 102 (P9), so cust 1 runs P9,P1,P2,P1
+    val out = Scd.customerPriorityScd2(orders)
+      .select("o_custkey", "version", "priority", "is_current")
+      .as[(Long, Long, String, Boolean)].collect().toList
+    assert(out === List(
+      (1L, 1L, "P9", false), (1L, 2L, "P1", false), (1L, 3L, "P2", false),
+      (1L, 4L, "P1", true), (2L, 1L, "P5", true)))
+  }
+
+  test("scd2: valid_to of version n equals valid_from of version n+1") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val rows = Scd.customerPriorityScd2(orders)
+      .select("o_custkey", "version", "valid_from", "valid_to")
+      .collect().groupBy(_.getLong(0))
+    rows.foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(3) === b.get(2), "contiguous ranges")
+        case _ =>
+      }
+      assert(sorted.last.isNullAt(3), "open-ended current version")
+    }
+  }
+
+  test("scd2/window chain: one exchange feeds all three window passes") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val plan = Scd.customerPriorityScd2(orders).queryExecution.executedPlan.toString
+    // partition-by keys nest (custkey,date) ⊆ (custkey) only in one
+    // direction: the day-dedup window needs its own exchange, but the
+    // lag/lead/version windows (all keyed o_custkey) must share one.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected ≤2 shuffles, got $exchanges:\n$plan")
+  }
+}
