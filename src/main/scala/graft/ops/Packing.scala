@@ -33,17 +33,21 @@ object Packing {
     * cluster); 8 keeps the toy corpus's per-shard streams non-trivial. */
   val Shards = 8
 
+  /** Sharded per-document token counts — the shared scan stage of both
+    * the assignment and the inventory (all per-row, codegen'd). */
+  private def sharded(docs: DataFrame, shards: Int): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang"),
+      pmod(Sampling.bucket256("pack", col("doc_id")), lit(shards)).as("shard"),
+      size(Dedup.words(col("text"))).cast("bigint").as("n_tokens"))
+
   /** Per-document packing assignment: shard, running token offset, the
     * sequence (chunk) the document starts in, and the offset within it. */
   def packSequences(docs: DataFrame, budget: Int = SeqTokens,
       shards: Int = Shards): DataFrame = {
-    val counted = docs.select(
-      col("doc_id"), col("lang"),
-      pmod(Sampling.bucket256("pack", col("doc_id")), lit(shards)).as("shard"),
-      size(Dedup.words(col("text"))).cast("bigint").as("n_tokens"))
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    counted
+    sharded(docs, shards)
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
         (col("cum_before") / budget).cast("bigint").as("seq_id"),
@@ -54,10 +58,11 @@ object Packing {
   /** Packed-sequence inventory: sequences started per (lang, shard) and
     * the padding the LAST partial sequence of each shard would carry —
     * the packing-efficiency number a pipeline reports. Derived from the
-    * same prefix sums, aggregated per shard (one small shuffle). */
+    * same sharded counts — a plain map-side-partial aggregate, no
+    * prefix-sum window needed (sums don't care about intra-shard order). */
   def packingStats(docs: DataFrame, budget: Int = SeqTokens,
       shards: Int = Shards): DataFrame =
-    packSequences(docs, budget, shards)
+    sharded(docs, shards)
       .groupBy(col("lang"), col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
