@@ -547,6 +547,20 @@ object SparkEntry {
     // SCD2 dimension build: effective-dated customer-priority versions,
     // run-length-merged, all windows sharing one o_custkey exchange
     "scd2_priority" -> ((s, d) => Scd.customerPriorityScd2(Tables.orders(s, d))),
+    // snapshot diff: |Δ|-sized changelog between two corpus versions via
+    // full-outer id join on content fingerprints
+    "snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Snapshot.diff(Snapshot.oldSnapshot(docs), Snapshot.newSnapshot(docs))
+    }),
+    // changelog apply: roll the old snapshot forward (anti-join + union);
+    // diff∘apply == identity, oracled against the new snapshot itself
+    "snapshot_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = Snapshot.oldSnapshot(docs)
+      Snapshot.applyChangelog(old,
+        Snapshot.diff(old, Snapshot.newSnapshot(docs)))
+    }),
     // write-layout key: the 62-bit Z-curve interleave of (user_id, day) —
     // the sort key Layout.writeZOrdered files by (native codegen expr)
     "layout_zvalue" -> ((s, d) => {
@@ -1580,5 +1594,36 @@ object SparkEntry {
        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY valid_from) AS BIGINT) AS version FROM F) " +
        "SELECT o_custkey, version, valid_from, valid_to, priority, (valid_to IS NULL) AS is_current " +
        "FROM V ORDER BY o_custkey, version"),
+    // snapshot diff/apply: the old/new snapshot derivations are part of
+    // the contract (11th absent-in-old, 13th perturbed-in-old, 17th
+    // deleted-in-new) — replayed here verbatim
+    "snapshot_diff" ->
+      (s"WITH OLD AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 " +
+       s"THEN md5('old|' || $docNorm) ELSE md5($docNorm) END AS old_fp " +
+       "FROM documents WHERE doc_id % 11 <> 0), " +
+       s"NEW AS (SELECT doc_id, md5($docNorm) AS new_fp FROM documents WHERE doc_id % 17 <> 0), " +
+       "D AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp, " +
+       "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+       "WHEN o.old_fp <> n.new_fp THEN 'changed' END AS change " +
+       "FROM OLD o FULL OUTER JOIN NEW n ON o.doc_id = n.doc_id) " +
+       "SELECT doc_id, change, old_fp, new_fp FROM D WHERE change IS NOT NULL ORDER BY doc_id"),
+    // apply rolls old forward through the changelog; the result must be
+    // row-identical to the new snapshot — the oracle replays the
+    // anti-join + union rather than shortcutting to NEW, proving the
+    // changelog plumbing (not just the end state)
+    "snapshot_apply" ->
+      (s"WITH OLD AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 " +
+       s"THEN md5('old|' || $docNorm) ELSE md5($docNorm) END AS fp " +
+       "FROM documents WHERE doc_id % 11 <> 0), " +
+       s"NEW AS (SELECT doc_id, md5($docNorm) AS fp FROM documents WHERE doc_id % 17 <> 0), " +
+       "D AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.fp AS old_fp, n.fp AS new_fp, " +
+       "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+       "WHEN o.fp <> n.fp THEN 'changed' END AS change " +
+       "FROM OLD o FULL OUTER JOIN NEW n ON o.doc_id = n.doc_id), " +
+       "C AS (SELECT * FROM D WHERE change IS NOT NULL) " +
+       "SELECT doc_id, fp FROM OLD WHERE doc_id NOT IN " +
+       "(SELECT doc_id FROM C WHERE change IN ('removed', 'changed')) " +
+       "UNION ALL SELECT doc_id, new_fp AS fp FROM C WHERE change IN ('added', 'changed') " +
+       "ORDER BY doc_id"),
   )
 }
