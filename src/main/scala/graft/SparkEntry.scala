@@ -547,6 +547,10 @@ object SparkEntry {
     // SCD2 dimension build: effective-dated customer-priority versions,
     // run-length-merged, all windows sharing one o_custkey exchange
     "scd2_priority" -> ((s, d) => Scd.customerPriorityScd2(Tables.orders(s, d))),
+    // relative quality gate: per-source p25 stopword-ratio threshold
+    // (broadcast dim of |sources| rows), not a global constant
+    "text_quality_gate" -> ((s, d) =>
+      TextAnalysis.qualityGate(Tables.documents(s, d))),
     // snapshot diff: |Δ|-sized changelog between two corpus versions via
     // full-outer id join on content fingerprints
     "snapshot_diff" -> ((s, d) => {
@@ -592,7 +596,11 @@ object SparkEntry {
     "decontam_overlap", "text_repetition",
     // near-dup clustering: LSH + verify + GraphX connected components —
     // the full dedup pipeline's cost in one number
-    "dedup_components")
+    "dedup_components",
+    // late round-5 additions with real shuffle/scan work: prefix-sum
+    // packing, scan-time BM25, the three-window SCD2 chain, and the
+    // full-outer snapshot diff
+    "pack_sequences", "bm25_search", "scd2_priority", "snapshot_diff")
 
   // ---------------------------------------------------------------- oracle
 
@@ -1594,6 +1602,15 @@ object SparkEntry {
        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY valid_from) AS BIGINT) AS version FROM F) " +
        "SELECT o_custkey, version, valid_from, valid_to, priority, (valid_to IS NULL) AS is_current " +
        "FROM V ORDER BY o_custkey, version"),
+    // per-source percentile gate: ratios rounded before quantile_cont so
+    // both engines interpolate identical inputs (same pairing as a9)
+    "text_quality_gate" ->
+      (s"WITH R AS (SELECT doc_id, source, round(CAST(len(list_filter(string_split($docNorm, ' '), " +
+       "x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE) / " +
+       s"CAST(len(string_split($docNorm, ' ')) AS DOUBLE), 4) AS stop_ratio FROM documents), " +
+       "T AS (SELECT source, round(quantile_cont(stop_ratio, 0.25), 4) AS thr FROM R GROUP BY source) " +
+       "SELECT r.doc_id, r.source, r.stop_ratio, t.thr FROM R r JOIN T t ON r.source = t.source " +
+       "WHERE r.stop_ratio >= t.thr ORDER BY r.doc_id"),
     // snapshot diff/apply: the old/new snapshot derivations are part of
     // the contract (11th absent-in-old, 13th perturbed-in-old, 17th
     // deleted-in-new) — replayed here verbatim

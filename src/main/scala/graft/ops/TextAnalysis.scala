@@ -70,6 +70,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Relative quality gate: keep documents at or above their SOURCE's
+    * 25th-percentile stopword ratio — the FineWeb/C4-style step where
+    * thresholds are per-domain distributions, not global constants (a
+    * fixed cutoff tuned on web prose would gut code or table-heavy
+    * sources wholesale).
+    *
+    * Shape at 100 TB: per-row ratios in the scan; the threshold table is
+    * one exact percentile per source — |sources| rows from a map-side-
+    * partial aggregate — broadcast back over the second scan. Nothing
+    * corpus-sized shuffles. Ratios are rounded BEFORE the percentile so
+    * the oracle's quantile_cont interpolates bit-identical inputs. */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val ratios = docs.select(col("doc_id"), col("source"),
+      round(hits(stopwords).cast("double") / size(w).cast("double"), 4)
+        .as("stop_ratio"))
+    val thr = ratios.groupBy(col("source"))
+      .agg(round(expr("percentile(stop_ratio, 0.25)"), 4).as("thr"))
+    ratios.join(broadcast(thr), "source")
+      .filter(col("stop_ratio") >= col("thr"))
+      .select(col("doc_id"), col("source"), col("stop_ratio"), col("thr"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase text —
     * the join key for cross-corpus exact dedup. */
   def fingerprint(docs: DataFrame): DataFrame =

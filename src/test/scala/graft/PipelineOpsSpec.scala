@@ -234,6 +234,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(melted.count(_._2 == 0L) === melted.size - direct.size)
   }
 
+  test("qualityGate keeps exactly the at-or-above-source-p25 slice") {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = TextAnalysis.qualityGate(docs)
+    // every kept row satisfies its own threshold, thresholds are per-source
+    assert(kept.filter(col("stop_ratio") < col("thr")).count() === 0)
+    // p25 gate keeps at least 75% of every source (ties can keep more)
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.groupBy("source").count().collect().foreach { r =>
+      val (src, n) = (r.getString(0), r.getLong(1))
+      assert(n >= perSource(src) * 3 / 4, s"$src kept only $n/${perSource(src)}")
+      assert(n < perSource(src), s"$src gate kept everything — vacuous")
+    }
+  }
+
   test("gapfillDaily yields a dense users × days grid with zero-filled gaps") {
     val events = Tables.events(spark, sfDir)
     val filled = Windows.gapfillDaily(events)
