@@ -297,6 +297,18 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignature(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // canonical selection: per exact-dup cluster, keep the copy from the
+    // highest-priority source (broadcast weights dim), ties -> min id.
+    // The raw table has no exact dups, so the contract derives a mirror
+    // slice: every 7th doc re-hosted under src3 (weight 256 — outranks
+    // most origins; same-weight collisions fall to the id tie-break).
+    "dedup_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mirrored = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("source", lit("src3"))
+      Dedup.canonicalKeepers(docs.unionByName(mirrored))
+    }),
     "dedup_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => {
@@ -672,6 +684,19 @@ object SparkEntry {
        "FROM documents GROUP BY 1 ORDER BY h"),
     "dedup_minhash_sig" ->
       (s"WITH $shingleCtes SELECT * FROM SIG ORDER BY doc_id"),
+    // canonical selection: same weights derivation as sample_mix, keeper
+    // = row_number 1 over (priority desc, doc_id) within the fp cluster
+    "dedup_canonical" ->
+      (s"WITH D AS (SELECT doc_id, source, text FROM documents " +
+       "UNION ALL SELECT doc_id + 1000000, 'src3', text FROM documents WHERE doc_id % 7 = 0), " +
+       s"F AS (SELECT doc_id, source, md5($docNorm) AS fp FROM D), " +
+       "W AS (SELECT DISTINCT source, 64 * (1 + CAST(substr(source, 4) AS INT) % 4) AS keep_below FROM D), " +
+       "J AS (SELECT f.doc_id, f.source, f.fp, w.keep_below FROM F f JOIN W w ON f.source = w.source), " +
+       "R AS (SELECT *, count(*) OVER (PARTITION BY fp) AS n_dups, " +
+       "row_number() OVER (PARTITION BY fp ORDER BY keep_below DESC, doc_id) AS rk FROM J) " +
+       "SELECT fp, doc_id AS keeper, source AS keeper_source, " +
+       "CAST(keep_below AS INT) AS priority, CAST(n_dups AS BIGINT) AS n_dups " +
+       "FROM R WHERE n_dups >= 2 AND rk = 1 ORDER BY keeper"),
     "dedup_lsh_pairs" ->
       (s"WITH $shingleCtes SELECT * FROM PAIRS ORDER BY src, dst"),
     "dedup_ngram_jaccard" ->

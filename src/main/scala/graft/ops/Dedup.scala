@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data deduplication operators over the `documents`
@@ -162,6 +163,34 @@ object Dedup {
       .join(exactKeepers, Seq("doc_id"), "left_semi")
       .join(nearDupDrops, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
+  }
+
+  /** Source-priority canonical selection: for every EXACT-dup cluster
+    * (same content fingerprint), keep the copy from the highest-priority
+    * source (curated mirrors beat raw crawls in a real recipe; here the
+    * deterministic [[Sampling.sourceWeights]] dim stands in), tie-broken
+    * by min doc_id. Refines [[exact]]'s min-id keeper with the policy a
+    * production pipeline actually wants.
+    *
+    * Shape at 100 TB: one shuffle on the fingerprint (same exchange a
+    * groupBy would need); the window's per-key row count is the dup
+    * multiplicity (tiny), so no skew funnel. Weights are a broadcast
+    * dim. Output is |dup clusters|-sized — singletons drop out. */
+  def canonicalKeepers(docs: DataFrame): DataFrame = {
+    val fps = docs.select(col("doc_id"), col("source"),
+      md5(normText(col("text")).cast("binary")).as("fp"))
+    val weighted = fps.join(
+      broadcast(Sampling.sourceWeights(docs)), "source")
+    val byFp = Window.partitionBy(col("fp"))
+    val ranked = weighted
+      .withColumn("n_dups", count(lit(1)).over(byFp))
+      .withColumn("rk", row_number().over(
+        byFp.orderBy(desc("keep_below"), col("doc_id"))))
+    ranked.filter(col("n_dups") >= 2 && col("rk") === 1)
+      .select(col("fp"), col("doc_id").as("keeper"),
+        col("source").as("keeper_source"),
+        col("keep_below").as("priority"), col("n_dups"))
+      .orderBy(col("keeper"))
   }
 
   /** Near-duplicate CLUSTERS: connected components over the verified

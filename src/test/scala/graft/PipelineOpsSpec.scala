@@ -249,6 +249,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("canonicalKeepers picks by source priority, then min id; singletons drop") {
+    import spark.implicits._
+    // weights: src1 -> 64*(1+1%4)=128, src3 -> 256, src5 -> 128
+    val docs = Seq(
+      (1L, "src1", "same text"), (2L, "src3", "same text"),   // src3 wins
+      (10L, "src1", "other text"), (11L, "src5", "other text"), // tie -> min id
+      (20L, "src1", "lonely text"))                             // singleton
+      .toDF("doc_id", "source", "text")
+    val out = graft.ops.Dedup.canonicalKeepers(docs)
+      .select("keeper", "keeper_source", "n_dups").as[(Long, String, Long)]
+      .collect().toSet
+    assert(out === Set((2L, "src3", 2L), (10L, "src1", 2L)))
+  }
+
   test("gapfillDaily yields a dense users × days grid with zero-filled gaps") {
     val events = Tables.events(spark, sfDir)
     val filled = Windows.gapfillDaily(events)
