@@ -12,6 +12,10 @@ import graft.ops.EdgeRules
 /** Output row of the stateful per-user counter. */
 case class UserCount(user_id: Long, n: Long)
 
+/** Output row of the incremental sequence packer. */
+case class PackSlot(doc_id: Long, lang: String, shard: Long,
+    n_tokens: Long, seq_id: Long, seq_offset: Long)
+
 /** Structured Streaming surface: the reference's only "incremental" behavior
   * is per-insert edge maintenance (student_service.py:62-106) and the
   * startup backfill thread (src/main.py:25-35); here both become standard
@@ -186,6 +190,46 @@ object Streams {
       col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
       joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** Incremental sequence packing: the streaming form of
+    * [[graft.ops.Packing.packSequences]] for a continuously-ingesting
+    * corpus. State per (lang, shard) key is ONE long — the running token
+    * count — so state size is the shard count, not the corpus. As long
+    * as micro-batch boundaries respect doc_id order within a shard
+    * (true for an id-ordered ingest feed), the assignments are
+    * bit-identical to re-running the batch packer over the full corpus —
+    * spec-proven — i.e. a restart never re-slots already-packed docs.
+    * Rows inside one micro-batch group are sorted by doc_id before
+    * folding (the group iterator's order is not otherwise guaranteed);
+    * per-group per-batch volume is bounded by the ingest rate over one
+    * trigger, not the corpus. */
+  def incrementalPacking(docs: DataFrame,
+      budget: Int = graft.ops.Packing.SeqTokens,
+      shards: Int = graft.ops.Packing.Shards)
+      : org.apache.spark.sql.Dataset[PackSlot] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id"), col("lang"),
+        pmod(graft.ops.Sampling.bucket256("pack", col("doc_id")), lit(shards))
+          .as("shard"),
+        size(graft.ops.Dedup.words(col("text"))).cast("bigint").as("n_tokens"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey { case (_, lang, shard, _) => (lang, shard) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, lang, shard, n) =>
+            val slot = PackSlot(id, lang, shard, n,
+              cum / budget, cum % budget)
+            cum += n
+            slot
+          }
+          state.update(cum)
+          out.iterator
+      }
   }
 
   /** Onboarding-as-stream: each micro-batch of new students is joined

@@ -34,4 +34,29 @@ class StatefulStreamSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
   }
+
+  test("incremental packing across micro-batches == batch packSequences") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val expected = graft.ops.Packing.packSequences(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+
+    val dir = Files.createTempDirectory("docs-pack").toFile
+    // id-ordered chunks → micro-batch boundaries respect shard order, so
+    // the carried state must reproduce the batch prefix sums exactly
+    docs.filter(col("doc_id") < 250).write.parquet(dir + "/p1")
+    val q = Streams.incrementalPacking(
+      spark.readStream.schema(docs.schema).parquet(dir + "/p1"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ipack").start()
+    q.processAllAvailable()
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(dir + "/p1")
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ipack").collect().map(r => r.getLong(0) ->
+      (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    assert(got.size === expected.size)
+    assert(got === expected, "stream state diverged from batch prefix sums")
+  }
 }
