@@ -559,6 +559,10 @@ object SparkEntry {
     // SCD2 dimension build: effective-dated customer-priority versions,
     // run-length-merged, all windows sharing one o_custkey exchange
     "scd2_priority" -> ((s, d) => Scd.customerPriorityScd2(Tables.orders(s, d))),
+    // IVF-training building block: per-label quantized centroids via the
+    // typed vector-sum Aggregator (fixed-size partial buffers, exact
+    // integer sums — layout-independent, hence oracle-able)
+    "sim_centroids" -> ((s, d) => Centroids.labelCentroids(Tables.embeddings(s, d))),
     // relative quality gate: per-source p25 stopword-ratio threshold
     // (broadcast dim of |sources| rows), not a global constant
     "text_quality_gate" -> ((s, d) =>
@@ -1627,6 +1631,15 @@ object SparkEntry {
        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY valid_from) AS BIGINT) AS version FROM F) " +
        "SELECT o_custkey, version, valid_from, valid_to, priority, (valid_to IS NULL) AS is_current " +
        "FROM V ORDER BY o_custkey, version"),
+    // centroids: replay the quantization (float->double widen, one double
+    // multiply, half-away round — bit-identical per element), exact
+    // integer sums, then one double division rounded to 6dp
+    "sim_centroids" ->
+      ("WITH D AS (SELECT label, unnest(range(len(embedding))) AS dim, embedding FROM embeddings), " +
+       "Q AS (SELECT label, dim, CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM D) " +
+       "SELECT label, CAST(dim AS INT) AS dim, " +
+       "round(CAST(sum(q) AS DOUBLE) / (1000.0 * count(*)), 6) AS centroid, " +
+       "count(*) AS n FROM Q GROUP BY label, dim ORDER BY label, dim"),
     // per-source percentile gate: ratios rounded before quantile_cont so
     // both engines interpolate identical inputs (same pairing as a9)
     "text_quality_gate" ->

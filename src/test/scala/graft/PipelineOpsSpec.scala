@@ -249,6 +249,24 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("labelCentroids: aggregator buffers == the exploded groupBy shape") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val viaAgg = graft.ops.Centroids.labelCentroids(emb)
+    // the 64×-row reference shape the aggregator exists to avoid
+    val viaExplode = emb
+      .select(col("label"), posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long"))).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(sum(col("q")).cast("double") / (lit(1000.0) * count(lit(1))), 6)
+        .as("centroid"), count(lit(1)).as("n"))
+    assert(viaAgg.exceptAll(viaExplode).isEmpty &&
+      viaExplode.exceptAll(viaAgg).isEmpty)
+    // sanity: every label present, all dims covered
+    assert(viaAgg.select("label").distinct().count() ===
+      emb.select("label").distinct().count())
+    assert(viaAgg.groupBy("label").count().filter(col("count") =!= 64).count() === 0)
+  }
+
   test("canonicalKeepers picks by source priority, then min id; singletons drop") {
     import spark.implicits._
     // weights: src1 -> 64*(1+1%4)=128, src3 -> 256, src5 -> 128
