@@ -563,6 +563,10 @@ object SparkEntry {
     // typed vector-sum Aggregator (fixed-size partial buffers, exact
     // integer sums — layout-independent, hence oracle-able)
     "sim_centroids" -> ((s, d) => Centroids.labelCentroids(Tables.embeddings(s, d))),
+    // one k-means assignment step vs those centroids: broadcast k·dims
+    // literals, integer-space distances (exact, order-free), argmin with
+    // label tie-break
+    "sim_kmeans_assign" -> ((s, d) => Centroids.kmeansAssign(Tables.embeddings(s, d))),
     // relative quality gate: per-source p25 stopword-ratio threshold
     // (broadcast dim of |sources| rows), not a global constant
     "text_quality_gate" -> ((s, d) =>
@@ -1640,6 +1644,21 @@ object SparkEntry {
        "SELECT label, CAST(dim AS INT) AS dim, " +
        "round(CAST(sum(q) AS DOUBLE) / (1000.0 * count(*)), 6) AS centroid, " +
        "count(*) AS n FROM Q GROUP BY label, dim ORDER BY label, dim"),
+    // assignment step: same centroid derivation, then exact bigint
+    // distances (x_q·10^3 − c·10^6)² summed per (vec, centroid), argmin
+    // via row_number with the label tie-break
+    "sim_kmeans_assign" ->
+      ("WITH Q0 AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, embedding FROM embeddings), " +
+       "Q AS (SELECT vec_id, label, dim, CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM Q0), " +
+       "C AS (SELECT label AS c_label, dim, " +
+       "CAST(round(round(CAST(sum(q) AS DOUBLE) / (1000.0 * count(*)), 6) * 1000000.0) AS BIGINT) AS c6 " +
+       "FROM Q GROUP BY label, dim), " +
+       "DIST AS (SELECT x.vec_id, x.label, c.c_label, " +
+       "sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
+       "FROM Q x JOIN C c ON x.dim = c.dim GROUP BY x.vec_id, x.label, c.c_label), " +
+       "R AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DIST) " +
+       "SELECT vec_id, label, c_label AS assigned, (c_label <> label) AS moved " +
+       "FROM R WHERE rk = 1 ORDER BY vec_id"),
     // per-source percentile gate: ratios rounded before quantile_cont so
     // both engines interpolate identical inputs (same pairing as a9)
     "text_quality_gate" ->

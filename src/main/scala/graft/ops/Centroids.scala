@@ -50,4 +50,42 @@ object Centroids {
         col("n"))
       .orderBy(col("label"), col("dim"))
   }
+
+  /** One k-means/IVF ASSIGNMENT step against [[labelCentroids]]: each
+    * vector moves to its nearest centroid. Output (vec_id, label,
+    * assigned, moved).
+    *
+    * Exactness trick: distances are compared in INTEGER space — the
+    * vector at scale 10^3·10^3 (quantized element × 10^3) and the 6dp
+    * centroid at scale 10^6, so Σ(x·10^6-ish − c·10^6)² is an exact
+    * bigint (≤ ~10^15·dims, no overflow), order-free, and argmin with a
+    * label tie-break is fully deterministic in any engine. Float-space
+    * distance sums would make the assignment depend on addition order —
+    * un-oracle-able.
+    *
+    * Shape at 100 TB: centroids are k·dims values — a broadcast literal;
+    * assignment is one scan with a fold per (vector, centroid), k·dims
+    * multiplies per row, no shuffle until the (optional) recompute. */
+  def kmeansAssign(embeddings: DataFrame): DataFrame = {
+    val cent = labelCentroids(embeddings)
+      .withColumn("c6", round(col("centroid") * lit(1000000.0)).cast("long"))
+      .groupBy(col("label").as("c_label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c6")))).as("cd"))
+      .select(col("c_label"), transform(col("cd"), s => s("c6")).as("cvec"))
+    val quantized = embeddings.select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => (round(x.cast("double") * Scale).cast("long") * lit(1000L))).as("xq"))
+    val dist = aggregate(
+      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, d) => acc + d)
+    quantized.join(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("c_label"), dist.as("d2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .select(col("vec_id"), col("label"),
+        col("best.c_label").as("assigned"),
+        (col("best.c_label") =!= col("label")).as("moved"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -267,6 +267,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaAgg.groupBy("label").count().filter(col("count") =!= 64).count() === 0)
   }
 
+  test("kmeansAssign: every vector lands on its exact-arithmetic argmin centroid") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = graft.ops.Centroids.kmeansAssign(emb)
+    assert(out.count() === emb.count())
+    // replay one vector's distances by hand against the centroid table
+    val cent = graft.ops.Centroids.labelCentroids(emb)
+      .collect().groupBy(_.getInt(0)).map { case (l, rs) =>
+        l -> rs.sortBy(_.getInt(1)).map(r =>
+          math.round(r.getDouble(2) * 1000000.0))
+      }
+    val probe = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).collect().head
+    val xq = probe.getSeq[Float](1).map(x =>
+      math.round(x.toDouble * 1000) * 1000L)
+    val best = cent.map { case (l, c) =>
+      (xq.zip(c).map { case (x, ci) => val d = x - ci; d * d }.sum, l)
+    }.min
+    val got = out.filter(col("vec_id") === probe.getLong(0))
+      .select("assigned").head().getInt(0)
+    assert(got === best._2)
+    // labels are only weakly cluster-correlated in the synthetic data, so
+    // churn is high — but the own-centroid pull must beat the 1/k chance
+    // rate (10%) by a wide margin, and SOME vectors must move
+    val stayedFrac = 1.0 - out.filter(col("moved")).count().toDouble / emb.count()
+    assert(stayedFrac > 0.2 && stayedFrac < 1.0, s"implausible stay rate $stayedFrac")
+  }
+
   test("canonicalKeepers picks by source priority, then min id; singletons drop") {
     import spark.implicits._
     // weights: src1 -> 64*(1+1%4)=128, src3 -> 256, src5 -> 128
