@@ -559,6 +559,8 @@ object SparkEntry {
     // SCD2 dimension build: effective-dated customer-priority versions,
     // run-length-merged, all windows sharing one o_custkey exchange
     "scd2_priority" -> ((s, d) => Scd.customerPriorityScd2(Tables.orders(s, d))),
+    // ANALYZE-style profiling: all columns in one scan, long-form stats
+    "profile_orders" -> ((s, d) => Profile.ordersProfile(Tables.orders(s, d))),
     // IVF-training building block: per-label quantized centroids via the
     // typed vector-sum Aggregator (fixed-size partial buffers, exact
     // integer sums — layout-independent, hence oracle-able)
@@ -1635,6 +1637,23 @@ object SparkEntry {
        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY valid_from) AS BIGINT) AS version FROM F) " +
        "SELECT o_custkey, version, valid_from, valid_to, priority, (valid_to IS NULL) AS is_current " +
        "FROM V ORDER BY o_custkey, version"),
+    // profiling: one SELECT per column UNION ALLed (DuckDB has no stack);
+    // means sum in decimal then divide as double — exact and order-free
+    "profile_orders" -> {
+      def one(c: String, num: Boolean) =
+        s"SELECT '$c' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+        s"CAST(min($c) AS VARCHAR) AS \"min\", CAST(max($c) AS VARCHAR) AS \"max\", " +
+        (if (num)
+          s"CAST(round(CAST(sum(CAST($c AS DECIMAL(27,4))) AS DOUBLE) / count($c), 4) AS VARCHAR)"
+         else "CAST(NULL AS VARCHAR)") +
+        " AS mean FROM orders"
+      Seq("o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+        "o_totalprice" -> true, "o_orderpriority" -> false)
+        .map { case (c, n) => one(c, n) }
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"column\"")
+    },
     // centroids: replay the quantization (float->double widen, one double
     // multiply, half-away round — bit-identical per element), exact
     // integer sums, then one double division rounded to 6dp

@@ -249,6 +249,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("profile: one row per column, stats replay against direct queries") {
+    val orders = Tables.orders(spark, sfDir)
+    val p = graft.ops.Profile.ordersProfile(orders)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.size === 5)
+    val n = orders.count()
+    p.values.foreach(r => assert(r.getLong(1) === n))
+    assert(p("o_custkey").getLong(3) ===
+      orders.select("o_custkey").distinct().count())
+    assert(p("o_orderstatus").isNullAt(6), "string column has no mean")
+    assert(p("o_totalprice").getString(4).toDouble ===
+      orders.agg(min("o_totalprice")).head().getDouble(0))
+  }
+
   test("labelCentroids: aggregator buffers == the exploded groupBy shape") {
     val emb = Tables.embeddings(spark, sfDir)
     val viaAgg = graft.ops.Centroids.labelCentroids(emb)
