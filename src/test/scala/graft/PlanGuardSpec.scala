@@ -21,7 +21,11 @@ class PlanGuardSpec extends SparkSpec {
       // TopKPerKey quota path must stay equi-join / bounded-heap shaped
       "decontam_overlap", "sample_stratified",
       // delta-vs-index band join + sliver verify: both phases equi-joins
-      "dedup_incremental")
+      "dedup_incremental",
+      // round-5 continuation: fingerprint/weights/threshold joins must
+      // stay hash-equi (the broadcast crosses in bm25/kmeans/j3 are
+      // intentional 1-row or k-row literals and stay unguarded)
+      "dedup_canonical", "text_quality_gate", "snapshot_apply")
 
   /** All-pairs join nodes anywhere in the executed plan, descending into
     * materialized AQE query stages (LeafExecNodes in Spark 4.1), cached
