@@ -559,6 +559,9 @@ object SparkEntry {
     // SCD2 dimension build: effective-dated customer-priority versions,
     // run-length-merged, all windows sharing one o_custkey exchange
     "scd2_priority" -> ((s, d) => Scd.customerPriorityScd2(Tables.orders(s, d))),
+    // SCD2 consumption: point-in-time lookup (custkey equi-join, interval
+    // residual) — the no-future-leakage attribute resolution
+    "scd2_asof_lookup" -> ((s, d) => Scd.asOfLookup(Tables.orders(s, d))),
     // ANALYZE-style profiling: all columns in one scan, long-form stats
     "profile_orders" -> ((s, d) => Profile.ordersProfile(Tables.orders(s, d))),
     // IVF-training building block: per-label quantized centroids via the
@@ -1637,6 +1640,23 @@ object SparkEntry {
        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY valid_from) AS BIGINT) AS version FROM F) " +
        "SELECT o_custkey, version, valid_from, valid_to, priority, (valid_to IS NULL) AS is_current " +
        "FROM V ORDER BY o_custkey, version"),
+    // point-in-time lookup: same V chain, probes = last order minus one
+    // day, interval containment with the null-open tail
+    "scd2_asof_lookup" ->
+      ("WITH DAILY AS (SELECT o_custkey, o_orderdate AS valid_from, o_orderpriority AS priority " +
+       "FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn " +
+       "FROM orders) WHERE rn = 1), " +
+       "R AS (SELECT *, lag(priority) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS prev FROM DAILY), " +
+       "F AS (SELECT o_custkey, valid_from, priority FROM R WHERE prev IS NULL OR prev <> priority), " +
+       "V AS (SELECT o_custkey, valid_from, priority, " +
+       "lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to, " +
+       "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY valid_from) AS BIGINT) AS version FROM F), " +
+       "P AS (SELECT o_custkey AS p_custkey, max(o_orderdate) - INTERVAL 1 DAY AS probe_ts " +
+       "FROM orders GROUP BY o_custkey) " +
+       "SELECT p.p_custkey AS o_custkey, p.probe_ts, v.version, v.priority, " +
+       "(v.valid_to IS NULL) AS is_current FROM P p JOIN V v ON p.p_custkey = v.o_custkey " +
+       "AND v.valid_from <= p.probe_ts AND (v.valid_to IS NULL OR v.valid_to > p.probe_ts) " +
+       "ORDER BY o_custkey"),
     // profiling: one SELECT per column UNION ALLed (DuckDB has no stack);
     // means sum in decimal then divide as double — exact and order-free
     "profile_orders" -> {

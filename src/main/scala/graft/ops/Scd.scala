@@ -50,4 +50,31 @@ object Scd {
         col("valid_to").isNull.as("is_current"))
       .orderBy(col("o_custkey"), col("version"))
   }
+
+  /** Point-in-time lookup against the SCD2 table — the consumption side:
+    * each probe (customer, ts) resolves to the version in effect at ts,
+    * i.e. valid_from <= ts < valid_to (null-open tail). This is what
+    * training-data cutoffs need: attribute values AS OF example-creation
+    * time, never leaked from the future.
+    *
+    * Shape at 100 TB: equi-join on the high-cardinality custkey with the
+    * interval predicate as a residual — a plain SMJ/SHJ; per-key version
+    * counts are small (run-length-merged), so the residual scan per probe
+    * is bounded. Probes here: each customer's LAST order shifted one day
+    * back, so some probes resolve to a non-current version (exercising
+    * the interval logic, not just the open tail). */
+  def asOfLookup(orders: DataFrame): DataFrame = {
+    val dim = customerPriorityScd2(orders)
+    val probes = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"))
+      .select(col("o_custkey").as("p_custkey"),
+        (col("last_order") - expr("INTERVAL 1 DAY")).as("probe_ts"))
+    probes.join(dim,
+        col("p_custkey") === col("o_custkey") &&
+        col("valid_from") <= col("probe_ts") &&
+        (col("valid_to").isNull || col("valid_to") > col("probe_ts")))
+      .select(col("p_custkey").as("o_custkey"), col("probe_ts"),
+        col("version"), col("priority"), col("is_current"))
+      .orderBy(col("o_custkey"))
+  }
 }

@@ -109,6 +109,29 @@ class PackingSearchScdSpec extends SparkSpec {
     }
   }
 
+  test("asOfLookup resolves each probe to the unique containing version") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val out = Scd.asOfLookup(orders)
+    // at most one version can contain a probe instant
+    assert(out.groupBy("o_custkey").count().filter(col("count") > 1).count() === 0)
+    // probes a day before the last order: customers whose last day opened a
+    // NEW version resolve to the PREVIOUS one — some non-current hits exist
+    assert(out.filter(!col("is_current")).count() > 0)
+    assert(out.filter(col("is_current")).count() > 0)
+    // spot-replay one non-current hit against the full version table
+    val hit = out.filter(!col("is_current")).orderBy("o_custkey").head()
+    val versions = Scd.customerPriorityScd2(orders)
+      .filter(col("o_custkey") === hit.getLong(0)).collect()
+    val probeTs = hit.get(1)
+    val containing = versions.filter { v =>
+      val from = v.get(2); val to = v.get(3)
+      from.asInstanceOf[Comparable[Any]].compareTo(probeTs) <= 0 &&
+        (to == null || to.asInstanceOf[Comparable[Any]].compareTo(probeTs) > 0)
+    }
+    assert(containing.length === 1 &&
+      containing.head.getLong(1) === hit.getLong(2))
+  }
+
   test("scd2/window chain: one exchange feeds all three window passes") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val plan = Scd.customerPriorityScd2(orders).queryExecution.executedPlan.toString
