@@ -564,6 +564,25 @@ object SparkEntry {
     "scd2_asof_lookup" -> ((s, d) => Scd.asOfLookup(Tables.orders(s, d))),
     // ANALYZE-style profiling: all columns in one scan, long-form stats
     "profile_orders" -> ((s, d) => Profile.ordersProfile(Tables.orders(s, d))),
+    // equi-width histogram: global [min,max] edges as a 1-row broadcast,
+    // bucket index per-row in the scan, one small groupBy — the
+    // distribution profile behind skew diagnosis and range layout
+    "a11_histogram" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val edges = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      o.select(col("o_totalprice")).crossJoin(broadcast(edges))
+        .select(least(floor((col("o_totalprice") - col("lo")) /
+            ((col("hi") - col("lo")) / 10)), lit(9)).cast("int").as("bucket"),
+          col("lo"), col("hi"))
+        .groupBy(col("bucket"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("bucket"),
+          round(col("lo") + col("bucket") * (col("hi") - col("lo")) / 10, 4).as("lo_edge"),
+          round(col("lo") + (col("bucket") + 1) * (col("hi") - col("lo")) / 10, 4).as("hi_edge"),
+          col("n"))
+        .orderBy(col("bucket"))
+    }),
     // IVF-training building block: per-label quantized centroids via the
     // typed vector-sum Aggregator (fixed-size partial buffers, exact
     // integer sums — layout-independent, hence oracle-able)
@@ -572,6 +591,9 @@ object SparkEntry {
     // literals, integer-space distances (exact, order-free), argmin with
     // label tie-break
     "sim_kmeans_assign" -> ((s, d) => Centroids.kmeansAssign(Tables.embeddings(s, d))),
+    // PQ encode: 8 codes per vector from subspace-restricted codebooks —
+    // the 32x compression step of the ANN ladder, exact integer argmins
+    "sim_pq_codes" -> ((s, d) => Centroids.pqCodes(Tables.embeddings(s, d))),
     // relative quality gate: per-source p25 stopword-ratio threshold
     // (broadcast dim of |sources| rows), not a global constant
     "text_quality_gate" -> ((s, d) =>
@@ -1657,6 +1679,15 @@ object SparkEntry {
        "(v.valid_to IS NULL) AS is_current FROM P p JOIN V v ON p.p_custkey = v.o_custkey " +
        "AND v.valid_from <= p.probe_ts AND (v.valid_to IS NULL OR v.valid_to > p.probe_ts) " +
        "ORDER BY o_custkey"),
+    // histogram: identical IEEE expression chain for the bucket index —
+    // (x-lo)/((hi-lo)/10) floor, clamped — so edges/counts hash-match
+    "a11_histogram" ->
+      ("WITH E AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders), " +
+       "B AS (SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bucket, lo, hi " +
+       "FROM orders CROSS JOIN E) " +
+       "SELECT bucket, round(lo + bucket * (hi - lo) / 10, 4) AS lo_edge, " +
+       "round(lo + (bucket + 1) * (hi - lo) / 10, 4) AS hi_edge, " +
+       "CAST(count(*) AS BIGINT) AS n FROM B GROUP BY bucket, lo, hi ORDER BY bucket"),
     // profiling: one SELECT per column UNION ALLed (DuckDB has no stack);
     // means sum in decimal then divide as double — exact and order-free
     "profile_orders" -> {
@@ -1698,6 +1729,19 @@ object SparkEntry {
        "R AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DIST) " +
        "SELECT vec_id, label, c_label AS assigned, (c_label <> label) AS moved " +
        "FROM R WHERE rk = 1 ORDER BY vec_id"),
+    // PQ encode: kmeans CTEs restricted per subspace (dim // 8), argmin
+    // per (vec, subspace) over the same exact bigint distances
+    "sim_pq_codes" ->
+      ("WITH Q0 AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, embedding FROM embeddings), " +
+       "Q AS (SELECT vec_id, label, dim, CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM Q0), " +
+       "C AS (SELECT label AS c_label, dim, " +
+       "CAST(round(round(CAST(sum(q) AS DOUBLE) / (1000.0 * count(*)), 6) * 1000000.0) AS BIGINT) AS c6 " +
+       "FROM Q GROUP BY label, dim), " +
+       "DIST AS (SELECT x.vec_id, CAST(x.dim // 8 AS INT) AS sub, c.c_label, " +
+       "sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
+       "FROM Q x JOIN C c ON x.dim = c.dim GROUP BY x.vec_id, x.dim // 8, c.c_label), " +
+       "R AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c_label) AS rk FROM DIST) " +
+       "SELECT vec_id, sub, c_label AS code FROM R WHERE rk = 1 ORDER BY vec_id, sub"),
     // per-source percentile gate: ratios rounded before quantile_cont so
     // both engines interpolate identical inputs (same pairing as a9)
     "text_quality_gate" ->

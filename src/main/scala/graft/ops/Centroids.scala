@@ -88,4 +88,46 @@ object Centroids {
         (col("best.c_label") =!= col("label")).as("moved"))
       .orderBy(col("vec_id"))
   }
+
+  /** Subvectors per embedding (64 dims → 8 × 8-dim subspaces). */
+  val SubSpaces = 8
+
+  /** Product-quantization ENCODE: each vector compresses to one code per
+    * subspace — the code of the nearest subspace-codebook centroid. The
+    * codebook is the label centroids restricted to each subspace (a
+    * deterministic, data-derived codebook: what one k-means round from
+    * the label seeding would give, matching [[kmeansAssign]]'s framing).
+    * 64 floats become 8 small ints — the 32× compression that lets a
+    * 100 TB embedding corpus fit scan-speed ANN re-ranking.
+    *
+    * Same exactness contract as [[kmeansAssign]]: distances compare in
+    * integer space per subspace, so codes are layout-independent and
+    * oracle-able. Codebook = SubSpaces · k · dims/SubSpaces values — a
+    * broadcast literal; the only shuffle is the argmin groupBy over
+    * vec×subspace rows (bounded 8× fan-out, not dims×). */
+  def pqCodes(embeddings: DataFrame): DataFrame = {
+    val subDims = 64 / SubSpaces
+    val cent = labelCentroids(embeddings)
+      .withColumn("c6", round(col("centroid") * lit(1000000.0)).cast("long"))
+      .withColumn("sub", (col("dim") / subDims).cast("int"))
+      .groupBy(col("sub"), col("label").as("c_label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c6")))).as("cd"))
+      .select(col("sub"), col("c_label"), transform(col("cd"), s => s("c6")).as("cvec"))
+    val subs = embeddings.select(
+      col("vec_id"),
+      transform(col("embedding"),
+        x => (round(x.cast("double") * Scale).cast("long") * lit(1000L))).as("xq"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(SubSpaces - 1)),
+          s => slice(col("xq"), s * subDims + 1, lit(subDims)))).as(Seq("sub", "xs")))
+    val dist = aggregate(
+      zip_with(col("xs"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, d) => acc + d)
+    subs.join(broadcast(cent), "sub")
+      .select(col("vec_id"), col("sub"), col("c_label"), dist.as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.c_label").as("code"))
+      .orderBy(col("vec_id"), col("sub"))
+  }
 }

@@ -308,6 +308,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stayedFrac > 0.2 && stayedFrac < 1.0, s"implausible stay rate $stayedFrac")
   }
 
+  test("pqCodes: 8 codes per vector; sub-0 code replays by hand") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = graft.ops.Centroids.pqCodes(emb)
+    assert(out.count() === emb.count() * 8)
+    assert(out.groupBy("vec_id").count().filter(col("count") =!= 8).count() === 0)
+    val cent = graft.ops.Centroids.labelCentroids(emb)
+      .filter(col("dim") < 8).collect()
+      .groupBy(_.getInt(0)).map { case (l, rs) =>
+        l -> rs.sortBy(_.getInt(1)).map(r => math.round(r.getDouble(2) * 1000000.0))
+      }
+    val probe = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).collect().head
+    val xs = probe.getSeq[Float](1).take(8).map(x =>
+      math.round(x.toDouble * 1000) * 1000L)
+    val best = cent.map { case (l, c) =>
+      (xs.zip(c).map { case (x, ci) => val d = x - ci; d * d }.sum, l)
+    }.min._2
+    val got = out.filter(col("vec_id") === probe.getLong(0) && col("sub") === 0)
+      .head().getInt(2)
+    assert(got === best)
+  }
+
   test("canonicalKeepers picks by source priority, then min id; singletons drop") {
     import spark.implicits._
     // weights: src1 -> 64*(1+1%4)=128, src3 -> 256, src5 -> 128
