@@ -556,6 +556,9 @@ object SparkEntry {
     // lexical retrieval: BM25 top-k for a fixed term set — per-doc tfs in
     // the scan, corpus stats as one broadcast row, TakeOrderedAndProject
     "bm25_search" -> ((s, d) => Search.bm25TopK(Tables.documents(s, d))),
+    // keyword extraction: full-vocab tf-idf, min-df pruned before the
+    // join back, per-doc top-3 through the bounded TopKPerKey heaps
+    "text_keywords" -> ((s, d) => Search.keywords(Tables.documents(s, d))),
     // SCD2 dimension build: effective-dated customer-priority versions,
     // run-length-merged, all windows sharing one o_custkey exchange
     "scd2_priority" -> ((s, d) => Scd.customerPriorityScd2(Tables.orders(s, d))),
@@ -1652,6 +1655,20 @@ object SparkEntry {
       s"SELECT doc_id, CAST(dl AS BIGINT) AS dl, $outTfs, score FROM X " +
       s"WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $TopK"
     },
+    // keywords: full-vocab tf-idf with min-df pruning; rank on the
+    // rounded score with term tie-break (same ulp discipline as bm25)
+    "text_keywords" ->
+      (s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+       "T AS (SELECT doc_id, unnest(list_distinct(w)) AS term, w FROM W), " +
+       "TF AS (SELECT doc_id, term, CAST(len(list_filter(w, x -> x = term)) AS DOUBLE) AS tf FROM T), " +
+       "N AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents), " +
+       "DF AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM TF GROUP BY term HAVING count(*) >= 2), " +
+       "S AS (SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n_docs / d.df), 4) AS tfidf " +
+       "FROM TF tf JOIN DF d USING (term) CROSS JOIN N n), " +
+       "R AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank " +
+       "FROM S WHERE tfidf > 0) " +
+       "SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf FROM R WHERE rank <= 3 " +
+       "ORDER BY doc_id, rank"),
     // SCD2: dedup-within-day by max orderkey, run-starts via lag, close
     // versions via lead — same three-window chain as the Spark side
     "scd2_priority" ->

@@ -69,4 +69,41 @@ object Search {
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
   }
+
+  /** Per-document keyword extraction: top-`k` terms by tf-idf over the
+    * FULL vocabulary — the explode-based complement to [[bm25TopK]]'s
+    * fixed-term scan (when the term set isn't known up front, the token
+    * table has to exist).
+    *
+    * Shape at 100 TB: one explode to (doc, term, tf) — the unavoidable
+    * corpus-sized shuffle, grouped on the high-cardinality (doc, term);
+    * document frequencies aggregate that same table down to vocabulary
+    * size with min-df pruning BEFORE the join back (rare-term tail
+    * dropped early, the largest skew source gone); per-doc top-k runs
+    * through [[graft.plans.TopK.perKeyMin]]'s bounded heaps, not a
+    * full-sort window. Ranking uses the ROUNDED score with a term
+    * tie-break — deterministic across engines. */
+  def keywords(docs: DataFrame, k: Int = 3, minDf: Int = 2): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.words(col("text")))).as("term"),
+        Dedup.words(col("text")).as("w"))
+      .select(col("doc_id"), col("term"),
+        size(filter(col("w"), x => x === col("term"))).cast("double").as("tf"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      .filter(col("df") >= minDf)
+    val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs") / col("df")), 4).as("tfidf"))
+      .filter(col("tfidf") > 0)
+    // bounded per-key heaps (highest tfidf, term tie-break) — top-k
+    // without a full per-doc sort; the rank window runs over ≤ k·docs
+    // rows AFTER selection
+    graft.plans.TopK.perKey(scored, Seq("doc_id"), "tfidf", "term", k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(desc("tfidf"), col("term"))).cast("int"))
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }
