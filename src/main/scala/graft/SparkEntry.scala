@@ -653,7 +653,9 @@ object SparkEntry {
     // late round-5 additions with real shuffle/scan work: prefix-sum
     // packing, scan-time BM25, the three-window SCD2 chain, and the
     // full-outer snapshot diff
-    "pack_sequences", "bm25_search", "scd2_priority", "snapshot_diff")
+    "pack_sequences", "bm25_search", "scd2_priority", "snapshot_diff",
+    // full-vocab keyword extraction: the explode-heavy text shape
+    "text_keywords")
 
   // ---------------------------------------------------------------- oracle
 
@@ -1659,8 +1661,8 @@ object SparkEntry {
     // rounded score with term tie-break (same ulp discipline as bm25)
     "text_keywords" ->
       (s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
-       "T AS (SELECT doc_id, unnest(list_distinct(w)) AS term, w FROM W), " +
-       "TF AS (SELECT doc_id, term, CAST(len(list_filter(w, x -> x = term)) AS DOUBLE) AS tf FROM T), " +
+       "T AS (SELECT doc_id, unnest(w) AS term FROM W), " +
+       "TF AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM T GROUP BY doc_id, term), " +
        "N AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents), " +
        "DF AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM TF GROUP BY term HAVING count(*) >= 2), " +
        "S AS (SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n_docs / d.df), 4) AS tfidf " +

@@ -84,11 +84,14 @@ object Search {
     * full-sort window. Ranking uses the ROUNDED score with a term
     * tie-break — deterministic across engines. */
   def keywords(docs: DataFrame, k: Int = 3, minDf: Int = 2): DataFrame = {
+    // linear tf: one token explode + count, O(tokens) work and shuffle —
+    // NOT the per-distinct-term list_filter form, whose per-doc cost is
+    // quadratic (distinct terms × tokens) and which drags the full word
+    // array through the explode
     val tf = docs.select(col("doc_id"),
-        explode(array_distinct(Dedup.words(col("text")))).as("term"),
-        Dedup.words(col("text")).as("w"))
-      .select(col("doc_id"), col("term"),
-        size(filter(col("w"), x => x === col("term"))).cast("double").as("tf"))
+        explode(Dedup.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
       .filter(col("df") >= minDf)
