@@ -559,6 +559,9 @@ object SparkEntry {
     // keyword extraction: full-vocab tf-idf, min-df pruned before the
     // join back, per-doc top-3 through the bounded TopKPerKey heaps
     "text_keywords" -> ((s, d) => Search.keywords(Tables.documents(s, d))),
+    // corpus-trained bigram LM fluency score (quantized logprobs ->
+    // exact integer sums, the order-free mean discipline)
+    "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
     // SCD2 dimension build: effective-dated customer-priority versions,
     // run-length-merged, all windows sharing one o_custkey exchange
     "scd2_priority" -> ((s, d) => Scd.customerPriorityScd2(Tables.orders(s, d))),
@@ -1671,6 +1674,19 @@ object SparkEntry {
        "FROM S WHERE tfidf > 0) " +
        "SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf FROM R WHERE rank <= 3 " +
        "ORDER BY doc_id, rank"),
+    // bigram LM: successor pairs via ranged indexing, MLE ratios of exact
+    // counts, per-bigram logprob quantized to bigint before the doc sum
+    "text_lm_score" ->
+      (s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+       "AB AS (SELECT doc_id, w[i + 1] AS a, w[i + 2] AS b FROM " +
+       "(SELECT doc_id, w, unnest(range(len(w) - 1)) AS i FROM W WHERE len(w) >= 2)), " +
+       "CAB AS (SELECT a, b, count(*) AS c_ab FROM AB GROUP BY a, b), " +
+       "CA AS (SELECT a, count(*) AS c_a FROM AB GROUP BY a), " +
+       "LP AS (SELECT cab.a, cab.b, CAST(round(ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp6 " +
+       "FROM CAB cab JOIN CA USING (a)) " +
+       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+       "round(CAST(sum(lp6) AS DOUBLE) / (1000000.0 * count(*)), 4) AS mean_logprob " +
+       "FROM AB JOIN LP USING (a, b) GROUP BY doc_id ORDER BY doc_id"),
     // SCD2: dedup-within-day by max orderkey, run-starts via lag, close
     // versions via lead — same three-window chain as the Spark side
     "scd2_priority" ->

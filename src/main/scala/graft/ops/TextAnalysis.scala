@@ -93,6 +93,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model scoring: train a tiny LM on the corpus itself
+    * (bigram MLE: P(b|a) = C(a,b)/C(a·)) and score each document by its
+    * mean bigram log-probability — the KenLM-style fluency signal
+    * pipelines use to separate prose from token soup. Self-scoring on
+    * the training corpus means every bigram is seen (no smoothing
+    * needed); an out-of-corpus variant would add backoff.
+    *
+    * Determinism: each bigram's log-prob quantizes to a scaled long
+    * (round(ln·10⁶)) BEFORE the per-doc aggregation, so the sum is exact
+    * integer arithmetic — the mean can't depend on float addition order
+    * (the repo-wide discipline; see [[graft.ops.Centroids]]).
+    *
+    * Shape at 100 TB: one bigram explode (linear in tokens), two
+    * count-aggregations (bigram table and unigram-context table — both
+    * vocabulary-sized after aggregation), a join back on the bigram key,
+    * then a per-doc sum. All high-cardinality equi-shuffles. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    // build (doc, a, b) pairs in ONE explode: zip each word (minus the
+    // last) with its successor inside the array, then explode the structs
+    val withWords = docs.select(col("doc_id"), w.as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(slice(words, 1, size(words) - 1), (x, i) -> struct(x AS a, element_at(words, i + 2) AS b))"))
+        .as(Seq("i", "ab")))
+      .select(col("doc_id"), col("ab.a").as("a"), col("ab.b").as("b"))
+    val bigramCounts = withWords.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val contextCounts = withWords.groupBy(col("a"))
+      .agg(count(lit(1)).as("c_a"))
+    val lp = bigramCounts.join(contextCounts, "a")
+      .select(col("a"), col("b"),
+        round(log(col("c_ab").cast("double") / col("c_a").cast("double")) *
+          lit(1000000.0)).cast("long").as("lp6"))
+    withWords.join(lp, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp6")).cast("double") / (lit(1000000.0) * count(lit(1))), 4)
+          .as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase text —
     * the join key for cross-corpus exact dedup. */
   def fingerprint(docs: DataFrame): DataFrame =
