@@ -562,6 +562,11 @@ object SparkEntry {
     // corpus-trained bigram LM fluency score (quantized logprobs ->
     // exact integer sums, the order-free mean discipline)
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(Tables.documents(s, d))),
+    // ordered funnel: per-user strictly-increasing view->click->purchase
+    // stage times via shrinking min-agg joins, no sequence explode
+    "w8_funnel" -> ((s, d) => Windows.funnel(Tables.events(s, d))),
+    // retention triangle: first-day cohorts x activity-day offsets
+    "w9_retention" -> ((s, d) => Windows.retentionCohorts(Tables.events(s, d))),
     // SCD2 dimension build: effective-dated customer-priority versions,
     // run-length-merged, all windows sharing one o_custkey exchange
     "scd2_priority" -> ((s, d) => Scd.customerPriorityScd2(Tables.orders(s, d))),
@@ -1687,6 +1692,29 @@ object SparkEntry {
        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
        "round(CAST(sum(lp6) AS DOUBLE) / (1000000.0 * count(*)), 4) AS mean_logprob " +
        "FROM AB JOIN LP USING (a, b) GROUP BY doc_id ORDER BY doc_id"),
+    // funnel: the same shrinking first-after chain; frac = n/total
+    "w8_funnel" ->
+      ("WITH V AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+       "C AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN V USING (user_id) " +
+       "WHERE e.event_type = 'click' AND e.ts > V.t_view AND e.ts <= V.t_view + INTERVAL 1 DAY GROUP BY e.user_id), " +
+       "P AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN C USING (user_id) " +
+       "WHERE e.event_type = 'purchase' AND e.ts > C.t_click AND e.ts <= C.t_click + INTERVAL 1 DAY GROUP BY e.user_id), " +
+       "U AS (SELECT DISTINCT user_id FROM events), " +
+       "S AS (SELECT u.user_id, CASE WHEN p.user_id IS NOT NULL THEN '3_purchase' " +
+       "WHEN c.user_id IS NOT NULL THEN '2_click' WHEN v.user_id IS NOT NULL THEN '1_view' " +
+       "ELSE '0_none' END AS stage FROM U u LEFT JOIN V v ON u.user_id = v.user_id " +
+       "LEFT JOIN C c ON u.user_id = c.user_id LEFT JOIN P p ON u.user_id = p.user_id) " +
+       "SELECT stage, CAST(count(*) AS BIGINT) AS n_users, " +
+       "round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM U), 4) AS frac " +
+       "FROM S GROUP BY stage ORDER BY stage"),
+    // retention: distinct (user, day) joined to per-user first day
+    "w9_retention" ->
+      ("WITH F AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id), " +
+       "A AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) " +
+       "SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day, " +
+       "CAST(a.day - f.cohort_day AS INT) AS day_offset, CAST(count(*) AS BIGINT) AS n_users " +
+       "FROM A a JOIN F f USING (user_id) GROUP BY f.cohort_day, a.day - f.cohort_day " +
+       "ORDER BY cohort_day, day_offset"),
     // SCD2: dedup-within-day by max orderkey, run-starts via lag, close
     // versions via lead — same three-window chain as the Spark side
     "scd2_priority" ->

@@ -70,4 +70,64 @@ object Windows {
         coalesce(col("n"), lit(0L)).as("n_events"))
       .orderBy(col("user_id"), col("day"))
   }
+
+  /** Ordered, time-bounded funnel view → click → purchase: each user's
+    * furthest stage, where each stage must follow the previous one
+    * within [[FunnelWindow]] (ordering + conversion window is what
+    * distinguishes a funnel from three filters — an unbounded month of
+    * events trivially saturates every stage). Output: one row per stage
+    * with user counts and the conversion fraction from the top.
+    *
+    * Scale shape: three per-user min-aggregations (map-side partial) and
+    * two equi-joins on user_id — each stage's candidate set only shrinks.
+    * No sequence explode, no window over event streams. */
+  val FunnelWindow = "INTERVAL 1 DAY"
+
+  def funnel(events: DataFrame): DataFrame = {
+    def firstAfter(evType: String, prev: DataFrame, prevTs: String, outTs: String) =
+      events.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs) &&
+          col("ts") <= col(prevTs) + expr(FunnelWindow))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = firstAfter("click", v, "t_view", "t_click")
+    val p = firstAfter("purchase", c, "t_click", "t_purchase")
+    val total = events.agg(countDistinct(col("user_id")).as("total"))
+    val staged = events.select(col("user_id")).distinct()
+      .join(v.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
+      .join(c.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("s3").isNotNull, "3_purchase")
+          .when(col("s2").isNotNull, "2_click")
+          .when(col("s1").isNotNull, "1_view")
+          .otherwise("0_none").as("stage"))
+    staged.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .withColumn("frac", round(col("n_users").cast("double") / col("total"), 4))
+      .select(col("stage"), col("n_users"), col("frac"))
+      .orderBy(col("stage"))
+  }
+
+  /** Retention cohorts: users bucketed by first-activity day, activity
+    * counted per (cohort day, day offset) — the triangle every growth
+    * dashboard plots. All exact integers; output is |days|²/2 rows.
+    *
+    * Scale shape: first-day per user is one min-aggregation; activity is
+    * the distinct (user, day) set (one shuffle); the cohort join is
+    * per-user equi. Nothing beyond |users·active-days| ever flows. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    active.join(firstDay, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 }

@@ -344,6 +344,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Set((2L, "src3", 2L), (10L, "src1", 2L)))
   }
 
+  test("funnel: stages partition users; each conversion strictly follows in time") {
+    val events = Tables.events(spark, sfDir)
+    val out = Windows.funnel(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum === events.select("user_id").distinct().count())
+    // replay a purchase-stage user's chain directly from the event log
+    val ev = events.select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    def chain(u: Long): String = {
+      val mine = ev.filter(_._1 == u)
+      val tv = mine.filter(_._2 == "view").map(_._3).minOption
+      val dayMs = 24L * 3600 * 1000
+      val tc = tv.flatMap(t => mine.filter(e => e._2 == "click" &&
+        e._3.after(t) && e._3.getTime <= t.getTime + dayMs).map(_._3).minOption)
+      val tp = tc.flatMap(t => mine.filter(e => e._2 == "purchase" &&
+        e._3.after(t) && e._3.getTime <= t.getTime + dayMs).map(_._3).minOption)
+      if (tp.isDefined) "3_purchase" else if (tc.isDefined) "2_click"
+      else if (tv.isDefined) "1_view" else "0_none"
+    }
+    val users = events.select("user_id").distinct().collect().map(_.getLong(0))
+    val replayed = users.map(chain).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(replayed === out)
+  }
+
+  test("retentionCohorts: offsets start at 0 and counts never exceed cohort size") {
+    val events = Tables.events(spark, sfDir)
+    val out = Windows.retentionCohorts(events)
+    assert(out.filter(col("day_offset") < 0).count() === 0)
+    // offset 0 row of each cohort IS the cohort size (first day is active)
+    val sizes = out.filter(col("day_offset") === 0).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    out.collect().foreach { r =>
+      assert(r.getLong(2) <= sizes(r.getString(0)),
+        s"cohort ${r.getString(0)} offset ${r.getInt(1)} exceeds cohort size")
+    }
+  }
+
   test("gapfillDaily yields a dense users × days grid with zero-filled gaps") {
     val events = Tables.events(spark, sfDir)
     val filled = Windows.gapfillDaily(events)
