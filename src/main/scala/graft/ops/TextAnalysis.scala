@@ -111,13 +111,19 @@ object TextAnalysis {
     * then a per-doc sum. All high-cardinality equi-shuffles. */
   def lmScore(docs: DataFrame): DataFrame = {
     // build (doc, a, b) pairs in ONE explode: zip each word (minus the
-    // last) with its successor inside the array, then explode the structs
+    // last) with its successor inside the array, then explode the structs.
+    // PERSISTED: three consumers on three different keys (bigram counts,
+    // context counts, the per-doc score join) — exchange reuse can't merge
+    // them, so without the cache the corpus re-explodes three times (the
+    // same persisted-view rationale as ngramJaccard's shingle view;
+    // DebugPlan measured FileScan=3 before). Linear in corpus tokens.
     val withWords = docs.select(col("doc_id"), w.as("words"))
       .filter(size(col("words")) >= 2)
       .select(col("doc_id"), posexplode(expr(
         "transform(slice(words, 1, size(words) - 1), (x, i) -> struct(x AS a, element_at(words, i + 2) AS b))"))
         .as(Seq("i", "ab")))
       .select(col("doc_id"), col("ab.a").as("a"), col("ab.b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bigramCounts = withWords.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c_ab"))
     val contextCounts = withWords.groupBy(col("a"))
