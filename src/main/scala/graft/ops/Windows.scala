@@ -83,7 +83,9 @@ object Windows {
     * No sequence explode, no window over event streams. */
   val FunnelWindow = "INTERVAL 1 DAY"
 
-  def funnel(events: DataFrame): DataFrame = {
+  /** Per-user furthest funnel stage — the shared core of [[funnel]] and
+    * the streaming parity test in StatefulStreamSpec. */
+  def funnelStages(events: DataFrame): DataFrame = {
     def firstAfter(evType: String, prev: DataFrame, prevTs: String, outTs: String) =
       events.filter(col("event_type") === evType)
         .join(prev, "user_id")
@@ -94,8 +96,7 @@ object Windows {
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
     val c = firstAfter("click", v, "t_view", "t_click")
     val p = firstAfter("purchase", c, "t_click", "t_purchase")
-    val total = events.agg(countDistinct(col("user_id")).as("total"))
-    val staged = events.select(col("user_id")).distinct()
+    events.select(col("user_id")).distinct()
       .join(v.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
       .join(c.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
       .join(p.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
@@ -104,7 +105,11 @@ object Windows {
           .when(col("s2").isNotNull, "2_click")
           .when(col("s1").isNotNull, "1_view")
           .otherwise("0_none").as("stage"))
-    staged.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+  }
+
+  def funnel(events: DataFrame): DataFrame = {
+    val total = events.agg(countDistinct(col("user_id")).as("total"))
+    funnelStages(events).groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
       .crossJoin(broadcast(total))
       .withColumn("frac", round(col("n_users").cast("double") / col("total"), 4))
       .select(col("stage"), col("n_users"), col("frac"))

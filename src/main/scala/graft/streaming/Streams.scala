@@ -16,6 +16,13 @@ case class UserCount(user_id: Long, n: Long)
 case class PackSlot(doc_id: Long, lang: String, shard: Long,
     n_tokens: Long, seq_id: Long, seq_offset: Long)
 
+/** Streaming funnel state: first qualifying stage times per user. */
+case class FunnelState(tView: Option[Long], tClick: Option[Long],
+    tPurchase: Option[Long])
+
+/** Output row of the streaming funnel: a user's current furthest stage. */
+case class UserStage(user_id: Long, stage: String)
+
 /** Structured Streaming surface: the reference's only "incremental" behavior
   * is per-insert edge maintenance (student_service.py:62-106) and the
   * startup backfill thread (src/main.py:25-35); here both become standard
@@ -229,6 +236,56 @@ object Streams {
           }
           state.update(cum)
           out.iterator
+      }
+  }
+
+  /** Streaming funnel: per-user view→click→purchase progression as live
+    * state — the incremental form of [[graft.ops.Windows.funnelStages]].
+    * State per user is three optional epoch-millis (fixed size, corpus-
+    * independent); each micro-batch folds its events in timestamp order
+    * and emits the user's current furthest stage. Batch-boundary
+    * invariant (spec-proven): as long as batches respect event-time
+    * order per user, the final stages equal the batch funnel exactly —
+    * a restart mid-stream never corrupts a conversion.
+    *
+    * The conversion windows mirror the batch form: a stage only counts
+    * within [[graft.ops.Windows.FunnelWindow]] (1 day) of the previous
+    * stage's time. */
+  def funnelStages(events: DataFrame): org.apache.spark.sql.Dataset[UserStage] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // epoch MICROseconds: timestamps carry micros precision, and the batch
+    // form compares raw timestamps — millis here would diverge on
+    // sub-millisecond gaps
+    val windowMs = 24L * 3600 * 1000 * 1000
+    events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toSeq.sortBy(_._3).foreach { case (_, evType, ms) =>
+            st = (evType, st) match {
+              case ("view", FunnelState(None, _, _)) =>
+                st.copy(tView = Some(ms))
+              case ("click", FunnelState(Some(tv), None, _))
+                  if ms > tv && ms <= tv + windowMs =>
+                st.copy(tClick = Some(ms))
+              case ("purchase", FunnelState(_, Some(tc), None))
+                  if ms > tc && ms <= tc + windowMs =>
+                st.copy(tPurchase = Some(ms))
+              case _ => st
+            }
+          }
+          state.update(st)
+          val stage =
+            if (st.tPurchase.isDefined) "3_purchase"
+            else if (st.tClick.isDefined) "2_click"
+            else if (st.tView.isDefined) "1_view"
+            else "0_none"
+          Iterator(UserStage(uid, stage))
       }
   }
 

@@ -59,4 +59,32 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got.size === expected.size)
     assert(got === expected, "stream state diverged from batch prefix sums")
   }
+
+  test("streaming funnel final stages == batch funnelStages") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = graft.ops.Windows.funnelStages(events)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val mid = events.agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0)
+    val dir = Files.createTempDirectory("events-funnel").toFile
+    // time-ordered chunks → batch boundaries respect event order, so the
+    // carried state must land every user on the batch stage exactly
+    events.filter(unix_micros(col("ts")) <= mid).write.parquet(dir + "/p1")
+    val q = Streams.funnelStages(
+      spark.readStream.schema(events.schema).parquet(dir + "/p1"))
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("sfunnel").start()
+    q.processAllAvailable()
+    events.filter(unix_micros(col("ts")) > mid).write.mode("append").parquet(dir + "/p1")
+    q.processAllAvailable()
+    q.stop()
+
+    // the LAST emitted stage per user (stages only ever advance)
+    val rank = Map("0_none" -> 0, "1_view" -> 1, "2_click" -> 2, "3_purchase" -> 3)
+    val got = spark.table("sfunnel").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).map { case (u, ss) => u -> ss.map(_._2).maxBy(rank) }
+    assert(got.size === expected.size)
+    assert(got.toMap === expected, "stream funnel diverged from batch")
+  }
 }
