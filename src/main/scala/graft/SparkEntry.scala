@@ -535,6 +535,9 @@ object SparkEntry {
     // training-data pipeline: weighted source mixing (per-domain hash
     // thresholds against a broadcast weights dim — the mixture recipe step)
     "sample_mix" -> ((s, d) => Sampling.weightedMix(Tables.documents(s, d))),
+    // weighted sampling without replacement (A-ES keys, hash-uniform u,
+    // TakeOrderedAndProject cut)
+    "sample_weighted" -> ((s, d) => Sampling.weightedSample(Tables.documents(s, d))),
     // KMV cardinality sketch (the oracle-able approx-distinct; estimate is
     // a pure function of the k-th smallest md5, maintained by TopKPerKey's
     // bounded heaps) with the exact count alongside
@@ -575,6 +578,20 @@ object SparkEntry {
     "scd2_asof_lookup" -> ((s, d) => Scd.asOfLookup(Tables.orders(s, d))),
     // ANALYZE-style profiling: all columns in one scan, long-form stats
     "profile_orders" -> ((s, d) => Profile.ordersProfile(Tables.orders(s, d))),
+    // equi-depth histogram: decile buckets via ntile over the global sort
+    // (range-partitioned at scale — the same shape Layout's compaction
+    // uses); per-bucket bounds + counts are the stats range layout needs
+    "a12_equidepth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, d)
+        .select(col("o_totalprice"), col("o_orderkey"))
+        .withColumn("bucket", ntile(10).over(
+          Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .groupBy(col("bucket"))
+        .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
     // equi-width histogram: global [min,max] edges as a 1-row broadcast,
     // bucket index per-row in the scan, one small groupBy — the
     // distribution profile behind skew diagnosis and range layout
@@ -1603,6 +1620,19 @@ object SparkEntry {
        "SELECT doc_id, k.source, CAST(w.keep_below AS INT) AS keep_below " +
        "FROM K k JOIN W w ON k.source = w.source WHERE k.bucket < w.keep_below " +
        "ORDER BY doc_id"),
+    // A-ES: same 13-hex-digit uniform, same rounded-key ranking
+    "sample_weighted" -> {
+      val denom = java.lang.Math.pow(16.0, 13)
+      "WITH H AS (SELECT doc_id, source, md5(concat('wsample|', CAST(doc_id AS VARCHAR))) AS h FROM documents), " +
+      "W AS (SELECT DISTINCT source, 64 * (1 + CAST(substr(source, 4) AS INT) % 4) AS keep_below FROM documents), " +
+      "U AS (SELECT doc_id, h.source, CAST(w.keep_below AS DOUBLE) AS w, " +
+      s"(${(1 to 13).map(i =>
+        s"(instr('0123456789abcdef', substr(h.h, $i, 1)) - 1) * CAST(${java.lang.Math.pow(16.0, 13 - i).toLong} AS BIGINT)")
+        .mkString(" + ")} + 0.5) / $denom AS u " +
+      "FROM H h JOIN W w ON h.source = w.source) " +
+      "SELECT doc_id, source, w, round(pow(u, 1.0 / w), 6) AS \"key\" FROM U " +
+      "ORDER BY \"key\" DESC, doc_id LIMIT 50"
+    },
     "a10_kmv_distinct" -> {
       val k = graft.ops.Sketches.DefaultK
       s"WITH H AS (SELECT DISTINCT l_returnflag AS g, md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem), " +
@@ -1745,6 +1775,12 @@ object SparkEntry {
        "(v.valid_to IS NULL) AS is_current FROM P p JOIN V v ON p.p_custkey = v.o_custkey " +
        "AND v.valid_from <= p.probe_ts AND (v.valid_to IS NULL OR v.valid_to > p.probe_ts) " +
        "ORDER BY o_custkey"),
+    // equi-depth: ntile semantics match exactly (floor-division bucket
+    // sizes, larger buckets first) given the same total order
+    "a12_equidepth" ->
+      ("WITH B AS (SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket " +
+       "FROM orders) SELECT bucket, min(o_totalprice) AS lo, max(o_totalprice) AS hi, " +
+       "CAST(count(*) AS BIGINT) AS n FROM B GROUP BY bucket ORDER BY bucket"),
     // histogram: identical IEEE expression chain for the bucket index —
     // (x-lo)/((hi-lo)/10) floor, clamped — so edges/counts hash-match
     "a11_histogram" ->

@@ -82,6 +82,33 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("keep_below"))
       .orderBy(col("doc_id"))
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws u ∈ (0,1) from its md5 hash and ranks by u^(1/w) —
+    * the top-k of that key IS a w-proportional sample without
+    * replacement. Deterministic for the usual reasons: u is a pure
+    * function of doc_id (13 hex digits → uniform double), weights are
+    * the [[sourceWeights]] dim, and ranking uses the ROUNDED key with a
+    * doc_id tie-break so the cross-engine cut is stable.
+    *
+    * Scale shape: per-row key in the scan, weights broadcast, global
+    * top-k via `TakeOrderedAndProject` (per-partition heaps, k rows to
+    * the driver per partition) — the selection never shuffles the
+    * corpus. */
+  def weightedSample(docs: DataFrame, k: Int = 50,
+      salt: String = "wsample"): DataFrame = {
+    val hex13 = substring(
+      md5(concat(lit(salt + "|"), col("doc_id").cast("string")).cast("binary")), 1, 13)
+    val u = (conv(hex13, 16, 10).cast("double") + lit(0.5)) /
+      lit(java.lang.Math.pow(16.0, 13))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(sourceWeights(docs)), "source")
+      .select(col("doc_id"), col("source"),
+        col("keep_below").cast("double").as("w"),
+        round(pow(u, lit(1.0) / col("keep_below").cast("double")), 6).as("key"))
+      .orderBy(desc("key"), col("doc_id"))
+      .limit(k)
+  }
+
   def stratifiedQuota(docs: DataFrame, quota: Int = 10,
       salt: String = "strat"): DataFrame = {
     val hashed = docs.select(col("doc_id"), col("source"),
