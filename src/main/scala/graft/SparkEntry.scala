@@ -629,6 +629,9 @@ object SparkEntry {
     // (broadcast dim of |sources| rows), not a global constant
     "text_quality_gate" -> ((s, d) =>
       TextAnalysis.qualityGate(Tables.documents(s, d))),
+    // SymSpell fuzzy join: deletion-neighborhood blocking (bounded len+1
+    // fan-out, hash-equi join) -> exact levenshtein verify on candidates
+    "fuzzy_join_sym" -> ((s, d) => FuzzyJoin.matchTokens(Tables.documents(s, d))),
     // snapshot diff: |Δ|-sized changelog between two corpus versions via
     // full-outer id join on content fingerprints
     "snapshot_diff" -> ((s, d) => {
@@ -1873,6 +1876,26 @@ object SparkEntry {
        "SELECT e.qid, round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 4) AS recall " +
        "FROM EXR e LEFT JOIN ADCR a ON e.qid = a.qid AND e.vec_id = a.vec_id " +
        "GROUP BY e.qid ORDER BY e.qid"),
+    // SymSpell join: same deletion-key expansion on both sides, exact
+    // levenshtein verify, argmin via (dist, token) row_number
+    "fuzzy_join_sym" -> {
+      def delKeys(t: String) =
+        s"unnest(list_append(list_transform(range(length($t)), " +
+        s"i -> substr($t, 1, i) || substr($t, i + 2, length($t))), $t))"
+      s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+      "V AS (SELECT DISTINCT unnest(w) AS token FROM W), " +
+      "V4 AS (SELECT token FROM V WHERE length(token) >= 4), " +
+      s"VK AS (SELECT token, ${delKeys("token")} AS k FROM V4), " +
+      "P0 AS (SELECT doc_id, list_filter(w, x -> length(x) >= 4)[1] AS orig FROM W WHERE doc_id % 29 = 0), " +
+      "P1 AS (SELECT doc_id, orig, (doc_id // 29) % length(orig) AS pos FROM P0 WHERE orig IS NOT NULL), " +
+      "P AS (SELECT doc_id, substr(orig, 1, CAST(pos AS INT)) || substr(orig, CAST(pos AS INT) + 2, length(orig)) AS corrupted FROM P1), " +
+      s"PK AS (SELECT doc_id, corrupted, ${delKeys("corrupted")} AS k FROM P), " +
+      "C AS (SELECT pk.doc_id, pk.corrupted, vk.token, " +
+      "CAST(levenshtein(pk.corrupted, vk.token) AS INT) AS dist " +
+      "FROM PK pk JOIN VK vk ON pk.k = vk.k WHERE levenshtein(pk.corrupted, vk.token) <= 1), " +
+      "R AS (SELECT *, row_number() OVER (PARTITION BY doc_id, corrupted ORDER BY dist, token) AS rk FROM C) " +
+      "SELECT doc_id, corrupted, token AS matched, dist FROM R WHERE rk = 1 ORDER BY doc_id"
+    },
     // per-source percentile gate: ratios rounded before quantile_cont so
     // both engines interpolate identical inputs (same pairing as a9)
     "text_quality_gate" ->

@@ -344,6 +344,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Set((2L, "src3", 2L), (10L, "src1", 2L)))
   }
 
+  test("fuzzy join: blocking finds exactly the brute-force dist<=1 best match") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.ops.FuzzyJoin.matchTokens(docs)
+    val probes = graft.ops.FuzzyJoin.probes(docs)
+    // every probe matches (the uncorrupted original is always in vocab)
+    assert(out.count() === probes.count() && probes.count() > 0)
+    // the blocked result equals brute force over the full vocabulary
+    val brute = probes.crossJoin(graft.ops.FuzzyJoin.vocabulary(docs))
+      .select(col("doc_id"), col("corrupted"), col("token"),
+        levenshtein(col("corrupted"), col("token")).as("dist"))
+      .filter(col("dist") <= 1)
+      .groupBy(col("doc_id"), col("corrupted"))
+      .agg(min(struct(col("dist"), col("token"))).as("best"))
+      .select(col("doc_id"), col("corrupted"),
+        col("best.token").as("matched"), col("best.dist").as("dist"))
+    assert(out.exceptAll(brute).isEmpty && brute.exceptAll(out).isEmpty,
+      "deletion-neighborhood blocking missed a dist<=1 candidate")
+  }
+
   test("funnel: stages partition users; each conversion strictly follows in time") {
     val events = Tables.events(spark, sfDir)
     val out = Windows.funnel(events).collect()
