@@ -310,6 +310,9 @@ object SparkEntry {
       Dedup.canonicalKeepers(docs.unionByName(mirrored))
     }),
     "dedup_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(Tables.documents(s, d))),
+    // EXACT Jaccard>=0.5 similarity join via prefix filtering — the
+    // no-false-negative complement to the probabilistic LSH path
+    "dedup_prefix_pairs" -> ((s, d) => Dedup.prefixFilterPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => {
       graft.functions.SimHash32.register(s)
@@ -755,6 +758,24 @@ object SparkEntry {
        "FROM documents GROUP BY 1 ORDER BY h"),
     "dedup_minhash_sig" ->
       (s"WITH $shingleCtes SELECT * FROM SIG ORDER BY doc_id"),
+    // prefix filter: rare-first string order keys, prefix slice, equi
+    // candidates, exact overlap verify — same chain as the Spark side
+    "dedup_prefix_pairs" ->
+      (s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+       "SH AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN " +
+       "list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) " +
+       "ELSE [array_to_string(w, ' ')] END)) AS sh FROM W), " +
+       "DFT AS (SELECT sh, count(*) AS df FROM SH GROUP BY sh), " +
+       "ORD AS (SELECT doc_id, list_sort(list(lpad(CAST(df AS VARCHAR), 10, '0') || '|' || sh)) AS sorted, " +
+       "count(*) AS sz FROM SH JOIN DFT USING (sh) GROUP BY doc_id), " +
+       "PRE AS (SELECT doc_id, sz, substr(unnest(sorted[1 : CAST(sz - ceil(sz * 0.5) + 1 AS INT)]), 12) AS sh FROM ORD), " +
+       "CAND AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst, a.sz AS sza, b.sz AS szb " +
+       "FROM PRE a JOIN PRE b ON a.sh = b.sh AND a.doc_id < b.doc_id), " +
+       "I AS (SELECT c.src, c.dst, c.sza, c.szb, count(*) AS inter FROM CAND c " +
+       "JOIN SH s1 ON s1.doc_id = c.src JOIN SH s2 ON s2.doc_id = c.dst AND s2.sh = s1.sh " +
+       "GROUP BY c.src, c.dst, c.sza, c.szb) " +
+       "SELECT src, dst, round(CAST(inter AS DOUBLE) / (sza + szb - inter), 4) AS jaccard " +
+       "FROM I WHERE round(CAST(inter AS DOUBLE) / (sza + szb - inter), 4) >= 0.5 ORDER BY src, dst"),
     // canonical selection: same weights derivation as sample_mix, keeper
     // = row_number 1 over (priority desc, doc_id) within the fp cluster
     "dedup_canonical" ->

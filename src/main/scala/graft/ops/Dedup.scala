@@ -165,6 +165,63 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** EXACT similarity join via prefix filtering (Chaudhuri/Xiao
+    * PPJoin-family): every pair with Jaccard ≥ `t` over 3-shingles —
+    * with NO false negatives, unlike the MinHash/LSH path, whose bands
+    * can miss a qualifying pair. The price is exactness's candidate set;
+    * the prefix filter keeps it tractable:
+    *
+    * Order shingles globally by (document frequency asc, shingle); a
+    * doc's PREFIX is its first |A| − ⌈t·|A|⌉ + 1 shingles in that order.
+    * Theorem: J(A,B) ≥ t ⟹ the prefixes intersect — so candidates come
+    * from an equi-join on prefix shingles only. Ordering rare-first is
+    * what makes the join balanced: prefix tokens are the LOWEST-df
+    * shingles, so bucket sizes stay small where an arbitrary order would
+    * funnel every doc through the corpus's boilerplate shingles.
+    *
+    * Shape at 100 TB: df table = one count-agg (vocabulary-sized);
+    * per-doc sort of its own shingle list (array_sort, per-row); prefix
+    * explode is a ≤(1−t/(1+t))·|A| fan-out; the candidate join is
+    * hash-equi on rare keys; the exact-overlap verify joins the shingle
+    * view on the candidate sliver. Never all-pairs. */
+  def prefixFilterPairs(docs: DataFrame,
+      t: Double = 0.5): DataFrame = {
+    val sh = shingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // rare-first global order as a SORTABLE STRING key (zero-padded df +
+    // shingle tie-break) — sorting strings is bit-identical across
+    // engines where struct sorts would not be
+    val ordered = sh.join(df, "sh")
+      .select(col("doc_id"),
+        concat(format_string("%010d", col("df")), lit("|"), col("sh")).as("okey"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("okey"))).as("sorted"),
+        count(lit(1)).as("sz"))
+    val prefix = ordered.select(col("doc_id"), col("sz"),
+        explode(slice(col("sorted"), lit(1),
+          (col("sz") - ceil(col("sz") * t) + 1).cast("int"))).as("okey"))
+      .select(col("doc_id"), col("sz"), expr("substr(okey, 12)").as("sh"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .distinct()
+    // exact verify on the candidate sliver: |A∩B| via the shingle view
+    val inter = cands
+      .join(sh.select(col("doc_id").as("src"), col("sh")), "src")
+      .join(sh.select(col("doc_id").as("dst"), col("sh")), Seq("dst", "sh"))
+      .groupBy(col("src"), col("dst"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= t)
+      .select(col("src"), col("dst"), col("jaccard"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** Source-priority canonical selection: for every EXACT-dup cluster
     * (same content fingerprint), keep the copy from the highest-priority
     * source (curated mirrors beat raw crawls in a real recipe; here the

@@ -344,6 +344,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Set((2L, "src3", 2L), (10L, "src1", 2L)))
   }
 
+  test("prefix filter finds EVERY Jaccard>=0.5 pair (no false negatives)") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = graft.ops.Dedup.prefixFilterPairs(docs)
+      .select("src", "dst").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).collect().toSet
+    // brute force: ALL pairs through the same shingle-overlap verify
+    val sh = graft.ops.Dedup.shingles(docs)
+    val sizes = sh.groupBy("doc_id").count()
+    val brute = sh.toDF("src", "sh")
+      .join(sh.toDF("dst", "sh2"), col("sh") === col("sh2") && col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("src", "sza"), "src")
+      .join(sizes.toDF("dst", "szb"), "dst")
+      .filter(round(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")), 4) >= 0.5)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute, "prefix filter disagreed with brute force")
+    // and it can only find MORE than the banded-LSH probabilistic path
+    val lsh = graft.ops.Dedup.ngramJaccard(docs).filter(col("jaccard") >= 0.5)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(got), "LSH found a pair the exact join missed")
+  }
+
   test("fuzzy join: blocking finds exactly the brute-force dist<=1 best match") {
     val docs = Tables.documents(spark, sfDir)
     val out = graft.ops.FuzzyJoin.matchTokens(docs)
