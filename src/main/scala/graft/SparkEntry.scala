@@ -686,7 +686,9 @@ object SparkEntry {
     // full-outer snapshot diff
     "pack_sequences", "bm25_search", "scd2_priority", "snapshot_diff",
     // full-vocab keyword extraction: the explode-heavy text shape
-    "text_keywords")
+    "text_keywords",
+    // exact similarity join: prefix-filter candidates + sliver verify
+    "dedup_prefix_pairs")
 
   // ---------------------------------------------------------------- oracle
 
@@ -770,7 +772,8 @@ object SparkEntry {
        "count(*) AS sz FROM SH JOIN DFT USING (sh) GROUP BY doc_id), " +
        "PRE AS (SELECT doc_id, sz, substr(unnest(sorted[1 : CAST(sz - ceil(sz * 0.5) + 1 AS INT)]), 12) AS sh FROM ORD), " +
        "CAND AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst, a.sz AS sza, b.sz AS szb " +
-       "FROM PRE a JOIN PRE b ON a.sh = b.sh AND a.doc_id < b.doc_id), " +
+       "FROM PRE a JOIN PRE b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+       "AND least(a.sz, b.sz) >= greatest(a.sz, b.sz) * 0.5), " +
        "I AS (SELECT c.src, c.dst, c.sza, c.szb, count(*) AS inter FROM CAND c " +
        "JOIN SH s1 ON s1.doc_id = c.src JOIN SH s2 ON s2.doc_id = c.dst AND s2.sh = s1.sh " +
        "GROUP BY c.src, c.dst, c.sza, c.szb) " +

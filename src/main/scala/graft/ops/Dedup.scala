@@ -202,9 +202,14 @@ object Dedup {
         explode(slice(col("sorted"), lit(1),
           (col("sz") - ceil(col("sz") * t) + 1).cast("int"))).as("okey"))
       .select(col("doc_id"), col("sz"), expr("substr(okey, 12)").as("sh"))
+    // length filter rides the join: J(A,B) <= min/max sizes, so pairs
+    // whose sizes differ by more than t can never qualify — pruned
+    // before the distinct and the verify ever see them
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            greatest(col("a.sz"), col("b.sz")) * t)
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
         col("a.sz").as("sza"), col("b.sz").as("szb"))
       .distinct()
