@@ -321,6 +321,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "dedup_keepset" -> ((s, d) => Dedup.keepSet(Tables.documents(s, d))),
+    // CAPSTONE composition — the corpus build end to end: quality gate ->
+    // exact-dup keepers -> near-dup drop (keepSet) -> hash split -> pack
+    // the train shard. One DAG, every stage the already-oracled operator.
+    "corpus_build" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = Dedup.keepSet(docs).select("doc_id")
+      val train = Sampling.hashSplit(docs)
+        .filter(col("split") === "train").select("doc_id")
+      Packing.packSequences(
+        docs.join(kept, Seq("doc_id"), "left_semi")
+          .join(train, Seq("doc_id"), "left_semi"))
+    }),
     // continuous-ingest shape: a 20% delta batch checked against the
     // remaining 80% as the standing index
     "dedup_incremental" -> ((s, d) => {
@@ -821,6 +833,42 @@ object SparkEntry {
        "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5) " +
        "SELECT q.doc_id FROM QUAL q WHERE EXISTS (SELECT 1 FROM KEEPERS k WHERE k.doc_id = q.doc_id) " +
        "AND NOT EXISTS (SELECT 1 FROM DROPS d WHERE d.doc_id = q.doc_id) ORDER BY doc_id"),
+    // capstone: the keepset chain verbatim, then split-filter, then the
+    // pack_sequences chain over the survivors
+    "corpus_build" -> {
+      val b = graft.ops.Packing.SeqTokens
+      val sh = graft.ops.Packing.Shards
+      s"WITH $shingleCtes, " +
+      s"Q0 AS (SELECT doc_id, $docNorm AS nt, string_split($docNorm, ' ') AS w, text FROM documents), " +
+      "QUAL AS (SELECT doc_id FROM (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, " +
+      "round(CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE) / " +
+      "CAST(len(w) AS DOUBLE), 4) AS stopword_ratio FROM Q0) " +
+      "WHERE NOT (n_tokens < 5) AND NOT (stopword_ratio < 0.01)), " +
+      s"KEEPERS AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($docNorm)), " +
+      "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
+      "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
+      "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
+      "GROUP BY p.src, p.dst), " +
+      "DROPS AS (SELECT c.dst AS doc_id FROM COMMONS c " +
+      "JOIN SIZES sa ON sa.doc_id = c.src JOIN SIZES sb ON sb.doc_id = c.dst " +
+      "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5), " +
+      "KEEP AS (SELECT q.doc_id FROM QUAL q WHERE EXISTS (SELECT 1 FROM KEEPERS k WHERE k.doc_id = q.doc_id) " +
+      "AND NOT EXISTS (SELECT 1 FROM DROPS d WHERE d.doc_id = q.doc_id)), " +
+      "TRAIN AS (SELECT doc_id FROM (SELECT doc_id, " +
+      "(instr('0123456789abcdef', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 16 + " +
+      "instr('0123456789abcdef', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 2, 1)) - 1 AS bucket " +
+      s"FROM KEEP) WHERE bucket < ${graft.ops.Sampling.TrainUpper}), " +
+      "H2 AS (SELECT d.doc_id, d.lang, md5(concat('pack|', CAST(d.doc_id AS VARCHAR))) AS h, " +
+      s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM documents d JOIN TRAIN t ON d.doc_id = t.doc_id), " +
+      "T2 AS (SELECT doc_id, lang, n_tokens, ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+      s"instr('0123456789abcdef', substr(h, 2, 1)) - 1) % $sh AS shard FROM H2), " +
+      "C2 AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM T2) " +
+      "SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens, " +
+      s"CAST(floor(cum_before / $b.0) AS BIGINT) AS seq_id, " +
+      s"CAST(cum_before % $b AS BIGINT) AS seq_offset FROM C2 ORDER BY doc_id"
+    },
     // Transitive closure of the verified near-dup pairs (UNION-dedup
     // recursion; components are near-dup chains — tiny — so the closure
     // stays small even though reachability is quadratic per component).
