@@ -640,6 +640,10 @@ object SparkEntry {
     // PQ quality gate: recall@3 of LUT-based ADC search vs exact L2 —
     // prices the compression the way sim_ann_recall prices the pruning
     "sim_pq_recall" -> ((s, d) => Centroids.pqRecall(Tables.embeddings(s, d))),
+    // full IVF-PQ ladder: sign-sketch bucket pruning + ADC compression,
+    // recall priced together
+    "sim_ivfpq_recall" -> ((s, d) =>
+      Centroids.pqRecall(Tables.embeddings(s, d), bucketPrune = true)),
     // relative quality gate: per-source p25 stopword-ratio threshold
     // (broadcast dim of |sources| rows), not a global constant
     "text_quality_gate" -> ((s, d) =>
@@ -1942,6 +1946,38 @@ object SparkEntry {
        "FROM QV v JOIN C c ON v.dim = c.dim GROUP BY v.qid, v.dim // 8, c.c_label), " +
        "ADC AS (SELECT l.qid, cd.vec_id, sum(l.sd2) AS d2 FROM CODES cd " +
        "JOIN LUT l ON l.sub = cd.sub AND l.code = cd.code " +
+       "WHERE cd.vec_id <> l.qid GROUP BY l.qid, cd.vec_id), " +
+       "ADCR AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
+       "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10) " +
+       "SELECT e.qid, round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 4) AS recall " +
+       "FROM EXR e LEFT JOIN ADCR a ON e.qid = a.qid AND e.vec_id = a.vec_id " +
+       "GROUP BY e.qid ORDER BY e.qid"),
+    // IVF-PQ: the pq_recall chain with the ADC join additionally
+    // restricted to the query's sign-sketch bucket (annBucketCtes)
+    "sim_ivfpq_recall" ->
+      (s"WITH $annBucketCtes, " +
+       "QB AS (SELECT vec_id AS qid, bucket FROM E WHERE vec_id < 8), " +
+       "Q0 AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, embedding FROM embeddings), " +
+       "Q AS (SELECT vec_id, label, dim, CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM Q0), " +
+       "C AS (SELECT label AS c_label, dim, " +
+       "CAST(round(round(CAST(sum(q) AS DOUBLE) / (1000.0 * count(*)), 6) * 1000000.0) AS BIGINT) AS c6 " +
+       "FROM Q GROUP BY label, dim), " +
+       "PDIST AS (SELECT x.vec_id, CAST(x.dim // 8 AS INT) AS sub, c.c_label, " +
+       "sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
+       "FROM Q x JOIN C c ON x.dim = c.dim GROUP BY x.vec_id, x.dim // 8, c.c_label), " +
+       "PR AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c_label) AS rk FROM PDIST), " +
+       "CODES AS (SELECT vec_id, sub, c_label AS code FROM PR WHERE rk = 1), " +
+       "QV AS (SELECT vec_id AS qid, dim, q * 1000 AS qv FROM Q WHERE vec_id < 8), " +
+       "EX AS (SELECT v.qid, x.vec_id, sum((v.qv - x.q * 1000) * (v.qv - x.q * 1000)) AS d2 " +
+       "FROM QV v JOIN Q x ON v.dim = x.dim AND x.vec_id <> v.qid GROUP BY v.qid, x.vec_id), " +
+       "EXR AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
+       "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM EX) WHERE rk <= 3), " +
+       "LUT AS (SELECT v.qid, CAST(v.dim // 8 AS INT) AS sub, c.c_label AS code, " +
+       "sum((v.qv - c.c6) * (v.qv - c.c6)) AS sd2 " +
+       "FROM QV v JOIN C c ON v.dim = c.dim GROUP BY v.qid, v.dim // 8, c.c_label), " +
+       "ADC AS (SELECT l.qid, cd.vec_id, sum(l.sd2) AS d2 FROM CODES cd " +
+       "JOIN LUT l ON l.sub = cd.sub AND l.code = cd.code " +
+       "JOIN E e ON e.vec_id = cd.vec_id JOIN QB qb ON qb.qid = l.qid AND qb.bucket = e.bucket " +
        "WHERE cd.vec_id <> l.qid GROUP BY l.qid, cd.vec_id), " +
        "ADCR AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
        "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10) " +

@@ -148,9 +148,17 @@ object Centroids {
     * candidate = 8 LUT lookups summed — here a broadcast equi-join on
     * (sub, code) + a sum, never a float op. Both sides rank by
     * (distance, vec_id), so the gate is deterministic and oracle-able
-    * end to end. */
+    * end to end.
+    *
+    * With `bucketPrune = true` this becomes the full IVF-PQ ladder: ADC
+    * scoring runs only inside the query's sign-sketch bucket
+    * ([[Similarity.bucketCol]] — the coarse quantizer), i.e. candidates
+    * ≈ N/2^planes AND each candidate costs 8 lookups instead of 64
+    * multiplies. The recall number then prices pruning + compression
+    * TOGETHER, completing the ladder `sim_ann_recall` (pruning only)
+    * and plain pqRecall (compression only) bracket. */
   def pqRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 3,
-      shortlist: Int = 10): DataFrame = {
+      shortlist: Int = 10, bucketPrune: Boolean = false): DataFrame = {
     val subDims = 64 / SubSpaces
     val quantized = embeddings.select(
       col("vec_id"),
@@ -186,9 +194,23 @@ object Centroids {
     val lut = qSubs.join(broadcast(cent), "sub")
       .select(col("qid"), col("sub"), col("code"), lutDist.as("sd2"))
 
-    val adcTopK = pqCodes(embeddings)
+    // bucket pruning (IVF coarse quantizer): keep only (query, candidate)
+    // pairs sharing a sign-sketch bucket before ADC scoring
+    val prune: DataFrame => DataFrame =
+      if (!bucketPrune) identity
+      else {
+        graft.functions.DotProduct.register(embeddings.sparkSession)
+        val buckets = embeddings.select(col("vec_id"),
+          Similarity.bucketCol(col("embedding").cast("array<double>")).as("bucket"))
+        val qb = buckets.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("qid"), col("bucket"))
+        df => df.join(buckets, "vec_id").join(broadcast(qb), Seq("qid", "bucket"))
+          .drop("bucket")
+      }
+
+    val adcTopK = prune(pqCodes(embeddings)
       .join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("qid"))
+      .filter(col("vec_id") =!= col("qid")))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("sd2")).as("d2"))
       .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= shortlist)
