@@ -1748,10 +1748,10 @@ object SparkEntry {
       "T AS (SELECT doc_id, lang, n_tokens, ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
       s"instr('0123456789abcdef', substr(h, 2, 1)) - 1) % $sh AS shard FROM H), " +
       "G AS (SELECT lang, CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs, " +
-      "sum(n_tokens) AS total_tokens, " +
+      "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
       s"CAST(ceil(sum(n_tokens) / $b.0) AS BIGINT) AS n_sequences FROM T GROUP BY lang, shard) " +
       s"SELECT lang, shard, n_docs, total_tokens, n_sequences, " +
-      s"n_sequences * $b - total_tokens AS pad_tokens FROM G ORDER BY lang, shard"
+      s"CAST(n_sequences * $b - total_tokens AS BIGINT) AS pad_tokens FROM G ORDER BY lang, shard"
     },
     // BM25: tf per query term from the normalized word list, corpus stats
     // in one row, Lucene-form idf; round(…,4) + doc_id tie-break makes the
