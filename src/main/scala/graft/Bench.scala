@@ -48,6 +48,11 @@ object Bench {
             -1.0
         }
       }
+      // Free operator-persisted views AFTER the query's iterations (not
+      // between them: iteration 2 deliberately times the warm cache, see
+      // BASELINE.md best-of-2 methodology), so queries don't accumulate
+      // each other's cached blocks across the 40-query run.
+      CacheScope.unpersistAll()
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

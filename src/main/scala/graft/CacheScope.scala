@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Lifecycle registry for the persisted intermediate views some operators
+  * need (multi-consumer subtrees on different exchange keys, where
+  * ReusedExchange cannot merge the branches: q15's revenue view, the dedup
+  * shingle views, lmScore's bigram view).
+  *
+  * The contract: `persist()` inside an operator caches for the SESSION —
+  * Spark only frees the blocks at unpersist or session stop, so a
+  * long-lived session issuing many DIFFERENT queries (Verify's 136, a
+  * notebook) accumulates cached views indefinitely. Operators therefore
+  * route persists through [[track]], and batch drivers call
+  * [[unpersistAll]] at their query boundary (Verify after each dump, Bench
+  * after each query's timed iterations — AFTER, not between, iterations:
+  * Spark's CacheManager dedupes by logical plan, so a query's second
+  * iteration reuses the first's warm cache, which BASELINE.md's best-of-2
+  * numbers assume).
+  *
+  * Re-tracking an already-cached plan is safe: CacheManager dedupes the
+  * storage; unpersisting both handles just drops the one entry.
+  */
+object CacheScope {
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** Persist (memory-and-disk) and register for the next [[unpersistAll]]. */
+  def track[T](ds: Dataset[T]): Dataset[T] = {
+    val p = ds.persist(StorageLevel.MEMORY_AND_DISK)
+    live.add(p)
+    p
+  }
+
+  /** Unpersist every tracked view (non-blocking); returns how many. */
+  def unpersistAll(): Int = {
+    var n = 0
+    var d = live.poll()
+    while (d != null) { d.unpersist(false); n += 1; d = live.poll() }
+    n
+  }
+}

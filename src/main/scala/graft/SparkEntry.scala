@@ -593,39 +593,17 @@ object SparkEntry {
     "scd2_asof_lookup" -> ((s, d) => Scd.asOfLookup(Tables.orders(s, d))),
     // ANALYZE-style profiling: all columns in one scan, long-form stats
     "profile_orders" -> ((s, d) => Profile.ordersProfile(Tables.orders(s, d))),
-    // equi-depth histogram: decile buckets via ntile over the global sort
-    // (range-partitioned at scale — the same shape Layout's compaction
-    // uses); per-bucket bounds + counts are the stats range layout needs
-    "a12_equidepth" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      Tables.orders(s, d)
-        .select(col("o_totalprice"), col("o_orderkey"))
-        .withColumn("bucket", ntile(10).over(
-          Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
-        .groupBy(col("bucket"))
-        .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"),
-          count(lit(1)).as("n"))
-        .orderBy(col("bucket"))
-    }),
+    // equi-depth histogram: exact ntile deciles, but distributed — global
+    // rank from a range-partitioned sort + per-partition offsets instead
+    // of the single-task global window (see Histograms.equiDepth)
+    "a12_equidepth" -> ((s, d) =>
+      Histograms.equiDepth(Tables.orders(s, d),
+        col("o_totalprice"), col("o_orderkey"))),
     // equi-width histogram: global [min,max] edges as a 1-row broadcast,
     // bucket index per-row in the scan, one small groupBy — the
     // distribution profile behind skew diagnosis and range layout
-    "a11_histogram" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      val edges = o.agg(min(col("o_totalprice")).as("lo"),
-        max(col("o_totalprice")).as("hi"))
-      o.select(col("o_totalprice")).crossJoin(broadcast(edges))
-        .select(least(floor((col("o_totalprice") - col("lo")) /
-            ((col("hi") - col("lo")) / 10)), lit(9)).cast("int").as("bucket"),
-          col("lo"), col("hi"))
-        .groupBy(col("bucket"), col("lo"), col("hi"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("bucket"),
-          round(col("lo") + col("bucket") * (col("hi") - col("lo")) / 10, 4).as("lo_edge"),
-          round(col("lo") + (col("bucket") + 1) * (col("hi") - col("lo")) / 10, 4).as("hi_edge"),
-          col("n"))
-        .orderBy(col("bucket"))
-    }),
+    "a11_histogram" -> ((s, d) =>
+      Histograms.equiWidth(Tables.orders(s, d), col("o_totalprice"))),
     // IVF-training building block: per-label quantized centroids via the
     // typed vector-sum Aggregator (fixed-size partial buffers, exact
     // integer sums — layout-independent, hence oracle-able)
@@ -1861,10 +1839,12 @@ object SparkEntry {
        "FROM orders) SELECT bucket, min(o_totalprice) AS lo, max(o_totalprice) AS hi, " +
        "CAST(count(*) AS BIGINT) AS n FROM B GROUP BY bucket ORDER BY bucket"),
     // histogram: identical IEEE expression chain for the bucket index —
-    // (x-lo)/((hi-lo)/10) floor, clamped — so edges/counts hash-match
+    // (x-lo)/((hi-lo)/10) floor, clamped — so edges/counts hash-match;
+    // the hi = lo CASE pins the zero-width degenerate range to bucket 0
+    // on both sides (division by zero diverges between engines otherwise)
     "a11_histogram" ->
       ("WITH E AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders), " +
-       "B AS (SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bucket, lo, hi " +
+       "B AS (SELECT CAST(CASE WHEN hi = lo THEN 0 ELSE least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9) END AS INT) AS bucket, lo, hi " +
        "FROM orders CROSS JOIN E) " +
        "SELECT bucket, round(lo + bucket * (hi - lo) / 10, 4) AS lo_edge, " +
        "round(lo + (bucket + 1) * (hi - lo) / 10, 4) AS hi_edge, " +

@@ -42,6 +42,10 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // free any operator-persisted views at the query boundary — 136
+        // queries in one session would otherwise accumulate cached blocks
+        CacheScope.unpersistAll()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -131,9 +131,9 @@ object Dedup {
     // verify join sides) on THREE different exchange keys — exchange reuse
     // can't merge them, so cache the one shingle pass (same persisted-view
     // rationale as q15). The LSH candidate side no longer reads it at all:
-    // signatures come from the map-side MinHashSigs expression.
-    val sh = shingles(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signatures come from the map-side MinHashSigs expression. Tracked in
+    // CacheScope: batch drivers unpersist at their query boundary.
+    val sh = graft.CacheScope.track(shingles(docs))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val pairs = lshCandidatePairs(docs)
     val aSh = sh.select(col("doc_id").as("src"), col("sh"))
@@ -186,8 +186,7 @@ object Dedup {
     * view on the candidate sliver. Never all-pairs. */
   def prefixFilterPairs(docs: DataFrame,
       t: Double = 0.5): DataFrame = {
-    val sh = shingles(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.CacheScope.track(shingles(docs))
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // rare-first global order as a SORTABLE STRING key (zero-padded df +
     // shingle tie-break) — sorting strings is bit-identical across
@@ -199,17 +198,29 @@ object Dedup {
       .agg(sort_array(collect_list(col("okey"))).as("sorted"),
         count(lit(1)).as("sz"))
     val prefix = ordered.select(col("doc_id"), col("sz"),
-        explode(slice(col("sorted"), lit(1),
-          (col("sz") - ceil(col("sz") * t) + 1).cast("int"))).as("okey"))
-      .select(col("doc_id"), col("sz"), expr("substr(okey, 12)").as("sh"))
-    // length filter rides the join: J(A,B) <= min/max sizes, so pairs
-    // whose sizes differ by more than t can never qualify — pruned
-    // before the distinct and the verify ever see them
+        posexplode(slice(col("sorted"), lit(1),
+          (col("sz") - ceil(col("sz") * t) + 1).cast("int")))
+          .as(Seq("pos", "okey")))
+      .select(col("doc_id"), col("sz"), col("pos"),
+        expr("substr(okey, 12)").as("sh"))
+    // Two prunes ride the join, both before the distinct and verify:
+    //  - length filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose
+    //    sizes differ by more than t can never qualify;
+    //  - PPJoin positional filter: for the FIRST shared token, at 0-based
+    //    prefix positions (i, j), every common token sits at-or-after it in
+    //    both sorted lists, so overlap ≤ 1 + min(|A|-1-i, |B|-1-j); J ≥ t
+    //    needs overlap ≥ ⌈t(|A|+|B|)/(1+t)⌉. Keeping a pair when ANY
+    //    shared occurrence passes is a superset of first-occurrence PPJoin
+    //    (later occurrences only loosen the kept set), so no false
+    //    negatives — the filter only shrinks the candidate sliver.
+    val alpha = ceil((col("a.sz") + col("b.sz")) * lit(t) / lit(1.0 + t))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.sz"), col("b.sz")).cast("double") >=
-            greatest(col("a.sz"), col("b.sz")) * t)
+            greatest(col("a.sz"), col("b.sz")) * t &&
+          (lit(1) + least(col("a.sz") - 1 - col("a.pos"),
+            col("b.sz") - 1 - col("b.pos"))).cast("double") >= alpha)
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
         col("a.sz").as("sza"), col("b.sz").as("szb"))
       .distinct()

@@ -25,11 +25,16 @@ object FuzzySearch {
     * tokenize the question, and for each non-stopword token of ≥3 chars find
     * the best-matching student name above a threshold. The reference loops
     * tokens client-side over a collected name list; here it's one vectorized
-    * plan: explode(tokens) × names → score → per-token top-1 window. */
+    * plan: explode(tokens) × names → score → per-token top-1 as an
+    * AGGREGATE (`min_by` over the (-score, name) ordering key = max score,
+    * min name on ties — identical to the previous row_number ordering),
+    * not a window: a `row_number().over(partitionBy(token))` funnels every
+    * score for a token through ONE task, while min_by keeps map-side
+    * partial aggregation — each task reduces to one candidate per token
+    * before the shuffle. */
   def correctTokens(
       students: DataFrame, question: String,
       threshold: Double = 75.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val stop = Seq("the", "a", "an", "of", "and", "who", "what", "is", "are",
       "in", "on", "with", "find", "show")
     val tokens = students.sparkSession.range(1)
@@ -37,10 +42,12 @@ object FuzzySearch {
       .filter(length(col("token")) >= 3 && !col("token").isin(stop: _*))
     tokens.crossJoin(students.select(col("name")))
       .withColumn("score", levRatio(col("name"), col("token")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("token")).orderBy(desc("score"), col("name"))))
-      .filter(col("rn") === 1 && col("score") >= threshold)
-      .select(col("token"), col("name").as("corrected"), col("score"))
+      .groupBy(col("token"))
+      .agg(min_by(struct(col("name"), col("score")),
+        struct(negate(col("score")), col("name"))).as("best"))
+      .filter(col("best.score") >= threshold)
+      .select(col("token"), col("best.name").as("corrected"),
+        col("best.score").as("score"))
       .orderBy(col("token"))
   }
 

@@ -117,13 +117,14 @@ object TextAnalysis {
     // them, so without the cache the corpus re-explodes three times (the
     // same persisted-view rationale as ngramJaccard's shingle view;
     // DebugPlan measured FileScan=3 before). Linear in corpus tokens.
-    val withWords = docs.select(col("doc_id"), w.as("words"))
-      .filter(size(col("words")) >= 2)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(slice(words, 1, size(words) - 1), (x, i) -> struct(x AS a, element_at(words, i + 2) AS b))"))
-        .as(Seq("i", "ab")))
-      .select(col("doc_id"), col("ab.a").as("a"), col("ab.b").as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Tracked in CacheScope: batch drivers unpersist at the query boundary.
+    val withWords = graft.CacheScope.track(
+      docs.select(col("doc_id"), w.as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(slice(words, 1, size(words) - 1), (x, i) -> struct(x AS a, element_at(words, i + 2) AS b))"))
+          .as(Seq("i", "ab")))
+        .select(col("doc_id"), col("ab.a").as("a"), col("ab.b").as("b")))
     val bigramCounts = withWords.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c_ab"))
     val contextCounts = withWords.groupBy(col("a"))
