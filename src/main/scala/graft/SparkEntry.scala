@@ -682,7 +682,10 @@ object SparkEntry {
     // full-vocab keyword extraction: the explode-heavy text shape
     "text_keywords",
     // exact similarity join: prefix-filter candidates + sliver verify
-    "dedup_prefix_pairs")
+    "dedup_prefix_pairs",
+    // the capstone: gate -> dedup -> split -> pack in ONE DAG — the most
+    // production-shaped query in the suite (round-6 verdict stretch item)
+    "corpus_build")
 
   // ---------------------------------------------------------------- oracle
 
