@@ -79,6 +79,30 @@ class HistogramsSpec extends SparkSpec {
         df.queryExecution.executedPlan)
   }
 
+  test("equiDepth's two range-exchange consumers share ONE scan (ReusedExchange)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("a12_equidepth")(spark, sfDir)
+    df.collect()
+    def scans(p: SparkPlan): Int = {
+      val self = p match {
+        case f: FileSourceScanExec if f.toString.contains("orders") => 1
+        case _ => 0
+      }
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
+        case other                    => other.children
+      }
+      self + kids.map(scans).sum
+    }
+    val plan = df.queryExecution.executedPlan
+    val n = scans(plan) + plan.subqueries.map(scans).sum
+    assert(n === 1,
+      s"expected one orders scan (ranked rows + partition counts must share " +
+        s"the range exchange), got $n:\n$plan")
+  }
+
   test("equiWidth pins a zero-width range (all values equal) to bucket 0") {
     import spark.implicits._
     val df = spark.range(42).select(lit(3.25).as("v"))
