@@ -536,6 +536,10 @@ object SparkEntry {
     // training-data pipeline: benchmark decontamination — 3-shingle overlap
     // of every training doc against the held-out src0 eval slice
     "decontam_overlap" -> ((s, d) => Decontam.overlap(Tables.documents(s, d))),
+    // decontamination, sketch-pruned: eval side compressed to a broadcast
+    // bloom filter probed at scan time (native expression), exact verify
+    // on the collided sliver only — same result, ~20x smaller exchange
+    "decontam_bloom" -> ((s, d) => Decontam.overlapBloom(Tables.documents(s, d))),
     // training-data pipeline: PII redaction (emails/IPv4/phones) with a
     // zero-residual certificate; corpus is synthetic-clean so the gate
     // injects deterministic PII first — see TextAnalysis.withPii
@@ -1625,6 +1629,24 @@ object SparkEntry {
        "CAST(dup_word_frac >= 0.65 OR top_bigram_frac >= 0.15 AS INT) AS repetitive " +
        "FROM J ORDER BY doc_id"),
     "decontam_overlap" ->
+      (s"WITH W AS (SELECT doc_id, source, string_split($docNorm, ' ') AS w FROM documents), " +
+       "SH AS (SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN " +
+       "list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) " +
+       "ELSE [array_to_string(w, ' ')] END)) AS sh FROM W), " +
+       "BENCH AS (SELECT DISTINCT sh FROM SH WHERE source = 'src0'), " +
+       "CORP AS (SELECT doc_id, sh FROM SH WHERE source <> 'src0'), " +
+       "CNT AS (SELECT doc_id, count(*) AS n_sh FROM CORP GROUP BY 1), " +
+       "HIT AS (SELECT doc_id, count(*) AS n_hit FROM CORP SEMI JOIN BENCH USING (sh) GROUP BY 1), " +
+       "J AS (SELECT c.doc_id, c.n_sh, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, " +
+       "round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(c.n_sh AS DOUBLE), 4) AS overlap_frac " +
+       "FROM CNT c LEFT JOIN HIT h ON c.doc_id = h.doc_id) " +
+       s"SELECT doc_id, n_sh, n_hit, overlap_frac, " +
+       s"CAST(overlap_frac >= ${graft.ops.Decontam.ContaminatedFrac} AS INT) AS contaminated " +
+       "FROM J ORDER BY doc_id"),
+    // bloom-pruned decontam returns the IDENTICAL result (the exact verify
+    // join kills the sketch's false positives), so it shares the exact
+    // path's oracle — that equality is precisely what's being gated
+    "decontam_bloom" ->
       (s"WITH W AS (SELECT doc_id, source, string_split($docNorm, ' ') AS w FROM documents), " +
        "SH AS (SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN " +
        "list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) " +

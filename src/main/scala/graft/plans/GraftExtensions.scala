@@ -68,5 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("z_value"),
       new ExpressionInfo(classOf[graft.functions.ZValue].getName, "z_value"),
       (exprs: Seq[Expression]) => graft.functions.ZValue(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.BloomMightContain(exprs(0), exprs(1))))
   }
 }

@@ -425,6 +425,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("overlapBloom == exact overlap (sketch prunes, verify kills false positives)") {
+    val exact = graft.ops.Decontam.overlap(docs).collect().toSeq
+    val bloom = graft.ops.Decontam.overlapBloom(docs).collect().toSeq
+    assert(bloom === exact)
+  }
+
+  test("overlapBloom stays exact even at a terrible fpp (correctness ≠ sketch quality)") {
+    val exact = graft.ops.Decontam.overlap(docs).collect().toSeq
+    val sloppy = graft.ops.Decontam.overlapBloom(docs, fpp = 0.5).collect().toSeq
+    assert(sloppy === exact)
+  }
+
   test("gapfillDaily yields a dense users × days grid with zero-filled gaps") {
     val events = Tables.events(spark, sfDir)
     val filled = Windows.gapfillDaily(events)
