@@ -578,6 +578,9 @@ object SparkEntry {
     // lexical retrieval: BM25 top-k for a fixed term set — per-doc tfs in
     // the scan, corpus stats as one broadcast row, TakeOrderedAndProject
     "bm25_search" -> ((s, d) => Search.bm25TopK(Tables.documents(s, d))),
+    // hybrid retrieval: BM25 + tf-idf rankings off ONE shared projection,
+    // fused by reciprocal rank (RRF) — bounded top-k cuts, 2k-row fusion
+    "search_hybrid_rrf" -> ((s, d) => Search.hybridRrf(Tables.documents(s, d))),
     // keyword extraction: full-vocab tf-idf, min-df pruned before the
     // join back, per-doc top-3 through the bounded TopKPerKey heaps
     "text_keywords" -> ((s, d) => Search.keywords(Tables.documents(s, d))),
@@ -1776,6 +1779,36 @@ object SparkEntry {
       s"round($parts, 4) AS score FROM D CROSS JOIN S) " +
       s"SELECT doc_id, CAST(dl AS BIGINT) AS dl, $outTfs, score FROM X " +
       s"WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $TopK"
+    },
+    // hybrid RRF: same BM25 CTE chain + a tf-idf scorer off the same D/S,
+    // both cut to top-k, ranks fused as 1/(60+r) — double-cast divisions
+    // so DuckDB's decimal literals can't diverge from Spark's doubles
+    "search_hybrid_rrf" -> {
+      import graft.ops.Search.{K1, B => B25, TopK, QueryTerms, RrfK}
+      val tfs = QueryTerms.map(t =>
+        s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf_$t").mkString(", ")
+      val dfs = QueryTerms.map(t =>
+        s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(", ")
+      val bmParts = QueryTerms.map(t =>
+        s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1) * (tf_$t * ${K1 + 1}) / " +
+        s"(tf_$t + $K1 * (${1 - B25} + $B25 * dl / avgdl))").mkString(" + ")
+      val vsmParts = QueryTerms.map(t =>
+        s"CASE WHEN df_$t > 0 THEN tf_$t * ln(n_docs / df_$t) ELSE 0.0 END")
+        .mkString(" + ")
+      s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+      s"D AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfs FROM W), " +
+      s"S AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfs FROM D), " +
+      s"X AS (SELECT doc_id, round($bmParts, 4) AS s_bm25, round($vsmParts, 4) AS s_vsm " +
+      "FROM D CROSS JOIN S), " +
+      s"BM AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY s_bm25 DESC, doc_id) AS INT) AS r_bm25 " +
+      s"FROM (SELECT doc_id, s_bm25 FROM X WHERE s_bm25 > 0 ORDER BY s_bm25 DESC, doc_id LIMIT $TopK)), " +
+      s"VR AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY s_vsm DESC, doc_id) AS INT) AS r_vsm " +
+      s"FROM (SELECT doc_id, s_vsm FROM X WHERE s_vsm > 0 ORDER BY s_vsm DESC, doc_id LIMIT $TopK)) " +
+      "SELECT coalesce(b.doc_id, v.doc_id) AS doc_id, b.r_bm25, v.r_vsm, " +
+      s"round(coalesce(CAST(1 AS DOUBLE) / ($RrfK + b.r_bm25), 0) + " +
+      s"coalesce(CAST(1 AS DOUBLE) / ($RrfK + v.r_vsm), 0), 6) AS rrf " +
+      "FROM BM b FULL OUTER JOIN VR v ON b.doc_id = v.doc_id " +
+      "ORDER BY rrf DESC, doc_id"
     },
     // keywords: full-vocab tf-idf with min-df pruning; rank on the
     // rounded score with term tie-break (same ulp discipline as bm25)

@@ -70,6 +70,64 @@ object Search {
       .limit(k)
   }
 
+  /** Reciprocal-rank-fusion constant (Cormack et al.'s standard 60). */
+  val RrfK = 60
+
+  /** Hybrid retrieval: fuse TWO rankings of the same query over the same
+    * corpus — BM25 and a plain tf-idf (VSM-dot) scorer — by reciprocal
+    * rank: rrf(d) = Σ_lists 1/(RrfK + rank_list(d)), absent-from-list
+    * contributing 0. RRF is the standard score-scale-free fusion step of
+    * lexical+X retrieval stacks; here both halves are lexical-over-
+    * `documents` because the dense half ([[Similarity]]) ranks a different
+    * entity table (`embeddings.vec_id`), and fusing rankings of different
+    * id spaces would be semantically fake.
+    *
+    * Shape at 100 TB: BOTH scores come off ONE shared (doc_id, dl, tf_t…)
+    * projection crossed with the ONE broadcast stats row — the two top-k
+    * cuts are `TakeOrderedAndProject` over that narrow projection (no
+    * sort, no shuffle), the rank windows run over ≤ k rows AFTER the cut,
+    * and the fusion is a ≤ 2k-row full-outer join. Nothing corpus-sized
+    * moves beyond the two scans of the projection. */
+  def hybridRrf(docs: DataFrame, terms: Seq[String] = QueryTerms,
+      k: Int = TopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs.select(
+      (col("doc_id") +:
+        size(Dedup.words(col("text"))).cast("double").as("dl") +:
+        terms.map(t => tf(t).as(s"tf_$t"))): _*)
+    val statCols = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double")
+          .as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    def bmPart(t: String): Column =
+      log((col("n_docs") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5)) + lit(1.0)) *
+        (col(s"tf_$t") * (K1 + 1)) /
+        (col(s"tf_$t") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    def vsmPart(t: String): Column =
+      when(col(s"df_$t") > 0,
+        col(s"tf_$t") * log(col("n_docs") / col(s"df_$t"))).otherwise(lit(0.0))
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(terms.map(bmPart).reduce(_ + _), 4).as("s_bm25"),
+        round(terms.map(vsmPart).reduce(_ + _), 4).as("s_vsm"))
+    def ranked(scoreCol: String, rankName: String): DataFrame =
+      scored.filter(col(scoreCol) > 0)
+        .orderBy(desc(scoreCol), col("doc_id")).limit(k)
+        .withColumn(rankName, row_number().over(
+          Window.orderBy(desc(scoreCol), col("doc_id"))).cast("int"))
+        .select(col("doc_id"), col(rankName))
+    ranked("s_bm25", "r_bm25")
+      .join(ranked("s_vsm", "r_vsm"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_bm25"), col("r_vsm"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_vsm")), lit(0.0)), 6).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+  }
+
   /** Per-document keyword extraction: top-`k` terms by tf-idf over the
     * FULL vocabulary — the explode-based complement to [[bm25TopK]]'s
     * fixed-term scan (when the term set isn't known up front, the token

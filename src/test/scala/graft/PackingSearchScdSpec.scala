@@ -73,6 +73,30 @@ class PackingSearchScdSpec extends SparkSpec {
       "score grows with tf but sub-linearly")
   }
 
+  test("hybridRrf: fused score is exactly Σ 1/(60+rank), absent list contributes 0") {
+    val d = docs(
+      (1L, "en", "spark shuffle hash spark"),   // strong in both lists
+      (2L, "en", "spark word word word word"),
+      (3L, "en", "shuffle hash noise"),
+      (4L, "en", "hash hash hash hash"),        // tf-heavy: VSM loves, BM25 saturates
+      (5L, "en", "plain text row"))             // in neither list
+    val out = Search.hybridRrf(d, Seq("spark", "shuffle", "hash"), k = 3).collect()
+    assert(!out.map(_.getLong(0)).contains(5L), "doc in neither list is absent")
+    out.foreach { r =>
+      val rb = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val rv = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(rb.nonEmpty || rv.nonEmpty)
+      val want = BigDecimal(
+        rb.map(x => 1.0 / (Search.RrfK + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (Search.RrfK + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === want, s"rrf mismatch for doc ${r.getLong(0)}")
+    }
+    // descending fused order, doc_id tie-break
+    val rrfs = out.map(r => (-r.getDouble(3), r.getLong(0))).toSeq
+    assert(rrfs === rrfs.sorted)
+  }
+
   test("scd2: versions tile each customer's history with no gaps or overlaps") {
     val orders = Seq(
       // cust 1: P1 on d1 (two orders same day — max orderkey wins), P1 on
