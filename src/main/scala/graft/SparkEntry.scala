@@ -692,7 +692,11 @@ object SparkEntry {
     "dedup_prefix_pairs",
     // the capstone: gate -> dedup -> split -> pack in ONE DAG — the most
     // production-shaped query in the suite (round-6 verdict stretch item)
-    "corpus_build")
+    "corpus_build",
+    // round-7 additions: sketch-pruned decontam (times the sketch build
+    // AND the pruned verify — the recorded price of the bloom path at
+    // this fixture's ~39% hit rate) and the hybrid RRF fusion
+    "decontam_bloom", "search_hybrid_rrf")
 
   // ---------------------------------------------------------------- oracle
 
