@@ -85,12 +85,14 @@ object Search {
     * Shape at 100 TB: BOTH scores come off ONE shared (doc_id, dl, tf_t…)
     * projection crossed with the ONE broadcast stats row — the two top-k
     * cuts are `TakeOrderedAndProject` over that narrow projection (no
-    * sort, no shuffle), the rank windows run over ≤ k rows AFTER the cut,
-    * and the fusion is a ≤ 2k-row full-outer join. Nothing corpus-sized
-    * moves beyond the two scans of the projection. */
+    * sort, no shuffle), ranks come from a ≤ k×k triangular count join
+    * AFTER the cut (metadata-sized, the same discipline as
+    * [[Histograms.equiDepth]]'s offsets — deliberately not a global rank
+    * window, so the plan carries no WindowExec at all), and the fusion is
+    * a ≤ 2k-row full-outer join. Nothing corpus-sized moves beyond the
+    * two scans of the projection. */
   def hybridRrf(docs: DataFrame, terms: Seq[String] = QueryTerms,
       k: Int = TopK): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perDoc = docs.select(
       (col("doc_id") +:
         size(Dedup.words(col("text"))).cast("double").as("dl") +:
@@ -113,12 +115,18 @@ object Search {
       .select(col("doc_id"),
         round(terms.map(bmPart).reduce(_ + _), 4).as("s_bm25"),
         round(terms.map(vsmPart).reduce(_ + _), 4).as("s_vsm"))
-    def ranked(scoreCol: String, rankName: String): DataFrame =
-      scored.filter(col(scoreCol) > 0)
+    def ranked(scoreCol: String, rankName: String): DataFrame = {
+      val cut = scored.filter(col(scoreCol) > 0)
         .orderBy(desc(scoreCol), col("doc_id")).limit(k)
-        .withColumn(rankName, row_number().over(
-          Window.orderBy(desc(scoreCol), col("doc_id"))).cast("int"))
-        .select(col("doc_id"), col(rankName))
+        .select(col("doc_id"), col(scoreCol).as("s"))
+      // rank = 1 + |rows strictly ahead| over the ≤ k-row cut
+      cut.as("a").join(cut.as("b"),
+          col("b.s") > col("a.s") ||
+            (col("b.s") === col("a.s") && col("b.doc_id") < col("a.doc_id")),
+          "left")
+        .groupBy(col("a.doc_id"))
+        .agg((count(col("b.doc_id")) + 1).cast("int").as(rankName))
+    }
     ranked("s_bm25", "r_bm25")
       .join(ranked("s_vsm", "r_vsm"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("r_bm25"), col("r_vsm"),

@@ -113,6 +113,14 @@ class HistogramsSpec extends SparkSpec {
       r.getDouble(2) === 3.25 && r.getLong(3) === 42L)
   }
 
+  test("hybridRrf ranks via the triangular count join — no WindowExec") {
+    val df = SparkEntry.queries("search_hybrid_rrf")(spark, sfDir)
+    df.collect()
+    val offending = windows(df.queryExecution.executedPlan)
+    assert(offending.isEmpty,
+      s"search_hybrid_rrf planned a window: ${offending.mkString(", ")}")
+  }
+
   test("correctTokens aggregates per-token top-1 without a WindowExec") {
     val df = SparkEntry.queries("u2_token_correct")(spark, sfDir)
     df.collect()
