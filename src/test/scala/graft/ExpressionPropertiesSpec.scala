@@ -156,4 +156,26 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b)) == expected
     })
   }
+
+  // --- BloomMightContain: no false negatives, probe == build encoding --
+
+  test("bloom_might_contain never yields a false negative (incl. unicode keys)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    import org.apache.spark.util.sketch.BloomFilter
+    val setGen = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, strGen))
+    check("no false negatives", Prop.forAll(setGen) { keys =>
+      // build exactly as Decontam.overlapBloom ships it: putString side,
+      // serialized bytes, probe through the expression's eval path
+      val bf = BloomFilter.create(keys.size.toLong.max(1L), 0.01)
+      keys.foreach(bf.putString)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val sketch = Literal(bos.toByteArray, BinaryType)
+      keys.forall { k =>
+        graft.functions.BloomMightContain(
+          Literal.create(k, StringType), sketch).eval(null) == true
+      }
+    })
+  }
 }
