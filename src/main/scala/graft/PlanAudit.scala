@@ -18,7 +18,10 @@ object PlanAudit {
         "q12_priority_class", "q13_order_distribution", "q15_top_supplier",
         "q16_supplier_cnt", "q21_sole_returner", "q22_idle_customers", "sim_ann_recall",
         "w6_gapfill", "a9_percentiles", "text_clean", "sample_split", "f14_json_extract",
-        "text_repetition", "decontam_overlap", "text_pii", "sample_stratified")) {
+        "text_repetition", "decontam_overlap", "text_pii", "sample_stratified",
+        // round-7 additions
+        "a12_equidepth", "a11_histogram", "u2_token_correct",
+        "dedup_prefix_pairs", "decontam_bloom", "search_hybrid_rrf")) {
       out.println(s"==== $name ====")
       out.println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -85,12 +85,12 @@ object Search {
     * Shape at 100 TB: BOTH scores come off ONE shared (doc_id, dl, tf_t…)
     * projection crossed with the ONE broadcast stats row — the two top-k
     * cuts are `TakeOrderedAndProject` over that narrow projection (no
-    * sort, no shuffle), ranks come from a ≤ k×k triangular count join
-    * AFTER the cut (metadata-sized, the same discipline as
-    * [[Histograms.equiDepth]]'s offsets — deliberately not a global rank
-    * window, so the plan carries no WindowExec at all), and the fusion is
-    * a ≤ 2k-row full-outer join. Nothing corpus-sized moves beyond the
-    * two scans of the projection. */
+    * sort, no shuffle), ranks come from one ≤ k-element
+    * collect_list → sort_array → posexplode per cut (a single-row
+    * aggregate — no global rank window, so no WindowExec, and no
+    * rank-by-self-join, which would RECOMPUTE the corpus scan on its
+    * build side), and the fusion is a ≤ 2k-row full-outer join. Nothing
+    * corpus-sized moves beyond the two scans of the projection. */
   def hybridRrf(docs: DataFrame, terms: Seq[String] = QueryTerms,
       k: Int = TopK): DataFrame = {
     val perDoc = docs.select(
@@ -115,18 +115,15 @@ object Search {
       .select(col("doc_id"),
         round(terms.map(bmPart).reduce(_ + _), 4).as("s_bm25"),
         round(terms.map(vsmPart).reduce(_ + _), 4).as("s_vsm"))
-    def ranked(scoreCol: String, rankName: String): DataFrame = {
-      val cut = scored.filter(col(scoreCol) > 0)
+    def ranked(scoreCol: String, rankName: String): DataFrame =
+      scored.filter(col(scoreCol) > 0)
         .orderBy(desc(scoreCol), col("doc_id")).limit(k)
-        .select(col("doc_id"), col(scoreCol).as("s"))
-      // rank = 1 + |rows strictly ahead| over the ≤ k-row cut
-      cut.as("a").join(cut.as("b"),
-          col("b.s") > col("a.s") ||
-            (col("b.s") === col("a.s") && col("b.doc_id") < col("a.doc_id")),
-          "left")
-        .groupBy(col("a.doc_id"))
-        .agg((count(col("b.doc_id")) + 1).cast("int").as(rankName))
-    }
+        // rank = 1 + position in the (-score, doc_id)-sorted ≤ k-element list
+        .agg(sort_array(collect_list(struct(
+          negate(col(scoreCol)).as("ns"), col("doc_id").as("doc_id")))).as("arr"))
+        .select(posexplode(col("arr")).as(Seq("i", "e")))
+        .select(col("e.doc_id").as("doc_id"),
+          (col("i") + 1).cast("int").as(rankName))
     ranked("s_bm25", "r_bm25")
       .join(ranked("s_vsm", "r_vsm"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("r_bm25"), col("r_vsm"),
