@@ -51,7 +51,7 @@ object Bench {
       // Free operator-persisted views AFTER the query's iterations (not
       // between them: iteration 2 deliberately times the warm cache, see
       // BASELINE.md best-of-2 methodology), so queries don't accumulate
-      // each other's cached blocks across the 40-query run.
+      // each other's cached blocks across the bench run.
       CacheScope.unpersistAll()
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }

@@ -581,6 +581,25 @@ object SparkEntry {
     // hybrid retrieval: BM25 + tf-idf rankings off ONE shared projection,
     // fused by reciprocal rank (RRF) — bounded top-k cuts, 2k-row fusion
     "search_hybrid_rrf" -> ((s, d) => Search.hybridRrf(Tables.documents(s, d))),
+    // TRUE lexical+dense hybrid: BM25 fused (RRF) with the cosine ranking
+    // over bridge-pooled doc embeddings (vec_id -> doc_id, integer-sum
+    // pooling) — two bounded cuts, <=2k-row full-outer fuse
+    "search_hybrid_dense" -> ((s, d) =>
+      Search.hybridRrfDense(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // BM25 off the MATERIALIZED inverted index (term-bucketed postings +
+    // 1-row stats): build once, query without a corpus scan — must equal
+    // bm25_search row-for-row (same score expression, same doubles)
+    "bm25_indexed" -> ((s, d) => {
+      // fresh temp location per session: a stale warehouse dir from an
+      // earlier JVM would otherwise collide with the fresh catalog
+      // (locationAlreadyExists); within a session IF NOT EXISTS + the
+      // known table make rebuilds plain overwrites
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25-idx")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      Search.buildIndex(Tables.documents(s, d), "graft_idx.bm25")
+      Search.bm25Indexed(s, "graft_idx.bm25")
+    }),
     // keyword extraction: full-vocab tf-idf, min-df pruned before the
     // join back, per-doc top-3 through the bounded TopKPerKey heaps
     "text_keywords" -> ((s, d) => Search.keywords(Tables.documents(s, d))),
@@ -761,6 +780,67 @@ object SparkEntry {
     "FROM E WHERE vec_id < 8)"
 
   private val chainBlock = graft.graph.GraphOps.ChainBlock
+
+  /** BM25 oracle chain — shared verbatim by `bm25_search` and
+    * `bm25_indexed` (the index-backed path must be row-identical). */
+  private val bm25OracleSql: String = {
+    import graft.ops.Search.{K1, B => B25, TopK, QueryTerms}
+    val tfs = QueryTerms.map(t =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf_$t").mkString(", ")
+    val dfs = QueryTerms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(", ")
+    val parts = QueryTerms.map(t =>
+      s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1) * (tf_$t * ${K1 + 1}) / " +
+      s"(tf_$t + $K1 * (${1 - B25} + $B25 * dl / avgdl))").mkString(" + ")
+    val outTfs = QueryTerms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")
+    s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+    s"D AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfs FROM W), " +
+    s"S AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfs FROM D), " +
+    s"X AS (SELECT doc_id, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")}, " +
+    s"round($parts, 4) AS score FROM D CROSS JOIN S) " +
+    s"SELECT doc_id, CAST(dl AS BIGINT) AS dl, $outTfs, score FROM X " +
+    s"WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $TopK"
+  }
+
+  /** Lexical+dense hybrid oracle: the BM25 top-k rank chain fused with the
+    * dense cosine ranks over bridge-pooled (vec_id -> doc_id, quantized
+    * integer-sum) doc embeddings — mirrors Search.hybridRrfDense. */
+  private val hybridDenseOracleSql: String = {
+    import graft.ops.Search.{K1, B => B25, TopK, QueryTerms, RrfK,
+      BridgeMul, BridgeAdd, DenseQueryDoc}
+    val tfs = QueryTerms.map(t =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf_$t").mkString(", ")
+    val dfs = QueryTerms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(", ")
+    val bmParts = QueryTerms.map(t =>
+      s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1) * (tf_$t * ${K1 + 1}) / " +
+      s"(tf_$t + $K1 * (${1 - B25} + $B25 * dl / avgdl))").mkString(" + ")
+    val scale = graft.ops.Centroids.Scale
+    s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+    s"D AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfs FROM W), " +
+    s"S AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfs FROM D), " +
+    s"X AS (SELECT doc_id, round($bmParts, 4) AS s_bm25 FROM D CROSS JOIN S), " +
+    s"BM AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY s_bm25 DESC, doc_id) AS INT) AS r_bm25 " +
+    s"FROM (SELECT doc_id, s_bm25 FROM X WHERE s_bm25 > 0 ORDER BY s_bm25 DESC, doc_id LIMIT $TopK)), " +
+    // dense half: bridge, quantize, element-wise integer-sum pool, cosine
+    "ND AS (SELECT count(*) AS n_docs FROM documents), " +
+    s"EM AS (SELECT (vec_id * $BridgeMul + $BridgeAdd) % n.n_docs AS doc_id, embedding " +
+    "FROM embeddings CROSS JOIN ND n), " +
+    "ED AS (SELECT doc_id, unnest(range(len(embedding))) AS dim, embedding FROM EM), " +
+    s"EQ AS (SELECT doc_id, dim, CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * $scale) AS BIGINT) AS q FROM ED), " +
+    "PS AS (SELECT doc_id, dim, sum(q) AS s FROM EQ GROUP BY doc_id, dim), " +
+    "DV AS (SELECT doc_id, list(CAST(s AS DOUBLE) ORDER BY dim) AS v FROM PS GROUP BY doc_id), " +
+    s"QV AS (SELECT v AS qv FROM DV WHERE doc_id = $DenseQueryDoc), " +
+    s"DC AS (SELECT d.doc_id, round(${cosSql("d.v", "q.qv")}, 6) AS cos " +
+    s"FROM DV d CROSS JOIN QV q WHERE d.doc_id <> $DenseQueryDoc), " +
+    s"DR AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS r_dense " +
+    s"FROM (SELECT doc_id, cos FROM DC ORDER BY cos DESC, doc_id LIMIT $TopK)) " +
+    "SELECT coalesce(b.doc_id, d.doc_id) AS doc_id, b.r_bm25, d.r_dense, " +
+    s"round(coalesce(CAST(1 AS DOUBLE) / ($RrfK + b.r_bm25), 0) + " +
+    s"coalesce(CAST(1 AS DOUBLE) / ($RrfK + d.r_dense), 0), 6) AS rrf " +
+    "FROM BM b FULL OUTER JOIN DR d ON b.doc_id = d.doc_id " +
+    "ORDER BY rrf DESC, doc_id"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1766,24 +1846,11 @@ object SparkEntry {
     // BM25: tf per query term from the normalized word list, corpus stats
     // in one row, Lucene-form idf; round(…,4) + doc_id tie-break makes the
     // ln/division ulp-stable across engines
-    "bm25_search" -> {
-      import graft.ops.Search.{K1, B => B25, TopK, QueryTerms}
-      val tfs = QueryTerms.map(t =>
-        s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf_$t").mkString(", ")
-      val dfs = QueryTerms.map(t =>
-        s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(", ")
-      val parts = QueryTerms.map(t =>
-        s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1) * (tf_$t * ${K1 + 1}) / " +
-        s"(tf_$t + $K1 * (${1 - B25} + $B25 * dl / avgdl))").mkString(" + ")
-      val outTfs = QueryTerms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")
-      s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
-      s"D AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfs FROM W), " +
-      s"S AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfs FROM D), " +
-      s"X AS (SELECT doc_id, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")}, " +
-      s"round($parts, 4) AS score FROM D CROSS JOIN S) " +
-      s"SELECT doc_id, CAST(dl AS BIGINT) AS dl, $outTfs, score FROM X " +
-      s"WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $TopK"
-    },
+    "bm25_search" -> bm25OracleSql,
+    // the index-backed variant must reproduce the scan-time result
+    // row-for-row — same oracle, so any drift between the two paths fails
+    "bm25_indexed" -> bm25OracleSql,
+    "search_hybrid_dense" -> hybridDenseOracleSql,
     // hybrid RRF: same BM25 CTE chain + a tf-idf scorer off the same D/S,
     // both cut to top-k, ranks fused as 1/(60+r) — double-cast divisions
     // so DuckDB's decimal literals can't diverge from Spark's doubles

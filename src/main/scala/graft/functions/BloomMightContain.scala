@@ -33,6 +33,11 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
+      case (StringType, BinaryType) if right.foldable && right.eval() == null =>
+        // fail at analysis with a clear message — otherwise the lazy
+        // deserialization NPEs inside BloomFilter.readFrom at plan time
+        TypeCheckResult.TypeCheckFailure(
+          "bloom_might_contain got a NULL serialized filter")
       case (StringType, BinaryType) if right.foldable =>
         TypeCheckResult.TypeCheckSuccess
       case (StringType, BinaryType) =>

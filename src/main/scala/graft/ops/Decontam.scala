@@ -71,8 +71,11 @@ object Decontam {
     * PipelineOpsSpec proves result equality even at fpp = 0.5. */
   def overlapBloom(docs: DataFrame, benchSource: String = "src0",
       fpp: Double = 0.01): DataFrame = {
-    val benchSh = Dedup.shingles(docs.filter(col("source") === benchSource))
-      .select("sh").distinct()
+    // three consumers of the eval-side shingle set (count, sketch build,
+    // verify join) — cache it once; the driver's query boundary frees it
+    val benchSh = graft.CacheScope.track(
+      Dedup.shingles(docs.filter(col("source") === benchSource))
+        .select("sh").distinct())
     val bloom = benchSh.stat.bloomFilter("sh", math.max(benchSh.count(), 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** BM25 keyword search over `documents` — the lexical retrieval half of a
@@ -36,6 +36,20 @@ object Search {
     size(filter(Dedup.words(col("text")), x => x === lit(term)))
       .cast("double")
 
+  /** Lucene/ATIRE idf: ln((N - df + 0.5) / (df + 0.5) + 1) — strictly
+    * positive, so a term in >half the corpus can't flip signs. Reads the
+    * `n_docs`/`df_t` columns of the broadcast stats row. */
+  private def idf(t: String): Column =
+    log((col("n_docs") - col(s"df_$t") + lit(0.5)) /
+      (col(s"df_$t") + lit(0.5)) + lit(1.0))
+
+  /** One term's BM25 contribution. The same expression tree is used by the
+    * scan-time, hybrid, and index-backed variants, so their score doubles
+    * are bit-identical (a tf of 0.0 contributes exactly 0.0). */
+  private def bmPart(t: String): Column =
+    idf(t) * (col(s"tf_$t") * (K1 + 1)) /
+      (col(s"tf_$t") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+
   /** BM25 top-k: score every document against [[QueryTerms]], keep the
     * best [[TopK]]. Output: doc_id, per-term tf, doc length, score. */
   def bm25TopK(docs: DataFrame, terms: Seq[String] = QueryTerms,
@@ -51,15 +65,7 @@ object Search {
         sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double")
           .as(s"df_$t"))
     val stats = perDoc.agg(statCols.head, statCols.tail: _*)
-    // idf_t = ln((N - df + 0.5) / (df + 0.5) + 1)  (Lucene/ATIRE form:
-    // strictly positive, so a term in >half the corpus can't flip signs)
-    def idf(t: String): Column =
-      log((col("n_docs") - col(s"df_$t") + lit(0.5)) /
-        (col(s"df_$t") + lit(0.5)) + lit(1.0))
-    def part(t: String): Column =
-      idf(t) * (col(s"tf_$t") * (K1 + 1)) /
-        (col(s"tf_$t") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
-    val score = round(terms.map(part).reduce(_ + _), 4)
+    val score = round(terms.map(bmPart).reduce(_ + _), 4)
     perDoc.crossJoin(broadcast(stats))
       .select(
         (col("doc_id") +: col("dl").cast("bigint").as("dl") +:
@@ -72,6 +78,20 @@ object Search {
 
   /** Reciprocal-rank-fusion constant (Cormack et al.'s standard 60). */
   val RrfK = 60
+
+  /** rank = 1 + position in the (-score, doc_id)-sorted ≤ k-element list —
+    * a top-k cut (`TakeOrderedAndProject`) followed by a SINGLE-ROW
+    * sorted-list aggregate. No global rank window (no WindowExec moving
+    * everything to one partition) and no rank-by-self-join (which would
+    * recompute the scored subtree on its build side). */
+  private def rankTopK(scored: DataFrame, scoreCol: String, rankName: String,
+      k: Int): DataFrame =
+    scored.orderBy(desc(scoreCol), col("doc_id")).limit(k)
+      .agg(sort_array(collect_list(struct(
+        negate(col(scoreCol)).as("ns"), col("doc_id").as("doc_id")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("i", "e")))
+      .select(col("e.doc_id").as("doc_id"),
+        (col("i") + 1).cast("int").as(rankName))
 
   /** Hybrid retrieval: fuse TWO rankings of the same query over the same
     * corpus — BM25 and a plain tf-idf (VSM-dot) scorer — by reciprocal
@@ -103,11 +123,6 @@ object Search {
         sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double")
           .as(s"df_$t"))
     val stats = perDoc.agg(statCols.head, statCols.tail: _*)
-    def bmPart(t: String): Column =
-      log((col("n_docs") - col(s"df_$t") + lit(0.5)) /
-        (col(s"df_$t") + lit(0.5)) + lit(1.0)) *
-        (col(s"tf_$t") * (K1 + 1)) /
-        (col(s"tf_$t") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
     def vsmPart(t: String): Column =
       when(col(s"df_$t") > 0,
         col(s"tf_$t") * log(col("n_docs") / col(s"df_$t"))).otherwise(lit(0.0))
@@ -116,14 +131,7 @@ object Search {
         round(terms.map(bmPart).reduce(_ + _), 4).as("s_bm25"),
         round(terms.map(vsmPart).reduce(_ + _), 4).as("s_vsm"))
     def ranked(scoreCol: String, rankName: String): DataFrame =
-      scored.filter(col(scoreCol) > 0)
-        .orderBy(desc(scoreCol), col("doc_id")).limit(k)
-        // rank = 1 + position in the (-score, doc_id)-sorted ≤ k-element list
-        .agg(sort_array(collect_list(struct(
-          negate(col(scoreCol)).as("ns"), col("doc_id").as("doc_id")))).as("arr"))
-        .select(posexplode(col("arr")).as(Seq("i", "e")))
-        .select(col("e.doc_id").as("doc_id"),
-          (col("i") + 1).cast("int").as(rankName))
+      rankTopK(scored.filter(col(scoreCol) > 0), scoreCol, rankName, k)
     ranked("s_bm25", "r_bm25")
       .join(ranked("s_vsm", "r_vsm"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("r_bm25"), col("r_vsm"),
@@ -171,5 +179,168 @@ object Search {
           .orderBy(desc("tfidf"), col("term"))).cast("int"))
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
       .orderBy(col("doc_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------ dense hybrid
+
+  /** Affine vec_id → doc_id bridge constants (37 is coprime to the fixture
+    * cardinalities, so the mapping scrambles without clustering; any
+    * multiplicity is absorbed by the pooling below). */
+  val BridgeMul = 37L
+  val BridgeAdd = 11L
+
+  /** The fixed dense-query anchor: doc 0's pooled vector stands in for
+    * "the embedded query string" (the fixture has no text encoder). */
+  val DenseQueryDoc = 0L
+
+  /** Pooled per-document embeddings over the vec_id → doc_id bridge:
+    * `doc_id = (vec_id·37 + 11) mod N_docs`, vectors element-wise SUMMED in
+    * quantized-integer space (round(x·1000) as long — [[Centroids]]' exact,
+    * order-independent discipline; sum-pooling ≡ mean-pooling under cosine,
+    * which is scale-invariant). Output: (doc_id, v: array<double> of exact
+    * integer values, nrm).
+    *
+    * Shape at 100 TB: the bridge is one arithmetic column against a 1-row
+    * broadcast count; pooling is ONE shuffle of fixed-size
+    * [[graft.functions.VecSumAggregator]] buffers on doc_id (never a
+    * dims× posexplode); the result is |docs|-sized. This is the standing
+    * doc-embedding table a production stack materializes once per corpus
+    * version. */
+  def docVectors(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.functions.DotProduct.register(spark)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val mapped = embeddings.crossJoin(broadcast(nDocs))
+      .select(
+        ((col("vec_id") * BridgeMul + BridgeAdd) % col("n_docs")).as("doc_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * Centroids.Scale).cast("long")).as("q"))
+      .as[(Long, Array[Long])]
+    mapped.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.VecSumAggregator.toColumn.name("acc"))
+      .toDF("doc_id", "acc")
+      // integer-valued doubles: the fold-dot below sums exact integers, so
+      // the dot product is order-free and engine-reproducible
+      .select(col("doc_id"),
+        transform(col("acc._2"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+  }
+
+  /** TRUE hybrid retrieval: BM25 (lexical) fused with the DENSE cosine
+    * ranking over [[docVectors]]' bridged doc embeddings — the production
+    * shape of hybrid search ([[hybridRrf]]'s two-lexical fusion exists
+    * because the raw `embeddings.vec_id` is a different id space; the
+    * bridge closes that gap). Dense ranks docs by cosine to the
+    * [[DenseQueryDoc]] anchor (itself excluded); lexical is [[bm25TopK]]'s
+    * scoring; fusion is reciprocal rank, absent-from-list contributing 0.
+    *
+    * Shape at 100 TB: the lexical half is [[bm25TopK]]'s two scans + 1-row
+    * broadcast stats; the dense half is ONE pooling shuffle, then a scan of
+    * the |docs|-sized vector table against a 1-row broadcast query. Both
+    * cuts are `TakeOrderedAndProject` + the ≤ k-row sorted-list rank
+    * aggregate ([[rankTopK]]); the fuse is a ≤ 2k-row full-outer join.
+    * Nothing corpus-sized moves except the two text scans and the one
+    * pooling exchange. */
+  def hybridRrfDense(docs: DataFrame, embeddings: DataFrame,
+      terms: Seq[String] = QueryTerms, k: Int = TopK,
+      queryDoc: Long = DenseQueryDoc): DataFrame = {
+    // dense: pooled vectors consumed twice (query row + corpus side) —
+    // cache once, freed at the driver's query boundary
+    val dv = graft.CacheScope.track(docVectors(docs, embeddings))
+    val q = dv.filter(col("doc_id") === queryDoc)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val dcos = dv.filter(col("doc_id") =!= queryDoc)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        round(Similarity.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
+          .as("cos"))
+    // negative cosines still rank (dense lists have no natural zero cut)
+    val dRank = rankTopK(dcos, "cos", "r_dense", k)
+    // lexical: the bm25TopK chain cut to (doc_id, s_bm25)
+    val perDoc = docs.select(
+      (col("doc_id") +:
+        size(Dedup.words(col("text"))).cast("double").as("dl") +:
+        terms.map(t => tf(t).as(s"tf_$t"))): _*)
+    val statCols = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double")
+          .as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val bScored = perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(terms.map(bmPart).reduce(_ + _), 4).as("s_bm25"))
+    val bRank = rankTopK(bScored.filter(col("s_bm25") > 0), "s_bm25", "r_bm25", k)
+    bRank.join(dRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_bm25"), col("r_dense"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0)), 6).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+  }
+
+  // --------------------------------------------------- inverted index
+
+  /** Materialize the inverted index: `{table}_postings` (term, doc_id, dl,
+    * tf) bucketed+sorted on `term`, plus `{table}_stats` (n_docs, avgdl) —
+    * one row. Built ONCE per corpus version; every subsequent query is a
+    * postings lookup, never a corpus scan — the repeated-query-load regime
+    * [[bm25TopK]]'s scaladoc defers to (the [[DedupIndex]] pattern applied
+    * to text retrieval).
+    *
+    * Bucketing on `term` means a point query's `term IN (...)` filter
+    * prunes to the matching buckets at scan time, and any term-keyed join
+    * or aggregation reads the index pre-clustered — the TB-scale corpus is
+    * never re-shuffled after build. */
+  def buildIndex(docs: DataFrame, table: String, buckets: Int = 8): Unit = {
+    val w = docs.select(col("doc_id"), Dedup.words(col("text")).as("w"))
+    val toks = w.select(col("doc_id"), size(col("w")).cast("double").as("dl"),
+      explode(col("w")).as("term"))
+    toks.groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${table}_postings")
+    w.select(size(col("w")).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** BM25 top-k from the materialized index — SAME RESULT as [[bm25TopK]]
+    * (the oracle and `SearchIndexSpec` both gate it): tf/dl come from the
+    * postings rows, df is the per-term postings count, n_docs/avgdl from
+    * the 1-row stats table, and the score is the SAME [[bmPart]] expression
+    * tree over the same doubles (a missing term's tf coalesces to 0.0,
+    * which contributes exactly 0.0, just as the scan path's zero-tf terms
+    * do).
+    *
+    * Shape at 100 TB: the query touches only the postings of its terms
+    * (bucket-pruned scan), pivots that sliver per doc (one tiny shuffle),
+    * and crosses with two broadcast 1-row frames. Cost is proportional to
+    * the query terms' document frequency — NOT to corpus size. */
+  def bm25Indexed(spark: SparkSession, table: String,
+      terms: Seq[String] = QueryTerms, k: Int = TopK): DataFrame = {
+    val p = spark.table(s"${table}_postings")
+      .filter(col("term").isin(terms: _*))
+    val stats = spark.table(s"${table}_stats")
+    val dfCols = terms.map(t =>
+      coalesce(max(when(col("term") === t, col("df"))), lit(0.0)).as(s"df_$t"))
+    val dfRow = p.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .agg(dfCols.head, dfCols.tail: _*)
+    val tfCols = terms.map(t =>
+      coalesce(max(when(col("term") === t, col("tf"))), lit(0.0)).as(s"tf_$t"))
+    val wide = p.groupBy(col("doc_id"), col("dl"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    val score = round(terms.map(bmPart).reduce(_ + _), 4)
+    wide.crossJoin(broadcast(stats)).crossJoin(broadcast(dfRow))
+      .select(
+        (col("doc_id") +: col("dl").cast("bigint").as("dl") +:
+          terms.map(t => col(s"tf_$t").cast("bigint").as(s"tf_$t"))) :+
+          score.as("score"): _*)
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
   }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.{Centroids, Search, Similarity}
+
+/** Round-8 retrieval additions: the materialized inverted index (must be
+  * row-identical to the scan-time BM25 and must never scan the corpus at
+  * query time) and the lexical+dense hybrid over bridge-pooled doc
+  * embeddings. */
+class SearchIndexDenseSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("bm25Indexed: row-identical to bm25TopK, no corpus scan, bucketed postings") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-bm25-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25_test LOCATION '$wh'")
+    Search.buildIndex(docs, "graft_bm25_test.bm25")
+
+    val indexed = Search.bm25Indexed(spark, "graft_bm25_test.bm25")
+    val got = indexed.collect().map(_.toSeq)
+    val want = Search.bm25TopK(docs).collect().map(_.toSeq)
+    assert(got.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+
+    // query-time plan touches only the index tables — the documents
+    // parquet must not appear, and the postings scan must be bucketed
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), s"corpus scanned at query time:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"postings scan not bucketed:\n$plan")
+  }
+
+  test("docVectors: bridge + integer-sum pooling matches the posexplode derivation") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Search.docVectors(docs, emb)
+      .select(col("doc_id"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+
+    // independent shape: posexplode + groupBy(doc, dim) + re-assemble
+    val nDocs = docs.count()
+    val alt = emb.select(
+        ((col("vec_id") * Search.BridgeMul + Search.BridgeAdd) % nDocs).as("doc_id"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * Centroids.Scale).cast("long")))
+          .as(Seq("dim", "q")))
+      .groupBy(col("doc_id"), col("dim")).agg(sum(col("q")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
+      .select(col("doc_id"), transform(col("ds"), e => e("s").cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    assert(got === alt)
+    assert(got.nonEmpty)
+  }
+
+  test("hybridRrfDense: lexical ranks = bm25TopK order, dense ranks = cosine order, rrf formula exact") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Search.hybridRrfDense(docs, emb).collect()
+    assert(out.nonEmpty)
+
+    // lexical half: rank i goes to the i-th doc of the bm25 top-k
+    val bmDocs = Search.bm25TopK(docs).select("doc_id")
+      .collect().map(_.getLong(0))
+    val gotBm = out.filter(!_.isNullAt(1))
+      .map(r => r.getInt(1) -> r.getLong(0)).sortBy(_._1).map(_._2)
+    assert(gotBm.toSeq === bmDocs.toSeq)
+
+    // dense half: ranks follow (rounded cos DESC, doc_id) over the pooled
+    // vectors, query doc excluded
+    val vecs = Search.docVectors(docs, emb)
+      .select(col("doc_id"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qv = vecs(Search.DenseQueryDoc)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val denseOrder = vecs.toSeq.filter(_._1 != Search.DenseQueryDoc)
+      .map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(Search.TopK).map(_._1)
+    val gotDense = out.filter(!_.isNullAt(2))
+      .map(r => r.getInt(2) -> r.getLong(0)).sortBy(_._1).map(_._2)
+    assert(gotDense.toSeq === denseOrder.toSeq)
+
+    // fused score is exactly Σ 1/(60+rank) rounded to 6dp
+    out.foreach { r =>
+      val want =
+        (if (r.isNullAt(1)) 0.0 else 1.0 / (Search.RrfK + r.getInt(1))) +
+        (if (r.isNullAt(2)) 0.0 else 1.0 / (Search.RrfK + r.getInt(2)))
+      val want6 = BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === want6, s"rrf mismatch for doc ${r.getLong(0)}")
+    }
+    CacheScope.unpersistAll()
+  }
+}
