@@ -32,7 +32,12 @@ object Bench {
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     require(iterations >= 1,
       s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iterations")
-    val results = SparkEntry.benchQueries.map { name =>
+    // optional args: a subset of benchQueries (local iteration aid — the
+    // driver passes none and times the full set)
+    val toRun =
+      if (args.nonEmpty) SparkEntry.benchQueries.filter(args.toSet)
+      else SparkEntry.benchQueries
+    val results = toRun.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()

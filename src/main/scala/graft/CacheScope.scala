@@ -24,6 +24,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheScope {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val confUndo =
+    new java.util.concurrent.ConcurrentLinkedDeque[() => Unit]()
 
   /** Persist (memory-and-disk) and register for the next [[unpersistAll]]. */
   def track[T](ds: Dataset[T]): Dataset[T] = {
@@ -32,11 +34,29 @@ object CacheScope {
     p
   }
 
-  /** Unpersist every tracked view (non-blocking); returns how many. */
+  /** Set session confs for the CURRENT query's lifetime — restored (LIFO,
+    * so re-entrant calls from Bench's second iteration unwind correctly)
+    * at the driver's [[unpersistAll]] boundary. Exists for EXECUTION-time
+    * confs (AQE knobs, join thresholds): a set/restore inside the query
+    * builder would be undone before the driver ever executes the returned
+    * plan, and a leaked set would bleed into every later query. */
+  def scopedConf(spark: org.apache.spark.sql.SparkSession,
+      kv: (String, String)*): Unit =
+    kv.foreach { case (k, v) =>
+      val prior = spark.conf.getOption(k)
+      confUndo.addLast(() =>
+        prior.fold(spark.conf.unset(k))(p => spark.conf.set(k, p)))
+      spark.conf.set(k, v)
+    }
+
+  /** Unpersist every tracked view (non-blocking) and restore every scoped
+    * conf; returns how many views were freed. */
   def unpersistAll(): Int = {
     var n = 0
     var d = live.poll()
     while (d != null) { d.unpersist(false); n += 1; d = live.poll() }
+    var u = confUndo.pollLast()
+    while (u != null) { u(); u = confUndo.pollLast() }
     n
   }
 }

@@ -29,7 +29,12 @@ object DebugPlan {
       println(s"@@ $name shuffleStages=${stageIds.size} distinct=${stageIds.distinct.size} " +
         s"broadcastStages=${bStageIds.size}/${bStageIds.distinct.size} " +
         "FileScan=" + "Scan parquet".r.findAllIn(s).length +
-        " ReusedExch=" + "ReusedExchange".r.findAllIn(s).length)
+        " ReusedExch=" + "ReusedExchange".r.findAllIn(s).length +
+        " skewSplits=" + "skew=true".r.findAllIn(s).length)
+      if (sys.env.contains("PLAN")) println(s)
+      // free tracked views AND restore scoped execution confs between
+      // names, matching the Verify/Bench query boundary
+      CacheScope.unpersistAll()
     }
     spark.stop()
   }

@@ -19,6 +19,7 @@ object TimeQ {
           .write.format("noop").mode("overwrite").save(); true
       } catch { case e: Throwable => println(s"$name ERR ${e.getMessage}"); false }
       println(f"$name%-25s ${(System.nanoTime()-t0)/1e9}%8.2fs  ok=$ok")
+      CacheScope.unpersistAll() // free views + restore scoped confs
     }
     spark.stop()
   }

@@ -36,8 +36,14 @@ object EdgeRules {
       // replicating right PairSalt× spreads each key's quadratic output.
       // The repartition also fixes probe-side parallelism when the input is
       // a single small file (1 scan partition would otherwise produce the
-      // entire join output in 1 task under a broadcast join).
-      .repartition(pairParallelism(students), col("k"), col("salt"))
+      // entire join output in 1 task under a broadcast join). NOTE: this
+      // user shuffle is REPARTITION_BY_COL, which AQE's OptimizeSkewedJoin
+      // refuses to split — the `edges_skew_aqe` experiment turns it off
+      // (manualShuffle=false) to hand the exchange to ENSURE_REQUIREMENTS.
+      .transform(df =>
+        if (manualShuffle(students))
+          df.repartition(pairParallelism(students), col("k"), col("salt"))
+        else df)
     val b = students.select(col("id").as("dst"), Norm.norm(col(attr)).as("k"))
       .filter(col(attr).isNotNull && Norm.norm(col(attr)) =!= "")
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
@@ -67,6 +73,15 @@ object EdgeRules {
     * salt ≈ a small multiple of cores-per-hot-key. Any value yields
     * identical results (SaltEquivalenceSpec proves it under forced SMJ). */
   val PairSaltConf = "spark.graft.pairSalt"
+
+  /** When false, [[equiRule]] omits its explicit probe-side repartition so
+    * the join's exchange is planner-inserted (ENSURE_REQUIREMENTS) — the
+    * only origin AQE's skew-join splitting will touch. Exists for the
+    * `edges_skew_aqe` measured comparison; the default (true) keeps the
+    * structural layout. */
+  val PairManualShuffleConf = "spark.graft.pairManualShuffle"
+  private def manualShuffle(df: DataFrame): Boolean =
+    df.sparkSession.conf.get(PairManualShuffleConf, "true").toBoolean
   private def pairSalt(df: DataFrame): Int = {
     val v = df.sparkSession.conf.get(PairSaltConf, "16").toInt
     // A non-positive salt would make pmod(src, 0) yield null on the probe
@@ -97,7 +112,10 @@ object EdgeRules {
     val toks = norm.select(col("id"), col("arr"), explode(col("arr")).as("tok"))
     val a = toks.select(col("id").as("src"), col("arr").as("a_arr"), col("tok"))
       .withColumn("salt", pmod(col("src"), lit(salt)).cast("int"))
-      .repartition(pairParallelism(norm), col("tok"), col("salt")) // see equiRule
+      .transform(df =>
+        if (manualShuffle(norm))
+          df.repartition(pairParallelism(norm), col("tok"), col("salt"))
+        else df) // see equiRule
     val b = toks.select(col("id").as("dst"), col("arr").as("b_arr"), col("tok"))
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
     // A pair sharing k tokens appears k times in the token join; emitting it

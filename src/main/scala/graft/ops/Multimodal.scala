@@ -15,29 +15,69 @@ case class MediaFeatures(doc_id: Long, kind: String, byte_len: Int,
   * mapPartitions (the Scala analog of `mapInPandas`: fixed-size batches so
   * a real decoder amortizes model/library setup per batch, not per row).
   *
-  * The decode itself is a clearly-marked STUB (no image/audio libraries in
-  * this container): deterministic pseudo-decode from the leading payload
-  * bytes. Everything around it — schema, binary synthesis, batching,
-  * partition-parallel execution — is real and oracle-tested.
+  * The IMAGE path decodes for real: payloads are valid 24-bit BMPs
+  * (synthesized deterministically — no media fixtures in this container)
+  * and [[extractFeatures]] reads width/height/bands with the JDK's
+  * `javax.imageio.ImageIO`, no external libraries. Audio/video payloads
+  * stay opaque (the JDK ships no audio/video frame decoder) and fall back
+  * to the clearly-marked deterministic stub, which also catches corrupt
+  * image bytes (`ImageIO.read` → null → stub, never a task failure).
   */
 object Multimodal {
 
   val BatchSize = 64
 
-  /** Synthesize a deterministic binary media table from `documents`:
-    * payload = the 16 md5 bytes of the text; kind cycles image/audio/video.
+  /** Deterministic 24-bit BMP: 54-byte header + rows padded to 4 bytes,
+    * pixel data cycled from `seed`. Byte length is the closed form
+    * 54 + ((3w+3)/4·4)·h — the oracle recomputes it in SQL. */
+  private[ops] def bmpBytes(w: Int, h: Int, seed: Array[Byte]): Array[Byte] = {
+    val rowLen = (w * 3 + 3) / 4 * 4
+    val dataLen = rowLen * h
+    val b = new Array[Byte](54 + dataLen)
+    def putInt(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    putInt(2, b.length); putInt(10, 54)
+    putInt(14, 40); putInt(18, w); putInt(22, h)
+    b(26) = 1; b(28) = 24
+    putInt(34, dataLen)
+    var i = 0
+    while (i < dataLen) { b(54 + i) = seed(i % seed.length); i += 1 }
+    b
+  }
+
+  /** Synthesize a deterministic binary media table from `documents`: image
+    * rows carry a REAL (decodable) BMP whose dims derive from doc_id
+    * (w = id%7+1, h = id%5+1) and whose pixels cycle the text's md5 bytes;
+    * audio/video rows carry the raw 16 md5 bytes (opaque, as a real
+    * container blob would be to this stage). Kind cycles image/audio/video.
     * (Stands in for reading real blobs; at scale this column would come
     * from parquet BINARY or a blob-store path column.) */
-  def mediaTable(docs: DataFrame): DataFrame =
+  def mediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs.select(
-      col("doc_id"),
-      when(pmod(col("doc_id"), lit(3)) === 0, "image")
-        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
-        .otherwise("video").as("kind"),
-      unhex(md5(col("text").cast("binary"))).as("bytes"))
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("kind"),
+        unhex(md5(col("text").cast("binary"))).as("seed"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, seed) =>
+        val bytes =
+          if (kind == "image")
+            bmpBytes((id % 7 + 1).toInt, (id % 5 + 1).toInt, seed)
+          else seed
+        MediaRow(id, kind, bytes)
+      })
+      .toDF()
+  }
 
-  /** STUB decoder — a real implementation would parse image headers /
-    * audio frames here. Deterministic fake: dimensions from leading bytes. */
+  /** STUB decoder — the fallback for payloads the JDK cannot decode
+    * (audio/video containers, corrupt image bytes). Deterministic fake:
+    * dimensions from leading bytes. */
   private def decodeStub(m: MediaRow): MediaFeatures =
     MediaFeatures(
       doc_id = m.doc_id,
@@ -46,6 +86,25 @@ object Multimodal {
       width = m.bytes(0) & 0xff,
       height = m.bytes(1) & 0xff,
       channels = if (m.kind == "audio") 1 else 3)
+
+  /** REAL image decode via the JDK's ImageIO (BMP/PNG/JPEG/GIF readers ship
+    * with java.desktop — no external libraries): width/height/bands come
+    * from the actual decoded raster. Non-image bytes return null from
+    * `ImageIO.read` and fall back to [[decodeStub]] — corrupt blobs can
+    * never fail the task, the standard posture for TB-scale media scans. */
+  private def decode(m: MediaRow): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+      catch { case _: Exception => null }
+    if (img == null) decodeStub(m)
+    else MediaFeatures(
+      doc_id = m.doc_id,
+      kind = m.kind,
+      byte_len = m.bytes.length,
+      width = img.getWidth,
+      height = img.getHeight,
+      channels = img.getRaster.getNumBands)
+  }
 
   /** Frame sampling + resize planning for video rows — the third multimodal
     * plumbing shape (per-row EXPLODE into sampled frames, then per-frame
@@ -79,8 +138,8 @@ object Multimodal {
     media.as[MediaRow]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
-          // batch boundary = where a real decoder would run vectorized
-          batch.map(decodeStub)
+          // batch boundary = where a heavier decoder would run vectorized
+          batch.map(decode)
         }
       }
       .toDF()

@@ -34,6 +34,32 @@ case class UserStage(user_id: Long, stage: String)
   */
 object Streams {
 
+  /** RocksDB state-store provider (bundled with Spark — rocksdbjni ships in
+    * the distribution). */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Switch this session's NEW streaming queries to the RocksDB state
+    * store with changelog checkpointing — the 100×-scale posture for the
+    * stateful streams in this object (dedup keys, funnel states, packing
+    * cursors, interval-join buffers). The default HDFS-backed store holds
+    * every key in executor heap; RocksDB spills state to local SSD, keeps
+    * the JVM heap flat, and changelog checkpointing uploads per-batch
+    * deltas instead of full snapshots. Correctness is provider-independent
+    * (`StatefulStreamSpec` runs the stream==batch checks under both).
+    * Returns an undo closure restoring the prior conf (tests use it). */
+  def useRocksDbStateStore(spark: SparkSession): () => Unit = {
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val cKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prior = Seq(pKey, cKey).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(pKey, RocksDbProvider)
+    spark.conf.set(cKey, "true")
+    () => prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Stream/batch-shared transform: tumbling 1-hour counts per event type.
     * In streaming mode a 2-hour watermark bounds state; the same call works
     * on a batch DataFrame (watermark applies only when streaming). */

@@ -16,17 +16,33 @@ class MultimodalGraphSpec extends SparkSpec {
     assert(media.schema("bytes").dataType.typeName === "binary")
     val kinds = media.select("kind").distinct().collect().map(_.getString(0)).toSet
     assert(kinds === Set("image", "audio", "video"))
-    assert(media.filter(octet_length(col("bytes")) =!= 16).count() === 0)
+    // audio/video payloads are the raw 16 md5 bytes; image payloads are
+    // real BMPs (54-byte header + padded pixel rows, so always > 54)
+    assert(media.filter(col("kind") =!= "image" &&
+      octet_length(col("bytes")) =!= 16).count() === 0)
+    assert(media.filter(col("kind") === "image" &&
+      octet_length(col("bytes")) <= 54).count() === 0)
   }
 
-  test("feature extraction is deterministic and batch-driven") {
+  test("feature extraction decodes real BMPs via ImageIO, stubs the rest, deterministically") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sfDir))
     val f1 = Multimodal.extractFeatures(spark, media).collect()
     val f2 = Multimodal.extractFeatures(spark, media.repartition(7)).collect()
     assert(f1.toSeq === f2.toSeq) // partitioning/batch boundaries don't change results
-    val row = f1.head
-    assert(row.getAs[Int]("byte_len") === 16)
-    assert(row.getAs[Int]("width") >= 0 && row.getAs[Int]("width") <= 255)
+    // image rows: ImageIO-decoded dims must equal the synthesized ones
+    f1.filter(_.getAs[String]("kind") == "image").foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") === (id % 7 + 1).toInt)
+      assert(r.getAs[Int]("height") === (id % 5 + 1).toInt)
+      assert(r.getAs[Int]("channels") === 3)
+    }
+    // non-image rows: stub path on the opaque 16-byte payloads
+    val stub = f1.filter(_.getAs[String]("kind") != "image")
+    assert(stub.nonEmpty)
+    stub.foreach { r =>
+      assert(r.getAs[Int]("byte_len") === 16)
+      assert(r.getAs[Int]("width") >= 0 && r.getAs[Int]("width") <= 255)
+    }
   }
 
   test("graphx components equal their closed form and pagerank favors hubs") {

@@ -35,6 +35,32 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("rocksdb state store: stateful stream == batch under the scale-posture provider") {
+    val restore = Streams.useRocksDbStateStore(spark)
+    try {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        === Streams.RocksDbProvider)
+      val events = Tables.events(spark, "/root/testdata/sf0.001")
+      val expected = events.groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      val dir = Files.createTempDirectory("events-state-rocksdb").toFile
+      events.filter(col("event_id") % 2 === 0).write.parquet(dir + "/p1")
+      val q = Streams.runningUserCounts(
+        spark.readStream.schema(events.schema).parquet(dir + "/p1"))
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("ruc_rocks").start()
+      q.processAllAvailable()
+      events.filter(col("event_id") % 2 === 1).write.mode("append").parquet(dir + "/p1")
+      q.processAllAvailable()
+      q.stop()
+
+      val got = spark.table("ruc_rocks").groupBy("user_id").agg(max("n").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    } finally restore()
+  }
+
   test("incremental packing across micro-batches == batch packSequences") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val expected = graft.ops.Packing.packSequences(docs)
