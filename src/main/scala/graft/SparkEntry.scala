@@ -663,6 +663,19 @@ object SparkEntry {
       Search.buildIndex(Tables.documents(s, d), "graft_idx.bm25")
       Search.bm25Indexed(s, "graft_idx.bm25")
     }),
+    // incremental maintenance of the standing index: base build on 80% of
+    // the corpus, delta-ingest the rest (postings derived from the DELTA
+    // ALONE, appended bucketed; stats merge additively), then query — must
+    // STILL equal the full-corpus scan-time bm25 row-for-row
+    "bm25_index_delta" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25-delta")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val docs = Tables.documents(s, d)
+      Search.buildIndex(docs.filter(col("doc_id") % 5 =!= 0), "graft_idx.bm25d")
+      Search.indexDelta(s, "graft_idx.bm25d", docs.filter(col("doc_id") % 5 === 0))
+      Search.bm25Indexed(s, "graft_idx.bm25d")
+    }),
     // keyword extraction: full-vocab tf-idf, min-df pruned before the
     // join back, per-doc top-3 through the bounded TopKPerKey heaps
     "text_keywords" -> ((s, d) => Search.keywords(Tables.documents(s, d))),
@@ -818,7 +831,7 @@ object SparkEntry {
     "w7_unpivot", "w8_funnel", "w9_retention",
     "layout_zvalue", "mm_frames", "pack_stats",
     // round-8 retrieval additions
-    "bm25_indexed", "search_hybrid_dense")
+    "bm25_indexed", "bm25_index_delta", "search_hybrid_dense")
 
   // ---------------------------------------------------------------- oracle
 
@@ -1996,6 +2009,8 @@ object SparkEntry {
     // the index-backed variant must reproduce the scan-time result
     // row-for-row — same oracle, so any drift between the two paths fails
     "bm25_indexed" -> bm25OracleSql,
+    // delta-maintained index must converge to the full-corpus result
+    "bm25_index_delta" -> bm25OracleSql,
     "search_hybrid_dense" -> hybridDenseOracleSql,
     // hybrid RRF: same BM25 CTE chain + a tf-idf scorer off the same D/S,
     // both cut to top-k, ranks fused as 1/(60+r) — double-cast divisions

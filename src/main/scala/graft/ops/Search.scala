@@ -283,28 +283,56 @@ object Search {
   // --------------------------------------------------- inverted index
 
   /** Materialize the inverted index: `{table}_postings` (term, doc_id, dl,
-    * tf) bucketed+sorted on `term`, plus `{table}_stats` (n_docs, avgdl) —
-    * one row. Built ONCE per corpus version; every subsequent query is a
-    * postings lookup, never a corpus scan — the repeated-query-load regime
-    * [[bm25TopK]]'s scaladoc defers to (the [[DedupIndex]] pattern applied
-    * to text retrieval).
+    * tf) bucketed+sorted on `term`, plus `{table}_stats` — ADDITIVE
+    * per-ingest rows (n_docs, sum_dl), summed at query time, so a delta
+    * ingest appends one row instead of rewriting (sums of integer-valued
+    * doubles are exact, and sum/count is the same division `avg` performs,
+    * so the derived avgdl is bit-identical to the scan path's). Built ONCE
+    * per corpus version; every subsequent query is a postings lookup,
+    * never a corpus scan — the repeated-query-load regime [[bm25TopK]]'s
+    * scaladoc defers to (the [[DedupIndex]] pattern applied to text
+    * retrieval).
     *
     * Bucketing on `term` means a point query's `term IN (...)` filter
     * prunes to the matching buckets at scan time, and any term-keyed join
     * or aggregation reads the index pre-clustered — the TB-scale corpus is
     * never re-shuffled after build. */
   def buildIndex(docs: DataFrame, table: String, buckets: Int = 8): Unit = {
-    val w = docs.select(col("doc_id"), Dedup.words(col("text")).as("w"))
-    val toks = w.select(col("doc_id"), size(col("w")).cast("double").as("dl"),
-      explode(col("w")).as("term"))
-    toks.groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .write.mode("overwrite")
+    postings(docs).write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(s"${table}_postings")
-    w.select(size(col("w")).cast("double").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+    statsRow(docs).write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  private def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("double").as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+  private def statsRow(docs: DataFrame): DataFrame =
+    docs.select(size(Dedup.words(col("text"))).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+
+  /** Incremental ingest into a standing index: the delta's postings are
+    * derived map-side from the DELTA ALONE and appended into the bucketed
+    * table (the writer shuffles only the delta to match the bucket
+    * layout); corpus statistics merge by appending one additive
+    * (n_docs, sum_dl) row. The standing corpus is NEVER read or
+    * re-shuffled — ingest cost is independent of index size, the same
+    * contract `DedupIndex` proves for the LSH bands. Assumes delta doc_ids
+    * are new (an upsert would anti-join postings on doc_id first — same
+    * shape, delta-sized probe). */
+  def indexDelta(spark: SparkSession, table: String, delta: DataFrame,
+      buckets: Int = 8): Unit = {
+    postings(delta).write.mode("append")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(s"${table}_postings")
+    statsRow(delta).write.mode("append")
+      .format("parquet").saveAsTable(s"${table}_stats")
   }
 
   /** BM25 top-k from the materialized index — SAME RESULT as [[bm25TopK]]
@@ -323,7 +351,11 @@ object Search {
       terms: Seq[String] = QueryTerms, k: Int = TopK): DataFrame = {
     val p = spark.table(s"${table}_postings")
       .filter(col("term").isin(terms: _*))
+    // additive stats rows (one per ingest) fold to the scan path's exact
+    // doubles: integer-valued sums are exact, sum/count is avg's division
     val stats = spark.table(s"${table}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"))
     val dfCols = terms.map(t =>
       coalesce(max(when(col("term") === t, col("df"))), lit(0.0)).as(s"df_$t"))
     val dfRow = p.groupBy(col("term"))

@@ -16,6 +16,9 @@ class EntrySmokeSpec extends SparkSpec {
   test("every registered query returns rows at sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()
+      // drivers free views + restore scoped execution confs per query;
+      // mirror that here so one query's AQE knobs can't bleed into the next
+      CacheScope.unpersistAll()
       if (n == 0) Some(name) else None
     }
     assert(empty.isEmpty, s"queries with empty results: $empty")

@@ -33,6 +33,34 @@ class SearchIndexDenseSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), s"postings scan not bucketed:\n$plan")
   }
 
+  test("indexDelta: delta-maintained index equals full build equals scan path") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-bm25-delta-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25_delta_test LOCATION '$wh'")
+    Search.buildIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      "graft_bm25_delta_test.idx")
+    Search.indexDelta(spark, "graft_bm25_delta_test.idx",
+      docs.filter(col("doc_id") % 5 === 0))
+    val got = Search.bm25Indexed(spark, "graft_bm25_delta_test.idx")
+      .collect().map(_.toSeq)
+    val want = Search.bm25TopK(docs).collect().map(_.toSeq)
+    assert(got.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+
+    // the ingest contract: delta postings derive from the delta alone —
+    // a second delta's write plan must not read the standing postings
+    // table (ingest cost independent of index size)
+    val p = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), graft.ops.Dedup.words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("double").as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("idx_postings"), s"delta ingest reads the index:\n$p")
+  }
+
   test("docVectors: bridge + integer-sum pooling matches the posexplode derivation") {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
@@ -89,6 +117,14 @@ class SearchIndexDenseSpec extends SparkSpec {
     val gotDense = out.filter(!_.isNullAt(2))
       .map(r => r.getInt(2) -> r.getLong(0)).sortBy(_._1).map(_._2)
     assert(gotDense.toSeq === denseOrder.toSeq)
+
+    // plan guard: both rank cuts are TakeOrderedAndProject + a single-row
+    // sorted-list aggregate — never a global rank window (WindowExec would
+    // move the scored set to one partition)
+    val plan = Search.hybridRrfDense(docs, emb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window crept in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k cut not bounded:\n$plan")
 
     // fused score is exactly Σ 1/(60+rank) rounded to 6dp
     out.foreach { r =>
