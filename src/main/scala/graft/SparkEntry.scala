@@ -649,6 +649,11 @@ object SparkEntry {
     // pooling) — two bounded cuts, <=2k-row full-outer fuse
     "search_hybrid_dense" -> ((s, d) =>
       Search.hybridRrfDense(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // scale-path dense half: the query probes its sign-sketch bucket +
+    // Hamming-1 neighbors over the pooled doc vectors instead of scanning
+    // them all — candidates ~(1+planes)/2^planes of the corpus
+    "search_hybrid_dense_ann" -> ((s, d) =>
+      Search.hybridRrfDenseAnn(Tables.documents(s, d), Tables.embeddings(s, d))),
     // BM25 off the MATERIALIZED inverted index (term-bucketed postings +
     // 1-row stats): build once, query without a corpus scan — must equal
     // bm25_search row-for-row (same score expression, same doubles)
@@ -831,7 +836,8 @@ object SparkEntry {
     "w7_unpivot", "w8_funnel", "w9_retention",
     "layout_zvalue", "mm_frames", "pack_stats",
     // round-8 retrieval additions
-    "bm25_indexed", "bm25_index_delta", "search_hybrid_dense")
+    "bm25_indexed", "bm25_index_delta", "search_hybrid_dense",
+    "search_hybrid_dense_ann")
 
   // ---------------------------------------------------------------- oracle
 
@@ -920,8 +926,12 @@ object SparkEntry {
 
   /** Lexical+dense hybrid oracle: the BM25 top-k rank chain fused with the
     * dense cosine ranks over bridge-pooled (vec_id -> doc_id, quantized
-    * integer-sum) doc embeddings — mirrors Search.hybridRrfDense. */
-  private val hybridDenseOracleSql: String = {
+    * integer-sum) doc embeddings — mirrors Search.hybridRrfDense (`ann` =
+    * false) / hybridRrfDenseAnn (`ann` = true: the dense candidates come
+    * from the query's sign-sketch bucket + Hamming-1 probes instead of the
+    * full vector table; bucket signs are EXACT — integer-valued products
+    * sum order-free — so the two engines bucket identically). */
+  private def hybridDenseOracle(ann: Boolean): String = {
     import graft.ops.Search.{K1, B => B25, TopK, QueryTerms, RrfK,
       BridgeMul, BridgeAdd, DenseQueryDoc}
     val tfs = QueryTerms.map(t =>
@@ -946,9 +956,22 @@ object SparkEntry {
     s"EQ AS (SELECT doc_id, dim, CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * $scale) AS BIGINT) AS q FROM ED), " +
     "PS AS (SELECT doc_id, dim, sum(q) AS s FROM EQ GROUP BY doc_id, dim), " +
     "DV AS (SELECT doc_id, list(CAST(s AS DOUBLE) ORDER BY dim) AS v FROM PS GROUP BY doc_id), " +
-    s"QV AS (SELECT v AS qv FROM DV WHERE doc_id = $DenseQueryDoc), " +
-    s"DC AS (SELECT d.doc_id, round(${cosSql("d.v", "q.qv")}, 6) AS cos " +
-    s"FROM DV d CROSS JOIN QV q WHERE d.doc_id <> $DenseQueryDoc), " +
+    (if (!ann)
+      s"QV AS (SELECT v AS qv FROM DV WHERE doc_id = $DenseQueryDoc), " +
+      s"DC AS (SELECT d.doc_id, round(${cosSql("d.v", "q.qv")}, 6) AS cos " +
+      s"FROM DV d CROSS JOIN QV q WHERE d.doc_id <> $DenseQueryDoc), "
+    else
+      // sign-sketch bucket per pooled vector (mirrors Similarity.bucketCol
+      // over v), query probes own bucket + all Hamming-1 flips
+      "DVB AS (SELECT doc_id, v, array_to_string(list_transform(range(6), p -> " +
+      "CASE WHEN list_sum(list_transform(range(64), dd -> v[dd+1] * " +
+      "(CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || '_' || CAST(dd AS VARCHAR)), 1, 1)) - 1) % 2 = 1 " +
+      "THEN 1.0 ELSE -1.0 END))) > 0 THEN '1' ELSE '0' END), '') AS bucket FROM DV), " +
+      s"QB AS (SELECT v AS qv, unnest([bucket] || list_transform(range(6), p -> " +
+      "substr(bucket, 1, CAST(p AS INT)) || (CASE WHEN substr(bucket, CAST(p AS INT) + 1, 1) = '1' THEN '0' ELSE '1' END) || " +
+      s"substr(bucket, CAST(p AS INT) + 2, 6 - CAST(p AS INT) - 1))) AS bucket FROM DVB WHERE doc_id = $DenseQueryDoc), " +
+      s"DC AS (SELECT d.doc_id, round(${cosSql("d.v", "q.qv")}, 6) AS cos " +
+      s"FROM DVB d JOIN QB q ON d.bucket = q.bucket AND d.doc_id <> $DenseQueryDoc), ") +
     s"DR AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS r_dense " +
     s"FROM (SELECT doc_id, cos FROM DC ORDER BY cos DESC, doc_id LIMIT $TopK)) " +
     "SELECT coalesce(b.doc_id, d.doc_id) AS doc_id, b.r_bm25, d.r_dense, " +
@@ -2011,7 +2034,8 @@ object SparkEntry {
     "bm25_indexed" -> bm25OracleSql,
     // delta-maintained index must converge to the full-corpus result
     "bm25_index_delta" -> bm25OracleSql,
-    "search_hybrid_dense" -> hybridDenseOracleSql,
+    "search_hybrid_dense" -> hybridDenseOracle(ann = false),
+    "search_hybrid_dense_ann" -> hybridDenseOracle(ann = true),
     // hybrid RRF: same BM25 CTE chain + a tf-idf scorer off the same D/S,
     // both cut to top-k, ranks fused as 1/(60+r) — double-cast divisions
     // so DuckDB's decimal literals can't diverge from Spark's doubles

@@ -193,6 +193,34 @@ object Search {
     * "the embedded query string" (the fixture has no text encoder). */
   val DenseQueryDoc = 0L
 
+  /** The BM25 rank cut shared by the dense-hybrid variants: the
+    * [[bm25TopK]] scoring chain reduced to (doc_id, r_bm25). */
+  private def bm25Ranks(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val perDoc = docs.select(
+      (col("doc_id") +:
+        size(Dedup.words(col("text"))).cast("double").as("dl") +:
+        terms.map(t => tf(t).as(s"tf_$t"))): _*)
+    val statCols = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double")
+          .as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val bScored = perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(terms.map(bmPart).reduce(_ + _), 4).as("s_bm25"))
+    rankTopK(bScored.filter(col("s_bm25") > 0), "s_bm25", "r_bm25", k)
+  }
+
+  /** RRF fuse of the two ≤k-row rank lists: ≤2k-row full-outer join. */
+  private def fuseRrf(bRank: DataFrame, dRank: DataFrame): DataFrame =
+    bRank.join(dRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_bm25"), col("r_dense"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0)), 6).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+
   /** Pooled per-document embeddings over the vec_id → doc_id bridge:
     * `doc_id = (vec_id·37 + 11) mod N_docs`, vectors element-wise SUMMED in
     * quantized-integer space (round(x·1000) as long — [[Centroids]]' exact,
@@ -256,28 +284,39 @@ object Search {
         round(Similarity.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
           .as("cos"))
     // negative cosines still rank (dense lists have no natural zero cut)
-    val dRank = rankTopK(dcos, "cos", "r_dense", k)
-    // lexical: the bm25TopK chain cut to (doc_id, s_bm25)
-    val perDoc = docs.select(
-      (col("doc_id") +:
-        size(Dedup.words(col("text"))).cast("double").as("dl") +:
-        terms.map(t => tf(t).as(s"tf_$t"))): _*)
-    val statCols = count(lit(1)).cast("double").as("n_docs") +:
-      avg(col("dl")).as("avgdl") +:
-      terms.map(t =>
-        sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double")
-          .as(s"df_$t"))
-    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
-    val bScored = perDoc.crossJoin(broadcast(stats))
+    fuseRrf(bm25Ranks(docs, terms, k), rankTopK(dcos, "cos", "r_dense", k))
+  }
+
+  /** The SCALE-PATH dense half: same fusion as [[hybridRrfDense]], but the
+    * dense cut probes only the query's sign-sketch LSH bucket and its
+    * Hamming-1 neighbors ([[Similarity]]'s multi-probe scheme applied to
+    * the pooled doc vectors) instead of scanning every doc vector —
+    * candidates ≈ (1+planes)/2^planes of the corpus, reached by a bucket
+    * equi-join against a ≤(1+planes)-row broadcast probe list. Recall of
+    * the dense list is partial by construction (the ANN trade measured by
+    * `sim_ann_recall` on the raw vectors); the fusion shape is unchanged:
+    * two bounded cuts + a ≤2k full-outer fuse. */
+  def hybridRrfDenseAnn(docs: DataFrame, embeddings: DataFrame,
+      terms: Seq[String] = QueryTerms, k: Int = TopK,
+      queryDoc: Long = DenseQueryDoc): DataFrame = {
+    val dv = graft.CacheScope.track(
+      docVectors(docs, embeddings)
+        .withColumn("bucket", Similarity.bucketCol(col("v"))))
+    val probes = (0 until Similarity.NumPlanes).map { p =>
+      concat(
+        substring(col("bucket"), 1, p),
+        when(substring(col("bucket"), p + 1, 1) === "1", "0").otherwise("1"),
+        substring(col("bucket"), p + 2, Similarity.NumPlanes - p - 1))
+    }
+    val q = dv.filter(col("doc_id") === queryDoc)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(array(col("bucket") +: probes: _*)).as("bucket"))
+    val dcos = dv.filter(col("doc_id") =!= queryDoc)
+      .join(broadcast(q), Seq("bucket"))
       .select(col("doc_id"),
-        round(terms.map(bmPart).reduce(_ + _), 4).as("s_bm25"))
-    val bRank = rankTopK(bScored.filter(col("s_bm25") > 0), "s_bm25", "r_bm25", k)
-    bRank.join(dRank, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"), col("r_bm25"), col("r_dense"),
-        round(
-          coalesce(lit(1.0) / (lit(RrfK) + col("r_bm25")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0)), 6).as("rrf"))
-      .orderBy(desc("rrf"), col("doc_id"))
+        round(Similarity.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6)
+          .as("cos"))
+    fuseRrf(bm25Ranks(docs, terms, k), rankTopK(dcos, "cos", "r_dense", k))
   }
 
   // --------------------------------------------------- inverted index

@@ -84,6 +84,31 @@ class SearchIndexDenseSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("hybridRrfDenseAnn: bucketed dense cut ranks a subset in the exact cosine order") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Search.hybridRrfDense(docs, emb).collect()
+    val ann = Search.hybridRrfDenseAnn(docs, emb).collect()
+    assert(ann.nonEmpty)
+    // lexical half identical between variants
+    def bmRanks(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bmRanks(ann) === bmRanks(exact))
+    // dense half: the ANN list is a (possibly strict) subset of vectors,
+    // ranked in the SAME relative cosine order as the exact cut ranks them
+    def dRanked(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(!_.isNullAt(2)).sortBy(_.getInt(2)).map(_.getLong(0)).toSeq
+    val exactOrder = dRanked(exact).zipWithIndex.toMap
+    val annOrder = dRanked(ann)
+    val inExact = annOrder.filter(exactOrder.contains)
+    assert(inExact === inExact.sortBy(exactOrder), "ANN reordered shared docs")
+    // plan guard: no rank window in the bucketed variant either
+    val plan = Search.hybridRrfDenseAnn(docs, emb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window crept in:\n$plan")
+    CacheScope.unpersistAll()
+  }
+
   test("hybridRrfDense: lexical ranks = bm25TopK order, dense ranks = cosine order, rrf formula exact") {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
