@@ -32,10 +32,14 @@ object Bench {
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     require(iterations >= 1,
       s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iterations")
-    // optional args: a subset of benchQueries (local iteration aid — the
-    // driver passes none and times the full set)
+    // argv: [outPath.json] [queryName ...] — an arg ending in .json is the
+    // output-path override (the driver's original contract); any remaining
+    // args select a subset of benchQueries (local iteration aid). The two
+    // were conflated once: query names became stray root-dir files.
+    val (outPathArgs, nameArgs) = args.partition(_.endsWith(".json"))
+    val outPath = outPathArgs.headOption.getOrElse("bench_out.json")
     val toRun =
-      if (args.nonEmpty) SparkEntry.benchQueries.filter(args.toSet)
+      if (nameArgs.nonEmpty) SparkEntry.benchQueries.filter(nameArgs.toSet)
       else SparkEntry.benchQueries
     val results = toRun.map { name =>
       val fn = SparkEntry.queries(name)
@@ -73,7 +77,7 @@ object Bench {
     // is cwd-relative (= repo root under sbt) and overridable via argv.
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(args.headOption.getOrElse("bench_out.json")),
+      java.nio.file.Paths.get(outPath),
       json + "\n")
     spark.stop()
   }

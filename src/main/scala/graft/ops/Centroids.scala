@@ -106,14 +106,25 @@ object Centroids {
     * oracle-able. Codebook = SubSpaces · k · dims/SubSpaces values — a
     * broadcast literal; the only shuffle is the argmin groupBy over
     * vec×subspace rows (bounded 8× fan-out, not dims×). */
-  def pqCodes(embeddings: DataFrame): DataFrame = {
+  /** The per-subspace codebook (sub, c_label, cvec) — SubSpaces·labels
+    * rows. Production trains this offline once; [[pqRecall]] materializes
+    * it once per query via CacheScope so the LUT build and the code
+    * assignment don't each re-aggregate the corpus. */
+  private[ops] def pqCodebook(embeddings: DataFrame): DataFrame = {
     val subDims = 64 / SubSpaces
-    val cent = labelCentroids(embeddings)
+    labelCentroids(embeddings)
       .withColumn("c6", round(col("centroid") * lit(1000000.0)).cast("long"))
       .withColumn("sub", (col("dim") / subDims).cast("int"))
       .groupBy(col("sub"), col("label").as("c_label"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c6")))).as("cd"))
       .select(col("sub"), col("c_label"), transform(col("cd"), s => s("c6")).as("cvec"))
+  }
+
+  def pqCodes(embeddings: DataFrame): DataFrame =
+    pqCodes(embeddings, pqCodebook(embeddings))
+
+  private[ops] def pqCodes(embeddings: DataFrame, cent: DataFrame): DataFrame = {
+    val subDims = 64 / SubSpaces
     val subs = embeddings.select(
       col("vec_id"),
       transform(col("embedding"),
@@ -177,13 +188,11 @@ object Centroids {
       .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= k)
       .select(col("qid"), col("vec_id"))
 
-    // ADC lookup table: per (query, subspace, code) exact distance
-    val cent = labelCentroids(embeddings)
-      .withColumn("c6", round(col("centroid") * lit(1000000.0)).cast("long"))
-      .withColumn("sub", (col("dim") / subDims).cast("int"))
-      .groupBy(col("sub"), col("label").as("code"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("c6")))).as("cd"))
-      .select(col("sub"), col("code"), transform(col("cd"), s => s("c6")).as("cvec"))
+    // ADC lookup table: per (query, subspace, code) exact distance — the
+    // codebook is materialized ONCE and shared with the code assignment
+    // below (two consumers; freed at the driver's query boundary)
+    val codebook = graft.CacheScope.track(pqCodebook(embeddings))
+    val cent = codebook.withColumnRenamed("c_label", "code")
     val qSubs = queries.select(col("qid"), posexplode(
         transform(sequence(lit(0), lit(SubSpaces - 1)),
           s => slice(col("qv"), s * subDims + 1, lit(subDims))))
@@ -208,7 +217,7 @@ object Centroids {
           .drop("bucket")
       }
 
-    val adcTopK = prune(pqCodes(embeddings)
+    val adcTopK = prune(pqCodes(embeddings, codebook)
       .join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("qid")))
       .groupBy(col("qid"), col("vec_id"))

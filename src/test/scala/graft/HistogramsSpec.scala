@@ -4,7 +4,6 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.window.WindowExec
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{FuzzySearch, Histograms}
@@ -34,21 +33,37 @@ class HistogramsSpec extends SparkSpec {
     bad ++ kids.flatMap(windows) ++ p.subqueries.flatMap(windows)
   }
 
-  /** The spec being replaced: ntile over the one-task global sort. */
+  /** The spec being replaced — ntile's floor-division bucket split —
+    * computed DRIVER-SIDE over the collected sorted rows. (An actual
+    * `ntile().over(Window.orderBy(...))` here would be an equally valid
+    * reference, but Spark logs the "Moving all data to a single partition"
+    * WindowExec warning for it, indistinguishable in the test log from a
+    * product-plan regression; the DuckDB `a12_equidepth` oracle already
+    * provides the independent cross-engine ntile check.) */
   private def ntileReference(df: org.apache.spark.sql.DataFrame,
-      value: String, tiebreak: String, n: Int) =
-    df.select(col(value).as("v"), col(tiebreak).as("tb"))
-      .withColumn("bucket", ntile(n).over(Window.orderBy(col("v"), col("tb"))))
-      .groupBy(col("bucket"))
-      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"), count(lit(1)).as("n"))
-      .orderBy(col("bucket"))
+      value: String, tiebreak: String, n: Int): Seq[(Int, Double, Double, Long)] = {
+    val rows = df
+      .select(col(value).cast("double").as("v"), col(tiebreak).cast("long").as("tb"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq.sorted
+    val q = rows.length / n
+    val r = rows.length % n
+    val sizes = (1 to n).map(i => if (i <= r) q + 1 else q).filter(_ > 0)
+    var idx = 0
+    sizes.zipWithIndex.map { case (sz, i) =>
+      val slice = rows.slice(idx, idx + sz)
+      idx += sz
+      (i + 1, slice.head._1, slice.last._1, sz.toLong)
+    }
+  }
+
+  private def asTuples(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
 
   test("equiDepth matches ntile semantics on sf0.001 orders") {
     val orders = Tables.orders(spark, sfDir)
-    val got = Histograms.equiDepth(orders, col("o_totalprice"), col("o_orderkey"))
-      .collect().toSeq
+    val got = asTuples(
+      Histograms.equiDepth(orders, col("o_totalprice"), col("o_orderkey")).collect())
     val want = ntileReference(orders, "o_totalprice", "o_orderkey", 10)
-      .collect().toSeq
     assert(got === want)
   }
 
@@ -57,16 +72,16 @@ class HistogramsSpec extends SparkSpec {
     // 137 rows, heavy value duplication — the tiebreak makes the order total
     val df = spark.range(137)
       .select((col("id") * 37 % 50).cast("double").as("v"), col("id").as("k"))
-    val got = Histograms.equiDepth(df, $"v", $"k").collect().toSeq
-    val want = ntileReference(df, "v", "k", 10).collect().toSeq
+    val got = asTuples(Histograms.equiDepth(df, $"v", $"k").collect())
+    val want = ntileReference(df, "v", "k", 10)
     assert(got === want)
   }
 
   test("equiDepth matches ntile when N < buckets") {
     import spark.implicits._
     val df = spark.range(7).select(col("id").cast("double").as("v"), col("id").as("k"))
-    val got = Histograms.equiDepth(df, $"v", $"k").collect().toSeq
-    val want = ntileReference(df, "v", "k", 10).collect().toSeq
+    val got = asTuples(Histograms.equiDepth(df, $"v", $"k").collect())
+    val want = ntileReference(df, "v", "k", 10)
     assert(got.size === 7 && got === want)
   }
 
