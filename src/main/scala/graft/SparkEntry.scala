@@ -414,6 +414,10 @@ object SparkEntry {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"))),
     // training-data pipeline: text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(Tables.documents(s, d))),
+    // the pre-training dashboard: per (source, lang) docs/tokens/quality
+    // keep-rate/exact-dup rate/langid agreement — one scan, one hash
+    // shuffle, a |sources|x|langs|-row aggregate
+    "corpus_report" -> ((s, d) => TextAnalysis.corpusReport(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -837,7 +841,9 @@ object SparkEntry {
     "layout_zvalue", "mm_frames", "pack_stats",
     // round-8 retrieval additions
     "bm25_indexed", "bm25_index_delta", "search_hybrid_dense",
-    "search_hybrid_dense_ann")
+    "search_hybrid_dense_ann",
+    // the pre-training composition dashboard
+    "corpus_report")
 
   // ---------------------------------------------------------------- oracle
 
@@ -1195,6 +1201,30 @@ object SparkEntry {
     "text_fingerprint" ->
       (s"SELECT doc_id, md5($docNorm) AS fp, substr(md5($docNorm), 1, 8) AS fp_short " +
        "FROM documents ORDER BY doc_id"),
+    // composition report: langid CASE + quality keep CASE + exact-dup
+    // keeper, aggregated per (source, lang) — same sub-expressions as the
+    // text_langid / text_quality / dedup_exact oracles
+    "corpus_report" ->
+      (s"WITH base AS (SELECT doc_id, source, lang, string_split($docNorm, ' ') AS w, " +
+       s"md5($docNorm) AS h FROM documents), " +
+       "r AS (SELECT doc_id, source, lang, len(w) AS n_tokens, h, " +
+       "CASE WHEN len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) >= len(list_filter(w, x -> list_contains(['der','die','und','das'], x))) " +
+       "AND len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) >= len(list_filter(w, x -> list_contains(['le','et','les','une'], x))) " +
+       "AND len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) >= len(list_filter(w, x -> list_contains(['el','y','los','una'], x))) THEN 'en' " +
+       "WHEN len(list_filter(w, x -> list_contains(['der','die','und','das'], x))) >= len(list_filter(w, x -> list_contains(['le','et','les','une'], x))) " +
+       "AND len(list_filter(w, x -> list_contains(['der','die','und','das'], x))) >= len(list_filter(w, x -> list_contains(['el','y','los','una'], x))) THEN 'de' " +
+       "WHEN len(list_filter(w, x -> list_contains(['le','et','les','une'], x))) >= len(list_filter(w, x -> list_contains(['el','y','los','una'], x))) THEN 'fr' ELSE 'es' END AS plang, " +
+       "CASE WHEN len(w) < 5 THEN 0.0 " +
+       "WHEN round(CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4) < 0.01 THEN 0.0 " +
+       "ELSE 1.0 END AS keep_flag FROM base), " +
+       "k AS (SELECT h, min(doc_id) AS keeper FROM r GROUP BY h) " +
+       "SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+       "round(avg(n_tokens), 4) AS avg_tokens, " +
+       "round(avg(keep_flag), 4) AS keep_rate, " +
+       "round(avg(CASE WHEN r.doc_id <> k.keeper THEN 1.0 ELSE 0.0 END), 4) AS dup_rate, " +
+       "round(avg(CASE WHEN plang = lang THEN 1.0 ELSE 0.0 END), 4) AS lang_match_rate " +
+       "FROM r JOIN k USING (h) GROUP BY source, lang ORDER BY source, lang"),
     // Document frequency = plain count because SH is distinct per doc;
     // the (df DESC, gram) order is total, so LIMIT is deterministic.
     "text_ngram_topk" ->

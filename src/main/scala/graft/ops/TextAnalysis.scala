@@ -306,4 +306,51 @@ object TextAnalysis {
       md5(cleaned.cast("binary")).as("clean_fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** Corpus composition report — the dashboard a pipeline owner reads
+    * before training: per (source, lang), document and token counts,
+    * mean length, the quality keep-rate, the exact-duplicate rate, and
+    * language-ID agreement with the recorded label. Composes the same
+    * expressions as [[tokens]]/[[quality]]/[[langId]]/[[Dedup.exact]]
+    * inline so the whole report is ONE corpus scan, ONE shuffle (the
+    * content-hash keeper group) and a |sources|·|langs|-row aggregate —
+    * no joins between separately-derived per-doc frames.
+    *
+    * `dup_rate` counts a doc as duplicate when it is not its exact-hash
+    * group's keeper (min doc_id), so groups of n contribute (n−1)/n. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val nTok = size(w)
+    val predicted =
+      when(hits(langStops(0)._2) >= hits(langStops(1)._2) &&
+        hits(langStops(0)._2) >= hits(langStops(2)._2) &&
+        hits(langStops(0)._2) >= hits(langStops(3)._2), "en")
+        .when(hits(langStops(1)._2) >= hits(langStops(2)._2) &&
+          hits(langStops(1)._2) >= hits(langStops(3)._2), "de")
+        .when(hits(langStops(2)._2) >= hits(langStops(3)._2), "fr")
+        .otherwise("es")
+    // keep = the [[quality]] CASE's "keep" branch, on the same rounded ratio
+    val keep =
+      when(nTok < 5, 0.0)
+        .when(round(hits(stopwords).cast("double") / nTok.cast("double"), 4) < 0.01, 0.0)
+        .otherwise(1.0)
+    val perDoc = docs.select(
+      col("doc_id"), col("source"), col("lang"),
+      nTok.as("n_tokens"),
+      md5(normText.cast("binary")).as("h"),
+      predicted.as("plang"),
+      keep.as("keep_flag"))
+    val keepers = perDoc.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    perDoc.join(keepers, "h")
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("keep_flag")), 4).as("keep_rate"),
+        round(avg(when(col("doc_id") =!= col("keeper"), 1.0).otherwise(0.0)), 4)
+          .as("dup_rate"),
+        round(avg(when(col("plang") === col("lang"), 1.0).otherwise(0.0)), 4)
+          .as("lang_match_rate"))
+      .orderBy(col("source"), col("lang"))
+  }
 }
