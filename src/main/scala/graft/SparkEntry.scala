@@ -418,6 +418,10 @@ object SparkEntry {
     // keep-rate/exact-dup rate/langid agreement — one scan, one hash
     // shuffle, a |sources|x|langs|-row aggregate
     "corpus_report" -> ((s, d) => TextAnalysis.corpusReport(Tables.documents(s, d))),
+    // tokenizer induction: 5 BPE merges trained on the word histogram in
+    // ONE declarative DAG (each winner = 1-row aggregate broadcast into a
+    // boundary-anchored replace; no driver loop)
+    "bpe_merges" -> ((s, d) => Bpe.merges(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -842,8 +846,8 @@ object SparkEntry {
     // round-8 retrieval additions
     "bm25_indexed", "bm25_index_delta", "search_hybrid_dense",
     "search_hybrid_dense_ann",
-    // the pre-training composition dashboard
-    "corpus_report")
+    // the pre-training composition dashboard + tokenizer induction
+    "corpus_report", "bpe_merges")
 
   // ---------------------------------------------------------------- oracle
 
@@ -908,6 +912,33 @@ object SparkEntry {
     "FROM E WHERE vec_id < 8)"
 
   private val chainBlock = graft.graph.GraphOps.ChainBlock
+
+  /** BPE merge-chain oracle: the same iteration unrolled as CTE blocks —
+    * T0 = char-split word histogram (double-space separator invariant,
+    * see ops/Bpe.scala), then per step k: pair counts from T(k-1), the
+    * (cnt DESC, l, r) argmax as B(k), and T(k) = the boundary-anchored
+    * replace. Result = B1..Bn. */
+  private val bpeOracleSql: String = {
+    val steps = graft.ops.Bpe.Steps
+    val blocks = Seq(
+      s"W AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
+        s"(SELECT unnest(string_split($docNorm, ' ')) AS word FROM documents) " +
+        "WHERE word <> '' GROUP BY word)",
+      "T0 AS (SELECT word, freq, ' ' || array_to_string(" +
+        "list_transform(range(length(word)), i -> substr(word, CAST(i + 1 AS INT), 1)), '  ') || ' ' AS s FROM W)") ++
+      (1 to steps).flatMap { k =>
+        Seq(
+          s"P$k AS (SELECT tk[i + 1] AS l, tk[i + 2] AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM " +
+            s"(SELECT freq, string_split(trim(s), '  ') AS tk, " +
+            s"unnest(range(len(string_split(trim(s), '  ')) - 1)) AS i FROM T${k - 1}) GROUP BY l, r)",
+          s"B$k AS (SELECT $k AS step, l, r, cnt FROM P$k ORDER BY cnt DESC, l, r LIMIT 1)",
+          s"T$k AS (SELECT word, freq, replace(s, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s " +
+            s"FROM T${k - 1} CROSS JOIN B$k b)")
+      }
+    "WITH " + blocks.mkString(", ") + " SELECT CAST(step AS INT) AS step, l, r, cnt FROM (" +
+      (1 to steps).map(k => s"SELECT * FROM B$k").mkString(" UNION ALL ") +
+      ") ORDER BY step"
+  }
 
   /** BM25 oracle chain — shared verbatim by `bm25_search` and
     * `bm25_indexed` (the index-backed path must be row-identical). */
@@ -2058,6 +2089,7 @@ object SparkEntry {
     // BM25: tf per query term from the normalized word list, corpus stats
     // in one row, Lucene-form idf; round(…,4) + doc_id tie-break makes the
     // ln/division ulp-stable across engines
+    "bpe_merges" -> bpeOracleSql,
     "bm25_search" -> bm25OracleSql,
     // the index-backed variant must reproduce the scan-time result
     // row-for-row — same oracle, so any drift between the two paths fails

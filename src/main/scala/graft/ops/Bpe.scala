@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training over the corpus — the tokenizer-
+  * induction step of a training-data pipeline (Sennrich et al.'s BPE:
+  * repeatedly merge the most frequent adjacent token pair), expressed as
+  * ONE declarative DAG with no driver-side loop: each iteration's winning
+  * pair is a 1-row aggregate broadcast into a string `replace` over the
+  * word table, and the next iteration's pair counts read that result.
+  *
+  * Scale shape: BPE trains on the WORD HISTOGRAM, not the corpus — the one
+  * corpus-sized operation is the (word, freq) groupBy, cached via
+  * CacheScope; every merge iteration after it is vocabulary-sized (pair
+  * explode ≈ word-length × |vocab| rows, a 1-row argmin, a broadcast
+  * cross). The linear chain branches (each winner feeds both the output
+  * union and the next iteration), so uncached recompute is O(steps²)
+  * vocabulary-sized aggregations off the one cached histogram — steps is
+  * small by construction (real tokenizers checkpoint the merge table, not
+  * the DAG).
+  *
+  * Token state is a spaced string with a strict invariant — tokens
+  * separated by TWO spaces, ONE space at each end — so the merge
+  * `replace(s, ' l  r ', ' lr ')` (leftmost, non-overlapping, boundary-
+  * anchored by the spaces) merges every disjoint adjacent occurrence in
+  * one pass AND preserves the invariant: back-to-back pairs work because
+  * the pattern's outer single spaces consume only one of each double
+  * separator (`' a  a  a  a '` → `' aa  aa '`, proven in `BpeSpec`).
+  * Determinism: tie-breaks on (count DESC, left, right) make the merge
+  * table engine-reproducible — the DuckDB oracle replays the same chain.
+  */
+object Bpe {
+
+  val Steps = 5
+
+  /** The trained merge table: (step, l, r, cnt) — one row per merge, the
+    * artifact a tokenizer ships. Precondition: `steps` ≤ the number of
+    * merges the corpus supports (a dried-up pair table would emit a
+    * null winner and poison the chain) — real corpora support millions,
+    * and the hand-built fixture in `BpeSpec` uses steps = 2 for this
+    * reason. */
+  def merges(docs: DataFrame, steps: Int = Steps): DataFrame = {
+    // the ONE corpus-sized operation: the word histogram
+    val hist = graft.CacheScope.track(
+      docs.select(explode(Dedup.words(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("freq")))
+    // initial state: characters, double-space separated
+    var t = hist.select(col("word"), col("freq"),
+      concat(lit(" "),
+        array_join(filter(split(col("word"), ""), c => c =!= ""), "  "),
+        lit(" ")).as("s"))
+    var winners = Seq.empty[DataFrame]
+    for (k <- 1 to steps) {
+      val tk = t.select(col("freq"), split(trim(col("s")), "  ").as("tk"))
+        // single-token words carry no pairs; without the filter Spark's
+        // sequence(0, -1) would DESCEND ([0, -1]) and emit null pairs
+        // (DuckDB's range(0) is empty — the engines would diverge)
+        .filter(size(col("tk")) >= 2)
+        .select(col("freq"), col("tk"),
+          explode(sequence(lit(0), size(col("tk")) - 2)).as("i"))
+        .select(col("tk")(col("i")).as("l"), col("tk")(col("i") + 1).as("r"),
+          col("freq"))
+      val pairs = tk.groupBy(col("l"), col("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs.agg(min_by(struct(col("l"), col("r"), col("cnt")),
+          struct(negate(col("cnt")), col("l"), col("r"))).as("b"))
+        .select(lit(k).as("step"), col("b.l").as("l"), col("b.r").as("r"),
+          col("b.cnt").as("cnt"))
+      winners = winners :+ best
+      t = t.crossJoin(broadcast(best))
+        .select(col("word"), col("freq"),
+          expr("replace(s, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))")
+            .as("s"))
+    }
+    winners.reduce(_ unionByName _).orderBy(col("step"))
+  }
+}

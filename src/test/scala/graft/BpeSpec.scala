@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Bpe
+
+/** BPE merge training: the double-space separator invariant that makes one
+  * `replace` pass merge every disjoint adjacent occurrence, and the merge
+  * chain on a hand-computable corpus. */
+class BpeSpec extends SparkSpec {
+
+  test("boundary-anchored replace merges back-to-back pairs and keeps the invariant") {
+    import spark.implicits._
+    val cases = Seq(
+      (" a  a  a  a ", " a  a ", " aa ", " aa  aa "),   // disjoint pairs both merge
+      (" a  a  a ", " a  a ", " aa ", " aa  a "),       // greedy leftmost on odd runs
+      (" x  a  b  y ", " a  b ", " ab ", " x  ab  y "), // interior, neighbors intact
+      (" ab  a  b ", " a  b ", " ab ", " ab  ab "),     // 'ab' token != (a, b) pair
+      (" a  ba ", " a  b ", " ab ", " a  ba "))         // right boundary respected
+    cases.toDF("s", "find", "repl", "want")
+      .select(expr("replace(s, find, repl)").as("got"), col("want"))
+      .collect().foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("merge chain on a hand-computed corpus") {
+    import spark.implicits._
+    // histogram: aa -> 1, ab -> 3. Step 1: pairs (a,a):1, (a,b):3 -> merge
+    // (a,b). Step 2: only (a,a):1 remains -> merge (a,a).
+    val docs = Seq((0L, "aa ab"), (1L, "ab ab")).toDF("doc_id", "text")
+    val got = Bpe.merges(docs, steps = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq((1, "a", "b", 3L), (2, "a", "a", 1L)))
+    CacheScope.unpersistAll()
+  }
+
+  test("five merges on sf0.001 documents are deterministic across reruns") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Bpe.merges(docs).collect().map(_.toSeq).toSeq
+    CacheScope.unpersistAll()
+    val b = Bpe.merges(docs.repartition(7)).collect().map(_.toSeq).toSeq
+    CacheScope.unpersistAll()
+    assert(a === b) // partition layout cannot change the merge table
+    assert(a.size === Bpe.Steps)
+  }
+}

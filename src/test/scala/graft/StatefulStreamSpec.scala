@@ -86,6 +86,31 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got === expected, "stream state diverged from batch prefix sums")
   }
 
+  test("rocksdb state store: incremental packing (flatMapGroupsWithState) == batch") {
+    val restore = Streams.useRocksDbStateStore(spark)
+    try {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      val expected = graft.ops.Packing.packSequences(docs)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+
+      val dir = Files.createTempDirectory("docs-pack-rocksdb").toFile
+      docs.filter(col("doc_id") < 250).write.parquet(dir + "/p1")
+      val q = Streams.incrementalPacking(
+        spark.readStream.schema(docs.schema).parquet(dir + "/p1"))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("ipack_rocks").start()
+      q.processAllAvailable()
+      docs.filter(col("doc_id") >= 250).write.mode("append").parquet(dir + "/p1")
+      q.processAllAvailable()
+      q.stop()
+
+      val got = spark.table("ipack_rocks").collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+      assert(got === expected, "rocksdb-backed state diverged from batch prefix sums")
+    } finally restore()
+  }
+
   test("streaming funnel final stages == batch funnelStages") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val expected = graft.ops.Windows.funnelStages(events)
