@@ -14,11 +14,10 @@ import org.apache.spark.sql.functions._
   * corpus-sized operation is the (word, freq) groupBy, cached via
   * CacheScope; every merge iteration after it is vocabulary-sized (pair
   * explode ≈ word-length × |vocab| rows, a 1-row argmin, a broadcast
-  * cross). The linear chain branches (each winner feeds both the output
-  * union and the next iteration), so uncached recompute is O(steps²)
-  * vocabulary-sized aggregations off the one cached histogram — steps is
-  * small by construction (real tokenizers checkpoint the merge table, not
-  * the DAG).
+  * cross). Each iteration's token state is also CacheScope-tracked: the
+  * chain branches (winner k feeds both the output union and iteration
+  * k+1), so per-step caching keeps the whole train O(steps)
+  * vocabulary-sized scans instead of O(steps²).
   *
   * Token state is a spaced string with a strict invariant — tokens
   * separated by TWO spaces, ONE space at each end — so the merge
@@ -70,10 +69,13 @@ object Bpe {
         .select(lit(k).as("step"), col("b.l").as("l"), col("b.r").as("r"),
           col("b.cnt").as("cnt"))
       winners = winners :+ best
-      t = t.crossJoin(broadcast(best))
+      // cache each state: the chain branches (winner k feeds both the
+      // output union and iteration k+1), so uncached recompute would be
+      // O(steps²) vocabulary-sized scans instead of O(steps)
+      t = graft.CacheScope.track(t.crossJoin(broadcast(best))
         .select(col("word"), col("freq"),
           expr("replace(s, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))")
-            .as("s"))
+            .as("s")))
     }
     winners.reduce(_ unionByName _).orderBy(col("step"))
   }
