@@ -422,6 +422,9 @@ object SparkEntry {
     // ONE declarative DAG (each winner = 1-row aggregate broadcast into a
     // boundary-anchored replace; no driver loop)
     "bpe_merges" -> ((s, d) => Bpe.merges(Tables.documents(s, d))),
+    // encode under the trained vocab: replace chain runs once per
+    // DISTINCT word; documents join the vocab-sized encode table
+    "bpe_encode" -> ((s, d) => Bpe.encode(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -847,7 +850,7 @@ object SparkEntry {
     "bm25_indexed", "bm25_index_delta", "search_hybrid_dense",
     "search_hybrid_dense_ann",
     // the pre-training composition dashboard + tokenizer induction
-    "corpus_report", "bpe_merges")
+    "corpus_report", "bpe_merges", "bpe_encode")
 
   // ---------------------------------------------------------------- oracle
 
@@ -918,9 +921,8 @@ object SparkEntry {
     * see ops/Bpe.scala), then per step k: pair counts from T(k-1), the
     * (cnt DESC, l, r) argmax as B(k), and T(k) = the boundary-anchored
     * replace. Result = B1..Bn. */
-  private val bpeOracleSql: String = {
-    val steps = graft.ops.Bpe.Steps
-    val blocks = Seq(
+  private def bpeChainBlocks(steps: Int): Seq[String] =
+    Seq(
       s"W AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
         s"(SELECT unnest(string_split($docNorm, ' ')) AS word FROM documents) " +
         "WHERE word <> '' GROUP BY word)",
@@ -935,9 +937,29 @@ object SparkEntry {
           s"T$k AS (SELECT word, freq, replace(s, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s " +
             s"FROM T${k - 1} CROSS JOIN B$k b)")
       }
-    "WITH " + blocks.mkString(", ") + " SELECT CAST(step AS INT) AS step, l, r, cnt FROM (" +
+
+  private val bpeOracleSql: String = {
+    val steps = graft.ops.Bpe.Steps
+    "WITH " + bpeChainBlocks(steps).mkString(", ") +
+      " SELECT CAST(step AS INT) AS step, l, r, cnt FROM (" +
       (1 to steps).map(k => s"SELECT * FROM B$k").mkString(" UNION ALL ") +
       ") ORDER BY step"
+  }
+
+  /** Encode oracle: the same chain, then per-word token counts from the
+    * final state joined back to the document word explosion. */
+  private val bpeEncodeOracleSql: String = {
+    val steps = graft.ops.Bpe.Steps
+    "WITH " + bpeChainBlocks(steps).mkString(", ") + ", " +
+      s"V AS (SELECT word, CAST(len(string_split(trim(s), '  ')) AS INT) AS word_tokens, " +
+      s"CAST(length(word) AS INT) AS word_chars FROM T$steps), " +
+      s"DW AS (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS word FROM documents) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(word_chars) AS BIGINT) AS n_chars, " +
+      "CAST(sum(word_tokens) AS BIGINT) AS n_tokens, " +
+      "round(CAST(sum(word_chars) AS DOUBLE) / sum(word_tokens), 4) AS compression " +
+      "FROM DW JOIN V USING (word) WHERE word <> '' " +
+      "GROUP BY doc_id ORDER BY doc_id"
   }
 
   /** BM25 oracle chain — shared verbatim by `bm25_search` and
@@ -2090,6 +2112,7 @@ object SparkEntry {
     // in one row, Lucene-form idf; round(…,4) + doc_id tie-break makes the
     // ln/division ulp-stable across engines
     "bpe_merges" -> bpeOracleSql,
+    "bpe_encode" -> bpeEncodeOracleSql,
     "bm25_search" -> bm25OracleSql,
     // the index-backed variant must reproduce the scan-time result
     // row-for-row — same oracle, so any drift between the two paths fails

@@ -39,7 +39,35 @@ object Bpe {
     * null winner and poison the chain) — real corpora support millions,
     * and the hand-built fixture in `BpeSpec` uses steps = 2 for this
     * reason. */
-  def merges(docs: DataFrame, steps: Int = Steps): DataFrame = {
+  def merges(docs: DataFrame, steps: Int = Steps): DataFrame =
+    chain(docs, steps)._1.reduce(_ unionByName _).orderBy(col("step"))
+
+  /** Encode the corpus under the trained vocabulary: per-document
+    * (n_words, n_chars, n_tokens, compression = chars per token). The
+    * replace chain runs once per DISTINCT word — encoding cost is
+    * vocabulary-sized, and documents join the encoded vocab on `word`
+    * (AQE broadcasts it while it fits; the vocab grows sublinearly with
+    * the corpus, so no structural broadcast hint) rather than
+    * re-tokenizing every occurrence. */
+  def encode(docs: DataFrame, steps: Int = Steps): DataFrame = {
+    val perWord = chain(docs, steps)._2.select(col("word"),
+      size(split(trim(col("s")), "  ")).as("word_tokens"),
+      length(col("word")).as("word_chars"))
+    docs.select(col("doc_id"), explode(Dedup.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(perWord, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("word_chars")).as("n_chars"),
+        sum(col("word_tokens")).as("n_tokens"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared merge chain: per-step winners plus the final token
+    * state (word, freq, s). */
+  private def chain(docs: DataFrame, steps: Int): (Seq[DataFrame], DataFrame) = {
     // the ONE corpus-sized operation: the word histogram
     val hist = graft.CacheScope.track(
       docs.select(explode(Dedup.words(col("text"))).as("word"))
@@ -77,6 +105,6 @@ object Bpe {
           expr("replace(s, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))")
             .as("s")))
     }
-    winners.reduce(_ unionByName _).orderBy(col("step"))
+    (winners, t)
   }
 }

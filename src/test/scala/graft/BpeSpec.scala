@@ -34,6 +34,22 @@ class BpeSpec extends SparkSpec {
     CacheScope.unpersistAll()
   }
 
+  test("encode on the hand-computed corpus: token counts track the merge depth") {
+    import spark.implicits._
+    val docs = Seq((0L, "aa ab"), (1L, "ab ab")).toDF("doc_id", "text")
+    // steps=2 merges (a,b) then (a,a): every word is one token
+    val full = Bpe.encode(docs, steps = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(full === Seq((0L, 2L, 4L, 2L, 2.0), (1L, 2L, 4L, 2L, 2.0)))
+    CacheScope.unpersistAll()
+    // steps=1 merges only (a,b): 'aa' stays two tokens
+    val one = Bpe.encode(docs, steps = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(one === Seq((0L, 3L), (1L, 2L)))
+    CacheScope.unpersistAll()
+  }
+
   test("five merges on sf0.001 documents are deterministic across reruns") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Bpe.merges(docs).collect().map(_.toSeq).toSeq
