@@ -384,6 +384,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "dedup_keepset" -> ((s, d) => Dedup.keepSet(Tables.documents(s, d))),
+    // substring-level duplication (word-anchored K-gram windows, WITH
+    // multiplicity): the duplicated-passage table and the per-doc
+    // duplicated-span fraction it feeds
+    "dedup_substring" -> ((s, d) => Dedup.substringDups(Tables.documents(s, d))),
+    "dedup_doc_spans" -> ((s, d) => Dedup.docDupSpans(Tables.documents(s, d))),
     // CAPSTONE composition — the corpus build end to end: quality gate ->
     // exact-dup keepers -> near-dup drop (keepSet) -> hash split -> pack
     // the train shard. One DAG, every stage the already-oracled operator.
@@ -850,7 +855,9 @@ object SparkEntry {
     "bm25_indexed", "bm25_index_delta", "search_hybrid_dense",
     "search_hybrid_dense_ann",
     // the pre-training composition dashboard + tokenizer induction
-    "corpus_report", "bpe_merges", "bpe_encode")
+    "corpus_report", "bpe_merges", "bpe_encode",
+    // substring-level dedup: the passage table + per-doc span accounting
+    "dedup_substring", "dedup_doc_spans")
 
   // ---------------------------------------------------------------- oracle
 
@@ -885,6 +892,15 @@ object SparkEntry {
     "S AS (SELECT doc_id, b, sum(contrib) AS s FROM C GROUP BY doc_id, b), " +
     "SIG AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash " +
     "FROM S GROUP BY doc_id)"
+
+  /** Word-anchored K-gram window CTE for substring-level dedup — windows
+    * carry multiplicity (no distinct). Mirrors `Dedup.substringWindows`. */
+  private val substrGramCte: String = {
+    val k = graft.ops.Dedup.SubstrK
+    s"W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+    s"G AS (SELECT doc_id, array_to_string(w[i + 1:i + $k], ' ') AS gram " +
+    s"FROM (SELECT doc_id, w, unnest(range(len(w) - ${k - 1})) AS i FROM W WHERE len(w) >= $k))"
+  }
 
   private val eventWindowsSql: String =
     "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, " +
@@ -1214,6 +1230,23 @@ object SparkEntry {
        "round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price FROM orders"),
     "dedup_simhash" ->
       (s"WITH $simhashCtes SELECT doc_id, simhash FROM SIG ORDER BY doc_id"),
+    // word-anchored 8-gram windows WITH multiplicity; Spark groups the
+    // spans query on xxhash64(gram) — identical grouping, the string
+    // never surfaces there
+    "dedup_substring" ->
+      (s"WITH $substrGramCte " +
+       "SELECT gram, CAST(count(*) AS BIGINT) AS n_occ, " +
+       "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS min_doc " +
+       "FROM G GROUP BY gram HAVING count(*) >= 2 " +
+       "ORDER BY n_occ DESC, gram LIMIT 100"),
+    "dedup_doc_spans" ->
+      (s"WITH $substrGramCte, " +
+       "D AS (SELECT gram FROM G GROUP BY gram HAVING count(*) >= 2), " +
+       "T AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM G GROUP BY doc_id), " +
+       "U AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM G SEMI JOIN D USING (gram) GROUP BY doc_id) " +
+       "SELECT t.doc_id, t.n_windows, CAST(coalesce(u.n_dup, 0) AS BIGINT) AS n_dup, " +
+       "round(CAST(coalesce(u.n_dup, 0) AS DOUBLE) / t.n_windows, 4) AS dup_frac " +
+       "FROM T t LEFT JOIN U u USING (doc_id) ORDER BY doc_id"),
     "dedup_simhash_pairs" ->
       (s"WITH $simhashCtes, " +
        "BANDS AS (SELECT doc_id, simhash, unnest(range(4)) AS band FROM SIG), " +

@@ -390,4 +390,61 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("s") > 0, expr("CAST(power(2, b) AS BIGINT)")).otherwise(0L)).as("simhash"))
       .orderBy(col("doc_id"))
+
+  // ------------------------------------------------- substring-level dedup
+
+  /** Passage window width (words) for substring-level duplication — the
+    * word-anchored stand-in for Lee et al.'s exact-substring dedup
+    * (suffix arrays don't distribute; word-aligned K-gram windows do). */
+  val SubstrK = 8
+
+  /** Every K-word window per document, WITH multiplicity (a passage
+    * repeated inside one doc is duplication too — unlike [[shingles]],
+    * no array_distinct). Docs shorter than K words carry no window.
+    * Row count = corpus word count; the gram string is K words wide, so
+    * downstream grouping keys are hashed where the string itself never
+    * surfaces ([[docDupSpans]]). */
+  def substringWindows(docs: DataFrame): DataFrame = {
+    val cols = (0 until SubstrK).map(j => s"w[i+$j]").mkString(", ")
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= SubstrK)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(w)-$SubstrK), i -> concat_ws(' ', $cols))")).as("gram"))
+  }
+
+  /** The duplicated-passage table: top-`topK` K-word windows occurring
+    * more than once corpus-wide — (gram, n_occ, n_docs, min_doc), ordered
+    * (n_occ DESC, gram). One shuffle on the gram, then a bounded
+    * TakeOrderedAndProject; never materializes the full sorted table. */
+  def substringDups(docs: DataFrame, topK: Int = 100): DataFrame =
+    substringWindows(docs)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(col("n_occ").desc, col("gram"))
+      .limit(topK)
+
+  /** Per-document duplicated-span accounting — the filter signal of
+    * substring dedup: how much of each doc is corpus-duplicated passage.
+    * 100 TB shape: the window table is grouped and semi-joined on the
+    * 8-byte xxhash64 of the gram (the string never surfaces, so the
+    * K-word key rides the shuffles as a fixed-width integer); the cached
+    * window pass is shared by the total count and the duplicate join. */
+  def docDupSpans(docs: DataFrame): DataFrame = {
+    val w = graft.CacheScope.track(
+      substringWindows(docs).select(col("doc_id"), xxhash64(col("gram")).as("gh")))
+    val dup = w.groupBy(col("gh")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select(col("gh"))
+    val tot = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = w.join(dup, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    tot.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_windows"), 4))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -451,4 +451,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(filled.filter(col("n_events") === 0).count() ===
       nUsers * nDays - direct)
   }
+
+  test("substring dedup: windows carry multiplicity, spans account per doc") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (0L, s"$eight tail0"),   // 2 windows, window[0] shared with doc 1
+      (1L, s"$eight tail1"),   // 2 windows
+      (2L, s"$eight $eight"),  // 9 windows; within-doc repeat of window[0]
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"), // 2 windows, all unique
+      (4L, "short doc")) // < 8 words: no windows
+      .toDF("doc_id", "text")
+
+    // the shared first window appears in docs 0, 1 and twice in doc 2
+    val dups = Dedup.substringDups(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(dups.head === ((eight, 4L, 3L, 0L)))
+    // doc 2's self-overlap windows (w2..w8 w1 etc.) appear once each
+    assert(dups.length === 1)
+
+    val spans = Dedup.docDupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(spans === Seq(
+      (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5),
+      (2L, 9L, 2L, round2(2.0 / 9)), (3L, 2L, 0L, 0.0)))
+    CacheScope.unpersistAll()
+  }
+
+  private def round2(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
