@@ -641,6 +641,10 @@ object SparkEntry {
     // bounded heaps) with the exact count alongside
     "a10_kmv_distinct" -> ((s, d) =>
       Sketches.kmvDistinct(Tables.lineitem(s, d), "l_returnflag", "l_orderkey")),
+    // Count-Min heavy-hitter audit: exact top-20 terms vs their CMS
+    // estimate; map-side partial agg IS the sketch merge
+    "sketch_cms_topterms" -> ((s, d) =>
+      Sketches.cmsHeavyHitters(Tables.documents(s, d))),
     // near-dup clustering: GraphX connected components over the verified
     // Jaccard pairs; oracle = recursive-CTE reachability closure
     "dedup_components" -> ((s, d) =>
@@ -857,7 +861,9 @@ object SparkEntry {
     // the pre-training composition dashboard + tokenizer induction
     "corpus_report", "bpe_merges", "bpe_encode",
     // substring-level dedup: the passage table + per-doc span accounting
-    "dedup_substring", "dedup_doc_spans")
+    "dedup_substring", "dedup_doc_spans",
+    // CMS heavy-hitter audit
+    "sketch_cms_topterms")
 
   // ---------------------------------------------------------------- oracle
 
@@ -2112,6 +2118,23 @@ object SparkEntry {
       s"ELSE ${(k - 1).toDouble} / (CAST(v.v AS DOUBLE) / 4294967296.0) END, 4) AS est_distinct, " +
       "CAST(x.exact_distinct AS BIGINT) AS exact_distinct " +
       "FROM V v JOIN X x ON v.g = x.g ORDER BY l_returnflag"
+    },
+    // CMS heavy-hitter audit: sketch built from term counts (identical to
+    // the occurrence-built sketch), est = min over depth rows
+    "sketch_cms_topterms" -> {
+      import graft.ops.Sketches.{CmsDepth, CmsWidth}
+      s"WITH WD AS (SELECT unnest(string_split($docNorm, ' ')) AS term FROM documents), " +
+      "TC AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM WD WHERE term <> '' GROUP BY term), " +
+      s"E AS (SELECT term, n_exact, unnest(range($CmsDepth)) AS d FROM TC), " +
+      "M AS (SELECT term, n_exact, d, md5(CAST(d AS VARCHAR) || '|' || term) AS m FROM E), " +
+      s"B AS (SELECT term, n_exact, d, (${graft.ops.Sketches.hexToLongSql("m")}) % $CmsWidth AS bucket FROM M), " +
+      "SK AS (SELECT d, bucket, CAST(sum(n_exact) AS BIGINT) AS bcnt FROM B GROUP BY d, bucket), " +
+      "TOP AS (SELECT term FROM TC ORDER BY n_exact DESC, term LIMIT 20), " +
+      "J AS (SELECT b.term, b.n_exact, min(s.bcnt) AS n_est FROM B b " +
+      "SEMI JOIN TOP USING (term) " +
+      "JOIN SK s ON b.d = s.d AND b.bucket = s.bucket GROUP BY b.term, b.n_exact) " +
+      "SELECT term, n_exact, CAST(n_est AS BIGINT) AS n_est, " +
+      "CAST(n_est - n_exact AS BIGINT) AS overcount FROM J ORDER BY n_exact DESC, term"
     },
     // sequence packing: md5-bucket shard (same instr arithmetic as
     // sample_split), per-(lang,shard) prefix sums, floor/mod slotting

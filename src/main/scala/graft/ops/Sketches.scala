@@ -56,4 +56,62 @@ object Sketches {
       s"(instr('0123456789abcdef', substr($c, $i, 1)) - 1) * " +
         s"CAST(${1L << (4 * (8 - i))} AS BIGINT)")
       .mkString(" + ")
+
+  // ------------------------------------------------------ Count-Min Sketch
+
+  /** CMS geometry (Cormode & Muthukrishnan 2005). Width is deliberately
+    * small at test scale so collisions actually happen and the overcount
+    * column records real CMS behavior; at 100 TB width would be ~2^20 —
+    * the sketch stays ≤ depth×width rows REGARDLESS of corpus size. */
+  val CmsDepth = 4
+  val CmsWidth = 64
+
+  /** Row-d bucket of a term: first 8 md5 hex digits of "d|term" mod
+    * width — the same per-digit arithmetic the oracle replays. */
+  private def cmsBucket(d: Column, term: Column): Column =
+    pmod(conv(substring(md5(concat(d.cast("string"), lit("|"), term)
+      .cast("binary")), 1, 8), 16, 10).cast("bigint"), lit(CmsWidth.toLong))
+
+  /** The CMS as a (d, bucket, cnt) table, built straight from term
+    * OCCURRENCES: explode ×depth, then one groupBy — map-side partial
+    * aggregation collapses each partition to ≤ depth×width rows before
+    * the shuffle, i.e. Spark's partial-agg IS the sketch merge. No
+    * vocabulary-sized state anywhere on this path. */
+  def cmsSketch(docs: DataFrame): DataFrame =
+    docs.select(explode(Dedup.words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("term"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .groupBy(col("d"), cmsBucket(col("d"), col("term")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Heavy-hitter estimate audit: the exact top-`topK` terms with their
+    * CMS estimates (min over depth rows) and the overcount — CMS
+    * guarantees est ≥ exact, and the recorded overcount prices the
+    * 64-bucket collision rate. The sketch and the exact top-k both
+    * derive from one cached vocabulary-sized term-count table
+    * (count-built and occurrence-built sketches are identical — gated
+    * in `SketchesSpec`); the tiny sketch broadcasts into the probe
+    * join. */
+  def cmsHeavyHitters(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val tc = graft.CacheScope.track(
+      docs.select(explode(Dedup.words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term")).agg(count(lit(1)).as("n_exact")))
+    val sketch = tc
+      .select(col("term"), col("n_exact"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .groupBy(col("d"), cmsBucket(col("d"), col("term")).as("bucket"))
+      .agg(sum(col("n_exact")).as("bcnt"))
+    val top = tc.orderBy(col("n_exact").desc, col("term")).limit(topK)
+    top.select(col("term"), col("n_exact"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .withColumn("bucket", cmsBucket(col("d"), col("term")))
+      .join(broadcast(sketch), Seq("d", "bucket"))
+      .groupBy(col("term"), col("n_exact"))
+      .agg(min(col("bcnt")).as("n_est"))
+      .select(col("term"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
 }

@@ -43,4 +43,35 @@ class SketchesSpec extends SparkSpec {
       assert(again(g) == r.getAs[Double]("est_distinct"))
     }
   }
+
+  test("CMS: occurrence-built sketch == count-built sketch, bounded size") {
+    val docs = Tables.documents(spark, sfDir)
+    val sk = Sketches.cmsSketch(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sk.size <= Sketches.CmsDepth * Sketches.CmsWidth)
+    // layout cannot change the sketch (merge = sum, order-free)
+    val again = Sketches.cmsSketch(docs.repartition(13)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again === sk)
+    // every depth row sums to the total occurrence count
+    val total = docs.select(explode(graft.ops.Dedup.words(col("text"))).as("t"))
+      .filter(col("t") =!= "").count()
+    (0 until Sketches.CmsDepth).foreach { d =>
+      assert(sk.collect { case ((`d`, _), c) => c }.sum === total)
+    }
+  }
+
+  test("CMS estimate over-counts, never under-counts, for EVERY term") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sketches.cmsHeavyHitters(docs, topK = Int.MaxValue).collect()
+    val vocab = docs.select(explode(graft.ops.Dedup.words(col("text"))).as("t"))
+      .filter(col("t") =!= "").distinct().count()
+    assert(out.length === vocab) // every term audited, not just top-k
+    out.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"${r.get(0)}: CMS under-counted")
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"))
+    }
+    CacheScope.unpersistAll()
+  }
 }
