@@ -25,7 +25,12 @@ class PlanGuardSpec extends SparkSpec {
       // round-5 continuation: fingerprint/weights/threshold joins must
       // stay hash-equi (the broadcast crosses in bm25/kmeans/j3 are
       // intentional 1-row or k-row literals and stay unguarded)
-      "dedup_canonical", "text_quality_gate", "snapshot_apply")
+      "dedup_canonical", "text_quality_gate", "snapshot_apply",
+      // round-8 continuation: the gram-keyed substring-dedup joins and
+      // the CMS probe join must stay hash-equi (bpe_* stays unguarded —
+      // its per-step winner is an intentional 1-row broadcast cross,
+      // same family as j3's anchor)
+      "dedup_substring", "dedup_doc_spans", "sketch_cms_topterms")
 
   /** All-pairs join nodes anywhere in the executed plan, descending into
     * materialized AQE query stages (LeafExecNodes in Spark 4.1), cached
