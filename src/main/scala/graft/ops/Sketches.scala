@@ -76,7 +76,10 @@ object Sketches {
     * OCCURRENCES: explode ×depth, then one groupBy — map-side partial
     * aggregation collapses each partition to ≤ depth×width rows before
     * the shuffle, i.e. Spark's partial-agg IS the sketch merge. No
-    * vocabulary-sized state anywhere on this path. */
+    * vocabulary-sized state anywhere on this path — which also makes the
+    * builder streaming-native: the identical dataflow runs as a
+    * complete-mode streaming aggregation whose state is the bounded
+    * sketch itself (stream==batch gated in `StatefulStreamSpec`). */
   def cmsSketch(docs: DataFrame): DataFrame =
     docs.select(explode(Dedup.words(col("text"))).as("term"))
       .filter(col("term") =!= "")

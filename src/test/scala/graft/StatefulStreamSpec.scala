@@ -35,6 +35,29 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("streaming CMS: the batch sketch builder runs unchanged on a stream") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val expected = graft.ops.Sketches.cmsSketch(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val dir = Files.createTempDirectory("docs-cms").toFile
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(dir + "/p1")
+    // the SAME builder: its groupBy-sum is mergeable, so streaming state
+    // is the bounded depth x width sketch itself, never the term set
+    val q = graft.ops.Sketches.cmsSketch(
+      spark.readStream.schema(docs.schema).parquet(dir + "/p1"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("cms_stream").start()
+    q.processAllAvailable()
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(dir + "/p1")
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("cms_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected, "streamed CMS diverged from the batch sketch")
+  }
+
   test("rocksdb state store: stateful stream == batch under the scale-posture provider") {
     val restore = Streams.useRocksDbStateStore(spark)
     try {
