@@ -636,6 +636,9 @@ object SparkEntry {
     // weighted sampling without replacement (A-ES keys, hash-uniform u,
     // TakeOrderedAndProject cut)
     "sample_weighted" -> ((s, d) => Sampling.weightedSample(Tables.documents(s, d))),
+    // token-budgeted mixture: per-source TOKEN quotas (recipes are
+    // specified in tokens), admission by source-local running sum
+    "sample_token_budget" -> ((s, d) => Sampling.tokenBudget(Tables.documents(s, d))),
     // KMV cardinality sketch (the oracle-able approx-distinct; estimate is
     // a pure function of the k-th smallest md5, maintained by TopKPerKey's
     // bounded heaps) with the exact count alongside
@@ -862,8 +865,8 @@ object SparkEntry {
     "corpus_report", "bpe_merges", "bpe_encode",
     // substring-level dedup: the passage table + per-doc span accounting
     "dedup_substring", "dedup_doc_spans",
-    // CMS heavy-hitter audit
-    "sketch_cms_topterms")
+    // CMS heavy-hitter audit + the token-budgeted mixture
+    "sketch_cms_topterms", "sample_token_budget")
 
   // ---------------------------------------------------------------- oracle
 
@@ -2093,6 +2096,19 @@ object SparkEntry {
        "SELECT doc_id, k.source, CAST(w.keep_below AS INT) AS keep_below " +
        "FROM K k JOIN W w ON k.source = w.source WHERE k.bucket < w.keep_below " +
        "ORDER BY doc_id"),
+    // token-budgeted mixture: integer quota arithmetic (div 256), source-
+    // local running sums, crossing doc admitted
+    "sample_token_budget" ->
+      (s"WITH T AS (SELECT doc_id, source, CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+       "S AS (SELECT source, sum(n_tokens) AS src_tokens FROM T GROUP BY source), " +
+       "W AS (SELECT DISTINCT source, 64 * (1 + CAST(substr(source, 4) AS INT) % 4) AS keep_below FROM documents), " +
+       "Q AS (SELECT s.source, CAST((w.keep_below * s.src_tokens) // 256 AS BIGINT) AS quota " +
+       "FROM S s JOIN W w ON s.source = w.source), " +
+       "C AS (SELECT t.doc_id, t.source, t.n_tokens, " +
+       "sum(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens, " +
+       "q.quota FROM T t JOIN Q q ON t.source = q.source) " +
+       "SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, quota " +
+       "FROM C WHERE cum_tokens - n_tokens < quota ORDER BY doc_id"),
     // A-ES: same 13-hex-digit uniform, same rounded-key ranking
     "sample_weighted" -> {
       val denom = java.lang.Math.pow(16.0, 13)

@@ -119,4 +119,36 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("rk"))
       .orderBy(col("source"), col("rk"))
   }
+
+  /** Token-budgeted mixture: real training recipes are specified in
+    * TOKENS per source, not documents. Each source's quota is
+    * keep_below/256 of its own token mass (the [[sourceWeights]] recipe
+    * applied to tokens); docs are admitted in doc_id order until the
+    * running token sum crosses the quota, with the crossing doc admitted
+    * (quotas are floors — mixtures over-fill, then trim at pack time).
+    * All arithmetic is integer (`div` 256, long sums), so the admission
+    * set is bit-stable across engines.
+    *
+    * Scale shape: token counts ride the scan; the running sum is a
+    * window PARTITIONED BY source — bounded by the largest single
+    * domain, the same per-domain bound [[stratifiedQuota]] documents,
+    * with the same sharding escape hatch if one domain dominates. The
+    * quota side is |sources| rows (a true dimension) and broadcasts. */
+  def tokenBudget(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(Dedup.words(col("text"))).cast("long").as("n_tokens"))
+    val quota = toks.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .join(broadcast(sourceWeights(docs)), "source")
+      .select(col("source"),
+        expr("(keep_below * src_tokens) div 256").as("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(quota), "source")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < col("quota"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("quota"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -452,6 +452,31 @@ class PipelineOpsSpec extends SparkSpec {
       nUsers * nDays - direct)
   }
 
+  test("tokenBudget: quotas are floors, crossing doc admitted, layout-stable") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Sampling.tokenBudget(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // every admitted doc started strictly under its source's quota
+    out.foreach { case (id, _, n, cum, quota) =>
+      assert(cum - n < quota, s"doc $id admitted at/after quota")
+    }
+    // per source: the budget is actually used up — either the running sum
+    // crossed the quota, or the source was exhausted (all its docs kept)
+    val bySrc = out.groupBy(_._2)
+    val srcDocs = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_._4).max >= rows.map(_._5).head ||
+        rows.size.toLong === srcDocs(src),
+        s"$src stopped early with budget left")
+    }
+    // admission is a pure function of the data, not the layout
+    val again = Sampling.tokenBudget(docs.repartition(7)).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(again === out.map(_._1).toSet)
+  }
+
   test("substring dedup: windows carry multiplicity, spans account per doc") {
     import spark.implicits._
     import graft.ops.Dedup
