@@ -782,6 +782,19 @@ object SparkEntry {
         .withColumn("z", call_function("z_value", col("user_id"), col("day")))
         .orderBy(col("z"), col("event_id"))
     }),
+    // directory partition pruning: write date-partitioned, read one week
+    // back — the scan lists only the 7 matching event_date=… directories
+    // (plan-guarded in LayoutSpec)
+    "layout_datepart" -> ((s, d) => {
+      val dir = sys.props("java.io.tmpdir") + "/graft_datepart_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Layout.writeDatePartitioned(Tables.events(s, d), dir)
+      s.read.parquet(dir)
+        .filter(col("event_date").between("2024-01-08", "2024-01-14"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
@@ -866,7 +879,10 @@ object SparkEntry {
     // substring-level dedup: the passage table + per-doc span accounting
     "dedup_substring", "dedup_doc_spans",
     // CMS heavy-hitter audit + the token-budgeted mixture
-    "sketch_cms_topterms", "sample_token_budget")
+    "sketch_cms_topterms", "sample_token_budget",
+    // directory partition pruning (times the partitioned WRITE + the
+    // pruned read, like bm25_indexed times build + query)
+    "layout_datepart")
 
   // ---------------------------------------------------------------- oracle
 
@@ -1206,6 +1222,11 @@ object SparkEntry {
     // Z-curve interleave re-derived with plain shift/mask arithmetic
     // (31 bits per dimension: max shift 61 — DuckDB BIGINT << overflows
     // at 63, which the expression's 31-bit width is chosen to avoid).
+    "layout_datepart" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events " +
+       "WHERE CAST(ts AS DATE) BETWEEN '2024-01-08' AND '2024-01-14' " +
+       "GROUP BY event_type ORDER BY event_type"),
     "layout_zvalue" ->
       ("SELECT event_id, user_id, " +
        "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day, " +

@@ -67,6 +67,19 @@ object Layout {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** Hive-style date-partitioned write — the third layout lever:
+    * DIRECTORY-level partition pruning. Footer min/max stats (the two
+    * levers above) prune after a file is opened; directory partitioning
+    * prunes before any file is touched — a date-range filter lists only
+    * the matching `event_date=…/` directories, which at 100 TB is the
+    * difference between a metadata operation and a full listing. The
+    * partition column must stay bounded-cardinality (days — not user
+    * ids), or the small-files problem this module exists to prevent
+    * comes back through the directory tree. */
+  def writeDatePartitioned(events: DataFrame, dir: String): Unit =
+    events.withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+
   /** Equi-depth bucket id (0..buckets-1) of `name` as a when-chain on the
     * approx quantile boundaries. */
   private def bucketOf(df: DataFrame, name: String, buckets: Int): Column = {

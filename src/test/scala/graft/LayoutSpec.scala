@@ -117,4 +117,35 @@ class LayoutSpec extends SparkSpec {
     assert(ZValue.compute(0L, 1L) === 2L)
     assert(ZValue.compute(3L, 1L) === (1L | 4L | 2L))
   }
+
+  test("date-partitioned write: a week filter scans only the 7 matching dirs") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val events = Tables.events(spark, sfDir)
+    val dir = Files.createTempDirectory("datepart").toFile.getAbsolutePath
+    Layout.writeDatePartitioned(events, dir)
+    val nDates = events.select(to_date(col("ts"))).distinct().count()
+
+    val filtered = spark.read.parquet(dir)
+      .filter(col("event_date").between("2024-01-08", "2024-01-14"))
+    val expected = events
+      .filter(to_date(col("ts")).between("2024-01-08", "2024-01-14")).count()
+    // execute THIS df so its scan metrics populate (count() would build
+    // and execute a separate plan)
+    assert(filtered.collect().length.toLong === expected)
+
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec        => scans(q.plan)
+        case f: FileSourceScanExec    => Seq(f)
+        case other                    => other.children.flatMap(scans)
+      }
+    val scan = scans(filtered.queryExecution.executedPlan).head
+    // the filter reached the partition level (pruning, not row filtering)
+    assert(scan.partitionFilters.nonEmpty, "no partition filters on the scan")
+    val read = scan.metrics("numPartitions").value
+    assert(read === 7, s"scanned $read partition dirs, expected 7 of $nDates")
+    assert(nDates > 7)
+  }
 }
