@@ -21,7 +21,12 @@ object PlanAudit {
         "text_repetition", "decontam_overlap", "text_pii", "sample_stratified",
         // round-7 additions
         "a12_equidepth", "a11_histogram", "u2_token_correct",
-        "dedup_prefix_pairs", "decontam_bloom", "search_hybrid_rrf")) {
+        "dedup_prefix_pairs", "decontam_bloom", "search_hybrid_rrf",
+        // round-8 additions
+        "search_hybrid_dense", "search_hybrid_dense_ann", "bm25_indexed",
+        "corpus_report", "bpe_merges", "bpe_encode", "dedup_substring",
+        "dedup_doc_spans", "sketch_cms_topterms", "sample_token_budget",
+        "layout_datepart")) {
       out.println(s"==== $name ====")
       out.println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
