@@ -439,6 +439,9 @@ object SparkEntry {
     "sim_topk_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
+    // contrastive-training curation: per-query top-k in-bucket NEAR
+    // MISSES (below the positive threshold) — hard negatives
+    "sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
     "sim_ann_multiprobe" -> ((s, d) => Similarity.annMultiProbeTopK(Tables.embeddings(s, d))),
     "sim_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(Tables.embeddings(s, d))),
     // ANN quality gate: recall@3 of the multi-probe ANN vs brute force —
@@ -882,7 +885,9 @@ object SparkEntry {
     "sketch_cms_topterms", "sample_token_budget",
     // directory partition pruning (times the partitioned WRITE + the
     // pruned read, like bm25_indexed times build + query)
-    "layout_datepart")
+    "layout_datepart",
+    // contrastive hard-negative mining
+    "sim_hard_negatives")
 
   // ---------------------------------------------------------------- oracle
 
@@ -1376,6 +1381,17 @@ object SparkEntry {
        "R AS (SELECT qid, vec_id, bucket, cos, row_number() OVER " +
        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J) " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, bucket " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // hard negatives: same bucket join as sim_ann_lsh, positives (cos >=
+    // 0.25, the sim_near_dup threshold) cut before ranking
+    "sim_hard_negatives" ->
+      (s"WITH $annBucketCtes, " +
+       "Q AS (SELECT vec_id AS qid, v AS qv, bucket FROM E WHERE vec_id < 8), " +
+       s"J AS (SELECT Q.qid, E.vec_id, round(${cosSql("E.v", "Q.qv")}, 6) AS cos " +
+       "FROM E JOIN Q ON E.bucket = Q.bucket AND E.vec_id <> Q.qid), " +
+       "R AS (SELECT qid, vec_id, cos, row_number() OVER " +
+       "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J WHERE cos < 0.25) " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
     "sim_ann_multiprobe" ->
       (s"WITH $annBucketCtes, $annMultiProbeQCte, " +

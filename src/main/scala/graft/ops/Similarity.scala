@@ -201,6 +201,33 @@ object Similarity {
   /** Blocked near-duplicate pairs: sampled anchors joined only against
     * vectors in the same `label` block (the IVF/LSH-bucket join shape),
     * keeping pairs above a cosine threshold. */
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar in-bucket vectors BELOW the positive threshold — near
+    * misses, not duplicates; the negatives that actually teach an
+    * embedding model. Same bucket equi-join + broadcast probe shape as
+    * [[annTopK]]; the positive cut (the [[nearDupPairs]] threshold)
+    * drops would-be positives before ranking, so the window ranks only
+    * the negative sliver. */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 8, k: Int = 3,
+      posThreshold: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(vecs(embeddings)).withColumn("bucket", bucketCol(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
+      .filter(col("cos") < posThreshold)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def nearDupPairs(embeddings: DataFrame, anchorMod: Int = 100,
       threshold: Double = 0.25): DataFrame = {
     val e = withNorm(vecs(embeddings))

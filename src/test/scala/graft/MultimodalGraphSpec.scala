@@ -86,4 +86,24 @@ class MultimodalGraphSpec extends SparkSpec {
     // average recall over the 8 queries is strictly positive
     assert(recall.map(_.getDouble(1)).sum > 0.0)
   }
+
+  test("hard negatives sit strictly below the positive threshold, ranked desc") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val hn = graft.ops.Similarity.hardNegatives(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(hn.nonEmpty)
+    hn.foreach { case (_, _, _, cos) => assert(cos < 0.25) }
+    // per query: ranks are 1..n and cosines non-increasing (the BEST
+    // sub-threshold candidates — near misses, not random negatives)
+    hn.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1 to sorted.length))
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(-(_: Double)))
+    }
+    // disjoint from the ANN top-k positives ABOVE the threshold: no vec
+    // appears both as a >=0.25 neighbor and a hard negative of one query
+    val pos = graft.ops.Similarity.annTopK(emb, k = Int.MaxValue).collect()
+      .filter(_.getDouble(3) >= 0.25).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hn.forall { case (q, v, _, _) => !pos.contains((q, v)) })
+  }
 }
