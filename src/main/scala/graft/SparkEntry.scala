@@ -798,6 +798,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
     }),
+    // DYNAMIC partition pruning: the filter lives on a joined date dim,
+    // not the fact — Spark pushes the dim's surviving keys into the
+    // fact scan's partition filters at runtime (star-schema shape;
+    // plan-guarded in LayoutSpec)
+    "layout_dpp" -> ((s, d) => {
+      val dir = sys.props("java.io.tmpdir") + "/graft_datepart_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Layout.writeDatePartitioned(Tables.events(s, d), dir)
+      s.read.parquet(dir)
+        .join(broadcast(graft.sources.Layout.dateDim(Tables.events(s, d))
+          .filter(col("is_weekend"))), Seq("event_date"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Headline subset timed by Bench (bench runs at sf0.1). */
@@ -886,8 +901,8 @@ object SparkEntry {
     // directory partition pruning (times the partitioned WRITE + the
     // pruned read, like bm25_indexed times build + query)
     "layout_datepart",
-    // contrastive hard-negative mining
-    "sim_hard_negatives")
+    // contrastive hard-negative mining + runtime (join-driven) pruning
+    "sim_hard_negatives", "layout_dpp")
 
   // ---------------------------------------------------------------- oracle
 
@@ -1231,6 +1246,13 @@ object SparkEntry {
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events " +
        "WHERE CAST(ts AS DATE) BETWEEN '2024-01-08' AND '2024-01-14' " +
+       "GROUP BY event_type ORDER BY event_type"),
+    // the dim-filtered star join reduces to the weekend-day filter
+    // (isodow >= 6 == Spark's dayofweek IN (1, 7))
+    "layout_dpp" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events " +
+       "WHERE isodow(CAST(ts AS DATE)) >= 6 " +
        "GROUP BY event_type ORDER BY event_type"),
     "layout_zvalue" ->
       ("SELECT event_id, user_id, " +

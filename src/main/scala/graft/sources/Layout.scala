@@ -80,6 +80,17 @@ object Layout {
     events.withColumn("event_date", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("event_date").parquet(dir)
 
+  /** The date dimension for the partitioned fact — distinct event dates
+    * with calendar attributes. |dates| rows: a true dimension, always
+    * broadcastable. A dim-side filter (e.g. `is_weekend`) reaches the
+    * fact scan via DYNAMIC partition pruning: Spark injects the dim's
+    * surviving keys into the fact's partition filters at runtime — the
+    * star-schema join never lists non-matching `event_date=…`
+    * directories even though the fact itself carries no date predicate. */
+  def dateDim(events: DataFrame): DataFrame =
+    events.select(to_date(col("ts")).as("event_date")).distinct()
+      .withColumn("is_weekend", dayofweek(col("event_date")).isin(1, 7))
+
   /** Equi-depth bucket id (0..buckets-1) of `name` as a when-chain on the
     * approx quantile boundaries. */
   private def bucketOf(df: DataFrame, name: String, buckets: Int): Column = {

@@ -148,4 +148,38 @@ class LayoutSpec extends SparkSpec {
     assert(read === 7, s"scanned $read partition dirs, expected 7 of $nDates")
     assert(nDates > 7)
   }
+
+  test("DPP: a dim-side weekend filter prunes the fact scan at runtime") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val events = Tables.events(spark, sfDir)
+    val dir = Files.createTempDirectory("datepart-dpp").toFile.getAbsolutePath
+    Layout.writeDatePartitioned(events, dir)
+    val weekends = Layout.dateDim(events).filter(col("is_weekend"))
+    val nWeekend = weekends.count()
+    val nDates = events.select(to_date(col("ts"))).distinct().count()
+    assert(nWeekend < nDates, "fixture must have non-weekend days")
+
+    // NO date predicate on the fact — only the joined dim is filtered
+    val joined = spark.read.parquet(dir)
+      .join(broadcast(weekends), Seq("event_date"))
+    val expected = events
+      .filter(dayofweek(to_date(col("ts"))).isin(1, 7)).count()
+    assert(joined.count() === expected) // correctness via a separate plan
+    joined.collect()                    // execute THIS plan for metrics
+
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec        => scans(q.plan)
+        case f: FileSourceScanExec    => Seq(f)
+        case other                    => other.children.flatMap(scans)
+      }
+    val fact = scans(joined.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty).head
+    assert(fact.partitionFilters.exists(_.toString.toLowerCase.contains("dynamicpruning")),
+      s"no dynamic pruning on the fact scan: ${fact.partitionFilters}")
+    assert(fact.metrics("numPartitions").value === nWeekend,
+      s"fact scanned ${fact.metrics("numPartitions").value} dirs, expected $nWeekend")
+  }
 }
