@@ -388,6 +388,9 @@ object SparkEntry {
     // multiplicity): the duplicated-passage table and the per-doc
     // duplicated-span fraction it feeds
     "dedup_substring" -> ((s, d) => Dedup.substringDups(Tables.documents(s, d))),
+    // sketch-level corpus health: per-band bucket/hot-key/collision-mass
+    // stats that size the pair job BEFORE running it
+    "dedup_band_stats" -> ((s, d) => Dedup.bandStats(Tables.documents(s, d))),
     "dedup_doc_spans" -> ((s, d) => Dedup.docDupSpans(Tables.documents(s, d))),
     // CAPSTONE composition — the corpus build end to end: quality gate ->
     // exact-dup keepers -> near-dup drop (keepSet) -> hash split -> pack
@@ -902,7 +905,9 @@ object SparkEntry {
     // pruned read, like bm25_indexed times build + query)
     "layout_datepart",
     // contrastive hard-negative mining + runtime (join-driven) pruning
-    "sim_hard_negatives", "layout_dpp")
+    "sim_hard_negatives", "layout_dpp",
+    // sketch-level dedup health (sizes the pair job before running it)
+    "dedup_band_stats")
 
   // ---------------------------------------------------------------- oracle
 
@@ -1141,6 +1146,12 @@ object SparkEntry {
        "FROM R WHERE n_dups >= 2 AND rk = 1 ORDER BY keeper"),
     "dedup_lsh_pairs" ->
       (s"WITH $shingleCtes SELECT * FROM PAIRS ORDER BY src, dst"),
+    "dedup_band_stats" ->
+      (s"WITH $shingleCtes, " +
+       "BK AS (SELECT b, k, CAST(count(*) AS BIGINT) AS n FROM BANDS GROUP BY b, k) " +
+       "SELECT b, CAST(count(*) AS BIGINT) AS n_buckets, max(n) AS max_bucket, " +
+       "CAST(sum(n * (n - 1) // 2) AS BIGINT) AS collision_pairs " +
+       "FROM BK GROUP BY b ORDER BY b"),
     "dedup_ngram_jaccard" ->
       (s"WITH $shingleCtes, " +
        "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +

@@ -93,6 +93,21 @@ object Dedup {
       .select(col("doc_id"), col("e.b").as("b"), col("e.k").as("k"))
   }
 
+  /** Sketch-level corpus health from the band table alone — no pair list
+    * materialized: per band, the bucket count, the largest bucket (the
+    * hot key a band join must survive), and the collision pair mass
+    * Σ n·(n−1)/2 (how many candidate pairs that band would emit). Rising
+    * collision mass = duplicate-heavy corpus; the numbers that size the
+    * [[lshCandidatePairs]] job BEFORE running it. One groupBy cascade, integer
+    * outputs, |bands| rows. */
+  def bandStats(docs: DataFrame): DataFrame =
+    lshBands(docs).groupBy(col("b"), col("k")).agg(count(lit(1)).as("n"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(expr("n * (n - 1) div 2")).as("collision_pairs"))
+      .orderBy(col("b"))
+
   /** Candidate near-duplicate pairs from LSH bucket collisions.
     *
     * Self-join via aliases with the src/dst rename AFTER the join: both

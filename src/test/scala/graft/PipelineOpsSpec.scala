@@ -477,6 +477,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again === out.map(_._1).toSet)
   }
 
+  test("bandStats: buckets partition the corpus, collision mass bounds the pair job") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val nDocs = docs.count()
+    val stats = Dedup.bandStats(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.map(_._1).toSeq === (0 until Dedup.NumBands))
+    // every doc lands in exactly one bucket per band
+    val perBucketSums = Dedup.lshBands(docs).groupBy("b").count().collect()
+      .map(r => r.getLong(1)).toSet
+    assert(perBucketSums === Set(nDocs))
+    // the per-band collision mass upper-bounds the DISTINCT candidate
+    // pair count the LSH join actually emits (pairs colliding in several
+    // bands are counted once there, once per band here)
+    val distinctPairs = Dedup.lshCandidatePairs(docs).count()
+    assert(stats.map(_._4).sum >= distinctPairs)
+    stats.foreach { case (_, nb, mx, _) =>
+      assert(nb <= nDocs && mx >= 1L)
+    }
+  }
+
   test("substring dedup: windows carry multiplicity, spans account per doc") {
     import spark.implicits._
     import graft.ops.Dedup
