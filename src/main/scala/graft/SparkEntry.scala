@@ -806,7 +806,10 @@ object SparkEntry {
     // fact scan's partition filters at runtime (star-schema shape;
     // plan-guarded in LayoutSpec)
     "layout_dpp" -> ((s, d) => {
-      val dir = sys.props("java.io.tmpdir") + "/graft_datepart_" +
+      // own directory: sharing layout_datepart's would let this builder's
+      // overwrite invalidate a previously-constructed DataFrame's pinned
+      // file listing if both queries are built before either executes
+      val dir = sys.props("java.io.tmpdir") + "/graft_dpp_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
       graft.sources.Layout.writeDatePartitioned(Tables.events(s, d), dir)
       s.read.parquet(dir)

@@ -135,8 +135,12 @@ object Sampling {
     * with the same sharding escape hatch if one domain dominates. The
     * quota side is |sources| rows (a true dimension) and broadcasts. */
   def tokenBudget(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), col("source"),
-      size(Dedup.words(col("text"))).cast("long").as("n_tokens"))
+    // the tokenized scan feeds both the quota aggregation and the
+    // admission join — cache it once (same pattern as docDupSpans /
+    // cmsHeavyHitters), freed at the driver's query boundary
+    val toks = graft.CacheScope.track(
+      docs.select(col("doc_id"), col("source"),
+        size(Dedup.words(col("text"))).cast("long").as("n_tokens")))
     val quota = toks.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
       .join(broadcast(sourceWeights(docs)), "source")

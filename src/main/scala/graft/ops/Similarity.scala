@@ -198,9 +198,6 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
-  /** Blocked near-duplicate pairs: sampled anchors joined only against
-    * vectors in the same `label` block (the IVF/LSH-bucket join shape),
-    * keeping pairs above a cosine threshold. */
   /** Hard-negative mining for contrastive training: per query, the top-k
     * most-similar in-bucket vectors BELOW the positive threshold — near
     * misses, not duplicates; the negatives that actually teach an
@@ -228,6 +225,9 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Blocked near-duplicate pairs: sampled anchors joined only against
+    * vectors in the same `label` block (the IVF/LSH-bucket join shape),
+    * keeping pairs above a cosine threshold. */
   def nearDupPairs(embeddings: DataFrame, anchorMod: Int = 100,
       threshold: Double = 0.25): DataFrame = {
     val e = withNorm(vecs(embeddings))

@@ -118,9 +118,21 @@ class LayoutSpec extends SparkSpec {
     assert(ZValue.compute(3L, 1L) === (1L | 4L | 2L))
   }
 
-  test("date-partitioned write: a week filter scans only the 7 matching dirs") {
+  /** Every FileSourceScanExec in the executed plan, descending into AQE
+    * stages (same traversal as PlanGuardSpec). */
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+  }
+
+  test("date-partitioned write: a week filter scans only the 7 matching dirs") {
     val events = Tables.events(spark, sfDir)
     val dir = Files.createTempDirectory("datepart").toFile.getAbsolutePath
     Layout.writeDatePartitioned(events, dir)
@@ -134,13 +146,6 @@ class LayoutSpec extends SparkSpec {
     // and execute a separate plan)
     assert(filtered.collect().length.toLong === expected)
 
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      p match {
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case q: QueryStageExec        => scans(q.plan)
-        case f: FileSourceScanExec    => Seq(f)
-        case other                    => other.children.flatMap(scans)
-      }
     val scan = scans(filtered.queryExecution.executedPlan).head
     // the filter reached the partition level (pruning, not row filtering)
     assert(scan.partitionFilters.nonEmpty, "no partition filters on the scan")
@@ -150,8 +155,6 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("DPP: a dim-side weekend filter prunes the fact scan at runtime") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val events = Tables.events(spark, sfDir)
     val dir = Files.createTempDirectory("datepart-dpp").toFile.getAbsolutePath
     Layout.writeDatePartitioned(events, dir)
@@ -168,13 +171,6 @@ class LayoutSpec extends SparkSpec {
     assert(joined.count() === expected) // correctness via a separate plan
     joined.collect()                    // execute THIS plan for metrics
 
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      p match {
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case q: QueryStageExec        => scans(q.plan)
-        case f: FileSourceScanExec    => Seq(f)
-        case other                    => other.children.flatMap(scans)
-      }
     val fact = scans(joined.queryExecution.executedPlan)
       .filter(_.relation.partitionSchema.nonEmpty).head
     assert(fact.partitionFilters.exists(_.toString.toLowerCase.contains("dynamicpruning")),

@@ -101,9 +101,12 @@ class MultimodalGraphSpec extends SparkSpec {
       assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(-(_: Double)))
     }
     // disjoint from the ANN top-k positives ABOVE the threshold: no vec
-    // appears both as a >=0.25 neighbor and a hard negative of one query
+    // appears both as a clear positive and a hard negative of one query.
+    // annTopK's cos is rounded to 4 digits while hardNegatives cuts on 6
+    // digits, so compare at 0.2501 — a 4-digit 0.2500 could round up from
+    // a sub-threshold 0.24996 and is not a CLEAR positive
     val pos = graft.ops.Similarity.annTopK(emb, k = Int.MaxValue).collect()
-      .filter(_.getDouble(3) >= 0.25).map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(_.getDouble(3) >= 0.2501).map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hn.forall { case (q, v, _, _) => !pos.contains((q, v)) })
   }
 }
