@@ -404,6 +404,30 @@ object SparkEntry {
         docs.join(kept, Seq("doc_id"), "left_semi")
           .join(train, Seq("doc_id"), "left_semi"))
     }),
+    // CAPSTONE v2 — the full curation recipe with the round-8 gates:
+    // keepSet -> substring-span gate (residual duplication measured on
+    // the KEPT subset; <8-word docs pass vacuously) -> per-source token
+    // budget -> train split -> pack. Every stage an already-oracled op.
+    "corpus_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = Dedup.keepSet(docs).select("doc_id")
+      // three consumers re-derive the whole LSH keep-set chain without
+      // this cache (spans, the short-doc pass, the gated semi-join)
+      val keptDocs = graft.CacheScope.track(
+        docs.join(kept, Seq("doc_id"), "left_semi"))
+      val lowDup = Dedup.docDupSpans(keptDocs)
+        .filter(col("dup_frac") < 0.5).select("doc_id")
+      val short = keptDocs
+        .filter(size(Dedup.words(col("text"))) < Dedup.SubstrK).select("doc_id")
+      val gated = graft.CacheScope.track(
+        keptDocs.join(lowDup.unionByName(short), Seq("doc_id"), "left_semi"))
+      val admitted = Sampling.tokenBudget(gated).select("doc_id")
+      val train = Sampling.hashSplit(docs)
+        .filter(col("split") === "train").select("doc_id")
+      Packing.packSequences(
+        gated.join(admitted, Seq("doc_id"), "left_semi")
+          .join(train, Seq("doc_id"), "left_semi"))
+    }),
     // continuous-ingest shape: a 20% delta batch checked against the
     // remaining 80% as the standing index
     "dedup_incremental" -> ((s, d) => {
@@ -910,7 +934,9 @@ object SparkEntry {
     // contrastive hard-negative mining + runtime (join-driven) pruning
     "sim_hard_negatives", "layout_dpp",
     // sketch-level dedup health (sizes the pair job before running it)
-    "dedup_band_stats")
+    "dedup_band_stats",
+    // the full-recipe capstone (keepSet + span gate + token budget + pack)
+    "corpus_curate")
 
   // ---------------------------------------------------------------- oracle
 
@@ -1207,6 +1233,65 @@ object SparkEntry {
       "(instr('0123456789abcdef', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 16 + " +
       "instr('0123456789abcdef', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 2, 1)) - 1 AS bucket " +
       s"FROM KEEP) WHERE bucket < ${graft.ops.Sampling.TrainUpper}), " +
+      "H2 AS (SELECT d.doc_id, d.lang, md5(concat('pack|', CAST(d.doc_id AS VARCHAR))) AS h, " +
+      s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM documents d JOIN TRAIN t ON d.doc_id = t.doc_id), " +
+      "T2 AS (SELECT doc_id, lang, n_tokens, ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+      s"instr('0123456789abcdef', substr(h, 2, 1)) - 1) % $sh AS shard FROM H2), " +
+      "C2 AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM T2) " +
+      "SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens, " +
+      s"CAST(floor(cum_before / $b.0) AS BIGINT) AS seq_id, " +
+      s"CAST(cum_before % $b AS BIGINT) AS seq_offset FROM C2 ORDER BY doc_id"
+    },
+    // capstone v2: corpus_build's chain + the substring-span gate over
+    // the kept subset + the per-source token budget over the gated set
+    "corpus_curate" -> {
+      val b = graft.ops.Packing.SeqTokens
+      val sh = graft.ops.Packing.Shards
+      val k = graft.ops.Dedup.SubstrK
+      s"WITH $shingleCtes, " +
+      s"Q0 AS (SELECT doc_id, $docNorm AS nt, string_split($docNorm, ' ') AS w, text FROM documents), " +
+      "QUAL AS (SELECT doc_id FROM (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, " +
+      "round(CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE) / " +
+      "CAST(len(w) AS DOUBLE), 4) AS stopword_ratio FROM Q0) " +
+      "WHERE NOT (n_tokens < 5) AND NOT (stopword_ratio < 0.01)), " +
+      s"KEEPERS AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($docNorm)), " +
+      "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
+      "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
+      "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
+      "GROUP BY p.src, p.dst), " +
+      "DROPS AS (SELECT c.dst AS doc_id FROM COMMONS c " +
+      "JOIN SIZES sa ON sa.doc_id = c.src JOIN SIZES sb ON sb.doc_id = c.dst " +
+      "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5), " +
+      "KEEP AS (SELECT q.doc_id FROM QUAL q WHERE EXISTS (SELECT 1 FROM KEEPERS kk WHERE kk.doc_id = q.doc_id) " +
+      "AND NOT EXISTS (SELECT 1 FROM DROPS dd WHERE dd.doc_id = q.doc_id)), " +
+      // the kept subset, then the span gate measured on IT
+      "KD AS (SELECT d.* FROM documents d WHERE EXISTS (SELECT 1 FROM KEEP k2 WHERE k2.doc_id = d.doc_id)), " +
+      s"W2 AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM KD), " +
+      s"G2 AS (SELECT doc_id, array_to_string(w[i + 1:i + $k], ' ') AS gram " +
+      s"FROM (SELECT doc_id, w, unnest(range(len(w) - ${k - 1})) AS i FROM W2 WHERE len(w) >= $k)), " +
+      "D2 AS (SELECT gram FROM G2 GROUP BY gram HAVING count(*) >= 2), " +
+      "TSP AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM G2 GROUP BY doc_id), " +
+      "USP AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM G2 SEMI JOIN D2 USING (gram) GROUP BY doc_id), " +
+      "SPAN AS (SELECT t.doc_id FROM TSP t LEFT JOIN USP u ON t.doc_id = u.doc_id " +
+      "WHERE round(CAST(coalesce(u.n_dup, 0) AS DOUBLE) / t.n_windows, 4) < 0.5), " +
+      s"SHORT AS (SELECT doc_id FROM W2 WHERE len(w) < $k), " +
+      "GATED AS (SELECT * FROM KD WHERE doc_id IN (SELECT doc_id FROM SPAN UNION ALL SELECT doc_id FROM SHORT)), " +
+      // token budget over the gated set (its own token mass and sources)
+      s"TB AS (SELECT doc_id, source, CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens FROM GATED), " +
+      "SB AS (SELECT source, sum(n_tokens) AS src_tokens FROM TB GROUP BY source), " +
+      "WTS AS (SELECT DISTINCT source, 64 * (1 + CAST(substr(source, 4) AS INT) % 4) AS keep_below FROM GATED), " +
+      "QB AS (SELECT s2.source, CAST((w3.keep_below * s2.src_tokens) // 256 AS BIGINT) AS quota " +
+      "FROM SB s2 JOIN WTS w3 ON s2.source = w3.source), " +
+      "CB AS (SELECT t.doc_id, t.source, t.n_tokens, " +
+      "sum(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens, " +
+      "q.quota FROM TB t JOIN QB q ON t.source = q.source), " +
+      "ADM AS (SELECT doc_id FROM CB WHERE cum_tokens - n_tokens < quota), " +
+      "TRAIN AS (SELECT doc_id FROM (SELECT doc_id, " +
+      "(instr('0123456789abcdef', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 16 + " +
+      "instr('0123456789abcdef', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 2, 1)) - 1 AS bucket " +
+      s"FROM ADM) WHERE bucket < ${graft.ops.Sampling.TrainUpper}), " +
       "H2 AS (SELECT d.doc_id, d.lang, md5(concat('pack|', CAST(d.doc_id AS VARCHAR))) AS h, " +
       s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens " +
       "FROM documents d JOIN TRAIN t ON d.doc_id = t.doc_id), " +

@@ -477,6 +477,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again === out.map(_._1).toSet)
   }
 
+  test("corpus_curate packs a strict subset of corpus_build (the gates bite)") {
+    val build = SparkEntry.queries("corpus_build")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val curate = SparkEntry.queries("corpus_curate")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curate.subsetOf(build),
+      "span/budget gates must only remove docs from the build set")
+    assert(curate.size < build.size, "the extra gates removed nothing")
+    CacheScope.unpersistAll()
+  }
+
   test("bandStats: buckets partition the corpus, collision mass bounds the pair job") {
     import graft.ops.Dedup
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
