@@ -50,6 +50,38 @@ class BpeSpec extends SparkSpec {
     CacheScope.unpersistAll()
   }
 
+  test("PROPERTY: spaced-string replace == greedy leftmost list merge") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the reference semantics: one merge pass consumes disjoint adjacent
+    // (l, r) occurrences left to right
+    def refMerge(ts: List[String], l: String, r: String): List[String] =
+      ts match {
+        case a :: b :: rest if a == l && b == r => (a + b) :: refMerge(rest, l, r)
+        case a :: rest                          => a :: refMerge(rest, l, r)
+        case Nil                                => Nil
+      }
+    // adversarial alphabet: tokens that concatenate into each other
+    val tok = Gen.oneOf("a", "b", "aa", "ab", "ba", "aab")
+    val gen = for {
+      n  <- Gen.chooseNum(1, 12)
+      ts <- Gen.listOfN(n, tok)
+      l  <- tok; r <- tok
+    } yield (ts, l, r)
+    val prop = Prop.forAll(gen) { case (ts, l, r) =>
+      val spaced = " " + ts.mkString("  ") + " "
+      // String.replace is literal leftmost non-overlapping — the same
+      // semantics as Spark's replace() (parity pinned by the fixture
+      // cases above)
+      val got = spaced.replace(s" $l  $r ", s" $l$r ")
+      val want = " " + refMerge(ts, l, r).mkString("  ") + " "
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(500)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("five merges on sf0.001 documents are deterministic across reruns") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Bpe.merges(docs).collect().map(_.toSeq).toSeq
