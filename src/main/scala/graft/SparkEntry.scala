@@ -391,6 +391,8 @@ object SparkEntry {
     // sketch-level corpus health: per-band bucket/hot-key/collision-mass
     // stats that size the pair job BEFORE running it
     "dedup_band_stats" -> ((s, d) => Dedup.bandStats(Tables.documents(s, d))),
+    // asymmetric containment (quote detection) + its sketch-only estimate
+    "dedup_containment" -> ((s, d) => Dedup.containment(Tables.documents(s, d))),
     "dedup_doc_spans" -> ((s, d) => Dedup.docDupSpans(Tables.documents(s, d))),
     // CAPSTONE composition — the corpus build end to end: quality gate ->
     // exact-dup keepers -> near-dup drop (keepSet) -> hash split -> pack
@@ -936,7 +938,9 @@ object SparkEntry {
     // sketch-level dedup health (sizes the pair job before running it)
     "dedup_band_stats",
     // the full-recipe capstone (keepSet + span gate + token budget + pack)
-    "corpus_curate")
+    "corpus_curate",
+    // asymmetric containment + its sketch estimate
+    "dedup_containment")
 
   // ---------------------------------------------------------------- oracle
 
@@ -1175,6 +1179,28 @@ object SparkEntry {
        "FROM R WHERE n_dups >= 2 AND rk = 1 ORDER BY keeper"),
     "dedup_lsh_pairs" ->
       (s"WITH $shingleCtes SELECT * FROM PAIRS ORDER BY src, dst"),
+    // containment: exact |A∩B|/|A| over the candidate pairs + the
+    // signature-only estimate (matching-hash fraction → est Jaccard →
+    // est containment via the exact sizes)
+    "dedup_containment" -> {
+      val m = (0 until graft.ops.Dedup.NumHashes)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"WITH $shingleCtes, " +
+      "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
+      "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
+      "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
+      "GROUP BY p.src, p.dst), " +
+      s"JEST AS (SELECT p.src, p.dst, CAST($m AS DOUBLE) / ${graft.ops.Dedup.NumHashes}.0 AS j_est " +
+      "FROM PAIRS p JOIN SIG sa ON sa.doc_id = p.src JOIN SIG sb ON sb.doc_id = p.dst) " +
+      "SELECT c.src, c.dst, " +
+      "round(CAST(c.ncommon AS DOUBLE) / CAST(za.nsh AS DOUBLE), 4) AS containment_exact, " +
+      "round(j.j_est * CAST(za.nsh + zb.nsh AS DOUBLE) / ((1.0 + j.j_est) * CAST(za.nsh AS DOUBLE)), 4) AS containment_est " +
+      "FROM COMMONS c JOIN SIZES za ON za.doc_id = c.src " +
+      "JOIN SIZES zb ON zb.doc_id = c.dst " +
+      "JOIN JEST j ON j.src = c.src AND j.dst = c.dst " +
+      "ORDER BY c.src, c.dst"
+    },
     "dedup_band_stats" ->
       (s"WITH $shingleCtes, " +
        "BK AS (SELECT b, k, CAST(count(*) AS BIGINT) AS n FROM BANDS GROUP BY b, k) " +

@@ -163,6 +163,44 @@ object Dedup {
       .orderBy("src", "dst")
   }
 
+  /** Asymmetric containment for the LSH candidate pairs — the
+    * quote/boilerplate detector symmetric Jaccard misses: a short doc
+    * fully embedded in a long one has containment |A∩B|/|A| ≈ 1 with
+    * low Jaccard. Alongside the exact value, the sketch-only estimate
+    * (est Jaccard = matching-signature fraction, converted with the
+    * exact sizes) — the recall audit for running containment off
+    * signatures alone at scale, same measure-don't-assume policy as
+    * `sim_ann_recall`/`sketch_cms_topterms`. */
+  def containment(docs: DataFrame): DataFrame = {
+    val sh = graft.CacheScope.track(shingles(docs))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val pairs = lshCandidatePairs(docs)
+    val sig = minhashSignature(docs)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sigPairs = pairs
+      .join(sig.as("a"), col("src") === col("a.doc_id"))
+      .join(sig.as("b"), col("dst") === col("b.doc_id"))
+      .select(col("src"), col("dst"),
+        (matches.cast("double") / lit(NumHashes.toDouble)).as("j_est"))
+    val aSh = sh.select(col("doc_id").as("src"), col("sh"))
+    val bSh = sh.select(col("doc_id").as("dst"), col("sh"))
+    pairs.join(aSh, "src").join(bSh, Seq("dst", "sh"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("ncommon"))
+      .join(sizes.withColumnRenamed("doc_id", "src").withColumnRenamed("nsh", "na"), "src")
+      .join(sizes.withColumnRenamed("doc_id", "dst").withColumnRenamed("nsh", "nb"), "dst")
+      .join(sigPairs, Seq("src", "dst"))
+      .select(col("src"), col("dst"),
+        round(col("ncommon").cast("double") / col("na").cast("double"), 4)
+          .as("containment_exact"),
+        // est |A∩B| = J·|A∪B| with |A∪B| = (|A|+|B|)/(1+J); over |A|
+        round(col("j_est") * (col("na") + col("nb")).cast("double") /
+          ((lit(1.0) + col("j_est")) * col("na").cast("double")), 4)
+          .as("containment_est"))
+      .orderBy("src", "dst")
+  }
+
   /** The composed training-data keep-set — the full pipeline shape: cheap
     * quality filter first (prunes before expensive ops), exact-dedup keepers,
     * then greedy near-dup removal (drop the higher doc_id of every LSH

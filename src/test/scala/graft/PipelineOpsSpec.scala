@@ -477,6 +477,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again === out.map(_._1).toSet)
   }
 
+  test("containment: exact values replay from shingle sets; identical docs hit 1.0") {
+    import graft.ops.Dedup
+    val out = Dedup.containment(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val shSets = Dedup.shingles(docs).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    out.foreach { case (src, dst, exact, est) =>
+      val want = BigDecimal(
+        (shSets(src) & shSets(dst)).size.toDouble / shSets(src).size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(exact === want, s"($src,$dst) containment mismatch")
+      assert(est >= 0.0)
+      // identical texts => identical signatures => j_est 1 => est exactly 1
+      if (shSets(src) == shSets(dst) && exact == 1.0) assert(est === 1.0)
+    }
+    CacheScope.unpersistAll()
+  }
+
   test("corpus_curate packs a strict subset of corpus_build (the gates bite)") {
     val build = SparkEntry.queries("corpus_build")(spark, sfDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
