@@ -761,6 +761,9 @@ object SparkEntry {
     "a12_equidepth" -> ((s, d) =>
       Histograms.equiDepth(Tables.orders(s, d),
         col("o_totalprice"), col("o_orderkey"))),
+    // 3-sigma outlier counts: exact integer moments (cents), identically-
+    // spelled IEEE mean/std in both engines
+    "a13_outliers" -> ((s, d) => Histograms.outliers(Tables.events(s, d))),
     // equi-width histogram: global [min,max] edges as a 1-row broadcast,
     // bucket index per-row in the scan, one small groupBy — the
     // distribution profile behind skew diagnosis and range layout
@@ -940,7 +943,9 @@ object SparkEntry {
     // the full-recipe capstone (keepSet + span gate + token budget + pack)
     "corpus_curate",
     // asymmetric containment + its sketch estimate
-    "dedup_containment")
+    "dedup_containment",
+    // engine-portable 3-sigma outlier counts
+    "a13_outliers")
 
   // ---------------------------------------------------------------- oracle
 
@@ -2489,6 +2494,20 @@ object SparkEntry {
        "ORDER BY o_custkey"),
     // equi-depth: ntile semantics match exactly (floor-division bucket
     // sizes, larger buckets first) given the same total order
+    // outliers: integer-cents moments, one identically-spelled IEEE
+    // expression per engine (no accumulation-order drift)
+    "a13_outliers" ->
+      ("WITH C AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events), " +
+       "S AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(vc) AS BIGINT) AS s1, " +
+       "CAST(sum(vc * vc) AS BIGINT) AS s2 FROM C GROUP BY event_type), " +
+       "T AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c, " +
+       "sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / " +
+       "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS std_c FROM S) " +
+       "SELECT c.event_type, t.n, round(t.mean_c / 100.0, 4) AS mean_value, " +
+       "round(t.std_c / 100.0, 4) AS std_value, " +
+       "CAST(sum(CASE WHEN abs(CAST(c.vc AS DOUBLE) - t.mean_c) > 3.0 * t.std_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+       "FROM C c JOIN T t USING (event_type) " +
+       "GROUP BY c.event_type, t.n, t.mean_c, t.std_c ORDER BY c.event_type"),
     "a12_equidepth" ->
       ("WITH B AS (SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket " +
        "FROM orders) SELECT bucket, min(o_totalprice) AS lo, max(o_totalprice) AS hi, " +

@@ -105,4 +105,37 @@ object Histograms {
         count(lit(1)).as("n"))
       .orderBy(col("bucket"))
   }
+
+  /** Per-group 3σ outlier counts with ENGINE-PORTABLE moment arithmetic:
+    * values quantize to integer cents, so the two sums (Σv, Σv²) are
+    * exact longs; mean/variance derive from them with one identically-
+    * spelled IEEE expression per engine — no accumulation-order drift,
+    * which is what makes a floating-point z-score hash-matchable in the
+    * DuckDB oracle. Two passes by construction (the threshold needs the
+    * moments); the cents projection is cached across them and the
+    * |groups|-row stats side broadcasts. At 100 TB the long Σv² bound
+    * (2^63) caps group size around 10^9 rows at this value range —
+    * beyond that, the same shape with DECIMAL(38) sums. */
+  def outliers(events: DataFrame): DataFrame = {
+    val cents = graft.CacheScope.track(
+      events.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc")))
+    val stats = cents.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("vc")).as("s1"),
+        sum(col("vc") * col("vc")).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mean_c"),
+        sqrt((col("n").cast("double") * col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double")) /
+          (col("n").cast("double") * (col("n") - 1).cast("double"))).as("std_c"))
+    cents.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"), col("n"), col("mean_c"), col("std_c"))
+      .agg(sum(when(abs(col("vc").cast("double") - col("mean_c")) >
+          lit(3.0) * col("std_c"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        round(col("mean_c") / 100.0, 4).as("mean_value"),
+        round(col("std_c") / 100.0, 4).as("std_value"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -153,4 +153,23 @@ class HistogramsSpec extends SparkSpec {
     assert(rows.length === 1)
     assert(rows.head.getString(0) === "anna" && rows.head.getString(1) === "annb")
   }
+
+  test("outliers: a planted extreme is the single 3-sigma hit; layout-stable") {
+    import spark.implicits._
+    val fixture = (Seq.fill(100)(10.0) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "t", v) }
+      .toDF("event_id", "event_type", "value")
+    val out = Histograms.outliers(fixture).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") === 101L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    // mean = (100*10 + 1000)/101 = 19.8020 in display units
+    assert(r.getAs[Double]("mean_value") === 19.802)
+    CacheScope.unpersistAll()
+    val again = Histograms.outliers(fixture.repartition(7)).collect().head
+    assert(again.getAs[Double]("std_value") === r.getAs[Double]("std_value"))
+    assert(again.getAs[Long]("n_outliers") === 1L)
+    CacheScope.unpersistAll()
+  }
 }
