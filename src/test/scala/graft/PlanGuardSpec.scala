@@ -30,7 +30,10 @@ class PlanGuardSpec extends SparkSpec {
       // the CMS probe join must stay hash-equi (bpe_* stays unguarded —
       // its per-step winner is an intentional 1-row broadcast cross,
       // same family as j3's anchor)
-      "dedup_substring", "dedup_doc_spans", "sketch_cms_topterms")
+      "dedup_substring", "dedup_doc_spans", "sketch_cms_topterms",
+      // the capstone v2 chain, the containment verify, and the outlier
+      // two-pass must all stay hash-equi end to end
+      "corpus_curate", "dedup_containment", "a13_outliers")
 
   /** All-pairs join nodes anywhere in the executed plan, descending into
     * materialized AQE query stages (LeafExecNodes in Spark 4.1), cached
