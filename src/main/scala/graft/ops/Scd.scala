@@ -69,12 +69,20 @@ object Scd {
       .agg(max(col("o_orderdate")).as("last_order"))
       .select(col("o_custkey").as("p_custkey"),
         (col("last_order") - expr("INTERVAL 1 DAY")).as("probe_ts"))
+    asOfResolve(probes, dim).orderBy(col("o_custkey"))
+  }
+
+  /** The resolve join alone — (p_custkey, probe_ts) probes against a
+    * versioned dimension. No sort, no aggregation, so it runs unchanged
+    * as a STREAM-STATIC join: a probe stream re-reads the static dim per
+    * micro-batch with zero watermark/state (stream==batch gated in
+    * `StatefulStreamSpec`) — the standard no-future-leakage attribute
+    * lookup under streaming ingest. */
+  def asOfResolve(probes: DataFrame, dim: DataFrame): DataFrame =
     probes.join(dim,
         col("p_custkey") === col("o_custkey") &&
         col("valid_from") <= col("probe_ts") &&
         (col("valid_to").isNull || col("valid_to") > col("probe_ts")))
       .select(col("p_custkey").as("o_custkey"), col("probe_ts"),
         col("version"), col("priority"), col("is_current"))
-      .orderBy(col("o_custkey"))
-  }
 }

@@ -35,6 +35,35 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("stream-static SCD2 as-of enrichment == the batch lookup") {
+    import graft.ops.Scd
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val dim = Scd.customerPriorityScd2(orders)
+    val probes = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"))
+      .select(col("o_custkey").as("p_custkey"),
+        (col("last_order") - expr("INTERVAL 1 DAY")).as("probe_ts"))
+    val expected = Scd.asOfResolve(probes, dim).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+
+    val dir = Files.createTempDirectory("scd-probes").toFile
+    probes.filter(col("p_custkey") % 2 === 0).write.parquet(dir + "/p1")
+    // the SAME resolve join, probe side streaming: the static dim is
+    // re-read per micro-batch, no watermark, no state store
+    val q = Scd.asOfResolve(
+        spark.readStream.schema(probes.schema).parquet(dir + "/p1"), dim)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("scd_stream").start()
+    q.processAllAvailable()
+    probes.filter(col("p_custkey") % 2 === 1).write.mode("append").parquet(dir + "/p1")
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("scd_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got === expected, "streamed as-of resolution diverged from batch")
+  }
+
   test("streaming CMS: the batch sketch builder runs unchanged on a stream") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val expected = graft.ops.Sketches.cmsSketch(docs).collect()
