@@ -612,6 +612,10 @@ object SparkEntry {
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))),
     "mm_frames" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.mediaTable(Tables.documents(s, d)))),
+    // REAL decode -> nearest-neighbor resample; the resized corner pixel
+    // value-checks the pipeline against closed-form md5 arithmetic
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizeImages(s, Multimodal.mediaTable(Tables.documents(s, d)))),
     // training-data pipeline: text cleaning (markup/URL strip + ws collapse;
     // the corpus is synthetic-clean, so the gate wraps docs in deterministic
     // markup first — see TextAnalysis.withMarkup)
@@ -944,8 +948,8 @@ object SparkEntry {
     "corpus_curate",
     // asymmetric containment + its sketch estimate
     "dedup_containment",
-    // engine-portable 3-sigma outlier counts
-    "a13_outliers")
+    // engine-portable 3-sigma outlier counts + the real pixel resize
+    "a13_outliers", "mm_resize")
 
   // ---------------------------------------------------------------- oracle
 
@@ -1721,6 +1725,27 @@ object SparkEntry {
        "strpos('0123456789abcdef', substr(h, 4, 1)) - 1 END AS INT) AS height, " +
        "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INT) AS channels " +
        "FROM M ORDER BY doc_id"),
+    // the resized top-left pixel: NN (0,0) maps to source (0,0), which in
+    // the bottom-up 24-bit BMP sits at byte offset (h-1)*rowlen (B,G,R) of
+    // the md5-cycled pixel data
+    "mm_resize" ->
+      ("WITH I AS (SELECT doc_id, md5(text) AS m, CAST(doc_id % 7 + 1 AS INT) AS w, " +
+       "CAST(doc_id % 5 + 1 AS INT) AS h FROM documents WHERE doc_id % 3 = 0), " +
+       "D AS (SELECT doc_id, m, w, h, (3 * w + 3) // 4 * 4 AS rowlen, " +
+       "least(w, 4) AS rw FROM I), " +
+       "E AS (SELECT doc_id, m, w, h, rw, greatest((h * rw) // w, 1) AS rh, " +
+       "(h - 1) * rowlen AS off FROM D), " +
+       "P AS (SELECT doc_id, w, h, rw, rh, " +
+       "(instr('0123456789abcdef', substr(m, 2 * (off % 16) + 1, 1)) - 1) * 16 + " +
+       "instr('0123456789abcdef', substr(m, 2 * (off % 16) + 2, 1)) - 1 AS cb, " +
+       "(instr('0123456789abcdef', substr(m, 2 * ((off + 1) % 16) + 1, 1)) - 1) * 16 + " +
+       "instr('0123456789abcdef', substr(m, 2 * ((off + 1) % 16) + 2, 1)) - 1 AS cg, " +
+       "(instr('0123456789abcdef', substr(m, 2 * ((off + 2) % 16) + 1, 1)) - 1) * 16 + " +
+       "instr('0123456789abcdef', substr(m, 2 * ((off + 2) % 16) + 2, 1)) - 1 AS cr FROM E) " +
+       "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+       "CAST(rw AS INT) AS rw, CAST(rh AS INT) AS rh, " +
+       "CAST(cr * 65536 + cg * 256 + cb AS INT) AS corner_rgb, " +
+       "CAST(rw * rh * 3 AS BIGINT) AS out_px_bytes FROM P ORDER BY doc_id"),
     "mm_frames" ->
       ("WITH M AS (SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id % 3 = 2), " +
        "D AS (SELECT doc_id, " +

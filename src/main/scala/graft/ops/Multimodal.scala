@@ -10,6 +10,11 @@ case class MediaRow(doc_id: Long, kind: String, bytes: Array[Byte])
 case class MediaFeatures(doc_id: Long, kind: String, byte_len: Int,
     width: Int, height: Int, channels: Int)
 
+/** A real nearest-neighbor resize result (corner pixel value-checks the
+  * decode→resample path against the closed-form oracle). */
+case class MediaResize(doc_id: Long, width: Int, height: Int,
+    rw: Int, rh: Int, corner_rgb: Int, out_px_bytes: Long)
+
 /** Multimodal-column plumbing: image/audio/video payloads as opaque BINARY
   * columns with typed metadata, decoded/feature-extracted in BATCHES via
   * mapPartitions (the Scala analog of `mapInPandas`: fixed-size batches so
@@ -141,6 +146,51 @@ object Multimodal {
           // batch boundary = where a heavier decoder would run vectorized
           batch.map(decode)
         }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL pixel resize: decode the BMP, nearest-neighbor downsample to
+    * `maxDim` (floor source mapping, aspect preserved with the same
+    * integer math as [[frameSample]]), and report the RESIZED image's
+    * top-left pixel. NN's (0,0) maps to the source's (0,0), whose BGR
+    * bytes sit at a closed-form offset in the synthesized payload — so
+    * the DuckDB oracle recomputes the corner from md5 arithmetic and the
+    * real decode→resample path is value-checked end to end, not just
+    * shape-checked. Undecodable bytes report corner −1 (stub posture as
+    * [[decode]]). */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      maxDim: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { m =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+            catch { case _: Exception => null }
+          if (img == null)
+            MediaResize(m.doc_id, m.bytes(0) & 0xff, m.bytes(1) & 0xff,
+              0, 0, -1, 0L)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val rw = math.min(w, maxDim)
+            val rh = math.max(h * rw / w, 1)
+            val out = new java.awt.image.BufferedImage(rw, rh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < rh) {
+              var x = 0
+              while (x < rw) {
+                out.setRGB(x, y, img.getRGB(x * w / rw, y * h / rh))
+                x += 1
+              }
+              y += 1
+            }
+            MediaResize(m.doc_id, w, h, rw, rh,
+              out.getRGB(0, 0) & 0xffffff, rw.toLong * rh * 3)
+          }
+        })
       }
       .toDF()
       .orderBy(col("doc_id"))

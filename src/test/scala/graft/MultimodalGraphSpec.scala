@@ -87,6 +87,32 @@ class MultimodalGraphSpec extends SparkSpec {
     assert(recall.map(_.getDouble(1)).sum > 0.0)
   }
 
+  test("resize really resamples: corner replays from first principles, dims shrink") {
+    import graft.ops.Multimodal
+    val docs = Tables.documents(spark, sfDir)
+    val media = Multimodal.mediaTable(docs)
+    val out = Multimodal.resizeImages(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.nonEmpty)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
+    out.foreach { case (id, r) =>
+      val (w, h) = ((id % 7 + 1).toInt, (id % 5 + 1).toInt)
+      assert(r.getInt(1) === w && r.getInt(2) === h)
+      val rw = math.min(w, 4); val rh = math.max(h * rw / w, 1)
+      assert(r.getInt(3) === rw && r.getInt(4) === rh)
+      // independent corner derivation: md5 pixel bytes, bottom-up rows, BGR
+      val seed = java.security.MessageDigest.getInstance("MD5")
+        .digest(texts(id).getBytes("UTF-8"))
+      val rowLen = (w * 3 + 3) / 4 * 4
+      val off = (h - 1) * rowLen
+      def sb(i: Int) = seed(i % 16) & 0xff
+      assert(r.getInt(5) === (sb(off + 2) << 16 | sb(off + 1) << 8 | sb(off)))
+      assert(r.getLong(6) === rw.toLong * rh * 3)
+    }
+    // the downsample is real somewhere: at least one image shrank
+    assert(out.values.exists(r => r.getInt(3) < r.getInt(1)))
+  }
+
   test("hard negatives sit strictly below the positive threshold, ranked desc") {
     val emb = Tables.embeddings(spark, sfDir)
     val hn = graft.ops.Similarity.hardNegatives(emb).collect()
