@@ -328,4 +328,36 @@ object Streams {
       }
       .outputMode("append")
       .start()
+
+  /** Streaming corpus curation — the continuous-ingest capstone: per
+    * micro-batch, keep-first exact dedup WITHIN the batch (min doc_id
+    * per content hash), an anti-join against the STANDING curated
+    * corpus's hashes (re-read per batch — at scale, the [[graft.ops
+    * .DedupIndex]] bucketed table instead of a raw re-read), then the
+    * quality gate, then append. With arrival order following doc_id, the
+    * final curated set equals the batch keep-first dedup ∩ quality keep
+    * — stream==batch gated in `StatefulStreamSpec`. */
+  def incrementalCuration(newDocs: DataFrame,
+      curatedDir: String): StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch.withColumn("h",
+          md5(graft.ops.Dedup.normText(col("text")).cast("binary")))
+        val firstInBatch = hashed
+          .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        val standing =
+          try spark.read.parquet(curatedDir).select(col("h"))
+          catch { case _: Exception => spark.emptyDataFrame.withColumn("h", lit("")) }
+        val novel = hashed
+          .join(firstInBatch, Seq("h", "doc_id"), "left_semi")
+          .join(standing, Seq("h"), "left_anti")
+        val kept = novel.join(
+          graft.ops.TextAnalysis.quality(novel.drop("h"))
+            .filter(col("quality") === "keep").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        kept.write.mode("append").parquet(curatedDir)
+      }
+      .outputMode("append")
+      .start()
 }

@@ -35,6 +35,32 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("streaming curation: final curated corpus == batch keep-first ∩ quality") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val expected = docs
+      .withColumn("h", md5(Dedup.normText(col("text")).cast("binary")))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(TextAnalysis.quality(docs).filter(col("quality") === "keep")
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+
+    val in = Files.createTempDirectory("cur-in").toFile
+    val out = Files.createTempDirectory("cur-out").toFile.getAbsolutePath + "/curated"
+    // arrival order follows doc_id, so stream keep-first == batch min-id
+    docs.filter(col("doc_id") < 250).write.parquet(in + "/p1")
+    val q = Streams.incrementalCuration(
+      spark.readStream.schema(docs.schema).parquet(in + "/p1"), out)
+    q.processAllAvailable()
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(in + "/p1")
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected, "curated stream diverged from the batch keep set")
+  }
+
   test("stream-static SCD2 as-of enrichment == the batch lookup") {
     import graft.ops.Scd
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
