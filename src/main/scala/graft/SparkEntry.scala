@@ -1070,6 +1070,47 @@ object SparkEntry {
       "GROUP BY doc_id ORDER BY doc_id"
   }
 
+  /** Corpus-capstone shared SQL — the keep chain (quality gate → exact
+    * keepers → near-dup drops → KEEP; requires `shingleCtes`' SH/PAIRS in
+    * scope) and the split+pack tail over a given id CTE. Shared verbatim
+    * by the `corpus_build` and `corpus_curate` oracles so the recipe
+    * cannot drift between them. */
+  private val keepChainCtes: String =
+    s"Q0 AS (SELECT doc_id, $docNorm AS nt, string_split($docNorm, ' ') AS w, text FROM documents), " +
+    "QUAL AS (SELECT doc_id FROM (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, " +
+    "round(CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE) / " +
+    "CAST(len(w) AS DOUBLE), 4) AS stopword_ratio FROM Q0) " +
+    "WHERE NOT (n_tokens < 5) AND NOT (stopword_ratio < 0.01)), " +
+    s"KEEPERS AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($docNorm)), " +
+    "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
+    "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
+    "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
+    "GROUP BY p.src, p.dst), " +
+    "DROPS AS (SELECT c.dst AS doc_id FROM COMMONS c " +
+    "JOIN SIZES sa ON sa.doc_id = c.src JOIN SIZES sb ON sb.doc_id = c.dst " +
+    "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5), " +
+    "KEEP AS (SELECT q.doc_id FROM QUAL q WHERE EXISTS (SELECT 1 FROM KEEPERS kk WHERE kk.doc_id = q.doc_id) " +
+    "AND NOT EXISTS (SELECT 1 FROM DROPS dd WHERE dd.doc_id = q.doc_id))"
+
+  private def packTailSql(fromCte: String): String = {
+    val b = graft.ops.Packing.SeqTokens
+    val sh = graft.ops.Packing.Shards
+    "TRAIN AS (SELECT doc_id FROM (SELECT doc_id, " +
+    "(instr('0123456789abcdef', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 16 + " +
+    "instr('0123456789abcdef', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 2, 1)) - 1 AS bucket " +
+    s"FROM $fromCte) WHERE bucket < ${graft.ops.Sampling.TrainUpper}), " +
+    "H2 AS (SELECT d.doc_id, d.lang, md5(concat('pack|', CAST(d.doc_id AS VARCHAR))) AS h, " +
+    s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens " +
+    "FROM documents d JOIN TRAIN t ON d.doc_id = t.doc_id), " +
+    "T2 AS (SELECT doc_id, lang, n_tokens, ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+    s"instr('0123456789abcdef', substr(h, 2, 1)) - 1) % $sh AS shard FROM H2), " +
+    "C2 AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id " +
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM T2) " +
+    "SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens, " +
+    s"CAST(floor(cum_before / $b.0) AS BIGINT) AS seq_id, " +
+    s"CAST(cum_before % $b AS BIGINT) AS seq_offset FROM C2 ORDER BY doc_id"
+  }
+
   /** BM25 oracle chain — shared verbatim by `bm25_search` and
     * `bm25_indexed` (the index-backed path must be row-identical). */
   private val bm25OracleSql: String = {
@@ -1246,61 +1287,13 @@ object SparkEntry {
     // capstone: the keepset chain verbatim, then split-filter, then the
     // pack_sequences chain over the survivors
     "corpus_build" -> {
-      val b = graft.ops.Packing.SeqTokens
-      val sh = graft.ops.Packing.Shards
-      s"WITH $shingleCtes, " +
-      s"Q0 AS (SELECT doc_id, $docNorm AS nt, string_split($docNorm, ' ') AS w, text FROM documents), " +
-      "QUAL AS (SELECT doc_id FROM (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, " +
-      "round(CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE) / " +
-      "CAST(len(w) AS DOUBLE), 4) AS stopword_ratio FROM Q0) " +
-      "WHERE NOT (n_tokens < 5) AND NOT (stopword_ratio < 0.01)), " +
-      s"KEEPERS AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($docNorm)), " +
-      "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
-      "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
-      "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
-      "GROUP BY p.src, p.dst), " +
-      "DROPS AS (SELECT c.dst AS doc_id FROM COMMONS c " +
-      "JOIN SIZES sa ON sa.doc_id = c.src JOIN SIZES sb ON sb.doc_id = c.dst " +
-      "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5), " +
-      "KEEP AS (SELECT q.doc_id FROM QUAL q WHERE EXISTS (SELECT 1 FROM KEEPERS k WHERE k.doc_id = q.doc_id) " +
-      "AND NOT EXISTS (SELECT 1 FROM DROPS d WHERE d.doc_id = q.doc_id)), " +
-      "TRAIN AS (SELECT doc_id FROM (SELECT doc_id, " +
-      "(instr('0123456789abcdef', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 16 + " +
-      "instr('0123456789abcdef', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 2, 1)) - 1 AS bucket " +
-      s"FROM KEEP) WHERE bucket < ${graft.ops.Sampling.TrainUpper}), " +
-      "H2 AS (SELECT d.doc_id, d.lang, md5(concat('pack|', CAST(d.doc_id AS VARCHAR))) AS h, " +
-      s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens " +
-      "FROM documents d JOIN TRAIN t ON d.doc_id = t.doc_id), " +
-      "T2 AS (SELECT doc_id, lang, n_tokens, ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
-      s"instr('0123456789abcdef', substr(h, 2, 1)) - 1) % $sh AS shard FROM H2), " +
-      "C2 AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM T2) " +
-      "SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens, " +
-      s"CAST(floor(cum_before / $b.0) AS BIGINT) AS seq_id, " +
-      s"CAST(cum_before % $b AS BIGINT) AS seq_offset FROM C2 ORDER BY doc_id"
+      s"WITH $shingleCtes, $keepChainCtes, " + packTailSql("KEEP")
     },
     // capstone v2: corpus_build's chain + the substring-span gate over
     // the kept subset + the per-source token budget over the gated set
     "corpus_curate" -> {
-      val b = graft.ops.Packing.SeqTokens
-      val sh = graft.ops.Packing.Shards
       val k = graft.ops.Dedup.SubstrK
-      s"WITH $shingleCtes, " +
-      s"Q0 AS (SELECT doc_id, $docNorm AS nt, string_split($docNorm, ' ') AS w, text FROM documents), " +
-      "QUAL AS (SELECT doc_id FROM (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, " +
-      "round(CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE) / " +
-      "CAST(len(w) AS DOUBLE), 4) AS stopword_ratio FROM Q0) " +
-      "WHERE NOT (n_tokens < 5) AND NOT (stopword_ratio < 0.01)), " +
-      s"KEEPERS AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($docNorm)), " +
-      "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
-      "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
-      "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
-      "GROUP BY p.src, p.dst), " +
-      "DROPS AS (SELECT c.dst AS doc_id FROM COMMONS c " +
-      "JOIN SIZES sa ON sa.doc_id = c.src JOIN SIZES sb ON sb.doc_id = c.dst " +
-      "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5), " +
-      "KEEP AS (SELECT q.doc_id FROM QUAL q WHERE EXISTS (SELECT 1 FROM KEEPERS kk WHERE kk.doc_id = q.doc_id) " +
-      "AND NOT EXISTS (SELECT 1 FROM DROPS dd WHERE dd.doc_id = q.doc_id)), " +
+      s"WITH $shingleCtes, $keepChainCtes, " +
       // the kept subset, then the span gate measured on IT
       "KD AS (SELECT d.* FROM documents d WHERE EXISTS (SELECT 1 FROM KEEP k2 WHERE k2.doc_id = d.doc_id)), " +
       s"W2 AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM KD), " +
@@ -1323,20 +1316,7 @@ object SparkEntry {
       "sum(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens, " +
       "q.quota FROM TB t JOIN QB q ON t.source = q.source), " +
       "ADM AS (SELECT doc_id FROM CB WHERE cum_tokens - n_tokens < quota), " +
-      "TRAIN AS (SELECT doc_id FROM (SELECT doc_id, " +
-      "(instr('0123456789abcdef', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 16 + " +
-      "instr('0123456789abcdef', substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 2, 1)) - 1 AS bucket " +
-      s"FROM ADM) WHERE bucket < ${graft.ops.Sampling.TrainUpper}), " +
-      "H2 AS (SELECT d.doc_id, d.lang, md5(concat('pack|', CAST(d.doc_id AS VARCHAR))) AS h, " +
-      s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens " +
-      "FROM documents d JOIN TRAIN t ON d.doc_id = t.doc_id), " +
-      "T2 AS (SELECT doc_id, lang, n_tokens, ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
-      s"instr('0123456789abcdef', substr(h, 2, 1)) - 1) % $sh AS shard FROM H2), " +
-      "C2 AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM T2) " +
-      "SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens, " +
-      s"CAST(floor(cum_before / $b.0) AS BIGINT) AS seq_id, " +
-      s"CAST(cum_before % $b AS BIGINT) AS seq_offset FROM C2 ORDER BY doc_id"
+      packTailSql("ADM")
     },
     // Transitive closure of the verified near-dup pairs (UNION-dedup
     // recursion; components are near-dup chains — tiny — so the closure
@@ -1732,8 +1712,10 @@ object SparkEntry {
       ("WITH I AS (SELECT doc_id, md5(text) AS m, CAST(doc_id % 7 + 1 AS INT) AS w, " +
        "CAST(doc_id % 5 + 1 AS INT) AS h FROM documents WHERE doc_id % 3 = 0), " +
        "D AS (SELECT doc_id, m, w, h, (3 * w + 3) // 4 * 4 AS rowlen, " +
-       "least(w, 4) AS rw FROM I), " +
-       "E AS (SELECT doc_id, m, w, h, rw, greatest((h * rw) // w, 1) AS rh, " +
+       "least(greatest(w, h), 4) AS t FROM I), " +
+       "E AS (SELECT doc_id, m, w, h, " +
+       "greatest((w * t) // greatest(w, h), 1) AS rw, " +
+       "greatest((h * t) // greatest(w, h), 1) AS rh, " +
        "(h - 1) * rowlen AS off FROM D), " +
        "P AS (SELECT doc_id, w, h, rw, rh, " +
        "(instr('0123456789abcdef', substr(m, 2 * (off % 16) + 1, 1)) - 1) * 16 + " +
@@ -2526,8 +2508,9 @@ object SparkEntry {
        "S AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(vc) AS BIGINT) AS s1, " +
        "CAST(sum(vc * vc) AS BIGINT) AS s2 FROM C GROUP BY event_type), " +
        "T AS (SELECT event_type, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c, " +
+       "CASE WHEN n <= 1 THEN 0.0 ELSE " +
        "sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / " +
-       "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS std_c FROM S) " +
+       "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) END AS std_c FROM S) " +
        "SELECT c.event_type, t.n, round(t.mean_c / 100.0, 4) AS mean_value, " +
        "round(t.std_c / 100.0, 4) AS std_value, " +
        "CAST(sum(CASE WHEN abs(CAST(c.vc AS DOUBLE) - t.mean_c) > 3.0 * t.std_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +

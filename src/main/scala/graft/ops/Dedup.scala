@@ -141,13 +141,16 @@ object Dedup {
     * verify phases and runs this verify against the semi-joined slice —
     * same operators, one line moved, measured and documented rather than
     * silently pre-pessimized here. */
-  def ngramJaccard(docs: DataFrame): DataFrame = {
-    // Three consumers of the exploded shingle set (per-doc sizes, both
-    // verify join sides) on THREE different exchange keys — exchange reuse
-    // can't merge them, so cache the one shingle pass (same persisted-view
-    // rationale as q15). The LSH candidate side no longer reads it at all:
-    // signatures come from the map-side MinHashSigs expression. Tracked in
-    // CacheScope: batch drivers unpersist at their query boundary.
+  /** (src, dst, ncommon, na, nb) for the LSH candidate pairs — the
+    * verify-side intersection chain shared by [[ngramJaccard]] and
+    * [[containment]]. Three consumers of the exploded shingle set
+    * (per-doc sizes, both verify join sides) on THREE different exchange
+    * keys — exchange reuse can't merge them, so cache the one shingle
+    * pass (same persisted-view rationale as q15). The LSH candidate side
+    * no longer reads it at all: signatures come from the map-side
+    * MinHashSigs expression. Tracked in CacheScope: batch drivers
+    * unpersist at their query boundary. */
+  private def pairIntersections(docs: DataFrame): DataFrame = {
     val sh = graft.CacheScope.track(shingles(docs))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val pairs = lshCandidatePairs(docs)
@@ -157,11 +160,14 @@ object Dedup {
       .groupBy("src", "dst").agg(count(lit(1)).as("ncommon"))
       .join(sizes.withColumnRenamed("doc_id", "src").withColumnRenamed("nsh", "na"), "src")
       .join(sizes.withColumnRenamed("doc_id", "dst").withColumnRenamed("nsh", "nb"), "dst")
+  }
+
+  def ngramJaccard(docs: DataFrame): DataFrame =
+    pairIntersections(docs)
       .select(col("src"), col("dst"),
         round(col("ncommon").cast("double") /
           (col("na") + col("nb") - col("ncommon")).cast("double"), 4).as("jaccard"))
       .orderBy("src", "dst")
-  }
 
   /** Asymmetric containment for the LSH candidate pairs — the
     * quote/boilerplate detector symmetric Jaccard misses: a short doc
@@ -172,24 +178,16 @@ object Dedup {
     * signatures alone at scale, same measure-don't-assume policy as
     * `sim_ann_recall`/`sketch_cms_topterms`. */
   def containment(docs: DataFrame): DataFrame = {
-    val sh = graft.CacheScope.track(shingles(docs))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val pairs = lshCandidatePairs(docs)
     val sig = minhashSignature(docs)
     val matches = (0 until NumHashes)
       .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val sigPairs = pairs
+    val sigPairs = lshCandidatePairs(docs)
       .join(sig.as("a"), col("src") === col("a.doc_id"))
       .join(sig.as("b"), col("dst") === col("b.doc_id"))
       .select(col("src"), col("dst"),
         (matches.cast("double") / lit(NumHashes.toDouble)).as("j_est"))
-    val aSh = sh.select(col("doc_id").as("src"), col("sh"))
-    val bSh = sh.select(col("doc_id").as("dst"), col("sh"))
-    pairs.join(aSh, "src").join(bSh, Seq("dst", "sh"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("ncommon"))
-      .join(sizes.withColumnRenamed("doc_id", "src").withColumnRenamed("nsh", "na"), "src")
-      .join(sizes.withColumnRenamed("doc_id", "dst").withColumnRenamed("nsh", "nb"), "dst")
+    pairIntersections(docs)
       .join(sigPairs, Seq("src", "dst"))
       .select(col("src"), col("dst"),
         round(col("ncommon").cast("double") / col("na").cast("double"), 4)

@@ -125,9 +125,13 @@ object Histograms {
         sum(col("vc") * col("vc")).as("s2"))
       .select(col("event_type"), col("n"),
         (col("s1").cast("double") / col("n").cast("double")).as("mean_c"),
-        sqrt((col("n").cast("double") * col("s2").cast("double") -
-            col("s1").cast("double") * col("s1").cast("double")) /
-          (col("n").cast("double") * (col("n") - 1).cast("double"))).as("std_c"))
+        // single-row groups have no sample variance: report 0, not the
+        // 0/0 NaN the unguarded formula produces
+        when(col("n") <= 1, lit(0.0)).otherwise(
+          sqrt((col("n").cast("double") * col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double")) /
+            (col("n").cast("double") * (col("n") - 1).cast("double"))))
+          .as("std_c"))
     cents.join(broadcast(stats), "event_type")
       .groupBy(col("event_type"), col("n"), col("mean_c"), col("std_c"))
       .agg(sum(when(abs(col("vc").cast("double") - col("mean_c")) >

@@ -174,8 +174,12 @@ object Multimodal {
               0, 0, -1, 0L)
           else {
             val (w, h) = (img.getWidth, img.getHeight)
-            val rw = math.min(w, maxDim)
-            val rh = math.max(h * rw / w, 1)
+            // fit WITHIN maxDim×maxDim: scale by the longer side, so tall
+            // images downsample too (not a width-only cap)
+            val longSide = math.max(w, h)
+            val t = math.min(longSide, maxDim)
+            val rw = math.max(w * t / longSide, 1)
+            val rh = math.max(h * t / longSide, 1)
             val out = new java.awt.image.BufferedImage(rw, rh,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
             var y = 0

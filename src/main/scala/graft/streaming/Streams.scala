@@ -346,9 +346,13 @@ object Streams {
           md5(graft.ops.Dedup.normText(col("text")).cast("binary")))
         val firstInBatch = hashed
           .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        // only the batch-0 missing-directory case may fall back to an
+        // empty standing set — a transient read failure must FAIL the
+        // batch, or previously-curated hashes get re-admitted silently
         val standing =
-          try spark.read.parquet(curatedDir).select(col("h"))
-          catch { case _: Exception => spark.emptyDataFrame.withColumn("h", lit("")) }
+          if (!new java.io.File(curatedDir).exists())
+            spark.emptyDataFrame.withColumn("h", lit(""))
+          else spark.read.parquet(curatedDir).select(col("h"))
         val novel = hashed
           .join(firstInBatch, Seq("h", "doc_id"), "left_semi")
           .join(standing, Seq("h"), "left_anti")

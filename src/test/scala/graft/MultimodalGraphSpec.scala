@@ -98,8 +98,10 @@ class MultimodalGraphSpec extends SparkSpec {
     out.foreach { case (id, r) =>
       val (w, h) = ((id % 7 + 1).toInt, (id % 5 + 1).toInt)
       assert(r.getInt(1) === w && r.getInt(2) === h)
-      val rw = math.min(w, 4); val rh = math.max(h * rw / w, 1)
+      val m = math.max(w, h); val t = math.min(m, 4)
+      val rw = math.max(w * t / m, 1); val rh = math.max(h * t / m, 1)
       assert(r.getInt(3) === rw && r.getInt(4) === rh)
+      assert(rw <= 4 && rh <= 4) // fit WITHIN the box, both dimensions
       // independent corner derivation: md5 pixel bytes, bottom-up rows, BGR
       val seed = java.security.MessageDigest.getInstance("MD5")
         .digest(texts(id).getBytes("UTF-8"))
