@@ -691,6 +691,10 @@ object SparkEntry {
     // near-dup cluster density: per-doc triangle counts (clique vs chain)
     "graph_triangles" -> ((s, d) =>
       Dedup.nearDupTriangles(Tables.documents(s, d))),
+    // link prediction: neighbor-set jaccard per anchor edge (wedge join,
+    // never all-pairs), top-3 partners per anchor
+    "graph_node_similarity" -> ((s, d) =>
+      graft.graph.GraphOps.nodeSimilarity(Tables.students(s, d))),
     // training-data pipeline: sequence packing — concat-then-chunk slot
     // assignment over (lang, shard) prefix sums; shard = portable md5
     // bucket so the only shuffle's cardinality is a config knob
@@ -949,7 +953,9 @@ object SparkEntry {
     // asymmetric containment + its sketch estimate
     "dedup_containment",
     // engine-portable 3-sigma outlier counts + the real pixel resize
-    "a13_outliers", "mm_resize")
+    "a13_outliers", "mm_resize",
+    // link prediction over the backfilled graph
+    "graph_node_similarity")
 
   // ---------------------------------------------------------------- oracle
 
@@ -1809,6 +1815,26 @@ object SparkEntry {
       "(SELECT 1 FROM orders o WHERE o.o_custkey = st.id) ORDER BY id"),
     "edges_backfill" -> withStudents(
       s", e AS ($edgesSql) SELECT * FROM e ORDER BY rel_type, src, dst"),
+    // neighbor-set jaccard: undirected 4-rule edge view TRUNCATED to the
+    // 32 smallest neighbor ids per node (the bounded-state GDS-style
+    // slice), wedge join for common neighbors, inner (>=1 shared
+    // neighbor) like the Spark side
+    "graph_node_similarity" -> withStudents(
+      s", e AS ($edgesSql), P AS (SELECT DISTINCT src, dst FROM e), " +
+      "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
+      "U AS (SELECT src, dst FROM (SELECT src, dst, " +
+      "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM U0) WHERE rn <= 32), " +
+      "D AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM U GROUP BY src), " +
+      "C AS (SELECT x.src AS a, x.dst AS b, CAST(count(*) AS BIGINT) AS common " +
+      "FROM (SELECT src, dst FROM U WHERE src % 200 = 0) x " +
+      "JOIN U u1 ON u1.src = x.src JOIN U u2 ON u2.src = x.dst AND u2.dst = u1.dst " +
+      "GROUP BY x.src, x.dst), " +
+      "J AS (SELECT c.a, c.b, c.common, round(CAST(c.common AS DOUBLE) / " +
+      "CAST(da.deg + db.deg - c.common AS DOUBLE), 4) AS jaccard " +
+      "FROM C c JOIN D da ON da.src = c.a JOIN D db ON db.src = c.b), " +
+      "R AS (SELECT *, row_number() OVER (PARTITION BY a ORDER BY jaccard DESC, b) AS rk FROM J) " +
+      "SELECT a, b, common, jaccard, CAST(rk AS INT) AS rank FROM R WHERE rk <= 3 " +
+      "ORDER BY a, rank"),
     "edges_skew_salted" -> withStudents(skewOracleSql),
     "edges_skew_unsalted" -> withStudents(skewOracleSql),
     // same checksum: AQE splitting is an execution-plan change only

@@ -175,4 +175,52 @@ object GraphOps {
       .toDF("id", "rank")
       .orderBy(col("id"))
   }
+
+  /** Neighbor-set Jaccard over the backfilled student graph — the
+    * link-prediction shape (Neo4j GDS `nodeSimilarity`): for each anchor
+    * and each of its partners with ≥1 shared neighbor,
+    * |N(a)∩N(b)| / |N(a)∪N(b)|, top-`k` per anchor.
+    *
+    * Neighbor sets are the `neighborCap`-TRUNCATED slice (smallest ids,
+    * deterministic) of the undirected rel-type-collapsed edge view —
+    * the bounded-state analogue of GDS nodeSimilarity's own
+    * topK/sampling knobs, and on THIS graph a necessity, not a nicety:
+    * the equi-rules produce near-clique components whose degrees grow
+    * linearly with SF, so untruncated wedge enumeration is Ω(Σ deg²)
+    * (measured: did not finish at sf0.1). Truncation runs on the
+    * repo's bounded-heap [[graft.plans.TopKPerKey]] operator — at most
+    * `neighborCap` rows per node per partition ever reach the shuffle —
+    * and caps wedges at anchors × cap², SF-independent.
+    *
+    * Common-neighbor counting is then an equi-join on the shared
+    * endpoint (the wedge join `graph_triangles` uses), never an
+    * all-pairs product; the per-anchor rank window partitions on the
+    * anchor id. */
+  def nodeSimilarity(students: DataFrame, anchorMod: Int = 200,
+      k: Int = 3, neighborCap: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.ops.EdgeRules.backfill(students)
+      .select(col("src"), col("dst")).distinct()
+    val undFull = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val und = graft.CacheScope.track(
+      graft.plans.TopK.perKeyMin(undFull, Seq("src"), "dst", "dst", neighborCap))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val common = und.filter(col("src") % anchorMod === 0)
+      .select(col("src").as("a"), col("dst").as("b"))
+      .join(und.select(col("src").as("a"), col("dst").as("c")), "a")
+      .join(und.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("da") + col("db") - col("common")).cast("double"), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("a")).orderBy(desc("jaccard"), col("b"))))
+      .filter(col("rank") <= k)
+      .select(col("a"), col("b"), col("common"), col("jaccard"),
+        col("rank").cast("int").as("rank"))
+      .orderBy(col("a"), col("rank"))
+  }
 }

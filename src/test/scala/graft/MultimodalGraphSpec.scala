@@ -74,6 +74,20 @@ class MultimodalGraphSpec extends SparkSpec {
     assert(d.map(_.getInt(1)).max >= 3)
   }
 
+  test("nodeSimilarity on K4: every partner of the anchor scores 2/(3+3-2)") {
+    import spark.implicits._
+    // four students sharing a college => complete graph K4; anchor 0's
+    // partners each share the other two vertices: jaccard = 2/4
+    val students = Seq(0L, 1L, 2L, 3L)
+      .map(id => (id, s"s$id", "addr" + id, "c1", "b" + id, "st" + id,
+        Seq.empty[String]))
+      .toDF("id", "name", "address", "college", "board", "stream", "interests")
+    val out = graft.graph.GraphOps.nodeSimilarity(students).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(out === Seq((0L, 1L, 2L, 0.5, 1), (0L, 2L, 2L, 0.5, 2), (0L, 3L, 2L, 0.5, 3)))
+    CacheScope.unpersistAll()
+  }
+
   test("ann recall is within (0, 1] and 1 exactly when ANN's top-k equals brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val recall = graft.ops.Similarity.annRecall(emb).collect()
