@@ -48,6 +48,22 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
+  /** Per-query top-k over a scored candidate set WITHOUT a per-query window
+    * funnel: the cut is [[graft.plans.TopKPerKey]]'s partial/final bounded
+    * heaps (at most k rows per query per input partition cross the
+    * exchange), proved hash-equal to the window form by `sim_topk_custom`.
+    * The rank window that follows materializes 1..k over the ALREADY-CUT
+    * sliver — its input is ≤ k rows per query by construction, so it can
+    * never become the one-task-per-query funnel the raw window was at
+    * corpus scale. Ranking and heap use the same (rounded cos DESC, vec_id
+    * ASC) key, so the cut and the rank agree deterministically. */
+  private def rankedTopKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopK.perKey(scored, Seq("qid"), "cos", "vec_id", k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
+  }
+
   private def vecs(embeddings: DataFrame): DataFrame = {
     graft.functions.DotProduct.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"), col("label"),
@@ -103,18 +119,18 @@ object Similarity {
     * by construction (single-probe); multi-probe = also joining neighboring
     * buckets at Hamming distance 1. */
   def annTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = withNorm(vecs(embeddings)).withColumn("bucket", bucketCol(col("v")))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket"))
-    e.join(broadcast(q), Seq("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
-      .filter(col("rank") <= k)
+      // slim to scalar columns BEFORE the cut — the heap exchange should
+      // carry (qid, vec_id, cos, bucket), not 64-dim vectors
+      .select(col("qid"), col("vec_id"), col("bucket"),
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6)
+          .as("cos"))
+    rankedTopKPerQuery(scored, k)
       .select(col("qid"), col("vec_id"), col("rank"),
         round(col("cos"), 4).as("cos"), col("bucket"))
       .orderBy(col("qid"), col("rank"))
@@ -125,7 +141,6 @@ object Similarity {
     * for sign-sketch LSH. Candidates ≈ (1+planes)·N/2^planes; still an
     * equi-join on bucket. */
   def annMultiProbeTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = withNorm(vecs(embeddings)).withColumn("bucket", bucketCol(col("v")))
     val flips = (0 until NumPlanes).map { p =>
       concat(
@@ -136,13 +151,12 @@ object Similarity {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(array(col("bucket") +: flips: _*)).as("bucket"))
-    e.join(broadcast(q), Seq("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
-      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"),
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6)
+          .as("cos"))
+    rankedTopKPerQuery(scored, k)
       .select(col("qid"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
       .orderBy(col("qid"), col("rank"))
   }
