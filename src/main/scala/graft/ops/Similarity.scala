@@ -174,20 +174,20 @@ object Similarity {
     * rises with wider cells or neighbor-cell probes, exactly like
     * [[annMultiProbeTopK]]'s Hamming-1 expansion. */
   def annIvfTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cellExpr = concat_ws("_", (0 until IvfDims).map(d =>
       floor(col("v")(d) / IvfCell).cast("long").cast("string")): _*)
     val e = withNorm(vecs(embeddings)).withColumn("cell", cellExpr)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
-    e.join(broadcast(q), Seq("cell"))
+    val scored = e.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
-      .filter(col("rank") <= k)
+      // slim to scalar columns BEFORE the cut — the heap exchange carries
+      // (qid, vec_id, cell, cos), not 64-dim vectors
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6)
+          .as("cos"))
+    rankedTopKPerQuery(scored, k)
       .select(col("qid"), col("vec_id"), col("rank"),
         round(col("cos"), 4).as("cos"), col("cell"))
       .orderBy(col("qid"), col("rank"))
@@ -221,19 +221,20 @@ object Similarity {
     * the negative sliver. */
   def hardNegatives(embeddings: DataFrame, nQueries: Int = 8, k: Int = 3,
       posThreshold: Double = 0.25): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = withNorm(vecs(embeddings)).withColumn("bucket", bucketCol(col("v")))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket"))
-    e.join(broadcast(q), Seq("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
+      // the positive cut drops would-be positives BEFORE the heap cut, so
+      // the bounded heaps (and the rank window over their output) see only
+      // the negative sliver, slimmed to scalar columns
+      .select(col("qid"), col("vec_id"),
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6)
+          .as("cos"))
       .filter(col("cos") < posThreshold)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
-      .filter(col("rank") <= k)
+    rankedTopKPerQuery(scored, k)
       .select(col("qid"), col("vec_id"), col("rank"),
         round(col("cos"), 4).as("cos"))
       .orderBy(col("qid"), col("rank"))

@@ -37,6 +37,16 @@ object TopK {
   private def build(df: DataFrame, keys: Seq[String], scoreCol: String,
       dir: org.apache.spark.sql.catalyst.expressions.SortDirection,
       tiebreakCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"TopK.perKey requires k >= 1, got $k")
+    // Fail fast with an actionable message instead of Spark's opaque
+    // planner assertion when the session was built without GraftExtensions
+    // (library-style callers): without TopKPerKeyStrategy the logical node
+    // has no physical plan.
+    require(
+      df.sparkSession.sessionState.planner.strategies.exists(_ eq TopKPerKeyStrategy),
+      "TopKPerKey requires a SparkSession built with graft.plans.GraftExtensions " +
+        "(SparkSession.builder().withExtensions(new GraftExtensions)) so " +
+        "TopKPerKeyStrategy can plan it")
     val ordering = Seq(
       SortOrder(UnresolvedAttribute.quoted(scoreCol), dir),
       SortOrder(UnresolvedAttribute.quoted(tiebreakCol), Ascending))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
 /** Logical top-k-per-key: keep the k best rows (by `ordering`) for every
@@ -44,7 +44,13 @@ private[plans] object TopKHeaps {
       val row = iter.next()
       val key = keyProj(row).copy()
       var buf = heaps.get(key)
-      if (buf == null) { buf = new java.util.ArrayList[InternalRow](k + 1); heaps.put(key, buf) }
+      if (buf == null) {
+        // initial capacity is a HINT, not the bound (the bound is the
+        // `buf.size() > k` trim below) — clamp it so k = Int.MaxValue
+        // ("unbounded") doesn't wrap k + 1 to a negative capacity
+        buf = new java.util.ArrayList[InternalRow](math.min(k.toLong + 1, 64L).toInt)
+        heaps.put(key, buf)
+      }
       // skip fast if worse than current k-th
       if (buf.size() < k || rowOrd.compare(row, buf.get(buf.size() - 1)) < 0) {
         val copy = row.copy()
@@ -78,6 +84,10 @@ case class TopKPerKeyFinalExec(
   // EnsureRequirements inserts the hash exchange on the keys for us.
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
+  // Report the child's hash distribution so a downstream operator needing
+  // the same keys (e.g. the rank window over the cut sliver) reuses the
+  // exchange instead of planning a second, redundant shuffle.
+  override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(
       TopKHeaps.topKPerPartition(_, keys, ordering, k, child.output))

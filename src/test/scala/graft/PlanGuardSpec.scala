@@ -65,4 +65,40 @@ class PlanGuardSpec extends SparkSpec {
           df.queryExecution.executedPlan)
     }
   }
+
+  /** The four ANN variants must cut per-query candidates with the bounded
+    * heaps (TopKPerKeyFinalExec), and any rank window must sit ABOVE that
+    * cut — a WindowExec whose subtree has no heap cut is the
+    * one-task-per-query funnel that dies at corpus scale. */
+  private val annGuarded =
+    Seq("sim_ann_lsh", "sim_ann_multiprobe", "sim_ann_ivf",
+      "sim_hard_negatives")
+
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec  => Seq(a.executedPlan)
+      case q: QueryStageExec         => Seq(q.plan)
+      case m: InMemoryTableScanExec  => Seq(m.relation.cachedPlan)
+      case other                     => other.children
+    }
+    p +: (kids.flatMap(collectNodes) ++ p.subqueries.flatMap(collectNodes))
+  }
+
+  annGuarded.foreach { name =>
+    test(s"$name cuts per-query candidates with TopKPerKey, not a raw window") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val nodes = collectNodes(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[graft.plans.TopKPerKeyFinalExec]),
+        s"$name has no TopKPerKeyFinalExec — the per-query cut fell back " +
+          s"to something else\n${df.queryExecution.executedPlan}")
+      val uncutWindows = nodes
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        .filterNot(w => collectNodes(w.child)
+          .exists(_.isInstanceOf[graft.plans.TopKPerKeyFinalExec]))
+      assert(uncutWindows.isEmpty,
+        s"$name plans a WindowExec over an UNCUT candidate set (per-query " +
+          s"funnel):\n${uncutWindows.mkString("\n")}")
+    }
+  }
 }
