@@ -741,7 +741,7 @@ object SparkEntry {
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
       val docs = Tables.documents(s, d)
       Search.buildIndex(docs.filter(col("doc_id") % 5 =!= 0), "graft_idx.bm25d")
-      Search.indexDelta(s, "graft_idx.bm25d", docs.filter(col("doc_id") % 5 === 0))
+      Search.indexDelta("graft_idx.bm25d", docs.filter(col("doc_id") % 5 === 0))
       Search.bm25Indexed(s, "graft_idx.bm25d")
     }),
     // keyword extraction: full-vocab tf-idf, min-df pruned before the

@@ -94,8 +94,16 @@ object Bpe {
         .agg(sum(col("freq")).as("cnt"))
       val best = pairs.agg(min_by(struct(col("l"), col("r"), col("cnt")),
           struct(negate(col("cnt")), col("l"), col("r"))).as("b"))
-        .select(lit(k).as("step"), col("b.l").as("l"), col("b.r").as("r"),
-          col("b.cnt").as("cnt"))
+        // a dried-up pair table (steps > the merges this corpus supports)
+        // makes min_by emit a null struct, and the null winner would
+        // poison every downstream token state into null rows SILENTLY —
+        // fail fast instead. coalesce evaluates lazily, so the healthy
+        // path never touches raise_error and stays codegen'd.
+        .select(lit(k).as("step"),
+          coalesce(col("b.l"), raise_error(lit(
+            s"BPE: corpus supports fewer than $k merges — " +
+              s"the step-$k pair table is empty; lower `steps`"))).as("l"),
+          col("b.r").as("r"), col("b.cnt").as("cnt"))
       winners = winners :+ best
       // cache each state: the chain branches (winner k feeds both the
       // output union and iteration k+1), so uncached recompute would be

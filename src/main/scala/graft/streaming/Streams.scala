@@ -348,11 +348,25 @@ object Streams {
           .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
         // only the batch-0 missing-directory case may fall back to an
         // empty standing set — a transient read failure must FAIL the
-        // batch, or previously-curated hashes get re-admitted silently
+        // batch, or previously-curated hashes get re-admitted silently.
+        // The probe goes through the Hadoop FileSystem of the path (HDFS/
+        // S3/local alike): a driver-local java.io.File check is always
+        // false on remote stores, which would silently re-admit every
+        // previously-curated hash — a correctness bug only visible off
+        // the laptop. The explicit read schema covers the other edge: a
+        // first batch keeping ZERO docs writes a parquet dir with no data
+        // files, which would fail schema inference on the next batch.
+        val hPath = new org.apache.hadoop.fs.Path(curatedDir)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val standingSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "h", org.apache.spark.sql.types.StringType)))
         val standing =
-          if (!new java.io.File(curatedDir).exists())
-            spark.emptyDataFrame.withColumn("h", lit(""))
-          else spark.read.parquet(curatedDir).select(col("h"))
+          if (!fs.exists(hPath))
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              standingSchema)
+          else spark.read.schema(standingSchema).parquet(curatedDir)
         val novel = hashed
           .join(firstInBatch, Seq("h", "doc_id"), "left_semi")
           .join(standing, Seq("h"), "left_anti")

@@ -34,6 +34,20 @@ class BpeSpec extends SparkSpec {
     CacheScope.unpersistAll()
   }
 
+  test("merges fails fast when steps exceed the corpus's supported merges") {
+    import spark.implicits._
+    // after (a,b) and (a,a) every word is a single token — step 3's pair
+    // table is empty, which must THROW, not emit a null winner that
+    // silently null-poisons every downstream token state
+    val docs = Seq((0L, "aa ab"), (1L, "ab ab")).toDF("doc_id", "text")
+    val ex = intercept[Exception] { Bpe.merges(docs, steps = 3).collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("supports fewer than 3 merges")),
+      s"expected the fail-fast BPE error, got: $ex")
+    CacheScope.unpersistAll()
+  }
+
   test("encode on the hand-computed corpus: token counts track the merge depth") {
     import spark.implicits._
     val docs = Seq((0L, "aa ab"), (1L, "ab ab")).toDF("doc_id", "text")

@@ -40,7 +40,7 @@ class SearchIndexDenseSpec extends SparkSpec {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25_delta_test LOCATION '$wh'")
     Search.buildIndex(docs.filter(col("doc_id") % 5 =!= 0),
       "graft_bm25_delta_test.idx")
-    Search.indexDelta(spark, "graft_bm25_delta_test.idx",
+    Search.indexDelta("graft_bm25_delta_test.idx",
       docs.filter(col("doc_id") % 5 === 0))
     val got = Search.bm25Indexed(spark, "graft_bm25_delta_test.idx")
       .collect().map(_.toSeq)
@@ -59,6 +59,21 @@ class SearchIndexDenseSpec extends SparkSpec {
       .agg(count(lit(1)).cast("double").as("tf"))
       .queryExecution.executedPlan.toString
     assert(!p.contains("idx_postings"), s"delta ingest reads the index:\n$p")
+
+    // the disjointness precondition is ENFORCED, not documented: a
+    // re-ingest of already-indexed doc_ids would silently double-count
+    // tf/df/n_docs in the additive stats — it must throw instead, and
+    // the failed attempt must leave the index answers untouched
+    val before = Search.bm25Indexed(spark, "graft_bm25_delta_test.idx")
+      .collect().map(_.toSeq)
+    val ex = intercept[IllegalArgumentException] {
+      Search.indexDelta("graft_bm25_delta_test.idx",
+        docs.filter(col("doc_id") % 5 === 0))
+    }
+    assert(ex.getMessage.contains("doc_id"))
+    val after = Search.bm25Indexed(spark, "graft_bm25_delta_test.idx")
+      .collect().map(_.toSeq)
+    assert(after.toSeq === before.toSeq, "failed re-ingest mutated the index")
   }
 
   test("docVectors: bridge + integer-sum pooling matches the posexplode derivation") {

@@ -61,6 +61,38 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got === expected, "curated stream diverged from the batch keep set")
   }
 
+  test("streaming curation: zero-keep first batch doesn't poison later batches") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // batch 1 is all rejects (n_tokens < 5 → "too_short"): the curated dir
+    // is created with NO data files, which used to fail the next batch's
+    // schema inference; the explicit-schema standing read must shrug it off
+    val junk = spark.createDataFrame(Seq(
+      (100000L, "x y", "en", "synthetic", 3L),
+      (100001L, "p q", "en", "synthetic", 3L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expected = docs
+      .withColumn("h", md5(Dedup.normText(col("text")).cast("binary")))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(TextAnalysis.quality(docs).filter(col("quality") === "keep")
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+
+    val in = Files.createTempDirectory("cur0-in").toFile
+    val out = Files.createTempDirectory("cur0-out").toFile.getAbsolutePath + "/curated"
+    junk.write.parquet(in + "/p1")
+    val q = Streams.incrementalCuration(
+      spark.readStream.schema(junk.schema).parquet(in + "/p1"), out)
+    q.processAllAvailable()
+    docs.write.mode("append").parquet(in + "/p1")
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected, "zero-keep first batch broke the standing corpus")
+  }
+
   test("stream-static SCD2 as-of enrichment == the batch lookup") {
     import graft.ops.Scd
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
