@@ -377,6 +377,14 @@ object SparkEntry {
     // no-false-negative complement to the probabilistic LSH path
     "dedup_prefix_pairs" -> ((s, d) => Dedup.prefixFilterPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    // the same exact-verify chain with the 100-TB side of the trade ON:
+    // candidate pairs materialized, verify shingles semi-joined down to
+    // the collided sliver (conf read at plan time, so set-build-restore)
+    "dedup_jaccard_sliver" -> ((s, d) => {
+      s.conf.set("spark.graft.verifySliver", "true")
+      try Dedup.ngramJaccard(Tables.documents(s, d))
+      finally s.conf.unset("spark.graft.verifySliver")
+    }),
     "dedup_simhash" -> ((s, d) => {
       graft.functions.SimHash32.register(s)
       Tables.documents(s, d).select(col("doc_id"),
@@ -868,7 +876,8 @@ object SparkEntry {
     // both fuzzy scorers: the built-in levenshtein and the custom codegen
     // IndelRatio expression, so the custom path's cost is a recorded number
     "fuzzy_search_lev", "fuzzy_search_indel",
-    "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_jaccard_sliver",
+    "dedup_simhash", "dedup_simhash_pairs",
     "text_quality", "sim_topk_bruteforce", "sim_ann_multiprobe", "mm_features",
     "w1_event_windows", "w2_sessionize", "graph_cc",
     // round-4 additions: the fact⋈fact-heavy q-series shapes
@@ -1264,6 +1273,18 @@ object SparkEntry {
        "CAST(sum(n * (n - 1) // 2) AS BIGINT) AS collision_pairs " +
        "FROM BK GROUP BY b ORDER BY b"),
     "dedup_ngram_jaccard" ->
+      (s"WITH $shingleCtes, " +
+       "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
+       "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
+       "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
+       "GROUP BY p.src, p.dst) " +
+       "SELECT c.src, c.dst, round(CAST(ncommon AS DOUBLE) / " +
+       "CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) AS jaccard " +
+       "FROM COMMONS c JOIN SIZES sa ON sa.doc_id = c.src " +
+       "JOIN SIZES sb ON sb.doc_id = c.dst ORDER BY src, dst"),
+    // identical result by construction: the sliver semi-join only removes
+    // docs that appear in no candidate pair
+    "dedup_jaccard_sliver" ->
       (s"WITH $shingleCtes, " +
        "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
        "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +

@@ -128,19 +128,6 @@ object Dedup {
       .orderBy("src", "dst")
   }
 
-  /** Exact n-gram (3-shingle) Jaccard computed ONLY for LSH candidates:
-    * |A∩B| via a shingle equi-join on the pairs, |A∪B| = |A|+|B|-|A∩B|.
-    *
-    * The verify side reads the PERSISTED shingle view (below) rather than
-    * restricting to candidate documents first. The candidate-restricted
-    * form (checkpoint the collided pairs, semi-join docs before the verify
-    * shingling) was measured at sf0.1: two extra barriers, loses the
-    * verify/LSH stage overlap — 2.9s vs 1.94s locally. At 100 TB the
-    * economics invert (verify only the collided sliver): a production
-    * deployment materializes `lshCandidatePairs` between the bucket and
-    * verify phases and runs this verify against the semi-joined slice —
-    * same operators, one line moved, measured and documented rather than
-    * silently pre-pessimized here. */
   /** (src, dst, ncommon, na, nb) for the LSH candidate pairs — the
     * verify-side intersection chain shared by [[ngramJaccard]] and
     * [[containment]]. Three consumers of the exploded shingle set
@@ -149,13 +136,40 @@ object Dedup {
     * pass (same persisted-view rationale as q15). The LSH candidate side
     * no longer reads it at all: signatures come from the map-side
     * MinHashSigs expression. Tracked in CacheScope: batch drivers
-    * unpersist at their query boundary. */
+    * unpersist at their query boundary.
+    *
+    * `spark.graft.verifySliver` (default false) picks which side of the
+    * scale trade the verify pass runs on, read at PLAN TIME:
+    *  - false: the verify joins read the full persisted shingle view.
+    *    Measured faster at test SF (1.94s vs 2.9s at sf0.1 originally):
+    *    no extra barrier, the verify and LSH stages overlap.
+    *  - true: the candidate pairs are materialized (CacheScope) and the
+    *    verify shingle view is first SEMI-JOINED to the candidate doc ids
+    *    — the [[incrementalNearDup]] restriction lifted into the batch
+    *    path. At 100 TB this is the only viable side: the collided sliver
+    *    is orders of magnitude smaller than the corpus, and the full-view
+    *    form would shuffle every document's shingles into the verify join.
+    * Both paths are oracle-gated (`ngram_jaccard` / `dedup_jaccard_sliver`)
+    * and proven row-identical in `MinHashSpec`; measured numbers for both
+    * sit in SCALING.md. */
   private def pairIntersections(docs: DataFrame): DataFrame = {
+    val sliver = docs.sparkSession.conf
+      .get("spark.graft.verifySliver", "false").toBoolean
     val sh = graft.CacheScope.track(shingles(docs))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val pairs = lshCandidatePairs(docs)
-    val aSh = sh.select(col("doc_id").as("src"), col("sh"))
-    val bSh = sh.select(col("doc_id").as("dst"), col("sh"))
+    val pairs =
+      if (sliver) graft.CacheScope.track(lshCandidatePairs(docs))
+      else lshCandidatePairs(docs)
+    // sliver mode: restrict the verify view to docs that actually collided
+    // (their FULL shingle sets survive the semi-join, so sizes and
+    // intersections are unchanged — only non-candidate docs drop out)
+    val vsh = if (sliver) {
+      val candIds = pairs.select(col("src").as("doc_id"))
+        .union(pairs.select(col("dst").as("doc_id"))).distinct()
+      sh.join(candIds, Seq("doc_id"), "left_semi")
+    } else sh
+    val sizes = vsh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val aSh = vsh.select(col("doc_id").as("src"), col("sh"))
+    val bSh = vsh.select(col("doc_id").as("dst"), col("sh"))
     pairs.join(aSh, "src").join(bSh, Seq("dst", "sh"))
       .groupBy("src", "dst").agg(count(lit(1)).as("ncommon"))
       .join(sizes.withColumnRenamed("doc_id", "src").withColumnRenamed("nsh", "na"), "src")

@@ -23,6 +23,21 @@ class MinHashSpec extends SparkSpec {
     assert(viaExpr === viaFlow)
   }
 
+  test("verifySliver toggle: sliver-restricted verify == full-view verify") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Dedup.ngramJaccard(docs).collect().map(_.toSeq)
+    spark.conf.set("spark.graft.verifySliver", "true")
+    val sliver =
+      try Dedup.ngramJaccard(docs)
+      finally spark.conf.unset("spark.graft.verifySliver")
+    assert(sliver.collect().map(_.toSeq).toSeq === full.toSeq,
+      "the candidate-sliver verify path diverged from the full-view verify")
+    // the sliver plan actually restricts: a LeftSemi join must be present
+    assert(sliver.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "verifySliver=true built no semi-join restriction")
+    CacheScope.unpersistAll()
+  }
+
   test("short texts (<3 words) hash the whole text as one shingle") {
     import spark.implicits._
     val docs = Seq((1L, "two words"), (2L, "one"), (3L, "")).toDF("doc_id", "text")
