@@ -481,6 +481,13 @@ object SparkEntry {
     "sim_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
     "sim_ann_multiprobe" -> ((s, d) => Similarity.annMultiProbeTopK(Tables.embeddings(s, d))),
     "sim_ann_ivf" -> ((s, d) => Similarity.annIvfTopK(Tables.embeddings(s, d))),
+    // IVF with a TRAINED coarse quantizer (label-seeded integer-space
+    // centroids), nprobe=2 — the production tuning lever the fixed
+    // lattice lacks; cells + probes + cut all engine-reproducible
+    "sim_ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrainedTopK(Tables.embeddings(s, d))),
+    // recall@k of the trained-IVF path vs brute force — prices nprobe
+    // pruning the way sim_ann_recall prices bucket pruning
+    "sim_ann_ivf_trained_recall" -> ((s, d) => Similarity.annIvfTrainedRecall(Tables.embeddings(s, d))),
     // ANN quality gate: recall@3 of the multi-probe ANN vs brute force —
     // the price of the candidate pruning, per query id.
     "sim_ann_recall" -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
@@ -923,7 +930,8 @@ object SparkEntry {
     // SCD2 consumption + snapshot apply (the diff was already timed)
     "scd2_asof_lookup", "snapshot_apply",
     // similarity/ANN ladder beyond brute-force + multiprobe
-    "sim_ann_lsh", "sim_ann_ivf", "sim_ann_recall", "sim_centroids",
+    "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_trained",
+    "sim_ann_ivf_trained_recall", "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
     // sampling suite
@@ -1036,6 +1044,33 @@ object SparkEntry {
     "substr(bucket, 1, CAST(p AS INT)) || (CASE WHEN substr(bucket, CAST(p AS INT) + 1, 1) = '1' THEN '0' ELSE '1' END) || " +
     "substr(bucket, CAST(p AS INT) + 2, 6 - CAST(p AS INT) - 1))) AS bucket " +
     "FROM E WHERE vec_id < 8)"
+
+  /** Trained-IVF CTE chain shared by `sim_ann_ivf_trained` and its recall
+    * row: sim_kmeans_assign's quantization/centroid/distance CTEs, the
+    * argmin cell per vector (rk = 1), the per-query nprobe=2 probe set
+    * (rk <= 2), and cosine-ranked candidates from the cell equi-join.
+    * Ends with R (ranked candidates); E0 stays open for the recall row's
+    * brute-force side. */
+  private val ivfTrainedCtes: String =
+    "E0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+    "Q0 AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, embedding FROM embeddings), " +
+    "QQ AS (SELECT vec_id, label, dim, CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM Q0), " +
+    "C AS (SELECT label AS c_label, dim, " +
+    "CAST(round(round(CAST(sum(q) AS DOUBLE) / (1000.0 * count(*)), 6) * 1000000.0) AS BIGINT) AS c6 " +
+    "FROM QQ GROUP BY label, dim), " +
+    "DIST AS (SELECT x.vec_id, c.c_label, " +
+    "sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
+    "FROM QQ x JOIN C c ON x.dim = c.dim GROUP BY x.vec_id, c.c_label), " +
+    "CELL AS (SELECT vec_id, c_label AS cell FROM " +
+    "(SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DIST) WHERE rk = 1), " +
+    "PROBE AS (SELECT vec_id AS qid, c_label AS cell FROM " +
+    "(SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DIST WHERE vec_id < 8) WHERE rk <= 2), " +
+    "EC AS (SELECT e.vec_id, e.v, CELL.cell FROM E0 e JOIN CELL ON CELL.vec_id = e.vec_id), " +
+    "QV AS (SELECT vec_id AS qid, v AS qv FROM E0 WHERE vec_id < 8), " +
+    s"J AS (SELECT p.qid, ec.vec_id, ec.cell, round(${cosSql("ec.v", "QV.qv")}, 6) AS cos " +
+    "FROM PROBE p JOIN EC ec ON ec.cell = p.cell JOIN QV ON QV.qid = p.qid WHERE ec.vec_id <> p.qid), " +
+    "R AS (SELECT qid, vec_id, cell, cos, row_number() OVER " +
+    "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J)"
 
   private val chainBlock = graft.graph.GraphOps.ChainBlock
 
@@ -1627,6 +1662,27 @@ object SparkEntry {
        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J) " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // trained-IVF: sim_kmeans_assign's centroid/distance CTEs feed cell
+    // assignment (rk = 1) and the per-query nprobe=2 probe set (rk <= 2);
+    // candidates are an equi-join on cell, ranked by the exact cosine
+    "sim_ann_ivf_trained" ->
+      (s"WITH $ivfTrainedCtes " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // recall@3 of the trained-IVF vs brute force: the two oracled chains
+    // composed, LEFT JOIN so misses count as 0
+    "sim_ann_ivf_trained_recall" ->
+      (s"WITH $ivfTrainedCtes, " +
+       "ANN AS (SELECT qid, vec_id FROM R WHERE rank <= 3), " +
+       "QB AS (SELECT vec_id AS qid, v AS qv FROM E0 WHERE vec_id < 8), " +
+       s"JB AS (SELECT QB.qid, E0.vec_id, round(${cosSql("E0.v", "QB.qv")}, 6) AS cos " +
+       "FROM E0 CROSS JOIN QB WHERE E0.vec_id <> QB.qid), " +
+       "RB AS (SELECT qid, vec_id, row_number() OVER " +
+       "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM JB), " +
+       "BF AS (SELECT qid, vec_id FROM RB WHERE rank <= 3) " +
+       "SELECT b.qid, round(CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall " +
+       "FROM BF b LEFT JOIN ANN a ON a.qid = b.qid AND a.vec_id = b.vec_id " +
+       "GROUP BY b.qid ORDER BY b.qid"),
     // coalesce(text,'') mirrors intersectKeepLeft's null→[] semantics
     // (the reference treats null lists as [], student_service.py:131).
     "f5_keepcase_intersect" ->

@@ -67,12 +67,18 @@ object Centroids {
     * Shape at 100 TB: centroids are k·dims values — a broadcast literal;
     * assignment is one scan with a fold per (vector, centroid), k·dims
     * multiplies per row, no shuffle until the (optional) recompute. */
-  def kmeansAssign(embeddings: DataFrame): DataFrame = {
-    val cent = labelCentroids(embeddings)
+  /** (c_label, cvec) — the label-seeded centroids as 6dp-scaled integer
+    * vectors (c6 longs): the broadcastable trained-quantizer form shared
+    * by [[kmeansAssign]] and [[Similarity.annIvfTrainedTopK]]. */
+  private[ops] def centroidVectors(embeddings: DataFrame): DataFrame =
+    labelCentroids(embeddings)
       .withColumn("c6", round(col("centroid") * lit(1000000.0)).cast("long"))
       .groupBy(col("label").as("c_label"))
       .agg(array_sort(collect_list(struct(col("dim"), col("c6")))).as("cd"))
       .select(col("c_label"), transform(col("cd"), s => s("c6")).as("cvec"))
+
+  def kmeansAssign(embeddings: DataFrame): DataFrame = {
+    val cent = centroidVectors(embeddings)
     val quantized = embeddings.select(
       col("vec_id"), col("label"),
       transform(col("embedding"),

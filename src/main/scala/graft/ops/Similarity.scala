@@ -193,6 +193,84 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF with a TRAINED coarse quantizer: cells are the label-seeded
+    * integer-space centroids ([[Centroids.labelCentroids]] — exactly one
+    * deterministic k-means round), every vector lives in its argmin cell
+    * (the inverted lists), and each query probes its `nprobe` nearest
+    * cells — the recall lever [[annIvfTopK]]'s fixed lattice gets from
+    * wider cells, here from more probes, which is how production IVF
+    * actually tunes. Cell assignment and probe choice compare distances
+    * in EXACT integer space (the [[Centroids.kmeansAssign]] contract), so
+    * both are engine-reproducible; candidate scoring is the exact rounded
+    * cosine and the per-query cut is the bounded-heap
+    * [[graft.plans.TopKPerKey]].
+    *
+    * Shape at 100 TB: centroids are k·dims values — a broadcast; cell
+    * assignment is a broadcast cross + partial min-struct agg, so the one
+    * corpus exchange carries a single slim row per vector; probing is an
+    * equi-join on cell id against nprobe·queries broadcast rows; the heap
+    * cut bounds what crosses the final exchange. Production materializes
+    * the inverted lists once (the buildIndex pattern); here they derive
+    * in-query so the DuckDB oracle can replay the whole chain. */
+  def annIvfTrainedTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 3,
+      nprobe: Int = 2): DataFrame = {
+    // two consumers (vector assignment, query probes) of the corpus-sized
+    // centroid aggregation — materialize it once (CacheScope; the cached
+    // set is k·dims values, label-count rows)
+    val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
+    val e = withNorm(vecs(embeddings))
+      .withColumn("xq", transform(col("v"),
+        x => round(x * 1000).cast("long") * lit(1000L)))
+    val dist = aggregate(
+      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, d) => acc + d)
+    val celled = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_label"), dist.as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("best.c_label").as("cell"),
+        col("v"), col("nrm"))
+    // nprobe nearest cells per query through the same bounded heaps —
+    // nQueries·|cells| rows, cut map-side
+    val probes = graft.plans.TopK.perKeyMin(
+        e.filter(col("vec_id") < nQueries).join(broadcast(cent))
+          .select(col("vec_id").as("qid"), col("c_label").as("cell"),
+            dist.as("d2")),
+        Seq("qid"), "d2", "cell", nprobe)
+      .select(col("qid"), col("cell"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .join(probes, "qid")
+    val scored = celled.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6)
+          .as("cos"))
+    rankedTopKPerQuery(scored, k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("cos"), 4).as("cos"), col("cell"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Recall@k of the trained-IVF path against the brute-force truth —
+    * the companion of [[annRecall]]: that row prices sign-sketch bucket
+    * pruning, this one prices nprobe-bounded probing of TRAINED cells.
+    * Both sides are oracled chains; the join is nQueries·k rows. */
+  def annIvfTrainedRecall(embeddings: DataFrame, nQueries: Int = 8,
+      k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val bf = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("qid"), col("vec_id"))
+    val ann = annIvfTrainedTopK(embeddings, nQueries, k, nprobe)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    bf.join(ann, col("qid") === col("aqid") && col("vec_id") === col("avid"),
+        "left_outer")
+      .groupBy(col("qid"))
+      .agg(round(count(col("avid")).cast("double") / count(lit(1)).cast("double"), 4)
+        .as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** Recall@k of the multi-probe ANN against the brute-force ground truth —
     * the number that prices the ANN's candidate pruning: "the structure
     * scales" is only half the story; this measures what the pruning costs

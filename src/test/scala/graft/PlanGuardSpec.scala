@@ -72,7 +72,7 @@ class PlanGuardSpec extends SparkSpec {
     * one-task-per-query funnel that dies at corpus scale. */
   private val annGuarded =
     Seq("sim_ann_lsh", "sim_ann_multiprobe", "sim_ann_ivf",
-      "sim_hard_negatives")
+      "sim_ann_ivf_trained", "sim_hard_negatives")
 
   private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
     val kids: Seq[SparkPlan] = p match {
