@@ -116,9 +116,10 @@ object GraphOps {
     * equi-join on the edge table and anti-joins the visited set, so work per
     * round is frontier × degree — never all-pairs. The path payload grows
     * with the hop count, which is why the bound is part of the operator
-    * contract (Cypher's `[*..k]`). Frontier/visited are localCheckpoint'ed
-    * per round to keep lineage flat across iterations (at cluster scale:
-    * `checkpoint` to reliable storage instead — same shape). */
+    * contract (Cypher's `[*..k]`). Frontier/visited are checkpointed per
+    * round to keep lineage flat across iterations — executor-local by
+    * default, reliable storage under `spark.graft.pathCheckpoint=reliable`
+    * (see [[truncated]]). */
   def kHopChainPaths(
       spark: SparkSession, customer: DataFrame, anchorId: Long,
       maxHops: Int = ChainBlock - 1): DataFrame = {
@@ -137,12 +138,29 @@ object GraphOps {
     * (impossible on a chain, routine on general graphs) the
     * lexicographically smallest path wins, deterministically — proved on a
     * diamond graph in GraphPathsSpec. */
+  /** Per-round lineage truncation for the iterative BFS.
+    * `spark.graft.pathCheckpoint=reliable` switches the default
+    * `localCheckpoint` (executor-local blocks — lost lineage AND lost
+    * data if an executor dies mid-iteration, the cluster-scale failure
+    * mode) to reliable `checkpoint` into the context's checkpoint dir
+    * (HDFS/S3 at scale), which survives executor loss at the price of a
+    * write per round. Fails fast if no checkpoint dir is set rather than
+    * letting Spark throw mid-iteration. */
+  private def truncated(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .get("spark.graft.pathCheckpoint", "local") == "reliable") {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "spark.graft.pathCheckpoint=reliable requires " +
+          "SparkContext.setCheckpointDir(<reliable storage path>)")
+      df.checkpoint()
+    } else df.localCheckpoint()
+
   def bfsPaths(edgeTable: DataFrame, anchorId: Long, maxHops: Int): DataFrame = {
-    val edges = edgeTable.select(col("src"), col("dst")).localCheckpoint()
+    val edges = truncated(edgeTable.select(col("src"), col("dst")))
     val emptyPath = array().cast("array<struct<src:bigint,dst:bigint>>")
-    var frontier = edges.sparkSession.range(1)
-      .select(lit(anchorId).as("id"), emptyPath.as("path")).localCheckpoint()
-    var visited = frontier.select(col("id")).localCheckpoint()
+    var frontier = truncated(edges.sparkSession.range(1)
+      .select(lit(anchorId).as("id"), emptyPath.as("path")))
+    var visited = truncated(frontier.select(col("id")))
     var out = frontier
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
@@ -155,10 +173,10 @@ object GraphOps {
         .agg(min_by(col("path"),
           array_join(transform(col("path"),
             e => concat_ws("-", e("src"), e("dst"))), "|")).as("path"))
-        .localCheckpoint()
-      visited = visited.unionByName(next.select(col("id"))).localCheckpoint()
-      out = out.unionByName(next)
-      frontier = next
+      val nextT = truncated(next)
+      visited = truncated(visited.unionByName(nextT.select(col("id"))))
+      out = out.unionByName(nextT)
+      frontier = nextT
       hop += 1
     }
     out.select(col("id"), size(col("path")).as("dist"), col("path"))

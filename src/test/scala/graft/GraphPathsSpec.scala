@@ -38,6 +38,34 @@ class GraphPathsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
 
+  // runs BEFORE the reliable-mode test below: the guard is only reachable
+  // while no checkpoint dir has been set on the shared context
+  test("reliable mode without a checkpoint dir fails fast with guidance") {
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    spark.conf.set("spark.graft.pathCheckpoint", "reliable")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        GraphOps.bfsPaths(diamond, 1L, maxHops = 2).collect()
+      }
+      assert(ex.getMessage.contains("setCheckpointDir"))
+    } finally spark.conf.unset("spark.graft.pathCheckpoint")
+  }
+
+  test("reliable-checkpoint mode returns identical paths to local mode") {
+    val local = GraphOps.bfsPaths(diamond, 1L, maxHops = 5).collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    spark.conf.set("spark.graft.pathCheckpoint", "reliable")
+    val reliable =
+      try GraphOps.bfsPaths(diamond, 1L, maxHops = 5).collect()
+      finally spark.conf.unset("spark.graft.pathCheckpoint")
+    assert(reliable.map(_.toSeq).toSeq === local.map(_.toSeq).toSeq,
+      "reliable checkpointing changed the BFS result")
+    // checkpoint files actually landed in the reliable dir
+    assert(dir.listFiles() != null && dir.listFiles().nonEmpty,
+      "reliable mode wrote no checkpoint data")
+  }
+
   test("chain wrapper is unchanged by the core extraction") {
     import spark.implicits._
     val customers = (0L to 24L).toDF("c_custkey")
