@@ -488,6 +488,16 @@ object SparkEntry {
     // recall@k of the trained-IVF path vs brute force — prices nprobe
     // pruning the way sim_ann_recall prices bucket pruning
     "sim_ann_ivf_trained_recall" -> ((s, d) => Similarity.annIvfTrainedRecall(Tables.embeddings(s, d))),
+    // the materialized inverted lists: cell-partitioned index built once,
+    // probes DPP-prune the candidate read to the probed cells — same
+    // result as sim_ann_ivf_trained, corpus never re-assigned at query
+    "sim_ann_ivf_indexed" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      Similarity.buildIvfIndex(Tables.embeddings(s, d), "graft_idx.ivf")
+      Similarity.annIvfIndexedTopK(s, "graft_idx.ivf")
+    }),
     // ANN quality gate: recall@3 of the multi-probe ANN vs brute force —
     // the price of the candidate pruning, per query id.
     "sim_ann_recall" -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
@@ -931,7 +941,8 @@ object SparkEntry {
     "scd2_asof_lookup", "snapshot_apply",
     // similarity/ANN ladder beyond brute-force + multiprobe
     "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_trained",
-    "sim_ann_ivf_trained_recall", "sim_ann_recall", "sim_centroids",
+    "sim_ann_ivf_trained_recall", "sim_ann_ivf_indexed",
+    "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
     // sampling suite
@@ -1666,6 +1677,12 @@ object SparkEntry {
     // assignment (rk = 1) and the per-query nprobe=2 probe set (rk <= 2);
     // candidates are an equi-join on cell, ranked by the exact cosine
     "sim_ann_ivf_trained" ->
+      (s"WITH $ivfTrainedCtes " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // the index-served path must return byte-identical rows to the
+    // in-query trained IVF — same oracle chain
+    "sim_ann_ivf_indexed" ->
       (s"WITH $ivfTrainedCtes " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),

@@ -253,6 +253,75 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Materialize the trained-IVF index — the "production builds the
+    * inverted lists once" promise of [[annIvfTrainedTopK]] made real, the
+    * [[Search.buildIndex]] pattern applied to ANN: `{table}_ivf` holds
+    * (vec_id, v, nrm) PARTITIONED BY cell, so the inverted lists are
+    * partition directories and a probe's cell equi-join prunes at SCAN
+    * time via dynamic partition pruning (the layout_dpp discipline);
+    * `{table}_centroids` holds the trained quantizer. Build cost = the
+    * centroid aggregation + one corpus argmin pass; every query after
+    * reads only its probed cells — never the corpus. */
+  def buildIvfIndex(embeddings: DataFrame, table: String): Unit = {
+    val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
+    cent.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    val e = withNorm(vecs(embeddings))
+      .withColumn("xq", transform(col("v"),
+        x => round(x * 1000).cast("long") * lit(1000L)))
+    val dist = aggregate(
+      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, d) => acc + d)
+    e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_label"), dist.as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("best.c_label").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").format("parquet")
+      .saveAsTable(s"${table}_ivf")
+  }
+
+  /** Query the materialized IVF index: SAME RESULT as
+    * [[annIvfTrainedTopK]] (both oracled against the same SQL), but the
+    * corpus is never re-trained or re-assigned — probes resolve against
+    * the stored centroids, and the candidate read is the cell-partitioned
+    * index pruned to the probed cells by dynamic partition pruning. Query
+    * cost is proportional to the probed lists' size, not the corpus. */
+  def annIvfIndexedTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, nQueries: Int = 8, k: Int = 3,
+      nprobe: Int = 2): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val cent = spark.table(s"${table}_centroids")
+    val idx = spark.table(s"${table}_ivf")
+    // query vectors by point lookup (vec_id pushed to the scan); their
+    // probe set = nprobe nearest stored centroids, exact integer space
+    val q0 = idx.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        transform(col("v"),
+          x => round(x * 1000).cast("long") * lit(1000L)).as("xq"))
+    val dist = aggregate(
+      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, d) => acc + d)
+    val probes = graft.plans.TopK.perKeyMin(
+        q0.join(broadcast(cent))
+          .select(col("qid"), col("c_label").as("cell"), dist.as("d2")),
+        Seq("qid"), "d2", "cell", nprobe)
+      .select(col("qid"), col("cell"))
+    val q = q0.select(col("qid"), col("qv"), col("qnrm")).join(probes, "qid")
+    val scored = idx.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6)
+          .as("cos"))
+    rankedTopKPerQuery(scored, k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("cos"), 4).as("cos"), col("cell"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Recall@k of the trained-IVF path against the brute-force truth —
     * the companion of [[annRecall]]: that row prices sign-sketch bucket
     * pruning, this one prices nprobe-bounded probing of TRAINED cells.

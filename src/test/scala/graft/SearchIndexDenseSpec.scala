@@ -76,6 +76,42 @@ class SearchIndexDenseSpec extends SparkSpec {
     assert(after.toSeq === before.toSeq, "failed re-ingest mutated the index")
   }
 
+  test("annIvfIndexedTopK: index-served ANN == in-query trained IVF, corpus unscanned, cells DPP-pruned") {
+    import java.nio.file.Files
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-ivf-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ivf_test LOCATION '$wh'")
+    Similarity.buildIvfIndex(emb, "graft_ivf_test.idx")
+    val want = Similarity.annIvfTrainedTopK(emb).collect().map(_.toSeq)
+    val got = Similarity.annIvfIndexedTopK(spark, "graft_ivf_test.idx")
+    val rows = got.collect()
+    assert(rows.map(_.toSeq).toSeq === want.toSeq,
+      "index-served ANN diverged from the in-query trained IVF")
+
+    // query-time contract: the corpus parquet is never read, and the
+    // candidate-side index scan prunes partitions via dynamic pruning
+    val plan = got.queryExecution.executedPlan
+    assert(!plan.toString.contains("embeddings.parquet"),
+      s"corpus scanned at query time:\n$plan")
+    val partScans = scans(plan).filter(_.relation.partitionSchema.nonEmpty)
+    assert(partScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"no dynamic partition pruning on the index scan:\n$plan")
+  }
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+  }
+
   test("docVectors: bridge + integer-sum pooling matches the posexplode derivation") {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
