@@ -498,6 +498,19 @@ object SparkEntry {
       Similarity.buildIvfIndex(Tables.embeddings(s, d), "graft_idx.ivf")
       Similarity.annIvfIndexedTopK(s, "graft_idx.ivf")
     }),
+    // frozen-quantizer incremental ingest: base build on 80%, the rest
+    // delta-ingested against the STORED centroids (corpus never re-read),
+    // then the same index-served query — the bm25_index_delta discipline
+    // for ANN
+    "sim_ann_ivf_index_delta" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-delta")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0), "graft_idx.ivfd")
+      Similarity.ivfIndexDelta("graft_idx.ivfd", emb.filter(col("vec_id") % 5 === 0))
+      Similarity.annIvfIndexedTopK(s, "graft_idx.ivfd")
+    }),
     // ANN quality gate: recall@3 of the multi-probe ANN vs brute force —
     // the price of the candidate pruning, per query id.
     "sim_ann_recall" -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
@@ -942,7 +955,7 @@ object SparkEntry {
     // similarity/ANN ladder beyond brute-force + multiprobe
     "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_trained",
     "sim_ann_ivf_trained_recall", "sim_ann_ivf_indexed",
-    "sim_ann_recall", "sim_centroids",
+    "sim_ann_ivf_index_delta", "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
     // sampling suite
@@ -1061,14 +1074,16 @@ object SparkEntry {
     * argmin cell per vector (rk = 1), the per-query nprobe=2 probe set
     * (rk <= 2), and cosine-ranked candidates from the cell equi-join.
     * Ends with R (ranked candidates); E0 stays open for the recall row's
-    * brute-force side. */
-  private val ivfTrainedCtes: String =
+    * brute-force side. `basePred` restricts which vectors TRAIN the
+    * centroids (the frozen-quantizer delta-ingest oracle trains on the
+    * base split only; assignment/probing always cover every vector). */
+  private def ivfTrainedCtesFrom(basePred: String): String =
     "E0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
     "Q0 AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, embedding FROM embeddings), " +
     "QQ AS (SELECT vec_id, label, dim, CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM Q0), " +
     "C AS (SELECT label AS c_label, dim, " +
     "CAST(round(round(CAST(sum(q) AS DOUBLE) / (1000.0 * count(*)), 6) * 1000000.0) AS BIGINT) AS c6 " +
-    "FROM QQ GROUP BY label, dim), " +
+    s"FROM QQ WHERE $basePred GROUP BY label, dim), " +
     "DIST AS (SELECT x.vec_id, c.c_label, " +
     "sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
     "FROM QQ x JOIN C c ON x.dim = c.dim GROUP BY x.vec_id, c.c_label), " +
@@ -1082,6 +1097,8 @@ object SparkEntry {
     "FROM PROBE p JOIN EC ec ON ec.cell = p.cell JOIN QV ON QV.qid = p.qid WHERE ec.vec_id <> p.qid), " +
     "R AS (SELECT qid, vec_id, cell, cos, row_number() OVER " +
     "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J)"
+
+  private val ivfTrainedCtes: String = ivfTrainedCtesFrom("TRUE")
 
   private val chainBlock = graft.graph.GraphOps.ChainBlock
 
@@ -1684,6 +1701,13 @@ object SparkEntry {
     // in-query trained IVF — same oracle chain
     "sim_ann_ivf_indexed" ->
       (s"WITH $ivfTrainedCtes " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // delta ingest with a FROZEN quantizer: centroids train on the 80%
+    // base only; every vector (base + delta) is assigned and probed
+    // against those — the same chain with C restricted to the base split
+    "sim_ann_ivf_index_delta" ->
+      (s"WITH ${ivfTrainedCtesFrom("vec_id % 5 <> 0")} " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
     // recall@3 of the trained-IVF vs brute force: the two oracled chains

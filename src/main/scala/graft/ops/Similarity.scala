@@ -218,19 +218,13 @@ object Similarity {
     // centroid aggregation — materialize it once (CacheScope; the cached
     // set is k·dims values, label-count rows)
     val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
+    val celled = assignedCells(embeddings, cent)
     val e = withNorm(vecs(embeddings))
       .withColumn("xq", transform(col("v"),
         x => round(x * 1000).cast("long") * lit(1000L)))
     val dist = aggregate(
       zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, d) => acc + d)
-    val celled = e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_label"), dist.as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("c_label"))).as("best"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("best.c_label").as("cell"),
-        col("v"), col("nrm"))
     // nprobe nearest cells per query through the same bounded heaps —
     // nQueries·|cells| rows, cut map-side
     val probes = graft.plans.TopK.perKeyMin(
@@ -262,11 +256,12 @@ object Similarity {
     * `{table}_centroids` holds the trained quantizer. Build cost = the
     * centroid aggregation + one corpus argmin pass; every query after
     * reads only its probed cells — never the corpus. */
-  def buildIvfIndex(embeddings: DataFrame, table: String): Unit = {
-    val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
-    cent.write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_centroids")
-    val e = withNorm(vecs(embeddings))
+  /** (vec_id, v, nrm, cell) — every vector of `df` assigned to its argmin
+    * cell over the GIVEN centroids (broadcast cross + partial min-struct
+    * agg; one slim row per vector crosses the exchange). Shared by the
+    * index build and the frozen-quantizer delta ingest. */
+  private def assignedCells(df: DataFrame, cent: DataFrame): DataFrame = {
+    val e = withNorm(vecs(df))
       .withColumn("xq", transform(col("v"),
         x => round(x * 1000).cast("long") * lit(1000L)))
     val dist = aggregate(
@@ -279,7 +274,40 @@ object Similarity {
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("best.c_label").as("cell"))
+  }
+
+  def buildIvfIndex(embeddings: DataFrame, table: String): Unit = {
+    val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
+    cent.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    assignedCells(embeddings, cent)
       .write.mode("overwrite").partitionBy("cell").format("parquet")
+      .saveAsTable(s"${table}_ivf")
+  }
+
+  /** Incremental ingest into a standing IVF index: delta vectors are
+    * assigned against the STORED centroids — the quantizer is FROZEN at
+    * build time, as in production IVF, so the standing corpus is never
+    * re-read or re-assigned and ingest cost is delta-sized (the
+    * [[Search.indexDelta]] contract for ANN). The centroids drift from
+    * what full retraining would give as deltas accumulate; that drift is
+    * measurable by comparing `sim_ann_ivf_index_delta` against a fresh
+    * [[buildIvfIndex]] — the re-train-vs-ingest trade every production
+    * IVF schedules. vec_id-disjointness is ENFORCED (broadcast semi-probe
+    * of the standing lists' vec_id column): a re-ingested vector would
+    * silently duplicate inside its inverted list. */
+  def ivfIndexDelta(table: String, delta: DataFrame): Unit = {
+    val spark = delta.sparkSession
+    val clash = spark.table(s"${table}_ivf").select(col("vec_id"))
+      .join(broadcast(delta.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_semi")
+      .take(1)
+    require(clash.isEmpty,
+      s"ivfIndexDelta precondition violated: delta contains vec_id(s) " +
+        s"already in ${table}_ivf (e.g. ${clash.headOption.map(_.get(0))}); " +
+        "re-ingest would silently duplicate vectors in their inverted lists")
+    assignedCells(delta, spark.table(s"${table}_centroids"))
+      .write.mode("append").partitionBy("cell").format("parquet")
       .saveAsTable(s"${table}_ivf")
   }
 

@@ -100,6 +100,47 @@ class SearchIndexDenseSpec extends SparkSpec {
       s"no dynamic partition pruning on the index scan:\n$plan")
   }
 
+  test("ivfIndexDelta: frozen-quantizer ingest lands deltas in stored cells; re-ingest throws") {
+    import java.nio.file.Files
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val wh = Files.createTempDirectory("graft-ivf-delta-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ivfd_test LOCATION '$wh'")
+    Similarity.buildIvfIndex(base, "graft_ivfd_test.idx")
+    val centBefore = spark.table("graft_ivfd_test.idx_centroids")
+      .collect().map(_.toSeq).toSet
+    Similarity.ivfIndexDelta("graft_ivfd_test.idx", delta)
+
+    // every vector landed exactly once; the quantizer is untouched
+    val idx = spark.table("graft_ivfd_test.idx_ivf")
+    assert(idx.count() === emb.count())
+    assert(idx.select("vec_id").distinct().count() === emb.count())
+    assert(spark.table("graft_ivfd_test.idx_centroids")
+      .collect().map(_.toSeq).toSet === centBefore,
+      "delta ingest mutated the frozen quantizer")
+    // delta cells are drawn from the stored centroid set (no new cells)
+    val cells = spark.table("graft_ivfd_test.idx_centroids")
+      .select(col("c_label")).collect().map(_.get(0)).toSet
+    val deltaCells = idx.join(delta.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct().collect().map(_.get(0)).toSet
+    assert(deltaCells.subsetOf(cells))
+
+    // the query path serves the merged lists
+    val got = Similarity.annIvfIndexedTopK(spark, "graft_ivfd_test.idx")
+    assert(got.count() > 0)
+
+    // disjointness is enforced, and the failed attempt changes nothing
+    val before = idx.count()
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexDelta("graft_ivfd_test.idx", delta)
+    }
+    assert(ex.getMessage.contains("vec_id"))
+    assert(spark.table("graft_ivfd_test.idx_ivf").count() === before,
+      "failed re-ingest mutated the index")
+  }
+
   private def scans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
