@@ -511,6 +511,10 @@ object SparkEntry {
       Similarity.ivfIndexDelta("graft_idx.ivfd", emb.filter(col("vec_id") % 5 === 0))
       Similarity.annIvfIndexedTopK(s, "graft_idx.ivfd")
     }),
+    // quantizer-drift audit: vectors whose cell differs between the
+    // frozen base-trained quantizer and full retraining — the number
+    // that schedules re-training in the ingest-vs-retrain trade
+    "sim_ann_ivf_drift" -> ((s, d) => Similarity.annIvfDrift(Tables.embeddings(s, d))),
     // ANN quality gate: recall@3 of the multi-probe ANN vs brute force —
     // the price of the candidate pruning, per query id.
     "sim_ann_recall" -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
@@ -955,7 +959,8 @@ object SparkEntry {
     // similarity/ANN ladder beyond brute-force + multiprobe
     "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_trained",
     "sim_ann_ivf_trained_recall", "sim_ann_ivf_indexed",
-    "sim_ann_ivf_index_delta", "sim_ann_recall", "sim_centroids",
+    "sim_ann_ivf_index_delta", "sim_ann_ivf_drift",
+    "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
     // sampling suite
@@ -1710,6 +1715,29 @@ object SparkEntry {
       (s"WITH ${ivfTrainedCtesFrom("vec_id % 5 <> 0")} " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // drift audit: base-trained vs full-trained argmin cells compared
+    // per vector, both exact integer-space assignments
+    "sim_ann_ivf_drift" ->
+      ("WITH Q0 AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, embedding FROM embeddings), " +
+       "QQ AS (SELECT vec_id, label, dim, CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM Q0), " +
+       "CB AS (SELECT label AS c_label, dim, " +
+       "CAST(round(round(CAST(sum(q) AS DOUBLE) / (1000.0 * count(*)), 6) * 1000000.0) AS BIGINT) AS c6 " +
+       "FROM QQ WHERE vec_id % 5 <> 0 GROUP BY label, dim), " +
+       "CF AS (SELECT label AS c_label, dim, " +
+       "CAST(round(round(CAST(sum(q) AS DOUBLE) / (1000.0 * count(*)), 6) * 1000000.0) AS BIGINT) AS c6 " +
+       "FROM QQ GROUP BY label, dim), " +
+       "DB AS (SELECT x.vec_id, c.c_label, sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
+       "FROM QQ x JOIN CB c ON x.dim = c.dim GROUP BY x.vec_id, c.c_label), " +
+       "DF AS (SELECT x.vec_id, c.c_label, sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
+       "FROM QQ x JOIN CF c ON x.dim = c.dim GROUP BY x.vec_id, c.c_label), " +
+       "AB AS (SELECT vec_id, c_label AS base_cell FROM " +
+       "(SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DB) WHERE rk = 1), " +
+       "AF AS (SELECT vec_id, c_label AS full_cell FROM " +
+       "(SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DF) WHERE rk = 1) " +
+       "SELECT count(*) AS n_vectors, " +
+       "CAST(sum(CASE WHEN base_cell <> full_cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved, " +
+       "round(CAST(sum(CASE WHEN base_cell <> full_cell THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS drift " +
+       "FROM AB JOIN AF ON AB.vec_id = AF.vec_id"),
     // recall@3 of the trained-IVF vs brute force: the two oracled chains
     // composed, LEFT JOIN so misses count as 0
     "sim_ann_ivf_trained_recall" ->

@@ -350,6 +350,46 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** (vec_id, cell) only — the assignment exchange without the index
+    * payload, for audits that never store the vectors. */
+  private def cellsOnly(df: DataFrame, cent: DataFrame): DataFrame = {
+    val e = vecs(df).withColumn("xq", transform(col("v"),
+      x => round(x * 1000).cast("long") * lit(1000L)))
+    val dist = aggregate(
+      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, d) => acc + d)
+    e.join(broadcast(cent))
+      .select(col("vec_id"), col("c_label"), dist.as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .select(col("vec_id"), col("best.c_label").as("cell"))
+  }
+
+  /** Quantizer-drift audit: how many vectors sit in a different cell
+    * under the base-trained (frozen) quantizer than full retraining
+    * would put them — THE number that schedules re-training in the
+    * ingest-vs-retrain trade [[ivfIndexDelta]] documents (drift near 0:
+    * keep ingesting; rising drift: probed lists no longer match the data
+    * distribution and recall decays). One row (n_vectors, n_moved,
+    * drift); both assignments are exact integer-space argmins, so the
+    * audit is engine-reproducible like everything else in the chain. */
+  def annIvfDrift(embeddings: DataFrame, baseMod: Int = 5): DataFrame = {
+    val baseCent = Centroids.centroidVectors(
+      embeddings.filter(col("vec_id") % baseMod =!= 0))
+    val fullCent = Centroids.centroidVectors(embeddings)
+    val a = cellsOnly(embeddings, baseCent)
+      .select(col("vec_id"), col("cell").as("base_cell"))
+    val b = cellsOnly(embeddings, fullCent)
+      .select(col("vec_id"), col("cell").as("full_cell"))
+    a.join(b, "vec_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("base_cell") =!= col("full_cell"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(col("n_vectors"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_vectors").cast("double"), 4)
+          .as("drift"))
+  }
+
   /** Recall@k of the trained-IVF path against the brute-force truth —
     * the companion of [[annRecall]]: that row prices sign-sketch bucket
     * pruning, this one prices nprobe-bounded probing of TRAINED cells.
