@@ -515,6 +515,10 @@ object SparkEntry {
     // frozen base-trained quantizer and full retraining — the number
     // that schedules re-training in the ingest-vs-retrain trade
     "sim_ann_ivf_drift" -> ((s, d) => Similarity.annIvfDrift(Tables.embeddings(s, d))),
+    // SemDeDup semantic dedup: trained-quantizer cells, within-cell
+    // cosine, keep the lowest-centroid-similarity member of each
+    // duplicate group (arXiv:2303.09540's keep rule, vec_id-tiebroken)
+    "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(Tables.embeddings(s, d))),
     // ANN quality gate: recall@3 of the multi-probe ANN vs brute force —
     // the price of the candidate pruning, per query id.
     "sim_ann_recall" -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
@@ -971,7 +975,7 @@ object SparkEntry {
     "text_quality_gate",
     // dedup family beyond the pair generators
     "dedup_exact", "dedup_canonical", "dedup_minhash_sig", "dedup_keepset",
-    "dedup_incremental",
+    "dedup_incremental", "dedup_semantic",
     // joins/windows/layout/multimodal
     "fuzzy_join_sym", "j2_shares_interest", "j4_pair_relationship",
     "j9_range_join", "o3_topk_acctbal", "u2_token_correct",
@@ -1738,6 +1742,20 @@ object SparkEntry {
        "CAST(sum(CASE WHEN base_cell <> full_cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved, " +
        "round(CAST(sum(CASE WHEN base_cell <> full_cell THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS drift " +
        "FROM AB JOIN AF ON AB.vec_id = AF.vec_id"),
+    // SemDeDup: the trained-IVF CELL chain feeds the within-cell pair
+    // join; canonical order = (ccos to own centroid, vec_id); a vector is
+    // dropped iff a strictly-more-canonical same-cell neighbor sits at
+    // cosine >= 0.35 (rounded to 6 before the compare, both engines)
+    "dedup_semantic" ->
+      (s"WITH $ivfTrainedCtes, " +
+       "CV AS (SELECT c_label, list(c6 / 1000000.0 ORDER BY dim) AS cv FROM C GROUP BY c_label), " +
+       s"X AS (SELECT e.vec_id, e.v, CELL.cell, round(${cosSql("e.v", "CV.cv")}, 6) AS ccos " +
+       "FROM E0 e JOIN CELL ON CELL.vec_id = e.vec_id JOIN CV ON CV.c_label = CELL.cell), " +
+       "D AS (SELECT DISTINCT r.vec_id FROM X r JOIN X l ON l.cell = r.cell " +
+       "AND (l.ccos < r.ccos OR (l.ccos = r.ccos AND l.vec_id < r.vec_id)) " +
+       s"WHERE round(${cosSql("l.v", "r.v")}, 6) >= 0.35) " +
+       "SELECT x.vec_id, x.cell, round(x.ccos, 4) AS ccos, (d.vec_id IS NULL) AS kept " +
+       "FROM X x LEFT JOIN D d ON d.vec_id = x.vec_id ORDER BY x.vec_id"),
     // recall@3 of the trained-IVF vs brute force: the two oracled chains
     // composed, LEFT JOIN so misses count as 0
     "sim_ann_ivf_trained_recall" ->

@@ -473,4 +473,58 @@ object Similarity {
       .select(col("src"), col("dst"), col("cos"))
       .orderBy(col("src"), col("dst"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the trained
+    * coarse quantizer (the [[Centroids.kmeansAssign]] argmin cells — the
+    * paper's k-means step), then inside each cell drop every vector that
+    * has a MORE-CANONICAL semantic duplicate at cosine >= `threshold`.
+    * Canonical follows the paper's keep rule — LOWER cosine to the own
+    * cell centroid survives ("we keep the one with the lowest similarity
+    * to the centroid") — made a strict total order by a vec_id tiebreak,
+    * so the keep set is deterministic and within a duplicate clique
+    * exactly the minimal (ccos, vec_id) element survives.
+    *
+    * Unlike [[nearDupPairs]] (a pair LISTING over sampled anchors), this
+    * produces the per-vector keep/drop DECISION over the whole corpus —
+    * the thing a curation pipeline actually consumes.
+    *
+    * Shape at 100 TB: centroids are a broadcast; assignment is one slim
+    * row per vector; the only quadratic piece is the within-cell pair
+    * join, and the paper's own scale knob applies directly — cluster
+    * count grows with the corpus (SemDeDup uses 50k clusters on LAION),
+    * holding cell population and the per-cell candidate set flat. The
+    * cell equi-join is the shape that survives; k = |labels| here only
+    * because the quantizer is label-seeded (one deterministic k-means
+    * round, the [[annIvfTrainedTopK]] contract). */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
+    // ccos = cosine to the OWN cell's centroid (the canonical order), on
+    // the integer-trained centroids decoded to doubles — both engines
+    // decode c6/1e6 the same way, and the 6-decimal rounding absorbs
+    // last-ulp divergence before ccos is COMPARED (not just displayed)
+    val cv = transform(col("cvec"), c => c.cast("double") / lit(1000000.0))
+    val celled = graft.CacheScope.track(
+      assignedCells(embeddings, cent)
+        .join(broadcast(cent), col("cell") === col("c_label"))
+        .withColumn("ccos",
+          round(cosFromNorms(col("v"), cv, col("nrm"), sqrt(dot(cv, cv))), 6))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("ccos")))
+    val lhs = celled.select(col("vec_id").as("src"), col("cell"),
+      col("v").as("av"), col("nrm").as("anrm"), col("ccos").as("accos"))
+    // dropped ⇔ ∃ same-cell neighbor strictly more canonical at cos >= t;
+    // equi-join on cell (never all-pairs), DISTINCT collapses witnesses
+    // to one slim row per dropped vector before the flag join
+    val dropped = celled.join(lhs, Seq("cell"))
+      .filter(col("accos") < col("ccos") ||
+        (col("accos") === col("ccos") && col("src") < col("vec_id")))
+      .filter(round(cosFromNorms(col("av"), col("v"), col("anrm"), col("nrm")), 6)
+        >= threshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("kept", lit(false))
+    celled.select(col("vec_id"), col("cell"), round(col("ccos"), 4).as("ccos"))
+      .join(dropped, Seq("vec_id"), "left_outer")
+      .withColumn("kept", coalesce(col("kept"), lit(true)))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -34,6 +34,9 @@ class PlanGuardSpec extends SparkSpec {
       // the capstone v2 chain, the containment verify, and the outlier
       // two-pass must all stay hash-equi end to end
       "corpus_curate", "dedup_containment", "a13_outliers")
+      // dedup_semantic stays unguarded here — its centroid assignment is
+      // an intentional k-row broadcast cross (the kmeans/bpe family);
+      // SemanticDedupSpec asserts the pair join's shape directly
 
   /** All-pairs join nodes anywhere in the executed plan, descending into
     * materialized AQE query stages (LeafExecNodes in Spark 4.1), cached
