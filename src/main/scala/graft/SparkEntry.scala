@@ -658,6 +658,10 @@ object SparkEntry {
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))),
     "mm_frames" -> ((s, d) =>
       Multimodal.frameSample(Multimodal.mediaTable(Tables.documents(s, d)))),
+    // audio analog: PCM frame windows with integer-exact features
+    // (energy/peak/zero-crossings); decode stubbed, plumbing real
+    "mm_audio_frames" -> ((s, d) =>
+      Multimodal.audioFrames(Multimodal.mediaTable(Tables.documents(s, d)))),
     // REAL decode -> nearest-neighbor resample; the resized corner pixel
     // value-checks the pipeline against closed-form md5 arithmetic
     "mm_resize" -> ((s, d) =>
@@ -981,7 +985,7 @@ object SparkEntry {
     "j9_range_join", "o3_topk_acctbal", "u2_token_correct",
     "w3_pivot", "w4_order_ranks", "w5_sliding_counts", "w6_gapfill",
     "w7_unpivot", "w8_funnel", "w9_retention",
-    "layout_zvalue", "mm_frames", "pack_stats",
+    "layout_zvalue", "mm_frames", "mm_audio_frames", "pack_stats",
     // round-8 retrieval additions
     "bm25_indexed", "bm25_index_delta", "search_hybrid_dense",
     "search_hybrid_dense_ann",
@@ -1910,6 +1914,24 @@ object SparkEntry {
        "CAST(least(w, 64) AS INT) AS rw, " +
        "CAST(greatest((h * least(w, 64)) // w, 1) AS INT) AS rh " +
        "FROM F ORDER BY doc_id, frame_idx"),
+    // audio frames: the payload IS unhex(md5(text)), so the oracle reads
+    // byte k straight from the md5 hex; sample j mixes the cycled pair
+    // with Knuth's constant — exact integer math on both engines
+    "mm_audio_frames" ->
+      ("WITH M AS (SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id % 3 = 1), " +
+       "B AS (SELECT doc_id, hx, " +
+       "16*(strpos('0123456789abcdef', substr(hx, 1, 1))-1) + strpos('0123456789abcdef', substr(hx, 2, 1))-1 AS b0 FROM M), " +
+       "N AS (SELECT doc_id, hx, CAST(256 + (b0 % 8) * 128 AS INT) AS n_samples FROM B), " +
+       "F AS (SELECT doc_id, hx, n_samples, unnest(range(0, n_samples - 256 + 1, 128)) AS start FROM N), " +
+       "S AS (SELECT doc_id, n_samples, start, list_transform(range(start, start + 256), j -> " +
+       "((16*(strpos('0123456789abcdef', substr(hx, ((j*2) % 16)*2 + 1, 1))-1) + strpos('0123456789abcdef', substr(hx, ((j*2) % 16)*2 + 2, 1))-1) * 256 " +
+       "+ (16*(strpos('0123456789abcdef', substr(hx, ((j*2+1) % 16)*2 + 1, 1))-1) + strpos('0123456789abcdef', substr(hx, ((j*2+1) % 16)*2 + 2, 1))-1) " +
+       "+ j * 2654435761) % 65536 - 32768) AS s FROM F) " +
+       "SELECT doc_id, n_samples, CAST(start // 128 AS INT) AS frame_idx, " +
+       "CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy, " +
+       "CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak, " +
+       "CAST(len(list_filter(range(1, 256), i -> (s[i] < 0) <> (s[i+1] < 0))) AS INT) AS crossings " +
+       "FROM S ORDER BY doc_id, frame_idx"),
     "s1_students_scan" -> withStudents("SELECT * FROM students ORDER BY id"),
     "s2_point_lookup" -> withStudents("SELECT * FROM students WHERE id = 42"),
     "p2_ci_name_eq" -> withStudents(

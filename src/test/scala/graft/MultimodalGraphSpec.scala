@@ -45,6 +45,35 @@ class MultimodalGraphSpec extends SparkSpec {
     }
   }
 
+  test("audio frames: window count follows the header byte; features are bounded and partition-stable") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sfDir))
+    val f1 = Multimodal.audioFrames(media).collect()
+    val f2 = Multimodal.audioFrames(media.repartition(7)).collect()
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.nonEmpty)
+    // every audio doc appears, each with (n_samples - 256)/128 + 1 frames,
+    // frame_idx dense from 0
+    val audioDocs = media.filter(col("kind") === "audio").count()
+    val byDoc = f1.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size.toLong === audioDocs)
+    byDoc.foreach { case (id, frames) =>
+      val n = frames.head.getAs[Int]("n_samples")
+      assert((256 to 1152).contains(n) && (n - 256) % 128 === 0)
+      assert(frames.length === (n - 256) / 128 + 1)
+      assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq ===
+        (0 until frames.length), s"doc $id frame indexes not dense")
+    }
+    // 16-bit sample bounds: energy ≤ 256·32768², peak ≤ 32768, crossings
+    // ≤ 255; the Knuth mixing makes all-silent frames implausible
+    f1.foreach { r =>
+      val e = r.getAs[Long]("energy")
+      assert(e > 0L && e <= 256L * 32768L * 32768L)
+      assert(r.getAs[Int]("peak") <= 32768)
+      val c = r.getAs[Int]("crossings")
+      assert(c >= 0 && c <= 255)
+    }
+  }
+
   test("graphx components equal their closed form and pagerank favors hubs") {
     val customer = Tables.customer(spark, sfDir)
     val cc = GraphOps.connectedComponents(spark, customer)
