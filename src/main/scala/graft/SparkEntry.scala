@@ -980,8 +980,11 @@ object SparkEntry {
     // dedup family beyond the pair generators
     "dedup_exact", "dedup_canonical", "dedup_minhash_sig", "dedup_keepset",
     "dedup_incremental", "dedup_semantic",
-    // joins/windows/layout/multimodal
-    "fuzzy_join_sym", "j2_shares_interest", "j4_pair_relationship",
+    // joins/windows/layout/multimodal — j2_shares_interest is EXCLUDED by
+    // design: its output is Θ(n²) (53M pairs at sf0.1) and SURVEY §2.3 says
+    // "keep as correctness oracle only"; the scale path is the df-capped
+    // j2_rare_token_pairs twin, which IS benched
+    "fuzzy_join_sym", "j4_pair_relationship",
     "j9_range_join", "o3_topk_acctbal", "u2_token_correct",
     "w3_pivot", "w4_order_ranks", "w5_sliding_counts", "w6_gapfill",
     "w7_unpivot", "w8_funnel", "w9_retention",

@@ -28,19 +28,32 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs and
-    * convert (floor) to a microsecond TIMESTAMP — same truncation DuckDB
-    * applies reading nanos, so second-granularity outputs agree exactly. */
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which Spark's
+    * parquet reader rejects outright, PARQUET_TYPE_ILLEGAL) and
+    * TIMESTAMP(MICROS). Branch on the read schema: a nanos file needs the
+    * nanos-as-long conf plus an explicit floor-to-micros conversion — the same
+    * truncation DuckDB applies reading nanos, so second-granularity outputs
+    * agree exactly — while a micros file passes straight through. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Session-wide knob, set here as well as in the session builders so the
     // queries-map contract works on any caller-provided session. It only
-    // affects TIMESTAMP(NANOS) columns (this repo: events.ts alone).
+    // affects TIMESTAMP(NANOS) columns (this repo: events.ts alone), and is a
+    // no-op when the file is already micros.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      // integer `div`, NOT `/`: double division loses ulps above 2^53 and
-      // int64 nanos (~1.7e18) are far beyond that.
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, NOT `/`: double division loses ulps above 2^53 and
+        // int64 nanos (~1.7e18) are far beyond that.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // a no-timezone micros file infers as TIMESTAMP_NTZ; cast to the
+        // session-zoned TIMESTAMP (all entry points pin UTC, so the cast is
+        // epoch-preserving and matches DuckDB's naive-as-UTC read) —
+        // streaming watermarks accept only the zoned type
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already TimestampType (micros) — pass through
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delta-proportional id-disjointness enforcement for the standing indexes
+  * ([[Search.indexDelta]], [[Similarity.ivfIndexDelta]]).
+  *
+  * The precondition both ingests must enforce — "delta ids are NEW" — used
+  * to be checked by semi-joining the standing index's id column against the
+  * delta, an O(index) scan on every ingest that broke the modules' own
+  * contract ("ingest cost is independent of index size"). This sidecar
+  * restores the contract with the stats-row pattern: `{table}_guard` holds
+  * ONE serialized bloom filter row per ingested batch (build writes the
+  * first, each delta appends its own), so the ingest-time probe reads
+  *   k tiny fixed-size blobs (k = number of batches so far) + the delta,
+  * never the standing postings/inverted lists.
+  *
+  * Exactness: a bloom can false-positive but never false-negative, so a
+  * MISS on every blob proves disjointness outright (the common case — one
+  * delta-sized probe job and done). Only a HIT falls back to the exact
+  * standing-column semi-probe, i.e. the expensive path runs precisely when
+  * there is a real clash to report or an fpp-rare (0.1%) false suspect.
+  * Either way the thrown/silent outcome is identical to the old exact
+  * check — PipelineOps-style result equality is unaffected.
+  */
+object IngestGuard {
+
+  /** False-suspect rate: a false positive costs one extra (exact) probe of
+    * the standing index, never a wrong outcome. 0.1% keeps the blob small
+    * (~1.8 MB per million ids) and the fallback essentially never taken. */
+  private val Fpp = 0.001
+
+  private def guardTable(table: String) = s"${table}_guard"
+
+  /** Executed-plan strings of the fast-path probes, recorded for the plan
+    * guard spec: the contract "ingest never scans the standing index" is
+    * asserted against these (see SearchIndexDenseSpec). */
+  @volatile private[graft] var lastProbePlan: String = ""
+
+  /** One additive guard row: a serialized bloom over this batch's distinct
+    * ids (cast to string — build and probe hash the same UTF8 keys). */
+  private def guardRow(spark: SparkSession, batch: DataFrame,
+      idCol: String): DataFrame = {
+    val keyed = batch.select(col(idCol).cast("string").as("k")).distinct()
+    val bloom = keyed.stat.bloomFilter("k", math.max(keyed.count(), 1L), Fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    import spark.implicits._
+    Seq(Tuple1(bos.toByteArray)).toDF("bloom")
+  }
+
+  /** Write the guard row for a batch: `overwrite = true` at index build
+    * (fresh sidecar), `false` at delta ingest (append — additive, like the
+    * stats row). Cost is one pass over the BATCH alone. */
+  def write(spark: SparkSession, batch: DataFrame, idCol: String,
+      table: String, overwrite: Boolean): Unit =
+    guardRow(spark, batch, idCol).write
+      .mode(if (overwrite) "overwrite" else "append")
+      .format("parquet").saveAsTable(guardTable(table))
+
+  /** Throw if any `idCol` value in `delta` already exists in the standing
+    * index. Fast path: probe the delta's distinct ids against every guard
+    * blob in one job (blobs are OR-ed into a single codegen'd predicate) —
+    * reads the sidecar + the delta only. Exact fallback (`standing`, built
+    * lazily) runs only on a bloom hit. If the sidecar doesn't exist (an
+    * index built before the guard landed), the exact probe runs
+    * unconditionally — degraded to the old cost, never to a wrong answer. */
+  def assertDisjoint(spark: SparkSession, table: String, delta: DataFrame,
+      idCol: String, standing: => DataFrame, what: String): Unit = {
+    graft.functions.BloomMightContain.register(spark)
+    val suspect =
+      if (!spark.catalog.tableExists(guardTable(table))) true
+      else {
+        val blobs = spark.table(guardTable(table)).collect()
+          .map(_.getAs[Array[Byte]]("bloom"))
+        val hit = blobs
+          .map(b => call_function("bloom_might_contain", col("k"), lit(b)))
+          .reduce(_ || _)
+        val probe = delta.select(col(idCol).cast("string").as("k"))
+          .distinct().filter(hit)
+        lastProbePlan = probe.queryExecution.executedPlan.toString
+        probe.take(1).nonEmpty
+      }
+    if (suspect) {
+      val clash = standing.select(col(idCol))
+        .join(broadcast(delta.select(col(idCol)).distinct()),
+          Seq(idCol), "left_semi")
+        .take(1)
+      require(clash.isEmpty,
+        s"$what precondition violated: delta contains $idCol value(s) " +
+          s"already in the standing index (e.g. ${clash.headOption.map(_.get(0))}); " +
+          "re-ingest would silently corrupt the additive index state")
+    }
+  }
+}

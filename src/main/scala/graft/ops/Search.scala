@@ -342,6 +342,7 @@ object Search {
       .format("parquet").saveAsTable(s"${table}_postings")
     statsRow(docs).write.mode("overwrite")
       .format("parquet").saveAsTable(s"${table}_stats")
+    IngestGuard.write(docs.sparkSession, docs, "doc_id", table, overwrite = true)
   }
 
   private def postings(docs: DataFrame): DataFrame =
@@ -363,29 +364,23 @@ object Search {
     * (n_docs, sum_dl) row. The standing corpus is NEVER read or
     * re-shuffled — ingest cost is independent of index size, the same
     * contract `DedupIndex` proves for the LSH bands. Delta doc_ids must be
-    * NEW — enforced below, because a violation is silent corruption: a
-    * re-ingested doc_id adds its tf rows and another n_docs/sum_dl
-    * contribution into the ADDITIVE stats, and every later [[bm25Indexed]]
-    * answer is wrong with no error anywhere. The probe semi-joins the
-    * standing postings' doc_id column against the broadcast delta ids —
-    * a single pruned column scan, no shuffle, still no corpus re-read
-    * (an upsert variant would anti-join the same way instead of
-    * throwing). */
+    * NEW — enforced via [[IngestGuard]], because a violation is silent
+    * corruption: a re-ingested doc_id adds its tf rows and another
+    * n_docs/sum_dl contribution into the ADDITIVE stats, and every later
+    * [[bm25Indexed]] answer is wrong with no error anywhere. The guard
+    * probes the additive bloom sidecar, NOT the standing postings — the
+    * check itself is delta-proportional; the exact postings semi-probe
+    * only runs on a bloom hit (a real clash, about to throw anyway). */
   def indexDelta(table: String, delta: DataFrame, buckets: Int = 8): Unit = {
     val spark = delta.sparkSession
-    val clash = spark.table(s"${table}_postings").select(col("doc_id"))
-      .join(broadcast(delta.select(col("doc_id")).distinct()),
-        Seq("doc_id"), "left_semi")
-      .take(1)
-    require(clash.isEmpty,
-      s"indexDelta precondition violated: delta contains doc_id(s) already " +
-        s"in ${table}_postings (e.g. ${clash.head.getLong(0)}); re-ingest " +
-        "would silently double-count tf/df/n_docs in the additive stats")
+    IngestGuard.assertDisjoint(spark, table, delta, "doc_id",
+      spark.table(s"${table}_postings"), "indexDelta")
     postings(delta).write.mode("append")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(s"${table}_postings")
     statsRow(delta).write.mode("append")
       .format("parquet").saveAsTable(s"${table}_stats")
+    IngestGuard.write(spark, delta, "doc_id", table, overwrite = false)
   }
 
   /** BM25 top-k from the materialized index — SAME RESULT as [[bm25TopK]]

@@ -283,6 +283,8 @@ object Similarity {
     assignedCells(embeddings, cent)
       .write.mode("overwrite").partitionBy("cell").format("parquet")
       .saveAsTable(s"${table}_ivf")
+    graft.ops.IngestGuard.write(embeddings.sparkSession, embeddings, "vec_id",
+      table, overwrite = true)
   }
 
   /** Incremental ingest into a standing IVF index: delta vectors are
@@ -293,22 +295,20 @@ object Similarity {
     * what full retraining would give as deltas accumulate; that drift is
     * measurable by comparing `sim_ann_ivf_index_delta` against a fresh
     * [[buildIvfIndex]] — the re-train-vs-ingest trade every production
-    * IVF schedules. vec_id-disjointness is ENFORCED (broadcast semi-probe
-    * of the standing lists' vec_id column): a re-ingested vector would
-    * silently duplicate inside its inverted list. */
+    * IVF schedules. vec_id-disjointness is ENFORCED via
+    * [[graft.ops.IngestGuard]] (the additive bloom sidecar — the ingest
+    * never reads the standing inverted lists; the exact semi-probe runs
+    * only on a bloom hit): a re-ingested vector would silently duplicate
+    * inside its inverted list. */
   def ivfIndexDelta(table: String, delta: DataFrame): Unit = {
     val spark = delta.sparkSession
-    val clash = spark.table(s"${table}_ivf").select(col("vec_id"))
-      .join(broadcast(delta.select(col("vec_id")).distinct()),
-        Seq("vec_id"), "left_semi")
-      .take(1)
-    require(clash.isEmpty,
-      s"ivfIndexDelta precondition violated: delta contains vec_id(s) " +
-        s"already in ${table}_ivf (e.g. ${clash.headOption.map(_.get(0))}); " +
-        "re-ingest would silently duplicate vectors in their inverted lists")
+    graft.ops.IngestGuard.assertDisjoint(spark, table, delta, "vec_id",
+      spark.table(s"${table}_ivf"), "ivfIndexDelta")
     assignedCells(delta, spark.table(s"${table}_centroids"))
       .write.mode("append").partitionBy("cell").format("parquet")
       .saveAsTable(s"${table}_ivf")
+    graft.ops.IngestGuard.write(spark, delta, "vec_id", table,
+      overwrite = false)
   }
 
   /** Query the materialized IVF index: SAME RESULT as

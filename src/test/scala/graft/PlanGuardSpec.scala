@@ -33,7 +33,13 @@ class PlanGuardSpec extends SparkSpec {
       "dedup_substring", "dedup_doc_spans", "sketch_cms_topterms",
       // the capstone v2 chain, the containment verify, and the outlier
       // two-pass must all stay hash-equi end to end
-      "corpus_curate", "dedup_containment", "a13_outliers")
+      "corpus_curate", "dedup_containment", "a13_outliers",
+      // round-11: the restored events family — the as-of join must stay a
+      // union/window merge (never a θ-join), retention hash-equi.
+      // w8_funnel is NOT here: its conversion-fraction denominator is an
+      // intentional 1-row broadcast cross (the j3 anchor family); its
+      // window shape is guarded below instead
+      "j8_asof_join", "w9_retention")
       // dedup_semantic stays unguarded here — its centroid assignment is
       // an intentional k-row broadcast cross (the kmeans/bpe family);
       // SemanticDedupSpec asserts the pair join's shape directly
@@ -85,6 +91,27 @@ class PlanGuardSpec extends SparkSpec {
       case other                     => other.children
     }
     p +: (kids.flatMap(collectNodes) ++ p.subqueries.flatMap(collectNodes))
+  }
+
+  /** The events analytics family computes with windows — every WindowExec
+    * must be PARTITIONED (by user/key), never a global single-partition
+    * window over the whole event table: an empty partitionSpec funnels
+    * 100 TB of events through one task. */
+  private val windowGuarded =
+    Seq("w1_event_windows", "w2_sessionize", "w5_sliding_counts",
+      "w8_funnel", "w9_retention", "j8_asof_join")
+
+  windowGuarded.foreach { name =>
+    test(s"$name plans no unpartitioned window over the event table") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val global = collectNodes(df.queryExecution.executedPlan)
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        .filter(_.partitionSpec.isEmpty)
+      assert(global.isEmpty,
+        s"$name plans a GLOBAL window (empty partitionSpec — one task at " +
+          s"scale):\n${global.mkString("\n")}")
+    }
   }
 
   annGuarded.foreach { name =>

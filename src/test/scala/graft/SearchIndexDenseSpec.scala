@@ -42,6 +42,17 @@ class SearchIndexDenseSpec extends SparkSpec {
       "graft_bm25_delta_test.idx")
     Search.indexDelta("graft_bm25_delta_test.idx",
       docs.filter(col("doc_id") % 5 === 0))
+
+    // the disjointness guard is itself delta-proportional: its fast-path
+    // probe reads the bloom sidecar + the delta ONLY — the standing
+    // postings table must not appear anywhere in the executed probe plan
+    val guardPlan = graft.ops.IngestGuard.lastProbePlan
+    assert(guardPlan.nonEmpty, "guard fast path did not run")
+    assert(guardPlan.contains("bloom_might_contain"),
+      s"guard probe is not the bloom fast path:\n$guardPlan")
+    assert(!guardPlan.contains("idx_postings"),
+      s"disjointness guard scanned the standing postings:\n$guardPlan")
+
     val got = Search.bm25Indexed(spark, "graft_bm25_delta_test.idx")
       .collect().map(_.toSeq)
     val want = Search.bm25TopK(docs).collect().map(_.toSeq)
@@ -112,6 +123,13 @@ class SearchIndexDenseSpec extends SparkSpec {
     val centBefore = spark.table("graft_ivfd_test.idx_centroids")
       .collect().map(_.toSeq).toSet
     Similarity.ivfIndexDelta("graft_ivfd_test.idx", delta)
+
+    // guard fast path: probe plan reads sidecar + delta, never the
+    // standing inverted lists
+    val guardPlan = graft.ops.IngestGuard.lastProbePlan
+    assert(guardPlan.contains("bloom_might_contain") &&
+      !guardPlan.contains("idx_ivf"),
+      s"ivf disjointness guard scanned the standing lists:\n$guardPlan")
 
     // every vector landed exactly once; the quantizer is untouched
     val idx = spark.table("graft_ivfd_test.idx_ivf")
