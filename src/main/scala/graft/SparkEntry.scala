@@ -511,6 +511,20 @@ object SparkEntry {
       Similarity.ivfIndexDelta("graft_idx.ivfd", emb.filter(col("vec_id") % 5 === 0))
       Similarity.annIvfIndexedTopK(s, "graft_idx.ivfd")
     }),
+    // index-lifecycle capstone: build -> delta ingest -> COMPACT (cell
+    // partitions rewritten to one file each, guard bloom collapsed; the
+    // frozen quantizer untouched) -> query. Same oracle as the delta row:
+    // compaction is layout-only and must not move a single result
+    "sim_ann_ivf_index_compact" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-compact")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0), "graft_idx.ivfc")
+      Similarity.ivfIndexDelta("graft_idx.ivfc", emb.filter(col("vec_id") % 5 === 0))
+      Similarity.compactIvfIndex(s, "graft_idx.ivfc")
+      Similarity.annIvfIndexedTopK(s, "graft_idx.ivfc")
+    }),
     // quantizer-drift audit: vectors whose cell differs between the
     // frozen base-trained quantizer and full retraining — the number
     // that schedules re-training in the ingest-vs-retrain trade
@@ -794,6 +808,20 @@ object SparkEntry {
       Search.indexDelta("graft_idx.bm25d", docs.filter(col("doc_id") % 5 === 0))
       Search.bm25Indexed(s, "graft_idx.bm25d")
     }),
+    // index-lifecycle capstone: build -> delta ingest -> COMPACT (postings
+    // rewritten to build-fresh bucket layout, additive stats folded to one
+    // row, one guard bloom) -> query. Same oracle as the delta row:
+    // compaction is layout-only and must not move a single result
+    "bm25_index_compact" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25-compact")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val docs = Tables.documents(s, d)
+      Search.buildIndex(docs.filter(col("doc_id") % 5 =!= 0), "graft_idx.bm25c")
+      Search.indexDelta("graft_idx.bm25c", docs.filter(col("doc_id") % 5 === 0))
+      Search.compactIndex(s, "graft_idx.bm25c")
+      Search.bm25Indexed(s, "graft_idx.bm25c")
+    }),
     // keyword extraction: full-vocab tf-idf, min-df pruned before the
     // join back, per-doc top-3 through the bounded TopKPerKey heaps
     "text_keywords" -> ((s, d) => Search.keywords(Tables.documents(s, d))),
@@ -967,7 +995,8 @@ object SparkEntry {
     // similarity/ANN ladder beyond brute-force + multiprobe
     "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_trained",
     "sim_ann_ivf_trained_recall", "sim_ann_ivf_indexed",
-    "sim_ann_ivf_index_delta", "sim_ann_ivf_drift",
+    "sim_ann_ivf_index_delta", "sim_ann_ivf_index_compact",
+    "sim_ann_ivf_drift",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -990,8 +1019,8 @@ object SparkEntry {
     "w7_unpivot", "w8_funnel", "w9_retention",
     "layout_zvalue", "mm_frames", "mm_audio_frames", "pack_stats",
     // round-8 retrieval additions
-    "bm25_indexed", "bm25_index_delta", "search_hybrid_dense",
-    "search_hybrid_dense_ann",
+    "bm25_indexed", "bm25_index_delta", "bm25_index_compact",
+    "search_hybrid_dense", "search_hybrid_dense_ann",
     // the pre-training composition dashboard + tokenizer induction
     "corpus_report", "bpe_merges", "bpe_encode",
     // substring-level dedup: the passage table + per-doc span accounting
@@ -1723,6 +1752,11 @@ object SparkEntry {
     // base only; every vector (base + delta) is assigned and probed
     // against those — the same chain with C restricted to the base split
     "sim_ann_ivf_index_delta" ->
+      (s"WITH ${ivfTrainedCtesFrom("vec_id % 5 <> 0")} " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // compaction is layout-only: identical oracle to the delta row
+    "sim_ann_ivf_index_compact" ->
       (s"WITH ${ivfTrainedCtesFrom("vec_id % 5 <> 0")} " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
@@ -2602,6 +2636,9 @@ object SparkEntry {
     "bm25_indexed" -> bm25OracleSql,
     // delta-maintained index must converge to the full-corpus result
     "bm25_index_delta" -> bm25OracleSql,
+    // compaction is layout-only: the compacted index must STILL equal the
+    // full-corpus scan-time result row-for-row
+    "bm25_index_compact" -> bm25OracleSql,
     "search_hybrid_dense" -> hybridDenseOracle(ann = false),
     "search_hybrid_dense_ann" -> hybridDenseOracle(ann = true),
     // hybrid RRF: same BM25 CTE chain + a tf-idf scorer off the same D/S,

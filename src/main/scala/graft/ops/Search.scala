@@ -383,6 +383,48 @@ object Search {
     IngestGuard.write(spark, delta, "doc_id", table, overwrite = false)
   }
 
+  /** Compact a delta-grown index back to build-fresh layout. Every
+    * [[indexDelta]] appends its own file set per bucket, one stats row,
+    * and one guard blob — correct forever, but after many ingests a
+    * term-bucket read touches one file PER INGEST (the small-files
+    * problem; at a 100 TB corpus with hourly ingest that is thousands of
+    * files per bucket within weeks) and the guard probe carries one bloom
+    * per batch. Compaction rewrites the postings once into exactly
+    * `buckets` files (same bucket spec, so queries and future delta
+    * appends are layout-identical), collapses the additive stats to one
+    * row, and rebuilds ONE guard bloom over the full id set. Cost is a
+    * single index-sized rewrite — the scheduled-maintenance price every
+    * LSM-shaped store pays; queries before/after are row-identical
+    * (spec-gated).
+    *
+    * The rewrite stages into `{table}_postings_compacting`, then
+    * drop+rename swaps it in — Spark cannot overwrite a table it is
+    * reading. A crash between drop and rename leaves the data intact
+    * under the staging name. */
+  def compactIndex(spark: SparkSession, table: String, buckets: Int = 8): Unit = {
+    val staged = s"${table}_postings_compacting"
+    spark.table(s"${table}_postings")
+      // repartition on the SAME hash family bucketing uses (Murmur3), so
+      // each write task holds exactly one bucket -> one file per bucket
+      .repartition(buckets, col("term"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(staged)
+    spark.sql(s"DROP TABLE ${table}_postings")
+    spark.sql(s"ALTER TABLE $staged RENAME TO ${table}_postings")
+    // additive stats rows fold to one exact row (integer-valued doubles);
+    // k tiny rows collect to the driver — never corpus data
+    val s = spark.table(s"${table}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .collect()(0)
+    import spark.implicits._
+    Seq((s.getDouble(0), s.getDouble(1))).toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+    IngestGuard.write(spark,
+      spark.table(s"${table}_postings").select(col("doc_id")).distinct(),
+      "doc_id", table, overwrite = true)
+  }
+
   /** BM25 top-k from the materialized index — SAME RESULT as [[bm25TopK]]
     * (the oracle and `SearchIndexSpec` both gate it): tf/dl come from the
     * postings rows, df is the per-term postings count, n_docs/avgdl from

@@ -311,6 +311,33 @@ object Similarity {
       overwrite = false)
   }
 
+  /** Compact a delta-grown IVF index: every [[ivfIndexDelta]] appends its
+    * own file set into each touched cell partition plus one guard blob —
+    * after many ingests a probed cell reads one file per ingest (the
+    * [[Search.compactIndex]] small-files problem in partition-dir form).
+    * Rewrites the cell-partitioned lists once (same layout, so DPP-pruned
+    * probes and future deltas are unchanged), rebuilds one guard bloom.
+    * The centroids — the frozen quantizer — are NOT touched: compaction
+    * is a layout operation, never a retrain (drift stays measurable via
+    * `sim_ann_ivf_drift`). Queries before/after are row-identical. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val staged = s"${table}_ivf_compacting"
+    spark.table(s"${table}_ivf")
+      .repartition(col("cell")) // one writer task per cell -> one file per cell dir
+      .write.mode("overwrite").partitionBy("cell").format("parquet")
+      .saveAsTable(staged)
+    spark.sql(s"DROP TABLE ${table}_ivf")
+    spark.sql(s"ALTER TABLE $staged RENAME TO ${table}_ivf")
+    // rename moves the data dir but the catalog's partition entries still
+    // point at the staging location — re-discover them from the new path
+    // (without this the renamed table reads as EMPTY)
+    spark.sql(s"MSCK REPAIR TABLE ${table}_ivf")
+    graft.ops.IngestGuard.write(spark,
+      spark.table(s"${table}_ivf").select(col("vec_id")),
+      "vec_id", table, overwrite = true)
+  }
+
   /** Query the materialized IVF index: SAME RESULT as
     * [[annIvfTrainedTopK]] (both oracled against the same SQL), but the
     * corpus is never re-trained or re-assigned — probes resolve against

@@ -87,6 +87,77 @@ class SearchIndexDenseSpec extends SparkSpec {
     assert(after.toSeq === before.toSeq, "failed re-ingest mutated the index")
   }
 
+  test("compactIndex: layout-only — answers identical, files collapse, guard survives") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-bm25-compact-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25_compact_test LOCATION '$wh'")
+    // build + TWO delta ingests: 3 file generations, 3 stats rows, 3 guard blobs
+    Search.buildIndex(docs.filter(col("doc_id") % 5 < 3), "graft_bm25_compact_test.idx")
+    Search.indexDelta("graft_bm25_compact_test.idx", docs.filter(col("doc_id") % 5 === 3))
+    Search.indexDelta("graft_bm25_compact_test.idx", docs.filter(col("doc_id") % 5 === 4))
+    assert(spark.table("graft_bm25_compact_test.idx_stats").count() === 3)
+    assert(spark.table("graft_bm25_compact_test.idx_guard").count() === 3)
+    val before = Search.bm25Indexed(spark, "graft_bm25_compact_test.idx")
+      .collect().map(_.toSeq)
+
+    def parquetFiles(dir: java.io.File): Int = {
+      val kids = Option(dir.listFiles()).getOrElse(Array.empty)
+      kids.count(f => f.isFile && f.getName.endsWith(".parquet")) +
+        kids.filter(_.isDirectory).map(parquetFiles).sum
+    }
+    val pDir = new java.io.File(wh, "idx_postings")
+    val filesBefore = parquetFiles(pDir)
+
+    Search.compactIndex(spark, "graft_bm25_compact_test.idx")
+
+    val after = Search.bm25Indexed(spark, "graft_bm25_compact_test.idx")
+      .collect().map(_.toSeq)
+    assert(after.toSeq === before.toSeq, "compaction moved a result")
+    assert(after.toSeq === Search.bm25TopK(docs).collect().map(_.toSeq).toSeq,
+      "compacted index diverged from the scan path")
+    // layout actually compacted: stats/guard fold to one row, file count drops
+    assert(spark.table("graft_bm25_compact_test.idx_stats").count() === 1)
+    assert(spark.table("graft_bm25_compact_test.idx_guard").count() === 1)
+    val filesAfter = parquetFiles(pDir)
+    assert(filesAfter < filesBefore,
+      s"postings files did not shrink: $filesBefore -> $filesAfter")
+    // the rebuilt guard still enforces disjointness over pre-compaction ids
+    val ex = intercept[IllegalArgumentException] {
+      Search.indexDelta("graft_bm25_compact_test.idx",
+        docs.filter(col("doc_id") % 5 === 4))
+    }
+    assert(ex.getMessage.contains("doc_id"))
+  }
+
+  test("compactIvfIndex: layout-only — ANN answers identical, quantizer untouched") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-ivf-compact-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ivfc_test LOCATION '$wh'")
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0), "graft_ivfc_test.idx")
+    Similarity.ivfIndexDelta("graft_ivfc_test.idx", emb.filter(col("vec_id") % 5 === 0))
+    val before = Similarity.annIvfIndexedTopK(spark, "graft_ivfc_test.idx")
+      .collect().map(_.toSeq)
+    val centBefore = spark.table("graft_ivfc_test.idx_centroids")
+      .collect().map(_.toSeq).toSet
+
+    Similarity.compactIvfIndex(spark, "graft_ivfc_test.idx")
+
+    val after = Similarity.annIvfIndexedTopK(spark, "graft_ivfc_test.idx")
+      .collect().map(_.toSeq)
+    assert(after.toSeq === before.toSeq, "compaction moved an ANN result")
+    assert(spark.table("graft_ivfc_test.idx_centroids")
+      .collect().map(_.toSeq).toSet === centBefore,
+      "compaction touched the frozen quantizer")
+    assert(spark.table("graft_ivfc_test.idx_guard").count() === 1)
+    // disjointness still enforced against pre-compaction ids
+    intercept[IllegalArgumentException] {
+      Similarity.ivfIndexDelta("graft_ivfc_test.idx",
+        emb.filter(col("vec_id") % 5 === 0))
+    }
+  }
+
   test("annIvfIndexedTopK: index-served ANN == in-query trained IVF, corpus unscanned, cells DPP-pruned") {
     import java.nio.file.Files
     import graft.ops.Similarity
