@@ -822,6 +822,29 @@ object SparkEntry {
       Search.compactIndex(s, "graft_idx.bm25c")
       Search.bm25Indexed(s, "graft_idx.bm25c")
     }),
+    // streaming ingest into the standing index — a REAL bounded stream
+    // (file source, one file per micro-batch, foreachBatch -> idempotent
+    // delta ingest; batch 0 bootstraps the empty catalog). After the
+    // stream drains, the index must answer the full-corpus BM25 oracle —
+    // the same SQL every other bm25 path is gated on.
+    "stream_index_ingest" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25-stream")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val docs = Tables.documents(s, d)
+      val feed = java.nio.file.Files.createTempDirectory("graft-docs-feed")
+        .toFile.getAbsolutePath + "/in"
+      docs.filter(col("doc_id") % 2 === 0).repartition(1)
+        .write.parquet(feed)
+      docs.filter(col("doc_id") % 2 === 1).repartition(1)
+        .write.mode("append").parquet(feed)
+      val q = graft.streaming.Streams.incrementalIndexing(
+        s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        "graft_idx.bm25s")
+      q.processAllAvailable(); q.stop()
+      Search.bm25Indexed(s, "graft_idx.bm25s")
+    }),
     // keyword extraction: full-vocab tf-idf, min-df pruned before the
     // join back, per-doc top-3 through the bounded TopKPerKey heaps
     "text_keywords" -> ((s, d) => Search.keywords(Tables.documents(s, d))),
@@ -2639,6 +2662,8 @@ object SparkEntry {
     // compaction is layout-only: the compacted index must STILL equal the
     // full-corpus scan-time result row-for-row
     "bm25_index_compact" -> bm25OracleSql,
+    // a drained ingest stream must converge to the same full-corpus result
+    "stream_index_ingest" -> bm25OracleSql,
     "search_hybrid_dense" -> hybridDenseOracle(ann = false),
     "search_hybrid_dense_ann" -> hybridDenseOracle(ann = true),
     // hybrid RRF: same BM25 CTE chain + a tf-idf scorer off the same D/S,

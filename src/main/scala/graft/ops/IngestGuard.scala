@@ -38,51 +38,71 @@ object IngestGuard {
     * asserted against these (see SearchIndexDenseSpec). */
   @volatile private[graft] var lastProbePlan: String = ""
 
-  /** One additive guard row: a serialized bloom over this batch's distinct
-    * ids (cast to string — build and probe hash the same UTF8 keys). */
-  private def guardRow(spark: SparkSession, batch: DataFrame,
-      idCol: String): DataFrame = {
+  /** Write the guard row for a batch — a serialized bloom over the
+    * batch's distinct ids (cast to string: build and probe hash the same
+    * UTF8 keys). `overwrite = true` at index build (fresh sidecar),
+    * `false` at delta ingest (append — additive, like the stats row).
+    * Cost is one pass over the BATCH alone. An EMPTY batch writes
+    * nothing: `stat.bloomFilter` has no bitmap for zero rows, and a
+    * no-op blob would add probe cost for no coverage. */
+  def write(spark: SparkSession, batch: DataFrame, idCol: String,
+      table: String, overwrite: Boolean): Unit = {
     val keyed = batch.select(col(idCol).cast("string").as("k")).distinct()
-    val bloom = keyed.stat.bloomFilter("k", math.max(keyed.count(), 1L), Fpp)
+    val n = keyed.count()
+    if (n == 0) return
+    val bloom = keyed.stat.bloomFilter("k", n, Fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     import spark.implicits._
-    Seq(Tuple1(bos.toByteArray)).toDF("bloom")
-  }
-
-  /** Write the guard row for a batch: `overwrite = true` at index build
-    * (fresh sidecar), `false` at delta ingest (append — additive, like the
-    * stats row). Cost is one pass over the BATCH alone. */
-  def write(spark: SparkSession, batch: DataFrame, idCol: String,
-      table: String, overwrite: Boolean): Unit =
-    guardRow(spark, batch, idCol).write
+    Seq(Tuple1(bos.toByteArray)).toDF("bloom").write
       .mode(if (overwrite) "overwrite" else "append")
       .format("parquet").saveAsTable(guardTable(table))
+  }
 
-  /** Throw if any `idCol` value in `delta` already exists in the standing
-    * index. Fast path: probe the delta's distinct ids against every guard
-    * blob in one job (blobs are OR-ed into a single codegen'd predicate) —
-    * reads the sidecar + the delta only. Exact fallback (`standing`, built
-    * lazily) runs only on a bloom hit. If the sidecar doesn't exist (an
-    * index built before the guard landed), the exact probe runs
-    * unconditionally — degraded to the old cost, never to a wrong answer. */
-  def assertDisjoint(spark: SparkSession, table: String, delta: DataFrame,
-      idCol: String, standing: => DataFrame, what: String): Unit = {
+  /** The OR-of-blobs suspicion predicate over `idCol` (each blob becomes
+    * one codegen'd `bloom_might_contain` term), or None when the sidecar
+    * doesn't exist (an index built before the guard landed) — the caller
+    * must then treat EVERY id as suspect. A row where the predicate is
+    * false is PROVEN absent from the standing index (blooms have no false
+    * negatives); a true is a suspicion to confirm exactly — on the
+    * suspect SLIVER only, which is true replays + fpp-rare misses, never
+    * the whole delta. */
+  def suspectPredicate(spark: SparkSession, table: String,
+      idCol: String): Option[org.apache.spark.sql.Column] = {
     graft.functions.BloomMightContain.register(spark)
-    val suspect =
-      if (!spark.catalog.tableExists(guardTable(table))) true
-      else {
-        val blobs = spark.table(guardTable(table)).collect()
-          .map(_.getAs[Array[Byte]]("bloom"))
-        val hit = blobs
-          .map(b => call_function("bloom_might_contain", col("k"), lit(b)))
-          .reduce(_ || _)
-        val probe = delta.select(col(idCol).cast("string").as("k"))
-          .distinct().filter(hit)
+    if (!spark.catalog.tableExists(guardTable(table))) None
+    else {
+      val blobs = spark.table(guardTable(table)).collect()
+        .map(_.getAs[Array[Byte]]("bloom"))
+      Some(blobs
+        .map(b => call_function("bloom_might_contain",
+          col(idCol).cast("string"), lit(b)))
+        .reduce(_ || _))
+    }
+  }
+
+  /** Fast-path membership suspicion: does ANY `idCol` value in `delta`
+    * hit a guard bloom? Reads the sidecar + the delta only, never the
+    * standing index. `false` PROVES disjointness; `true` is a suspicion
+    * the caller confirms exactly. Returns `true` outright if the sidecar
+    * doesn't exist, degrading to the caller's exact path — never to a
+    * wrong answer. */
+  def mightClash(spark: SparkSession, table: String, delta: DataFrame,
+      idCol: String): Boolean =
+    suspectPredicate(spark, table, idCol) match {
+      case None => true
+      case Some(hit) =>
+        val probe = delta.select(col(idCol)).distinct().filter(hit)
         lastProbePlan = probe.queryExecution.executedPlan.toString
         probe.take(1).nonEmpty
-      }
-    if (suspect) {
+    }
+
+  /** Throw if any `idCol` value in `delta` already exists in the standing
+    * index. Fast path: [[mightClash]]. Exact fallback (`standing`, built
+    * lazily) runs only on a bloom hit. */
+  def assertDisjoint(spark: SparkSession, table: String, delta: DataFrame,
+      idCol: String, standing: => DataFrame, what: String): Unit = {
+    if (mightClash(spark, table, delta, idCol)) {
       val clash = standing.select(col(idCol))
         .join(broadcast(delta.select(col(idCol)).distinct()),
           Seq(idCol), "left_semi")

@@ -373,14 +373,64 @@ object Search {
     * only runs on a bloom hit (a real clash, about to throw anyway). */
   def indexDelta(table: String, delta: DataFrame, buckets: Int = 8): Unit = {
     val spark = delta.sparkSession
-    IngestGuard.assertDisjoint(spark, table, delta, "doc_id",
-      spark.table(s"${table}_postings"), "indexDelta")
+    // a first-ever delta BOOTSTRAPS the index (append creates the tables):
+    // nothing standing exists to clash with, so the guard is skipped — the
+    // streaming-ingest entry point starts from an empty catalog
+    if (spark.catalog.tableExists(s"${table}_postings"))
+      IngestGuard.assertDisjoint(spark, table, delta, "doc_id",
+        spark.table(s"${table}_postings"), "indexDelta")
     postings(delta).write.mode("append")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(s"${table}_postings")
     statsRow(delta).write.mode("append")
       .format("parquet").saveAsTable(s"${table}_stats")
     IngestGuard.write(spark, delta, "doc_id", table, overwrite = false)
+  }
+
+  /** At-least-once-safe ingest: [[indexDelta]] that SKIPS already-indexed
+    * doc_ids instead of throwing — the idempotent form a streaming
+    * `foreachBatch` sink needs, where a crash between the postings append
+    * and the checkpoint commit means the SAME micro-batch is redelivered
+    * (throwing would crash-loop; ingesting would double-count). The skip
+    * set is confirmed exactly ONLY for the bloom-suspect SLIVER of the
+    * delta (true replays + fpp-rare false hits): the standing id column
+    * is probed against the broadcast sliver, never anti-joined against
+    * the whole delta, so a clean batch pays just the bloom probe and a
+    * replay pays sliver-proportional confirm work. A fully-replayed batch
+    * reduces to a no-op (no empty file generation, no zero stats row, no
+    * degenerate guard blob).
+    *
+    * The novel set's lineage is CUT (eager localCheckpoint) before any
+    * write: it is derived FROM the postings table, and the postings
+    * append would otherwise invalidate that cached plan mid-ingest —
+    * statsRow/guard would re-evaluate the anti-join against the
+    * just-appended postings and see an empty delta (a real bug this
+    * spec's first run caught: a (0, null) stats row silently poisoning
+    * avgdl/N for every later query). */
+  def indexDeltaIdempotent(table: String, delta: DataFrame,
+      buckets: Int = 8): Unit = {
+    val spark = delta.sparkSession
+    if (!spark.catalog.tableExists(s"${table}_postings")) { // bootstrap
+      indexDelta(table, delta, buckets); return
+    }
+    val standingIds = spark.table(s"${table}_postings").select(col("doc_id"))
+    val novel = IngestGuard.suspectPredicate(spark, table, "doc_id") match {
+      case Some(hit) =>
+        val suspects = delta.select(col("doc_id")).distinct().filter(hit)
+        if (suspects.isEmpty) delta
+        else {
+          // confirmed replays = standing ∩ suspect sliver (broadcast the
+          // sliver; the standing column is scanned once, pruned by it)
+          val present = standingIds
+            .join(broadcast(suspects), Seq("doc_id"), "left_semi").distinct()
+          delta.join(broadcast(present), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+        }
+      case None => // legacy index without a sidecar: everything is suspect
+        delta.join(standingIds.distinct(), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+    }
+    if (!novel.isEmpty) indexDelta(table, novel, buckets)
   }
 
   /** Compact a delta-grown index back to build-fresh layout. Every

@@ -329,6 +329,27 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming ingest into the standing BM25 index — the continuous form
+    * of [[graft.ops.Search.indexDelta]]: each micro-batch's postings are
+    * derived from the batch alone and appended bucketed; corpus stats and
+    * the disjointness-guard bloom each gain one additive row per batch.
+    * Uses the IDEMPOTENT ingest variant because foreachBatch is
+    * at-least-once: a replayed micro-batch (crash between append and
+    * checkpoint commit) must be a no-op, not a crash loop and not a
+    * double-count. After the stream drains, the index answers queries
+    * identically to a one-shot [[graft.ops.Search.buildIndex]] over the
+    * same corpus — stream==batch gated in StatefulStreamSpec. At scale:
+    * per-batch cost is batch-proportional (the guard's contract), and
+    * [[graft.ops.Search.compactIndex]] is the scheduled companion that
+    * folds the accumulated per-batch file generations back down. */
+  def incrementalIndexing(newDocs: DataFrame, table: String): StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Search.indexDeltaIdempotent(table, batch)
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming corpus curation — the continuous-ingest capstone: per
     * micro-batch, keep-first exact dedup WITHIN the batch (min doc_id
     * per content hash), an anti-join against the STANDING curated

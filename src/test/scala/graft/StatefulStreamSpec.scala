@@ -61,6 +61,45 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got === expected, "curated stream diverged from the batch keep set")
   }
 
+  test("streaming index ingest: drained stream == one-shot build; replay is a no-op") {
+    import graft.ops.Search
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val wh = Files.createTempDirectory("bm25-stream-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25_stream_test LOCATION '$wh'")
+
+    val feed = Files.createTempDirectory("bm25-stream-in").toFile.getAbsolutePath + "/in"
+    docs.filter(col("doc_id") % 2 === 0).repartition(1).write.parquet(feed)
+    docs.filter(col("doc_id") % 2 === 1).repartition(1)
+      .write.mode("append").parquet(feed)
+    // one file per trigger -> several micro-batches; batch 0 bootstraps
+    // the index into an empty catalog
+    val q = Streams.incrementalIndexing(
+      spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+      "graft_bm25_stream_test.idx")
+    q.processAllAvailable(); q.stop()
+
+    val got = Search.bm25Indexed(spark, "graft_bm25_stream_test.idx")
+      .collect().map(_.toSeq)
+    val want = Search.bm25TopK(docs).collect().map(_.toSeq)
+    assert(got.nonEmpty)
+    assert(got.toSeq === want.toSeq,
+      "streamed index diverged from the one-shot build")
+
+    // at-least-once replay: re-ingesting an already-processed batch must
+    // change NOTHING (no new stats/guard rows, identical answers)
+    val statsRows = spark.table("graft_bm25_stream_test.idx_stats").count()
+    Search.indexDeltaIdempotent("graft_bm25_stream_test.idx",
+      docs.filter(col("doc_id") % 2 === 0))
+    assert(spark.table("graft_bm25_stream_test.idx_stats").count() === statsRows,
+      "replayed batch added stats rows")
+    assert(Search.bm25Indexed(spark, "graft_bm25_stream_test.idx")
+      .collect().map(_.toSeq).toSeq === want.toSeq,
+      "replayed batch changed the index answers")
+
+    CacheScope.unpersistAll()
+  }
+
   test("streaming curation: zero-keep first batch doesn't poison later batches") {
     import graft.ops.{Dedup, TextAnalysis}
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
