@@ -302,13 +302,53 @@ object Similarity {
     * inside its inverted list. */
   def ivfIndexDelta(table: String, delta: DataFrame): Unit = {
     val spark = delta.sparkSession
-    graft.ops.IngestGuard.assertDisjoint(spark, table, delta, "vec_id",
-      spark.table(s"${table}_ivf"), "ivfIndexDelta")
+    // the frozen quantizer is a PREREQUISITE (ingest assigns against it) —
+    // fail with intent, not a bare table-not-found five calls deep
+    require(spark.catalog.tableExists(s"${table}_centroids"),
+      s"ivfIndexDelta needs a trained quantizer: ${table}_centroids not " +
+        "found — run buildIvfIndex first (IVF cannot bootstrap from an " +
+        "empty catalog; cell assignment requires stored centroids)")
+    // first delta against a trained-but-listless catalog bootstraps the
+    // lists; nothing standing exists to clash with
+    if (spark.catalog.tableExists(s"${table}_ivf"))
+      graft.ops.IngestGuard.assertDisjoint(spark, table, delta, "vec_id",
+        spark.table(s"${table}_ivf"), "ivfIndexDelta")
     assignedCells(delta, spark.table(s"${table}_centroids"))
       .write.mode("append").partitionBy("cell").format("parquet")
       .saveAsTable(s"${table}_ivf")
     graft.ops.IngestGuard.write(spark, delta, "vec_id", table,
       overwrite = false)
+  }
+
+  /** At-least-once-safe IVF ingest — [[ivfIndexDelta]]'s idempotent twin
+    * (the [[Search.indexDeltaIdempotent]] contract for ANN): already-
+    * indexed vec_ids are SKIPPED, so a replayed streaming micro-batch is
+    * a no-op instead of duplicate list entries or a crash loop. Exact
+    * confirmation only for the bloom-suspect sliver; the novel set is
+    * lineage-cut before writes (it derives from the table being appended
+    * to — the insert-time cache-invalidation trap, see the Search twin). */
+  def ivfIndexDeltaIdempotent(table: String, delta: DataFrame): Unit = {
+    val spark = delta.sparkSession
+    if (!spark.catalog.tableExists(s"${table}_ivf")) {
+      ivfIndexDelta(table, delta); return
+    }
+    val standingIds = spark.table(s"${table}_ivf").select(col("vec_id"))
+    val novel =
+      graft.ops.IngestGuard.suspectPredicate(spark, table, "vec_id") match {
+        case Some(hit) =>
+          val suspects = delta.select(col("vec_id")).distinct().filter(hit)
+          if (suspects.isEmpty) delta
+          else {
+            val present = standingIds
+              .join(broadcast(suspects), Seq("vec_id"), "left_semi").distinct()
+            delta.join(broadcast(present), Seq("vec_id"), "left_anti")
+              .localCheckpoint()
+          }
+        case None =>
+          delta.join(standingIds.distinct(), Seq("vec_id"), "left_anti")
+            .localCheckpoint()
+      }
+    if (!novel.isEmpty) ivfIndexDelta(table, novel)
   }
 
   /** Compact a delta-grown IVF index: every [[ivfIndexDelta]] appends its

@@ -228,6 +228,17 @@ class SearchIndexDenseSpec extends SparkSpec {
     assert(ex.getMessage.contains("vec_id"))
     assert(spark.table("graft_ivfd_test.idx_ivf").count() === before,
       "failed re-ingest mutated the index")
+
+    // the IDEMPOTENT twin: a replayed delta is a silent no-op (streaming
+    // at-least-once contract), not a throw and not duplicate list entries
+    val answersBefore = Similarity.annIvfIndexedTopK(spark, "graft_ivfd_test.idx")
+      .collect().map(_.toSeq)
+    Similarity.ivfIndexDeltaIdempotent("graft_ivfd_test.idx", delta)
+    assert(spark.table("graft_ivfd_test.idx_ivf").count() === before,
+      "replayed idempotent ingest added rows")
+    assert(Similarity.annIvfIndexedTopK(spark, "graft_ivfd_test.idx")
+      .collect().map(_.toSeq).toSeq === answersBefore.toSeq,
+      "replayed idempotent ingest changed ANN answers")
   }
 
   private def scans(p: org.apache.spark.sql.execution.SparkPlan)
