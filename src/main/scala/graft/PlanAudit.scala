@@ -26,7 +26,11 @@ object PlanAudit {
         "search_hybrid_dense", "search_hybrid_dense_ann", "bm25_indexed",
         "corpus_report", "bpe_merges", "bpe_encode", "dedup_substring",
         "dedup_doc_spans", "sketch_cms_topterms", "sample_token_budget",
-        "layout_datepart")) {
+        "layout_datepart",
+        // round-11: the restored events family + the lifecycle capstones
+        "w1_event_windows", "w2_sessionize", "w5_sliding_counts",
+        "w8_funnel", "w9_retention", "a13_outliers",
+        "bm25_index_compact", "sim_ann_ivf_index_compact")) {
       out.println(s"==== $name ====")
       out.println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
