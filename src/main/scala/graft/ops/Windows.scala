@@ -80,7 +80,14 @@ object Windows {
     *
     * Scale shape: three per-user min-aggregations (map-side partial) and
     * two equi-joins on user_id — each stage's candidate set only shrinks.
-    * No sequence explode, no window over event streams. */
+    * No sequence explode, no window over event streams. The per-stage
+    * aggregates (v, c, p) are CacheScope-tracked: each is referenced by
+    * both the next stage's join and the final stage assembly, and an
+    * uncached plan duplicates every upstream subtree per reference — the
+    * round-11 plan audit counted ~8 scans of the event table for the
+    * 4-reference DAG. Cached, the fact is scanned once per event type
+    * plus once for the user universe; the cached frames are per-USER
+    * aggregates (slim, bounded by user count), never raw events. */
   val FunnelWindow = "INTERVAL 1 DAY"
 
   /** Per-user furthest funnel stage — the shared core of [[funnel]] and
@@ -92,10 +99,11 @@ object Windows {
         .filter(col("ts") > col(prevTs) &&
           col("ts") <= col(prevTs) + expr(FunnelWindow))
         .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
-    val v = events.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val c = firstAfter("click", v, "t_view", "t_click")
-    val p = firstAfter("purchase", c, "t_click", "t_purchase")
+    val v = graft.CacheScope.track(
+      events.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view")))
+    val c = graft.CacheScope.track(firstAfter("click", v, "t_view", "t_click"))
+    val p = graft.CacheScope.track(firstAfter("purchase", c, "t_click", "t_purchase"))
     events.select(col("user_id")).distinct()
       .join(v.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
       .join(c.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
