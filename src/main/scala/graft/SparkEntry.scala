@@ -730,6 +730,11 @@ object SparkEntry {
     // training-data pipeline: context-window chunking (32-token sequences,
     // ragged tail; chunks reassemble to the normalized doc — spec-certified)
     "text_chunks" -> ((s, d) => TextAnalysis.chunks(Tables.documents(s, d))),
+    // overlapping sliding-window chunking (32-token windows every 24) —
+    // the retrieval-embedding prep twin; boundary-spanning facts stay
+    // inside at least one chunk
+    "text_chunks_overlap" -> ((s, d) =>
+      TextAnalysis.chunksOverlap(Tables.documents(s, d))),
     // training-data pipeline: weighted source mixing (per-domain hash
     // thresholds against a broadcast weights dim — the mixture recipe step)
     "sample_mix" -> ((s, d) => Sampling.weightedMix(Tables.documents(s, d))),
@@ -1027,8 +1032,8 @@ object SparkEntry {
     "sample_split", "sample_stratified", "sample_weighted", "sample_mix",
     // text family beyond quality/repetition/keywords
     "text_clean", "text_tokens", "text_langid", "text_fingerprint",
-    "text_chunks", "text_pii", "text_lm_score", "text_ngram_topk",
-    "text_quality_gate",
+    "text_chunks", "text_chunks_overlap", "text_pii", "text_lm_score",
+    "text_ngram_topk", "text_quality_gate",
     // dedup family beyond the pair generators
     "dedup_exact", "dedup_canonical", "dedup_minhash_sig", "dedup_keepset",
     "dedup_incremental", "dedup_semantic",
@@ -2554,6 +2559,19 @@ object SparkEntry {
       s"SELECT doc_id, CAST(i AS INT) AS chunk_idx, " +
       s"array_to_string(w[i * $k + 1 : i * $k + $k], ' ') AS chunk, " +
       s"CAST(len(w[i * $k + 1 : i * $k + $k]) AS INT) AS n_tokens " +
+      "FROM C ORDER BY doc_id, chunk_idx"
+    },
+    // overlap twin: window starts every ChunkStride, last covering start
+    // = ceil((len-k)/stride) (clamped at 0 so short docs emit one chunk)
+    "text_chunks_overlap" -> {
+      val k = TextAnalysis.ChunkTokens
+      val st = TextAnalysis.ChunkStride
+      s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+      s"C AS (SELECT doc_id, unnest(generate_series(0, " +
+      s"CAST(greatest(0, ceil((len(w) - $k) / $st.0)) AS INT))) AS i, w FROM W) " +
+      s"SELECT doc_id, CAST(i AS INT) AS chunk_idx, " +
+      s"array_to_string(w[i * $st + 1 : i * $st + $k], ' ') AS chunk, " +
+      s"CAST(len(w[i * $st + 1 : i * $st + $k]) AS INT) AS n_tokens " +
       "FROM C ORDER BY doc_id, chunk_idx"
     },
     "sample_mix" ->

@@ -252,6 +252,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Overlap stride for [[chunksOverlap]]: windows advance 24 tokens, so
+    * consecutive 32-token chunks share 8 — the retrieval-embedding prep
+    * convention (overlap keeps boundary-spanning facts inside at least
+    * one chunk). */
+  val ChunkStride = 24
+
+  /** Overlapping sliding-window chunking — the retrieval/embedding prep
+    * twin of [[chunks]]: windows of [[ChunkTokens]] tokens every
+    * [[ChunkStride]], last window ragged, windows past the last covering
+    * start suppressed (a doc of ≤32 tokens is exactly one chunk). Same
+    * per-row transform + posexplode shape: linear output, no shuffle
+    * beyond the presentation sort. */
+  def chunksOverlap(docs: DataFrame): DataFrame = {
+    val k = ChunkTokens
+    val s = ChunkStride
+    docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(greatest(0.0, ceil((size(w) - $k) / $s.0)) AS INT)), " +
+        s"i -> named_struct(" +
+        s"'chunk', array_join(slice(w, i * $s + 1, $k), ' '), " +
+        s"'n_tokens', size(slice(w, i * $s + 1, $k))))")))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col.chunk").as("chunk"), col("col.n_tokens").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   // ---------------------------------------------------------- PII redaction
 
   /** PII patterns, all in the RE2∩Java subset (character classes + bounded

@@ -150,6 +150,37 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunksOverlap: every chunk is the exact token window, coverage is total") {
+    val k = TextAnalysis.ChunkTokens
+    val st = TextAnalysis.ChunkStride
+    val words = docs.select(col("doc_id"),
+        graft.ops.Dedup.words(col("text")).as("w")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val out = TextAnalysis.chunksOverlap(docs).collect()
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rows) =>
+      val w = words(id)
+      val expectWindows = 1 + math.max(0, math.ceil((w.size - k) / st.toDouble).toInt)
+      assert(rows.length === expectWindows, s"doc $id window count")
+      rows.foreach { r =>
+        val i = r.getInt(1)
+        val want = w.slice(i * st, i * st + k)
+        assert(r.getString(2) === want.mkString(" "), s"doc $id chunk $i content")
+        assert(r.getInt(3) === want.size)
+      }
+      // total coverage: the last window reaches the final token
+      val lastStart = (expectWindows - 1) * st
+      assert(lastStart + k >= w.size, s"doc $id tail uncovered")
+      // consecutive full windows overlap by exactly k - stride tokens
+      if (rows.length > 1 && w.size >= k + st) {
+        val c0 = rows.find(_.getInt(1) == 0).get.getString(2).split(" ")
+        val c1 = rows.find(_.getInt(1) == 1).get.getString(2).split(" ")
+        assert(c0.drop(st).toSeq === c1.take(k - st).toSeq, s"doc $id overlap")
+      }
+    }
+  }
+
   test("nearDupComponents: verified pairs share components, keepers are minima") {
     import spark.implicits._
     // identical texts guarantee LSH collision (equal signatures) and
