@@ -475,6 +475,22 @@ object Search {
       "doc_id", table, overwrite = true)
   }
 
+  /** Compaction POLICY: compact when the index has accumulated more than
+    * `maxBatches` ingest generations. The guard sidecar's blob count IS
+    * the generation count (one row per build/ingest), so the decision
+    * reads k tiny rows — never the index. Returns whether compaction ran.
+    * This is the scheduled-maintenance trigger a streaming ingest wires
+    * in ([[graft.streaming.Streams.incrementalIndexing]]): file
+    * generations, additive stats rows, and guard blobs all fold back to
+    * one before the per-batch accumulation degrades bucket reads. */
+  def compactIfNeeded(spark: SparkSession, table: String,
+      maxBatches: Int = 16, buckets: Int = 8): Boolean = {
+    val due = spark.catalog.tableExists(s"${table}_guard") &&
+      spark.table(s"${table}_guard").count() > maxBatches
+    if (due) compactIndex(spark, table, buckets)
+    due
+  }
+
   /** BM25 top-k from the materialized index — SAME RESULT as [[bm25TopK]]
     * (the oracle and `SearchIndexSpec` both gate it): tf/dl come from the
     * postings rows, df is the per-term postings count, n_docs/avgdl from

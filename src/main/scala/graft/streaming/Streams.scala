@@ -341,11 +341,19 @@ object Streams {
     * same corpus — stream==batch gated in StatefulStreamSpec. At scale:
     * per-batch cost is batch-proportional (the guard's contract), and
     * [[graft.ops.Search.compactIndex]] is the scheduled companion that
-    * folds the accumulated per-batch file generations back down. */
-  def incrementalIndexing(newDocs: DataFrame, table: String): StreamingQuery =
+    * folds the accumulated per-batch file generations back down —
+    * `maxBatches > 0` wires the [[graft.ops.Search.compactIfNeeded]]
+    * policy in after each ingest (single-writer assumption: the swap
+    * must not race a concurrent writer; readers between micro-batches
+    * see either generation, both correct). */
+  def incrementalIndexing(newDocs: DataFrame, table: String,
+      maxBatches: Int = 0): StreamingQuery =
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Search.indexDeltaIdempotent(table, batch)
+        if (maxBatches > 0)
+          graft.ops.Search.compactIfNeeded(batch.sparkSession, table, maxBatches)
+        ()
       }
       .outputMode("append")
       .start()

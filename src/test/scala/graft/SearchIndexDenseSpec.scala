@@ -130,6 +130,27 @@ class SearchIndexDenseSpec extends SparkSpec {
     assert(ex.getMessage.contains("doc_id"))
   }
 
+  test("compactIfNeeded: fires on generation count, no-op below threshold") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-bm25-policy-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25_policy_test LOCATION '$wh'")
+    Search.buildIndex(docs.filter(col("doc_id") % 5 < 3), "graft_bm25_policy_test.idx")
+    Search.indexDelta("graft_bm25_policy_test.idx", docs.filter(col("doc_id") % 5 === 3))
+    Search.indexDelta("graft_bm25_policy_test.idx", docs.filter(col("doc_id") % 5 === 4))
+    val want = Search.bm25Indexed(spark, "graft_bm25_policy_test.idx")
+      .collect().map(_.toSeq)
+    // 3 generations, threshold 4: below -> no-op
+    assert(!Search.compactIfNeeded(spark, "graft_bm25_policy_test.idx", maxBatches = 4))
+    assert(spark.table("graft_bm25_policy_test.idx_guard").count() === 3)
+    // threshold 2: 3 > 2 -> compacts down to one generation, answers fixed
+    assert(Search.compactIfNeeded(spark, "graft_bm25_policy_test.idx", maxBatches = 2))
+    assert(spark.table("graft_bm25_policy_test.idx_guard").count() === 1)
+    assert(!Search.compactIfNeeded(spark, "graft_bm25_policy_test.idx", maxBatches = 2))
+    assert(Search.bm25Indexed(spark, "graft_bm25_policy_test.idx")
+      .collect().map(_.toSeq).toSeq === want.toSeq)
+  }
+
   test("compactIvfIndex: layout-only — ANN answers identical, quantizer untouched") {
     import java.nio.file.Files
     val emb = Tables.embeddings(spark, sfDir)
