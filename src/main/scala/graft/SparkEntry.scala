@@ -688,6 +688,11 @@ object SparkEntry {
     // (hash-keyed, no RNG — the only split semantics that survive retries
     // and repartitioning at 100 TB)
     "sample_split" -> ((s, d) => Sampling.hashSplit(Tables.documents(s, d))),
+    // leakage-safe split: near-dup COMPONENTS are the split unit (a
+    // near-copy of a test doc can never land in train); singletons keep
+    // their hashSplit assignment exactly
+    "sample_split_safe" -> ((s, d) =>
+      Sampling.leakageSafeSplit(Tables.documents(s, d))),
     // grouped exact percentiles (sort-based agg next to a5's global form)
     "a9_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
@@ -1029,7 +1034,8 @@ object SparkEntry {
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
     // sampling suite
-    "sample_split", "sample_stratified", "sample_weighted", "sample_mix",
+    "sample_split", "sample_split_safe", "sample_stratified",
+    "sample_weighted", "sample_mix",
     // text family beyond quality/repetition/keywords
     "text_clean", "text_tokens", "text_langid", "text_fingerprint",
     "text_chunks", "text_chunks_overlap", "text_pii", "text_lm_score",
@@ -2446,6 +2452,30 @@ object SparkEntry {
        "K AS (SELECT doc_id, (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
        "instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket FROM B) " +
        "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, " +
+       s"CASE WHEN bucket < ${graft.ops.Sampling.TrainUpper} THEN 'train' " +
+       s"WHEN bucket < ${graft.ops.Sampling.ValUpper} THEN 'val' ELSE 'test' END AS split " +
+       "FROM K ORDER BY doc_id"),
+    // the components chain (dedup_components' recursive CTE) + the same
+    // two-hex-digit bucket keyed on the component id
+    "sample_split_safe" ->
+      (s"WITH RECURSIVE $shingleCtes, " +
+       "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
+       "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
+       "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
+       "GROUP BY p.src, p.dst), " +
+       "NEAR AS (SELECT c.src, c.dst FROM COMMONS c " +
+       "JOIN SIZES sa ON sa.doc_id = c.src JOIN SIZES sb ON sb.doc_id = c.dst " +
+       "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5), " +
+       "UND AS (SELECT src AS a, dst AS b FROM NEAR UNION ALL SELECT dst, src FROM NEAR), " +
+       "REACH(a, b) AS (SELECT doc_id, doc_id FROM documents " +
+       "UNION SELECT r.a, u.b FROM REACH r JOIN UND u ON u.a = r.b), " +
+       "COMP AS (SELECT a AS doc_id, min(b) AS component FROM REACH GROUP BY a), " +
+       "B AS (SELECT doc_id, component, " +
+       "md5(concat('split|', CAST(component AS VARCHAR))) AS h FROM COMP), " +
+       "K AS (SELECT doc_id, component, " +
+       "(instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+       "instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket FROM B) " +
+       "SELECT doc_id, component, CAST(bucket AS BIGINT) AS bucket, " +
        s"CASE WHEN bucket < ${graft.ops.Sampling.TrainUpper} THEN 'train' " +
        s"WHEN bucket < ${graft.ops.Sampling.ValUpper} THEN 'val' ELSE 'test' END AS split " +
        "FROM K ORDER BY doc_id"),

@@ -43,6 +43,29 @@ object Sampling {
           .otherwise("test"))
       .orderBy(col("doc_id"))
 
+  /** LEAKAGE-SAFE split: the split unit is the near-duplicate COMPONENT,
+    * not the document — every member of a component lands in the same
+    * split. Doc-keyed [[hashSplit]] cannot prevent the classic eval
+    * contamination where a near-copy of a test document sits in train;
+    * keying the same deterministic bucket on the component's canonical
+    * (minimum) doc_id makes that impossible by construction, and keeps
+    * singleton docs' assignment IDENTICAL to [[hashSplit]]'s (their
+    * component id IS their doc_id — spec-pinned), so adopting the safe
+    * split only moves documents that have near-duplicates.
+    *
+    * Scale shape: the component map is the banded-LSH + verify + GraphX
+    * chain ([[Dedup.nearDupComponents]] — never all-pairs); the split
+    * itself adds one codegen'd hash projection, zero extra shuffles. */
+  def leakageSafeSplit(docs: DataFrame, salt: String = "split"): DataFrame =
+    Dedup.nearDupComponents(docs)
+      .select(col("doc_id"), col("component"),
+        bucket256(salt, col("component")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainUpper, "train")
+          .when(col("bucket") < ValUpper, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+
   /** Per-source quota sample: the `quota` docs with the SMALLEST
     * md5(salt|id) per source — the per-domain cap every corpus pipeline
     * applies so no single crawl source dominates the mix. Deterministic for

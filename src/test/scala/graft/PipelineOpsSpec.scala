@@ -150,6 +150,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("leakageSafeSplit: one split per component; singletons match hashSplit") {
+    val out = Sampling.leakageSafeSplit(docs).collect()
+    assert(out.nonEmpty)
+    // split integrity: every near-dup component is wholly in ONE split
+    out.groupBy(_.getLong(1)).foreach { case (comp, rows) =>
+      assert(rows.map(_.getString(3)).toSet.size === 1,
+        s"component $comp straddles splits")
+    }
+    // docs WITH near-duplicates exist in the fixture and move as groups
+    assert(out.groupBy(_.getLong(1)).exists(_._2.length > 1))
+    // singleton docs (component == doc_id and nothing else in it) keep the
+    // doc-keyed assignment: adopting the safe split changes nothing for them
+    val plain = Sampling.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val sizes = out.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    val singles = out.filter(r =>
+      r.getLong(0) == r.getLong(1) && sizes(r.getLong(1)) == 1)
+    assert(singles.nonEmpty)
+    singles.foreach { r =>
+      assert(r.getString(3) === plain(r.getLong(0)),
+        s"singleton ${r.getLong(0)} moved splits")
+    }
+  }
+
   test("chunksOverlap: every chunk is the exact token window, coverage is total") {
     val k = TextAnalysis.ChunkTokens
     val st = TextAnalysis.ChunkStride
