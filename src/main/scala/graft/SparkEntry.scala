@@ -377,6 +377,10 @@ object SparkEntry {
     // no-false-negative complement to the probabilistic LSH path
     "dedup_prefix_pairs" -> ((s, d) => Dedup.prefixFilterPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    // threshold sensitivity audit: surviving pairs + affected docs per
+    // candidate Jaccard threshold — price the knob before the corpus run
+    "dedup_threshold_sweep" -> ((s, d) =>
+      Dedup.thresholdSweep(Tables.documents(s, d))),
     // the same exact-verify chain with the 100-TB side of the trade ON:
     // candidate pairs materialized, verify shingles semi-joined down to
     // the collided sliver (conf read at plan time, so set-build-restore)
@@ -1067,7 +1071,8 @@ object SparkEntry {
     // contrastive hard-negative mining + runtime (join-driven) pruning
     "sim_hard_negatives", "layout_dpp",
     // sketch-level dedup health (sizes the pair job before running it)
-    "dedup_band_stats",
+    // + the threshold sensitivity audit (prices the knob)
+    "dedup_band_stats", "dedup_threshold_sweep",
     // the full-recipe capstone (keepSet + span gate + token budget + pack)
     "corpus_curate",
     // asymmetric containment + its sketch estimate
@@ -1424,6 +1429,23 @@ object SparkEntry {
        "CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) AS jaccard " +
        "FROM COMMONS c JOIN SIZES sa ON sa.doc_id = c.src " +
        "JOIN SIZES sb ON sb.doc_id = c.dst ORDER BY src, dst"),
+    // the same verified-pair chain crossed with the 5-row threshold dim
+    "dedup_threshold_sweep" ->
+      (s"WITH $shingleCtes, " +
+       "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
+       "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
+       "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
+       "GROUP BY p.src, p.dst), " +
+       "J AS (SELECT c.src, c.dst, round(CAST(ncommon AS DOUBLE) / " +
+       "CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) AS jaccard " +
+       "FROM COMMONS c JOIN SIZES sa ON sa.doc_id = c.src " +
+       "JOIN SIZES sb ON sb.doc_id = c.dst), " +
+       s"T AS (SELECT CAST(unnest([${graft.ops.Dedup.SweepThresholds.mkString(", ")}]) AS DOUBLE) AS t), " +
+       "S AS (SELECT t, src, dst FROM J CROSS JOIN T WHERE jaccard >= t), " +
+       "P AS (SELECT t, count(*) AS n_pairs FROM S GROUP BY t), " +
+       "D AS (SELECT t, count(DISTINCT doc_id) AS n_docs FROM " +
+       "(SELECT t, unnest([src, dst]) AS doc_id FROM S) GROUP BY t) " +
+       "SELECT p.t, p.n_pairs, d.n_docs FROM P p JOIN D d USING (t) ORDER BY t"),
     // identical result by construction: the sliver semi-join only removes
     // docs that appear in no candidate pair
     "dedup_jaccard_sliver" ->

@@ -183,6 +183,33 @@ object Dedup {
           (col("na") + col("nb") - col("ncommon")).cast("double"), 4).as("jaccard"))
       .orderBy("src", "dst")
 
+  /** Threshold sweep for [[ngramJaccard]]'s candidate thresholds. */
+  val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Dedup-threshold sensitivity audit: for each candidate Jaccard
+    * threshold, how many verified pairs survive and how many distinct
+    * documents they touch — the tuning artifact that prices a threshold
+    * choice BEFORE committing a corpus-sized dedup run (pick t where the
+    * affected-docs curve bends, not by folklore). One pass over the
+    * verified candidate pairs (already LSH-bounded, never all-pairs)
+    * crossed with the broadcast 5-row threshold dim. */
+  def thresholdSweep(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val j = graft.CacheScope.track(ngramJaccard(docs))
+    val t = broadcast(SweepThresholds.toDF("t"))
+    val surviving = j.crossJoin(t).filter(col("jaccard") >= col("t"))
+    val pairsPerT = surviving.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_pairs"))
+    // distinct docs on EITHER side of a surviving pair
+    val docsPerT = surviving
+      .select(col("t"), explode(array(col("src"), col("dst"))).as("doc_id"))
+      .groupBy(col("t")).agg(countDistinct(col("doc_id")).as("n_docs"))
+    pairsPerT.join(docsPerT, Seq("t"))
+      .select(col("t"), col("n_pairs"), col("n_docs"))
+      .orderBy(col("t"))
+  }
+
   /** Asymmetric containment for the LSH candidate pairs — the
     * quote/boilerplate detector symmetric Jaccard misses: a short doc
     * fully embedded in a long one has containment |A∩B|/|A| ≈ 1 with

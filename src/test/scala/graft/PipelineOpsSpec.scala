@@ -150,6 +150,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("thresholdSweep: counts replay from the pair list and fall monotonically") {
+    import graft.ops.Dedup
+    val pairs = Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val out = Dedup.thresholdSweep(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Dedup.SweepThresholds)
+    out.foreach { case (t, nPairs, nDocs) =>
+      val surv = pairs.filter(_._3 >= t)
+      assert(nPairs === surv.length.toLong, s"pairs at $t")
+      assert(nDocs === surv.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong,
+        s"docs at $t")
+    }
+    // the audit's point: both curves are non-increasing in t
+    assert(out.map(_._2).toSeq === out.map(_._2).sorted.reverse.toSeq)
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted.reverse.toSeq)
+    CacheScope.unpersistAll()
+  }
+
   test("leakageSafeSplit: one split per component; singletons match hashSplit") {
     val out = Sampling.leakageSafeSplit(docs).collect()
     assert(out.nonEmpty)
