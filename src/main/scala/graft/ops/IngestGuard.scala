@@ -20,16 +20,30 @@ import org.apache.spark.sql.functions._
   * MISS on every blob proves disjointness outright (the common case — one
   * delta-sized probe job and done). Only a HIT falls back to the exact
   * standing-column semi-probe, i.e. the expensive path runs precisely when
-  * there is a real clash to report or an fpp-rare (0.1%) false suspect.
+  * there is a real clash to report or an fpp-rare false suspect (per-id
+  * fpp is sized so a clean BATCH false-suspects with probability ≤ ~5%
+  * regardless of batch size — see [[fppFor]]).
   * Either way the thrown/silent outcome is identical to the old exact
   * check — PipelineOps-style result equality is unaffected.
   */
 object IngestGuard {
 
-  /** False-suspect rate: a false positive costs one extra (exact) probe of
-    * the standing index, never a wrong outcome. 0.1% keeps the blob small
-    * (~1.8 MB per million ids) and the fallback essentially never taken. */
-  private val Fpp = 0.001
+  /** Ceiling false-suspect rate per id: a false positive costs one extra
+    * (exact) sliver probe of the standing index, never a wrong outcome. */
+  private val MaxFpp = 0.001
+
+  /** Target probability that a CLEAN batch trips ANY false suspect.
+    * Whole-batch suspicion is ≈ n·fpp, so a fixed per-id fpp degrades
+    * with batch size (0.001 × a million-row batch = certain suspicion =
+    * one standing-column probe per batch, silently re-breaking the
+    * delta-proportional contract). The per-id fpp is therefore sized
+    * per batch: fpp = min(MaxFpp, FalseSuspectBudget / n), floored at
+    * 1e-9 (~6.5 bytes/id — a 1M-id blob is ~4.5 MB, still sidecar-
+    * scale). */
+  private val FalseSuspectBudget = 0.05
+
+  private def fppFor(n: Long): Double =
+    math.max(1e-9, math.min(MaxFpp, FalseSuspectBudget / n))
 
   private def guardTable(table: String) = s"${table}_guard"
 
@@ -50,7 +64,7 @@ object IngestGuard {
     val keyed = batch.select(col(idCol).cast("string").as("k")).distinct()
     val n = keyed.count()
     if (n == 0) return
-    val bloom = keyed.stat.bloomFilter("k", n, Fpp)
+    val bloom = keyed.stat.bloomFilter("k", n, fppFor(n))
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     import spark.implicits._
