@@ -473,6 +473,10 @@ object SparkEntry {
     "bpe_encode" -> ((s, d) => Bpe.encode(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    // code-switching detector: per-chunk langid vote -> per-doc majority
+    // (doc-level langid averages away embedded foreign passages)
+    "text_langid_mixed" -> ((s, d) =>
+      TextAnalysis.langIdMixed(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     // corpus heavy hitters: boilerplate phrases by document frequency
     "text_ngram_topk" -> ((s, d) => TextAnalysis.ngramTopK(Tables.documents(s, d))),
@@ -1041,7 +1045,8 @@ object SparkEntry {
     "sample_split", "sample_split_safe", "sample_stratified",
     "sample_weighted", "sample_mix",
     // text family beyond quality/repetition/keywords
-    "text_clean", "text_tokens", "text_langid", "text_fingerprint",
+    "text_clean", "text_tokens", "text_langid", "text_langid_mixed",
+    "text_fingerprint",
     "text_chunks", "text_chunks_overlap", "text_pii", "text_lm_score",
     "text_ngram_topk", "text_quality_gate",
     // dedup family beyond the pair generators
@@ -1646,6 +1651,31 @@ object SparkEntry {
        "WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de' " +
        "WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS predicted_lang " +
        "FROM h ORDER BY doc_id"),
+    // per-chunk langid vote -> per-doc majority; rank window tie-breaks
+    // (votes DESC, lang ASC) exactly like Spark's min-struct aggregate
+    "text_langid_mixed" -> {
+      val k = TextAnalysis.ChunkTokens
+      s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+      s"C AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(len(w) / $k.0) AS INT) - 1)) AS i, w FROM W), " +
+      s"CW AS (SELECT doc_id, w[i * $k + 1 : i * $k + $k] AS cw FROM C), " +
+      "H AS (SELECT doc_id, " +
+      "len(list_filter(cw, x -> list_contains(['the','a','of','and'], x))) AS en_hits, " +
+      "len(list_filter(cw, x -> list_contains(['der','die','und','das'], x))) AS de_hits, " +
+      "len(list_filter(cw, x -> list_contains(['le','et','les','une'], x))) AS fr_hits, " +
+      "len(list_filter(cw, x -> list_contains(['el','y','los','una'], x))) AS es_hits FROM CW), " +
+      "L AS (SELECT doc_id, CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en' " +
+      "WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de' " +
+      "WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS chunk_lang FROM H), " +
+      "V AS (SELECT doc_id, chunk_lang, count(*) AS n FROM L GROUP BY 1, 2), " +
+      "M AS (SELECT doc_id, chunk_lang, n, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, chunk_lang) AS rk, " +
+      "sum(n) OVER (PARTITION BY doc_id) AS n_chunks FROM V) " +
+      "SELECT doc_id, chunk_lang AS majority_lang, CAST(n AS BIGINT) AS n_majority, " +
+      "CAST(n_chunks AS BIGINT) AS n_chunks, " +
+      "round(CAST(n AS DOUBLE) / CAST(n_chunks AS DOUBLE), 4) AS majority_frac, " +
+      "CAST(n < n_chunks AS INT) AS is_mixed " +
+      "FROM M WHERE rk = 1 ORDER BY doc_id"
+    },
     "text_fingerprint" ->
       (s"SELECT doc_id, md5($docNorm) AS fp, substr(md5($docNorm), 1, 8) AS fp_short " +
        "FROM documents ORDER BY doc_id"),

@@ -70,6 +70,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Mixed-language (code-switching) detector: the per-CHUNK form of
+    * [[langId]] — each 32-token chunk votes with the same stopword-argmax
+    * and fixed tie order, then a per-doc majority: majority language, its
+    * chunk share, and a mixed flag when any chunk dissents. Doc-level
+    * langid AVERAGES AWAY an embedded foreign passage (the dominant
+    * language's stopwords outvote it globally); the chunk vote is the
+    * standard cheap detector for exactly that. Scale shape: chunking is
+    * the linear per-row transform, the vote is two small groupBys keyed
+    * on doc_id — nothing corpus-wide beyond the chunk rows. */
+  def langIdMixed(docs: DataFrame): DataFrame = {
+    def chHits(wc: Column, list: Seq[String]): Column =
+      size(filter(wc, x => array_contains(array(list.map(lit): _*), x)))
+    val cw = split(col("chunk"), " ")
+    val perChunk = chunks(docs).select(
+        col("doc_id"),
+        chHits(cw, langStops(0)._2).as("en_hits"),
+        chHits(cw, langStops(1)._2).as("de_hits"),
+        chHits(cw, langStops(2)._2).as("fr_hits"),
+        chHits(cw, langStops(3)._2).as("es_hits"))
+      .withColumn("chunk_lang",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+          col("en_hits") >= col("es_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), "de")
+          .when(col("fr_hits") >= col("es_hits"), "fr")
+          .otherwise("es"))
+    perChunk.groupBy(col("doc_id"), col("chunk_lang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      // majority = max votes, ties to the lexicographically first lang —
+      // one min-struct aggregate, no rank window
+      .agg(min(struct((-col("n")).as("neg"), col("chunk_lang"))).as("m"),
+        sum(col("n")).as("n_chunks"))
+      .select(col("doc_id"), col("m.chunk_lang").as("majority_lang"),
+        (-col("m.neg")).as("n_majority"), col("n_chunks"))
+      .withColumn("majority_frac",
+        round(col("n_majority").cast("double") / col("n_chunks").cast("double"), 4))
+      .withColumn("is_mixed", (col("n_majority") < col("n_chunks")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Relative quality gate: keep documents at or above their SOURCE's
     * 25th-percentile stopword ratio — the FineWeb/C4-style step where
     * thresholds are per-domain distributions, not global constants (a

@@ -150,6 +150,54 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("langIdMixed: majority replays from per-chunk votes; flags are consistent") {
+    import graft.ops.Dedup
+    // independent replay: chunk the words locally, vote with the same
+    // stopword-argmax + tie order, take the majority (votes desc, lang asc)
+    val stops = Map(
+      "en" -> Set("the", "a", "of", "and"), "de" -> Set("der", "die", "und", "das"),
+      "fr" -> Set("le", "et", "les", "une"), "es" -> Set("el", "y", "los", "una"))
+    val order = Seq("en", "de", "fr", "es")
+    val words = docs.select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val out = TextAnalysis.langIdMixed(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, lang, nMaj, nCh) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      val votes = words(id).grouped(TextAnalysis.ChunkTokens).map { cw =>
+        val h = order.map(l => l -> cw.count(stops(l))).toMap
+        order.find(l => order.forall(o =>
+          h(l) > h(o) || (h(l) == h(o) && order.indexOf(l) <= order.indexOf(o)))).get
+      }.toSeq
+      val want = votes.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      assert(nCh === votes.size.toLong, s"doc $id chunk count")
+      assert(lang === want._1 && nMaj === want._2.toLong, s"doc $id majority")
+      assert(r.getInt(5) === (if (nMaj < nCh) 1 else 0), s"doc $id mixed flag")
+    }
+    // the synthetic corpus is strictly single-language (verified: every
+    // doc votes pure at sf0.001 AND sf0.01) — so the mixed path is
+    // exercised on a constructed bilingual doc instead: an English page
+    // with an embedded Spanish passage must flag mixed while its pure
+    // twin stays clean, and doc-level langId on the SAME mixed doc shows
+    // why the chunk vote exists (the global argmax hides the passage)
+    assert(out.forall(_.getInt(5) === 0), "synthetic corpus assumed pure")
+    import spark.implicits._
+    val en = Seq.fill(16)("the cat of a dog and the end").mkString(" ")   // 128 en tokens
+    val es = Seq.fill(8)("el gato y los perros una casa").mkString(" ")   // 56 es tokens
+    val mixed = Seq((1L, en + " " + es, "en", "src0", 1L),
+        (2L, en, "en", "src0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.langIdMixed(mixed).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(5)))).toMap
+    assert(got(1L) === (("en", 1)), "embedded Spanish passage not flagged")
+    assert(got(2L) === (("en", 0)), "pure doc falsely flagged")
+    val docLevel = TextAnalysis.langId(mixed).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("predicted_lang")).toMap
+    assert(docLevel(1L) === "en", "doc-level argmax should hide the passage")
+  }
+
   test("thresholdSweep: counts replay from the pair list and fall monotonically") {
     import graft.ops.Dedup
     val pairs = Dedup.ngramJaccard(docs).collect()
