@@ -918,6 +918,10 @@ object SparkEntry {
     // (broadcast dim of |sources| rows), not a global constant
     "text_quality_gate" -> ((s, d) =>
       TextAnalysis.qualityGate(Tables.documents(s, d))),
+    // per-source quality CALIBRATION: the whole distribution as ranks
+    // (comparable across sources), not just one fixed percentile cut
+    "text_quality_rank" -> ((s, d) =>
+      TextAnalysis.qualityRank(Tables.documents(s, d))),
     // SymSpell fuzzy join: deletion-neighborhood blocking (bounded len+1
     // fan-out, hash-equi join) -> exact levenshtein verify on candidates
     "fuzzy_join_sym" -> ((s, d) => FuzzyJoin.matchTokens(Tables.documents(s, d))),
@@ -1048,7 +1052,7 @@ object SparkEntry {
     "text_clean", "text_tokens", "text_langid", "text_langid_mixed",
     "text_fingerprint",
     "text_chunks", "text_chunks_overlap", "text_pii", "text_lm_score",
-    "text_ngram_topk", "text_quality_gate",
+    "text_ngram_topk", "text_quality_gate", "text_quality_rank",
     // dedup family beyond the pair generators
     "dedup_exact", "dedup_canonical", "dedup_minhash_sig", "dedup_keepset",
     "dedup_incremental", "dedup_semantic",
@@ -3052,6 +3056,15 @@ object SparkEntry {
        "T AS (SELECT source, round(quantile_cont(stop_ratio, 0.25), 4) AS thr FROM R GROUP BY source) " +
        "SELECT r.doc_id, r.source, r.stop_ratio, t.thr FROM R r JOIN T t ON r.source = t.source " +
        "WHERE r.stop_ratio >= t.thr ORDER BY r.doc_id"),
+    // the full-distribution form of the gate: per-source percent_rank of
+    // the (pre-rounded) ratio; (rank-1)/(n-1) tie semantics match Spark
+    "text_quality_rank" ->
+      (s"WITH R AS (SELECT doc_id, source, round(CAST(len(list_filter(string_split($docNorm, ' '), " +
+       "x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE) / " +
+       s"CAST(len(string_split($docNorm, ' ')) AS DOUBLE), 4) AS stopword_ratio FROM documents) " +
+       "SELECT doc_id, source, stopword_ratio, " +
+       "round(percent_rank() OVER (PARTITION BY source ORDER BY stopword_ratio), 4) AS q_rank " +
+       "FROM R ORDER BY doc_id"),
     // snapshot diff/apply: the old/new snapshot derivations are part of
     // the contract (11th absent-in-old, 13th perturbed-in-old, 17th
     // deleted-in-new) — replayed here verbatim

@@ -70,6 +70,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source quality calibration: each document's stopword-ratio
+    * percentile WITHIN its source — the step before any cross-source
+    * global quality threshold (a raw ratio cutoff tuned on web prose
+    * guts code- or table-heavy sources wholesale; ranks are comparable
+    * across sources by construction, the [[qualityGate]] rationale taken
+    * from one fixed percentile to the whole distribution). Shape at
+    * 100 TB: ONE window partitioned by source — per-source partitions
+    * shuffle once and rank locally; no global sort, no driver state.
+    * Ratios are rounded before ranking so both engines rank identical
+    * inputs; percent_rank's (rank-1)/(n-1) is tie-stable. */
+  def qualityRank(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ratio = round(hits(stopwords).cast("double") / size(w).cast("double"), 4)
+    docs.select(col("doc_id"), col("source"), ratio.as("stopword_ratio"))
+      .withColumn("q_rank",
+        round(percent_rank().over(
+          Window.partitionBy(col("source")).orderBy(col("stopword_ratio"))), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Mixed-language (code-switching) detector: the per-CHUNK form of
     * [[langId]] — each 32-token chunk votes with the same stopword-argmax
     * and fixed tie order, then a per-doc majority: majority language, its

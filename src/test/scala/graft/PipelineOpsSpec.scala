@@ -150,6 +150,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("qualityRank: per-source percent ranks replay exactly") {
+    val out = TextAnalysis.qualityRank(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val n = rows.length
+      rows.foreach { case (id, _, ratio, rank) =>
+        val want =
+          if (n == 1) 0.0
+          else BigDecimal(rows.count(_._3 < ratio).toDouble / (n - 1))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(rank === want, s"doc $id in $src")
+      }
+      // calibration property: the worst doc(s) rank 0.0 always; the best
+      // ranks 1.0 when it is untied (ties share the lower rank)
+      if (n > 1) {
+        assert(rows.filter(r => r._3 == rows.map(_._3).min).forall(_._4 == 0.0))
+        val mx = rows.map(_._3).max
+        if (rows.count(_._3 == mx) == 1)
+          assert(rows.find(_._3 == mx).get._4 === 1.0)
+      }
+    }
+  }
+
   test("langIdMixed: majority replays from per-chunk votes; flags are consistent") {
     import graft.ops.Dedup
     // independent replay: chunk the words locally, vote with the same
