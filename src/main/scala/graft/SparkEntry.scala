@@ -840,6 +840,32 @@ object SparkEntry {
       Search.compactIndex(s, "graft_idx.bm25c")
       Search.bm25Indexed(s, "graft_idx.bm25c")
     }),
+    // streaming ANN ingest: base-built IVF index (frozen quantizer),
+    // the remaining vectors arrive as a REAL bounded stream ingested via
+    // the idempotent guard path — after the drain, index-served ANN must
+    // answer the same oracle as the batch delta/compact rows
+    "stream_ann_ingest" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-stream")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0), "graft_idx.ivfs")
+      val feed = java.nio.file.Files.createTempDirectory("graft-emb-feed")
+        .toFile.getAbsolutePath + "/in"
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      delta.filter(col("vec_id") % 2 === 0).repartition(1).write.parquet(feed)
+      delta.filter(col("vec_id") % 2 === 1).repartition(1)
+        .write.mode("append").parquet(feed)
+      val q = s.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.ivfIndexDeltaIdempotent("graft_idx.ivfs", batch)
+        }
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      Similarity.annIvfIndexedTopK(s, "graft_idx.ivfs")
+    }),
     // streaming ingest into the standing index — a REAL bounded stream
     // (file source, one file per micro-batch, foreachBatch -> idempotent
     // delta ingest; batch 0 bootstraps the empty catalog). After the
@@ -1847,6 +1873,11 @@ object SparkEntry {
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
     // compaction is layout-only: identical oracle to the delta row
     "sim_ann_ivf_index_compact" ->
+      (s"WITH ${ivfTrainedCtesFrom("vec_id % 5 <> 0")} " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // a drained ANN ingest stream converges to the batch delta result
+    "stream_ann_ingest" ->
       (s"WITH ${ivfTrainedCtesFrom("vec_id % 5 <> 0")} " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
