@@ -533,10 +533,39 @@ object SparkEntry {
       Similarity.compactIvfIndex(s, "graft_idx.ivfc")
       Similarity.annIvfIndexedTopK(s, "graft_idx.ivfc")
     }),
+    // the PQ-FUSED index: inverted lists carry per-vector PQ codes, the
+    // probe scores candidates in the compressed domain (ADC lookup table
+    // + 8 code lookups per candidate, v never read in the scan) and only
+    // the shortlist survivors are rescored on raw vectors — the
+    // composition that makes 100 TB ANN IO-feasible
+    "sim_ann_ivfpq_indexed" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      Similarity.buildIvfPqIndex(Tables.embeddings(s, d), "graft_idx.ivfpq")
+      Similarity.annIvfPqIndexedTopK(s, "graft_idx.ivfpq")
+    }),
     // quantizer-drift audit: vectors whose cell differs between the
     // frozen base-trained quantizer and full retraining — the number
     // that schedules re-training in the ingest-vs-retrain trade
     "sim_ann_ivf_drift" -> ((s, d) => Similarity.annIvfDrift(Tables.embeddings(s, d))),
+    // the drift-triggered RETRAIN policy: base-built index + delta ingest
+    // (frozen quantizer), then two decisions against the live index —
+    // threshold 1.0 (no-op; the frozen quantizer survives) and 0.0
+    // (fires; quantizer retrained on the full corpus, lists rebuilt).
+    // Both decision rows carry the SAME pre-retrain drift (measured
+    // before any rebuild), so the pair is oracle-reproducible
+    "sim_ann_ivf_retrain" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-retrain")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0), "graft_idx.ivfr")
+      Similarity.ivfIndexDelta("graft_idx.ivfr", emb.filter(col("vec_id") % 5 === 0))
+      val below = Similarity.retrainIfNeeded(s, "graft_idx.ivfr", emb, 1.0)
+      val above = Similarity.retrainIfNeeded(s, "graft_idx.ivfr", emb, 0.0)
+      below.unionByName(above).orderBy(col("threshold"))
+    }),
     // SemDeDup semantic dedup: trained-quantizer cells, within-cell
     // cosine, keep the lowest-centroid-similarity member of each
     // duplicate group (arXiv:2303.09540's keep rule, vec_id-tiebroken)
@@ -861,6 +890,11 @@ object SparkEntry {
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           Similarity.ivfIndexDeltaIdempotent("graft_idx.ivfs", batch)
+          // scheduled maintenance, default bounds (generations + sidecar
+          // bytes) — a no-op at this scale, wired so the streaming path
+          // exercises the same policy the bm25 ingest runs
+          Similarity.compactIvfIfNeeded(s, "graft_idx.ivfs")
+          ()
         }
         .outputMode("append").start()
       q.processAllAvailable(); q.stop()
@@ -1067,7 +1101,7 @@ object SparkEntry {
     "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_trained",
     "sim_ann_ivf_trained_recall", "sim_ann_ivf_indexed",
     "sim_ann_ivf_index_delta", "sim_ann_ivf_index_compact",
-    "sim_ann_ivf_drift",
+    "sim_ann_ivf_drift", "sim_ann_ivfpq_indexed", "sim_ann_ivf_retrain",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -1881,6 +1915,35 @@ object SparkEntry {
       (s"WITH ${ivfTrainedCtesFrom("vec_id % 5 <> 0")} " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // the PQ-fused index: trained-IVF chain + PQ codes (sim_pq_codes'
+    // per-subspace argmin over the SAME C), per-query ADC lookup table,
+    // candidates restricted to the probed cells and scored by 8 exact
+    // integer LUT sums, shortlist rk <= 10 by (d2, vec_id), then the
+    // survivors re-ranked by the exact rounded cosine — every stage
+    // engine-reproducible, including which candidates the lossy ADC keeps
+    "sim_ann_ivfpq_indexed" ->
+      (s"WITH $ivfTrainedCtes, " +
+       "SDIST AS (SELECT x.vec_id, CAST(x.dim // 8 AS INT) AS sub, c.c_label, " +
+       "sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
+       "FROM QQ x JOIN C c ON x.dim = c.dim GROUP BY x.vec_id, x.dim // 8, c.c_label), " +
+       "SCODE AS (SELECT vec_id, sub, c_label AS code FROM " +
+       "(SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c_label) AS rk FROM SDIST) WHERE rk = 1), " +
+       "QLUT AS (SELECT v.vec_id AS qid, CAST(v.dim // 8 AS INT) AS sub, c.c_label AS code, " +
+       "sum((v.q * 1000 - c.c6) * (v.q * 1000 - c.c6)) AS sd2 " +
+       "FROM QQ v JOIN C c ON v.dim = c.dim WHERE v.vec_id < 8 " +
+       "GROUP BY v.vec_id, v.dim // 8, c.c_label), " +
+       "ADC AS (SELECT l.qid, cd.vec_id, sum(l.sd2) AS d2 FROM SCODE cd " +
+       "JOIN QLUT l ON l.sub = cd.sub AND l.code = cd.code " +
+       "JOIN CELL cl ON cl.vec_id = cd.vec_id " +
+       "JOIN PROBE p ON p.qid = l.qid AND p.cell = cl.cell " +
+       "WHERE cd.vec_id <> l.qid GROUP BY l.qid, cd.vec_id), " +
+       "SL AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
+       "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10), " +
+       "RR AS (SELECT j.qid, j.vec_id, j.cell, j.cos, row_number() OVER " +
+       "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rank " +
+       "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id) " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+       "FROM RR WHERE rank <= 3 ORDER BY qid, rank"),
     // drift audit: base-trained vs full-trained argmin cells compared
     // per vector, both exact integer-space assignments
     "sim_ann_ivf_drift" ->
@@ -1904,6 +1967,34 @@ object SparkEntry {
        "CAST(sum(CASE WHEN base_cell <> full_cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved, " +
        "round(CAST(sum(CASE WHEN base_cell <> full_cell THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS drift " +
        "FROM AB JOIN AF ON AB.vec_id = AF.vec_id"),
+    // retrain policy: the drift chain (base-trained CB = the stored
+    // frozen quantizer vs CF = full-corpus retrain) crossed with the two
+    // thresholds the query runs; retrained = rounded drift >= threshold.
+    // Both rows carry the same pre-retrain drift by construction
+    "sim_ann_ivf_retrain" ->
+      ("WITH Q0 AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, embedding FROM embeddings), " +
+       "QQ AS (SELECT vec_id, label, dim, CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM Q0), " +
+       "CB AS (SELECT label AS c_label, dim, " +
+       "CAST(round(round(CAST(sum(q) AS DOUBLE) / (1000.0 * count(*)), 6) * 1000000.0) AS BIGINT) AS c6 " +
+       "FROM QQ WHERE vec_id % 5 <> 0 GROUP BY label, dim), " +
+       "CF AS (SELECT label AS c_label, dim, " +
+       "CAST(round(round(CAST(sum(q) AS DOUBLE) / (1000.0 * count(*)), 6) * 1000000.0) AS BIGINT) AS c6 " +
+       "FROM QQ GROUP BY label, dim), " +
+       "DB AS (SELECT x.vec_id, c.c_label, sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
+       "FROM QQ x JOIN CB c ON x.dim = c.dim GROUP BY x.vec_id, c.c_label), " +
+       "DF AS (SELECT x.vec_id, c.c_label, sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
+       "FROM QQ x JOIN CF c ON x.dim = c.dim GROUP BY x.vec_id, c.c_label), " +
+       "AB AS (SELECT vec_id, c_label AS stored_cell FROM " +
+       "(SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DB) WHERE rk = 1), " +
+       "AF AS (SELECT vec_id, c_label AS fresh_cell FROM " +
+       "(SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DF) WHERE rk = 1), " +
+       "D AS (SELECT count(*) AS n_vectors, " +
+       "CAST(sum(CASE WHEN stored_cell <> fresh_cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved, " +
+       "round(CAST(sum(CASE WHEN stored_cell <> fresh_cell THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS drift " +
+       "FROM AB JOIN AF ON AB.vec_id = AF.vec_id) " +
+       "SELECT n_vectors, n_moved, drift, CAST(t.threshold AS DOUBLE) AS threshold, " +
+       "(drift >= t.threshold) AS retrained FROM D CROSS JOIN " +
+       "(SELECT 1.0 AS threshold UNION ALL SELECT 0.0) t ORDER BY threshold"),
     // SemDeDup: the trained-IVF CELL chain feeds the within-cell pair
     // join; canonical order = (ccos to own centroid, vec_id); a vector is
     // dropped iff a strictly-more-canonical same-cell neighbor sits at

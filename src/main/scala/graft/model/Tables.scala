@@ -40,6 +40,11 @@ object Tables {
     // affects TIMESTAMP(NANOS) columns (this repo: events.ts alone), and is a
     // no-op when the file is already micros.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The TimestampNTZ branch's cast below is epoch-preserving ONLY under a
+    // UTC session zone; pin it here (not just in the entry-point builders)
+    // for the same reason as the nanos conf — a caller-provided session in
+    // another zone would silently shift every event timestamp.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

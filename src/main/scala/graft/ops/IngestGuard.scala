@@ -73,6 +73,24 @@ object IngestGuard {
       .format("parquet").saveAsTable(guardTable(table))
   }
 
+  /** (generation count, cumulative blob bytes) of the guard sidecar —
+    * the two sizes the compaction policy bounds. Every blob in the
+    * sidecar is serialized into [[suspectPredicate]]'s probe plan as an
+    * expression LITERAL and shipped to every task, so the BYTE total (not
+    * just the row count) must stay bounded: sixteen 1M-id batches at the
+    * 1e-9 fpp floor is ~72 MB of plan literals — fine rows-wise, hostile
+    * bytes-wise. Reads k tiny (1-long) rows via a length-only projection;
+    * never deserializes a bloom. (0, 0) when no sidecar exists. */
+  def sidecarSize(spark: SparkSession, table: String): (Long, Long) = {
+    if (!spark.catalog.tableExists(guardTable(table))) (0L, 0L)
+    else {
+      val r = spark.table(guardTable(table))
+        .agg(count(lit(1)), coalesce(sum(length(col("bloom"))), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+  }
+
   /** The OR-of-blobs suspicion predicate over `idCol` (each blob becomes
     * one codegen'd `bloom_might_contain` term), or None when the sidecar
     * doesn't exist (an index built before the guard landed) — the caller

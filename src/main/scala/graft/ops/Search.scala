@@ -373,9 +373,31 @@ object Search {
     * only runs on a bloom hit (a real clash, about to throw anyway). */
   def indexDelta(table: String, delta: DataFrame, buckets: Int = 8): Unit = {
     val spark = delta.sparkSession
+    // an empty delta is a no-op, mirroring IngestGuard.write's n == 0 skip:
+    // without this it would append an empty postings file generation and a
+    // (0.0, null) stats row — harmless to query-time sums, but generations
+    // inflate and an all-empty corpus would NPE compactIndex's stats fold
+    if (delta.isEmpty) return
     // a first-ever delta BOOTSTRAPS the index (append creates the tables):
     // nothing standing exists to clash with, so the guard is skipped — the
-    // streaming-ingest entry point starts from an empty catalog
+    // streaming-ingest entry point starts from an empty catalog. But a
+    // missing postings table NEXT TO standing _stats/_guard is NOT a fresh
+    // catalog — it is an interrupted compaction swap, and bootstrapping
+    // over it would create a delta-only postings table whose scores fold
+    // against the old FULL-CORPUS additive stats: silently wrong answers.
+    // Try to roll the swap forward; refuse loudly if that doesn't restore.
+    if (!spark.catalog.tableExists(s"${table}_postings") &&
+        (spark.catalog.tableExists(s"${table}_stats") ||
+          spark.catalog.tableExists(s"${table}_guard"))) {
+      recoverIndexSwap(spark, table)
+      require(spark.catalog.tableExists(s"${table}_postings"),
+        s"indexDelta refusing to bootstrap: ${table}_stats/_guard exist " +
+          s"but ${table}_postings is missing and no staged copy was found " +
+          "to roll forward — a delta-only postings table against standing " +
+          "full-corpus stats would silently mis-score every bm25Indexed " +
+          "answer. Restore the postings table (or drop the stale " +
+          "_stats/_guard sidecars) before ingesting")
+    }
     if (spark.catalog.tableExists(s"${table}_postings"))
       IngestGuard.assertDisjoint(spark, table, delta, "doc_id",
         spark.table(s"${table}_postings"), "indexDelta")
@@ -447,11 +469,18 @@ object Search {
     * LSM-shaped store pays; queries before/after are row-identical
     * (spec-gated).
     *
-    * The rewrite stages into `{table}_postings_compacting`, then
-    * drop+rename swaps it in — Spark cannot overwrite a table it is
-    * reading. A crash between drop and rename leaves the data intact
-    * under the staging name. */
+    * The rewrite stages into `{table}_postings_compacting`, then swaps via
+    * rename-away (live → `_retired`, staged → live, drop `_retired`) —
+    * Spark cannot overwrite a table it is reading, and a single atomic
+    * table-replace DDL doesn't exist, so the swap is instead made
+    * CRASH-RECOVERABLE: every intermediate catalog state is one
+    * [[recoverIndexSwap]] call away from a readable index (roll the
+    * staged copy forward, or drop a leftover), and the ingest path
+    * refuses to bootstrap over a mid-swap catalog (see [[indexDelta]]) —
+    * the silent-wrong-scores hazard of a delta-only postings table
+    * against full-corpus additive stats cannot arise. */
   def compactIndex(spark: SparkSession, table: String, buckets: Int = 8): Unit = {
+    recoverIndexSwap(spark, table) // roll forward/clean any interrupted swap
     val staged = s"${table}_postings_compacting"
     spark.table(s"${table}_postings")
       // repartition on the SAME hash family bucketing uses (Murmur3), so
@@ -460,8 +489,9 @@ object Search {
       .write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(staged)
-    spark.sql(s"DROP TABLE ${table}_postings")
+    spark.sql(s"ALTER TABLE ${table}_postings RENAME TO ${table}_postings_retired")
     spark.sql(s"ALTER TABLE $staged RENAME TO ${table}_postings")
+    spark.sql(s"DROP TABLE ${table}_postings_retired")
     // additive stats rows fold to one exact row (integer-valued doubles);
     // k tiny rows collect to the driver — never corpus data
     val s = spark.table(s"${table}_stats")
@@ -475,18 +505,61 @@ object Search {
       "doc_id", table, overwrite = true)
   }
 
+  /** Repair an interrupted [[compactIndex]] swap. The swap's catalog
+    * states and their repairs (all idempotent, all cheap DDL — never a
+    * data rewrite):
+    *   - staged + live both present (crash before the rename-away): the
+    *     staged copy is DROPPED — the live index is authoritative and the
+    *     next compaction restages from it;
+    *   - staged + `_retired`, live missing (crash mid-swap): ROLL FORWARD —
+    *     the staged copy is complete by construction, rename it live and
+    *     drop the retired generation;
+    *   - live + `_retired` (crash after the swap, before the drop): drop
+    *     the leftover retired generation.
+    * A crash after the swap but before the stats fold / guard rebuild
+    * needs no repair at all: multi-row stats and multi-blob guards are the
+    * normal additive state — re-running compaction folds them. Returns
+    * true iff a roll-forward restored a missing live table. */
+  def recoverIndexSwap(spark: SparkSession, table: String): Boolean = {
+    val live = s"${table}_postings"
+    val staged = s"${table}_postings_compacting"
+    val retired = s"${table}_postings_retired"
+    val rolledForward =
+      if (!spark.catalog.tableExists(live) && spark.catalog.tableExists(staged)) {
+        spark.sql(s"ALTER TABLE $staged RENAME TO $live")
+        true
+      } else false
+    if (spark.catalog.tableExists(live) && spark.catalog.tableExists(staged))
+      spark.sql(s"DROP TABLE $staged")
+    if (spark.catalog.tableExists(live) && spark.catalog.tableExists(retired))
+      spark.sql(s"DROP TABLE $retired")
+    rolledForward
+  }
+
   /** Compaction POLICY: compact when the index has accumulated more than
-    * `maxBatches` ingest generations. The guard sidecar's blob count IS
-    * the generation count (one row per build/ingest), so the decision
-    * reads k tiny rows — never the index. Returns whether compaction ran.
+    * `maxBatches` ingest generations OR the guard sidecar has grown past
+    * `maxSidecarBytes`. The guard sidecar's blob count IS the generation
+    * count (one row per build/ingest), so the decision reads k tiny
+    * rows — never the index. Returns whether compaction ran.
+    *
+    * The byte bound exists because each sidecar blob is embedded into the
+    * ingest probe plan as an expression literal ([[IngestGuard
+    * .suspectPredicate]]'s OR-chain) and shipped to every task: blob size
+    * scales with BATCH size (per-batch fpp sizing, ~6.5 bytes/id at the
+    * floor), so a few huge batches can bloat the probe plan to tens of MB
+    * while staying far under any sane generation count. Compaction folds
+    * the sidecar to ONE bloom over the full id set, so the probe plan's
+    * literal payload stays bounded regardless of ingest batch sizes.
+    *
     * This is the scheduled-maintenance trigger a streaming ingest wires
     * in ([[graft.streaming.Streams.incrementalIndexing]]): file
     * generations, additive stats rows, and guard blobs all fold back to
     * one before the per-batch accumulation degrades bucket reads. */
   def compactIfNeeded(spark: SparkSession, table: String,
-      maxBatches: Int = 16, buckets: Int = 8): Boolean = {
-    val due = spark.catalog.tableExists(s"${table}_guard") &&
-      spark.table(s"${table}_guard").count() > maxBatches
+      maxBatches: Int = 16, buckets: Int = 8,
+      maxSidecarBytes: Long = 64L << 20): Boolean = {
+    val (generations, sidecarBytes) = IngestGuard.sidecarSize(spark, table)
+    val due = generations > maxBatches || sidecarBytes > maxSidecarBytes
     if (due) compactIndex(spark, table, buckets)
     due
   }

@@ -302,6 +302,9 @@ object Similarity {
     * inside its inverted list. */
   def ivfIndexDelta(table: String, delta: DataFrame): Unit = {
     val spark = delta.sparkSession
+    // empty delta = no-op (the Search.indexDelta contract): skip the empty
+    // list-file generation; IngestGuard.write already skips zero-row blooms
+    if (delta.isEmpty) return
     // the frozen quantizer is a PREREQUISITE (ingest assigns against it) —
     // fail with intent, not a bare table-not-found five calls deep
     require(spark.catalog.tableExists(s"${table}_centroids"),
@@ -309,7 +312,21 @@ object Similarity {
         "found — run buildIvfIndex first (IVF cannot bootstrap from an " +
         "empty catalog; cell assignment requires stored centroids)")
     // first delta against a trained-but-listless catalog bootstraps the
-    // lists; nothing standing exists to clash with
+    // lists; nothing standing exists to clash with. A missing _ivf NEXT TO
+    // a standing _guard is not that — it is an interrupted compaction
+    // swap; bootstrapping would create delta-only lists that a guard
+    // sized for the full corpus then "protects": silent data loss at
+    // query time. Roll the swap forward; refuse loudly if that fails.
+    if (!spark.catalog.tableExists(s"${table}_ivf") &&
+        spark.catalog.tableExists(s"${table}_guard")) {
+      recoverIvfSwap(spark, table)
+      require(spark.catalog.tableExists(s"${table}_ivf"),
+        s"ivfIndexDelta refusing to bootstrap: ${table}_guard exists but " +
+          s"${table}_ivf is missing and no staged copy was found to roll " +
+          "forward — delta-only inverted lists under a full-corpus guard " +
+          "would silently drop the standing vectors from every probe. " +
+          "Restore the lists (or drop the stale _guard) before ingesting")
+    }
     if (spark.catalog.tableExists(s"${table}_ivf"))
       graft.ops.IngestGuard.assertDisjoint(spark, table, delta, "vec_id",
         spark.table(s"${table}_ivf"), "ivfIndexDelta")
@@ -362,12 +379,24 @@ object Similarity {
     * `sim_ann_ivf_drift`). Queries before/after are row-identical. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
+    recoverIvfSwap(spark, table) // roll forward/clean any interrupted swap
     val staged = s"${table}_ivf_compacting"
     spark.table(s"${table}_ivf")
       .repartition(col("cell")) // one writer task per cell -> one file per cell dir
       .write.mode("overwrite").partitionBy("cell").format("parquet")
       .saveAsTable(staged)
-    spark.sql(s"DROP TABLE ${table}_ivf")
+    // crash-recoverable swap (the Search.compactIndex scheme, with one
+    // partitioned-table twist): rename the live generation away, DROP it,
+    // THEN rename the staged copy in — every intermediate state is one
+    // recoverIvfSwap away from a readable index, and ivfIndexDelta refuses
+    // to bootstrap over a mid-swap catalog. The retired generation MUST be
+    // dropped while the live path is still empty: a rename keeps the
+    // catalog's per-partition locations pointing at the ORIGINAL path, and
+    // DROP TABLE follows those custom locations — dropping the retired
+    // table after the staged copy lands at the original path would delete
+    // the new live data out from under it (observed, not hypothetical).
+    spark.sql(s"ALTER TABLE ${table}_ivf RENAME TO ${table}_ivf_retired")
+    spark.sql(s"DROP TABLE ${table}_ivf_retired")
     spark.sql(s"ALTER TABLE $staged RENAME TO ${table}_ivf")
     // rename moves the data dir but the catalog's partition entries still
     // point at the staging location — re-discover them from the new path
@@ -376,6 +405,70 @@ object Similarity {
     graft.ops.IngestGuard.write(spark,
       spark.table(s"${table}_ivf").select(col("vec_id")),
       "vec_id", table, overwrite = true)
+  }
+
+  /** Repair an interrupted [[compactIvfIndex]] swap — the
+    * [[Search.recoverIndexSwap]] scheme for the cell-partitioned lists,
+    * plus two partitioned-table twists: a roll-forward rename needs the
+    * MSCK partition re-discovery, and the retired generation is only ever
+    * dropped while the live path is absent (its stale per-partition
+    * locations point THERE — see [[compactIvfIndex]]). A live table whose
+    * partition entries point outside its own location (crash between the
+    * rename-in and the MSCK) is re-repaired in place. Idempotent cheap
+    * DDL + one dir listing; returns true iff a roll-forward restored a
+    * missing live table. */
+  def recoverIvfSwap(spark: org.apache.spark.sql.SparkSession,
+      table: String): Boolean = {
+    val live = s"${table}_ivf"
+    val staged = s"${table}_ivf_compacting"
+    val retired = s"${table}_ivf_retired"
+    val rolledForward =
+      if (!spark.catalog.tableExists(live) && spark.catalog.tableExists(staged)) {
+        // retired first, while the live path is still empty — its stale
+        // partition locations are no-op deletes only in this state
+        if (spark.catalog.tableExists(retired))
+          spark.sql(s"DROP TABLE $retired")
+        spark.sql(s"ALTER TABLE $staged RENAME TO $live")
+        spark.sql(s"MSCK REPAIR TABLE $live")
+        true
+      } else false
+    if (spark.catalog.tableExists(live)) {
+      if (spark.catalog.tableExists(staged))
+        spark.sql(s"DROP TABLE $staged") // stale restage; live wins
+      // crash between rename-in and MSCK: live's partition entries still
+      // point at the staging path — detectable (locations outside the
+      // table location) and repairable in place
+      val cat = spark.sessionState.catalog
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(
+        live.split('.').last,
+        live.split('.').dropRight(1).lastOption)
+      val loc = cat.getTableMetadata(ident).location.toString
+      if (cat.listPartitions(ident).exists(
+          !_.location.toString.startsWith(loc)))
+        spark.sql(s"MSCK REPAIR TABLE $live")
+      // live ∧ retired without a staged copy is not a state this scheme
+      // produces (retired is dropped before the rename-in); a foreign
+      // retired table is left untouched — dropping it would follow its
+      // stale partition locations into the live data
+    }
+    rolledForward
+  }
+
+  /** Compaction POLICY for the IVF lists — [[Search.compactIfNeeded]]
+    * applied to ANN: compact when ingest generations exceed `maxBatches`
+    * or the guard sidecar's cumulative blob bytes exceed
+    * `maxSidecarBytes` (each blob ships into the ingest probe plan as an
+    * expression literal, so the BYTE total must stay bounded regardless
+    * of batch sizes — the same rationale as the Search twin). Reads k
+    * tiny sidecar rows, never the lists. Returns whether compaction ran. */
+  def compactIvfIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxBatches: Int = 16,
+      maxSidecarBytes: Long = 64L << 20): Boolean = {
+    val (generations, sidecarBytes) =
+      graft.ops.IngestGuard.sidecarSize(spark, table)
+    val due = generations > maxBatches || sidecarBytes > maxSidecarBytes
+    if (due) compactIvfIndex(spark, table)
+    due
   }
 
   /** Query the materialized IVF index: SAME RESULT as
@@ -408,6 +501,117 @@ object Similarity {
     val q = q0.select(col("qid"), col("qv"), col("qnrm")).join(probes, "qid")
     val scored = idx.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6)
+          .as("cos"))
+    rankedTopKPerQuery(scored, k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("cos"), 4).as("cos"), col("cell"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Build the PQ-FUSED IVF index: the [[buildIvfIndex]] layout with one
+    * addition — each inverted-list row also carries the vector's PQ codes
+    * ([[Centroids.pqCodes]], 8 small ints for 64 floats), and the
+    * per-subspace codebook is stored as `{table}_pqbook`. Because parquet
+    * is columnar, the ADC probe reads ONLY (vec_id, cell, codes) from the
+    * probed cells — the 32×-compressed representation — and the raw `v`
+    * column is read just twice: for the handful of query vectors and for
+    * the shortlist rescore. This is the composition that makes 100 TB ANN
+    * IO-feasible: candidate scan bytes scale with codes, not vectors.
+    * Both quantizers (coarse cells + PQ codebook) are FROZEN at build
+    * time, the production IVF-PQ contract. */
+  def buildIvfPqIndex(embeddings: DataFrame, table: String): Unit = {
+    val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
+    cent.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    val book = Centroids.pqCodebook(embeddings)
+    book.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_pqbook")
+    // codes as a sub-ordered array: one slim row per vector joins the
+    // cell assignment — the inverted lists ARE the code store
+    val codes = Centroids.pqCodes(embeddings, book)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id"), transform(col("sc"), s => s("code")).as("codes"))
+    assignedCells(embeddings, cent)
+      .join(codes, "vec_id")
+      .write.mode("overwrite").partitionBy("cell").format("parquet")
+      .saveAsTable(s"${table}_ivf")
+    graft.ops.IngestGuard.write(embeddings.sparkSession, embeddings, "vec_id",
+      table, overwrite = true)
+  }
+
+  /** Query the PQ-fused IVF index — the full IVF-PQ ladder served from
+    * the materialized index: probes resolve against the stored coarse
+    * centroids (DPP-pruned cell reads, the [[annIvfIndexedTopK]]
+    * contract), then candidates are scored in the COMPRESSED domain —
+    * per-query ADC lookup table (query subvector × stored PQ codebook,
+    * exact integer distances) + 8 LUT lookups per candidate over the
+    * stored `codes` column, never touching `v` — and only the
+    * `shortlist` ADC survivors are rescored on raw vectors with the
+    * exact rounded cosine. Every stage is exact integer math or the
+    * rounded cosine, so the whole chain (including which candidates the
+    * lossy ADC shortlist keeps) is engine-reproducible and oracled.
+    *
+    * Shape at 100 TB: candidate IO = probed-cell code bytes (32× smaller
+    * than vectors); the shortlist rescore reads `v` for
+    * nQueries·shortlist rows via an id semi-join back into the probed
+    * cells; both cuts are the bounded [[graft.plans.TopKPerKey]] heaps. */
+  def annIvfPqIndexedTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
+      shortlist: Int = 10): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val cent = spark.table(s"${table}_centroids")
+    val book = spark.table(s"${table}_pqbook")
+    val idx = spark.table(s"${table}_ivf")
+    val subDims = Dim / Centroids.SubSpaces
+    // query vectors by point lookup (the one place a query reads v
+    // outside the rescore)
+    val q0 = idx.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        transform(col("v"),
+          x => round(x * 1000).cast("long") * lit(1000L)).as("xq"))
+    val dist = aggregate(
+      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, d) => acc + d)
+    val probes = graft.plans.TopK.perKeyMin(
+        q0.join(broadcast(cent))
+          .select(col("qid"), col("c_label").as("cell"), dist.as("d2")),
+        Seq("qid"), "d2", "cell", nprobe)
+      .select(col("qid"), col("cell"))
+    // per-query ADC lookup table: (qid, sub, code) -> exact integer
+    // distance — nQueries × SubSpaces × |codebook| rows, a broadcast
+    val qsubs = q0.select(col("qid"), posexplode(
+        transform(sequence(lit(0), lit(Centroids.SubSpaces - 1)),
+          s => slice(col("xq"), s * subDims + 1, lit(subDims))))
+        .as(Seq("sub", "qs")))
+    val lutDist = aggregate(
+      zip_with(col("qs"), col("cvec"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, d) => acc + d)
+    val lut = qsubs.join(broadcast(book), "sub")
+      .select(col("qid"), col("sub"), col("c_label").as("code"),
+        lutDist.as("sd2"))
+    // ADC scan: candidates read (vec_id, cell, codes) ONLY — column
+    // pruning keeps the 64-double v out of the probed-cell scan
+    val cand = idx.select(col("vec_id"), col("cell"), col("codes"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val adc = cand.join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"), col("cell"))
+      .agg(sum(col("sd2")).as("d2"))
+    val sl = graft.plans.TopK.perKeyMin(adc, Seq("qid"), "d2", "vec_id",
+        shortlist)
+      .select(col("qid"), col("vec_id"), col("cell"))
+    // rescore the shortlist on raw vectors: v is read for the
+    // nQueries·shortlist survivors, pruned to the probed cells
+    val q = q0.select(col("qid"), col("qv"), col("qnrm"))
+    val scored = idx.select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+      .join(broadcast(sl), Seq("cell", "vec_id"))
+      .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vec_id"), col("cell"),
         round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6)
           .as("cos"))
@@ -455,6 +659,49 @@ object Similarity {
       .select(col("n_vectors"), col("n_moved"),
         round(col("n_moved").cast("double") / col("n_vectors").cast("double"), 4)
           .as("drift"))
+  }
+
+  /** Drift-triggered RETRAIN policy — the [[compactIvfIfNeeded]] analog
+    * for QUANTIZER decay, closing the ingest-vs-retrain trade
+    * [[ivfIndexDelta]] documents: measure drift (fraction of corpus
+    * vectors whose exact integer-space argmin cell under the STORED
+    * frozen quantizer differs from one trained on the CURRENT corpus —
+    * the [[annIvfDrift]] audit against the live index), and when it
+    * reaches `minDrift`, retrain the quantizer and rebuild the lists
+    * ([[buildIvfIndex]] over the current corpus). Unlike compaction this
+    * IS a retrain — cells move by design; recall is restored at the
+    * price of one corpus re-read + rebuild, which is why it runs behind
+    * a threshold instead of every ingest. Provenance is recorded in
+    * `{table}_quantizer_log` (one row per decision: corpus size, drift,
+    * threshold, fired) so index lineage stays auditable. Returns the
+    * decision row (n_vectors, n_moved, drift, threshold, retrained) —
+    * drift measured BEFORE any rebuild, so the row is reproducible from
+    * the pre-decision state. `corpus` is the source-of-truth embedding
+    * table (retraining reads the corpus by definition; the standing
+    * lists don't carry the label column the seeding needs). */
+  def retrainIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      table: String, corpus: DataFrame, minDrift: Double): DataFrame = {
+    val stored = spark.table(s"${table}_centroids")
+    val fresh = graft.CacheScope.track(Centroids.centroidVectors(corpus))
+    val a = cellsOnly(corpus, stored)
+      .select(col("vec_id"), col("cell").as("stored_cell"))
+    val b = cellsOnly(corpus, fresh)
+      .select(col("vec_id"), col("cell").as("fresh_cell"))
+    val decision = a.join(b, "vec_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("stored_cell") =!= col("fresh_cell"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(col("n_vectors"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_vectors").cast("double"), 4)
+          .as("drift"))
+      .withColumn("threshold", lit(minDrift))
+      .withColumn("retrained", col("drift") >= col("threshold"))
+      .localCheckpoint() // pin the decision before any rebuild mutates state
+    val fired = decision.select(col("retrained")).collect()(0).getBoolean(0)
+    if (fired) buildIvfIndex(corpus, table)
+    decision.write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_quantizer_log")
+    decision
   }
 
   /** Recall@k of the trained-IVF path against the brute-force truth —

@@ -341,13 +341,15 @@ object Streams {
     * same corpus — stream==batch gated in StatefulStreamSpec. At scale:
     * per-batch cost is batch-proportional (the guard's contract), and
     * [[graft.ops.Search.compactIndex]] is the scheduled companion that
-    * folds the accumulated per-batch file generations back down —
-    * `maxBatches > 0` wires the [[graft.ops.Search.compactIfNeeded]]
-    * policy in after each ingest (single-writer assumption: the swap
+    * folds the accumulated per-batch file generations back down — the
+    * [[graft.ops.Search.compactIfNeeded]] policy runs after each ingest,
+    * ON by default (a long-running stream would otherwise accrete one
+    * guard blob + one file generation per micro-batch forever; pass
+    * `maxBatches = 0` to opt out) (single-writer assumption: the swap
     * must not race a concurrent writer; readers between micro-batches
     * see either generation, both correct). */
   def incrementalIndexing(newDocs: DataFrame, table: String,
-      maxBatches: Int = 0): StreamingQuery =
+      maxBatches: Int = 16): StreamingQuery =
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Search.indexDeltaIdempotent(table, batch)

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.{Centroids, Similarity}
+
+/** Round-12 ANN lifecycle completions: the PQ-FUSED IVF index (codes
+  * stored IN the inverted lists, ADC-scored candidates, raw-vector
+  * rescore only for the shortlist) and the drift-triggered retrain
+  * policy. The PQ test verifies against a fully INDEPENDENT driver-side
+  * recomputation of the whole chain (plain Scala over collected arrays —
+  * 500 vectors at sf0.001), replicating the exact integer/IEEE
+  * expression order, so an off-by-one in any stage (cells, probes,
+  * codes, LUT, shortlist cut, rescore round) fails loudly. */
+class AnnLifecycleSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val NQ = 8
+  private val K = 3
+  private val NProbe = 2
+  private val Shortlist = 10
+  private val SubSpaces = Centroids.SubSpaces
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  // Spark's round() is HALF_UP (away from zero at .5); Math.round rounds
+  // toward +inf and diverges on negative values — embeddings have them
+  private def rnd(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("annIvfPqIndexedTopK == independent driver-side IVF-PQ chain; plan reads codes not vectors") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-ivfpq-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ivfpq_test LOCATION '$wh'")
+    val t = "graft_ivfpq_test.idx"
+    Similarity.buildIvfPqIndex(emb, t)
+    val got = Similarity.annIvfPqIndexedTopK(spark, t)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+
+    // ---- independent recomputation ----
+    val data = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .sortBy(_._1)
+    val dim = data.head._3.length
+    val subDims = dim / SubSpaces
+    // quantized vectors at scale 1e6 (x_q·10^3 then ·10^3)
+    val xq = data.map { case (id, _, v) =>
+      id -> v.map(x => rnd(x.toDouble * 1000) * 1000L)
+    }.toMap
+    // label centroids c6 (exact integer sums, 6dp round, scale 1e6)
+    val c6 = data.groupBy(_._2).map { case (lbl, vs) =>
+      val sums = Array.fill(dim)(0L)
+      vs.foreach { case (_, _, v) =>
+        var i = 0
+        while (i < dim) { sums(i) += rnd(v(i).toDouble * 1000); i += 1 }
+      }
+      lbl -> sums.map(s => rnd(
+        BigDecimal(s.toDouble / (1000.0 * vs.length))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1000000.0))
+    }
+    def d2(a: Array[Long], c: Array[Long], lo: Int, hi: Int): Long = {
+      var s = 0L; var i = lo
+      while (i < hi) { val d = a(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    // argmin cell per vector, (d2, label) order
+    val cell = xq.map { case (id, a) =>
+      id -> c6.toSeq.map { case (l, c) => (d2(a, c, 0, dim), l) }.min._2
+    }
+    // nprobe nearest cells per query
+    val probes = (0L until NQ).map { qid =>
+      qid -> c6.toSeq.map { case (l, c) => (d2(xq(qid), c, 0, dim), l) }
+        .sorted.take(NProbe).map(_._2).toSet
+    }.toMap
+    // PQ codes: per (vec, sub) argmin over the per-subspace codebook
+    val codes = xq.map { case (id, a) =>
+      id -> (0 until SubSpaces).map { s =>
+        c6.toSeq.map { case (l, c) =>
+          (d2(a, c, s * subDims, (s + 1) * subDims), l)
+        }.min._2
+      }
+    }
+    // ADC: per query, candidates in probed cells scored by LUT sums
+    val vecs = data.map { case (id, _, v) => id -> v.map(_.toDouble) }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val want = (0L until NQ).flatMap { qid =>
+      val lut = (0 until SubSpaces).map { s =>
+        s -> c6.map { case (l, c) =>
+          l -> d2(xq(qid), c, s * subDims, (s + 1) * subDims)
+        }
+      }.toMap
+      val cands = data.map(_._1)
+        .filter(id => id != qid && probes(qid).contains(cell(id)))
+      val sl = cands.map { id =>
+        (codes(id).zipWithIndex.map { case (cd, s) => lut(s)(cd) }.sum, id)
+      }.sorted.take(Shortlist).map(_._2)
+      sl.map { id =>
+        (round6(dot(vecs(id), vecs(qid)) / (nrm(id) * nrm(qid))), id)
+      }.sortBy { case (c, id) => (-c, id) }.take(K).zipWithIndex.map {
+        case ((c, id), i) => (qid, id, i + 1, round4(c), cell(id))
+      }
+    }
+    assert(rows.toSeq === want.toSeq,
+      "index-served IVF-PQ diverged from the independent chain")
+
+    // plan contracts: corpus unscanned; DPP on the partitioned index
+    // scan; and the ADC candidate scan reads codes WITHOUT the v column
+    val plan = got.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(!planStr.contains("embeddings.parquet"),
+      s"corpus scanned at query time:\n$planStr")
+    val partScans = scans(plan).filter(_.relation.partitionSchema.nonEmpty)
+    assert(partScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"no dynamic partition pruning on the index scan:\n$planStr")
+    val adcScan = partScans.find(s =>
+      s.output.exists(_.name == "codes") && !s.output.exists(_.name == "v"))
+    assert(adcScan.isDefined,
+      s"ADC scan reads raw vectors (no codes-only scan found):\n$planStr")
+  }
+
+  test("retrainIfNeeded: no-op below threshold, retrain + rebuild at threshold, provenance logged") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-retrain-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_retrain_test LOCATION '$wh'")
+    val t = "graft_retrain_test.idx"
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0), t)
+    Similarity.ivfIndexDelta(t, emb.filter(col("vec_id") % 5 === 0))
+    val centBase = spark.table(s"${t}_centroids").collect().map(_.toSeq).toSet
+
+    // threshold 1.0: decision row says no, frozen quantizer survives
+    val below = Similarity.retrainIfNeeded(spark, t, emb, 1.0).collect()(0)
+    assert(!below.getAs[Boolean]("retrained"))
+    assert(below.getAs[Long]("n_vectors") === emb.count())
+    assert(spark.table(s"${t}_centroids").collect().map(_.toSeq).toSet
+      === centBase, "no-op decision mutated the quantizer")
+    assert(spark.table(s"${t}_quantizer_log").count() === 1)
+
+    // threshold 0.0: fires — quantizer == full-corpus retrain, lists
+    // rebuilt, index-served ANN == the in-query trained IVF on the full
+    // corpus (the post-retrain ground truth)
+    val above = Similarity.retrainIfNeeded(spark, t, emb, 0.0).collect()(0)
+    assert(above.getAs[Boolean]("retrained"))
+    assert(above.getAs[Long]("n_moved") === below.getAs[Long]("n_moved"),
+      "pre-retrain drift changed between decisions")
+    val centAfter = spark.table(s"${t}_centroids").collect().map(_.toSeq).toSet
+    assert((centAfter != centBase) || above.getAs[Long]("n_moved") == 0L,
+      "retrain did not touch the quantizer despite moved vectors")
+    assert(Similarity.annIvfIndexedTopK(spark, t).collect().map(_.toSeq).toSeq
+      === Similarity.annIvfTrainedTopK(emb).collect().map(_.toSeq).toSeq,
+      "rebuilt index diverged from full-corpus trained IVF")
+    assert(spark.table(s"${t}_quantizer_log").count() === 2)
+    // post-retrain drift is zero: a third decision at any threshold > 0
+    // is a no-op — the policy converges instead of thrashing
+    val third = Similarity.retrainIfNeeded(spark, t, emb, 0.05).collect()(0)
+    assert(third.getAs[Long]("n_moved") === 0L)
+    assert(!third.getAs[Boolean]("retrained"))
+  }
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+  }
+}

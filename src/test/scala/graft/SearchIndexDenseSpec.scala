@@ -151,6 +151,64 @@ class SearchIndexDenseSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq === want.toSeq)
   }
 
+  test("compactIfNeeded: byte bound fires on an oversized sidecar at any generation count") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-bm25-bytes-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25_bytes_test LOCATION '$wh'")
+    val t = "graft_bm25_bytes_test.idx"
+    Search.buildIndex(docs.filter(col("doc_id") % 5 < 3), t)
+    Search.indexDelta(t, docs.filter(col("doc_id") % 5 === 3))
+    Search.indexDelta(t, docs.filter(col("doc_id") % 5 === 4))
+    val (gens, bytes) = graft.ops.IngestGuard.sidecarSize(spark, t)
+    assert(gens === 3 && bytes > 0)
+    val want = Search.bm25Indexed(spark, t).collect().map(_.toSeq)
+
+    // both bounds loose: no-op
+    assert(!Search.compactIfNeeded(spark, t, maxBatches = 100,
+      maxSidecarBytes = 10L << 20))
+    // generation bound loose, byte bound below the current sidecar: fires —
+    // the batch-size-shaped blowup (few huge batches, tiny generation
+    // count) is caught by bytes, not rows
+    assert(Search.compactIfNeeded(spark, t, maxBatches = 100,
+      maxSidecarBytes = bytes - 1))
+    val (gens2, bytes2) = graft.ops.IngestGuard.sidecarSize(spark, t)
+    assert(gens2 === 1, "sidecar did not fold to one bloom")
+    // the fold is one bloom over the full id set — sized by corpus + fpp,
+    // NOT by generation count (at tiny scale it can be marginally larger
+    // than the sum of loose-fpp batch blobs; what must not happen is
+    // per-generation growth)
+    assert(bytes2 <= bytes * 2, s"folded sidecar did not stay bounded: $bytes -> $bytes2")
+    assert(Search.bm25Indexed(spark, t).collect().map(_.toSeq).toSeq === want.toSeq)
+
+    // the probe plan's literal payload is now ONE blob term — the bound
+    // the ingest path ships to every task
+    val pred = graft.ops.IngestGuard.suspectPredicate(spark, t, "doc_id").get
+    val nTerms = "bloom_might_contain".r
+      .findAllMatchIn(pred.toString).length
+    assert(nTerms === 1, s"probe predicate carries $nTerms blob terms")
+
+    // IVF twin: same policy, same bounds
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+      "graft_bm25_bytes_test.ann")
+    Similarity.ivfIndexDelta("graft_bm25_bytes_test.ann",
+      emb.filter(col("vec_id") % 5 === 0))
+    val (agens, abytes) =
+      graft.ops.IngestGuard.sidecarSize(spark, "graft_bm25_bytes_test.ann")
+    assert(agens === 2)
+    val awant = Similarity.annIvfIndexedTopK(spark, "graft_bm25_bytes_test.ann")
+      .collect().map(_.toSeq)
+    assert(!Similarity.compactIvfIfNeeded(spark, "graft_bm25_bytes_test.ann",
+      maxBatches = 100, maxSidecarBytes = 10L << 20))
+    assert(Similarity.compactIvfIfNeeded(spark, "graft_bm25_bytes_test.ann",
+      maxBatches = 100, maxSidecarBytes = abytes - 1))
+    assert(graft.ops.IngestGuard
+      .sidecarSize(spark, "graft_bm25_bytes_test.ann")._1 === 1)
+    assert(Similarity.annIvfIndexedTopK(spark, "graft_bm25_bytes_test.ann")
+      .collect().map(_.toSeq).toSeq === awant.toSeq)
+  }
+
   test("compactIvfIndex: layout-only — ANN answers identical, quantizer untouched") {
     import java.nio.file.Files
     val emb = Tables.embeddings(spark, sfDir)
