@@ -683,10 +683,16 @@ object Similarity {
       table: String, corpus: DataFrame, minDrift: Double): DataFrame = {
     val stored = spark.table(s"${table}_centroids")
     val fresh = graft.CacheScope.track(Centroids.centroidVectors(corpus))
-    val a = cellsOnly(corpus, stored)
-      .select(col("vec_id"), col("cell").as("stored_cell"))
-    val b = cellsOnly(corpus, fresh)
-      .select(col("vec_id"), col("cell").as("fresh_cell"))
+    // both assignment frames are cached BY LOGICAL PLAN: a second decision
+    // in the same scope (the fires/no-op pair the oracle row runs) reuses
+    // them instead of re-aggregating the corpus twice; a rebuild refreshes
+    // the {table}_centroids relation, so a post-retrain decision
+    // recomputes against the new quantizer (spec-gated: third decision
+    // measures drift 0)
+    val a = graft.CacheScope.track(cellsOnly(corpus, stored)
+      .select(col("vec_id"), col("cell").as("stored_cell")))
+    val b = graft.CacheScope.track(cellsOnly(corpus, fresh)
+      .select(col("vec_id"), col("cell").as("fresh_cell")))
     val decision = a.join(b, "vec_id")
       .agg(count(lit(1)).as("n_vectors"),
         sum(when(col("stored_cell") =!= col("fresh_cell"), 1L).otherwise(0L))
