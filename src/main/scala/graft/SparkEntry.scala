@@ -545,6 +545,21 @@ object SparkEntry {
       Similarity.buildIvfPqIndex(Tables.embeddings(s, d), "graft_idx.ivfpq")
       Similarity.annIvfPqIndexedTopK(s, "graft_idx.ivfpq")
     }),
+    // fused-index incremental ingest: base build freezes BOTH quantizers
+    // (coarse cells + PQ codebook); the delta is assigned AND encoded
+    // against the stored artifacts, appended into the cell partitions,
+    // then the same ADC-shortlist-rescore query serves the merged lists
+    "sim_ann_ivfpq_index_delta" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivfpq-delta")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "graft_idx.ivfpqd")
+      Similarity.ivfPqIndexDelta("graft_idx.ivfpqd",
+        emb.filter(col("vec_id") % 5 === 0))
+      Similarity.annIvfPqIndexedTopK(s, "graft_idx.ivfpqd")
+    }),
     // quantizer-drift audit: vectors whose cell differs between the
     // frozen base-trained quantizer and full retraining — the number
     // that schedules re-training in the ingest-vs-retrain trade
@@ -1101,7 +1116,8 @@ object SparkEntry {
     "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_trained",
     "sim_ann_ivf_trained_recall", "sim_ann_ivf_indexed",
     "sim_ann_ivf_index_delta", "sim_ann_ivf_index_compact",
-    "sim_ann_ivf_drift", "sim_ann_ivfpq_indexed", "sim_ann_ivf_retrain",
+    "sim_ann_ivf_drift", "sim_ann_ivfpq_indexed", "sim_ann_ivfpq_index_delta",
+    "sim_ann_ivf_retrain",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -1252,6 +1268,35 @@ object SparkEntry {
     "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J)"
 
   private val ivfTrainedCtes: String = ivfTrainedCtesFrom("TRUE")
+
+  /** Full IVF-PQ oracle chain: the trained-IVF CTEs (with `basePred`
+    * restricting which vectors train the coarse centroids AND the PQ
+    * codebook — both derive from the same C) + per-subspace codes, the
+    * per-query ADC lookup table, probed-cell-restricted ADC scoring,
+    * the (d2, vec_id) shortlist cut, and the exact-cosine rescore. */
+  private def ivfPqSqlFrom(basePred: String): String =
+    s"WITH ${ivfTrainedCtesFrom(basePred)}, " +
+    "SDIST AS (SELECT x.vec_id, CAST(x.dim // 8 AS INT) AS sub, c.c_label, " +
+    "sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
+    "FROM QQ x JOIN C c ON x.dim = c.dim GROUP BY x.vec_id, x.dim // 8, c.c_label), " +
+    "SCODE AS (SELECT vec_id, sub, c_label AS code FROM " +
+    "(SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c_label) AS rk FROM SDIST) WHERE rk = 1), " +
+    "QLUT AS (SELECT v.vec_id AS qid, CAST(v.dim // 8 AS INT) AS sub, c.c_label AS code, " +
+    "sum((v.q * 1000 - c.c6) * (v.q * 1000 - c.c6)) AS sd2 " +
+    "FROM QQ v JOIN C c ON v.dim = c.dim WHERE v.vec_id < 8 " +
+    "GROUP BY v.vec_id, v.dim // 8, c.c_label), " +
+    "ADC AS (SELECT l.qid, cd.vec_id, sum(l.sd2) AS d2 FROM SCODE cd " +
+    "JOIN QLUT l ON l.sub = cd.sub AND l.code = cd.code " +
+    "JOIN CELL cl ON cl.vec_id = cd.vec_id " +
+    "JOIN PROBE p ON p.qid = l.qid AND p.cell = cl.cell " +
+    "WHERE cd.vec_id <> l.qid GROUP BY l.qid, cd.vec_id), " +
+    "SL AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
+    "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10), " +
+    "RR AS (SELECT j.qid, j.vec_id, j.cell, j.cos, row_number() OVER " +
+    "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rank " +
+    "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id) " +
+    "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+    "FROM RR WHERE rank <= 3 ORDER BY qid, rank"
 
   private val chainBlock = graft.graph.GraphOps.ChainBlock
 
@@ -1921,29 +1966,11 @@ object SparkEntry {
     // integer LUT sums, shortlist rk <= 10 by (d2, vec_id), then the
     // survivors re-ranked by the exact rounded cosine — every stage
     // engine-reproducible, including which candidates the lossy ADC keeps
-    "sim_ann_ivfpq_indexed" ->
-      (s"WITH $ivfTrainedCtes, " +
-       "SDIST AS (SELECT x.vec_id, CAST(x.dim // 8 AS INT) AS sub, c.c_label, " +
-       "sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
-       "FROM QQ x JOIN C c ON x.dim = c.dim GROUP BY x.vec_id, x.dim // 8, c.c_label), " +
-       "SCODE AS (SELECT vec_id, sub, c_label AS code FROM " +
-       "(SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c_label) AS rk FROM SDIST) WHERE rk = 1), " +
-       "QLUT AS (SELECT v.vec_id AS qid, CAST(v.dim // 8 AS INT) AS sub, c.c_label AS code, " +
-       "sum((v.q * 1000 - c.c6) * (v.q * 1000 - c.c6)) AS sd2 " +
-       "FROM QQ v JOIN C c ON v.dim = c.dim WHERE v.vec_id < 8 " +
-       "GROUP BY v.vec_id, v.dim // 8, c.c_label), " +
-       "ADC AS (SELECT l.qid, cd.vec_id, sum(l.sd2) AS d2 FROM SCODE cd " +
-       "JOIN QLUT l ON l.sub = cd.sub AND l.code = cd.code " +
-       "JOIN CELL cl ON cl.vec_id = cd.vec_id " +
-       "JOIN PROBE p ON p.qid = l.qid AND p.cell = cl.cell " +
-       "WHERE cd.vec_id <> l.qid GROUP BY l.qid, cd.vec_id), " +
-       "SL AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
-       "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10), " +
-       "RR AS (SELECT j.qid, j.vec_id, j.cell, j.cos, row_number() OVER " +
-       "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rank " +
-       "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id) " +
-       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
-       "FROM RR WHERE rank <= 3 ORDER BY qid, rank"),
+    "sim_ann_ivfpq_indexed" -> ivfPqSqlFrom("TRUE"),
+    // fused-index delta ingest: BOTH quantizers (coarse cells + PQ
+    // codebook) trained on the base split only; every vector assigned,
+    // encoded, probed, and ADC-scored against those frozen artifacts
+    "sim_ann_ivfpq_index_delta" -> ivfPqSqlFrom("vec_id % 5 <> 0"),
     // drift audit: base-trained vs full-trained argmin cells compared
     // per vector, both exact integer-space assignments
     "sim_ann_ivf_drift" ->

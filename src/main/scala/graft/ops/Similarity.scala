@@ -542,6 +542,48 @@ object Similarity {
       table, overwrite = true)
   }
 
+  /** Incremental ingest into the PQ-fused index — [[ivfIndexDelta]] with
+    * BOTH quantizers frozen: delta vectors are assigned against the
+    * stored coarse centroids AND encoded against the stored PQ codebook
+    * (`{table}_pqbook`), then appended into the cell partitions; the
+    * standing lists are never read (the [[IngestGuard]] sidecar enforces
+    * vec_id disjointness delta-proportionally). Codebook drift joins
+    * centroid drift in the retrain trade: both refresh together via
+    * [[retrainIfNeeded]]-style rebuilds, never piecemeal — a code is
+    * only comparable to an ADC lookup table built from the SAME
+    * codebook generation. */
+  def ivfPqIndexDelta(table: String, delta: DataFrame): Unit = {
+    val spark = delta.sparkSession
+    if (delta.isEmpty) return
+    require(spark.catalog.tableExists(s"${table}_centroids") &&
+        spark.catalog.tableExists(s"${table}_pqbook"),
+      s"ivfPqIndexDelta needs the trained artifacts: ${table}_centroids " +
+        s"and ${table}_pqbook — run buildIvfPqIndex first")
+    // same mid-swap bootstrap refusal as ivfIndexDelta (the fused index
+    // compacts through the same swap)
+    if (!spark.catalog.tableExists(s"${table}_ivf") &&
+        spark.catalog.tableExists(s"${table}_guard")) {
+      recoverIvfSwap(spark, table)
+      require(spark.catalog.tableExists(s"${table}_ivf"),
+        s"ivfPqIndexDelta refusing to bootstrap: ${table}_guard exists " +
+          s"but ${table}_ivf is missing and no staged copy was found to " +
+          "roll forward")
+    }
+    if (spark.catalog.tableExists(s"${table}_ivf"))
+      graft.ops.IngestGuard.assertDisjoint(spark, table, delta, "vec_id",
+        spark.table(s"${table}_ivf"), "ivfPqIndexDelta")
+    val codes = Centroids.pqCodes(delta, spark.table(s"${table}_pqbook"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id"), transform(col("sc"), s => s("code")).as("codes"))
+    assignedCells(delta, spark.table(s"${table}_centroids"))
+      .join(codes, "vec_id")
+      .write.mode("append").partitionBy("cell").format("parquet")
+      .saveAsTable(s"${table}_ivf")
+    graft.ops.IngestGuard.write(spark, delta, "vec_id", table,
+      overwrite = false)
+  }
+
   /** Query the PQ-fused IVF index — the full IVF-PQ ladder served from
     * the materialized index: probes resolve against the stored coarse
     * centroids (DPP-pruned cell reads, the [[annIvfIndexedTopK]]

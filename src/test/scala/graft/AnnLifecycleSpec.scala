@@ -43,7 +43,34 @@ class AnnLifecycleSpec extends SparkSpec {
     val rows = got.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
 
-    // ---- independent recomputation ----
+    val want = ivfPqExpected(emb, _ => true)
+    assert(rows.toSeq === want.toSeq,
+      "index-served IVF-PQ diverged from the independent chain")
+
+    // plan contracts: corpus unscanned; DPP on the partitioned index
+    // scan; and the ADC candidate scan reads codes WITHOUT the v column
+    val plan = got.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(!planStr.contains("embeddings.parquet"),
+      s"corpus scanned at query time:\n$planStr")
+    val partScans = scans(plan).filter(_.relation.partitionSchema.nonEmpty)
+    assert(partScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"no dynamic partition pruning on the index scan:\n$planStr")
+    val adcScan = partScans.find(s =>
+      s.output.exists(_.name == "codes") && !s.output.exists(_.name == "v"))
+    assert(adcScan.isDefined,
+      s"ADC scan reads raw vectors (no codes-only scan found):\n$planStr")
+  }
+
+  /** Fully independent driver-side IVF-PQ chain (plain Scala over
+    * collected arrays): BOTH quantizers (coarse label centroids + the
+    * per-subspace PQ codebook, which derive from the same c6 table)
+    * train on the `trainPred` subset; assignment, codes, probes, ADC,
+    * shortlist, and rescore always cover every vector — the frozen-
+    * artifact delta-ingest semantics. */
+  private def ivfPqExpected(emb: org.apache.spark.sql.DataFrame,
+      trainPred: Long => Boolean): Seq[(Long, Long, Int, Double, Int)] = {
     val data = emb.select(col("vec_id"), col("label"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
@@ -54,16 +81,17 @@ class AnnLifecycleSpec extends SparkSpec {
     val xq = data.map { case (id, _, v) =>
       id -> v.map(x => rnd(x.toDouble * 1000) * 1000L)
     }.toMap
-    // label centroids c6 (exact integer sums, 6dp round, scale 1e6)
-    val c6 = data.groupBy(_._2).map { case (lbl, vs) =>
-      val sums = Array.fill(dim)(0L)
-      vs.foreach { case (_, _, v) =>
-        var i = 0
-        while (i < dim) { sums(i) += rnd(v(i).toDouble * 1000); i += 1 }
-      }
-      lbl -> sums.map(s => rnd(
-        BigDecimal(s.toDouble / (1000.0 * vs.length))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1000000.0))
+    // label centroids c6 over the TRAINING subset only
+    val c6 = data.filter(d => trainPred(d._1)).groupBy(_._2).map {
+      case (lbl, vs) =>
+        val sums = Array.fill(dim)(0L)
+        vs.foreach { case (_, _, v) =>
+          var i = 0
+          while (i < dim) { sums(i) += rnd(v(i).toDouble * 1000); i += 1 }
+        }
+        lbl -> sums.map(s => rnd(
+          BigDecimal(s.toDouble / (1000.0 * vs.length))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1000000.0))
     }
     def d2(a: Array[Long], c: Array[Long], lo: Int, hi: Int): Long = {
       var s = 0L; var i = lo
@@ -95,7 +123,7 @@ class AnnLifecycleSpec extends SparkSpec {
       s
     }
     val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
-    val want = (0L until NQ).flatMap { qid =>
+    (0L until NQ).flatMap { qid =>
       val lut = (0 until SubSpaces).map { s =>
         s -> c6.map { case (l, c) =>
           l -> d2(xq(qid), c, s * subDims, (s + 1) * subDims)
@@ -112,23 +140,40 @@ class AnnLifecycleSpec extends SparkSpec {
         case ((c, id), i) => (qid, id, i + 1, round4(c), cell(id))
       }
     }
-    assert(rows.toSeq === want.toSeq,
-      "index-served IVF-PQ diverged from the independent chain")
+  }
 
-    // plan contracts: corpus unscanned; DPP on the partitioned index
-    // scan; and the ADC candidate scan reads codes WITHOUT the v column
-    val plan = got.queryExecution.executedPlan
-    val planStr = plan.toString
-    assert(!planStr.contains("embeddings.parquet"),
-      s"corpus scanned at query time:\n$planStr")
-    val partScans = scans(plan).filter(_.relation.partitionSchema.nonEmpty)
-    assert(partScans.exists(_.partitionFilters.exists(
-        _.toString.toLowerCase.contains("dynamicpruning"))),
-      s"no dynamic partition pruning on the index scan:\n$planStr")
-    val adcScan = partScans.find(s =>
-      s.output.exists(_.name == "codes") && !s.output.exists(_.name == "v"))
-    assert(adcScan.isDefined,
-      s"ADC scan reads raw vectors (no codes-only scan found):\n$planStr")
+  test("ivfPqIndexDelta: frozen coarse+PQ artifacts, merged lists == independent base-trained chain") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-ivfpqd-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ivfpqd_test LOCATION '$wh'")
+    val t = "graft_ivfpqd_test.idx"
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0), t)
+    val bookBefore = spark.table(s"${t}_pqbook").collect().map(_.toSeq).toSet
+    Similarity.ivfPqIndexDelta(t, emb.filter(col("vec_id") % 5 === 0))
+
+    // neither trained artifact moved (frozen-quantizer contract × 2)
+    assert(spark.table(s"${t}_pqbook").collect().map(_.toSeq).toSet
+      === bookBefore, "delta ingest mutated the PQ codebook")
+    // every vector landed exactly once, codes present on every row
+    val idx = spark.table(s"${t}_ivf")
+    assert(idx.count() === emb.count())
+    assert(idx.filter(col("codes").isNull).count() === 0)
+
+    val got = Similarity.annIvfPqIndexedTopK(spark, t).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    val want = ivfPqExpected(emb, _ % 5 != 0)
+    assert(got.toSeq === want.toSeq,
+      "delta-maintained IVF-PQ diverged from the independent base-trained chain")
+
+    // re-ingest throws; compaction is layout-only on the fused index too
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexDelta(t, emb.filter(col("vec_id") % 5 === 0))
+    }
+    Similarity.compactIvfIndex(spark, t)
+    assert(Similarity.annIvfPqIndexedTopK(spark, t).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+      .toSeq === want.toSeq, "compaction moved a fused-index result")
   }
 
   test("retrainIfNeeded: no-op below threshold, retrain + rebuild at threshold, provenance logged") {
