@@ -31,8 +31,10 @@ object PlanAudit {
         "w1_event_windows", "w2_sessionize", "w5_sliding_counts",
         "w8_funnel", "w9_retention", "a13_outliers",
         "bm25_index_compact", "sim_ann_ivf_index_compact",
-        // round-12: the PQ-fused index + the retrain policy
-        "sim_ann_ivfpq_indexed", "sim_ann_ivf_retrain")) {
+        // round-12: the PQ-fused index + the retrain policy + the
+        // residual (IVFADC) variant
+        "sim_ann_ivfpq_indexed", "sim_ann_ivf_retrain",
+        "sim_ann_ivfpq_residual")) {
       out.println(s"==== $name ====")
       out.println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -560,6 +560,37 @@ object SparkEntry {
         emb.filter(col("vec_id") % 5 === 0))
       Similarity.annIvfPqIndexedTopK(s, "graft_idx.ivfpqd")
     }),
+    // RESIDUAL-encoded fused index (IVFADC, Jégou et al. TPAMI 2011):
+    // PQ encodes r = x − centroid(cell(x)) instead of x — the coarse
+    // quantizer already explains cell geometry, so the same 8 codes
+    // describe the tighter residual distribution; the ADC lookup table
+    // rebases per probed cell (qid, cell, sub, code). Same table
+    // layout, same codes-only candidate scan
+    "sim_ann_ivfpq_residual" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivfpqr-idx")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      Similarity.buildIvfPqResidualIndex(Tables.embeddings(s, d),
+        "graft_idx.ivfpqr")
+      Similarity.annIvfPqResidualTopK(s, "graft_idx.ivfpqr")
+    }),
+    // residual-index incremental ingest: the delta is assigned AND
+    // residual-encoded against the stored artifacts (ivfPqIndexDelta
+    // branches on the recorded 'enc' provenance — mixing encodings
+    // would silently mis-score every ADC candidate). Oracle-only (not
+    // benched): its cost shape is already priced by the
+    // sim_ann_ivfpq_index_delta and sim_ann_ivfpq_residual rows
+    "sim_ann_ivfpq_residual_delta" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivfpqr-delta")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfPqResidualIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "graft_idx.ivfpqrd")
+      Similarity.ivfPqIndexDelta("graft_idx.ivfpqrd",
+        emb.filter(col("vec_id") % 5 === 0))
+      Similarity.annIvfPqResidualTopK(s, "graft_idx.ivfpqrd")
+    }),
     // quantizer-drift audit: vectors whose cell differs between the
     // frozen base-trained quantizer and full retraining — the number
     // that schedules re-training in the ingest-vs-retrain trade
@@ -915,6 +946,38 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       Similarity.annIvfIndexedTopK(s, "graft_idx.ivfs")
     }),
+    // streaming ingest into the PQ-FUSED index: base build freezes BOTH
+    // quantizers, the remaining vectors stream through the idempotent
+    // fused path (assigned + PQ-encoded per micro-batch against the
+    // stored artifacts). After the drain, the ADC-shortlist-rescore
+    // query must answer the same oracle as the batch fused-delta row —
+    // the full 100 TB ANN lifecycle (build → stream → maintain → query)
+    // now exists for the compressed-domain index too
+    "stream_ivfpq_ingest" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivfpq-stream")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "graft_idx.ivfpqs")
+      val feed = java.nio.file.Files.createTempDirectory("graft-pq-feed")
+        .toFile.getAbsolutePath + "/in"
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      delta.filter(col("vec_id") % 2 === 0).repartition(1).write.parquet(feed)
+      delta.filter(col("vec_id") % 2 === 1).repartition(1)
+        .write.mode("append").parquet(feed)
+      val q = s.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.ivfPqIndexDeltaIdempotent("graft_idx.ivfpqs", batch)
+          Similarity.compactIvfIfNeeded(s, "graft_idx.ivfpqs")
+          ()
+        }
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      Similarity.annIvfPqIndexedTopK(s, "graft_idx.ivfpqs")
+    }),
     // streaming ingest into the standing index — a REAL bounded stream
     // (file source, one file per micro-batch, foreachBatch -> idempotent
     // delta ingest; batch 0 bootstraps the empty catalog). After the
@@ -1117,7 +1180,7 @@ object SparkEntry {
     "sim_ann_ivf_trained_recall", "sim_ann_ivf_indexed",
     "sim_ann_ivf_index_delta", "sim_ann_ivf_index_compact",
     "sim_ann_ivf_drift", "sim_ann_ivfpq_indexed", "sim_ann_ivfpq_index_delta",
-    "sim_ann_ivf_retrain",
+    "sim_ann_ivfpq_residual", "sim_ann_ivf_retrain",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -1289,6 +1352,59 @@ object SparkEntry {
     "JOIN QLUT l ON l.sub = cd.sub AND l.code = cd.code " +
     "JOIN CELL cl ON cl.vec_id = cd.vec_id " +
     "JOIN PROBE p ON p.qid = l.qid AND p.cell = cl.cell " +
+    "WHERE cd.vec_id <> l.qid GROUP BY l.qid, cd.vec_id), " +
+    "SL AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
+    "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10), " +
+    "RR AS (SELECT j.qid, j.vec_id, j.cell, j.cos, row_number() OVER " +
+    "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rank " +
+    "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id) " +
+    "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+    "FROM RR WHERE rank <= 3 ORDER BY qid, rank"
+
+  /** Residual IVF-PQ oracle chain (IVFADC): the trained-IVF CTEs, then
+    * exact integer residuals r = q·10³ − c6 per (vector, dim) against
+    * the ASSIGNED cell, a residual codebook RC via the same c6 rounding
+    * pipeline (6dp unit mean × 10⁶), residual codes, a per-(query,
+    * probed-cell) LUT over QUERY residuals, cell-matched ADC sums, the
+    * (d2, vec_id) shortlist, and the exact-cosine rescore. The residual
+    * codebook RC is sample-seeded (PqK lowest training vec_ids, coded in
+    * id order) + one Lloyd round — see Centroids.residualCodebook for
+    * why label-mean seeding is degenerate on residuals. `basePred`
+    * restricts which vectors train C and RC (both quantizer artifacts);
+    * assignment/encoding/probing always cover every vector. */
+  private def ivfPqResidualSqlFrom(basePred: String): String =
+    s"WITH ${ivfTrainedCtesFrom(basePred)}, " +
+    "RES AS (SELECT x.vec_id, x.dim, x.q * 1000 - c.c6 AS r " +
+    "FROM QQ x JOIN CELL cl ON cl.vec_id = x.vec_id " +
+    "JOIN C c ON c.c_label = cl.cell AND c.dim = x.dim), " +
+    s"TRES AS (SELECT * FROM RES WHERE $basePred), " +
+    s"RSEED AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c_label " +
+    s"FROM (SELECT DISTINCT vec_id FROM TRES ORDER BY vec_id LIMIT ${graft.ops.Centroids.PqK})), " +
+    "RSV AS (SELECT s.c_label, r.dim, r.r AS c6 FROM RSEED s JOIN TRES r ON r.vec_id = s.vec_id), " +
+    "RA0 AS (SELECT x.vec_id, CAST(x.dim // 8 AS INT) AS sub, v.c_label, " +
+    "sum((x.r - v.c6) * (x.r - v.c6)) AS d2 " +
+    "FROM TRES x JOIN RSV v ON v.dim = x.dim GROUP BY x.vec_id, x.dim // 8, v.c_label), " +
+    "RA AS (SELECT vec_id, sub, c_label FROM (SELECT *, row_number() OVER " +
+    "(PARTITION BY vec_id, sub ORDER BY d2, c_label) AS rk FROM RA0) WHERE rk = 1), " +
+    "RC AS (SELECT a.c_label, r.dim, " +
+    "CAST(round(round(CAST(sum(r.r) AS DOUBLE) / (1000000.0 * count(*)), 6) * 1000000.0) AS BIGINT) AS c6 " +
+    "FROM TRES r JOIN RA a ON a.vec_id = r.vec_id AND a.sub = r.dim // 8 " +
+    "GROUP BY a.c_label, r.dim), " +
+    "SDIST AS (SELECT x.vec_id, CAST(x.dim // 8 AS INT) AS sub, c.c_label, " +
+    "sum((x.r - c.c6) * (x.r - c.c6)) AS d2 " +
+    "FROM RES x JOIN RC c ON x.dim = c.dim GROUP BY x.vec_id, x.dim // 8, c.c_label), " +
+    "SCODE AS (SELECT vec_id, sub, c_label AS code FROM " +
+    "(SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c_label) AS rk FROM SDIST) WHERE rk = 1), " +
+    "QRES AS (SELECT p.qid, p.cell, x.dim, x.q * 1000 - c.c6 AS r " +
+    "FROM PROBE p JOIN QQ x ON x.vec_id = p.qid " +
+    "JOIN C c ON c.c_label = p.cell AND c.dim = x.dim), " +
+    "QLUT AS (SELECT q.qid, q.cell, CAST(q.dim // 8 AS INT) AS sub, c.c_label AS code, " +
+    "sum((q.r - c.c6) * (q.r - c.c6)) AS sd2 " +
+    "FROM QRES q JOIN RC c ON q.dim = c.dim " +
+    "GROUP BY q.qid, q.cell, q.dim // 8, c.c_label), " +
+    "ADC AS (SELECT l.qid, cd.vec_id, sum(l.sd2) AS d2 FROM SCODE cd " +
+    "JOIN CELL cl ON cl.vec_id = cd.vec_id " +
+    "JOIN QLUT l ON l.sub = cd.sub AND l.code = cd.code AND l.cell = cl.cell " +
     "WHERE cd.vec_id <> l.qid GROUP BY l.qid, cd.vec_id), " +
     "SL AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
     "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10), " +
@@ -1971,6 +2087,16 @@ object SparkEntry {
     // codebook) trained on the base split only; every vector assigned,
     // encoded, probed, and ADC-scored against those frozen artifacts
     "sim_ann_ivfpq_index_delta" -> ivfPqSqlFrom("vec_id % 5 <> 0"),
+    // a drained fused-ingest stream converges to the batch fused-delta
+    // result: same frozen-artifact oracle
+    "stream_ivfpq_ingest" -> ivfPqSqlFrom("vec_id % 5 <> 0"),
+    // residual encoding (IVFADC): codes argmin over the RESIDUAL
+    // codebook, LUT rebased per probed cell — every stage still exact
+    // integer math, so even the lossy shortlist is reproducible
+    "sim_ann_ivfpq_residual" -> ivfPqResidualSqlFrom("TRUE"),
+    // residual-index delta ingest: both residual artifacts (coarse
+    // centroids + residual codebook) trained on the base split only
+    "sim_ann_ivfpq_residual_delta" -> ivfPqResidualSqlFrom("vec_id % 5 <> 0"),
     // drift audit: base-trained vs full-trained argmin cells compared
     // per vector, both exact integer-space assignments
     "sim_ann_ivf_drift" ->

@@ -10,7 +10,11 @@ object TimeQ {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (name <- SparkEntry.benchQueries) {
+    // optional arg(1): comma-separated subset (quiet control-relative
+    // adjudication runs); default = the full bench set
+    val names = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(SparkEntry.benchQueries)
+    for (name <- names) {
       val t0 = System.nanoTime()
       // noop sink to match Bench's materialization semantics (count() lets
       // Catalyst prune columns and drop sorts).

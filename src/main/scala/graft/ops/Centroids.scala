@@ -129,6 +129,81 @@ object Centroids {
   def pqCodes(embeddings: DataFrame): DataFrame =
     pqCodes(embeddings, pqCodebook(embeddings))
 
+  /** Residual PQ codebook size — matches the 10-label raw codebook so
+    * the raw-vs-residual recall comparison is size-for-size honest. */
+  val PqK = 10
+
+  /** RESIDUAL PQ codebook — the per-subspace codebook for coarse-cell
+    * residuals (the IVFADC composition of Jégou et al., TPAMI 2011:
+    * encode r = x − centroid(cell(x)), which strips the part of x the
+    * coarse quantizer already explains, so PQ spends its codes on the
+    * much tighter residual distribution). Training is SAMPLE-SEEDED +
+    * ONE LLOYD ROUND: seeds are the [[PqK]] lowest-vec_id training
+    * residual vectors (codes 0..PqK−1 in id order — the deterministic
+    * analog of k-means random init; label-MEAN seeding is structurally
+    * degenerate here, because residuals within a cell average ≈ 0 and
+    * every code collapses to the origin), each training residual
+    * subvector is assigned to its nearest seed by exact integer
+    * distance, and the codebook entry is the per-group mean via the
+    * identical [[labelCentroids]]→c6 rounding pipeline (6dp unit mean ×
+    * 10^6 as a long) — layout-independent and oracle-able like every
+    * other quantizer here. A (sub, code) group that attracts no members
+    * simply has no entry (its seed always attracts itself, so this only
+    * happens to codes shadowed by an identical lower-coded seed slice —
+    * both engines drop them identically). Input rows are (vec_id, rvec:
+    * array<long> at scale 10^6 — exact integer residuals); output
+    * schema matches [[pqCodebook]]: (sub, c_label, cvec). */
+  private[ops] def residualCodebook(residuals: DataFrame): DataFrame = {
+    val subDims = 64 / SubSpaces
+    val w = Window.orderBy(col("vec_id"))
+    // PqK lowest-id residuals as seeds (a TakeOrdered of PqK rows; the
+    // single-partition window runs over those PqK rows only)
+    val seedBook = residuals.select(col("vec_id"), col("rvec"))
+      .orderBy(col("vec_id")).limit(PqK)
+      .withColumn("c_label", (row_number().over(w) - 1).cast("int"))
+      .select(col("c_label"), posexplode(
+        transform(sequence(lit(0), lit(SubSpaces - 1)),
+          s => slice(col("rvec"), s * subDims + 1, lit(subDims))))
+        .as(Seq("sub", "cvec")))
+      .select(col("sub"), col("c_label"), col("cvec"))
+    val assigned = pqCodesFromInt(
+        residuals.select(col("vec_id"), col("rvec").as("xq")), seedBook)
+      .withColumnRenamed("code", "c_label")
+    residuals
+      .select(col("vec_id"), posexplode(col("rvec")).as(Seq("dim", "r")))
+      .withColumn("sub", (col("dim") / subDims).cast("int"))
+      .join(assigned, Seq("vec_id", "sub"))
+      .groupBy(col("c_label"), col("dim"))
+      .agg(sum(col("r")).as("s"), count(lit(1)).as("n"))
+      .select(col("c_label"), col("dim"),
+        round(round(col("s").cast("double") / (lit(1000000.0) * col("n")), 6)
+          * 1000000.0).cast("long").as("c6"))
+      .withColumn("sub", (col("dim") / subDims).cast("int"))
+      .groupBy(col("sub"), col("c_label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c6")))).as("cd"))
+      .select(col("sub"), col("c_label"),
+        transform(col("cd"), s => s("c6")).as("cvec"))
+  }
+
+  /** PQ ENCODE over already-quantized integer vectors (vec_id, xq:
+    * array<long>) — the [[pqCodes]] argmin without the float→integer
+    * quantization step, for encoding residuals (which are exact integers
+    * by construction) against a [[residualCodebook]]. */
+  private[ops] def pqCodesFromInt(ints: DataFrame, cent: DataFrame): DataFrame = {
+    val subDims = 64 / SubSpaces
+    val subs = ints.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(SubSpaces - 1)),
+          s => slice(col("xq"), s * subDims + 1, lit(subDims)))).as(Seq("sub", "xs")))
+    val dist = aggregate(
+      zip_with(col("xs"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, d) => acc + d)
+    subs.join(broadcast(cent), "sub")
+      .select(col("vec_id"), col("sub"), col("c_label"), dist.as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.c_label").as("code"))
+  }
+
   private[ops] def pqCodes(embeddings: DataFrame, cent: DataFrame): DataFrame = {
     val subDims = 64 / SubSpaces
     val subs = embeddings.select(

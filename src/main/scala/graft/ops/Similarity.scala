@@ -349,23 +349,48 @@ object Similarity {
     if (!spark.catalog.tableExists(s"${table}_ivf")) {
       ivfIndexDelta(table, delta); return
     }
-    val standingIds = spark.table(s"${table}_ivf").select(col("vec_id"))
-    val novel =
-      graft.ops.IngestGuard.suspectPredicate(spark, table, "vec_id") match {
-        case Some(hit) =>
-          val suspects = delta.select(col("vec_id")).distinct().filter(hit)
-          if (suspects.isEmpty) delta
-          else {
-            val present = standingIds
-              .join(broadcast(suspects), Seq("vec_id"), "left_semi").distinct()
-            delta.join(broadcast(present), Seq("vec_id"), "left_anti")
-              .localCheckpoint()
-          }
-        case None =>
-          delta.join(standingIds.distinct(), Seq("vec_id"), "left_anti")
-            .localCheckpoint()
-      }
+    val novel = novelAgainstLists(spark, table, delta)
     if (!novel.isEmpty) ivfIndexDelta(table, novel)
+  }
+
+  /** The delta rows whose vec_id is NOT already in the standing lists —
+    * the replay filter both idempotent ingest twins share. Exact
+    * confirmation only for the bloom-suspect sliver; the novel set is
+    * lineage-cut before writes (it derives from the table being appended
+    * to — the insert-time cache-invalidation trap, see the Search twin). */
+  private def novelAgainstLists(spark: org.apache.spark.sql.SparkSession,
+      table: String, delta: DataFrame): DataFrame = {
+    val standingIds = spark.table(s"${table}_ivf").select(col("vec_id"))
+    graft.ops.IngestGuard.suspectPredicate(spark, table, "vec_id") match {
+      case Some(hit) =>
+        val suspects = delta.select(col("vec_id")).distinct().filter(hit)
+        if (suspects.isEmpty) delta
+        else {
+          val present = standingIds
+            .join(broadcast(suspects), Seq("vec_id"), "left_semi").distinct()
+          delta.join(broadcast(present), Seq("vec_id"), "left_anti")
+            .localCheckpoint()
+        }
+      case None =>
+        delta.join(standingIds.distinct(), Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+    }
+  }
+
+  /** At-least-once-safe FUSED ingest — [[ivfPqIndexDelta]]'s idempotent
+    * twin (the [[ivfIndexDeltaIdempotent]] contract for the PQ-fused
+    * lists): a replayed streaming micro-batch must be a no-op, not
+    * duplicate (vec_id, codes) rows in a cell partition. Same
+    * delta-proportional replay filter ([[novelAgainstLists]]); the novel
+    * survivors are then assigned AND encoded against the stored frozen
+    * artifacts exactly as a batch delta would be. */
+  def ivfPqIndexDeltaIdempotent(table: String, delta: DataFrame): Unit = {
+    val spark = delta.sparkSession
+    if (!spark.catalog.tableExists(s"${table}_ivf")) {
+      ivfPqIndexDelta(table, delta); return
+    }
+    val novel = novelAgainstLists(spark, table, delta)
+    if (!novel.isEmpty) ivfPqIndexDelta(table, novel)
   }
 
   /** Compact a delta-grown IVF index: every [[ivfIndexDelta]] appends its
@@ -526,16 +551,17 @@ object Similarity {
     cent.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
     val book = Centroids.pqCodebook(embeddings)
-    book.write.mode("overwrite").format("parquet")
+    // enc records HOW codes were computed ('raw' | 'residual'): a code
+    // is only comparable to an ADC table built the same way, so every
+    // later consumer (delta ingest, retrain, the query entry points)
+    // branches on this provenance instead of silently mis-encoding
+    book.withColumn("enc", lit("raw"))
+      .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_pqbook")
     // codes as a sub-ordered array: one slim row per vector joins the
     // cell assignment — the inverted lists ARE the code store
-    val codes = Centroids.pqCodes(embeddings, book)
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
-      .select(col("vec_id"), transform(col("sc"), s => s("code")).as("codes"))
     assignedCells(embeddings, cent)
-      .join(codes, "vec_id")
+      .join(packCodes(Centroids.pqCodes(embeddings, book)), "vec_id")
       .write.mode("overwrite").partitionBy("cell").format("parquet")
       .saveAsTable(s"${table}_ivf")
     graft.ops.IngestGuard.write(embeddings.sparkSession, embeddings, "vec_id",
@@ -572,17 +598,50 @@ object Similarity {
     if (spark.catalog.tableExists(s"${table}_ivf"))
       graft.ops.IngestGuard.assertDisjoint(spark, table, delta, "vec_id",
         spark.table(s"${table}_ivf"), "ivfPqIndexDelta")
-    val codes = Centroids.pqCodes(delta, spark.table(s"${table}_pqbook"))
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
-      .select(col("vec_id"), transform(col("sc"), s => s("code")).as("codes"))
-    assignedCells(delta, spark.table(s"${table}_centroids"))
-      .join(codes, "vec_id")
-      .write.mode("append").partitionBy("cell").format("parquet")
-      .saveAsTable(s"${table}_ivf")
+    val cent = spark.table(s"${table}_centroids")
+    val book = spark.table(s"${table}_pqbook")
+    if (fusedEnc(spark, table) == "residual") {
+      // residual provenance: the delta's exact integer residuals are
+      // encoded against the STORED residual codebook — the same frozen
+      // artifacts the standing codes used, so merged lists stay
+      // ADC-comparable
+      val withR = assignedCells(delta, cent)
+        .withColumn("xq", transform(col("v"),
+          x => round(x * 1000).cast("long") * lit(1000L)))
+        .join(broadcast(cent), col("cell") === col("c_label"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+          zip_with(col("xq"), col("cvec"), (x, c) => x - c).as("rvec"))
+      withR.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+        .join(packCodes(Centroids.pqCodesFromInt(
+          withR.select(col("vec_id"), col("rvec").as("xq")), book)), "vec_id")
+        .write.mode("append").partitionBy("cell").format("parquet")
+        .saveAsTable(s"${table}_ivf")
+    } else {
+      assignedCells(delta, cent)
+        .join(packCodes(Centroids.pqCodes(delta, book)), "vec_id")
+        .write.mode("append").partitionBy("cell").format("parquet")
+        .saveAsTable(s"${table}_ivf")
+    }
     graft.ops.IngestGuard.write(spark, delta, "vec_id", table,
       overwrite = false)
   }
+
+  /** (vec_id, codes) — per-subspace codes packed sub-ordered into one
+    * array column, the inverted-list storage form. */
+  private def packCodes(c: DataFrame): DataFrame = c
+    .groupBy(col("vec_id"))
+    .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+    .select(col("vec_id"), transform(col("sc"), s => s("code")).as("codes"))
+
+  /** The stored code-encoding provenance of a fused index ('raw' |
+    * 'residual') — one metadata-sized lookup against `{t}_pqbook`. A
+    * PQ code is only comparable to an ADC lookup table built the same
+    * way, so ingest, retrain, and the query entry points all branch on
+    * (or assert) this instead of silently mixing encodings. */
+  private def fusedEnc(spark: org.apache.spark.sql.SparkSession,
+      table: String): String =
+    spark.table(s"${table}_pqbook").select(col("enc")).limit(1)
+      .collect()(0).getString(0)
 
   /** Query the PQ-fused IVF index — the full IVF-PQ ladder served from
     * the materialized index: probes resolve against the stored coarse
@@ -603,6 +662,10 @@ object Similarity {
   def annIvfPqIndexedTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
       shortlist: Int = 10): DataFrame = {
+    require(fusedEnc(spark, table) == "raw",
+      s"$table stores RESIDUAL codes — query it with annIvfPqResidualTopK " +
+        "(a raw-vector ADC table against residual codes mis-scores every " +
+        "candidate)")
     graft.functions.DotProduct.register(spark)
     val cent = spark.table(s"${table}_centroids")
     val book = spark.table(s"${table}_pqbook")
@@ -645,11 +708,18 @@ object Similarity {
     val adc = cand.join(broadcast(lut), Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col("vec_id"), col("cell"))
       .agg(sum(col("sd2")).as("d2"))
+    shortlistRescore(idx, q0, adc, k, shortlist)
+  }
+
+  /** The ADC→exact tail shared by every fused probe: the (d2, vec_id)
+    * shortlist cut over ADC scores, then the raw-vector rescore — v is
+    * read for the nQueries·shortlist survivors only, pruned to the
+    * probed cells. */
+  private def shortlistRescore(idx: DataFrame, q0: DataFrame,
+      adc: DataFrame, k: Int, shortlist: Int): DataFrame = {
     val sl = graft.plans.TopK.perKeyMin(adc, Seq("qid"), "d2", "vec_id",
         shortlist)
       .select(col("qid"), col("vec_id"), col("cell"))
-    // rescore the shortlist on raw vectors: v is read for the
-    // nQueries·shortlist survivors, pruned to the probed cells
     val q = q0.select(col("qid"), col("qv"), col("qnrm"))
     val scored = idx.select(col("vec_id"), col("cell"), col("v"), col("nrm"))
       .join(broadcast(sl), Seq("cell", "vec_id"))
@@ -661,6 +731,110 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rank"),
         round(col("cos"), 4).as("cos"), col("cell"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Build the RESIDUAL-encoded fused index — [[buildIvfPqIndex]] with
+    * the IVFADC refinement (Jégou et al., TPAMI 2011, §III): PQ encodes
+    * the coarse-cell RESIDUAL r = x − centroid(cell(x)) instead of x
+    * itself. The coarse quantizer already explains the centroid
+    * component of every vector, so raw-vector PQ wastes its codes
+    * re-describing cell geometry; residuals concentrate into a tighter
+    * distribution around zero and the same 8 codes buy strictly more
+    * precision — the standard production IVF-PQ layout. Costs one extra
+    * broadcast join at build (residual = xq − cvec, exact integer
+    * subtraction at scale 10^6) and makes the query LUT per-(query,
+    * probed-cell) instead of per-query (nprobe× larger, still a few
+    * thousand broadcast rows). Table layout is identical to the raw
+    * variant — `{t}_centroids`, `{t}_pqbook` (residual codebook),
+    * cell-partitioned `{t}_ivf` carrying (v, nrm, cell, codes) — so
+    * compaction/guard machinery applies unchanged. */
+  def buildIvfPqResidualIndex(embeddings: DataFrame, table: String): Unit = {
+    val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
+    cent.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    // exact integer residual per vector against its assigned cell:
+    // consumed twice (codebook training + encode) — tracked
+    val res = graft.CacheScope.track(
+      assignedCells(embeddings, cent)
+        .withColumn("xq", transform(col("v"),
+          x => round(x * 1000).cast("long") * lit(1000L)))
+        .join(broadcast(cent), col("cell") === col("c_label"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+          zip_with(col("xq"), col("cvec"), (x, c) => x - c).as("rvec")))
+    val book = Centroids.residualCodebook(res.select(col("vec_id"), col("rvec")))
+    book.withColumn("enc", lit("residual"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_pqbook")
+    val spark = embeddings.sparkSession
+    res.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .join(packCodes(Centroids.pqCodesFromInt(
+        res.select(col("vec_id"), col("rvec").as("xq")),
+        spark.table(s"${table}_pqbook"))), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").format("parquet")
+      .saveAsTable(s"${table}_ivf")
+    graft.ops.IngestGuard.write(spark, embeddings, "vec_id", table,
+      overwrite = true)
+  }
+
+  /** Query the residual-encoded fused index — [[annIvfPqIndexedTopK]]
+    * with the LUT rebased per probed cell: an ADC distance against a
+    * residual code is only meaningful relative to that candidate's cell
+    * centroid, so the lookup table keys on (qid, cell, sub, code) with
+    * the QUERY residual qr = xq − cvec(cell) on the query side of each
+    * subspace distance. Everything else is the fused contract unchanged:
+    * DPP-pruned codes-only candidate scan (never v), exact integer LUT
+    * sums, (d2, vec_id) shortlist, raw-vector rescore for the survivors
+    * only. */
+  def annIvfPqResidualTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
+      shortlist: Int = 10): DataFrame = {
+    require(fusedEnc(spark, table) == "residual",
+      s"$table stores RAW codes — query it with annIvfPqIndexedTopK " +
+        "(a per-cell residual ADC table against raw codes mis-scores " +
+        "every candidate)")
+    graft.functions.DotProduct.register(spark)
+    val cent = spark.table(s"${table}_centroids")
+    val book = spark.table(s"${table}_pqbook")
+    val idx = spark.table(s"${table}_ivf")
+    val subDims = Dim / Centroids.SubSpaces
+    val q0 = idx.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        transform(col("v"),
+          x => round(x * 1000).cast("long") * lit(1000L)).as("xq"))
+    val dist = aggregate(
+      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, d) => acc + d)
+    val probes = graft.plans.TopK.perKeyMin(
+        q0.join(broadcast(cent))
+          .select(col("qid"), col("c_label").as("cell"), dist.as("d2")),
+        Seq("qid"), "d2", "cell", nprobe)
+      .select(col("qid"), col("cell"))
+    // per-(query, probed-cell) residual LUT: nQueries × nprobe ×
+    // SubSpaces × |codebook| exact integer distances — a broadcast
+    val qres = probes.join(q0.select(col("qid"), col("xq")), "qid")
+      .join(broadcast(cent), col("cell") === col("c_label"))
+      .select(col("qid"), col("cell"),
+        zip_with(col("xq"), col("cvec"), (x, c) => x - c).as("qr"))
+    val qsubs = qres.select(col("qid"), col("cell"), posexplode(
+        transform(sequence(lit(0), lit(Centroids.SubSpaces - 1)),
+          s => slice(col("qr"), s * subDims + 1, lit(subDims))))
+        .as(Seq("sub", "qs")))
+    val lutDist = aggregate(
+      zip_with(col("qs"), col("cvec"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, d) => acc + d)
+    val lut = qsubs.join(broadcast(book), "sub")
+      .select(col("qid"), col("cell"), col("sub"),
+        col("c_label").as("code"), lutDist.as("sd2"))
+    val cand = idx.select(col("vec_id"), col("cell"), col("codes"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val adc = cand.join(broadcast(lut), Seq("qid", "cell", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"), col("cell"))
+      .agg(sum(col("sd2")).as("d2"))
+    shortlistRescore(idx, q0, adc, k, shortlist)
   }
 
   /** (vec_id, cell) only — the assignment exchange without the index
@@ -746,7 +920,17 @@ object Similarity {
       .withColumn("retrained", col("drift") >= col("threshold"))
       .localCheckpoint() // pin the decision before any rebuild mutates state
     val fired = decision.select(col("retrained")).collect()(0).getBoolean(0)
-    if (fired) buildIvfIndex(corpus, table)
+    // a retrain rebuilds THE LAYOUT THAT STANDS: a fused index must come
+    // back fused (same code-encoding provenance — rebuilding plain would
+    // drop the codes column and break every ADC query), a plain index
+    // comes back plain
+    if (fired) {
+      if (spark.catalog.tableExists(s"${table}_pqbook")) {
+        if (fusedEnc(spark, table) == "residual")
+          buildIvfPqResidualIndex(corpus, table)
+        else buildIvfPqIndex(corpus, table)
+      } else buildIvfIndex(corpus, table)
+    }
     decision.write.mode("append").format("parquet")
       .saveAsTable(s"${table}_quantizer_log")
     decision

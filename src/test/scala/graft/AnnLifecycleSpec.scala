@@ -70,7 +70,8 @@ class AnnLifecycleSpec extends SparkSpec {
     * shortlist, and rescore always cover every vector — the frozen-
     * artifact delta-ingest semantics. */
   private def ivfPqExpected(emb: org.apache.spark.sql.DataFrame,
-      trainPred: Long => Boolean): Seq[(Long, Long, Int, Double, Int)] = {
+      trainPred: Long => Boolean,
+      residual: Boolean = false): Seq[(Long, Long, Int, Double, Int)] = {
     val data = emb.select(col("vec_id"), col("label"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
@@ -102,16 +103,62 @@ class AnnLifecycleSpec extends SparkSpec {
     val cell = xq.map { case (id, a) =>
       id -> c6.toSeq.map { case (l, c) => (d2(a, c, 0, dim), l) }.min._2
     }
+    def minus(a: Array[Long], b: Array[Long]): Array[Long] =
+      Array.tabulate(a.length)(i => a(i) - b(i))
+    def sliceSub(a: Array[Long], s: Int): Array[Long] =
+      a.slice(s * subDims, (s + 1) * subDims)
+    def d2s(a: Array[Long], b: Array[Long]): Long = d2(a, b, 0, a.length)
+    // the vectors PQ encodes: raw, or the exact integer residual against
+    // the assigned cell's centroid (IVFADC)
+    val enc: Map[Long, Array[Long]] =
+      if (!residual) xq
+      else xq.map { case (id, a) => id -> minus(a, c6(cell(id))) }
+    // the per-subspace codebook (sub -> code -> subvector): raw → the
+    // label centroids sliced; residual → sample-seeded (PqK lowest
+    // training ids, coded in id order) + one Lloyd round, group means
+    // via the identical c6 rounding pipeline
+    val bookSub: Map[Int, Map[Int, Array[Long]]] =
+      if (!residual)
+        (0 until SubSpaces).map(s =>
+          s -> c6.map { case (l, c) => l -> sliceSub(c, s) }).toMap
+      else {
+        val train = data.map(_._1).filter(trainPred)
+        val seedIds = train.sorted.take(Centroids.PqK)
+        val seedSub = (0 until SubSpaces).map(s => s ->
+          seedIds.zipWithIndex.map { case (id, i) =>
+            i -> sliceSub(enc(id), s) }.toMap).toMap
+        val assign: Map[(Long, Int), Int] = train.flatMap(id =>
+          (0 until SubSpaces).map(s => (id, s) -> seedSub(s).toSeq.map {
+            case (cdl, c) => (d2s(sliceSub(enc(id), s), c), cdl)
+          }.min._2)).toMap
+        (0 until SubSpaces).map { s =>
+          s -> (0 until Centroids.PqK).flatMap { cdl =>
+            val members = train.filter(id => assign((id, s)) == cdl)
+            if (members.isEmpty) None
+            else {
+              val sums = Array.fill(subDims)(0L)
+              members.foreach { id =>
+                val r = sliceSub(enc(id), s); var i = 0
+                while (i < subDims) { sums(i) += r(i); i += 1 }
+              }
+              Some(cdl -> sums.map(x => rnd(
+                BigDecimal(x.toDouble / (1000000.0 * members.length))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble * 1000000.0)))
+            }
+          }.toMap
+        }.toMap
+      }
     // nprobe nearest cells per query
     val probes = (0L until NQ).map { qid =>
       qid -> c6.toSeq.map { case (l, c) => (d2(xq(qid), c, 0, dim), l) }
         .sorted.take(NProbe).map(_._2).toSet
     }.toMap
     // PQ codes: per (vec, sub) argmin over the per-subspace codebook
-    val codes = xq.map { case (id, a) =>
+    val codes = enc.map { case (id, a) =>
       id -> (0 until SubSpaces).map { s =>
-        c6.toSeq.map { case (l, c) =>
-          (d2(a, c, s * subDims, (s + 1) * subDims), l)
+        bookSub(s).toSeq.map { case (l, c) =>
+          (d2s(sliceSub(a, s), c), l)
         }.min._2
       }
     }
@@ -124,14 +171,21 @@ class AnnLifecycleSpec extends SparkSpec {
     }
     val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
     (0L until NQ).flatMap { qid =>
-      val lut = (0 until SubSpaces).map { s =>
-        s -> c6.map { case (l, c) =>
-          l -> d2(xq(qid), c, s * subDims, (s + 1) * subDims)
-        }
-      }.toMap
+      // raw: one LUT per query; residual: the LUT rebases per probed
+      // cell (the query side is the query's residual against that cell)
+      def lutFor(pcell: Int): Map[Int, Map[Int, Long]] = {
+        val qv = if (!residual) xq(qid) else minus(xq(qid), c6(pcell))
+        (0 until SubSpaces).map { s =>
+          s -> bookSub(s).map { case (l, c) =>
+            l -> d2s(sliceSub(qv, s), c)
+          }
+        }.toMap
+      }
+      val luts = probes(qid).map(p => p -> lutFor(p)).toMap
       val cands = data.map(_._1)
         .filter(id => id != qid && probes(qid).contains(cell(id)))
       val sl = cands.map { id =>
+        val lut = luts(cell(id))
         (codes(id).zipWithIndex.map { case (cd, s) => lut(s)(cd) }.sum, id)
       }.sorted.take(Shortlist).map(_._2)
       sl.map { id =>
@@ -174,6 +228,129 @@ class AnnLifecycleSpec extends SparkSpec {
     assert(Similarity.annIvfPqIndexedTopK(spark, t).collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
       .toSeq === want.toSeq, "compaction moved a fused-index result")
+  }
+
+  test("annIvfPqResidualTopK == independent IVFADC chain; codes-only scan; recall recorded vs raw") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-ivfpqr-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ivfpqr_test LOCATION '$wh'")
+    val t = "graft_ivfpqr_test.idx"
+    Similarity.buildIvfPqResidualIndex(emb, t)
+    val got = Similarity.annIvfPqResidualTopK(spark, t)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    val want = ivfPqExpected(emb, _ => true, residual = true)
+    assert(rows.toSeq === want.toSeq,
+      "residual-encoded IVF-PQ diverged from the independent IVFADC chain")
+
+    // the residual codebook is NOT the raw codebook (the refinement did
+    // something), yet the candidate scan stays codes-only
+    val raw = ivfPqExpected(emb, _ => true, residual = false)
+    val plan = got.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(!planStr.contains("embeddings.parquet"),
+      s"corpus scanned at query time:\n$planStr")
+    val partScans = scans(plan).filter(_.relation.partitionSchema.nonEmpty)
+    assert(partScans.exists(s =>
+        s.output.exists(_.name == "codes") && !s.output.exists(_.name == "v")),
+      s"ADC scan reads raw vectors (no codes-only scan found):\n$planStr")
+
+    // shortlist quality vs the exact cosine truth, both variants — the
+    // IVFADC refinement's measured value on this corpus (recorded, not
+    // assumed: near-uniform synthetic embeddings are PQ's worst case)
+    val data = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val nrm = data.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x * x).sum) }.toMap
+    val vm = data.toMap
+    def cosTop(qid: Long): Set[Long] = data
+      .filter(_._1 != qid)
+      .map { case (id, v) =>
+        (round6(v.zip(vm(qid)).map { case (a, b) => a * b }.sum
+          / (nrm(id) * nrm(qid))), id)
+      }.sortBy { case (c, id) => (-c, id) }.take(K).map(_._2).toSet
+    def recall(res: Seq[(Long, Long, Int, Double, Int)]): Double = {
+      val hits = (0L until NQ).map { qid =>
+        val truth = cosTop(qid)
+        res.filter(_._1 == qid).count(r => truth.contains(r._2))
+      }.sum
+      hits.toDouble / (NQ * K)
+    }
+    val rRes = recall(want); val rRaw = recall(raw)
+    info(f"shortlist-rescored recall@$K: residual $rRes%.4f vs raw $rRaw%.4f")
+    assert(rRes >= rRaw - 1e-9 || rRes >= 0.5,
+      f"residual encoding degraded recall badly: $rRes%.4f vs raw $rRaw%.4f")
+  }
+
+  test("ivfPqIndexDeltaIdempotent: at-least-once replay is a no-op; drained stream == batch delta") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-ivfpqi-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ivfpqi_test LOCATION '$wh'")
+    val t = "graft_ivfpqi_test.idx"
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0), t)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    // micro-batch split, second batch REPLAYED (at-least-once delivery),
+    // plus a full-delta replay after the drain — all must fold to the
+    // exact batch-delta state
+    val b0 = delta.filter(col("vec_id") % 2 === 0)
+    val b1 = delta.filter(col("vec_id") % 2 === 1)
+    Similarity.ivfPqIndexDeltaIdempotent(t, b0)
+    Similarity.ivfPqIndexDeltaIdempotent(t, b1)
+    Similarity.ivfPqIndexDeltaIdempotent(t, b1) // replayed micro-batch
+    Similarity.ivfPqIndexDeltaIdempotent(t, delta) // full-delta replay
+    val idx = spark.table(s"${t}_ivf")
+    assert(idx.count() === emb.count(), "replay duplicated fused-list rows")
+    assert(idx.filter(col("codes").isNull).count() === 0)
+    val got = Similarity.annIvfPqIndexedTopK(spark, t).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    assert(got.toSeq === ivfPqExpected(emb, _ % 5 != 0).toSeq,
+      "streamed fused ingest diverged from the independent base-trained chain")
+  }
+
+  test("residual delta ingest: enc-provenance branches + guards, merged lists == base-trained IVFADC chain") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-ivfpqrd-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ivfpqrd_test LOCATION '$wh'")
+    val t = "graft_ivfpqrd_test.idx"
+    Similarity.buildIvfPqResidualIndex(emb.filter(col("vec_id") % 5 =!= 0), t)
+    // the raw-ADC query refuses a residual index (mixed encodings would
+    // silently mis-score, so the mismatch must be loud)
+    intercept[IllegalArgumentException] {
+      Similarity.annIvfPqIndexedTopK(spark, t)
+    }
+    // delta encodes RESIDUALS against the stored codebook (the 'enc'
+    // branch in ivfPqIndexDelta) — merged result matches the
+    // independent base-trained IVFADC chain exactly
+    Similarity.ivfPqIndexDelta(t, emb.filter(col("vec_id") % 5 === 0))
+    val got = Similarity.annIvfPqResidualTopK(spark, t).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    assert(got.toSeq === ivfPqExpected(emb, _ % 5 != 0, residual = true).toSeq,
+      "residual delta ingest diverged from the independent base-trained chain")
+  }
+
+  test("retrainIfNeeded on a fused index rebuilds FUSED: codes survive, provenance kept") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-fret-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fret_test LOCATION '$wh'")
+    val t = "graft_fret_test.idx"
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0), t)
+    Similarity.ivfPqIndexDelta(t, emb.filter(col("vec_id") % 5 === 0))
+    val fired = Similarity.retrainIfNeeded(spark, t, emb, 0.0).collect()(0)
+    assert(fired.getAs[Boolean]("retrained"))
+    // the rebuild came back FUSED on the full corpus: codes on every
+    // row, raw provenance intact, ADC query == the full-trained chain
+    val idx = spark.table(s"${t}_ivf")
+    assert(idx.count() === emb.count())
+    assert(idx.filter(col("codes").isNull).count() === 0,
+      "retrain dropped the PQ codes from the fused lists")
+    val got = Similarity.annIvfPqIndexedTopK(spark, t).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    assert(got.toSeq === ivfPqExpected(emb, _ => true).toSeq,
+      "post-retrain fused index diverged from the full-trained chain")
   }
 
   test("retrainIfNeeded: no-op below threshold, retrain + rebuild at threshold, provenance logged") {
