@@ -560,6 +560,33 @@ object SparkEntry {
         emb.filter(col("vec_id") % 5 === 0))
       Similarity.annIvfPqIndexedTopK(s, "graft_idx.ivfpqd")
     }),
+    // SCALAR-quantized (SQ8) IVF index — the middle rung of the ANN
+    // compression ladder (raw 1× / SQ8 8× / PQ 32×): every dim
+    // compresses to a byte-range code against a per-dim trained
+    // [min, max]; candidates are scored on exact-integer dequantized
+    // codes (sq read instead of v), shortlist rescored on raw vectors
+    "sim_ann_ivfsq_indexed" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivfsq-idx")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      Similarity.buildIvfSqIndex(Tables.embeddings(s, d), "graft_idx.ivfsq")
+      Similarity.annIvfSqIndexedTopK(s, "graft_idx.ivfsq")
+    }),
+    // SQ8 incremental ingest: delta assigned against the stored
+    // centroids and coded against the stored [min, max] trainer
+    // (out-of-range delta values saturate to the byte boundaries).
+    // Oracle-only: cost shape already priced by the indexed row
+    "sim_ann_ivfsq_index_delta" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivfsq-delta")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfSqIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "graft_idx.ivfsqd")
+      Similarity.ivfSqIndexDelta("graft_idx.ivfsqd",
+        emb.filter(col("vec_id") % 5 === 0))
+      Similarity.annIvfSqIndexedTopK(s, "graft_idx.ivfsqd")
+    }),
     // RESIDUAL-encoded fused index (IVFADC, Jégou et al. TPAMI 2011):
     // PQ encodes r = x − centroid(cell(x)) instead of x — the coarse
     // quantizer already explains cell geometry, so the same 8 codes
@@ -1180,7 +1207,7 @@ object SparkEntry {
     "sim_ann_ivf_trained_recall", "sim_ann_ivf_indexed",
     "sim_ann_ivf_index_delta", "sim_ann_ivf_index_compact",
     "sim_ann_ivf_drift", "sim_ann_ivfpq_indexed", "sim_ann_ivfpq_index_delta",
-    "sim_ann_ivfpq_residual", "sim_ann_ivf_retrain",
+    "sim_ann_ivfpq_residual", "sim_ann_ivfsq_indexed", "sim_ann_ivf_retrain",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -1406,6 +1433,34 @@ object SparkEntry {
     "JOIN CELL cl ON cl.vec_id = cd.vec_id " +
     "JOIN QLUT l ON l.sub = cd.sub AND l.code = cd.code AND l.cell = cl.cell " +
     "WHERE cd.vec_id <> l.qid GROUP BY l.qid, cd.vec_id), " +
+    "SL AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
+    "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10), " +
+    "RR AS (SELECT j.qid, j.vec_id, j.cell, j.cos, row_number() OVER " +
+    "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rank " +
+    "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id) " +
+    "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+    "FROM RR WHERE rank <= 3 ORDER BY qid, rank"
+
+  /** SQ8 IVF oracle chain: per-dim [min, max] over the scale-10³
+    * integer q, byte-range codes (exact-integer numerator × 255.0, one
+    * IEEE divide, HALF_UP round — identical in both engines; degenerate
+    * zero-range dims pin to code 0), ADC on the exact-integer
+    * dequantization at scale q·255, the (d2, vec_id) shortlist, and the
+    * exact-cosine rescore. */
+  private def ivfSqSqlFrom(basePred: String): String =
+    s"WITH ${ivfTrainedCtesFrom(basePred)}, " +
+    s"MM AS (SELECT dim, min(q) AS minq, max(q) AS maxq FROM QQ WHERE $basePred GROUP BY dim), " +
+    "SC AS (SELECT x.vec_id, x.dim, CASE WHEN m.maxq = m.minq THEN 0 " +
+    "ELSE greatest(0, least(255, CAST(round((x.q - m.minq) * 255.0 / (m.maxq - m.minq)) AS BIGINT))) END AS code " +
+    "FROM QQ x JOIN MM m ON m.dim = x.dim), " +
+    "ADC AS (SELECT p.qid, s.vec_id, " +
+    "sum((q.q * 255 - (m.minq * 255 + s.code * (m.maxq - m.minq))) * " +
+    "(q.q * 255 - (m.minq * 255 + s.code * (m.maxq - m.minq)))) AS d2 " +
+    "FROM SC s JOIN CELL cl ON cl.vec_id = s.vec_id " +
+    "JOIN PROBE p ON p.cell = cl.cell " +
+    "JOIN QQ q ON q.vec_id = p.qid AND q.dim = s.dim " +
+    "JOIN MM m ON m.dim = s.dim " +
+    "WHERE s.vec_id <> p.qid GROUP BY p.qid, s.vec_id), " +
     "SL AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
     "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10), " +
     "RR AS (SELECT j.qid, j.vec_id, j.cell, j.cos, row_number() OVER " +
@@ -2090,6 +2145,12 @@ object SparkEntry {
     // a drained fused-ingest stream converges to the batch fused-delta
     // result: same frozen-artifact oracle
     "stream_ivfpq_ingest" -> ivfPqSqlFrom("vec_id % 5 <> 0"),
+    // SQ8: byte-range codes per dim, ADC on the exact-integer
+    // dequantization — the 8× rung of the compression ladder
+    "sim_ann_ivfsq_indexed" -> ivfSqSqlFrom("TRUE"),
+    // SQ8 delta ingest: trainer + coarse quantizer frozen on the base
+    // split; out-of-range delta values saturate (greatest/least)
+    "sim_ann_ivfsq_index_delta" -> ivfSqSqlFrom("vec_id % 5 <> 0"),
     // residual encoding (IVFADC): codes argmin over the RESIDUAL
     // codebook, LUT rebased per probed cell — every stage still exact
     // integer math, so even the lossy shortlist is reproducible

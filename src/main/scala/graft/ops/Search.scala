@@ -494,8 +494,12 @@ object Search {
     spark.sql(s"DROP TABLE ${table}_postings_retired")
     // additive stats rows fold to one exact row (integer-valued doubles);
     // k tiny rows collect to the driver — never corpus data
+    // coalesce: an index built over an empty corpus has a null-sum stats
+    // fold — compacting it should produce the same (0, 0) row a fresh
+    // empty build would, not NPE on getDouble
     val s = spark.table(s"${table}_stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .agg(coalesce(sum(col("n_docs")), lit(0.0)).as("n_docs"),
+        coalesce(sum(col("sum_dl")), lit(0.0)).as("sum_dl"))
       .collect()(0)
     import spark.implicits._
     Seq((s.getDouble(0), s.getDouble(1))).toDF("n_docs", "sum_dl")

@@ -837,6 +837,151 @@ object Similarity {
     shortlistRescore(idx, q0, adc, k, shortlist)
   }
 
+  /** Build the SCALAR-quantized (SQ8) IVF index — the middle rung of the
+    * production ANN compression ladder (raw 1× / SQ8 8× / PQ 32×, the
+    * FAISS `IndexIVFScalarQuantizer` point): each of the 64 dims
+    * compresses to one byte-range code against a per-dim [min, max]
+    * trained over the corpus — code = round((q − min)·255 / (max − min))
+    * on the exact scale-10³ integer q, so codes are engine-reproducible.
+    * 8× smaller candidate IO than raw vectors at near-exact recall
+    * (quantization error ≤ range/510 per dim), vs PQ's 32× at lossy
+    * recall — the recall/IO trade a 100 TB deployment picks per
+    * workload. Artifacts: `{t}_centroids` (coarse quantizer),
+    * `{t}_sqrange` (64 rows: dim, minq, maxq — the frozen SQ trainer),
+    * cell-partitioned `{t}_ivf` carrying (v, nrm, cell, sq). The code
+    * computation is one broadcast of the 64-entry range arrays +
+    * zip_with — no explode, no extra shuffle over the corpus. */
+  def buildIvfSqIndex(embeddings: DataFrame, table: String): Unit = {
+    val spark = embeddings.sparkSession
+    val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
+    cent.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    // per-dim min/max of the scale-1e3 integer q: map-side combine
+    // collapses the 64× explode before the 64-group exchange
+    vecs(embeddings)
+      .select(posexplode(transform(col("v"),
+        x => round(x * 1000).cast("long"))).as(Seq("dim", "q")))
+      .groupBy(col("dim"))
+      .agg(min(col("q")).as("minq"), max(col("q")).as("maxq"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_sqrange")
+    assignedCells(embeddings, cent)
+      .crossJoin(broadcast(sqRangeArrays(spark, table)))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        sqCodes(transform(col("v"), x => round(x * 1000).cast("long")))
+          .as("sq"))
+      .write.mode("overwrite").partitionBy("cell").format("parquet")
+      .saveAsTable(s"${table}_ivf")
+    graft.ops.IngestGuard.write(spark, embeddings, "vec_id", table,
+      overwrite = true)
+  }
+
+  /** Incremental ingest into the SQ8 index — the frozen-artifact
+    * contract for scalar quantization: delta vectors are assigned
+    * against the stored coarse centroids AND coded against the stored
+    * per-dim [min, max] (`{t}_sqrange` — codes are only comparable to
+    * dequantizations from the same trainer; a delta value outside the
+    * trained range saturates to the 0/255 boundary codes, exactly as
+    * production SQ does — see [[sqCodes]]). Standing lists never
+    * read; the [[IngestGuard]] sidecar enforces vec_id disjointness
+    * delta-proportionally. */
+  def ivfSqIndexDelta(table: String, delta: DataFrame): Unit = {
+    val spark = delta.sparkSession
+    if (delta.isEmpty) return
+    require(spark.catalog.tableExists(s"${table}_centroids") &&
+        spark.catalog.tableExists(s"${table}_sqrange"),
+      s"ivfSqIndexDelta needs the trained artifacts: ${table}_centroids " +
+        s"and ${table}_sqrange — run buildIvfSqIndex first")
+    if (!spark.catalog.tableExists(s"${table}_ivf") &&
+        spark.catalog.tableExists(s"${table}_guard")) {
+      recoverIvfSwap(spark, table)
+      require(spark.catalog.tableExists(s"${table}_ivf"),
+        s"ivfSqIndexDelta refusing to bootstrap: ${table}_guard exists " +
+          s"but ${table}_ivf is missing and no staged copy was found to " +
+          "roll forward")
+    }
+    if (spark.catalog.tableExists(s"${table}_ivf"))
+      graft.ops.IngestGuard.assertDisjoint(spark, table, delta, "vec_id",
+        spark.table(s"${table}_ivf"), "ivfSqIndexDelta")
+    assignedCells(delta, spark.table(s"${table}_centroids"))
+      .crossJoin(broadcast(sqRangeArrays(spark, table)))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        sqCodes(transform(col("v"), x => round(x * 1000).cast("long")))
+          .as("sq"))
+      .write.mode("append").partitionBy("cell").format("parquet")
+      .saveAsTable(s"${table}_ivf")
+    graft.ops.IngestGuard.write(spark, delta, "vec_id", table,
+      overwrite = false)
+  }
+
+  /** The 64-entry SQ trainer as one broadcastable row (minv, rng arrays
+    * in dim order) — the form [[sqCodes]]/[[sqDecode255]] zip against. */
+  private def sqRangeArrays(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    spark.table(s"${table}_sqrange")
+      .agg(array_sort(collect_list(struct(col("dim"), col("minq"),
+        (col("maxq") - col("minq")).as("rng")))).as("md"))
+      .select(transform(col("md"), s => s("minq")).as("minv"),
+        transform(col("md"), s => s("rng")).as("rng"))
+
+  /** code_d = round((q_d − min_d)·255 / range_d) clamped to [0, 255]
+    * (a DELTA value outside the frozen trained range must still fit the
+    * byte code — the standard SQ saturation), 0 on a degenerate
+    * (zero-range) dim — exact-integer numerator, one IEEE divide, the
+    * same HALF_UP round both engines implement. */
+  private def sqCodes(q: Column): Column =
+    zip_with(q, arrays_zip(col("minv"), col("rng")), (qd, s) =>
+      when(s("rng") === 0L, 0L).otherwise(
+        greatest(lit(0L), least(lit(255L),
+          round((qd - s("minv")).cast("double") * 255.0
+            / s("rng").cast("double")).cast("long")))))
+
+  /** Dequantized candidate at scale q·255: min_d·255 + code_d·range_d —
+    * exact integer, so ADC distances against qs = q·255 are exact. */
+  private def sqDecode255(sq: Column): Column =
+    zip_with(sq, arrays_zip(col("minv"), col("rng")),
+      (c, s) => s("minv") * 255L + c * s("rng"))
+
+  /** Query the SQ8 IVF index: DPP-pruned probes (the fused contract),
+    * then candidates are scored on DEQUANTIZED codes — d2 =
+    * Σ(q·255 − decode255(code))², exact integer math per dim, the sq
+    * column read instead of v (8× less candidate IO) — with the usual
+    * (d2, vec_id) shortlist cut and raw-vector rescore. Unlike PQ there
+    * is no lookup table: SQ's ADC is 64 integer mult-adds per candidate
+    * against two broadcast 64-entry arrays. */
+  def annIvfSqIndexedTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
+      shortlist: Int = 10): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val cent = spark.table(s"${table}_centroids")
+    val idx = spark.table(s"${table}_ivf")
+    val q0 = idx.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        transform(col("v"),
+          x => round(x * 1000).cast("long") * lit(1000L)).as("xq"),
+        transform(col("v"),
+          x => round(x * 1000).cast("long") * lit(255L)).as("qs"))
+    val dist = aggregate(
+      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, d) => acc + d)
+    val probes = graft.plans.TopK.perKeyMin(
+        q0.join(broadcast(cent))
+          .select(col("qid"), col("c_label").as("cell"), dist.as("d2")),
+        Seq("qid"), "d2", "cell", nprobe)
+      .select(col("qid"), col("cell"))
+    val adc = idx.select(col("vec_id"), col("cell"), col("sq"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .crossJoin(broadcast(sqRangeArrays(spark, table)))
+      .withColumn("dec", sqDecode255(col("sq")))
+      .join(broadcast(q0.select(col("qid"), col("qs"))), Seq("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        aggregate(zip_with(col("qs"), col("dec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, d) => acc + d).as("d2"))
+    shortlistRescore(idx, q0, adc, k, shortlist)
+  }
+
   /** (vec_id, cell) only — the assignment exchange without the index
     * payload, for audits that never store the vectors. */
   private def cellsOnly(df: DataFrame, cent: DataFrame): DataFrame = {

@@ -309,6 +309,156 @@ class AnnLifecycleSpec extends SparkSpec {
       "streamed fused ingest diverged from the independent base-trained chain")
   }
 
+  test("annIvfSqIndexedTopK == independent SQ8 chain; sq-only scan; ladder recall recorded") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-ivfsq-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ivfsq_test LOCATION '$wh'")
+    val t = "graft_ivfsq_test.idx"
+    Similarity.buildIvfSqIndex(emb, t)
+    val got = Similarity.annIvfSqIndexedTopK(spark, t)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    val want = ivfSqExpected(emb)
+    assert(rows.toSeq === want.toSeq,
+      "SQ8 index diverged from the independent chain")
+
+    // plan: corpus unscanned, DPP on the index scan, candidates read sq
+    // (the 8×-compressed codes) and never v
+    val plan = got.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(!planStr.contains("embeddings.parquet"),
+      s"corpus scanned at query time:\n$planStr")
+    val partScans = scans(plan).filter(_.relation.partitionSchema.nonEmpty)
+    assert(partScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"no dynamic partition pruning on the index scan:\n$planStr")
+    assert(partScans.exists(s =>
+        s.output.exists(_.name == "sq") && !s.output.exists(_.name == "v")),
+      s"ADC scan reads raw vectors (no sq-only scan found):\n$planStr")
+
+    // the compression-ladder recall bracket on this corpus (all three
+    // rungs shortlist by integer L2, rescore by exact cosine — recorded,
+    // not assumed)
+    val data = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val nrm = data.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x * x).sum) }.toMap
+    val vm = data.toMap
+    def cosTop(qid: Long): Set[Long] = data
+      .filter(_._1 != qid)
+      .map { case (id, v) =>
+        (round6(v.zip(vm(qid)).map { case (a, b) => a * b }.sum
+          / (nrm(id) * nrm(qid))), id)
+      }.sortBy { case (c, id) => (-c, id) }.take(K).map(_._2).toSet
+    def recall(res: Seq[(Long, Long, Int, Double, Int)]): Double =
+      (0L until NQ).map { qid =>
+        val truth = cosTop(qid)
+        res.filter(_._1 == qid).count(r => truth.contains(r._2))
+      }.sum.toDouble / (NQ * K)
+    val rSq = recall(want)
+    val rPq = recall(ivfPqExpected(emb, _ => true))
+    info(f"ladder recall@$K: SQ8 $rSq%.4f vs PQ-raw $rPq%.4f")
+    assert(rSq >= rPq - 1e-9,
+      f"SQ8 (8x, near-exact codes) lost to PQ (32x, lossy): $rSq%.4f < $rPq%.4f")
+  }
+
+  /** Independent driver-side SQ8 chain: scale-10³ q, per-dim [min, max]
+    * trained on the `trainPred` subset, byte-range codes via the
+    * HALF_UP round saturated to [0, 255], ADC on the exact-integer
+    * dequantization at scale q·255, shortlist, exact-cosine rescore. */
+  private def ivfSqExpected(emb: org.apache.spark.sql.DataFrame,
+      trainPred: Long => Boolean = _ => true)
+      : Seq[(Long, Long, Int, Double, Int)] = {
+    val data = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .sortBy(_._1)
+    val dim = data.head._3.length
+    val q1k = data.map { case (id, _, v) =>
+      id -> v.map(x => rnd(x.toDouble * 1000)) }.toMap
+    val xq = q1k.map { case (id, a) => id -> a.map(_ * 1000L) }
+    val c6 = data.filter(d => trainPred(d._1)).groupBy(_._2).map {
+      case (lbl, vs) =>
+        val sums = Array.fill(dim)(0L)
+        vs.foreach { case (_, _, v) =>
+          var i = 0
+          while (i < dim) { sums(i) += rnd(v(i).toDouble * 1000); i += 1 }
+        }
+        lbl -> sums.map(s => rnd(
+          BigDecimal(s.toDouble / (1000.0 * vs.length))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1000000.0))
+    }
+    def d2(a: Array[Long], c: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val cell = xq.map { case (id, a) =>
+      id -> c6.toSeq.map { case (l, c) => (d2(a, c), l) }.min._2 }
+    val probes = (0L until NQ).map { qid =>
+      qid -> c6.toSeq.map { case (l, c) => (d2(xq(qid), c), l) }
+        .sorted.take(NProbe).map(_._2).toSet
+    }.toMap
+    val trainQ = data.filter(d => trainPred(d._1)).map(d => q1k(d._1))
+    val minq = Array.tabulate(dim)(d => trainQ.map(_(d)).min)
+    val maxq = Array.tabulate(dim)(d => trainQ.map(_(d)).max)
+    val rng = Array.tabulate(dim)(d => maxq(d) - minq(d))
+    val dec255 = q1k.map { case (id, a) =>
+      id -> Array.tabulate(dim) { d =>
+        val code = if (rng(d) == 0L) 0L
+          else math.max(0L, math.min(255L,
+            rnd((a(d) - minq(d)).toDouble * 255.0 / rng(d).toDouble)))
+        minq(d) * 255L + code * rng(d)
+      }
+    }
+    val vecs = data.map { case (id, _, v) => id -> v.map(_.toDouble) }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    (0L until NQ).flatMap { qid =>
+      val qs = q1k(qid).map(_ * 255L)
+      val sl = data.map(_._1)
+        .filter(id => id != qid && probes(qid).contains(cell(id)))
+        .map(id => (d2(qs, dec255(id)), id))
+        .sorted.take(Shortlist).map(_._2)
+      sl.map { id =>
+        (round6(dot(vecs(id), vecs(qid)) / (nrm(id) * nrm(qid))), id)
+      }.sortBy { case (c, id) => (-c, id) }.take(K).zipWithIndex.map {
+        case ((c, id), i) => (qid, id, i + 1, round4(c), cell(id))
+      }
+    }
+  }
+
+  test("ivfSqIndexDelta: frozen [min,max] trainer, saturating codes, merged == base-trained chain") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-ivfsqd-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ivfsqd_test LOCATION '$wh'")
+    val t = "graft_ivfsqd_test.idx"
+    Similarity.buildIvfSqIndex(emb.filter(col("vec_id") % 5 =!= 0), t)
+    val rangeBefore = spark.table(s"${t}_sqrange").collect().map(_.toSeq).toSet
+    Similarity.ivfSqIndexDelta(t, emb.filter(col("vec_id") % 5 === 0))
+    assert(spark.table(s"${t}_sqrange").collect().map(_.toSeq).toSet
+      === rangeBefore, "delta ingest mutated the SQ trainer")
+    val idx = spark.table(s"${t}_ivf")
+    assert(idx.count() === emb.count())
+    // codes stay in the byte range even for delta values outside the
+    // base-trained [min, max] (saturation, not overflow)
+    assert(idx.select(explode(col("sq")).as("c"))
+      .filter(col("c") < 0 || col("c") > 255).count() === 0)
+    val got = Similarity.annIvfSqIndexedTopK(spark, t).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    assert(got.toSeq === ivfSqExpected(emb, _ % 5 != 0).toSeq,
+      "delta-maintained SQ8 index diverged from the independent base-trained chain")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSqIndexDelta(t, emb.filter(col("vec_id") % 5 === 0))
+    }
+  }
+
   test("residual delta ingest: enc-provenance branches + guards, merged lists == base-trained IVFADC chain") {
     import java.nio.file.Files
     val emb = Tables.embeddings(spark, sfDir)
