@@ -1074,7 +1074,9 @@ object Similarity {
         if (fusedEnc(spark, table) == "residual")
           buildIvfPqResidualIndex(corpus, table)
         else buildIvfPqIndex(corpus, table)
-      } else buildIvfIndex(corpus, table)
+      } else if (spark.catalog.tableExists(s"${table}_sqrange"))
+        buildIvfSqIndex(corpus, table)
+      else buildIvfIndex(corpus, table)
     }
     decision.write.mode("append").format("parquet")
       .saveAsTable(s"${table}_quantizer_log")

@@ -457,6 +457,17 @@ class AnnLifecycleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.ivfSqIndexDelta(t, emb.filter(col("vec_id") % 5 === 0))
     }
+    // retrain on an SQ index rebuilds SQ (trainer refreshed on the full
+    // corpus, sq column survives) — the layout-that-stands contract
+    val fired = Similarity.retrainIfNeeded(spark, t, emb, 0.0).collect()(0)
+    assert(fired.getAs[Boolean]("retrained"))
+    val idx2 = spark.table(s"${t}_ivf")
+    assert(idx2.filter(col("sq").isNull).count() === 0,
+      "retrain dropped the sq codes from the SQ index")
+    assert(Similarity.annIvfSqIndexedTopK(spark, t).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+      .toSeq === ivfSqExpected(emb).toSeq,
+      "post-retrain SQ index diverged from the full-trained chain")
   }
 
   test("residual delta ingest: enc-provenance branches + guards, merged lists == base-trained IVFADC chain") {
