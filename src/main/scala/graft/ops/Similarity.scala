@@ -277,6 +277,7 @@ object Similarity {
   }
 
   def buildIvfIndex(embeddings: DataFrame, table: String): Unit = {
+    dropStaleArtifacts(embeddings.sparkSession, table, keep = Set.empty)
     val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
     cent.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
@@ -302,26 +303,48 @@ object Similarity {
     * inside its inverted list. */
   def ivfIndexDelta(table: String, delta: DataFrame): Unit = {
     val spark = delta.sparkSession
-    // empty delta = no-op (the Search.indexDelta contract): skip the empty
-    // list-file generation; IngestGuard.write already skips zero-row blooms
-    if (delta.isEmpty) return
-    // the frozen quantizer is a PREREQUISITE (ingest assigns against it) —
-    // fail with intent, not a bare table-not-found five calls deep
-    require(spark.catalog.tableExists(s"${table}_centroids"),
-      s"ivfIndexDelta needs a trained quantizer: ${table}_centroids not " +
-        "found — run buildIvfIndex first (IVF cannot bootstrap from an " +
-        "empty catalog; cell assignment requires stored centroids)")
-    // first delta against a trained-but-listless catalog bootstraps the
-    // lists; nothing standing exists to clash with. A missing _ivf NEXT TO
-    // a standing _guard is not that — it is an interrupted compaction
-    // swap; bootstrapping would create delta-only lists that a guard
-    // sized for the full corpus then "protects": silent data loss at
-    // query time. Roll the swap forward; refuse loudly if that fails.
+    if (!ingestPreamble(table, delta, Seq("centroids"), "ivfIndexDelta"))
+      return
+    assignedCells(delta, spark.table(s"${table}_centroids"))
+      .write.mode("append").partitionBy("cell").format("parquet")
+      .saveAsTable(s"${table}_ivf")
+    graft.ops.IngestGuard.write(spark, delta, "vec_id", table,
+      overwrite = false)
+  }
+
+  /** The shared ingest preamble every IVF-family delta runs — ONE site
+    * for the protocol the round-12 adjudication hardened, so a future
+    * fix cannot miss an index family. Returns false when the delta is
+    * empty (caller no-ops: skip the empty list-file generation;
+    * IngestGuard.write already skips zero-row blooms). Otherwise:
+    *
+    *  1. The frozen trained artifacts are a PREREQUISITE (ingest
+    *     assigns/encodes against them) — fail with intent, not a bare
+    *     table-not-found five calls deep.
+    *  2. A first delta against a trained-but-listless catalog
+    *     bootstraps the lists; nothing standing exists to clash with.
+    *     A missing `_ivf` NEXT TO a standing `_guard` is NOT that — it
+    *     is an interrupted compaction swap; bootstrapping would create
+    *     delta-only lists that a guard sized for the full corpus then
+    *     "protects": silent data loss at query time. Roll the swap
+    *     forward; refuse loudly if that fails.
+    *  3. vec_id disjointness asserted via the guard sidecar
+    *     (delta-proportional — the standing lists are never read). */
+  private def ingestPreamble(table: String, delta: DataFrame,
+      artifacts: Seq[String], caller: String): Boolean = {
+    val spark = delta.sparkSession
+    if (delta.isEmpty) return false
+    val names = artifacts.map(a => s"${table}_$a")
+    require(names.forall(spark.catalog.tableExists),
+      s"$caller needs the trained artifacts: ${names.mkString(" and ")} — " +
+        "run the matching build first (an IVF-family index cannot " +
+        "bootstrap from an empty catalog; assignment/encoding require " +
+        "the stored quantizers)")
     if (!spark.catalog.tableExists(s"${table}_ivf") &&
         spark.catalog.tableExists(s"${table}_guard")) {
       recoverIvfSwap(spark, table)
       require(spark.catalog.tableExists(s"${table}_ivf"),
-        s"ivfIndexDelta refusing to bootstrap: ${table}_guard exists but " +
+        s"$caller refusing to bootstrap: ${table}_guard exists but " +
           s"${table}_ivf is missing and no staged copy was found to roll " +
           "forward — delta-only inverted lists under a full-corpus guard " +
           "would silently drop the standing vectors from every probe. " +
@@ -329,13 +352,19 @@ object Similarity {
     }
     if (spark.catalog.tableExists(s"${table}_ivf"))
       graft.ops.IngestGuard.assertDisjoint(spark, table, delta, "vec_id",
-        spark.table(s"${table}_ivf"), "ivfIndexDelta")
-    assignedCells(delta, spark.table(s"${table}_centroids"))
-      .write.mode("append").partitionBy("cell").format("parquet")
-      .saveAsTable(s"${table}_ivf")
-    graft.ops.IngestGuard.write(spark, delta, "vec_id", table,
-      overwrite = false)
+        spark.table(s"${table}_ivf"), caller)
+    true
   }
+
+  /** Drop the OTHER layouts' trained artifacts when (re)building a
+    * table under a given layout: every consumer (delta ingest, retrain,
+    * the query entry points) dispatches on which artifact tables exist,
+    * so a stale `_pqbook` left by a previous fused build under the same
+    * name would silently retrain/ingest the wrong layout. */
+  private def dropStaleArtifacts(spark: org.apache.spark.sql.SparkSession,
+      table: String, keep: Set[String]): Unit =
+    Seq("pqbook", "sqrange").filterNot(keep).foreach(a =>
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_$a"))
 
   /** At-least-once-safe IVF ingest — [[ivfIndexDelta]]'s idempotent twin
     * (the [[Search.indexDeltaIdempotent]] contract for ANN): already-
@@ -547,6 +576,7 @@ object Similarity {
     * Both quantizers (coarse cells + PQ codebook) are FROZEN at build
     * time, the production IVF-PQ contract. */
   def buildIvfPqIndex(embeddings: DataFrame, table: String): Unit = {
+    dropStaleArtifacts(embeddings.sparkSession, table, keep = Set("pqbook"))
     val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
     cent.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
@@ -580,37 +610,21 @@ object Similarity {
     * codebook generation. */
   def ivfPqIndexDelta(table: String, delta: DataFrame): Unit = {
     val spark = delta.sparkSession
-    if (delta.isEmpty) return
-    require(spark.catalog.tableExists(s"${table}_centroids") &&
-        spark.catalog.tableExists(s"${table}_pqbook"),
-      s"ivfPqIndexDelta needs the trained artifacts: ${table}_centroids " +
-        s"and ${table}_pqbook — run buildIvfPqIndex first")
-    // same mid-swap bootstrap refusal as ivfIndexDelta (the fused index
-    // compacts through the same swap)
-    if (!spark.catalog.tableExists(s"${table}_ivf") &&
-        spark.catalog.tableExists(s"${table}_guard")) {
-      recoverIvfSwap(spark, table)
-      require(spark.catalog.tableExists(s"${table}_ivf"),
-        s"ivfPqIndexDelta refusing to bootstrap: ${table}_guard exists " +
-          s"but ${table}_ivf is missing and no staged copy was found to " +
-          "roll forward")
-    }
-    if (spark.catalog.tableExists(s"${table}_ivf"))
-      graft.ops.IngestGuard.assertDisjoint(spark, table, delta, "vec_id",
-        spark.table(s"${table}_ivf"), "ivfPqIndexDelta")
+    if (!ingestPreamble(table, delta, Seq("centroids", "pqbook"),
+        "ivfPqIndexDelta")) return
     val cent = spark.table(s"${table}_centroids")
     val book = spark.table(s"${table}_pqbook")
     if (fusedEnc(spark, table) == "residual") {
       // residual provenance: the delta's exact integer residuals are
       // encoded against the STORED residual codebook — the same frozen
       // artifacts the standing codes used, so merged lists stay
-      // ADC-comparable
-      val withR = assignedCells(delta, cent)
+      // ADC-comparable. Tracked: consumed twice (list rows + encode)
+      val withR = graft.CacheScope.track(assignedCells(delta, cent)
         .withColumn("xq", transform(col("v"),
           x => round(x * 1000).cast("long") * lit(1000L)))
         .join(broadcast(cent), col("cell") === col("c_label"))
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-          zip_with(col("xq"), col("cvec"), (x, c) => x - c).as("rvec"))
+          zip_with(col("xq"), col("cvec"), (x, c) => x - c).as("rvec")))
       withR.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
         .join(packCodes(Centroids.pqCodesFromInt(
           withR.select(col("vec_id"), col("rvec").as("xq")), book)), "vec_id")
@@ -639,9 +653,14 @@ object Similarity {
     * way, so ingest, retrain, and the query entry points all branch on
     * (or assert) this instead of silently mixing encodings. */
   private def fusedEnc(spark: org.apache.spark.sql.SparkSession,
-      table: String): String =
-    spark.table(s"${table}_pqbook").select(col("enc")).limit(1)
-      .collect()(0).getString(0)
+      table: String): String = {
+    val book = spark.table(s"${table}_pqbook")
+    // a codebook persisted before provenance landed carries no enc
+    // column — every such index stored raw codes, so default to it
+    // instead of failing the read five calls deep
+    if (!book.columns.contains("enc")) "raw"
+    else book.select(col("enc")).limit(1).collect()(0).getString(0)
+  }
 
   /** Query the PQ-fused IVF index — the full IVF-PQ ladder served from
     * the materialized index: probes resolve against the stored coarse
@@ -671,21 +690,7 @@ object Similarity {
     val book = spark.table(s"${table}_pqbook")
     val idx = spark.table(s"${table}_ivf")
     val subDims = Dim / Centroids.SubSpaces
-    // query vectors by point lookup (the one place a query reads v
-    // outside the rescore)
-    val q0 = idx.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm"),
-        transform(col("v"),
-          x => round(x * 1000).cast("long") * lit(1000L)).as("xq"))
-    val dist = aggregate(
-      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
-      lit(0L), (acc, d) => acc + d)
-    val probes = graft.plans.TopK.perKeyMin(
-        q0.join(broadcast(cent))
-          .select(col("qid"), col("c_label").as("cell"), dist.as("d2")),
-        Seq("qid"), "d2", "cell", nprobe)
-      .select(col("qid"), col("cell"))
+    val (q0, probes) = probedQueries(idx, cent, nQueries, nprobe)
     // per-query ADC lookup table: (qid, sub, code) -> exact integer
     // distance — nQueries × SubSpaces × |codebook| rows, a broadcast
     val qsubs = q0.select(col("qid"), posexplode(
@@ -709,6 +714,31 @@ object Similarity {
       .groupBy(col("qid"), col("vec_id"), col("cell"))
       .agg(sum(col("sd2")).as("d2"))
     shortlistRescore(idx, q0, adc, k, shortlist)
+  }
+
+  /** The query/probe HEAD shared by every compressed-index entry point:
+    * query vectors by point lookup from the lists (the one place a
+    * query reads v outside the rescore), then the nprobe nearest cells
+    * per query by exact integer distance against the stored coarse
+    * centroids. Returns (q0 = qid/qv/qnrm/xq, probes = qid/cell) — ONE
+    * site for probe semantics, so a tie-break change cannot diverge
+    * between the PQ, residual, and SQ paths. */
+  private def probedQueries(idx: DataFrame, cent: DataFrame,
+      nQueries: Int, nprobe: Int): (DataFrame, DataFrame) = {
+    val q0 = idx.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        transform(col("v"),
+          x => round(x * 1000).cast("long") * lit(1000L)).as("xq"))
+    val dist = aggregate(
+      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, d) => acc + d)
+    val probes = graft.plans.TopK.perKeyMin(
+        q0.join(broadcast(cent))
+          .select(col("qid"), col("c_label").as("cell"), dist.as("d2")),
+        Seq("qid"), "d2", "cell", nprobe)
+      .select(col("qid"), col("cell"))
+    (q0, probes)
   }
 
   /** The ADC→exact tail shared by every fused probe: the (d2, vec_id)
@@ -749,6 +779,7 @@ object Similarity {
     * cell-partitioned `{t}_ivf` carrying (v, nrm, cell, codes) — so
     * compaction/guard machinery applies unchanged. */
   def buildIvfPqResidualIndex(embeddings: DataFrame, table: String): Unit = {
+    dropStaleArtifacts(embeddings.sparkSession, table, keep = Set("pqbook"))
     val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
     cent.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
@@ -797,19 +828,7 @@ object Similarity {
     val book = spark.table(s"${table}_pqbook")
     val idx = spark.table(s"${table}_ivf")
     val subDims = Dim / Centroids.SubSpaces
-    val q0 = idx.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm"),
-        transform(col("v"),
-          x => round(x * 1000).cast("long") * lit(1000L)).as("xq"))
-    val dist = aggregate(
-      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
-      lit(0L), (acc, d) => acc + d)
-    val probes = graft.plans.TopK.perKeyMin(
-        q0.join(broadcast(cent))
-          .select(col("qid"), col("c_label").as("cell"), dist.as("d2")),
-        Seq("qid"), "d2", "cell", nprobe)
-      .select(col("qid"), col("cell"))
+    val (q0, probes) = probedQueries(idx, cent, nQueries, nprobe)
     // per-(query, probed-cell) residual LUT: nQueries × nprobe ×
     // SubSpaces × |codebook| exact integer distances — a broadcast
     val qres = probes.join(q0.select(col("qid"), col("xq")), "qid")
@@ -853,6 +872,7 @@ object Similarity {
     * zip_with — no explode, no extra shuffle over the corpus. */
   def buildIvfSqIndex(embeddings: DataFrame, table: String): Unit = {
     val spark = embeddings.sparkSession
+    dropStaleArtifacts(spark, table, keep = Set("sqrange"))
     val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
     cent.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
@@ -887,22 +907,8 @@ object Similarity {
     * delta-proportionally. */
   def ivfSqIndexDelta(table: String, delta: DataFrame): Unit = {
     val spark = delta.sparkSession
-    if (delta.isEmpty) return
-    require(spark.catalog.tableExists(s"${table}_centroids") &&
-        spark.catalog.tableExists(s"${table}_sqrange"),
-      s"ivfSqIndexDelta needs the trained artifacts: ${table}_centroids " +
-        s"and ${table}_sqrange — run buildIvfSqIndex first")
-    if (!spark.catalog.tableExists(s"${table}_ivf") &&
-        spark.catalog.tableExists(s"${table}_guard")) {
-      recoverIvfSwap(spark, table)
-      require(spark.catalog.tableExists(s"${table}_ivf"),
-        s"ivfSqIndexDelta refusing to bootstrap: ${table}_guard exists " +
-          s"but ${table}_ivf is missing and no staged copy was found to " +
-          "roll forward")
-    }
-    if (spark.catalog.tableExists(s"${table}_ivf"))
-      graft.ops.IngestGuard.assertDisjoint(spark, table, delta, "vec_id",
-        spark.table(s"${table}_ivf"), "ivfSqIndexDelta")
+    if (!ingestPreamble(table, delta, Seq("centroids", "sqrange"),
+        "ivfSqIndexDelta")) return
     assignedCells(delta, spark.table(s"${table}_centroids"))
       .crossJoin(broadcast(sqRangeArrays(spark, table)))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
@@ -955,27 +961,18 @@ object Similarity {
     graft.functions.DotProduct.register(spark)
     val cent = spark.table(s"${table}_centroids")
     val idx = spark.table(s"${table}_ivf")
-    val q0 = idx.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm"),
-        transform(col("v"),
-          x => round(x * 1000).cast("long") * lit(1000L)).as("xq"),
-        transform(col("v"),
-          x => round(x * 1000).cast("long") * lit(255L)).as("qs"))
-    val dist = aggregate(
-      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
-      lit(0L), (acc, d) => acc + d)
-    val probes = graft.plans.TopK.perKeyMin(
-        q0.join(broadcast(cent))
-          .select(col("qid"), col("c_label").as("cell"), dist.as("d2")),
-        Seq("qid"), "d2", "cell", nprobe)
-      .select(col("qid"), col("cell"))
+    val (q0, probes) = probedQueries(idx, cent, nQueries, nprobe)
+    // the query side at scale q·255, matching sqDecode255's output scale
+    val qs = q0.select(col("qid"), transform(col("qv"),
+      x => round(x * 1000).cast("long") * lit(255L)).as("qs"))
+    // dequantize BEFORE the probes fan-out: a candidate probed by m
+    // queries decodes once, not m times
     val adc = idx.select(col("vec_id"), col("cell"), col("sq"))
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
       .crossJoin(broadcast(sqRangeArrays(spark, table)))
       .withColumn("dec", sqDecode255(col("sq")))
-      .join(broadcast(q0.select(col("qid"), col("qs"))), Seq("qid"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qs), Seq("qid"))
       .select(col("qid"), col("vec_id"), col("cell"),
         aggregate(zip_with(col("qs"), col("dec"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, d) => acc + d).as("d2"))

@@ -492,6 +492,30 @@ class AnnLifecycleSpec extends SparkSpec {
       "residual delta ingest diverged from the independent base-trained chain")
   }
 
+  test("rebuilding under a different rung drops stale artifacts; retrain keeps the NEW layout") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-rung-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_rung_test LOCATION '$wh'")
+    val t = "graft_rung_test.idx"
+    // fused build first, then the same table name switches to SQ8 — the
+    // stale _pqbook must go, or layout dispatch (retrain, delta ingest)
+    // would silently rebuild the OLD rung
+    Similarity.buildIvfPqIndex(emb, t)
+    assert(spark.catalog.tableExists(s"${t}_pqbook"))
+    Similarity.buildIvfSqIndex(emb, t)
+    assert(!spark.catalog.tableExists(s"${t}_pqbook"),
+      "layout switch left the stale PQ codebook standing")
+    val fired = Similarity.retrainIfNeeded(spark, t, emb, 0.0).collect()(0)
+    assert(fired.getAs[Boolean]("retrained") ||
+      fired.getAs[Long]("n_moved") == 0L)
+    assert(spark.table(s"${t}_ivf").filter(col("sq").isNull).count() === 0,
+      "retrain after the layout switch lost the sq codes")
+    assert(Similarity.annIvfSqIndexedTopK(spark, t).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+      .toSeq === ivfSqExpected(emb).toSeq)
+  }
+
   test("retrainIfNeeded on a fused index rebuilds FUSED: codes survive, provenance kept") {
     import java.nio.file.Files
     val emb = Tables.embeddings(spark, sfDir)
