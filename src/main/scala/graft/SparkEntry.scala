@@ -853,6 +853,11 @@ object SparkEntry {
     // training-data pipeline: weighted source mixing (per-domain hash
     // thresholds against a broadcast weights dim — the mixture recipe step)
     "sample_mix" -> ((s, d) => Sampling.weightedMix(Tables.documents(s, d))),
+    // temperature-scaled mixture (α = 0.5 — the sqrt special case,
+    // chosen because IEEE sqrt is correctly rounded and pow is not):
+    // source share ∝ √n_s, exact-integer targets, md5-ranked keep prefix
+    "sample_mix_temperature" -> ((s, d) =>
+      Sampling.temperatureMix(Tables.documents(s, d))),
     // weighted sampling without replacement (A-ES keys, hash-uniform u,
     // TakeOrderedAndProject cut)
     "sample_weighted" -> ((s, d) => Sampling.weightedSample(Tables.documents(s, d))),
@@ -1213,7 +1218,7 @@ object SparkEntry {
     "sim_ivfpq_recall",
     // sampling suite
     "sample_split", "sample_split_safe", "sample_stratified",
-    "sample_weighted", "sample_mix",
+    "sample_weighted", "sample_mix", "sample_mix_temperature",
     // text family beyond quality/repetition/keywords
     "text_clean", "text_tokens", "text_langid", "text_langid_mixed",
     "text_fingerprint",
@@ -3004,6 +3009,24 @@ object SparkEntry {
        "SELECT doc_id, k.source, CAST(w.keep_below AS INT) AS keep_below " +
        "FROM K k JOIN W w ON k.source = w.source WHERE k.bucket < w.keep_below " +
        "ORDER BY doc_id"),
+    // temperature-scaled mixture: √n weights quantized to w6 longs,
+    // exact-integer floor((w6·B) // Σw6) targets, md5-ranked keep prefix
+    // per source — sqrt/round/div all bit-identical cross-engine
+    "sample_mix_temperature" ->
+      ("WITH C AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source), " +
+       "W AS (SELECT source, n_docs, CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w6 FROM C), " +
+       "T AS (SELECT CAST(sum(w6) AS BIGINT) AS wtot, CAST(sum(n_docs) AS BIGINT) AS ntot FROM W), " +
+       "D AS (SELECT w.source, w.n_docs, w.w6, " +
+       "CAST((w.w6 * CAST(floor(t.ntot * 0.5) AS BIGINT)) // t.wtot AS BIGINT) AS target " +
+       "FROM W w CROSS JOIN T t), " +
+       "R AS (SELECT doc_id, source, md5(concat('tmix|', CAST(doc_id AS VARCHAR))) AS h FROM documents), " +
+       "K AS (SELECT r.source, CAST(count(*) AS BIGINT) AS kept_docs FROM " +
+       "(SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM R) r " +
+       "JOIN D d ON d.source = r.source WHERE r.rk <= d.target GROUP BY r.source) " +
+       "SELECT d.source, d.n_docs, d.w6, d.target, " +
+       "CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs, " +
+       "round(CAST(d.target AS DOUBLE) / d.n_docs, 4) AS rate " +
+       "FROM D d LEFT JOIN K k ON k.source = d.source ORDER BY d.source"),
     // token-budgeted mixture: integer quota arithmetic (div 256), source-
     // local running sums, crossing doc admitted
     "sample_token_budget" ->

@@ -105,6 +105,56 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("keep_below"))
       .orderBy(col("doc_id"))
 
+  /** TEMPERATURE-scaled source mixture — the α-exponent re-weighting
+    * training recipes use to keep low-resource sources from drowning
+    * (multilingual sampling à la the α = 0.3–0.7 exponents in the
+    * mBERT/XLM-R/PaLM data-mixing literature): source share ∝ n_s^α
+    * instead of n_s, so small sources are boosted and large ones
+    * damped, then each source keeps its hash-ranked prefix up to the
+    * re-scaled target. α is FIXED at 0.5 here by design: IEEE-754
+    * requires sqrt to be correctly rounded, so both engines compute the
+    * bit-identical double — pow is not correctly rounded and could
+    * diverge in the last ulp, which the exact-integer house rules
+    * forbid. Weights quantize to w6 = round(sqrt(n)·10^6) longs, the
+    * per-source target is the exact integer floor((w6·B) / Σw6) with
+    * budget B = floor(N/2), and "which docs" is the md5-ranked prefix
+    * within each source (salted, doc_id tie-break) — every number in
+    * the output is engine-reproducible.
+    *
+    * Scale shape: one 20-group count aggregate (map-side combined), a
+    * broadcast totals row, ONE source-partitioned window over the
+    * corpus for the rank (the only corpus shuffle — the
+    * `text_quality_rank` discipline), and a 20-row summary out. */
+  def temperatureMix(docs: DataFrame, salt: String = "tmix"): DataFrame = {
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w6",
+        round(sqrt(col("n_docs").cast("double")) * 1000000.0).cast("long"))
+    val tot = counts.agg(sum(col("w6")).as("wtot"),
+      sum(col("n_docs")).as("ntot"))
+    val dim = counts.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        floor(col("ntot").cast("double") * 0.5).cast("long"))
+      .withColumn("target", expr("(w6 * budget) div wtot"))
+      .select(col("source"), col("n_docs"), col("w6"), col("target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val kept = docs.select(col("doc_id"), col("source"),
+        md5(concat(lit(salt + "|"), col("doc_id").cast("string"))
+          .cast("binary")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(dim.select(col("source"), col("target"))), "source")
+      .filter(col("rk") <= col("target"))
+      .groupBy(col("source")).agg(count(lit(1)).as("kept_docs"))
+    dim.join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("w6"), col("target"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        round(col("target").cast("double") / col("n_docs").cast("double"), 4)
+          .as("rate"))
+      .orderBy(col("source"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * each doc draws u ∈ (0,1) from its md5 hash and ranks by u^(1/w) —
     * the top-k of that key IS a w-proportional sample without

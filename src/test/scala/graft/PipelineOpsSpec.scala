@@ -703,4 +703,38 @@ class PipelineOpsSpec extends SparkSpec {
 
   private def round2(d: Double): Double =
     BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("temperatureMix: √-scaled shares boost small sources, damp large; exact targets, kept == target") {
+    val rows = graft.ops.Sampling.temperatureMix(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val nTot = rows.map(_._2).sum
+    val budget = nTot / 2
+    // targets sum to at most the budget (floor division loses < #sources)
+    val tTot = rows.map(_._4).sum
+    assert(tTot <= budget && tTot > budget - rows.length,
+      s"targets $tTot vs budget $budget")
+    // every target was satisfiable: the hash-ranked prefix exists
+    rows.foreach { case (s, n, _, target, kept, rate) =>
+      assert(kept === target, s"$s kept $kept != target $target")
+      assert(target <= n, s"$s target exceeds its corpus")
+      assert(rate === BigDecimal(target.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the temperature property: relative to raw proportions, the
+    // LARGEST source's share shrinks and the SMALLEST source's share
+    // grows (√ damping is monotone) — only asserted when sizes differ
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    if (big._2 > small._2) {
+      assert(big._4.toDouble / tTot < big._2.toDouble / nTot,
+        "largest source was not damped")
+      assert(small._4.toDouble / tTot > small._2.toDouble / nTot,
+        "smallest source was not boosted")
+    }
+    // exact w6 quantization replay
+    rows.foreach { case (_, n, w6, _, _, _) =>
+      assert(w6 === BigDecimal(math.sqrt(n.toDouble) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+  }
 }
