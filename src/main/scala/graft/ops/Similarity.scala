@@ -920,6 +920,22 @@ object Similarity {
       overwrite = false)
   }
 
+  /** At-least-once-safe SQ ingest — [[ivfSqIndexDelta]]'s idempotent
+    * twin (the [[ivfIndexDeltaIdempotent]] contract for the SQ8 lists):
+    * a replayed streaming micro-batch is a no-op via the shared
+    * [[novelAgainstLists]] replay filter; novel survivors are assigned
+    * and byte-coded against the stored frozen artifacts exactly as a
+    * batch delta would be. Completes streaming symmetry across the
+    * compression ladder. */
+  def ivfSqIndexDeltaIdempotent(table: String, delta: DataFrame): Unit = {
+    val spark = delta.sparkSession
+    if (!spark.catalog.tableExists(s"${table}_ivf")) {
+      ivfSqIndexDelta(table, delta); return
+    }
+    val novel = novelAgainstLists(spark, table, delta)
+    if (!novel.isEmpty) ivfSqIndexDelta(table, novel)
+  }
+
   /** The 64-entry SQ trainer as one broadcastable row (minv, rng arrays
     * in dim order) — the form [[sqCodes]]/[[sqDecode255]] zip against. */
   private def sqRangeArrays(spark: org.apache.spark.sql.SparkSession,

@@ -457,6 +457,11 @@ class AnnLifecycleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.ivfSqIndexDelta(t, emb.filter(col("vec_id") % 5 === 0))
     }
+    // at-least-once replay via the idempotent twin is a no-op (the
+    // streaming contract for the SQ rung)
+    Similarity.ivfSqIndexDeltaIdempotent(t, emb.filter(col("vec_id") % 5 === 0))
+    assert(spark.table(s"${t}_ivf").count() === emb.count(),
+      "idempotent SQ replay duplicated list rows")
     // retrain on an SQ index rebuilds SQ (trainer refreshed on the full
     // corpus, sq column survives) — the layout-that-stands contract
     val fired = Similarity.retrainIfNeeded(spark, t, emb, 0.0).collect()(0)
