@@ -34,7 +34,9 @@ object PlanAudit {
         // round-12: the PQ-fused index + the retrain policy + the
         // residual (IVFADC) variant
         "sim_ann_ivfpq_indexed", "sim_ann_ivf_retrain",
-        "sim_ann_ivfpq_residual", "sim_ann_ivfsq_indexed")) {
+        "sim_ann_ivfpq_residual", "sim_ann_ivfsq_indexed",
+        // round-13: query-only twins + the external-query form
+        "sim_ann_ivfpq_query", "bm25_query", "sim_ann_ivfpq_external")) {
       out.println(s"==== $name ====")
       out.println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

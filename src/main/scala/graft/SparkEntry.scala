@@ -618,6 +618,32 @@ object SparkEntry {
         emb.filter(col("vec_id") % 5 === 0))
       Similarity.annIvfPqResidualTopK(s, "graft_idx.ivfpqrd")
     }),
+    // QUERY-ONLY twins: the same index-served queries off a
+    // session-prebuilt standing index (WarmIndex, the q15 warm-view
+    // precedent) — the build runs once per JVM, so these rows time
+    // probe + ADC + rescore alone; a query-path plan regression can no
+    // longer hide inside build-cost noise. Same oracles as the
+    // build+query rows (the result must not depend on who built)
+    "sim_ann_ivf_query" -> ((s, d) =>
+      Similarity.annIvfIndexedTopK(s, WarmIndex.ivf(s, d))),
+    "sim_ann_ivfpq_query" -> ((s, d) =>
+      Similarity.annIvfPqIndexedTopK(s, WarmIndex.ivfPq(s, d))),
+    "sim_ann_ivfsq_query" -> ((s, d) =>
+      Similarity.annIvfSqIndexedTopK(s, WarmIndex.ivfSq(s, d))),
+    // EXTERNAL-query-vector entry points: query vectors arrive as a
+    // caller-supplied (qid, v) frame — the 100 TB shape — instead of the
+    // fixture's point-scan of the standing index; rows must be identical
+    // to the fixture form for identical vectors (same oracle)
+    "sim_ann_ivf_external" -> ((s, d) =>
+      Similarity.annIvfIndexedTopK(s, WarmIndex.ivf(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("v")),
+        3, 2)),
+    "sim_ann_ivfpq_external" -> ((s, d) =>
+      Similarity.annIvfPqIndexedTopK(s, WarmIndex.ivfPq(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("v")),
+        3, 2, 10)),
     // quantizer-drift audit: vectors whose cell differs between the
     // frozen base-trained quantizer and full retraining — the number
     // that schedules re-training in the ingest-vs-retrain trade
@@ -920,6 +946,11 @@ object SparkEntry {
       Search.buildIndex(Tables.documents(s, d), "graft_idx.bm25")
       Search.bm25Indexed(s, "graft_idx.bm25")
     }),
+    // QUERY-ONLY twin off the session-prebuilt index (WarmIndex): times
+    // the postings probe + score alone — bm25_indexed prices build +
+    // query together, so a query-path regression could hide in build
+    // noise. Same oracle as the scan-time and build+query rows
+    "bm25_query" -> ((s, d) => Search.bm25Indexed(s, WarmIndex.bm25(s, d))),
     // incremental maintenance of the standing index: base build on 80% of
     // the corpus, delta-ingest the rest (postings derived from the DELTA
     // ALONE, appended bucketed; stats merge additively), then query — must
@@ -1213,6 +1244,11 @@ object SparkEntry {
     "sim_ann_ivf_index_delta", "sim_ann_ivf_index_compact",
     "sim_ann_ivf_drift", "sim_ann_ivfpq_indexed", "sim_ann_ivfpq_index_delta",
     "sim_ann_ivfpq_residual", "sim_ann_ivfsq_indexed", "sim_ann_ivf_retrain",
+    // round-13 query-only twins: the session-prebuilt index makes these
+    // time the QUERY path alone (WarmIndex builds once; best-of-2 takes
+    // the warm iteration) — the regime the *_indexed rows can't isolate
+    "sim_ann_ivf_query", "sim_ann_ivfpq_query", "sim_ann_ivfsq_query",
+    "bm25_query",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -2119,6 +2155,15 @@ object SparkEntry {
       (s"WITH $ivfTrainedCtes " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // query-only twin + external-query form: same rows, same oracle
+    "sim_ann_ivf_query" ->
+      (s"WITH $ivfTrainedCtes " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    "sim_ann_ivf_external" ->
+      (s"WITH $ivfTrainedCtes " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
     // delta ingest with a FROZEN quantizer: centroids train on the 80%
     // base only; every vector (base + delta) is assigned and probed
     // against those — the same chain with C restricted to the base split
@@ -2143,6 +2188,11 @@ object SparkEntry {
     // survivors re-ranked by the exact rounded cosine — every stage
     // engine-reproducible, including which candidates the lossy ADC keeps
     "sim_ann_ivfpq_indexed" -> ivfPqSqlFrom("TRUE"),
+    // query-only twin (session-prebuilt index) and the external-query
+    // form both serve the SAME rows as the build+query fixture — one
+    // oracle chain gates all three paths
+    "sim_ann_ivfpq_query" -> ivfPqSqlFrom("TRUE"),
+    "sim_ann_ivfpq_external" -> ivfPqSqlFrom("TRUE"),
     // fused-index delta ingest: BOTH quantizers (coarse cells + PQ
     // codebook) trained on the base split only; every vector assigned,
     // encoded, probed, and ADC-scored against those frozen artifacts
@@ -2153,6 +2203,7 @@ object SparkEntry {
     // SQ8: byte-range codes per dim, ADC on the exact-integer
     // dequantization — the 8× rung of the compression ladder
     "sim_ann_ivfsq_indexed" -> ivfSqSqlFrom("TRUE"),
+    "sim_ann_ivfsq_query" -> ivfSqSqlFrom("TRUE"),
     // SQ8 delta ingest: trainer + coarse quantizer frozen on the base
     // split; out-of-range delta values saturate (greatest/least)
     "sim_ann_ivfsq_index_delta" -> ivfSqSqlFrom("vec_id % 5 <> 0"),
@@ -3017,7 +3068,7 @@ object SparkEntry {
        "W AS (SELECT source, n_docs, CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS w6 FROM C), " +
        "T AS (SELECT CAST(sum(w6) AS BIGINT) AS wtot, CAST(sum(n_docs) AS BIGINT) AS ntot FROM W), " +
        "D AS (SELECT w.source, w.n_docs, w.w6, " +
-       "CAST((w.w6 * CAST(floor(t.ntot * 0.5) AS BIGINT)) // t.wtot AS BIGINT) AS target " +
+       "CAST((CAST(w.w6 AS HUGEINT) * CAST(floor(t.ntot * 0.5) AS BIGINT)) // t.wtot AS BIGINT) AS target " +
        "FROM W w CROSS JOIN T t), " +
        "R AS (SELECT doc_id, source, md5(concat('tmix|', CAST(doc_id AS VARCHAR))) AS h FROM documents), " +
        "K AS (SELECT r.source, CAST(count(*) AS BIGINT) AS kept_docs FROM " +
@@ -3120,6 +3171,7 @@ object SparkEntry {
     // the index-backed variant must reproduce the scan-time result
     // row-for-row — same oracle, so any drift between the two paths fails
     "bm25_indexed" -> bm25OracleSql,
+    "bm25_query" -> bm25OracleSql,
     // delta-maintained index must converge to the full-corpus result
     "bm25_index_delta" -> bm25OracleSql,
     // compaction is layout-only: the compacted index must STILL equal the

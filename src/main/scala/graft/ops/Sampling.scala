@@ -117,7 +117,10 @@ object Sampling {
     * diverge in the last ulp, which the exact-integer house rules
     * forbid. Weights quantize to w6 = round(sqrt(n)·10^6) longs, the
     * per-source target is the exact integer floor((w6·B) / Σw6) with
-    * budget B = floor(N/2), and "which docs" is the md5-ranked prefix
+    * budget B = floor(N/2) — the w6·B product runs in DECIMAL(38,0)
+    * (Spark) / HUGEINT (the oracle) because at ~10^9 docs w6·B ≈
+    * sqrt(n)·10^6 · n/2 overflows a 64-bit long, and Spark would wrap
+    * silently where DuckDB errors — and "which docs" is the md5-ranked prefix
     * within each source (salted, doc_id tie-break) — every number in
     * the output is engine-reproducible.
     *
@@ -135,7 +138,8 @@ object Sampling {
     val dim = counts.crossJoin(broadcast(tot))
       .withColumn("budget",
         floor(col("ntot").cast("double") * 0.5).cast("long"))
-      .withColumn("target", expr("(w6 * budget) div wtot"))
+      .withColumn("target",
+        expr("(CAST(w6 AS DECIMAL(38,0)) * budget) div wtot"))
       .select(col("source"), col("n_docs"), col("w6"), col("target"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))

@@ -306,6 +306,7 @@ object Similarity {
     if (!ingestPreamble(table, delta, Seq("centroids"), "ivfIndexDelta"))
       return
     assignedCells(delta, spark.table(s"${table}_centroids"))
+      .repartition(col("cell")) // one file per touched cell per generation
       .write.mode("append").partitionBy("cell").format("parquet")
       .saveAsTable(s"${table}_ivf")
     graft.ops.IngestGuard.write(spark, delta, "vec_id", table,
@@ -514,7 +515,14 @@ object Similarity {
     * `maxSidecarBytes` (each blob ships into the ingest probe plan as an
     * expression literal, so the BYTE total must stay bounded regardless
     * of batch sizes — the same rationale as the Search twin). Reads k
-    * tiny sidecar rows, never the lists. Returns whether compaction ran. */
+    * tiny sidecar rows, never the lists. Returns whether compaction ran.
+    *
+    * Per-cell FILE COUNT — the DPP-probed-read latency killer under a
+    * high ingest cadence — is subsumed by the generation bound: every
+    * delta write repartitions by cell first, so one generation appends
+    * at most ONE file per touched cell, and a probed cell reads ≤
+    * `maxBatches` + build files between compactions (spec-gated in
+    * AnnLifecycleSpec's small-delta cadence test). */
   def compactIvfIfNeeded(spark: org.apache.spark.sql.SparkSession,
       table: String, maxBatches: Int = 16,
       maxSidecarBytes: Long = 64L << 20): Boolean = {
@@ -533,25 +541,23 @@ object Similarity {
     * cost is proportional to the probed lists' size, not the corpus. */
   def annIvfIndexedTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, nQueries: Int = 8, k: Int = 3,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2): DataFrame =
+    annIvfIndexedTopK(spark, table, fixtureQueries(spark, table, nQueries),
+      k, nprobe)
+
+  /** External-query-vector form of [[annIvfIndexedTopK]]: `queries` is a
+    * caller-supplied broadcast-sized (qid, v) frame — the shape a 100 TB
+    * deployment actually has (query vectors arrive from the caller, they
+    * are not rows of the index), where the fixture form's `vec_id <
+    * nQueries` filter is a full-index point-scan per query batch. The
+    * standing index is read ONLY through the DPP-pruned probed cells. */
+  def annIvfIndexedTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val cent = spark.table(s"${table}_centroids")
     val idx = spark.table(s"${table}_ivf")
-    // query vectors by point lookup (vec_id pushed to the scan); their
-    // probe set = nprobe nearest stored centroids, exact integer space
-    val q0 = idx.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm"),
-        transform(col("v"),
-          x => round(x * 1000).cast("long") * lit(1000L)).as("xq"))
-    val dist = aggregate(
-      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
-      lit(0L), (acc, d) => acc + d)
-    val probes = graft.plans.TopK.perKeyMin(
-        q0.join(broadcast(cent))
-          .select(col("qid"), col("c_label").as("cell"), dist.as("d2")),
-        Seq("qid"), "d2", "cell", nprobe)
-      .select(col("qid"), col("cell"))
+    val q0 = externalQ0(queries)
+    val probes = probesFor(q0, cent, nprobe)
     val q = q0.select(col("qid"), col("qv"), col("qnrm")).join(probes, "qid")
     val scored = idx.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
@@ -628,11 +634,13 @@ object Similarity {
       withR.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
         .join(packCodes(Centroids.pqCodesFromInt(
           withR.select(col("vec_id"), col("rvec").as("xq")), book)), "vec_id")
+        .repartition(col("cell")) // one file per touched cell per generation
         .write.mode("append").partitionBy("cell").format("parquet")
         .saveAsTable(s"${table}_ivf")
     } else {
       assignedCells(delta, cent)
         .join(packCodes(Centroids.pqCodes(delta, book)), "vec_id")
+        .repartition(col("cell")) // one file per touched cell per generation
         .write.mode("append").partitionBy("cell").format("parquet")
         .saveAsTable(s"${table}_ivf")
     }
@@ -659,7 +667,14 @@ object Similarity {
     // column — every such index stored raw codes, so default to it
     // instead of failing the read five calls deep
     if (!book.columns.contains("enc")) "raw"
-    else book.select(col("enc")).limit(1).collect()(0).getString(0)
+    else book.select(col("enc")).limit(1).collect().headOption
+      .map(_.getString(0))
+      .getOrElse(throw new IllegalStateException(
+        s"${table}_pqbook exists but is EMPTY — the fused index was built " +
+          "over an empty corpus (or the codebook write was lost); every " +
+          "query/ingest/retrain path needs the stored encoding provenance. " +
+          s"Rebuild the index (buildIvfPqIndex/buildIvfPqResidualIndex) " +
+          "over a non-empty corpus"))
   }
 
   /** Query the PQ-fused IVF index — the full IVF-PQ ladder served from
@@ -680,7 +695,18 @@ object Similarity {
     * cells; both cuts are the bounded [[graft.plans.TopKPerKey]] heaps. */
   def annIvfPqIndexedTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
-      shortlist: Int = 10): DataFrame = {
+      shortlist: Int = 10): DataFrame =
+    annIvfPqIndexedTopK(spark, table, fixtureQueries(spark, table, nQueries),
+      k, nprobe, shortlist)
+
+  /** External-query-vector form of [[annIvfPqIndexedTopK]] — see
+    * [[fixtureQueries]] for why this is the 100 TB shape: `queries` is a
+    * caller-supplied broadcast-sized (qid, v) frame, and the standing
+    * index is read ONLY through the DPP-pruned probed cells (codes-only
+    * ADC scan + shortlist rescore). */
+  def annIvfPqIndexedTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, k: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
     require(fusedEnc(spark, table) == "raw",
       s"$table stores RESIDUAL codes — query it with annIvfPqResidualTopK " +
         "(a raw-vector ADC table against residual codes mis-scores every " +
@@ -690,7 +716,8 @@ object Similarity {
     val book = spark.table(s"${table}_pqbook")
     val idx = spark.table(s"${table}_ivf")
     val subDims = Dim / Centroids.SubSpaces
-    val (q0, probes) = probedQueries(idx, cent, nQueries, nprobe)
+    val q0 = externalQ0(queries)
+    val probes = probesFor(q0, cent, nprobe)
     // per-query ADC lookup table: (qid, sub, code) -> exact integer
     // distance — nQueries × SubSpaces × |codebook| rows, a broadcast
     val qsubs = q0.select(col("qid"), posexplode(
@@ -716,29 +743,43 @@ object Similarity {
     shortlistRescore(idx, q0, adc, k, shortlist)
   }
 
-  /** The query/probe HEAD shared by every compressed-index entry point:
-    * query vectors by point lookup from the lists (the one place a
-    * query reads v outside the rescore), then the nprobe nearest cells
-    * per query by exact integer distance against the stored coarse
-    * centroids. Returns (q0 = qid/qv/qnrm/xq, probes = qid/cell) — ONE
-    * site for probe semantics, so a tie-break change cannot diverge
-    * between the PQ, residual, and SQ paths. */
-  private def probedQueries(idx: DataFrame, cent: DataFrame,
-      nQueries: Int, nprobe: Int): (DataFrame, DataFrame) = {
-    val q0 = idx.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm"),
-        transform(col("v"),
-          x => round(x * 1000).cast("long") * lit(1000L)).as("xq"))
+  /** The ORACLE-PARITY fixture convention: query vectors are the lowest
+    * `nQueries` vec_ids, fetched by a point lookup from the lists. This
+    * is the one read of the standing index outside the DPP-pruned probed
+    * cells — at 100 TB a full-index (column-pruned, not cell-pruned)
+    * scan per query batch for data the caller should supply, which is
+    * why every indexed entry point also takes an external `queries`
+    * DataFrame and this form is just its wrapper. */
+  private def fixtureQueries(spark: org.apache.spark.sql.SparkSession,
+      table: String, nQueries: Int): DataFrame =
+    spark.table(s"${table}_ivf").filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v"))
+
+  /** Normalize a caller-supplied (qid, v) query frame into the q0 form
+    * every indexed entry point consumes (qid, qv, qnrm, xq). qnrm and xq
+    * derive from v through the SAME expressions the index build stored
+    * ([[withNorm]] / the scale-10^6 quantization), so external and
+    * fixture forms return identical rows for identical vectors. */
+  private def externalQ0(queries: DataFrame): DataFrame =
+    queries.select(col("qid").cast("long").as("qid"),
+        col("v").cast("array<double>").as("qv"))
+      .withColumn("qnrm", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("xq", transform(col("qv"),
+        x => round(x * 1000).cast("long") * lit(1000L)))
+
+  /** The nprobe nearest stored cells per query by exact integer distance
+    * — ONE site for probe semantics, so a tie-break change cannot
+    * diverge between the plain, PQ, residual, and SQ paths. */
+  private def probesFor(q0: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame = {
     val dist = aggregate(
       zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, d) => acc + d)
-    val probes = graft.plans.TopK.perKeyMin(
+    graft.plans.TopK.perKeyMin(
         q0.join(broadcast(cent))
           .select(col("qid"), col("c_label").as("cell"), dist.as("d2")),
         Seq("qid"), "d2", "cell", nprobe)
       .select(col("qid"), col("cell"))
-    (q0, probes)
   }
 
   /** The ADC→exact tail shared by every fused probe: the (d2, vec_id)
@@ -818,7 +859,15 @@ object Similarity {
     * only. */
   def annIvfPqResidualTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
-      shortlist: Int = 10): DataFrame = {
+      shortlist: Int = 10): DataFrame =
+    annIvfPqResidualTopK(spark, table, fixtureQueries(spark, table, nQueries),
+      k, nprobe, shortlist)
+
+  /** External-query-vector form of [[annIvfPqResidualTopK]] — the
+    * caller-supplied (qid, v) shape; see [[fixtureQueries]]. */
+  def annIvfPqResidualTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, k: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
     require(fusedEnc(spark, table) == "residual",
       s"$table stores RAW codes — query it with annIvfPqIndexedTopK " +
         "(a per-cell residual ADC table against raw codes mis-scores " +
@@ -828,7 +877,8 @@ object Similarity {
     val book = spark.table(s"${table}_pqbook")
     val idx = spark.table(s"${table}_ivf")
     val subDims = Dim / Centroids.SubSpaces
-    val (q0, probes) = probedQueries(idx, cent, nQueries, nprobe)
+    val q0 = externalQ0(queries)
+    val probes = probesFor(q0, cent, nprobe)
     // per-(query, probed-cell) residual LUT: nQueries × nprobe ×
     // SubSpaces × |codebook| exact integer distances — a broadcast
     val qres = probes.join(q0.select(col("qid"), col("xq")), "qid")
@@ -914,6 +964,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
         sqCodes(transform(col("v"), x => round(x * 1000).cast("long")))
           .as("sq"))
+      .repartition(col("cell")) // one file per touched cell per generation
       .write.mode("append").partitionBy("cell").format("parquet")
       .saveAsTable(s"${table}_ivf")
     graft.ops.IngestGuard.write(spark, delta, "vec_id", table,
@@ -974,10 +1025,31 @@ object Similarity {
   def annIvfSqIndexedTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
       shortlist: Int = 10): DataFrame = {
+    // layout contract, symmetric with the fused entry points' enc check:
+    // a non-SQ table would otherwise fail five calls deep on a missing
+    // _sqrange/sq column instead of naming the right entry point
+    require(spark.catalog.tableExists(s"${table}_sqrange"),
+      s"$table is not an SQ8 index (no ${table}_sqrange trainer) — query " +
+        "the entry point matching the stored layout: annIvfPqIndexedTopK/" +
+        "annIvfPqResidualTopK for a fused index, annIvfIndexedTopK for " +
+        "plain IVF")
+    annIvfSqIndexedTopK(spark, table, fixtureQueries(spark, table, nQueries),
+      k, nprobe, shortlist)
+  }
+
+  /** External-query-vector form of [[annIvfSqIndexedTopK]] — the
+    * caller-supplied (qid, v) shape; see [[fixtureQueries]]. */
+  def annIvfSqIndexedTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, k: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    require(spark.catalog.tableExists(s"${table}_sqrange"),
+      s"$table is not an SQ8 index (no ${table}_sqrange trainer) — query " +
+        "the entry point matching the stored layout")
     graft.functions.DotProduct.register(spark)
     val cent = spark.table(s"${table}_centroids")
     val idx = spark.table(s"${table}_ivf")
-    val (q0, probes) = probedQueries(idx, cent, nQueries, nprobe)
+    val q0 = externalQ0(queries)
+    val probes = probesFor(q0, cent, nprobe)
     // the query side at scale q·255, matching sqDecode255's output scale
     val qs = q0.select(col("qid"), transform(col("qv"),
       x => round(x * 1000).cast("long") * lit(255L)).as("qs"))
@@ -1082,6 +1154,16 @@ object Similarity {
     // back fused (same code-encoding provenance — rebuilding plain would
     // drop the codes column and break every ADC query), a plain index
     // comes back plain
+    // layout dispatch below assumes at most ONE rung's artifacts stand; a
+    // catalog written before dropStaleArtifacts landed can carry both, in
+    // which case the PQ branch would silently win and an SQ index would be
+    // rebuilt fused
+    require(!(spark.catalog.tableExists(s"${table}_pqbook") &&
+        spark.catalog.tableExists(s"${table}_sqrange")),
+      s"$table carries BOTH ${table}_pqbook and ${table}_sqrange — a stale " +
+        "artifact from a pre-provenance build; re-run the intended rung's " +
+        "build (builds now drop the other layout's artifacts) before " +
+        "retraining")
     if (fired) {
       if (spark.catalog.tableExists(s"${table}_pqbook")) {
         if (fusedEnc(spark, table) == "residual")

@@ -582,6 +582,120 @@ class AnnLifecycleSpec extends SparkSpec {
     assert(!third.getAs[Boolean]("retrained"))
   }
 
+  test("external-query ANN: caller-supplied (qid, v) == fixture rows; every index read is DPP-pruned") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-ext-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ext_test LOCATION '$wh'")
+    val t = "graft_ext_test.idx"
+    Similarity.buildIvfPqIndex(emb, t)
+    // query vectors from the CORPUS (the caller's side), not the index
+    val q = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("v"))
+    val got = Similarity.annIvfPqIndexedTopK(spark, t, q, K, NProbe, Shortlist)
+    val fixture = Similarity.annIvfPqIndexedTopK(spark, t)
+    assert(got.collect().map(_.toSeq).toSeq
+      === fixture.collect().map(_.toSeq).toSeq,
+      "external-query form diverged from the fixture form on the same vectors")
+
+    // the contract the fixture form cannot make: with queries supplied
+    // externally there is NO read of the standing index outside the
+    // DPP-pruned probed cells — every cell-partitioned scan in the plan
+    // (ADC candidates + shortlist rescore) carries a dynamic partition
+    // pruning filter; the fixture's un-pruned vec_id point-scan is gone
+    val partScans = scans(got.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty)
+    assert(partScans.nonEmpty)
+    val unpruned = partScans.filterNot(_.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning")))
+    assert(unpruned.isEmpty,
+      s"index scanned outside the DPP-pruned probed cells:\n" +
+        unpruned.map(_.toString).mkString("\n"))
+
+    // same contract for the plain-IVF external form
+    Similarity.buildIvfIndex(emb, "graft_ext_test.plain")
+    val gotP = Similarity.annIvfIndexedTopK(spark, "graft_ext_test.plain",
+      q, K, NProbe)
+    assert(gotP.collect().map(_.toSeq).toSeq
+      === Similarity.annIvfIndexedTopK(spark, "graft_ext_test.plain")
+        .collect().map(_.toSeq).toSeq)
+    val unprunedP = scans(gotP.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty)
+      .filterNot(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning")))
+    assert(unprunedP.isEmpty,
+      s"plain-IVF external query scanned the index un-pruned:\n" +
+        unprunedP.map(_.toString).mkString("\n"))
+  }
+
+  test("layout guards: SQ entry point refuses non-SQ tables; retrain refuses dual artifacts; empty codebook is loud") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-guard-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_guard_test LOCATION '$wh'")
+    val t = "graft_guard_test.idx"
+    Similarity.buildIvfPqIndex(emb, t)
+    // SQ query on a fused table: contract message, not a missing-column
+    // failure five calls deep
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.annIvfSqIndexedTopK(spark, t)
+    }
+    assert(e1.getMessage.contains("_sqrange"))
+    // a pre-provenance catalog carrying BOTH rungs' artifacts: retrain
+    // must refuse instead of letting the PQ branch silently win
+    spark.table(s"${t}_pqbook").limit(0)
+      .select(col("sub").as("dim"), col("c_label").cast("long").as("minq"),
+        col("c_label").cast("long").as("maxq"))
+      .write.format("parquet").saveAsTable(s"${t}_sqrange")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.retrainIfNeeded(spark, t, emb, 1.0)
+    }
+    assert(e2.getMessage.contains("BOTH"))
+    spark.sql(s"DROP TABLE ${t}_sqrange")
+    // an EMPTY codebook table (index built over an empty corpus / lost
+    // write) fails with a message naming the table, not an index error
+    spark.table(s"${t}_pqbook").limit(0).write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${t}_pqbook_empty")
+    spark.sql(s"DROP TABLE ${t}_pqbook")
+    spark.sql(s"ALTER TABLE ${t}_pqbook_empty RENAME TO ${t}_pqbook")
+    val e3 = intercept[IllegalStateException] {
+      Similarity.annIvfPqIndexedTopK(spark, t)
+    }
+    assert(e3.getMessage.contains("EMPTY"))
+  }
+
+  test("delta cadence: one file per cell per generation; compactIfNeeded's batch bound caps probed-read file counts") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-files-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_files_test LOCATION '$wh'")
+    val t = "graft_files_test.idx"
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 === 1), t)
+    for (m <- Seq(2, 3, 4)) // three small-delta generations
+      Similarity.ivfIndexDelta(t, emb.filter(col("vec_id") % 5 === m % 5))
+    def maxFilesPerCell(): Int = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("idx_ivf",
+            Some("graft_files_test"))).location.toString))
+      loc.listFiles().filter(_.isDirectory).map(
+        _.listFiles().count(_.getName.endsWith(".parquet"))).max
+    }
+    // each generation appended at most ONE file per touched cell (the
+    // repartition-by-cell discipline), so the generation bound IS the
+    // per-cell file-count bound between compactions
+    val beforeCompact = maxFilesPerCell()
+    assert(beforeCompact <= 4,
+      s"a cell dir holds $beforeCompact files after build + 3 deltas — " +
+        "delta writes are no longer one-file-per-cell")
+    // the guard sidecar has 4 generations > maxBatches=3 -> due; after
+    // compaction every cell folds to one file
+    assert(Similarity.compactIvfIfNeeded(spark, t, maxBatches = 3),
+      "4 ingest generations did not trigger the batch-bound compaction")
+    assert(maxFilesPerCell() === 1,
+      "compaction left more than one file in a cell dir")
+  }
+
   private def scans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
