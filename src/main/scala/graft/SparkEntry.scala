@@ -630,6 +630,17 @@ object SparkEntry {
       Similarity.annIvfPqIndexedTopK(s, WarmIndex.ivfPq(s, d))),
     "sim_ann_ivfsq_query" -> ((s, d) =>
       Similarity.annIvfSqIndexedTopK(s, WarmIndex.ivfSq(s, d))),
+    // nprobe/recall sensitivity sweep across the compression ladder
+    // (the dedup_threshold_sweep pattern): recall@3 vs the brute-force
+    // truth for nprobe in {1,2,4,8} x {pq, residual, sq8}, all served
+    // from the session-prebuilt standing indexes. Prices the recall/IO
+    // trade — including the fixed-shortlist dilution at high nprobe.
+    // Oracle-only: 12 ADC query plans; the per-rung cost shape is
+    // already priced by the *_indexed and *_query rows
+    "sim_ann_nprobe_sweep" -> ((s, d) =>
+      Similarity.annNprobeSweep(s, Tables.embeddings(s, d),
+        WarmIndex.ivfPq(s, d), WarmIndex.ivfPqResidual(s, d),
+        WarmIndex.ivfSq(s, d))),
     // EXTERNAL-query-vector entry points: query vectors arrive as a
     // caller-supplied (qid, v) frame — the 100 TB shape — instead of the
     // fixture's point-scan of the standing index; rows must be identical
@@ -1378,6 +1389,9 @@ object SparkEntry {
     * centroids (the frozen-quantizer delta-ingest oracle trains on the
     * base split only; assignment/probing always cover every vector). */
   private def ivfTrainedCtesFrom(basePred: String): String =
+    ivfTrainedCtesFrom(basePred, 2)
+
+  private def ivfTrainedCtesFrom(basePred: String, nprobe: Int): String =
     "E0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
     "Q0 AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, embedding FROM embeddings), " +
     "QQ AS (SELECT vec_id, label, dim, CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM Q0), " +
@@ -1390,7 +1404,7 @@ object SparkEntry {
     "CELL AS (SELECT vec_id, c_label AS cell FROM " +
     "(SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DIST) WHERE rk = 1), " +
     "PROBE AS (SELECT vec_id AS qid, c_label AS cell FROM " +
-    "(SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DIST WHERE vec_id < 8) WHERE rk <= 2), " +
+    s"(SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DIST WHERE vec_id < 8) WHERE rk <= $nprobe), " +
     "EC AS (SELECT e.vec_id, e.v, CELL.cell FROM E0 e JOIN CELL ON CELL.vec_id = e.vec_id), " +
     "QV AS (SELECT vec_id AS qid, v AS qv FROM E0 WHERE vec_id < 8), " +
     s"J AS (SELECT p.qid, ec.vec_id, ec.cell, round(${cosSql("ec.v", "QV.qv")}, 6) AS cos " +
@@ -1406,7 +1420,13 @@ object SparkEntry {
     * per-query ADC lookup table, probed-cell-restricted ADC scoring,
     * the (d2, vec_id) shortlist cut, and the exact-cosine rescore. */
   private def ivfPqSqlFrom(basePred: String): String =
-    s"WITH ${ivfTrainedCtesFrom(basePred)}, " +
+    s"WITH ${ivfPqChain(basePred, 2)} " + annTopkSelect
+
+  /** The CTE list only (everything after WITH, ending with RR — the
+    * rescored ranked candidates), parameterized by nprobe so the sweep
+    * row can reuse the identical chain per probe width. */
+  private def ivfPqChain(basePred: String, nprobe: Int): String =
+    s"${ivfTrainedCtesFrom(basePred, nprobe)}, " +
     "SDIST AS (SELECT x.vec_id, CAST(x.dim // 8 AS INT) AS sub, c.c_label, " +
     "sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
     "FROM QQ x JOIN C c ON x.dim = c.dim GROUP BY x.vec_id, x.dim // 8, c.c_label), " +
@@ -1425,7 +1445,11 @@ object SparkEntry {
     "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10), " +
     "RR AS (SELECT j.qid, j.vec_id, j.cell, j.cos, row_number() OVER " +
     "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rank " +
-    "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id) " +
+    "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id)"
+
+  /** The shared top-k projection every rung's ranked-candidate chain
+    * (… ending with RR) finishes with. */
+  private val annTopkSelect: String =
     "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
     "FROM RR WHERE rank <= 3 ORDER BY qid, rank"
 
@@ -1441,7 +1465,10 @@ object SparkEntry {
     * restricts which vectors train C and RC (both quantizer artifacts);
     * assignment/encoding/probing always cover every vector. */
   private def ivfPqResidualSqlFrom(basePred: String): String =
-    s"WITH ${ivfTrainedCtesFrom(basePred)}, " +
+    s"WITH ${ivfPqResidualChain(basePred, 2)} " + annTopkSelect
+
+  private def ivfPqResidualChain(basePred: String, nprobe: Int): String =
+    s"${ivfTrainedCtesFrom(basePred, nprobe)}, " +
     "RES AS (SELECT x.vec_id, x.dim, x.q * 1000 - c.c6 AS r " +
     "FROM QQ x JOIN CELL cl ON cl.vec_id = x.vec_id " +
     "JOIN C c ON c.c_label = cl.cell AND c.dim = x.dim), " +
@@ -1478,9 +1505,7 @@ object SparkEntry {
     "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10), " +
     "RR AS (SELECT j.qid, j.vec_id, j.cell, j.cos, row_number() OVER " +
     "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rank " +
-    "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id) " +
-    "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
-    "FROM RR WHERE rank <= 3 ORDER BY qid, rank"
+    "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id)"
 
   /** SQ8 IVF oracle chain: per-dim [min, max] over the scale-10³
     * integer q, byte-range codes (exact-integer numerator × 255.0, one
@@ -1489,7 +1514,10 @@ object SparkEntry {
     * dequantization at scale q·255, the (d2, vec_id) shortlist, and the
     * exact-cosine rescore. */
   private def ivfSqSqlFrom(basePred: String): String =
-    s"WITH ${ivfTrainedCtesFrom(basePred)}, " +
+    s"WITH ${ivfSqChain(basePred, 2)} " + annTopkSelect
+
+  private def ivfSqChain(basePred: String, nprobe: Int): String =
+    s"${ivfTrainedCtesFrom(basePred, nprobe)}, " +
     s"MM AS (SELECT dim, min(q) AS minq, max(q) AS maxq FROM QQ WHERE $basePred GROUP BY dim), " +
     "SC AS (SELECT x.vec_id, x.dim, CASE WHEN m.maxq = m.minq THEN 0 " +
     "ELSE greatest(0, least(255, CAST(round((x.q - m.minq) * 255.0 / (m.maxq - m.minq)) AS BIGINT))) END AS code " +
@@ -1506,9 +1534,34 @@ object SparkEntry {
     "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10), " +
     "RR AS (SELECT j.qid, j.vec_id, j.cell, j.cos, row_number() OVER " +
     "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rank " +
-    "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id) " +
-    "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
-    "FROM RR WHERE rank <= 3 ORDER BY qid, rank"
+    "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id)"
+
+  /** nprobe/recall sweep oracle: one UNION ALL branch per (rung,
+    * nprobe), each an independent WITH-subquery running that rung's
+    * full ranked-candidate chain at that probe width plus the
+    * brute-force truth (the `sim_ann_recall` BF CTEs), reduced to a
+    * single recall value. Mirrors [[graft.ops.Similarity.annNprobeSweep]]. */
+  private def nprobeSweepSql: String = {
+    val bfCtes =
+      "QB AS (SELECT vec_id AS qid, v AS qv FROM E0 WHERE vec_id < 8), " +
+      s"JB AS (SELECT QB.qid, E0.vec_id, round(${cosSql("E0.v", "QB.qv")}, 6) AS cos " +
+      "FROM E0 CROSS JOIN QB WHERE E0.vec_id <> QB.qid), " +
+      "RB AS (SELECT qid, vec_id, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM JB), " +
+      "BF AS (SELECT qid, vec_id FROM RB WHERE rank <= 3)"
+    def branch(rung: String, np: Int, chain: String): String =
+      s"SELECT '$rung' AS rung, $np AS nprobe, recall FROM (WITH $chain, " +
+      "TOPK AS (SELECT qid, vec_id FROM RR WHERE rank <= 3), " +
+      s"$bfCtes " +
+      "SELECT round(CAST(count(t.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall " +
+      "FROM BF b LEFT JOIN TOPK t ON t.qid = b.qid AND t.vec_id = b.vec_id)"
+    (for (np <- Seq(1, 2, 4, 8); (rung, chain) <- Seq(
+        "pq" -> ivfPqChain("TRUE", np),
+        "residual" -> ivfPqResidualChain("TRUE", np),
+        "sq8" -> ivfSqChain("TRUE", np)))
+      yield branch(rung, np, chain))
+      .mkString("", " UNION ALL ", " ORDER BY rung, nprobe")
+  }
 
   private val chainBlock = graft.graph.GraphOps.ChainBlock
 
@@ -2211,6 +2264,8 @@ object SparkEntry {
     // codebook, LUT rebased per probed cell — every stage still exact
     // integer math, so even the lossy shortlist is reproducible
     "sim_ann_ivfpq_residual" -> ivfPqResidualSqlFrom("TRUE"),
+    // the nprobe/recall sweep across all three rungs
+    "sim_ann_nprobe_sweep" -> nprobeSweepSql,
     // residual-index delta ingest: both residual artifacts (coarse
     // centroids + residual codebook) trained on the base split only
     "sim_ann_ivfpq_residual_delta" -> ivfPqResidualSqlFrom("vec_id % 5 <> 0"),

@@ -153,7 +153,29 @@ object Centroids {
     * both engines drop them identically). Input rows are (vec_id, rvec:
     * array<long> at scale 10^6 — exact integer residuals); output
     * schema matches [[pqCodebook]]: (sub, c_label, cvec). */
-  private[ops] def residualCodebook(residuals: DataFrame): DataFrame = {
+  /** Lloyd iterations the residual codebook trains for (assign →
+    * group-mean, repeated). Each extra round re-assigns every training
+    * residual against the previous round's codebook and re-means — the
+    * standard k-means refinement; the exact-integer assignment and the
+    * c6 mean rounding keep every round engine-reproducible, so the
+    * oracle unrolls the same number of rounds.
+    *
+    * Pinned at 1 by MEASUREMENT (round 13): rounds ∈ {1, 2, 3} give
+    * bit-identical recall@3 on both sf0.001 (0.25) and sf0.01 (0.2917)
+    * — on this near-uniform corpus the sample-seeded codebook converges
+    * after one round, so extra rounds buy nothing and triple the
+    * training cost. The recall levers that DO move the number are
+    * nprobe (0.25 → 0.46 at sf0.001 going 2 → 8) and shortlist (which
+    * must scale WITH nprobe: at sf0.01, nprobe=8 at shortlist=10 scores
+    * BELOW nprobe=4 — more probed candidates dilute a fixed lossy ADC
+    * cut) — the trade `sim_ann_nprobe_sweep` prices. */
+  private[ops] val ResidualLloydRounds = 1
+
+  private[ops] def residualCodebook(residuals: DataFrame): DataFrame =
+    residualCodebook(residuals, ResidualLloydRounds)
+
+  private[ops] def residualCodebook(residuals: DataFrame,
+      rounds: Int): DataFrame = {
     val subDims = 64 / SubSpaces
     val w = Window.orderBy(col("vec_id"))
     // PqK lowest-id residuals as seeds (a TakeOrdered of PqK rows; the
@@ -166,23 +188,34 @@ object Centroids {
           s => slice(col("rvec"), s * subDims + 1, lit(subDims))))
         .as(Seq("sub", "cvec")))
       .select(col("sub"), col("c_label"), col("cvec"))
-    val assigned = pqCodesFromInt(
-        residuals.select(col("vec_id"), col("rvec").as("xq")), seedBook)
-      .withColumnRenamed("code", "c_label")
-    residuals
-      .select(col("vec_id"), posexplode(col("rvec")).as(Seq("dim", "r")))
-      .withColumn("sub", (col("dim") / subDims).cast("int"))
-      .join(assigned, Seq("vec_id", "sub"))
-      .groupBy(col("c_label"), col("dim"))
-      .agg(sum(col("r")).as("s"), count(lit(1)).as("n"))
-      .select(col("c_label"), col("dim"),
-        round(round(col("s").cast("double") / (lit(1000000.0) * col("n")), 6)
-          * 1000000.0).cast("long").as("c6"))
-      .withColumn("sub", (col("dim") / subDims).cast("int"))
-      .groupBy(col("sub"), col("c_label"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("c6")))).as("cd"))
-      .select(col("sub"), col("c_label"),
-        transform(col("cd"), s => s("c6")).as("cvec"))
+    // one Lloyd round: assign every training residual subvector to its
+    // nearest codebook entry (exact integer argmin), codebook entry :=
+    // per-group mean via the identical labelCentroids→c6 rounding
+    def lloyd(book: DataFrame): DataFrame = {
+      val assigned = pqCodesFromInt(
+          residuals.select(col("vec_id"), col("rvec").as("xq")), book)
+        .withColumnRenamed("code", "c_label")
+      residuals
+        .select(col("vec_id"), posexplode(col("rvec")).as(Seq("dim", "r")))
+        .withColumn("sub", (col("dim") / subDims).cast("int"))
+        .join(assigned, Seq("vec_id", "sub"))
+        .groupBy(col("c_label"), col("dim"))
+        .agg(sum(col("r")).as("s"), count(lit(1)).as("n"))
+        .select(col("c_label"), col("dim"),
+          round(round(col("s").cast("double") / (lit(1000000.0) * col("n")), 6)
+            * 1000000.0).cast("long").as("c6"))
+        .withColumn("sub", (col("dim") / subDims).cast("int"))
+        .groupBy(col("sub"), col("c_label"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c6")))).as("cd"))
+        .select(col("sub"), col("c_label"),
+          transform(col("cd"), s => s("c6")).as("cvec"))
+    }
+    // intermediate codebooks are SubSpaces·PqK rows — pin each so round
+    // i+1's broadcast assignment doesn't re-derive round i's aggregation
+    (1 to rounds).foldLeft(seedBook) { (book, i) =>
+      val next = lloyd(book)
+      if (i == rounds) next else next.localCheckpoint()
+    }
   }
 
   /** PQ ENCODE over already-quantized integer vectors (vec_id, xq:

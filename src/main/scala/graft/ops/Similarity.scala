@@ -819,7 +819,11 @@ object Similarity {
     * variant — `{t}_centroids`, `{t}_pqbook` (residual codebook),
     * cell-partitioned `{t}_ivf` carrying (v, nrm, cell, codes) — so
     * compaction/guard machinery applies unchanged. */
-  def buildIvfPqResidualIndex(embeddings: DataFrame, table: String): Unit = {
+  def buildIvfPqResidualIndex(embeddings: DataFrame, table: String): Unit =
+    buildIvfPqResidualIndex(embeddings, table, Centroids.ResidualLloydRounds)
+
+  private[ops] def buildIvfPqResidualIndex(embeddings: DataFrame,
+      table: String, lloydRounds: Int): Unit = {
     dropStaleArtifacts(embeddings.sparkSession, table, keep = Set("pqbook"))
     val cent = graft.CacheScope.track(Centroids.centroidVectors(embeddings))
     cent.write.mode("overwrite").format("parquet")
@@ -833,7 +837,8 @@ object Similarity {
         .join(broadcast(cent), col("cell") === col("c_label"))
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
           zip_with(col("xq"), col("cvec"), (x, c) => x - c).as("rvec")))
-    val book = Centroids.residualCodebook(res.select(col("vec_id"), col("rvec")))
+    val book = Centroids.residualCodebook(res.select(col("vec_id"), col("rvec")),
+      lloydRounds)
     book.withColumn("enc", lit("residual"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_pqbook")
@@ -1176,6 +1181,42 @@ object Similarity {
     decision.write.mode("append").format("parquet")
       .saveAsTable(s"${table}_quantizer_log")
     decision
+  }
+
+  /** nprobe/recall sensitivity sweep across the compression ladder —
+    * the `dedup_threshold_sweep` pattern applied to ANN tuning: one row
+    * per (rung, nprobe) with recall@k against the brute-force truth,
+    * pricing the recall/IO trade the single-point ladder numbers can't
+    * (candidate IO grows ∝ nprobe; recall follows — until the FIXED
+    * shortlist dilutes: more probed candidates under the same lossy ADC
+    * cut can DROP recall, the measured round-13 effect that makes
+    * shortlist-scales-with-nprobe the real tuning rule). All three rungs
+    * serve from standing indexes over the same corpus; the truth side is
+    * the already-oracled brute-force chain, so every recall value is
+    * engine-reproducible. */
+  def annNprobeSweep(spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, tPq: String, tRes: String, tSq: String,
+      nQueries: Int = 8, k: Int = 3, shortlist: Int = 10,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val truth = graft.CacheScope.track(
+      bruteForceTopK(embeddings, nQueries, k)
+        .select(col("qid"), col("vec_id")))
+    val rows = for (np <- nprobes; (rung, res) <- Seq(
+        "pq" -> (() => annIvfPqIndexedTopK(spark, tPq, nQueries, k, np,
+          shortlist)),
+        "residual" -> (() => annIvfPqResidualTopK(spark, tRes, nQueries, k,
+          np, shortlist)),
+        "sq8" -> (() => annIvfSqIndexedTopK(spark, tSq, nQueries, k, np,
+          shortlist)))) yield {
+      val ann = res().select(col("qid").as("aqid"), col("vec_id").as("avid"))
+      truth.join(ann,
+          col("qid") === col("aqid") && col("vec_id") === col("avid"),
+          "left_outer")
+        .agg(round(count(col("avid")).cast("double")
+          / count(lit(1)).cast("double"), 4).as("recall"))
+        .select(lit(rung).as("rung"), lit(np).as("nprobe"), col("recall"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy(col("rung"), col("nprobe"))
   }
 
   /** Recall@k of the trained-IVF path against the brute-force truth —

@@ -42,6 +42,10 @@ object WarmIndex {
     ensure(spark, sfDir, "ivfpq")(t =>
       Similarity.buildIvfPqIndex(Tables.embeddings(spark, sfDir), t))
 
+  def ivfPqResidual(spark: SparkSession, sfDir: String): String =
+    ensure(spark, sfDir, "ivfpqr")(t =>
+      Similarity.buildIvfPqResidualIndex(Tables.embeddings(spark, sfDir), t))
+
   def ivfSq(spark: SparkSession, sfDir: String): String =
     ensure(spark, sfDir, "ivfsq")(t =>
       Similarity.buildIvfSqIndex(Tables.embeddings(spark, sfDir), t))

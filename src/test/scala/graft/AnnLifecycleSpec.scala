@@ -582,6 +582,37 @@ class AnnLifecycleSpec extends SparkSpec {
     assert(!third.getAs[Boolean]("retrained"))
   }
 
+  test("nprobe sweep: ladder ordering holds per probe width (sq8 >= pq at every nprobe)") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-sweep-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_sweep_test LOCATION '$wh'")
+    Similarity.buildIvfPqIndex(emb, "graft_sweep_test.pq")
+    Similarity.buildIvfPqResidualIndex(emb, "graft_sweep_test.res")
+    Similarity.buildIvfSqIndex(emb, "graft_sweep_test.sq")
+    val rows = Similarity.annNprobeSweep(spark, emb, "graft_sweep_test.pq",
+        "graft_sweep_test.res", "graft_sweep_test.sq").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val byNp = Seq(1, 2, 4, 8).map(np =>
+      np -> (rows(("pq", np)), rows(("residual", np)), rows(("sq8", np))))
+    byNp.foreach { case (np, (pq, res, sq)) =>
+      info(f"nprobe=$np%d recall@3: sq8 $sq%.4f residual $res%.4f pq $pq%.4f")
+      // SQ8's near-exact codes must not lose to PQ's lossy ones under
+      // the SAME probe set and shortlist — the ladder ordering, now
+      // asserted at every probe width instead of the single nprobe=2
+      // point
+      assert(sq >= pq - 1e-9,
+        f"SQ8 lost to raw PQ at nprobe=$np: $sq%.4f < $pq%.4f")
+    }
+    // widening probes must never hurt the near-exact rung: sq8's ADC
+    // ordering ≈ the true ordering, so extra candidates can only add
+    // (the lossy rungs MAY dilute at fixed shortlist — that's the trade
+    // the sweep row exists to price, not a bug)
+    val sqByNp = byNp.map { case (np, (_, _, sq)) => sq }
+    assert(sqByNp == sqByNp.sorted,
+      s"sq8 recall not monotone in nprobe: $sqByNp")
+  }
+
   test("external-query ANN: caller-supplied (qid, v) == fixture rows; every index read is DPP-pruned") {
     import java.nio.file.Files
     val emb = Tables.embeddings(spark, sfDir)
