@@ -630,6 +630,17 @@ object SparkEntry {
       Similarity.annIvfPqIndexedTopK(s, WarmIndex.ivfPq(s, d))),
     "sim_ann_ivfsq_query" -> ((s, d) =>
       Similarity.annIvfSqIndexedTopK(s, WarmIndex.ivfSq(s, d))),
+    // probe-bounded cosine RANGE search off the standing index: every
+    // probed-cell candidate at exact cos >= t survives (no heap cut, no
+    // lossy ADC prefilter — a range query can't tolerate silent drops);
+    // the indexed counterpart of sim_near_dup's blocked pair listing
+    "sim_ann_range_search" -> ((s, d) =>
+      Similarity.annIvfRangeSearch(s, WarmIndex.ivf(s, d))),
+    // standing-index maintenance stats: inverted-list size distribution
+    // + the max/avg imbalance factor (the probe-skew predictor a
+    // maintenance job reads before scheduling retrain/splits)
+    "sim_ann_index_stats" -> ((s, d) =>
+      Similarity.annIvfIndexStats(s, WarmIndex.ivf(s, d))),
     // nprobe/recall sensitivity sweep across the compression ladder
     // (the dedup_threshold_sweep pattern): recall@3 vs the brute-force
     // truth for nprobe in {1,2,4,8} x {pq, residual, sq8}, all served
@@ -1260,6 +1271,8 @@ object SparkEntry {
     // the warm iteration) — the regime the *_indexed rows can't isolate
     "sim_ann_ivf_query", "sim_ann_ivfpq_query", "sim_ann_ivfsq_query",
     "bm25_query",
+    // probe-bounded range search + the 1-row index maintenance stats
+    "sim_ann_range_search", "sim_ann_index_stats",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -2266,6 +2279,24 @@ object SparkEntry {
     "sim_ann_ivfpq_residual" -> ivfPqResidualSqlFrom("TRUE"),
     // the nprobe/recall sweep across all three rungs
     "sim_ann_nprobe_sweep" -> nprobeSweepSql,
+    // probe-bounded range search: the trained-IVF chain's scored
+    // candidates (J) thresholded instead of rank-cut
+    "sim_ann_range_search" ->
+      (s"WITH $ivfTrainedCtes " +
+       "SELECT qid, vec_id, round(cos, 4) AS cos, cell FROM J " +
+       "WHERE cos >= 0.25 ORDER BY qid, vec_id"),
+    // index stats: list-size distribution + imbalance over the chain's
+    // argmin cell assignment (identical to the stored lists)
+    "sim_ann_index_stats" ->
+      (s"WITH $ivfTrainedCtes, " +
+       "CS AS (SELECT cell, count(*) AS n FROM CELL GROUP BY cell) " +
+       "SELECT CAST(count(*) AS BIGINT) AS n_cells, " +
+       "CAST(sum(n) AS BIGINT) AS n_vectors, " +
+       "CAST(min(n) AS BIGINT) AS min_list, " +
+       "CAST(max(n) AS BIGINT) AS max_list, " +
+       "round(avg(n), 4) AS avg_list, " +
+       "round(CAST(max(n) AS DOUBLE) / round(avg(n), 4), 4) AS imbalance " +
+       "FROM CS"),
     // residual-index delta ingest: both residual artifacts (coarse
     // centroids + residual codebook) trained on the base split only
     "sim_ann_ivfpq_residual_delta" -> ivfPqResidualSqlFrom("vec_id % 5 <> 0"),

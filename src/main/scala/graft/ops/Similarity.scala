@@ -1183,6 +1183,64 @@ object Similarity {
     decision
   }
 
+  /** Probe-bounded cosine RANGE search from a standing IVF-family index
+    * — the indexed counterpart of [[nearDupPairs]] and the query shape
+    * dedup/link-discovery actually runs at scale ("everything within
+    * cosine t of these vectors", not top-k): candidates are the
+    * DPP-pruned probed cells, scored with the exact rounded cosine, and
+    * every row at or above `threshold` survives — no heap cut, so the
+    * output is bounded by the true match count in the probed cells.
+    * Recall is probe-bounded exactly like the top-k entry points
+    * (nprobe is the knob); within the probed cells the result is EXACT
+    * (no ADC prefilter — a lossy filter could silently drop true
+    * matches, which a range query, unlike top-k, cannot tolerate).
+    * Works on every layout (plain/fused/SQ lists all carry v). */
+  def annIvfRangeSearch(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, threshold: Double,
+      nprobe: Int): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val cent = spark.table(s"${table}_centroids")
+    val idx = spark.table(s"${table}_ivf")
+    val q0 = externalQ0(queries)
+    val probes = probesFor(q0, cent, nprobe)
+    val q = q0.select(col("qid"), col("qv"), col("qnrm")).join(probes, "qid")
+    idx.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"),
+        col("cell"))
+      .orderBy(col("qid"), col("vec_id"))
+  }
+
+  def annIvfRangeSearch(spark: org.apache.spark.sql.SparkSession,
+      table: String, nQueries: Int = 8, threshold: Double = 0.25,
+      nprobe: Int = 2): DataFrame =
+    annIvfRangeSearch(spark, table, fixtureQueries(spark, table, nQueries),
+      threshold, nprobe)
+
+  /** Standing-index maintenance stats — the 1-row introspection a
+    * scheduled maintenance job reads before anything else: inverted-list
+    * size distribution and the imbalance factor max/avg, the number that
+    * predicts probe skew (a probe landing on the hottest cell reads
+    * imbalance× the average list) and motivates re-training or cell
+    * splitting long before recall decays. One slim scan of the cell
+    * column (never v), one tiny aggregate. */
+  def annIvfIndexStats(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val sizes = spark.table(s"${table}_ivf")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    sizes.agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n")).as("n_vectors"),
+        min(col("n")).as("min_list"),
+        max(col("n")).as("max_list"),
+        round(avg(col("n")), 4).as("avg_list"))
+      .withColumn("imbalance",
+        round(col("max_list").cast("double") / col("avg_list"), 4))
+  }
+
   /** nprobe/recall sensitivity sweep across the compression ladder —
     * the `dedup_threshold_sweep` pattern applied to ANN tuning: one row
     * per (rung, nprobe) with recall@k against the brute-force truth,

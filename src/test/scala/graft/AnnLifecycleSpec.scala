@@ -659,6 +659,91 @@ class AnnLifecycleSpec extends SparkSpec {
         unprunedP.map(_.toString).mkString("\n"))
   }
 
+  test("range search + index stats: exact within probed cells, external == fixture, stats invariants") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-range-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_range_test LOCATION '$wh'")
+    val t = "graft_range_test.idx"
+    Similarity.buildIvfIndex(emb, t)
+    val threshold = 0.25
+
+    // independent driver-side recompute: integer-space cells + probes
+    // (the ivfSqExpected head), then EVERY probed-cell pair at exact
+    // rounded cos >= t — no cut of any kind
+    val data = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .sortBy(_._1)
+    val dim = data.head._3.length
+    val xq = data.map { case (id, _, v) =>
+      id -> v.map(x => rnd(x.toDouble * 1000) * 1000L) }.toMap
+    val c6 = data.groupBy(_._2).map { case (lbl, vs) =>
+      val sums = Array.fill(dim)(0L)
+      vs.foreach { case (_, _, v) =>
+        var i = 0
+        while (i < dim) { sums(i) += rnd(v(i).toDouble * 1000); i += 1 }
+      }
+      lbl -> sums.map(s => rnd(
+        BigDecimal(s.toDouble / (1000.0 * vs.length))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1000000.0))
+    }
+    def d2(a: Array[Long], c: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val cell = xq.map { case (id, a) =>
+      id -> c6.toSeq.map { case (l, c) => (d2(a, c), l) }.min._2 }
+    val probes = (0L until NQ).map { qid =>
+      qid -> c6.toSeq.map { case (l, c) => (d2(xq(qid), c), l) }
+        .sorted.take(NProbe).map(_._2).toSet
+    }.toMap
+    val vecs = data.map { case (id, _, v) => id -> v.map(_.toDouble) }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val want = (0L until NQ).flatMap { qid =>
+      data.map(_._1)
+        .filter(id => id != qid && probes(qid).contains(cell(id)))
+        .map(id => (qid, id,
+          round6(dot(vecs(id), vecs(qid)) / (nrm(id) * nrm(qid)))))
+        .filter(_._3 >= threshold)
+        .map { case (q, id, c) => (q, id, round4(c), cell(id)) }
+    }.sortBy(r => (r._1, r._2))
+
+    val got = Similarity.annIvfRangeSearch(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq === want,
+      "range search diverged from the independent probed-cell recompute")
+
+    // external form: identical rows; every index scan DPP-pruned
+    val q = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("v"))
+    val ext = Similarity.annIvfRangeSearch(spark, t, q, threshold, NProbe)
+    assert(ext.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      === want, "external-query range search diverged from the fixture")
+    val unpruned = scans(ext.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.nonEmpty)
+      .filterNot(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning")))
+    assert(unpruned.isEmpty,
+      s"range search scanned the index un-pruned:\n${unpruned.mkString("\n")}")
+
+    // index stats invariants against the same driver-side assignment
+    val st = Similarity.annIvfIndexStats(spark, t).collect()(0)
+    val sizes = cell.groupBy(_._2).map(_._2.size)
+    assert(st.getAs[Long]("n_vectors") === data.length.toLong)
+    assert(st.getAs[Long]("n_cells") === sizes.size.toLong)
+    assert(st.getAs[Long]("max_list") === sizes.max.toLong)
+    assert(st.getAs[Long]("min_list") === sizes.min.toLong)
+    assert(st.getAs[Double]("imbalance") >= 1.0)
+  }
+
   test("layout guards: SQ entry point refuses non-SQ tables; retrain refuses dual artifacts; empty codebook is loud") {
     import java.nio.file.Files
     val emb = Tables.embeddings(spark, sfDir)
