@@ -630,6 +630,8 @@ object SparkEntry {
       Similarity.annIvfPqIndexedTopK(s, WarmIndex.ivfPq(s, d))),
     "sim_ann_ivfsq_query" -> ((s, d) =>
       Similarity.annIvfSqIndexedTopK(s, WarmIndex.ivfSq(s, d))),
+    "sim_ann_ivfpqr_query" -> ((s, d) =>
+      Similarity.annIvfPqResidualTopK(s, WarmIndex.ivfPqResidual(s, d))),
     // probe-bounded cosine RANGE search off the standing index: every
     // probed-cell candidate at exact cos >= t survives (no heap cut, no
     // lossy ADC prefilter — a range query can't tolerate silent drops);
@@ -1270,7 +1272,7 @@ object SparkEntry {
     // time the QUERY path alone (WarmIndex builds once; best-of-2 takes
     // the warm iteration) — the regime the *_indexed rows can't isolate
     "sim_ann_ivf_query", "sim_ann_ivfpq_query", "sim_ann_ivfsq_query",
-    "bm25_query",
+    "sim_ann_ivfpqr_query", "bm25_query",
     // probe-bounded range search + the 1-row index maintenance stats
     "sim_ann_range_search", "sim_ann_index_stats",
     "sim_ann_recall", "sim_centroids",
@@ -2270,6 +2272,7 @@ object SparkEntry {
     // dequantization — the 8× rung of the compression ladder
     "sim_ann_ivfsq_indexed" -> ivfSqSqlFrom("TRUE"),
     "sim_ann_ivfsq_query" -> ivfSqSqlFrom("TRUE"),
+    "sim_ann_ivfpqr_query" -> ivfPqResidualSqlFrom("TRUE"),
     // SQ8 delta ingest: trainer + coarse quantizer frozen on the base
     // split; out-of-range delta values saturate (greatest/least)
     "sim_ann_ivfsq_index_delta" -> ivfSqSqlFrom("vec_id % 5 <> 0"),
