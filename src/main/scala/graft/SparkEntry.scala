@@ -310,6 +310,19 @@ object SparkEntry {
       FuzzySearch.topK(Tables.students(s, d), fuzzyQuery,
         c => round(call_function("indel_ratio", c, lit(fuzzyQuery)), 4))
     }),
+    // fuzzy search off a materialized q-gram index (Gravano et al.,
+    // VLDB 2001 count filtering): bucket-pruned gram postings generate
+    // candidates, exact levRatio rescores — must equal fuzzy_search_lev
+    // row-for-row (same oracle). The fixture's uniform customer# names
+    // are the measured WORST case for gram selectivity, like the
+    // near-uniform corpus is for PQ
+    "fuzzy_search_indexed" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-fuzzy-idx")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      FuzzySearch.buildIndex(Tables.students(s, d), "graft_idx.fuzzy")
+      FuzzySearch.topKIndexed(s, "graft_idx.fuzzy", fuzzyQuery)
+    }),
     // headline relational pipelines
     "q1_agg" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_top_revenue" -> ((s, d) => Relational.q3TopRevenue(s, d)),
@@ -1275,6 +1288,8 @@ object SparkEntry {
     "sim_ann_ivfpqr_query", "bm25_query",
     // probe-bounded range search + the 1-row index maintenance stats
     "sim_ann_range_search", "sim_ann_index_stats",
+    // q-gram-indexed fuzzy search (build + probe + rescore)
+    "fuzzy_search_indexed",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -2703,6 +2718,12 @@ object SparkEntry {
        "o.o_orderkey FROM events e ASOF LEFT JOIN O o " +
        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate ORDER BY e.event_id"),
     "fuzzy_search_lev" -> withStudents(
+      "SELECT id, name, college, board, stream, address, " +
+      s"${levScoreSql("name")} AS score FROM students " +
+      s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
+    // the index-served path must return byte-identical rows to the
+    // scan-time fuzzy search — same oracle (the bm25_indexed precedent)
+    "fuzzy_search_indexed" -> withStudents(
       "SELECT id, name, college, board, stream, address, " +
       s"${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.FuzzySearch
+
+/** The q-gram fuzzy index: count-filtered candidates (Gravano et al.,
+  * VLDB 2001) + exact rescore must equal the scan path row-for-row, the
+  * lossless-filter fallback must cover short queries, and the probe
+  * plan must prune posting buckets statically. */
+class FuzzyIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def collectRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  test("indexed fuzzy search == scan path row-for-row; probe prunes posting buckets") {
+    import java.nio.file.Files
+    val students = Tables.students(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-fuzzy-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fuzzy_test LOCATION '$wh'")
+    val t = "graft_fuzzy_test.idx"
+    FuzzySearch.buildIndex(students, t)
+
+    for (q <- Seq("customer#000000012", "custoner#000000011", "xyzzy",
+        "customer", "customer#0000000121111")) {
+      val scan = FuzzySearch.topK(students, q,
+        c => FuzzySearch.levRatio(c, lit(q)))
+      val indexed = FuzzySearch.topKIndexed(spark, t, q)
+      assert(collectRows(indexed) === collectRows(scan),
+        s"indexed fuzzy search diverged from the scan path for query '$q'")
+    }
+
+    // plan contract: the postings scan carries STATIC partition filters
+    // on bucket (the query's gram set is a literal), and the raw
+    // customer parquet is never read — only the index tables
+    val plan = FuzzySearch.topKIndexed(spark, t, "customer#000000012")
+      .queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(!planStr.contains("customer.parquet"),
+      s"corpus scanned at query time:\n$planStr")
+    val gramScan = scans(plan).find(_.relation.partitionSchema.nonEmpty)
+    assert(gramScan.isDefined, s"no partitioned postings scan:\n$planStr")
+    assert(gramScan.get.partitionFilters.nonEmpty,
+      s"postings scan not bucket-pruned:\n$planStr")
+  }
+
+  test("count filter is lossless for short queries (vacuous-bound fallback)") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // short names + a 2-char query: bound <= 0 rows must still be found
+    // even with zero shared grams ('zz' shares none with 'ab')
+    val tiny = Seq(
+      (1L, "ab", "c", "b", "s", "a"), (2L, "az", "c", "b", "s", "a"),
+      (3L, "zz", "c", "b", "s", "a"), (4L, "abcd", "c", "b", "s", "a"))
+      .toDF("id", "name", "college", "board", "stream", "address")
+    val wh = Files.createTempDirectory("graft-fuzzy2-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fuzzy2_test LOCATION '$wh'")
+    val t = "graft_fuzzy2_test.idx"
+    FuzzySearch.buildIndex(tiny, t)
+    for (q <- Seq("ab", "zz", "a")) {
+      val scan = FuzzySearch.topK(tiny, q,
+        c => FuzzySearch.levRatio(c, lit(q)), threshold = 50.0)
+      val indexed = FuzzySearch.topKIndexed(spark, t, q, threshold = 50.0)
+      assert(collectRows(indexed) === collectRows(scan),
+        s"short-query fallback lost rows for '$q'")
+    }
+    // non-integer thresholds are refused (the bound math is integer-exact)
+    intercept[IllegalArgumentException] {
+      FuzzySearch.topKIndexed(spark, t, "ab", threshold = 70.5)
+    }
+  }
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+  }
+}
