@@ -323,6 +323,32 @@ object SparkEntry {
       FuzzySearch.buildIndex(Tables.students(s, d), "graft_idx.fuzzy")
       FuzzySearch.topKIndexed(s, "graft_idx.fuzzy", fuzzyQuery)
     }),
+    // incremental maintenance of the fuzzy index: base build on 80%,
+    // the rest delta-ingested (postings derived from the delta alone,
+    // appended bucketed; guard-sidecar disjointness) — must still equal
+    // the full-corpus scan row-for-row
+    "fuzzy_index_delta" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-fuzzy-delta")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val st = Tables.students(s, d)
+      FuzzySearch.buildIndex(st.filter(col("id") % 5 =!= 0), "graft_idx.fuzzyd")
+      FuzzySearch.indexDelta("graft_idx.fuzzyd", st.filter(col("id") % 5 === 0))
+      FuzzySearch.topKIndexed(s, "graft_idx.fuzzyd", fuzzyQuery)
+    }),
+    // lifecycle capstone: build -> delta -> COMPACT (postings rewritten
+    // one-file-per-bucket through the crash-recoverable swap, guard
+    // folded) -> query; compaction is layout-only, same oracle
+    "fuzzy_index_compact" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-fuzzy-compact")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val st = Tables.students(s, d)
+      FuzzySearch.buildIndex(st.filter(col("id") % 5 =!= 0), "graft_idx.fuzzyc")
+      FuzzySearch.indexDelta("graft_idx.fuzzyc", st.filter(col("id") % 5 === 0))
+      FuzzySearch.compactIndex(s, "graft_idx.fuzzyc")
+      FuzzySearch.topKIndexed(s, "graft_idx.fuzzyc", fuzzyQuery)
+    }),
     // headline relational pipelines
     "q1_agg" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_top_revenue" -> ((s, d) => Relational.q3TopRevenue(s, d)),
@@ -1288,8 +1314,9 @@ object SparkEntry {
     "sim_ann_ivfpqr_query", "bm25_query",
     // probe-bounded range search + the 1-row index maintenance stats
     "sim_ann_range_search", "sim_ann_index_stats",
-    // q-gram-indexed fuzzy search (build + probe + rescore)
-    "fuzzy_search_indexed",
+    // q-gram-indexed fuzzy search (build + probe + rescore) + its
+    // delta-maintained and compacted twins
+    "fuzzy_search_indexed", "fuzzy_index_delta", "fuzzy_index_compact",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -2722,8 +2749,17 @@ object SparkEntry {
       s"${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
     // the index-served path must return byte-identical rows to the
-    // scan-time fuzzy search — same oracle (the bm25_indexed precedent)
+    // scan-time fuzzy search — same oracle (the bm25_indexed precedent);
+    // the index is purely additive, so the delta-maintained row shares it
     "fuzzy_search_indexed" -> withStudents(
+      "SELECT id, name, college, board, stream, address, " +
+      s"${levScoreSql("name")} AS score FROM students " +
+      s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
+    "fuzzy_index_delta" -> withStudents(
+      "SELECT id, name, college, board, stream, address, " +
+      s"${levScoreSql("name")} AS score FROM students " +
+      s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
+    "fuzzy_index_compact" -> withStudents(
       "SELECT id, name, college, board, stream, address, " +
       s"${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),

@@ -65,8 +65,84 @@ object FuzzySearch {
     * discipline); `{t}_names` carries the full student projection +
     * name length for the rescore and the per-candidate bound. */
   def buildIndex(students: DataFrame, table: String): Unit = {
+    writeIndex(students, table, overwrite = true)
+    graft.ops.IngestGuard.write(students.sparkSession, students, "id",
+      table, overwrite = true)
+  }
+
+  /** Incremental ingest into the standing fuzzy index — the
+    * [[Search.indexDelta]] contract applied to gram postings: the
+    * delta's postings and name rows are derived from the DELTA ALONE
+    * and appended (both tables are purely additive — no stored
+    * aggregate to merge), with id-disjointness enforced through the
+    * [[graft.ops.IngestGuard]] bloom sidecar (delta-proportional; the
+    * standing postings are never read). A re-ingested id would
+    * silently double its gram counts and inflate [[topKIndexed]]'s
+    * shared sums — hence the loud guard. One file per touched bucket
+    * per generation (the repartition discipline), so a compaction
+    * batch bound caps probe-time file counts exactly as for the IVF
+    * lists. */
+  def indexDelta(table: String, delta: DataFrame): Unit = {
+    val spark = delta.sparkSession
+    if (delta.isEmpty) return
+    require(spark.catalog.tableExists(s"${table}_names"),
+      s"fuzzyIndexDelta needs a standing index: ${table}_names not found — " +
+        "run buildIndex first")
+    // a missing postings table NEXT TO a standing guard is an
+    // interrupted compaction swap, not a fresh catalog — roll it
+    // forward before appending (the ingestPreamble discipline)
+    if (!spark.catalog.tableExists(s"${table}_grams") &&
+        spark.catalog.tableExists(s"${table}_guard")) {
+      Similarity.recoverPartitionedSwap(spark, s"${table}_grams")
+      require(spark.catalog.tableExists(s"${table}_grams"),
+        s"fuzzyIndexDelta refusing to bootstrap: ${table}_guard exists " +
+          s"but ${table}_grams is missing and no staged copy was found " +
+          "to roll forward — restore the postings (or drop the stale " +
+          "_guard) before ingesting")
+    }
+    graft.ops.IngestGuard.assertDisjoint(spark, table, delta, "id",
+      spark.table(s"${table}_names"), "fuzzyIndexDelta")
+    writeIndex(delta, table, overwrite = false)
+    graft.ops.IngestGuard.write(spark, delta, "id", table,
+      overwrite = false)
+  }
+
+  /** Compact the delta-grown fuzzy index — the [[Similarity
+    * .compactIvfIndex]] maintenance rewrite for gram postings: the
+    * bucket-partitioned `{t}_grams` is rewritten one-file-per-bucket
+    * through the crash-recoverable staged swap, and the guard sidecar
+    * folds to one bloom. The `{t}_names` table is left as-is: its file
+    * count is one per generation TOTAL (unpartitioned appends — no
+    * per-bucket amplification) and it is read through an id join, so
+    * the postings rewrite is where probe latency lives. Layout-only:
+    * queries before/after are row-identical (spec-gated). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    Similarity.recoverPartitionedSwap(spark, s"${table}_grams")
+    Similarity.compactPartitioned(spark, s"${table}_grams", "bucket")
+    graft.ops.IngestGuard.write(spark,
+      spark.table(s"${table}_names").select(col("id")), "id", table,
+      overwrite = true)
+  }
+
+  /** Compaction policy — [[Similarity.compactIvfIfNeeded]] for the
+    * fuzzy index: trigger on ingest generations or cumulative guard
+    * bytes; reads k tiny sidecar rows, never the postings. */
+  def compactIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxBatches: Int = 16,
+      maxSidecarBytes: Long = 64L << 20): Boolean = {
+    val (generations, sidecarBytes) =
+      graft.ops.IngestGuard.sidecarSize(spark, table)
+    val due = generations > maxBatches || sidecarBytes > maxSidecarBytes
+    if (due) compactIndex(spark, table)
+    due
+  }
+
+  private def writeIndex(students: DataFrame, table: String,
+      overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
     val named = students.withColumn("len", length(col("name")))
-    named.write.mode("overwrite").format("parquet")
+    named.write.mode(mode).format("parquet")
       .saveAsTable(s"${table}_names")
     named.filter(col("len") >= GramQ)
       .select(col("id"), posexplode(
@@ -75,8 +151,8 @@ object FuzzySearch {
       .withColumn("bucket",
         pmod(crc32(col("gram").cast("binary")), lit(GramBuckets)).cast("int"))
       .select(col("id"), col("gram"), col("bucket"))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").format("parquet")
+      .repartition(col("bucket")) // one file per touched bucket per generation
+      .write.mode(mode).partitionBy("bucket").format("parquet")
       .saveAsTable(s"${table}_grams")
   }
 

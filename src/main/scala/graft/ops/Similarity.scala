@@ -435,31 +435,41 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     recoverIvfSwap(spark, table) // roll forward/clean any interrupted swap
-    val staged = s"${table}_ivf_compacting"
-    spark.table(s"${table}_ivf")
-      .repartition(col("cell")) // one writer task per cell -> one file per cell dir
-      .write.mode("overwrite").partitionBy("cell").format("parquet")
-      .saveAsTable(staged)
-    // crash-recoverable swap (the Search.compactIndex scheme, with one
-    // partitioned-table twist): rename the live generation away, DROP it,
-    // THEN rename the staged copy in — every intermediate state is one
-    // recoverIvfSwap away from a readable index, and ivfIndexDelta refuses
-    // to bootstrap over a mid-swap catalog. The retired generation MUST be
-    // dropped while the live path is still empty: a rename keeps the
-    // catalog's per-partition locations pointing at the ORIGINAL path, and
-    // DROP TABLE follows those custom locations — dropping the retired
-    // table after the staged copy lands at the original path would delete
-    // the new live data out from under it (observed, not hypothetical).
-    spark.sql(s"ALTER TABLE ${table}_ivf RENAME TO ${table}_ivf_retired")
-    spark.sql(s"DROP TABLE ${table}_ivf_retired")
-    spark.sql(s"ALTER TABLE $staged RENAME TO ${table}_ivf")
-    // rename moves the data dir but the catalog's partition entries still
-    // point at the staging location — re-discover them from the new path
-    // (without this the renamed table reads as EMPTY)
-    spark.sql(s"MSCK REPAIR TABLE ${table}_ivf")
+    compactPartitioned(spark, s"${table}_ivf", "cell")
     graft.ops.IngestGuard.write(spark,
       spark.table(s"${table}_ivf").select(col("vec_id")),
       "vec_id", table, overwrite = true)
+  }
+
+  /** Rewrite a partitioned index table to one file per partition dir
+    * through the crash-recoverable swap — the generic core shared by the
+    * IVF lists (cell partitions) and the fuzzy gram postings (bucket
+    * partitions). Scheme (the [[Search.compactIndex]] scheme, with one
+    * partitioned-table twist): stage the compacted copy, rename the live
+    * generation away, DROP it, THEN rename the staged copy in — every
+    * intermediate state is one [[recoverPartitionedSwap]] away from a
+    * readable index, and delta ingest refuses to bootstrap over a
+    * mid-swap catalog. The retired generation MUST be dropped while the
+    * live path is still empty: a rename keeps the catalog's
+    * per-partition locations pointing at the ORIGINAL path, and DROP
+    * TABLE follows those custom locations — dropping the retired table
+    * after the staged copy lands at the original path would delete the
+    * new live data out from under it (observed, not hypothetical). */
+  private[ops] def compactPartitioned(
+      spark: org.apache.spark.sql.SparkSession, live: String,
+      partCol: String): Unit = {
+    val staged = s"${live}_compacting"
+    spark.table(live)
+      .repartition(col(partCol)) // one writer task per value -> one file per dir
+      .write.mode("overwrite").partitionBy(partCol).format("parquet")
+      .saveAsTable(staged)
+    spark.sql(s"ALTER TABLE $live RENAME TO ${live}_retired")
+    spark.sql(s"DROP TABLE ${live}_retired")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $live")
+    // rename moves the data dir but the catalog's partition entries still
+    // point at the staging location — re-discover them from the new path
+    // (without this the renamed table reads as EMPTY)
+    spark.sql(s"MSCK REPAIR TABLE $live")
   }
 
   /** Repair an interrupted [[compactIvfIndex]] swap — the
@@ -473,10 +483,15 @@ object Similarity {
     * DDL + one dir listing; returns true iff a roll-forward restored a
     * missing live table. */
   def recoverIvfSwap(spark: org.apache.spark.sql.SparkSession,
-      table: String): Boolean = {
-    val live = s"${table}_ivf"
-    val staged = s"${table}_ivf_compacting"
-    val retired = s"${table}_ivf_retired"
+      table: String): Boolean =
+    recoverPartitionedSwap(spark, s"${table}_ivf")
+
+  /** The generic swap-repair core — see [[recoverIvfSwap]]'s contract;
+    * `live` is the full partitioned table name (`…_ivf` or `…_grams`). */
+  private[ops] def recoverPartitionedSwap(
+      spark: org.apache.spark.sql.SparkSession, live: String): Boolean = {
+    val staged = s"${live}_compacting"
+    val retired = s"${live}_retired"
     val rolledForward =
       if (!spark.catalog.tableExists(live) && spark.catalog.tableExists(staged)) {
         // retired first, while the live path is still empty — its stale

@@ -47,6 +47,49 @@ class FuzzyIndexSpec extends SparkSpec {
       s"postings scan not bucket-pruned:\n$planStr")
   }
 
+  test("delta ingest: postings appended from the delta alone, merged == scan path; re-ingest refused") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val students = Tables.students(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-fuzzyd-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fuzzyd_test LOCATION '$wh'")
+    val t = "graft_fuzzyd_test.idx"
+    FuzzySearch.buildIndex(students.filter(col("id") % 5 =!= 0), t)
+    FuzzySearch.indexDelta(t, students.filter(col("id") % 5 === 0))
+    // every name landed exactly once; merged index == full scan path
+    assert(spark.table(s"${t}_names").count() === students.count())
+    val q = "customer#000000012"
+    val scan = FuzzySearch.topK(students, q,
+      c => FuzzySearch.levRatio(c, lit(q)))
+    assert(collectRows(FuzzySearch.topKIndexed(spark, t, q))
+      === collectRows(scan),
+      "delta-maintained fuzzy index diverged from the scan path")
+    // a replayed delta would double gram counts — must be refused loudly
+    intercept[IllegalArgumentException] {
+      FuzzySearch.indexDelta(t, students.filter(col("id") % 5 === 0))
+    }
+    // compaction: layout-only (row-identical query), guard folds to one
+    // generation, one file per bucket dir
+    FuzzySearch.compactIndex(spark, t)
+    assert(collectRows(FuzzySearch.topKIndexed(spark, t, q))
+      === collectRows(scan), "compaction moved a fuzzy-index result")
+    val (gens, _) = graft.ops.IngestGuard.sidecarSize(spark, t)
+    assert(gens === 1L, s"compaction left $gens guard generations")
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("idx_grams",
+          Some("graft_fuzzyd_test"))).location.toString))
+    val maxFiles = loc.listFiles().filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFiles === 1,
+      s"compaction left $maxFiles files in a bucket dir")
+    // the policy fires on the generation bound after fresh deltas
+    FuzzySearch.indexDelta(t, Seq((900001L, "zzz", "c", "b", "s", "a"))
+      .toDF("id", "name", "college", "board", "stream", "address"))
+    assert(FuzzySearch.compactIfNeeded(spark, t, maxBatches = 1),
+      "2 guard generations did not trigger the batch-bound compaction")
+  }
+
   test("count filter is lossless for short queries (vacuous-bound fallback)") {
     import java.nio.file.Files
     import spark.implicits._
