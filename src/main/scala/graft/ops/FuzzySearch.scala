@@ -107,6 +107,37 @@ object FuzzySearch {
       overwrite = false)
   }
 
+  /** At-least-once-safe fuzzy ingest — [[indexDelta]]'s idempotent twin
+    * (the [[Search.indexDeltaIdempotent]] contract for gram postings): a
+    * replayed streaming micro-batch must be a no-op, not doubled gram
+    * counts. Replay filter: exact confirmation only for the
+    * bloom-suspect sliver of the delta (delta-proportional — the
+    * standing names are read just for the suspect ids); the novel set
+    * is lineage-cut before the append (it derives from the table being
+    * appended to — the insert-time cache-invalidation trap). */
+  def indexDeltaIdempotent(table: String, delta: DataFrame): Unit = {
+    val spark = delta.sparkSession
+    if (!spark.catalog.tableExists(s"${table}_names")) {
+      buildIndex(delta, table); return
+    }
+    val novel = graft.ops.IngestGuard.suspectPredicate(spark, table, "id")
+      match {
+        case Some(hit) =>
+          val suspects = delta.select(col("id")).distinct().filter(hit)
+          if (suspects.isEmpty) delta
+          else {
+            val present = spark.table(s"${table}_names").select(col("id"))
+              .join(broadcast(suspects), Seq("id"), "left_semi").distinct()
+            delta.join(broadcast(present), Seq("id"), "left_anti")
+              .localCheckpoint()
+          }
+        case None =>
+          delta.join(spark.table(s"${table}_names").select(col("id"))
+            .distinct(), Seq("id"), "left_anti").localCheckpoint()
+      }
+    if (!novel.isEmpty) indexDelta(table, novel)
+  }
+
   /** Compact the delta-grown fuzzy index — the [[Similarity
     * .compactIvfIndex]] maintenance rewrite for gram postings: the
     * bucket-partitioned `{t}_grams` is rewritten one-file-per-bucket

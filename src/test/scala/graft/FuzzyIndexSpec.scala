@@ -88,6 +88,22 @@ class FuzzyIndexSpec extends SparkSpec {
       .toDF("id", "name", "college", "board", "stream", "address"))
     assert(FuzzySearch.compactIfNeeded(spark, t, maxBatches = 1),
       "2 guard generations did not trigger the batch-bound compaction")
+    // at-least-once replay through the idempotent twin is a no-op (the
+    // streaming contract): gram counts must not double
+    val nNames = spark.table(s"${t}_names").count()
+    val nGrams = spark.table(s"${t}_grams").count()
+    FuzzySearch.indexDeltaIdempotent(t, students.filter(col("id") % 5 === 0))
+    assert(spark.table(s"${t}_names").count() === nNames,
+      "idempotent replay duplicated name rows")
+    assert(spark.table(s"${t}_grams").count() === nGrams,
+      "idempotent replay duplicated gram postings")
+    // a mixed batch (one novel + replays) ingests exactly the novel row
+    FuzzySearch.indexDeltaIdempotent(t,
+      students.filter(col("id") % 5 === 0).limit(3).unionByName(
+        Seq((900002L, "qqq", "c", "b", "s", "a"))
+          .toDF("id", "name", "college", "board", "stream", "address")))
+    assert(spark.table(s"${t}_names").count() === nNames + 1,
+      "mixed idempotent batch did not ingest exactly the novel row")
   }
 
   test("count filter is lossless for short queries (vacuous-bound fallback)") {
