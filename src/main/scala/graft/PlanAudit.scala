@@ -35,8 +35,11 @@ object PlanAudit {
         // residual (IVFADC) variant
         "sim_ann_ivfpq_indexed", "sim_ann_ivf_retrain",
         "sim_ann_ivfpq_residual", "sim_ann_ivfsq_indexed",
-        // round-13: query-only twins + the external-query form
-        "sim_ann_ivfpq_query", "bm25_query", "sim_ann_ivfpq_external")) {
+        // round-13: query-only twins + the external-query form + the
+        // fuzzy index family + range search
+        "sim_ann_ivfpq_query", "bm25_query", "sim_ann_ivfpq_external",
+        "fuzzy_search_indexed", "fuzzy_index_compact",
+        "sim_ann_range_search", "sim_ann_index_stats")) {
       out.println(s"==== $name ====")
       out.println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -1127,6 +1127,27 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       Search.bm25Indexed(s, "graft_idx.bm25s")
     }),
+    // streaming ingest into the standing FUZZY index: file-source
+    // micro-batches through the idempotent gram-posting path (batch 0
+    // bootstraps the empty catalog; compaction policy runs per batch);
+    // the drained index must answer the scan-path fuzzy oracle
+    "stream_fuzzy_ingest" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-fuzzy-stream")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val st = Tables.students(s, d)
+      val feed = java.nio.file.Files.createTempDirectory("graft-st-feed")
+        .toFile.getAbsolutePath + "/in"
+      st.filter(col("id") % 2 === 0).repartition(1).write.parquet(feed)
+      st.filter(col("id") % 2 === 1).repartition(1)
+        .write.mode("append").parquet(feed)
+      val q = graft.streaming.Streams.incrementalFuzzyIndexing(
+        s.readStream.schema(st.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        "graft_idx.fuzzys")
+      q.processAllAvailable(); q.stop()
+      FuzzySearch.topKIndexed(s, "graft_idx.fuzzys", fuzzyQuery)
+    }),
     // keyword extraction: full-vocab tf-idf, min-df pruned before the
     // join back, per-doc top-3 through the bounded TopKPerKey heaps
     "text_keywords" -> ((s, d) => Search.keywords(Tables.documents(s, d))),
@@ -2760,6 +2781,11 @@ object SparkEntry {
       s"${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
     "fuzzy_index_compact" -> withStudents(
+      "SELECT id, name, college, board, stream, address, " +
+      s"${levScoreSql("name")} AS score FROM students " +
+      s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
+    // a drained fuzzy ingest stream converges to the scan-path result
+    "stream_fuzzy_ingest" -> withStudents(
       "SELECT id, name, college, board, stream, address, " +
       s"${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),

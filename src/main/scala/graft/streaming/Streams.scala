@@ -360,6 +360,27 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming ingest into the standing q-gram FUZZY index —
+    * [[incrementalIndexing]] for gram postings: each micro-batch runs
+    * [[graft.ops.FuzzySearch.indexDeltaIdempotent]] (at-least-once
+    * replays are no-ops — doubled gram counts would inflate every
+    * count-filter sum) and the generation/byte-bounded compaction
+    * policy; batch 0 bootstraps an empty catalog. A drained stream
+    * serves [[graft.ops.FuzzySearch.topKIndexed]] identically to a
+    * one-shot build — gated on the same scan-path oracle. */
+  def incrementalFuzzyIndexing(newStudents: DataFrame, table: String,
+      maxBatches: Int = 16): StreamingQuery =
+    newStudents.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.FuzzySearch.indexDeltaIdempotent(table, batch)
+        if (maxBatches > 0)
+          graft.ops.FuzzySearch.compactIfNeeded(batch.sparkSession, table,
+            maxBatches)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming corpus curation — the continuous-ingest capstone: per
     * micro-batch, keep-first exact dedup WITHIN the batch (min doc_id
     * per content hash), an anti-join against the STANDING curated
