@@ -133,26 +133,6 @@ object Centroids {
     * the raw-vs-residual recall comparison is size-for-size honest. */
   val PqK = 10
 
-  /** RESIDUAL PQ codebook — the per-subspace codebook for coarse-cell
-    * residuals (the IVFADC composition of Jégou et al., TPAMI 2011:
-    * encode r = x − centroid(cell(x)), which strips the part of x the
-    * coarse quantizer already explains, so PQ spends its codes on the
-    * much tighter residual distribution). Training is SAMPLE-SEEDED +
-    * ONE LLOYD ROUND: seeds are the [[PqK]] lowest-vec_id training
-    * residual vectors (codes 0..PqK−1 in id order — the deterministic
-    * analog of k-means random init; label-MEAN seeding is structurally
-    * degenerate here, because residuals within a cell average ≈ 0 and
-    * every code collapses to the origin), each training residual
-    * subvector is assigned to its nearest seed by exact integer
-    * distance, and the codebook entry is the per-group mean via the
-    * identical [[labelCentroids]]→c6 rounding pipeline (6dp unit mean ×
-    * 10^6 as a long) — layout-independent and oracle-able like every
-    * other quantizer here. A (sub, code) group that attracts no members
-    * simply has no entry (its seed always attracts itself, so this only
-    * happens to codes shadowed by an identical lower-coded seed slice —
-    * both engines drop them identically). Input rows are (vec_id, rvec:
-    * array<long> at scale 10^6 — exact integer residuals); output
-    * schema matches [[pqCodebook]]: (sub, c_label, cvec). */
   /** Lloyd iterations the residual codebook trains for (assign →
     * group-mean, repeated). Each extra round re-assigns every training
     * residual against the previous round's codebook and re-means — the
@@ -171,6 +151,26 @@ object Centroids {
     * cut) — the trade `sim_ann_nprobe_sweep` prices. */
   private[ops] val ResidualLloydRounds = 1
 
+  /** RESIDUAL PQ codebook — the per-subspace codebook for coarse-cell
+    * residuals (the IVFADC composition of Jégou et al., TPAMI 2011:
+    * encode r = x − centroid(cell(x)), which strips the part of x the
+    * coarse quantizer already explains, so PQ spends its codes on the
+    * much tighter residual distribution). Training is SAMPLE-SEEDED +
+    * [[ResidualLloydRounds]] Lloyd round(s): seeds are the [[PqK]] lowest-vec_id training
+    * residual vectors (codes 0..PqK−1 in id order — the deterministic
+    * analog of k-means random init; label-MEAN seeding is structurally
+    * degenerate here, because residuals within a cell average ≈ 0 and
+    * every code collapses to the origin), each training residual
+    * subvector is assigned to its nearest seed by exact integer
+    * distance, and the codebook entry is the per-group mean via the
+    * identical [[labelCentroids]]→c6 rounding pipeline (6dp unit mean ×
+    * 10^6 as a long) — layout-independent and oracle-able like every
+    * other quantizer here. A (sub, code) group that attracts no members
+    * simply has no entry (its seed always attracts itself, so this only
+    * happens to codes shadowed by an identical lower-coded seed slice —
+    * both engines drop them identically). Input rows are (vec_id, rvec:
+    * array<long> at scale 10^6 — exact integer residuals); output
+    * schema matches [[pqCodebook]]: (sub, c_label, cvec). */
   private[ops] def residualCodebook(residuals: DataFrame): DataFrame =
     residualCodebook(residuals, ResidualLloydRounds)
 

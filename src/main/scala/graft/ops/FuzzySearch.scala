@@ -114,7 +114,19 @@ object FuzzySearch {
     * bloom-suspect sliver of the delta (delta-proportional — the
     * standing names are read just for the suspect ids); the novel set
     * is lineage-cut before the append (it derives from the table being
-    * appended to — the insert-time cache-invalidation trap). */
+    * appended to — the insert-time cache-invalidation trap).
+    *
+    * SCOPE of the guarantee (the family-wide contract shared with
+    * [[Search.indexDeltaIdempotent]] / [[Similarity
+    * .ivfIndexDeltaIdempotent]]): it closes the REDELIVERY window — a
+    * batch fully ingested but redelivered because the crash hit between
+    * the ingest and the stream's checkpoint commit (the common
+    * at-least-once case). A crash INSIDE the multi-table ingest itself
+    * (between the names/grams/guard appends) leaves a torn generation
+    * that no append-only multi-table scheme can self-heal from the
+    * tables alone — that is a single-writer recovery scenario: rebuild
+    * from source (or restore the last compacted generation), exactly as
+    * for the bm25/IVF families. */
   def indexDeltaIdempotent(table: String, delta: DataFrame): Unit = {
     val spark = delta.sparkSession
     if (!spark.catalog.tableExists(s"${table}_names")) {
@@ -162,9 +174,8 @@ object FuzzySearch {
   def compactIfNeeded(spark: org.apache.spark.sql.SparkSession,
       table: String, maxBatches: Int = 16,
       maxSidecarBytes: Long = 64L << 20): Boolean = {
-    val (generations, sidecarBytes) =
-      graft.ops.IngestGuard.sidecarSize(spark, table)
-    val due = generations > maxBatches || sidecarBytes > maxSidecarBytes
+    val due = graft.ops.IngestGuard.compactionDue(spark, table, maxBatches,
+      maxSidecarBytes)
     if (due) compactIndex(spark, table)
     due
   }
@@ -218,9 +229,15 @@ object FuzzySearch {
         s"thresholds only, got $threshold")
     val distPct = 100 - threshold.toInt
     // the query's gram BAG + its posting buckets, computed driver-side
-    // (the query is a literal): both sets push into the scan as literals
-    val qGrams = query.sliding(GramQ).toSeq
+    // (the query is a literal): both sets push into the scan as literals.
+    // CODE POINTS, not UTF-16 units — Spark's length()/substr() count
+    // code points, so a surrogate-pair query sliced with String.sliding
+    // would disagree with the stored postings and silently over-prune
+    val qCps = query.codePoints.toArray
+    val qLen = qCps.length
+    val qGrams = qCps.sliding(GramQ).toSeq
       .filter(_.length == GramQ)
+      .map(a => new String(a, 0, a.length))
       .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
     val buckets = qGrams.keys.map { g =>
       val c = new java.util.zip.CRC32
@@ -229,12 +246,21 @@ object FuzzySearch {
     }.toSeq.distinct
     val names = spark.table(s"${table}_names")
     // per-candidate count-filter bound from the stored name length
-    val maxlen = greatest(lit(query.length), col("len"))
+    val maxlen = greatest(lit(qLen), col("len"))
     // d_max = (distPct·maxlen) div 100 — correctly-rounded IEEE division
     // of integers is exact at integer quotients, so floor(x/100.0) ==
     // the integer div (no one-ulp over-prune at exact boundaries)
     val dMax = floor((lit(distPct) * maxlen) / lit(100.0))
     val bound = maxlen - (GramQ - 1) - lit(GramQ) * dMax
+    // is the bound <= 0 fallback REACHABLE? bound depends only on
+    // maxlen = max(qLen, len); for distPct < 50 it grows ~linearly, so
+    // only finitely many lengths can have a vacuous bound — when none
+    // can, the fallback branch (a second names scan) is skipped
+    // entirely instead of shipping a provably-empty union arm
+    def boundAt(m: Int): Int =
+      m - (GramQ - 1) - GramQ * (distPct * m / 100)
+    val fallbackReachable = distPct >= 50 ||
+      (1 to math.max(qLen, 1) + 1000).exists(l => boundAt(math.max(qLen, l)) <= 0)
     val candidates: DataFrame = if (qGrams.isEmpty) names else {
       import spark.implicits._
       val qg = qGrams.toSeq.toDF("gram", "cq")
@@ -250,10 +276,11 @@ object FuzzySearch {
       // zero-shared-gram sliver of bound <= 0 names (len-predicate
       // pushdown; non-empty only for short queries) — disjoint by
       // construction, so no dedup pass
-      names.join(shared, "id").filter(col("shared") >= bound)
+      val probed = names.join(shared, "id").filter(col("shared") >= bound)
         .drop("shared")
-        .unionByName(
-          names.filter(bound <= 0).join(shared, Seq("id"), "left_anti"))
+      if (!fallbackReachable) probed
+      else probed.unionByName(
+        names.filter(bound <= 0).join(shared, Seq("id"), "left_anti"))
     }
     candidates
       .withColumn("score", levRatio(col("name"), lit(query)))

@@ -91,6 +91,20 @@ object IngestGuard {
     }
   }
 
+  /** The shared compaction-trigger policy every guarded index family
+    * runs (bm25 postings, IVF lists, fuzzy grams): due when ingest
+    * generations exceed `maxBatches` OR the sidecar's cumulative blob
+    * bytes exceed `maxSidecarBytes` (each blob ships into the ingest
+    * probe plan as an expression literal, so the BYTE total must stay
+    * bounded regardless of batch sizes). ONE site, so a future trigger
+    * dimension cannot silently diverge between families. Reads k tiny
+    * sidecar rows, never the index. */
+  def compactionDue(spark: SparkSession, table: String, maxBatches: Int,
+      maxSidecarBytes: Long): Boolean = {
+    val (generations, sidecarBytes) = sidecarSize(spark, table)
+    generations > maxBatches || sidecarBytes > maxSidecarBytes
+  }
+
   /** The OR-of-blobs suspicion predicate over `idCol` (each blob becomes
     * one codegen'd `bloom_might_contain` term), or None when the sidecar
     * doesn't exist (an index built before the guard landed) — the caller

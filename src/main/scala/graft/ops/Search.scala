@@ -562,8 +562,8 @@ object Search {
   def compactIfNeeded(spark: SparkSession, table: String,
       maxBatches: Int = 16, buckets: Int = 8,
       maxSidecarBytes: Long = 64L << 20): Boolean = {
-    val (generations, sidecarBytes) = IngestGuard.sidecarSize(spark, table)
-    val due = generations > maxBatches || sidecarBytes > maxSidecarBytes
+    val due = IngestGuard.compactionDue(spark, table, maxBatches,
+      maxSidecarBytes)
     if (due) compactIndex(spark, table, buckets)
     due
   }

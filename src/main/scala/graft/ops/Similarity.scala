@@ -541,9 +541,8 @@ object Similarity {
   def compactIvfIfNeeded(spark: org.apache.spark.sql.SparkSession,
       table: String, maxBatches: Int = 16,
       maxSidecarBytes: Long = 64L << 20): Boolean = {
-    val (generations, sidecarBytes) =
-      graft.ops.IngestGuard.sidecarSize(spark, table)
-    val due = generations > maxBatches || sidecarBytes > maxSidecarBytes
+    val due = graft.ops.IngestGuard.compactionDue(spark, table, maxBatches,
+      maxSidecarBytes)
     if (due) compactIvfIndex(spark, table)
     due
   }
@@ -1044,27 +1043,24 @@ object Similarity {
     * against two broadcast 64-entry arrays. */
   def annIvfSqIndexedTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
-      shortlist: Int = 10): DataFrame = {
-    // layout contract, symmetric with the fused entry points' enc check:
-    // a non-SQ table would otherwise fail five calls deep on a missing
-    // _sqrange/sq column instead of naming the right entry point
-    require(spark.catalog.tableExists(s"${table}_sqrange"),
-      s"$table is not an SQ8 index (no ${table}_sqrange trainer) — query " +
-        "the entry point matching the stored layout: annIvfPqIndexedTopK/" +
-        "annIvfPqResidualTopK for a fused index, annIvfIndexedTopK for " +
-        "plain IVF")
+      shortlist: Int = 10): DataFrame =
     annIvfSqIndexedTopK(spark, table, fixtureQueries(spark, table, nQueries),
       k, nprobe, shortlist)
-  }
 
   /** External-query-vector form of [[annIvfSqIndexedTopK]] — the
     * caller-supplied (qid, v) shape; see [[fixtureQueries]]. */
   def annIvfSqIndexedTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, k: Int, nprobe: Int,
       shortlist: Int): DataFrame = {
+    // layout contract, symmetric with the fused entry points' enc check
+    // (ONE site — both overloads flow through here): a non-SQ table
+    // would otherwise fail five calls deep on a missing _sqrange/sq
+    // column instead of naming the right entry point
     require(spark.catalog.tableExists(s"${table}_sqrange"),
       s"$table is not an SQ8 index (no ${table}_sqrange trainer) — query " +
-        "the entry point matching the stored layout")
+        "the entry point matching the stored layout: annIvfPqIndexedTopK/" +
+        "annIvfPqResidualTopK for a fused index, annIvfIndexedTopK for " +
+        "plain IVF")
     graft.functions.DotProduct.register(spark)
     val cent = spark.table(s"${table}_centroids")
     val idx = spark.table(s"${table}_ivf")

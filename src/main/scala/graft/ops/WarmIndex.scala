@@ -29,7 +29,10 @@ object WarmIndex {
       val wh = java.nio.file.Files.createTempDirectory(s"graft-warm-$kind")
         .toFile.getAbsolutePath
       spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_warm LOCATION '$wh'")
-      val t = s"graft_warm.${kind}_${sfDir.hashCode & 0x7fffffff}"
+      // table name from the SANITIZED path, not a hash — two sfDirs with
+      // colliding hashCodes would silently serve one corpus's index for
+      // the other (a silent-wrong-answer class, however unlikely)
+      val t = s"graft_warm.${kind}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
       build(t)
       t
     })
