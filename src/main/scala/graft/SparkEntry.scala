@@ -85,6 +85,11 @@ object SparkEntry {
     "FROM sk a JOIN sk b ON a.board = b.board AND a.id < b.id"
 
   private val fuzzyQuery = "customer#000000012"
+  /** Batch fuzzy fixture: an exact name, a typo'd name, and garbage
+    * (must return zero rows for qid 2 — the negative case rides along). */
+  private val batchFuzzyQueries: Seq[(Long, String)] = Seq(
+    0L -> "customer#000000012", 1L -> "custoner#000000011",
+    2L -> "xyzzy#0000")
   private val tokenQuestion =
     "who is customr#000000042 nearby custoner#000000011 and friends"
   private def levScoreSql(colName: String) =
@@ -322,6 +327,17 @@ object SparkEntry {
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
       FuzzySearch.buildIndex(Tables.students(s, d), "graft_idx.fuzzy")
       FuzzySearch.topKIndexed(s, "graft_idx.fuzzy", fuzzyQuery)
+    }),
+    // BATCH fuzzy search off the index: three query strings (exact hit,
+    // typo, garbage) served in ONE postings probe — the bulk
+    // spell-correction shape; per-query top-5 via the bounded heaps
+    "fuzzy_search_batch" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-fuzzyb-idx")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      FuzzySearch.buildIndex(Tables.students(s, d), "graft_idx.fuzzyb")
+      FuzzySearch.topKIndexedBatch(s, "graft_idx.fuzzyb", batchFuzzyQueries,
+        k = 5)
     }),
     // incremental maintenance of the fuzzy index: base build on 80%,
     // the rest delta-ingested (postings derived from the delta alone,
@@ -1336,8 +1352,9 @@ object SparkEntry {
     // probe-bounded range search + the 1-row index maintenance stats
     "sim_ann_range_search", "sim_ann_index_stats",
     // q-gram-indexed fuzzy search (build + probe + rescore) + its
-    // delta-maintained and compacted twins
+    // delta-maintained and compacted twins + the batch probe
     "fuzzy_search_indexed", "fuzzy_index_delta", "fuzzy_index_compact",
+    "fuzzy_search_batch",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -2780,6 +2797,20 @@ object SparkEntry {
       "SELECT id, name, college, board, stream, address, " +
       s"${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
+    // batch fuzzy: per-query scan scoring + rank window — the indexed
+    // batch probe must reproduce it row-for-row
+    "fuzzy_search_batch" -> withStudents(
+      ", Q(qid, q) AS (VALUES " +
+      batchFuzzyQueries.map { case (qid, q) =>
+        s"(CAST($qid AS BIGINT), '$q')" }.mkString(", ") + "), " +
+      "S AS (SELECT Q.qid, s.id, s.name, " +
+      "round((1.0 - CAST(levenshtein(s.name, Q.q) AS DOUBLE) / " +
+      "CAST(greatest(length(s.name), length(Q.q)) AS DOUBLE)) * 100.0, 4) AS score " +
+      "FROM students s CROSS JOIN Q), " +
+      "R AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank " +
+      "FROM S WHERE score >= 70.0) " +
+      "SELECT qid, id, name, CAST(rank AS INT) AS rank, score " +
+      "FROM R WHERE rank <= 5 ORDER BY qid, rank"),
     "fuzzy_index_compact" -> withStudents(
       "SELECT id, name, college, board, stream, address, " +
       s"${levScoreSql("name")} AS score FROM students " +

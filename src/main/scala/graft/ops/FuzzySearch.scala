@@ -290,6 +290,85 @@ object FuzzySearch {
       .limit(k)
   }
 
+  /** BATCH fuzzy search off the q-gram index — many query strings served
+    * in ONE postings probe, the bulk spell-correction shape
+    * ([[correctTokens]]'s regime at corpus scale: correcting a token
+    * stream against a 100 TB name table cannot scan per token). The
+    * probe reads the UNION of all queries' gram buckets once; shared
+    * bag-min counts group per (qid, name); each pair's count-filter
+    * bound uses ITS query's length; survivors rescore with the exact
+    * [[levRatio]] against their own query string (broadcast dim), and
+    * the per-query top-k is the bounded [[graft.plans.TopK]] heap —
+    * never a per-query scan. Same lossless-fallback discipline as
+    * [[topKIndexed]], evaluated per query. Output: (qid, id, name,
+    * rank, score), rank 1..k per qid by (score DESC, id). */
+  def topKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: Seq[(Long, String)],
+      threshold: Double = 70.0, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(threshold == math.floor(threshold) && threshold > 0,
+      "count-filter bound uses exact integer arithmetic — whole-number " +
+        s"thresholds only, got $threshold")
+    val distPct = 100 - threshold.toInt
+    def cps(s: String): Array[Int] = s.codePoints.toArray
+    def gramsOf(s: String): Seq[(String, Long)] = cps(s).sliding(GramQ).toSeq
+      .filter(_.length == GramQ).map(a => new String(a, 0, a.length))
+      .groupBy(identity).map { case (g, o) => g -> o.size.toLong }.toSeq
+    def boundAt(qLen: Int, m0: Int): Int = {
+      val m = math.max(qLen, m0)
+      m - (GramQ - 1) - GramQ * (distPct * m / 100)
+    }
+    def fallbackReachable(qLen: Int): Boolean = distPct >= 50 ||
+      (1 to math.max(qLen, 1) + 1000).exists(l => boundAt(qLen, l) <= 0)
+    val qDim = queries.map { case (qid, s) =>
+      (qid, s, cps(s).length.toLong) }.toDF("qid", "q", "qlen")
+    // (qid, gram, cq) — every query's gram bag, one broadcast dim
+    val qg = queries.flatMap { case (qid, s) =>
+      gramsOf(s).map { case (g, c) => (qid, g, c) }
+    }.toDF("qid", "gram", "cq")
+    val allGrams = queries.flatMap(q => gramsOf(q._2).map(_._1)).distinct
+    val buckets = allGrams.map { g =>
+      val c = new java.util.zip.CRC32
+      c.update(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (c.getValue % GramBuckets).toInt
+    }.distinct
+    val names = spark.table(s"${table}_names")
+    val maxlen = greatest(col("qlen"), col("len"))
+    val dMax = floor((lit(distPct) * maxlen) / lit(100.0))
+    val bound = maxlen - (GramQ - 1) - lit(GramQ) * dMax
+    val candidates: DataFrame =
+      if (allGrams.isEmpty) names.crossJoin(broadcast(qDim))
+      else {
+        val shared = spark.table(s"${table}_grams")
+          .filter(col("bucket").isin(buckets: _*) &&
+            col("gram").isin(allGrams: _*))
+          .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cn"))
+          .join(broadcast(qg), "gram")
+          .groupBy(col("qid"), col("id"))
+          .agg(sum(least(col("cn"), col("cq"))).as("shared"))
+        val probed = names.join(shared, "id").join(broadcast(qDim), "qid")
+          .filter(col("shared") >= bound)
+          .drop("shared")
+        val fb = queries.filter { case (_, s) => fallbackReachable(cps(s).length) }
+        if (fb.isEmpty) probed
+        else probed.unionByName(
+          names.crossJoin(broadcast(
+              qDim.filter(col("qid").isin(fb.map(_._1): _*))))
+            .filter(bound <= 0)
+            .join(shared.select(col("qid"), col("id")),
+              Seq("qid", "id"), "left_anti"))
+      }
+    val scored = candidates
+      .withColumn("score", levRatio(col("name"), col("q")))
+      .filter(col("score") >= threshold)
+      .select(col("qid"), col("id"), col("name"), col("score"))
+    graft.plans.TopK.perKey(scored, Seq("qid"), "score", "id", k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("score"), col("id"))))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Top-k fuzzy search with the reference's defaults (threshold 70, limit 10,
     * student_service.py:230). `scoreCol` lets callers pick the scorer:
     * [[levRatio]] (oracle-checkable) or the exact rapidfuzz-parity

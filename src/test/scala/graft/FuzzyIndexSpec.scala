@@ -106,6 +106,33 @@ class FuzzyIndexSpec extends SparkSpec {
       "mixed idempotent batch did not ingest exactly the novel row")
   }
 
+  test("batch fuzzy search: one probe serves every query == per-query indexed results") {
+    import java.nio.file.Files
+    val students = Tables.students(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-fuzzyb-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fuzzyb_test LOCATION '$wh'")
+    val t = "graft_fuzzyb_test.idx"
+    FuzzySearch.buildIndex(students, t)
+    val qs = Seq(0L -> "customer#000000012", 1L -> "custoner#000000011",
+      2L -> "xyzzy#0000")
+    val batch = FuzzySearch.topKIndexedBatch(spark, t, qs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getInt(4)))
+    // per-query singles through the same index, re-projected to the
+    // batch's output shape
+    val singles = qs.flatMap { case (qid, q) =>
+      FuzzySearch.topKIndexed(spark, t, q, k = 5)
+        .select(col("id"), col("name"), col("score")).collect()
+        .sortBy(r => (-r.getDouble(2), r.getLong(0))).zipWithIndex
+        .map { case (r, i) =>
+          (qid, r.getLong(0), r.getString(1), r.getDouble(2), i + 1) }
+    }
+    assert(batch.toSeq === singles,
+      "batch fuzzy search diverged from per-query indexed results")
+    // the garbage query contributes zero rows (negative case)
+    assert(!batch.exists(_._1 == 2L))
+  }
+
   test("count filter is lossless for short queries (vacuous-bound fallback)") {
     import java.nio.file.Files
     import spark.implicits._
