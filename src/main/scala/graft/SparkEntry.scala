@@ -2802,7 +2802,10 @@ object SparkEntry {
     "fuzzy_search_batch" -> withStudents(
       ", Q(qid, q) AS (VALUES " +
       batchFuzzyQueries.map { case (qid, q) =>
-        s"(CAST($qid AS BIGINT), '$q')" }.mkString(", ") + "), " +
+        // SQL-escape: a fixture query containing a quote must not break
+        // (or silently alter) the oracle text
+        s"(CAST($qid AS BIGINT), '${q.replace("'", "''")}')" }
+        .mkString(", ") + "), " +
       "S AS (SELECT Q.qid, s.id, s.name, " +
       "round((1.0 - CAST(levenshtein(s.name, Q.q) AS DOUBLE) / " +
       "CAST(greatest(length(s.name), length(Q.q)) AS DOUBLE)) * 100.0, 4) AS score " +

@@ -58,8 +58,10 @@ object FuzzySearch {
   /** Materialize the q-gram FUZZY index — the scale path [[topK]]'s full
     * scan lacks (a 100 TB name corpus cannot be levenshtein-scanned per
     * query): `{t}_grams` holds one row per 2-gram OCCURRENCE per name
-    * (bag semantics — the count-filtering bound below is a bag bound;
-    * distinct-set counts would over-prune), partitioned by
+    * WITH its 0-based position and the name length (positional bag —
+    * the count-filtering bound below is a bag bound, distinct-set
+    * counts would over-prune, and Gravano's position filter needs
+    * `pos` and the per-pair window needs `len`), partitioned by
     * crc32(gram) % [[GramBuckets]] so a probe's literal gram set prunes
     * partitions at scan time (the [[Search.buildIndex]] term-bucket
     * discipline); `{t}_names` carries the full student projection +
@@ -88,18 +90,22 @@ object FuzzySearch {
     require(spark.catalog.tableExists(s"${table}_names"),
       s"fuzzyIndexDelta needs a standing index: ${table}_names not found — " +
         "run buildIndex first")
-    // a missing postings table NEXT TO a standing guard is an
+    // a missing postings table NEXT TO the standing catalog is an
     // interrupted compaction swap, not a fresh catalog — roll it
     // forward before appending (the ingestPreamble discipline)
-    if (!spark.catalog.tableExists(s"${table}_grams") &&
-        spark.catalog.tableExists(s"${table}_guard")) {
+    if (!spark.catalog.tableExists(s"${table}_grams"))
       Similarity.recoverPartitionedSwap(spark, s"${table}_grams")
-      require(spark.catalog.tableExists(s"${table}_grams"),
-        s"fuzzyIndexDelta refusing to bootstrap: ${table}_guard exists " +
-          s"but ${table}_grams is missing and no staged copy was found " +
-          "to roll forward — restore the postings (or drop the stale " +
-          "_guard) before ingesting")
-    }
+    // standing _names — not just _guard — is the sentinel: a torn
+    // buildIndex (crash after the _names write, before _grams/guard
+    // land) leaves _names with NO guard, and appending would CREATE
+    // _grams from the delta alone — an index silently missing every
+    // base name's postings (Search.indexDelta's refusal, mirrored)
+    require(spark.catalog.tableExists(s"${table}_grams"),
+      s"fuzzyIndexDelta refusing to bootstrap: ${table}_names exists " +
+        s"but ${table}_grams is missing and no staged copy was found " +
+        "to roll forward — delta-only postings would silently miss " +
+        "every base name. Rebuild via buildIndex (or restore the " +
+        "postings) before ingesting")
     graft.ops.IngestGuard.assertDisjoint(spark, table, delta, "id",
       spark.table(s"${table}_names"), "fuzzyIndexDelta")
     writeIndex(delta, table, overwrite = false)
@@ -186,17 +192,46 @@ object FuzzySearch {
     val named = students.withColumn("len", length(col("name")))
     named.write.mode(mode).format("parquet")
       .saveAsTable(s"${table}_names")
+    // postings keep the 0-based gram POSITION (Gravano's position filter
+    // needs it at probe time) and denormalize the name length (the
+    // per-pair window width d_max depends on it, and the windowed filter
+    // runs BEFORE any join against `_names`)
     named.filter(col("len") >= GramQ)
-      .select(col("id"), posexplode(
+      .select(col("id"), col("len"), posexplode(
         transform(sequence(lit(1), col("len") - (GramQ - 1)),
           i => col("name").substr(i, lit(GramQ)))).as(Seq("pos", "gram")))
       .withColumn("bucket",
         pmod(crc32(col("gram").cast("binary")), lit(GramBuckets)).cast("int"))
-      .select(col("id"), col("gram"), col("bucket"))
+      .select(col("id"), col("gram"), col("pos"), col("len"), col("bucket"))
       .repartition(col("bucket")) // one file per touched bucket per generation
       .write.mode(mode).partitionBy("bucket").format("parquet")
       .saveAsTable(s"${table}_grams")
   }
+
+  /** CRC32-derived posting bucket of one gram — the driver-side twin of
+    * the `pmod(crc32(...))` expression [[writeIndex]] stores. */
+  private def bucketOf(g: String): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (c.getValue % GramBuckets).toInt
+  }
+
+  /** The largest name length at which the count-filter bound can be
+    * vacuous (≤ 0) at this distance budget — a PURE function of the
+    * threshold, so the batch fallback arm's names scan carries a static
+    * pushed-down `len <=` predicate instead of reading the corpus.
+    * None: no length qualifies, the arm is provably empty and skipped;
+    * Some(Int.MaxValue): threshold ≤ 50, the bound never prunes. */
+  private def maxFallbackLen(distPct: Int): Option[Int] =
+    if (distPct >= 50) Some(Int.MaxValue)
+    else {
+      // bound(m) grows ~linearly with slope 1 − GramQ·distPct/100 > 0
+      // past the floor() wiggles; 20000 is far beyond the last dip for
+      // every distPct ≤ 49
+      val hits = (1 to 20000).filter(m =>
+        m - (GramQ - 1) - GramQ * (distPct * m / 100) <= 0)
+      if (hits.isEmpty) None else Some(hits.max)
+    }
 
   /** [[topK]] served from the materialized q-gram index — SAME RESULT
     * row-for-row (the oracle gates both): candidates are generated by
@@ -223,27 +258,43 @@ object FuzzySearch {
     * like the near-uniform corpus is for PQ); on a real name corpus the
     * bucket probe is the 1000× pruning lever. */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
-      query: String, threshold: Double = 70.0, k: Int = 10): DataFrame = {
+      query: String, threshold: Double = 70.0, k: Int = 10): DataFrame =
+    indexedCandidates(spark, table, query, threshold, positional = true)
+      .withColumn("score", levRatio(col("name"), lit(query)))
+      .filter(col("score") >= threshold)
+      .drop("len")
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+
+  /** The count-filtered candidate set behind [[topKIndexed]], with the
+    * position filter toggleable so its pruning power is a MEASURED
+    * number (`FuzzyIndexSpec` prices positional vs bag-only on the
+    * adversarial shared-prefix fixture — the recorded worst case for
+    * bag counting). `positional = false` is the round-13 bag-min filter,
+    * kept ONLY as the measurement baseline; every query path runs
+    * positional. Both filters are lossless (see the bound notes below);
+    * the exact rescore in [[topKIndexed]] makes results identical. */
+  private[graft] def indexedCandidates(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      query: String, threshold: Double, positional: Boolean): DataFrame = {
     require(threshold == math.floor(threshold) && threshold > 0,
       "count-filter bound uses exact integer arithmetic — whole-number " +
         s"thresholds only, got $threshold")
     val distPct = 100 - threshold.toInt
-    // the query's gram BAG + its posting buckets, computed driver-side
-    // (the query is a literal): both sets push into the scan as literals.
-    // CODE POINTS, not UTF-16 units — Spark's length()/substr() count
-    // code points, so a surrogate-pair query sliced with String.sliding
-    // would disagree with the stored postings and silently over-prune
+    // the query's gram OCCURRENCES (0-based positions, matching the
+    // stored posexplode) + its posting buckets, computed driver-side
+    // (the query is a literal): gram and bucket sets push into the scan
+    // as STATIC literals. CODE POINTS, not UTF-16 units — Spark's
+    // length()/substr() count code points, so a surrogate-pair query
+    // sliced with String.sliding would disagree with the stored
+    // postings and silently over-prune
     val qCps = query.codePoints.toArray
     val qLen = qCps.length
-    val qGrams = qCps.sliding(GramQ).toSeq
-      .filter(_.length == GramQ)
-      .map(a => new String(a, 0, a.length))
-      .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
-    val buckets = qGrams.keys.map { g =>
-      val c = new java.util.zip.CRC32
-      c.update(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      (c.getValue % GramBuckets).toInt
-    }.toSeq.distinct
+    val qOcc: Seq[(Int, String)] = qCps.sliding(GramQ).zipWithIndex.toSeq
+      .filter(_._1.length == GramQ)
+      .map { case (a, i) => (i, new String(a, 0, a.length)) }
+    val qGramKeys = qOcc.map(_._2).distinct
+    val buckets = qGramKeys.map(bucketOf).distinct
     val names = spark.table(s"${table}_names")
     // per-candidate count-filter bound from the stored name length
     val maxlen = greatest(lit(qLen), col("len"))
@@ -261,16 +312,48 @@ object FuzzySearch {
       m - (GramQ - 1) - GramQ * (distPct * m / 100)
     val fallbackReachable = distPct >= 50 ||
       (1 to math.max(qLen, 1) + 1000).exists(l => boundAt(math.max(qLen, l)) <= 0)
-    val candidates: DataFrame = if (qGrams.isEmpty) names else {
+    if (qOcc.isEmpty) names
+    else {
       import spark.implicits._
-      val qg = qGrams.toSeq.toDF("gram", "cq")
-      val shared = spark.table(s"${table}_grams")
+      val g = spark.table(s"${table}_grams")
         .filter(col("bucket").isin(buckets: _*) &&
-          col("gram").isin(qGrams.keys.toSeq: _*))
-        .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cn"))
-        .join(broadcast(qg), "gram")
-        .groupBy(col("id"))
-        .agg(sum(least(col("cn"), col("cq"))).as("shared"))
+          col("gram").isin(qGramKeys: _*))
+      val shared0 =
+        if (positional) {
+          // POSITIONAL count filter (Gravano et al., VLDB 2001): strings
+          // within edit distance d share ≥ bound positional q-grams in a
+          // 1-1 matching whose matched positions differ by ≤ d. Per
+          // (name, gram), least(#query-occurrences-with-an-in-window
+          // partner, #name-occurrences-with-an-in-window partner) is an
+          // upper bound on that matching's per-gram size (each side of a
+          // matched pair is in-window by definition) and ≤ the bag-min
+          // count (each countDistinct ≤ its side's occurrence count) —
+          // lossless, and uniformly at least as strong as bag-min. The
+          // per-pair window d_max reads the DENORMALIZED len on the
+          // posting row, so the filter runs before any join to `_names`.
+          val qo = qOcc.toDF("posq", "gram")
+          g.join(broadcast(qo), "gram")
+            .filter(abs(col("pos") - col("posq")) <=
+              floor((lit(distPct) * greatest(lit(qLen), col("len")))
+                / lit(100.0)))
+            .groupBy(col("id"), col("gram"))
+            .agg(least(countDistinct(col("posq")), countDistinct(col("pos")))
+              .as("m"))
+            .groupBy(col("id")).agg(sum(col("m")).as("shared"))
+        } else {
+          // bag-min baseline: Σ_gram min(cnt_query, cnt_name)
+          val qg = qOcc.groupBy(_._2)
+            .map { case (g0, o) => (g0, o.size.toLong) }.toSeq
+            .toDF("gram", "cq")
+          g.groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cn"))
+            .join(broadcast(qg), "gram")
+            .groupBy(col("id"))
+            .agg(sum(least(col("cn"), col("cq"))).as("shared"))
+        }
+      // the fallback arm consumes `shared` a second time (left_anti);
+      // pin ONE evaluation instead of trusting exchange reuse
+      val shared = if (fallbackReachable) graft.CacheScope.track(shared0)
+        else shared0
       // gram-probed survivors (a bound <= 0 name with ANY shared gram
       // lands here too — shared >= bound is then vacuous) + the
       // zero-shared-gram sliver of bound <= 0 names (len-predicate
@@ -282,83 +365,107 @@ object FuzzySearch {
       else probed.unionByName(
         names.filter(bound <= 0).join(shared, Seq("id"), "left_anti"))
     }
-    candidates
-      .withColumn("score", levRatio(col("name"), lit(query)))
-      .filter(col("score") >= threshold)
-      .drop("len")
-      .orderBy(desc("score"), col("id"))
-      .limit(k)
   }
 
   /** BATCH fuzzy search off the q-gram index — many query strings served
     * in ONE postings probe, the bulk spell-correction shape
     * ([[correctTokens]]'s regime at corpus scale: correcting a token
     * stream against a 100 TB name table cannot scan per token). The
-    * probe reads the UNION of all queries' gram buckets once; shared
-    * bag-min counts group per (qid, name); each pair's count-filter
+    * probe reads the UNION of all queries' gram buckets once; windowed
+    * positional counts group per (qid, name); each pair's count-filter
     * bound uses ITS query's length; survivors rescore with the exact
     * [[levRatio]] against their own query string (broadcast dim), and
     * the per-query top-k is the bounded [[graft.plans.TopK]] heap —
     * never a per-query scan. Same lossless-fallback discipline as
     * [[topKIndexed]], evaluated per query. Output: (qid, id, name,
-    * rank, score), rank 1..k per qid by (score DESC, id). */
+    * score, rank), rank 1..k per qid by (score DESC, id).
+    *
+    * Convenience wrapper over the DataFrame form below — the Seq is
+    * lifted into a (qid, q) frame and every per-query computation runs
+    * in-engine. */
   def topKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: Seq[(Long, String)],
       threshold: Double = 70.0, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    topKIndexedBatch(spark, table, queries.toDF("qid", "q"), threshold, k)
+  }
+
+  /** DataFrame-native batch form — the bulk regime's real entry point
+    * (the [[Similarity]] external-query-vector precedent applied to the
+    * lexical family): `queries` is a caller-supplied broadcast-sized
+    * (qid, q) frame, and EVERYTHING per-query runs in-engine — gram
+    * occurrences via the same sequence/substr/posexplode expressions the
+    * index build stores, posting buckets via the same crc32 expression,
+    * candidates via an equi-join of the broadcast query grams against
+    * the postings on (bucket, gram) so DPP prunes posting buckets at run
+    * time (spec-asserted). The driver does O(1) work per query — no gram
+    * bags, no `isin` literal lists whose plan size grows with the batch.
+    * A 1M-token spell-correction batch is one job, not 1M plan literals.
+    *
+    * The fallback arm (names whose count-filter bound is vacuous — only
+    * possible at small max(qlen, len)) is a names scan under a STATIC
+    * `len <=` pushdown derived from the threshold alone
+    * ([[maxFallbackLen]]), crossed with the broadcast query dim — and
+    * skipped entirely when no length qualifies. */
+  def topKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, threshold: Double,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(threshold == math.floor(threshold) && threshold > 0,
       "count-filter bound uses exact integer arithmetic — whole-number " +
         s"thresholds only, got $threshold")
     val distPct = 100 - threshold.toInt
-    def cps(s: String): Array[Int] = s.codePoints.toArray
-    def gramsOf(s: String): Seq[(String, Long)] = cps(s).sliding(GramQ).toSeq
-      .filter(_.length == GramQ).map(a => new String(a, 0, a.length))
-      .groupBy(identity).map { case (g, o) => g -> o.size.toLong }.toSeq
-    def boundAt(qLen: Int, m0: Int): Int = {
-      val m = math.max(qLen, m0)
-      m - (GramQ - 1) - GramQ * (distPct * m / 100)
-    }
-    def fallbackReachable(qLen: Int): Boolean = distPct >= 50 ||
-      (1 to math.max(qLen, 1) + 1000).exists(l => boundAt(qLen, l) <= 0)
-    val qDim = queries.map { case (qid, s) =>
-      (qid, s, cps(s).length.toLong) }.toDF("qid", "q", "qlen")
-    // (qid, gram, cq) — every query's gram bag, one broadcast dim
-    val qg = queries.flatMap { case (qid, s) =>
-      gramsOf(s).map { case (g, c) => (qid, g, c) }
-    }.toDF("qid", "gram", "cq")
-    val allGrams = queries.flatMap(q => gramsOf(q._2).map(_._1)).distinct
-    val buckets = allGrams.map { g =>
-      val c = new java.util.zip.CRC32
-      c.update(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      (c.getValue % GramBuckets).toInt
-    }.distinct
+    val qDim = queries.select(col("qid").cast("long").as("qid"),
+        col("q").cast("string").as("q"))
+      .withColumn("qlen", length(col("q")))
+    // query gram OCCURRENCES, in-engine: the exact expressions
+    // writeIndex stores (code-point substr, 0-based posexplode, crc32
+    // bucket) — external and stored grams agree by construction
+    val qo = qDim.filter(col("qlen") >= GramQ)
+      .select(col("qid"), col("qlen"), posexplode(
+        transform(sequence(lit(1), col("qlen") - (GramQ - 1)),
+          i => col("q").substr(i, lit(GramQ)))).as(Seq("posq", "gram")))
+      // semantically a no-op (every generated gram has exactly GramQ code
+      // points), but load-bearing for the plan: a queries frame passed as
+      // a LOCAL relation has its filters constant-folded away, and DPP
+      // only prunes when the broadcast side retains a selective
+      // predicate — this one survives above the posexplode, so the
+      // postings scan is runtime-pruned for local and table-backed
+      // query frames alike (spec-asserted)
+      .filter(length(col("gram")) === GramQ)
+      .withColumn("bucket",
+        pmod(crc32(col("gram").cast("binary")), lit(GramBuckets)).cast("int"))
     val names = spark.table(s"${table}_names")
     val maxlen = greatest(col("qlen"), col("len"))
     val dMax = floor((lit(distPct) * maxlen) / lit(100.0))
     val bound = maxlen - (GramQ - 1) - lit(GramQ) * dMax
-    val candidates: DataFrame =
-      if (allGrams.isEmpty) names.crossJoin(broadcast(qDim))
-      else {
-        val shared = spark.table(s"${table}_grams")
-          .filter(col("bucket").isin(buckets: _*) &&
-            col("gram").isin(allGrams: _*))
-          .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cn"))
-          .join(broadcast(qg), "gram")
-          .groupBy(col("qid"), col("id"))
-          .agg(sum(least(col("cn"), col("cq"))).as("shared"))
-        val probed = names.join(shared, "id").join(broadcast(qDim), "qid")
-          .filter(col("shared") >= bound)
-          .drop("shared")
-        val fb = queries.filter { case (_, s) => fallbackReachable(cps(s).length) }
-        if (fb.isEmpty) probed
-        else probed.unionByName(
-          names.crossJoin(broadcast(
-              qDim.filter(col("qid").isin(fb.map(_._1): _*))))
+    // windowed positional shared counts per (query, name) — the same
+    // lossless filter [[indexedCandidates]] documents, grouped by qid;
+    // consumed twice (probed + fallback anti), so pinned once
+    val shared = graft.CacheScope.track(
+      spark.table(s"${table}_grams")
+        .join(broadcast(qo), Seq("bucket", "gram"))
+        .filter(abs(col("pos") - col("posq")) <=
+          floor((lit(distPct) * greatest(col("qlen"), col("len")))
+            / lit(100.0)))
+        .groupBy(col("qid"), col("id"), col("gram"))
+        .agg(least(countDistinct(col("posq")), countDistinct(col("pos")))
+          .as("m"))
+        .groupBy(col("qid"), col("id")).agg(sum(col("m")).as("shared")))
+    val probed = names.join(shared, "id").join(broadcast(qDim), "qid")
+      .filter(col("shared") >= bound)
+      .drop("shared")
+    val candidates: DataFrame = maxFallbackLen(distPct) match {
+      case None => probed
+      case Some(cap) =>
+        val fbNames = if (cap == Int.MaxValue) names
+          else names.filter(col("len") <= cap)
+        probed.unionByName(
+          fbNames.crossJoin(broadcast(qDim))
             .filter(bound <= 0)
             .join(shared.select(col("qid"), col("id")),
               Seq("qid", "id"), "left_anti"))
-      }
+    }
     val scored = candidates
       .withColumn("score", levRatio(col("name"), col("q")))
       .filter(col("score") >= threshold)

@@ -282,6 +282,7 @@ object Similarity {
     cent.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
     assignedCells(embeddings, cent)
+      .repartition(col("cell")) // one file per cell from generation zero
       .write.mode("overwrite").partitionBy("cell").format("parquet")
       .saveAsTable(s"${table}_ivf")
     graft.ops.IngestGuard.write(embeddings.sparkSession, embeddings, "vec_id",
@@ -612,6 +613,7 @@ object Similarity {
     // cell assignment — the inverted lists ARE the code store
     assignedCells(embeddings, cent)
       .join(packCodes(Centroids.pqCodes(embeddings, book)), "vec_id")
+      .repartition(col("cell")) // one file per cell from generation zero
       .write.mode("overwrite").partitionBy("cell").format("parquet")
       .saveAsTable(s"${table}_ivf")
     graft.ops.IngestGuard.write(embeddings.sparkSession, embeddings, "vec_id",
@@ -861,6 +863,7 @@ object Similarity {
       .join(packCodes(Centroids.pqCodesFromInt(
         res.select(col("vec_id"), col("rvec").as("xq")),
         spark.table(s"${table}_pqbook"))), "vec_id")
+      .repartition(col("cell")) // one file per cell from generation zero
       .write.mode("overwrite").partitionBy("cell").format("parquet")
       .saveAsTable(s"${table}_ivf")
     graft.ops.IngestGuard.write(spark, embeddings, "vec_id", table,
@@ -959,6 +962,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
         sqCodes(transform(col("v"), x => round(x * 1000).cast("long")))
           .as("sq"))
+      .repartition(col("cell")) // one file per cell from generation zero
       .write.mode("overwrite").partitionBy("cell").format("parquet")
       .saveAsTable(s"${table}_ivf")
     graft.ops.IngestGuard.write(spark, embeddings, "vec_id", table,

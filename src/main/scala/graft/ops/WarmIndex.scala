@@ -18,21 +18,30 @@ import graft.model.Tables
   * correctness coverage costs no extra builds. */
 object WarmIndex {
 
-  private val built = scala.collection.concurrent.TrieMap[String, String]()
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Memoized build: one table per (kind, sfDir) per JVM, in a
     * temp-located `graft_warm` database (fresh location per JVM — a
-    * stale warehouse dir from an earlier run must not collide). */
+    * stale warehouse dir from an earlier run must not collide).
+    * `computeIfAbsent` runs the build AT MOST ONCE per key even under
+    * concurrent first callers (a lock-free getOrElseUpdate would let two
+    * racers both build into the same table name). */
   private def ensure(spark: SparkSession, sfDir: String, kind: String)(
       build: String => Unit): String =
-    built.getOrElseUpdate(s"$kind|$sfDir", {
+    built.computeIfAbsent(s"$kind|$sfDir", { _ =>
       val wh = java.nio.file.Files.createTempDirectory(s"graft-warm-$kind")
         .toFile.getAbsolutePath
       spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_warm LOCATION '$wh'")
-      // table name from the SANITIZED path, not a hash — two sfDirs with
-      // colliding hashCodes would silently serve one corpus's index for
-      // the other (a silent-wrong-answer class, however unlikely)
-      val t = s"graft_warm.${kind}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // table name = SANITIZED path (readable) + a digest of the RAW
+      // path (collision-free): sanitization alone can collide (e.g.
+      // `/data/sf0.001` and `/data/sf0_001` both sanitize to `sf0_001`),
+      // which would silently serve one corpus's warm index for the other
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(sfDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map("%02x".format(_)).mkString
+      val t = s"graft_warm.${kind}_" +
+        s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_$digest"
       build(t)
       t
     })

@@ -797,9 +797,10 @@ class AnnLifecycleSpec extends SparkSpec {
       loc.listFiles().filter(_.isDirectory).map(
         _.listFiles().count(_.getName.endsWith(".parquet"))).max
     }
-    // each generation appended at most ONE file per touched cell (the
-    // repartition-by-cell discipline), so the generation bound IS the
-    // per-cell file-count bound between compactions
+    // each generation — INCLUDING the base build, which repartitions by
+    // cell exactly like the deltas — wrote at most ONE file per touched
+    // cell, so the generation bound IS the per-cell file-count bound
+    // between compactions, independent of layout parallelism
     val beforeCompact = maxFilesPerCell()
     assert(beforeCompact <= 4,
       s"a cell dir holds $beforeCompact files after build + 3 deltas — " +

@@ -131,6 +131,89 @@ class FuzzyIndexSpec extends SparkSpec {
       "batch fuzzy search diverged from per-query indexed results")
     // the garbage query contributes zero rows (negative case)
     assert(!batch.exists(_._1 == 2L))
+
+    // DataFrame-native contract (the external-ANN-API precedent for the
+    // lexical family): a caller-supplied (qid, q) FRAME — gram extraction
+    // and bucketing run in-engine, so the driver does O(1) work per query
+    // and the plan carries no per-query literal lists
+    import spark.implicits._
+    val qdf = FuzzySearch.topKIndexedBatch(spark, t,
+      qs.toDF("qid", "q"), 70.0, 5)
+    assert(qdf.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getDouble(3), r.getInt(4))).toSeq === singles,
+      "DataFrame-native batch form diverged from the Seq wrapper")
+    // plan contract: the postings scan is DPP-pruned by the broadcast
+    // query-gram frame (runtime bucket pruning — the batch analog of the
+    // single-query path's static isin pruning), and the raw corpus
+    // parquet is never read
+    val plan = qdf.queryExecution.executedPlan
+    assert(!plan.toString.contains("customer.parquet"),
+      s"corpus scanned by the batch probe:\n$plan")
+    val gramScans = scans(plan).filter(_.relation.partitionSchema.nonEmpty)
+    assert(gramScans.nonEmpty, s"no partitioned postings scan:\n$plan")
+    assert(gramScans.forall(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"batch postings scan not DPP-pruned:\n$plan")
+  }
+
+  test("positional gram filter: lossless, and at least as strong as the bag filter (measured)") {
+    import java.nio.file.Files
+    val students = Tables.students(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-fuzzyp-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fuzzyp_test LOCATION '$wh'")
+    val t = "graft_fuzzyp_test.idx"
+    FuzzySearch.buildIndex(students, t)
+    val nNames = students.count()
+    for (q <- Seq("customer#000000012", "custoner#000000011",
+        "customer#0000000121111")) {
+      val pos = FuzzySearch.indexedCandidates(spark, t, q, 70.0,
+        positional = true).count()
+      val bag = FuzzySearch.indexedCandidates(spark, t, q, 70.0,
+        positional = false).count()
+      // the windowed positional count is per-gram <= the bag-min count,
+      // so its candidate set can only shrink; rescored results already
+      // proven identical to the scan path in the first test
+      assert(pos <= bag,
+        s"positional filter ADMITTED more candidates than bag for '$q': " +
+          s"$pos > $bag")
+      info(f"'$q': candidates bag=$bag%d positional=$pos%d " +
+        f"(corpus $nNames%d, reduction ${100.0 * (bag - pos) / math.max(bag, 1)}%.1f%%)")
+    }
+
+    // where the position filter BITES: names sharing the query's grams
+    // at MISALIGNED positions (the query embedded past the window
+    // width). On the student fixture the shared customer# prefixes are
+    // position-ALIGNED, so the window never cuts (the 0% above is the
+    // honest measurement, recorded in BASELINE.md); misaligned gram
+    // matches are the filter's actual lever, and the bag filter cannot
+    // see them
+    import spark.implicits._
+    val q0 = "customer#000000012"
+    val shifted = (1L to 20L).map(i =>
+      (i, ("z" * 18) + q0, "c", "b", "s", "a")) :+
+      ((21L, q0, "c", "b", "s", "a"))
+    val tiny = shifted.toDF("id", "name", "college", "board", "stream",
+      "address")
+    val wh2 = Files.createTempDirectory("graft-fuzzyp2-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fuzzyp2_test LOCATION '$wh2'")
+    val t2 = "graft_fuzzyp2_test.idx"
+    FuzzySearch.buildIndex(tiny, t2)
+    val pos2 = FuzzySearch.indexedCandidates(spark, t2, q0, 70.0,
+      positional = true).count()
+    val bag2 = FuzzySearch.indexedCandidates(spark, t2, q0, 70.0,
+      positional = false).count()
+    info(s"misaligned-gram fixture: candidates bag=$bag2 positional=$pos2")
+    // bag counting admits every shifted name (17 shared grams >= bound
+    // 15); the 18-position shift exceeds the d_max=10 window, so the
+    // positional count is 0 and only the exact hit survives
+    assert(bag2 === 21 && pos2 === 1,
+      s"position filter did not prune misaligned gram matches: " +
+        s"bag=$bag2 positional=$pos2")
+    // and it stays lossless: same top-k as the scan path
+    assert(collectRows(FuzzySearch.topKIndexed(spark, t2, q0))
+      === collectRows(FuzzySearch.topK(tiny, q0,
+        c => FuzzySearch.levRatio(c, lit(q0)))),
+      "position filter lost a true match on the misaligned fixture")
   }
 
   test("count filter is lossless for short queries (vacuous-bound fallback)") {
@@ -163,10 +246,14 @@ class FuzzyIndexSpec extends SparkSpec {
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
       case q: QueryStageExec        => scans(q.plan)
       case f: FileSourceScanExec    => Seq(f)
+      // the batch probe pins its shared-count subtree (CacheScope.track),
+      // so the postings scan lives inside the cached plan
+      case m: InMemoryTableScanExec => scans(m.relation.cachedPlan)
       case other                    => other.children.flatMap(scans)
     }
   }
