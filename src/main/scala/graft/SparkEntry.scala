@@ -1517,10 +1517,19 @@ object SparkEntry {
   private def ivfPqSqlFrom(basePred: String): String =
     s"WITH ${ivfPqChain(basePred, 2)} " + annTopkSelect
 
+  /** The SQL twin of Similarity.resolveShortlist: non-positive derives
+    * the ShortlistPerProbe × nprobe default the entry points use. */
+  private def slShortlist(nprobe: Int, shortlist: Int): Int =
+    if (shortlist > 0) shortlist
+    else graft.ops.Similarity.ShortlistPerProbe * nprobe
+
   /** The CTE list only (everything after WITH, ending with RR — the
-    * rescored ranked candidates), parameterized by nprobe so the sweep
-    * row can reuse the identical chain per probe width. */
-  private def ivfPqChain(basePred: String, nprobe: Int): String =
+    * rescored ranked candidates), parameterized by nprobe and the ADC
+    * shortlist (default = the entry points' derived ShortlistPerProbe ×
+    * nprobe rule) so the sweep row can reuse the identical chain per
+    * probe width. */
+  private def ivfPqChain(basePred: String, nprobe: Int,
+      shortlist: Int = -1): String =
     s"${ivfTrainedCtesFrom(basePred, nprobe)}, " +
     "SDIST AS (SELECT x.vec_id, CAST(x.dim // 8 AS INT) AS sub, c.c_label, " +
     "sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
@@ -1537,7 +1546,8 @@ object SparkEntry {
     "JOIN PROBE p ON p.qid = l.qid AND p.cell = cl.cell " +
     "WHERE cd.vec_id <> l.qid GROUP BY l.qid, cd.vec_id), " +
     "SL AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
-    "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10), " +
+    "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) " +
+    s"WHERE rk <= ${slShortlist(nprobe, shortlist)}), " +
     "RR AS (SELECT j.qid, j.vec_id, j.cell, j.cos, row_number() OVER " +
     "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rank " +
     "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id)"
@@ -1562,7 +1572,8 @@ object SparkEntry {
   private def ivfPqResidualSqlFrom(basePred: String): String =
     s"WITH ${ivfPqResidualChain(basePred, 2)} " + annTopkSelect
 
-  private def ivfPqResidualChain(basePred: String, nprobe: Int): String =
+  private def ivfPqResidualChain(basePred: String, nprobe: Int,
+      shortlist: Int = -1): String =
     s"${ivfTrainedCtesFrom(basePred, nprobe)}, " +
     "RES AS (SELECT x.vec_id, x.dim, x.q * 1000 - c.c6 AS r " +
     "FROM QQ x JOIN CELL cl ON cl.vec_id = x.vec_id " +
@@ -1597,7 +1608,8 @@ object SparkEntry {
     "JOIN QLUT l ON l.sub = cd.sub AND l.code = cd.code AND l.cell = cl.cell " +
     "WHERE cd.vec_id <> l.qid GROUP BY l.qid, cd.vec_id), " +
     "SL AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
-    "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10), " +
+    "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) " +
+    s"WHERE rk <= ${slShortlist(nprobe, shortlist)}), " +
     "RR AS (SELECT j.qid, j.vec_id, j.cell, j.cos, row_number() OVER " +
     "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rank " +
     "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id)"
@@ -1611,7 +1623,8 @@ object SparkEntry {
   private def ivfSqSqlFrom(basePred: String): String =
     s"WITH ${ivfSqChain(basePred, 2)} " + annTopkSelect
 
-  private def ivfSqChain(basePred: String, nprobe: Int): String =
+  private def ivfSqChain(basePred: String, nprobe: Int,
+      shortlist: Int = -1): String =
     s"${ivfTrainedCtesFrom(basePred, nprobe)}, " +
     s"MM AS (SELECT dim, min(q) AS minq, max(q) AS maxq FROM QQ WHERE $basePred GROUP BY dim), " +
     "SC AS (SELECT x.vec_id, x.dim, CASE WHEN m.maxq = m.minq THEN 0 " +
@@ -1626,7 +1639,8 @@ object SparkEntry {
     "JOIN MM m ON m.dim = s.dim " +
     "WHERE s.vec_id <> p.qid GROUP BY p.qid, s.vec_id), " +
     "SL AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
-    "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) WHERE rk <= 10), " +
+    "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) " +
+    s"WHERE rk <= ${slShortlist(nprobe, shortlist)}), " +
     "RR AS (SELECT j.qid, j.vec_id, j.cell, j.cos, row_number() OVER " +
     "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rank " +
     "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id)"

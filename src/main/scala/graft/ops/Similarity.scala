@@ -711,7 +711,7 @@ object Similarity {
     * cells; both cuts are the bounded [[graft.plans.TopKPerKey]] heaps. */
   def annIvfPqIndexedTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
-      shortlist: Int = 10): DataFrame =
+      shortlist: Int = -1): DataFrame =
     annIvfPqIndexedTopK(spark, table, fixtureQueries(spark, table, nQueries),
       k, nprobe, shortlist)
 
@@ -756,8 +756,24 @@ object Similarity {
     val adc = cand.join(broadcast(lut), Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col("vec_id"), col("cell"))
       .agg(sum(col("sd2")).as("d2"))
-    shortlistRescore(idx, q0, adc, k, shortlist)
+    shortlistRescore(idx, q0, adc, k, resolveShortlist(shortlist, nprobe))
   }
+
+  /** Default ADC shortlist width PER PROBED CELL. The round-13 sweep
+    * measured fixed-shortlist DILUTION: widening nprobe under a constant
+    * shortlist can DROP recall (raw PQ 0.167 → 0.125 at nprobe 2 → 8 with
+    * shortlist pinned at 10), because more probed candidates compete for
+    * the same lossy ADC cut. The real tuning rule is shortlist ∝ nprobe,
+    * so every fused entry point derives `shortlist = ShortlistPerProbe ×
+    * nprobe` unless the caller overrides — at the default nprobe = 2
+    * that is the historical 10, so single-point rows are unchanged. */
+  val ShortlistPerProbe = 5
+
+  /** Resolve the shortlist sentinel: a non-positive value means "derive
+    * from nprobe" (the [[ShortlistPerProbe]] rule); positive values are
+    * explicit caller overrides, honored as-is. */
+  private def resolveShortlist(shortlist: Int, nprobe: Int): Int =
+    if (shortlist > 0) shortlist else ShortlistPerProbe * nprobe
 
   /** The ORACLE-PARITY fixture convention: query vectors are the lowest
     * `nQueries` vec_ids, fetched by a point lookup from the lists. This
@@ -881,7 +897,7 @@ object Similarity {
     * only. */
   def annIvfPqResidualTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
-      shortlist: Int = 10): DataFrame =
+      shortlist: Int = -1): DataFrame =
     annIvfPqResidualTopK(spark, table, fixtureQueries(spark, table, nQueries),
       k, nprobe, shortlist)
 
@@ -925,7 +941,7 @@ object Similarity {
     val adc = cand.join(broadcast(lut), Seq("qid", "cell", "sub", "code"))
       .groupBy(col("qid"), col("vec_id"), col("cell"))
       .agg(sum(col("sd2")).as("d2"))
-    shortlistRescore(idx, q0, adc, k, shortlist)
+    shortlistRescore(idx, q0, adc, k, resolveShortlist(shortlist, nprobe))
   }
 
   /** Build the SCALAR-quantized (SQ8) IVF index — the middle rung of the
@@ -1047,7 +1063,7 @@ object Similarity {
     * against two broadcast 64-entry arrays. */
   def annIvfSqIndexedTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
-      shortlist: Int = 10): DataFrame =
+      shortlist: Int = -1): DataFrame =
     annIvfSqIndexedTopK(spark, table, fixtureQueries(spark, table, nQueries),
       k, nprobe, shortlist)
 
@@ -1084,7 +1100,7 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cell"),
         aggregate(zip_with(col("qs"), col("dec"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, d) => acc + d).as("d2"))
-    shortlistRescore(idx, q0, adc, k, shortlist)
+    shortlistRescore(idx, q0, adc, k, resolveShortlist(shortlist, nprobe))
   }
 
   /** (vec_id, cell) only — the assignment exchange without the index
@@ -1259,28 +1275,33 @@ object Similarity {
   /** nprobe/recall sensitivity sweep across the compression ladder —
     * the `dedup_threshold_sweep` pattern applied to ANN tuning: one row
     * per (rung, nprobe) with recall@k against the brute-force truth,
-    * pricing the recall/IO trade the single-point ladder numbers can't
-    * (candidate IO grows ∝ nprobe; recall follows — until the FIXED
-    * shortlist dilutes: more probed candidates under the same lossy ADC
-    * cut can DROP recall, the measured round-13 effect that makes
-    * shortlist-scales-with-nprobe the real tuning rule). All three rungs
+    * pricing the recall/IO trade the single-point ladder numbers can't.
+    * The round-13 sweep ran a FIXED shortlist and measured the dilution
+    * effect (raw PQ recall DROPPING 0.167 → 0.125 at nprobe 8 — more
+    * probed candidates under the same lossy ADC cut); since round 14 the
+    * sweep runs the entry points' own derived default,
+    * `shortlist = ShortlistPerProbe × nprobe` (override via
+    * `shortlistPerProbe`), so the row now prices the tuning rule a
+    * deployment actually uses — and recall is monotone in nprobe at
+    * defaults (spec-asserted for all three rungs). All three rungs
     * serve from standing indexes over the same corpus; the truth side is
     * the already-oracled brute-force chain, so every recall value is
     * engine-reproducible. */
   def annNprobeSweep(spark: org.apache.spark.sql.SparkSession,
       embeddings: DataFrame, tPq: String, tRes: String, tSq: String,
-      nQueries: Int = 8, k: Int = 3, shortlist: Int = 10,
+      nQueries: Int = 8, k: Int = 3,
+      shortlistPerProbe: Int = ShortlistPerProbe,
       nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     val truth = graft.CacheScope.track(
       bruteForceTopK(embeddings, nQueries, k)
         .select(col("qid"), col("vec_id")))
     val rows = for (np <- nprobes; (rung, res) <- Seq(
         "pq" -> (() => annIvfPqIndexedTopK(spark, tPq, nQueries, k, np,
-          shortlist)),
+          shortlistPerProbe * np)),
         "residual" -> (() => annIvfPqResidualTopK(spark, tRes, nQueries, k,
-          np, shortlist)),
+          np, shortlistPerProbe * np)),
         "sq8" -> (() => annIvfSqIndexedTopK(spark, tSq, nQueries, k, np,
-          shortlist)))) yield {
+          shortlistPerProbe * np)))) yield {
       val ann = res().select(col("qid").as("aqid"), col("vec_id").as("avid"))
       truth.join(ann,
           col("qid") === col("aqid") && col("vec_id") === col("avid"),
