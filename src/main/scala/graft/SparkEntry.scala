@@ -92,6 +92,12 @@ object SparkEntry {
     2L -> "xyzzy#0000")
   private val tokenQuestion =
     "who is customr#000000042 nearby custoner#000000011 and friends"
+  /** Batch BM25 fixture: the QueryTerms anchor, a disjoint term set, a
+    * no-hit query (zero rows ride along), and a duplicate-term query
+    * (per-query terms dedup — each term scores once). */
+  private val batchBm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark shuffle hash", 1L -> "vector join merge",
+    2L -> "zzznope", 3L -> "scan scan filter")
   private def levScoreSql(colName: String) =
     s"round((1.0 - CAST(levenshtein($colName, '$fuzzyQuery') AS DOUBLE) / " +
     s"CAST(greatest(length($colName), length('$fuzzyQuery')) AS DOUBLE)) * 100.0, 4)"
@@ -365,6 +371,17 @@ object SparkEntry {
       FuzzySearch.compactIndex(s, "graft_idx.fuzzyc")
       FuzzySearch.topKIndexed(s, "graft_idx.fuzzyc", fuzzyQuery)
     }),
+    // QUERY-ONLY fuzzy twin off the session-prebuilt index (WarmIndex):
+    // times the gram probe + count filter + rescore alone — the
+    // bm25_query/sim_ann_*_query regime separation applied to the fuzzy
+    // family. Same oracle as the build+query row
+    "fuzzy_search_query" -> ((s, d) =>
+      FuzzySearch.topKIndexed(s, WarmIndex.fuzzy(s, d), fuzzyQuery)),
+    // per-GRAM posting-list skew stats off the standing fuzzy index —
+    // the probe-skew predictor (hot shared-prefix grams ARE this
+    // fixture's worst case), the annIvfIndexStats shape
+    "fuzzy_index_stats" -> ((s, d) =>
+      FuzzySearch.indexStats(s, WarmIndex.fuzzy(s, d))),
     // headline relational pipelines
     "q1_agg" -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_top_revenue" -> ((s, d) => Relational.q3TopRevenue(s, d)),
@@ -1030,6 +1047,22 @@ object SparkEntry {
     // query together, so a query-path regression could hide in build
     // noise. Same oracle as the scan-time and build+query rows
     "bm25_query" -> ((s, d) => Search.bm25Indexed(s, WarmIndex.bm25(s, d))),
+    // BATCH BM25 off the standing index: a (qid, q) DataFrame served in
+    // ONE shared postings pass — tokenization, df, and scoring all
+    // in-engine (the DataFrame-native batch contract shared with
+    // fuzzy_search_batch); per-(query, doc) scores fold in sorted term
+    // order so the doubles are engine-reproducible. Covers an exact-term
+    // anchor, a disjoint term set, a no-hit query, and a duplicate-term
+    // query (dedup semantics)
+    "bm25_search_batch" -> ((s, d) => {
+      import s.implicits._
+      Search.bm25TopKBatch(s, WarmIndex.bm25(s, d),
+        batchBm25Queries.toDF("qid", "q"), 10)
+    }),
+    // per-TERM posting-list skew stats off the standing index — the
+    // probe-skew predictor for the lexical family (a query's cost is
+    // the df of its terms), the annIvfIndexStats shape
+    "bm25_index_stats" -> ((s, d) => Search.indexStats(s, WarmIndex.bm25(s, d))),
     // incremental maintenance of the standing index: base build on 80% of
     // the corpus, delta-ingest the rest (postings derived from the DELTA
     // ALONE, appended bucketed; stats merge additively), then query — must
@@ -1355,6 +1388,10 @@ object SparkEntry {
     // delta-maintained and compacted twins + the batch probe
     "fuzzy_search_indexed", "fuzzy_index_delta", "fuzzy_index_compact",
     "fuzzy_search_batch",
+    // round-14: query-only fuzzy twin, batch BM25 off the warm index,
+    // and the per-gram/per-term posting-skew stats rows
+    "fuzzy_search_query", "bm25_search_batch",
+    "fuzzy_index_stats", "bm25_index_stats",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -1780,6 +1817,42 @@ object SparkEntry {
     s"round($parts, 4) AS score FROM D CROSS JOIN S) " +
     s"SELECT doc_id, CAST(dl AS BIGINT) AS dl, $outTfs, score FROM X " +
     s"WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $TopK"
+  }
+
+  /** Batch BM25 oracle: the same Okapi chain per (query, doc) over the
+    * fixture query frame, with per-query terms DEDUPED and the
+    * per-(qid, doc) score folded in SORTED TERM ORDER (`list_reduce`
+    * over `list(part ORDER BY term)`) — the engine folds its parts in
+    * the same order (sort_array → aggregate), so the doubles match
+    * bit-for-bit; zero-tf terms are absent on both sides (adding 0.0 to
+    * the strictly-positive parts would be IEEE-identical anyway). */
+  private val bm25BatchOracleSql: String = {
+    import graft.ops.Search.{K1, B => B25}
+    val values = batchBm25Queries.map { case (qid, q) =>
+      s"(CAST($qid AS BIGINT), '${q.replace("'", "''")}')" }.mkString(", ")
+    s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+    "D AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, w FROM W), " +
+    "S AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM D), " +
+    s"Q(qid, q) AS (VALUES $values), " +
+    "QT AS (SELECT DISTINCT qid, term FROM (SELECT qid, " +
+    "unnest(string_split(regexp_replace(lower(trim(q)), '[ \\t\\n\\f\\r]+', ' ', 'g'), ' ')) AS term " +
+    "FROM Q) WHERE term <> ''), " +
+    "H AS (SELECT t.qid, d.doc_id, d.dl, t.term, " +
+    "CAST(len(list_filter(d.w, x -> x = t.term)) AS DOUBLE) AS tf " +
+    "FROM D d CROSS JOIN QT t), " +
+    "H1 AS (SELECT * FROM H WHERE tf > 0), " +
+    "DF AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM H1 GROUP BY term), " +
+    "P AS (SELECT h.qid, h.doc_id, h.dl, h.term, " +
+    s"ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1) * (h.tf * ${K1 + 1}) / " +
+    s"(h.tf + $K1 * (${1 - B25} + $B25 * h.dl / s.avgdl)) AS part " +
+    "FROM H1 h JOIN DF f ON f.term = h.term CROSS JOIN S s), " +
+    "G AS (SELECT qid, doc_id, dl, " +
+    "round(list_reduce(list(part ORDER BY term), (a, b) -> a + b), 4) AS score " +
+    "FROM P GROUP BY qid, doc_id, dl), " +
+    "R AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank " +
+    "FROM G WHERE score > 0) " +
+    "SELECT qid, doc_id, CAST(dl AS BIGINT) AS dl, score, CAST(rank AS INT) AS rank " +
+    "FROM R WHERE rank <= 10 ORDER BY qid, rank"
   }
 
   /** Lexical+dense hybrid oracle: the BM25 top-k rank chain fused with the
@@ -2832,6 +2905,25 @@ object SparkEntry {
       "SELECT id, name, college, board, stream, address, " +
       s"${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
+    // query-only twin off the warm standing index — same oracle
+    "fuzzy_search_query" -> withStudents(
+      "SELECT id, name, college, board, stream, address, " +
+      s"${levScoreSql("name")} AS score FROM students " +
+      s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
+    // per-gram posting-list skew: occurrence-bag counts per 2-gram,
+    // recomputed from the corpus names (positions 1..len-1)
+    "fuzzy_index_stats" -> withStudents(
+      ", N AS (SELECT id, name, length(name) AS len FROM students WHERE length(name) >= 2), " +
+      "G AS (SELECT id, substr(name, CAST(i AS INT), 2) AS gram " +
+      "FROM (SELECT id, name, unnest(range(1, len)) AS i FROM N)), " +
+      "S AS (SELECT gram, count(*) AS n FROM G GROUP BY gram) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_grams, " +
+      "CAST(sum(n) AS BIGINT) AS n_postings, " +
+      "CAST(min(n) AS BIGINT) AS min_gram, " +
+      "CAST(max(n) AS BIGINT) AS max_gram, " +
+      "round(avg(n), 4) AS avg_gram, " +
+      "round(CAST(max(n) AS DOUBLE) / round(avg(n), 4), 4) AS imbalance " +
+      "FROM S"),
     // a drained fuzzy ingest stream converges to the scan-path result
     "stream_fuzzy_ingest" -> withStudents(
       "SELECT id, name, college, board, stream, address, " +
@@ -3392,6 +3484,21 @@ object SparkEntry {
     // row-for-row — same oracle, so any drift between the two paths fails
     "bm25_indexed" -> bm25OracleSql,
     "bm25_query" -> bm25OracleSql,
+    // batch form: per-query Okapi chains with term-sorted score folds
+    "bm25_search_batch" -> bm25BatchOracleSql,
+    // per-term posting-list skew: df distribution + max/avg imbalance,
+    // recomputed from the corpus (postings = distinct (term, doc) pairs)
+    "bm25_index_stats" ->
+      (s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+       "T AS (SELECT DISTINCT doc_id, term FROM (SELECT doc_id, unnest(w) AS term FROM W)), " +
+       "DF AS (SELECT term, count(*) AS df FROM T GROUP BY term) " +
+       "SELECT CAST(count(*) AS BIGINT) AS n_terms, " +
+       "CAST(sum(df) AS BIGINT) AS n_postings, " +
+       "CAST(min(df) AS BIGINT) AS min_df, " +
+       "CAST(max(df) AS BIGINT) AS max_df, " +
+       "round(avg(df), 4) AS avg_df, " +
+       "round(CAST(max(df) AS DOUBLE) / round(avg(df), 4), 4) AS imbalance " +
+       "FROM DF"),
     // delta-maintained index must converge to the full-corpus result
     "bm25_index_delta" -> bm25OracleSql,
     // compaction is layout-only: the compacted index must STILL equal the

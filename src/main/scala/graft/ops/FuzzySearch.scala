@@ -476,6 +476,28 @@ object FuzzySearch {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Standing-index maintenance stats for the gram postings — the
+    * [[Similarity.annIvfIndexStats]] shape for the fuzzy family: the
+    * per-GRAM posting-list size distribution (bag counts — one row per
+    * occurrence) and the max/avg imbalance factor. A probe reads its
+    * query grams' posting lists, so the hottest gram is the probe-skew
+    * predictor (on this fixture the shared `customer#0` prefix grams ARE
+    * the hot lists — the measured worst case). One slim scan of the gram
+    * column, one tiny aggregate. */
+  def indexStats(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val sizes = spark.table(s"${table}_grams")
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+    sizes.agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("n")).as("n_postings"),
+        min(col("n")).as("min_gram"),
+        max(col("n")).as("max_gram"),
+        round(avg(col("n")), 4).as("avg_gram"))
+      .withColumn("imbalance",
+        round(col("max_gram").cast("double") / col("avg_gram"), 4))
+  }
+
   /** Top-k fuzzy search with the reference's defaults (threshold 70, limit 10,
     * student_service.py:230). `scoreCol` lets callers pick the scorer:
     * [[levRatio]] (oracle-checkable) or the exact rapidfuzz-parity

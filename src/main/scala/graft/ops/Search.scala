@@ -608,4 +608,104 @@ object Search {
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
   }
+
+  /** BATCH BM25 off the materialized index — many queries served from ONE
+    * postings pass (the [[graft.ops.FuzzySearch.topKIndexedBatch]]
+    * DataFrame-native contract for the BM25 family): `queries` is a
+    * caller-supplied broadcast-sized (qid, q) frame; tokenization runs
+    * in-engine with the SAME [[Dedup.words]] normalization the build
+    * used (per-query duplicate terms collapse — each term scores once,
+    * the [[bm25TopK]] fixed-term-set semantics); candidates come from an
+    * equi-join of the postings against the broadcast query-term frame,
+    * so the driver does O(1) work per query and the plan carries no
+    * per-query literal lists. Per-term document frequencies derive from
+    * the SAME joined pass (distinct (term, doc) count — the postings are
+    * scanned once, [[graft.CacheScope]]-pinned); n_docs/avgdl fold from
+    * the additive stats rows exactly as [[bm25Indexed]] does.
+    *
+    * Score parity discipline: per-(query, doc) contributions are summed
+    * by an ORDERED fold (term-sorted `sort_array` → `aggregate`), not a
+    * commutative SQL sum — float addition is order-sensitive and the
+    * terms per query vary, so a deterministic order is the only way the
+    * oracle (which folds in the same term order) reproduces the doubles
+    * bit-for-bit. Zero-tf terms are absent rather than adding 0.0 —
+    * IEEE-identical for the strictly-positive parts BM25 produces.
+    *
+    * Shape at 100 TB: a LARGE batch's union of query terms approaches
+    * the vocabulary, where per-term pruning is impossible BY DEFINITION
+    * and one shared bucketed-postings pass amortized over every query is
+    * the right plan (this entry point). A small term set is the regime
+    * [[bm25Indexed]] already serves with static `isin` pushdown + bucket
+    * pruning — both are kept, and the trade is exactly the fuzzy
+    * family's static-vs-DPP split. Output: (qid, doc_id, dl, score,
+    * rank), rank 1..k per qid by (score DESC, doc_id). */
+  def bm25TopKBatch(spark: SparkSession, table: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qDim = queries.select(col("qid").cast("long").as("qid"),
+      col("q").cast("string").as("q"))
+    val qterms = qDim
+      .select(col("qid"),
+        explode(array_distinct(Dedup.words(col("q")))).as("term"))
+      .filter(length(col("term")) > 0)
+    // ONE postings pass feeds both the df aggregate and the scoring —
+    // pinned (the broadcast query-term join is the only filter; at batch
+    // scale the term union approaches the vocabulary, see scaladoc)
+    val hits = graft.CacheScope.track(
+      spark.table(s"${table}_postings").join(broadcast(qterms), Seq("term")))
+    val dfRow = hits.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val stats = spark.table(s"${table}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"))
+    // one term's contribution from the posting row's tf/dl — the same
+    // expression tree as bmPart over the per-row df/stats columns
+    val part = log((col("n_docs") - col("df") + lit(0.5))
+        / (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * (K1 + 1)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    val scored = hits.join(broadcast(dfRow), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), col("dl"), col("term"),
+        part.as("part"))
+      .groupBy(col("qid"), col("doc_id"), col("dl"))
+      .agg(round(aggregate(
+        transform(sort_array(collect_list(struct(col("term"), col("part")))),
+          s => s("part")),
+        lit(0.0), (acc, x) => acc + x), 4).as("score"))
+      .filter(col("score") > 0)
+      .select(col("qid"), col("doc_id"), col("dl").cast("bigint").as("dl"),
+        col("score"))
+    graft.plans.TopK.perKey(scored, Seq("qid"), "score", "doc_id", k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("score"), col("doc_id"))))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Seq convenience wrapper over the DataFrame batch form. */
+  def bm25TopKBatch(spark: SparkSession, table: String,
+      queries: Seq[(Long, String)], k: Int = TopK): DataFrame = {
+    import spark.implicits._
+    bm25TopKBatch(spark, table, queries.toDF("qid", "q"), k)
+  }
+
+  /** Standing-index maintenance stats for the BM25 postings — the
+    * [[Similarity.annIvfIndexStats]] shape for the lexical family: the
+    * per-TERM posting-list size distribution and the max/avg imbalance
+    * factor. A probe's cost is the df of its terms, so the hottest term
+    * IS the probe-skew predictor (the bucketed layout hashes terms into
+    * files, and a hot term concentrates its bucket's read). One slim
+    * scan of the term column, one tiny aggregate. */
+  def indexStats(spark: SparkSession, table: String): DataFrame = {
+    val sizes = spark.table(s"${table}_postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    sizes.agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("df")).as("n_postings"),
+        min(col("df")).as("min_df"),
+        max(col("df")).as("max_df"),
+        round(avg(col("df")), 4).as("avg_df"))
+      .withColumn("imbalance",
+        round(col("max_df").cast("double") / col("avg_df"), 4))
+  }
 }

@@ -65,4 +65,8 @@ object WarmIndex {
   def bm25(spark: SparkSession, sfDir: String): String =
     ensure(spark, sfDir, "bm25")(t =>
       Search.buildIndex(Tables.documents(spark, sfDir), t))
+
+  def fuzzy(spark: SparkSession, sfDir: String): String =
+    ensure(spark, sfDir, "fuzzy")(t =>
+      FuzzySearch.buildIndex(Tables.students(spark, sfDir), t))
 }

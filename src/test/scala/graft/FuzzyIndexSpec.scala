@@ -154,6 +154,16 @@ class FuzzyIndexSpec extends SparkSpec {
     assert(gramScans.forall(_.partitionFilters.exists(
         _.toString.toLowerCase.contains("dynamicpruning"))),
       s"batch postings scan not DPP-pruned:\n$plan")
+
+    // per-gram skew stats: recomputable invariants against the postings
+    val st = FuzzySearch.indexStats(spark, t).collect()(0)
+    val g = spark.table(s"${t}_grams")
+    assert(st.getAs[Long]("n_postings") === g.count())
+    assert(st.getAs[Long]("n_grams") ===
+      g.select(col("gram")).distinct().count())
+    assert(st.getAs[Long]("max_gram") === g.groupBy(col("gram")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0))
+    assert(st.getAs[Double]("imbalance") >= 1.0)
   }
 
   test("positional gram filter: lossless, and at least as strong as the bag filter (measured)") {

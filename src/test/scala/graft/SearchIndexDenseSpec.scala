@@ -33,6 +33,86 @@ class SearchIndexDenseSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), s"postings scan not bucketed:\n$plan")
   }
 
+  test("bm25TopKBatch: DataFrame-native batch == per-query chains; one shared postings pass; stats invariants") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-bm25b-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bm25b_test LOCATION '$wh'")
+    val t = "graft_bm25b_test.bm25"
+    Search.buildIndex(docs, t)
+
+    val qs = Seq(0L -> "spark shuffle hash", 1L -> "vector join merge",
+      2L -> "zzznope", 3L -> "scan scan filter")
+    val batch = Search.bm25TopKBatch(spark, t, qs.toDF("qid", "q"), 10)
+    val rows = batch.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getInt(4)))
+
+    // anchor parity: qid 0 is the QueryTerms query — same docs, dls, and
+    // ranks as the single-query index path; scores agree to 4dp (the
+    // batch folds term-sorted, the fixed-column form folds in QueryTerms
+    // order — IEEE order sensitivity is what the rounding absorbs)
+    val single = Search.bm25Indexed(spark, t, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(r.fieldIndex("score"))))
+    val anchor = rows.filter(_._1 == 0L)
+    assert(anchor.map(x => (x._2, x._3, x._4)).toSeq === single.toSeq,
+      "batch anchor query diverged from the single-query indexed path")
+    // duplicate terms dedup: 'scan scan filter' == 'scan filter'
+    val dedupTwin = Search.bm25TopKBatch(spark, t,
+      Seq(3L -> "scan filter").toDF("qid", "q"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(rows.filter(_._1 == 3L).toSeq === dedupTwin.toSeq,
+      "duplicate query terms were not deduped")
+    // the no-hit query contributes zero rows
+    assert(!rows.exists(_._1 == 2L))
+
+    // plan contract: ONE postings scan shared by every query (the
+    // df aggregate and the scoring both read the pinned join), no
+    // corpus scan, and no per-query literal lists (driver O(1)/query)
+    val plan = batch.queryExecution.executedPlan
+    assert(!plan.toString.contains("documents.parquet"),
+      s"corpus scanned by the batch probe:\n$plan")
+    // distinct: both consumers of the pinned join descend into the SAME
+    // cached relation — one physical pass, seen through two cache reads
+    val postingScans = scansIncl(plan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("postings")))
+      .distinct
+    assert(postingScans.size === 1,
+      s"batch probe reads the postings ${postingScans.size}x, want 1 " +
+        s"shared pass:\n$plan")
+    assert(!plan.toString.contains("zzznope"),
+      s"query strings leaked into the scan plan as literals:\n$plan")
+
+    // index stats: recomputable invariants against the postings
+    val st = Search.indexStats(spark, t).collect()(0)
+    val p = spark.table(s"${t}_postings")
+    assert(st.getAs[Long]("n_postings") === p.count())
+    assert(st.getAs[Long]("n_terms") ===
+      p.select(col("term")).distinct().count())
+    val hottest = p.groupBy(col("term")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(st.getAs[Long]("max_df") === hottest)
+    assert(st.getAs[Double]("imbalance") >= 1.0)
+  }
+
+  // scans() that also descends into cached subtrees (the batch probe
+  // pins its shared postings join via CacheScope)
+  private def scansIncl(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p match {
+      case a: AdaptiveSparkPlanExec => scansIncl(a.executedPlan)
+      case q: QueryStageExec        => scansIncl(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case m: InMemoryTableScanExec => scansIncl(m.relation.cachedPlan)
+      case other                    => other.children.flatMap(scansIncl)
+    }
+  }
+
   test("indexDelta: delta-maintained index equals full build equals scan path") {
     import java.nio.file.Files
     val docs = Tables.documents(spark, sfDir)
