@@ -316,6 +316,13 @@ object SparkEntry {
         c => FuzzySearch.levRatio(c, lit(fuzzyQuery)))),
     "u2_token_correct" -> ((s, d) =>
       FuzzySearch.correctTokens(Tables.students(s, d), tokenQuestion)),
+    // U2's SCALE PATH: the same token correction served from the
+    // standing q-gram index (one shared DPP-pruned postings probe for
+    // all tokens, per-token min_by) — row-identical to the scan form,
+    // same oracle
+    "u2_token_correct_indexed" -> ((s, d) =>
+      FuzzySearch.correctTokensIndexed(s, WarmIndex.fuzzy(s, d),
+        tokenQuestion)),
     "fuzzy_search_indel" -> ((s, d) => {
       IndelRatio.register(s)
       FuzzySearch.topK(Tables.students(s, d), fuzzyQuery,
@@ -1389,9 +1396,10 @@ object SparkEntry {
     "fuzzy_search_indexed", "fuzzy_index_delta", "fuzzy_index_compact",
     "fuzzy_search_batch",
     // round-14: query-only fuzzy twin, batch BM25 off the warm index,
-    // and the per-gram/per-term posting-skew stats rows
+    // the per-gram/per-term posting-skew stats rows, and U2's
+    // index-served token correction
     "fuzzy_search_query", "bm25_search_batch",
-    "fuzzy_index_stats", "bm25_index_stats",
+    "fuzzy_index_stats", "bm25_index_stats", "u2_token_correct_indexed",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -2962,6 +2970,19 @@ object SparkEntry {
       "SELECT * FROM S WHERE score >= 70.0 ORDER BY score DESC, id LIMIT 10"
     },
     "u2_token_correct" -> withStudents(
+      s", T AS (SELECT unnest(string_split(lower('$tokenQuestion'), ' ')) AS token), " +
+      "F AS (SELECT token FROM T WHERE length(token) >= 3 AND token NOT IN " +
+      "('the','a','an','of','and','who','what','is','are','in','on','with','find','show')), " +
+      "SC AS (SELECT f.token, s.name, " +
+      "round((1.0 - CAST(levenshtein(s.name, f.token) AS DOUBLE) / " +
+      "CAST(greatest(length(s.name), length(f.token)) AS DOUBLE)) * 100.0, 4) AS score " +
+      "FROM F f CROSS JOIN students s), " +
+      "R AS (SELECT token, name, score, row_number() OVER " +
+      "(PARTITION BY token ORDER BY score DESC, name) AS rn FROM SC) " +
+      "SELECT token, name AS corrected, score FROM R " +
+      "WHERE rn = 1 AND score >= 75.0 ORDER BY token"),
+    // the index-served token correction must be row-identical
+    "u2_token_correct_indexed" -> withStudents(
       s", T AS (SELECT unnest(string_split(lower('$tokenQuestion'), ' ')) AS token), " +
       "F AS (SELECT token FROM T WHERE length(token) >= 3 AND token NOT IN " +
       "('the','a','an','of','and','who','what','is','are','in','on','with','find','show')), " +

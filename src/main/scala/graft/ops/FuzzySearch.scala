@@ -32,14 +32,16 @@ object FuzzySearch {
     * score for a token through ONE task, while min_by keeps map-side
     * partial aggregation — each task reduces to one candidate per token
     * before the shuffle. */
+  /** The reference's question stop-list (src/llm_cypher.py:44). */
+  val StopWords: Seq[String] = Seq("the", "a", "an", "of", "and", "who",
+    "what", "is", "are", "in", "on", "with", "find", "show")
+
   def correctTokens(
       students: DataFrame, question: String,
       threshold: Double = 75.0): DataFrame = {
-    val stop = Seq("the", "a", "an", "of", "and", "who", "what", "is", "are",
-      "in", "on", "with", "find", "show")
     val tokens = students.sparkSession.range(1)
       .select(explode(split(lower(lit(question)), " ")).as("token"))
-      .filter(length(col("token")) >= 3 && !col("token").isin(stop: _*))
+      .filter(length(col("token")) >= 3 && !col("token").isin(StopWords: _*))
     tokens.crossJoin(students.select(col("name")))
       .withColumn("score", levRatio(col("name"), col("token")))
       .groupBy(col("token"))
@@ -411,13 +413,31 @@ object FuzzySearch {
       table: String, queries: DataFrame, threshold: Double,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val qDim = queries.select(col("qid").cast("long").as("qid"),
+        col("q").cast("string").as("q"))
+      .withColumn("qlen", length(col("q")))
+    val scored = batchCandidates(spark, table, qDim, threshold)
+      .withColumn("score", levRatio(col("name"), col("q")))
+      .filter(col("score") >= threshold)
+      .select(col("qid"), col("id"), col("name"), col("score"))
+    graft.plans.TopK.perKey(scored, Seq("qid"), "score", "id", k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("score"), col("id"))))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The shared DataFrame-native batch candidate core: `qDim` is a
+    * (qid, q, qlen) frame — qid of ANY groupable type (the public batch
+    * API uses longs; [[correctTokensIndexed]] keys by the token string
+    * itself) — and the result is the lossless count-filtered candidate
+    * set with every qDim column plus the name projection, ready for the
+    * exact rescore. */
+  private def batchCandidates(spark: org.apache.spark.sql.SparkSession,
+      table: String, qDim: DataFrame, threshold: Double): DataFrame = {
     require(threshold == math.floor(threshold) && threshold > 0,
       "count-filter bound uses exact integer arithmetic — whole-number " +
         s"thresholds only, got $threshold")
     val distPct = 100 - threshold.toInt
-    val qDim = queries.select(col("qid").cast("long").as("qid"),
-        col("q").cast("string").as("q"))
-      .withColumn("qlen", length(col("q")))
     // query gram OCCURRENCES, in-engine: the exact expressions
     // writeIndex stores (code-point substr, 0-based posexplode, crc32
     // bucket) — external and stored grams agree by construction
@@ -455,7 +475,7 @@ object FuzzySearch {
     val probed = names.join(shared, "id").join(broadcast(qDim), "qid")
       .filter(col("shared") >= bound)
       .drop("shared")
-    val candidates: DataFrame = maxFallbackLen(distPct) match {
+    maxFallbackLen(distPct) match {
       case None => probed
       case Some(cap) =>
         val fbNames = if (cap == Int.MaxValue) names
@@ -466,14 +486,40 @@ object FuzzySearch {
             .join(shared.select(col("qid"), col("id")),
               Seq("qid", "id"), "left_anti"))
     }
-    val scored = candidates
+  }
+
+  /** [[correctTokens]] served from the standing q-gram index — U2's
+    * scale path (src/llm_cypher.py:41-57 corrects question tokens
+    * against the student names; at a 100 TB name corpus that cannot be
+    * a per-token levenshtein scan). Tokenization is the SAME in-engine
+    * expression chain as the scan form (lowercase split, ≥3 chars,
+    * stopword drop); distinct tokens become the batch query frame KEYED
+    * BY THE TOKEN STRING, candidates come from the one shared
+    * DPP-pruned postings probe, and the per-token best is the same
+    * min_by aggregate over (−score, name) — so rows are identical to
+    * the scan path (one oracle gates both). The threshold-prefilter
+    * commutes with the aggregate: the scan form picks the max-score
+    * name then drops it if below threshold; every candidate the filter
+    * admits at ≥ threshold is present losslessly, and any name tying
+    * the best is admitted too, so the argmin over the filtered set is
+    * the same row. */
+  def correctTokensIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, question: String,
+      threshold: Double = 75.0): DataFrame = {
+    val qDim = spark.range(1)
+      .select(explode(split(lower(lit(question)), " ")).as("q"))
+      .filter(length(col("q")) >= 3 && !col("q").isin(StopWords: _*))
+      .distinct()
+      .select(col("q").as("qid"), col("q"), length(col("q")).as("qlen"))
+    batchCandidates(spark, table, qDim, threshold)
       .withColumn("score", levRatio(col("name"), col("q")))
       .filter(col("score") >= threshold)
-      .select(col("qid"), col("id"), col("name"), col("score"))
-    graft.plans.TopK.perKey(scored, Seq("qid"), "score", "id", k)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(desc("score"), col("id"))))
-      .orderBy(col("qid"), col("rank"))
+      .groupBy(col("qid"))
+      .agg(min_by(struct(col("name"), col("score")),
+        struct(negate(col("score")), col("name"))).as("best"))
+      .select(col("qid").as("token"), col("best.name").as("corrected"),
+        col("best.score").as("score"))
+      .orderBy(col("token"))
   }
 
   /** Standing-index maintenance stats for the gram postings — the

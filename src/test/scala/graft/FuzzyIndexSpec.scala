@@ -166,6 +166,27 @@ class FuzzyIndexSpec extends SparkSpec {
     assert(st.getAs[Double]("imbalance") >= 1.0)
   }
 
+  test("correctTokensIndexed: U2's token correction off the index == scan path") {
+    import java.nio.file.Files
+    val students = Tables.students(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-fuzzyu2-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fuzzyu2_test LOCATION '$wh'")
+    val t = "graft_fuzzyu2_test.idx"
+    FuzzySearch.buildIndex(students, t)
+    for (question <- Seq(
+        "who is customr#000000042 nearby custoner#000000011 and friends",
+        // duplicates collapse, stopwords and short tokens drop, a
+        // no-match token contributes nothing
+        "find customer#000000012 and customer#000000012 xq zzzneverhit",
+        "the a an of")) {
+      val scan = collectRows(FuzzySearch.correctTokens(students, question))
+      val idx = collectRows(
+        FuzzySearch.correctTokensIndexed(spark, t, question))
+      assert(idx === scan,
+        s"index-served token correction diverged for '$question'")
+    }
+  }
+
   test("positional gram filter: lossless, and at least as strong as the bag filter (measured)") {
     import java.nio.file.Files
     val students = Tables.students(spark, sfDir)
