@@ -191,6 +191,20 @@ object FuzzySearch {
   private def writeIndex(students: DataFrame, table: String,
       overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
+    if (overwrite) {
+      // rebuild-in-session safety: DROP first so cached plans derived
+      // from the old generation (a prior query's pinned shared-count
+      // subtree) are CASCADE-uncached by the catalog. A bare
+      // overwrite-CTAS instead tries to RECACHE those dependents
+      // mid-write against the just-dropped table and fails with
+      // TABLE_OR_VIEW_NOT_FOUND (found by the bench harness's
+      // best-of-2: iteration 2 rebuilds while iteration 1's cache is
+      // still registered) — and a canonically-equal later plan could
+      // silently HIT the stale cache instead of reading the rebuild.
+      val spark = students.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_names")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_grams")
+    }
     val named = students.withColumn("len", length(col("name")))
     named.write.mode(mode).format("parquet")
       .saveAsTable(s"${table}_names")

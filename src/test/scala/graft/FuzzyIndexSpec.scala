@@ -166,6 +166,31 @@ class FuzzyIndexSpec extends SparkSpec {
     assert(st.getAs[Double]("imbalance") >= 1.0)
   }
 
+  test("rebuild-in-session: a live cached batch probe neither breaks nor stales a rebuild") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val students = Tables.students(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-fuzzyr-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fuzzyr_test LOCATION '$wh'")
+    val t = "graft_fuzzyr_test.idx"
+    val qs = Seq(0L -> "customer#000000012").toDF("qid", "q")
+    // iteration 1: build + batch query — leaves the pinned shared-count
+    // subtree REGISTERED (the bench harness unpersists only after both
+    // iterations)
+    FuzzySearch.buildIndex(students, t)
+    val first = FuzzySearch.topKIndexedBatch(spark, t, qs, 70.0, 5)
+      .collect().map(_.toSeq).toSeq
+    // iteration 2: rebuild over the SAME catalog with that cache live —
+    // an overwrite-CTAS would recache the dependent against the dropped
+    // table and die with TABLE_OR_VIEW_NOT_FOUND; the drop-first write
+    // cascade-uncaches instead
+    FuzzySearch.buildIndex(students, t)
+    val second = FuzzySearch.topKIndexedBatch(spark, t, qs, 70.0, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(second === first, "rebuild changed batch results")
+    graft.CacheScope.unpersistAll()
+  }
+
   test("correctTokensIndexed: U2's token correction off the index == scan path") {
     import java.nio.file.Files
     val students = Tables.students(spark, sfDir)
