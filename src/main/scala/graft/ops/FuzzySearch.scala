@@ -343,18 +343,33 @@ object FuzzySearch {
           // partner, #name-occurrences-with-an-in-window partner) is an
           // upper bound on that matching's per-gram size (each side of a
           // matched pair is in-window by definition) and ≤ the bag-min
-          // count (each countDistinct ≤ its side's occurrence count) —
-          // lossless, and uniformly at least as strong as bag-min. The
-          // per-pair window d_max reads the DENORMALIZED len on the
-          // posting row, so the filter runs before any join to `_names`.
-          val qo = qOcc.toDF("posq", "gram")
-          g.join(broadcast(qo), "gram")
-            .filter(abs(col("pos") - col("posq")) <=
-              floor((lit(distPct) * greatest(lit(qLen), col("len")))
-                / lit(100.0)))
-            .groupBy(col("id"), col("gram"))
-            .agg(least(countDistinct(col("posq")), countDistinct(col("pos")))
-              .as("m"))
+          // count (each side's count ≤ its occurrence count) — lossless,
+          // and uniformly at least as strong as bag-min. The per-pair
+          // window d_max reads the DENORMALIZED len on the posting row,
+          // so the filter runs before any join to `_names`.
+          //
+          // Plan shape: name positions aggregate to ONE array row per
+          // (id, gram) — the same row count as the bag path — and the
+          // windowed counts are codegen'd array expressions against the
+          // broadcast per-gram query-position arrays. (The first cut
+          // joined occurrence PAIRS and counted distincts — a row
+          // blowup ∝ cq·cn on hot grams plus a two-distinct Expand,
+          // measured 1.9× on the shared-prefix fixture whose repeated
+          // `00` grams are exactly that hot case.)
+          val qg = qOcc.groupBy(_._2)
+            .map { case (g0, o) => (g0, o.map(_._1).sorted) }.toSeq
+            .toDF("gram", "qpos")
+          val d = floor((lit(distPct) * greatest(lit(qLen), col("len")))
+            / lit(100.0))
+          val mq = size(filter(col("qpos"),
+            p => exists(col("npos"), n => abs(n - p) <= d)))
+          val mn = size(filter(col("npos"),
+            n => exists(col("qpos"), p => abs(n - p) <= d)))
+          g.groupBy(col("id"), col("gram"))
+            .agg(collect_list(col("pos")).as("npos"),
+              first(col("len")).as("len"))
+            .join(broadcast(qg), "gram")
+            .select(col("id"), least(mq, mn).as("m"))
             .groupBy(col("id")).agg(sum(col("m")).as("shared"))
         } else {
           // bag-min baseline: Σ_gram min(cnt_query, cnt_name)
@@ -474,17 +489,26 @@ object FuzzySearch {
     val dMax = floor((lit(distPct) * maxlen) / lit(100.0))
     val bound = maxlen - (GramQ - 1) - lit(GramQ) * dMax
     // windowed positional shared counts per (query, name) — the same
-    // lossless filter [[indexedCandidates]] documents, grouped by qid;
-    // consumed twice (probed + fallback anti), so pinned once
+    // lossless filter [[indexedCandidates]] documents, grouped by qid
+    // and computed the same array-expression way (one aggregated row
+    // per (qid, id, gram), no occurrence-pair blowup); consumed twice
+    // (probed + fallback anti), so pinned once
+    val qgArr = qo.groupBy(col("qid"), col("qlen"), col("bucket"),
+        col("gram"))
+      .agg(sort_array(collect_list(col("posq"))).as("qpos"))
+    val d = floor((lit(distPct) * greatest(col("qlen"), col("len")))
+      / lit(100.0))
+    val mq = size(filter(col("qpos"),
+      p => exists(col("npos"), n => abs(n - p) <= d)))
+    val mn = size(filter(col("npos"),
+      n => exists(col("qpos"), p => abs(n - p) <= d)))
     val shared = graft.CacheScope.track(
       spark.table(s"${table}_grams")
-        .join(broadcast(qo), Seq("bucket", "gram"))
-        .filter(abs(col("pos") - col("posq")) <=
-          floor((lit(distPct) * greatest(col("qlen"), col("len")))
-            / lit(100.0)))
-        .groupBy(col("qid"), col("id"), col("gram"))
-        .agg(least(countDistinct(col("posq")), countDistinct(col("pos")))
-          .as("m"))
+        .join(broadcast(qgArr), Seq("bucket", "gram"))
+        .groupBy(col("qid"), col("qlen"), col("id"), col("gram"))
+        .agg(collect_list(col("pos")).as("npos"), first(col("len")).as("len"),
+          first(col("qpos")).as("qpos"))
+        .select(col("qid"), col("id"), least(mq, mn).as("m"))
         .groupBy(col("qid"), col("id")).agg(sum(col("m")).as("shared")))
     val probed = names.join(shared, "id").join(broadcast(qDim), "qid")
       .filter(col("shared") >= bound)
