@@ -274,22 +274,34 @@ object FuzzySearch {
     * like the near-uniform corpus is for PQ); on a real name corpus the
     * bucket probe is the 1000× pruning lever. */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
-      query: String, threshold: Double = 70.0, k: Int = 10): DataFrame =
-    indexedCandidates(spark, table, query, threshold, positional = true)
+      query: String, threshold: Double = 70.0, k: Int = 10,
+      positional: Boolean = false): DataFrame =
+    indexedCandidates(spark, table, query, threshold, positional)
       .withColumn("score", levRatio(col("name"), lit(query)))
       .filter(col("score") >= threshold)
       .drop("len")
       .orderBy(desc("score"), col("id"))
       .limit(k)
 
-  /** The count-filtered candidate set behind [[topKIndexed]], with the
-    * position filter toggleable so its pruning power is a MEASURED
-    * number (`FuzzyIndexSpec` prices positional vs bag-only on the
-    * adversarial shared-prefix fixture — the recorded worst case for
-    * bag counting). `positional = false` is the round-13 bag-min filter,
-    * kept ONLY as the measurement baseline; every query path runs
-    * positional. Both filters are lossless (see the bound notes below);
-    * the exact rescore in [[topKIndexed]] makes results identical. */
+  /** The count-filtered candidate set behind [[topKIndexed]], with
+    * Gravano's position filter TOGGLEABLE — and adjudicated OFF by
+    * default, by measurement (`FuzzyIndexSpec` prices both):
+    *
+    *   - On the fixture's shared-prefix names (the recorded bag-filter
+    *     worst case) the position filter prunes 0%: the shared prefix
+    *     grams sit at IDENTICAL positions, and aligned matches are
+    *     exactly what the window cannot cut. The windowed counts cost a
+    *     real ~1.3-1.4× on every fuzzy row (extra aggregate + broadcast
+    *     array probe), so the default pays it only when it buys
+    *     something.
+    *   - On MISALIGNED gram matches (a query embedded past the window
+    *     width — substring-at-distance corpora) the filter is the
+    *     decisive lever: 21 → 1 candidates on the spec's constructed
+    *     fixture. `positional = true` is the knob for such corpora.
+    *
+    * Both filters are lossless (see the bound notes below) and
+    * positional ⊆ bag is spec-asserted; the exact rescore in
+    * [[topKIndexed]] makes results identical either way. */
   private[graft] def indexedCandidates(
       spark: org.apache.spark.sql.SparkSession, table: String,
       query: String, threshold: Double, positional: Boolean): DataFrame = {
@@ -416,9 +428,11 @@ object FuzzySearch {
     * in-engine. */
   def topKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: Seq[(Long, String)],
-      threshold: Double = 70.0, k: Int = 10): DataFrame = {
+      threshold: Double = 70.0, k: Int = 10,
+      positional: Boolean = false): DataFrame = {
     import spark.implicits._
-    topKIndexedBatch(spark, table, queries.toDF("qid", "q"), threshold, k)
+    topKIndexedBatch(spark, table, queries.toDF("qid", "q"), threshold, k,
+      positional)
   }
 
   /** DataFrame-native batch form — the bulk regime's real entry point
@@ -440,12 +454,12 @@ object FuzzySearch {
     * skipped entirely when no length qualifies. */
   def topKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, threshold: Double,
-      k: Int): DataFrame = {
+      k: Int, positional: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qDim = queries.select(col("qid").cast("long").as("qid"),
         col("q").cast("string").as("q"))
       .withColumn("qlen", length(col("q")))
-    val scored = batchCandidates(spark, table, qDim, threshold)
+    val scored = batchCandidates(spark, table, qDim, threshold, positional)
       .withColumn("score", levRatio(col("name"), col("q")))
       .filter(col("score") >= threshold)
       .select(col("qid"), col("id"), col("name"), col("score"))
@@ -462,7 +476,8 @@ object FuzzySearch {
     * set with every qDim column plus the name projection, ready for the
     * exact rescore. */
   private def batchCandidates(spark: org.apache.spark.sql.SparkSession,
-      table: String, qDim: DataFrame, threshold: Double): DataFrame = {
+      table: String, qDim: DataFrame, threshold: Double,
+      positional: Boolean): DataFrame = {
     require(threshold == math.floor(threshold) && threshold > 0,
       "count-filter bound uses exact integer arithmetic — whole-number " +
         s"thresholds only, got $threshold")
@@ -488,28 +503,34 @@ object FuzzySearch {
     val maxlen = greatest(col("qlen"), col("len"))
     val dMax = floor((lit(distPct) * maxlen) / lit(100.0))
     val bound = maxlen - (GramQ - 1) - lit(GramQ) * dMax
-    // windowed positional shared counts per (query, name) — the same
-    // lossless filter [[indexedCandidates]] documents, grouped by qid
-    // and computed the same array-expression way (one aggregated row
-    // per (qid, id, gram), no occurrence-pair blowup); consumed twice
-    // (probed + fallback anti), so pinned once
+    // shared counts per (query, name) — the same lossless filters
+    // [[indexedCandidates]] documents (bag-min by default; Gravano's
+    // position filter behind the measured-trade toggle), grouped by qid
+    // and computed on one aggregated row per (qid, id, gram); consumed
+    // twice (probed + fallback anti), so pinned once
     val qgArr = qo.groupBy(col("qid"), col("qlen"), col("bucket"),
         col("gram"))
       .agg(sort_array(collect_list(col("posq"))).as("qpos"))
-    val d = floor((lit(distPct) * greatest(col("qlen"), col("len")))
-      / lit(100.0))
-    val mq = size(filter(col("qpos"),
-      p => exists(col("npos"), n => abs(n - p) <= d)))
-    val mn = size(filter(col("npos"),
-      n => exists(col("qpos"), p => abs(n - p) <= d)))
+    val hits = spark.table(s"${table}_grams")
+      .join(broadcast(qgArr), Seq("bucket", "gram"))
+      .groupBy(col("qid"), col("qlen"), col("id"), col("gram"))
+    val perGram =
+      if (positional) {
+        val d = floor((lit(distPct) * greatest(col("qlen"), col("len")))
+          / lit(100.0))
+        val mq = size(filter(col("qpos"),
+          p => exists(col("npos"), n => abs(n - p) <= d)))
+        val mn = size(filter(col("npos"),
+          n => exists(col("qpos"), p => abs(n - p) <= d)))
+        hits.agg(collect_list(col("pos")).as("npos"),
+            first(col("len")).as("len"), first(col("qpos")).as("qpos"))
+          .select(col("qid"), col("id"), least(mq, mn).as("m"))
+      } else
+        hits.agg(count(lit(1)).as("cn"), first(col("qpos")).as("qpos"))
+          .select(col("qid"), col("id"),
+            least(size(col("qpos")).cast("long"), col("cn")).as("m"))
     val shared = graft.CacheScope.track(
-      spark.table(s"${table}_grams")
-        .join(broadcast(qgArr), Seq("bucket", "gram"))
-        .groupBy(col("qid"), col("qlen"), col("id"), col("gram"))
-        .agg(collect_list(col("pos")).as("npos"), first(col("len")).as("len"),
-          first(col("qpos")).as("qpos"))
-        .select(col("qid"), col("id"), least(mq, mn).as("m"))
-        .groupBy(col("qid"), col("id")).agg(sum(col("m")).as("shared")))
+      perGram.groupBy(col("qid"), col("id")).agg(sum(col("m")).as("shared")))
     val probed = names.join(shared, "id").join(broadcast(qDim), "qid")
       .filter(col("shared") >= bound)
       .drop("shared")
@@ -549,7 +570,7 @@ object FuzzySearch {
       .filter(length(col("q")) >= 3 && !col("q").isin(StopWords: _*))
       .distinct()
       .select(col("q").as("qid"), col("q"), length(col("q")).as("qlen"))
-    batchCandidates(spark, table, qDim, threshold)
+    batchCandidates(spark, table, qDim, threshold, positional = false)
       .withColumn("score", levRatio(col("name"), col("q")))
       .filter(col("score") >= threshold)
       .groupBy(col("qid"))

@@ -138,7 +138,7 @@ class FuzzyIndexSpec extends SparkSpec {
     // and the plan carries no per-query literal lists
     import spark.implicits._
     val qdf = FuzzySearch.topKIndexedBatch(spark, t,
-      qs.toDF("qid", "q"), 70.0, 5)
+      qs.toDF("qid", "q"), 70.0, 5, positional = false)
     assert(qdf.collect().map(r => (r.getLong(0), r.getLong(1),
         r.getString(2), r.getDouble(3), r.getInt(4))).toSeq === singles,
       "DataFrame-native batch form diverged from the Seq wrapper")
@@ -178,14 +178,14 @@ class FuzzyIndexSpec extends SparkSpec {
     // subtree REGISTERED (the bench harness unpersists only after both
     // iterations)
     FuzzySearch.buildIndex(students, t)
-    val first = FuzzySearch.topKIndexedBatch(spark, t, qs, 70.0, 5)
+    val first = FuzzySearch.topKIndexedBatch(spark, t, qs, 70.0, 5, positional = false)
       .collect().map(_.toSeq).toSeq
     // iteration 2: rebuild over the SAME catalog with that cache live —
     // an overwrite-CTAS would recache the dependent against the dropped
     // table and die with TABLE_OR_VIEW_NOT_FOUND; the drop-first write
     // cascade-uncaches instead
     FuzzySearch.buildIndex(students, t)
-    val second = FuzzySearch.topKIndexedBatch(spark, t, qs, 70.0, 5)
+    val second = FuzzySearch.topKIndexedBatch(spark, t, qs, 70.0, 5, positional = false)
       .collect().map(_.toSeq).toSeq
     assert(second === first, "rebuild changed batch results")
     graft.CacheScope.unpersistAll()
@@ -266,10 +266,29 @@ class FuzzyIndexSpec extends SparkSpec {
       s"position filter did not prune misaligned gram matches: " +
         s"bag=$bag2 positional=$pos2")
     // and it stays lossless: same top-k as the scan path
-    assert(collectRows(FuzzySearch.topKIndexed(spark, t2, q0))
+    assert(collectRows(FuzzySearch.topKIndexed(spark, t2, q0,
+        positional = true))
       === collectRows(FuzzySearch.topK(tiny, q0,
         c => FuzzySearch.levRatio(c, lit(q0)))),
       "position filter lost a true match on the misaligned fixture")
+
+    // the toggle changes the candidate set, never the answer: positional
+    // results == bag results == scan on the students fixture, for the
+    // single AND the batch entry points
+    import org.apache.spark.sql.functions.lit
+    for (q <- Seq("customer#000000012", "custoner#000000011")) {
+      assert(collectRows(FuzzySearch.topKIndexed(spark, t, q,
+          positional = true))
+        === collectRows(FuzzySearch.topK(students, q,
+          c => FuzzySearch.levRatio(c, lit(q)))),
+        s"positional single-query path diverged from the scan for '$q'")
+    }
+    val qs = Seq(0L -> "customer#000000012", 1L -> "custoner#000000011")
+    assert(collectRows(FuzzySearch.topKIndexedBatch(spark, t, qs, 70.0, 5,
+        positional = true))
+      === collectRows(FuzzySearch.topKIndexedBatch(spark, t, qs, 70.0, 5,
+        positional = false)),
+      "positional batch path diverged from the bag batch path")
   }
 
   test("count filter is lossless for short queries (vacuous-bound fallback)") {
