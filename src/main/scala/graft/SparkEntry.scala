@@ -384,6 +384,13 @@ object SparkEntry {
     // family. Same oracle as the build+query row
     "fuzzy_search_query" -> ((s, d) =>
       FuzzySearch.topKIndexed(s, WarmIndex.fuzzy(s, d), fuzzyQuery)),
+    // query-only BATCH twin: the DF-native multi-query probe (DPP
+    // bucket pruning, shared-count aggregate, per-query heaps) priced
+    // without the build — fuzzy_search_batch's build+probe number can't
+    // isolate a probe-plan regression. Same oracle as the batch row
+    "fuzzy_batch_query" -> ((s, d) =>
+      FuzzySearch.topKIndexedBatch(s, WarmIndex.fuzzy(s, d),
+        batchFuzzyQueries, k = 5)),
     // per-GRAM posting-list skew stats off the standing fuzzy index —
     // the probe-skew predictor (hot shared-prefix grams ARE this
     // fixture's worst case), the annIvfIndexStats shape
@@ -1398,7 +1405,7 @@ object SparkEntry {
     // round-14: query-only fuzzy twin, batch BM25 off the warm index,
     // the per-gram/per-term posting-skew stats rows, and U2's
     // index-served token correction
-    "fuzzy_search_query", "bm25_search_batch",
+    "fuzzy_search_query", "fuzzy_batch_query", "bm25_search_batch",
     "fuzzy_index_stats", "bm25_index_stats", "u2_token_correct_indexed",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
@@ -1826,6 +1833,25 @@ object SparkEntry {
     s"SELECT doc_id, CAST(dl AS BIGINT) AS dl, $outTfs, score FROM X " +
     s"WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $TopK"
   }
+
+  /** Batch fuzzy oracle: per-query scan scoring + rank window over the
+    * fixture query frame — shared verbatim by the build+probe row and
+    * its query-only warm twin. */
+  private lazy val fuzzyBatchOracleSql: String = withStudents(
+    ", Q(qid, q) AS (VALUES " +
+    batchFuzzyQueries.map { case (qid, q) =>
+      // SQL-escape: a fixture query containing a quote must not break
+      // (or silently alter) the oracle text
+      s"(CAST($qid AS BIGINT), '${q.replace("'", "''")}')" }
+      .mkString(", ") + "), " +
+    "S AS (SELECT Q.qid, s.id, s.name, " +
+    "round((1.0 - CAST(levenshtein(s.name, Q.q) AS DOUBLE) / " +
+    "CAST(greatest(length(s.name), length(Q.q)) AS DOUBLE)) * 100.0, 4) AS score " +
+    "FROM students s CROSS JOIN Q), " +
+    "R AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank " +
+    "FROM S WHERE score >= 70.0) " +
+    "SELECT qid, id, name, CAST(rank AS INT) AS rank, score " +
+    "FROM R WHERE rank <= 5 ORDER BY qid, rank")
 
   /** Batch BM25 oracle: the same Okapi chain per (query, doc) over the
     * fixture query frame, with per-query terms DEDUPED and the
@@ -2893,22 +2919,10 @@ object SparkEntry {
       s"${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
     // batch fuzzy: per-query scan scoring + rank window — the indexed
-    // batch probe must reproduce it row-for-row
-    "fuzzy_search_batch" -> withStudents(
-      ", Q(qid, q) AS (VALUES " +
-      batchFuzzyQueries.map { case (qid, q) =>
-        // SQL-escape: a fixture query containing a quote must not break
-        // (or silently alter) the oracle text
-        s"(CAST($qid AS BIGINT), '${q.replace("'", "''")}')" }
-        .mkString(", ") + "), " +
-      "S AS (SELECT Q.qid, s.id, s.name, " +
-      "round((1.0 - CAST(levenshtein(s.name, Q.q) AS DOUBLE) / " +
-      "CAST(greatest(length(s.name), length(Q.q)) AS DOUBLE)) * 100.0, 4) AS score " +
-      "FROM students s CROSS JOIN Q), " +
-      "R AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank " +
-      "FROM S WHERE score >= 70.0) " +
-      "SELECT qid, id, name, CAST(rank AS INT) AS rank, score " +
-      "FROM R WHERE rank <= 5 ORDER BY qid, rank"),
+    // batch probe must reproduce it row-for-row (and the query-only
+    // warm twin shares the chain verbatim)
+    "fuzzy_search_batch" -> fuzzyBatchOracleSql,
+    "fuzzy_batch_query" -> fuzzyBatchOracleSql,
     "fuzzy_index_compact" -> withStudents(
       "SELECT id, name, college, board, stream, address, " +
       s"${levScoreSql("name")} AS score FROM students " +
