@@ -732,10 +732,12 @@ object SparkEntry {
     // nprobe/recall sensitivity sweep across the compression ladder
     // (the dedup_threshold_sweep pattern): recall@3 vs the brute-force
     // truth for nprobe in {1,2,4,8} x {pq, residual, sq8}, all served
-    // from the session-prebuilt standing indexes. Prices the recall/IO
-    // trade — including the fixed-shortlist dilution at high nprobe.
-    // Oracle-only: 12 ADC query plans; the per-rung cost shape is
-    // already priced by the *_indexed and *_query rows
+    // from the session-prebuilt standing indexes at the DERIVED
+    // shortlist = ShortlistPerProbe x nprobe defaults — recall is
+    // monotone in nprobe on every rung (the r13 fixed-shortlist
+    // dilution is codified away; spec-asserted). Oracle-only: 12 ADC
+    // query plans; the per-rung cost shape is already priced by the
+    // *_indexed and *_query rows
     "sim_ann_nprobe_sweep" -> ((s, d) =>
       Similarity.annNprobeSweep(s, Tables.embeddings(s, d),
         WarmIndex.ivfPq(s, d), WarmIndex.ivfPqResidual(s, d),
@@ -1569,11 +1571,10 @@ object SparkEntry {
   private def ivfPqSqlFrom(basePred: String): String =
     s"WITH ${ivfPqChain(basePred, 2)} " + annTopkSelect
 
-  /** The SQL twin of Similarity.resolveShortlist: non-positive derives
-    * the ShortlistPerProbe × nprobe default the entry points use. */
+  /** The oracle chains resolve their SL cut through the engine's OWN
+    * sentinel rule — one derivation site for both sides. */
   private def slShortlist(nprobe: Int, shortlist: Int): Int =
-    if (shortlist > 0) shortlist
-    else graft.ops.Similarity.ShortlistPerProbe * nprobe
+    graft.ops.Similarity.resolveShortlist(shortlist, nprobe)
 
   /** The CTE list only (everything after WITH, ending with RR — the
     * rescored ranked candidates), parameterized by nprobe and the ADC

@@ -21,6 +21,10 @@ object FuzzySearch {
           greatest(length(a), length(b)).cast("double")) * 100.0,
       4)
 
+  /** The reference's question stop-list (src/llm_cypher.py:44). */
+  val StopWords: Seq[String] = Seq("the", "a", "an", "of", "and", "who",
+    "what", "is", "are", "in", "on", "with", "find", "show")
+
   /** U2 — the chatbot's fuzzy question-preprocessing (src/llm_cypher.py:41-57):
     * tokenize the question, and for each non-stopword token of ≥3 chars find
     * the best-matching student name above a threshold. The reference loops
@@ -32,10 +36,6 @@ object FuzzySearch {
     * score for a token through ONE task, while min_by keeps map-side
     * partial aggregation — each task reduces to one candidate per token
     * before the shuffle. */
-  /** The reference's question stop-list (src/llm_cypher.py:44). */
-  val StopWords: Seq[String] = Seq("the", "a", "an", "of", "and", "who",
-    "what", "is", "are", "in", "on", "with", "find", "show")
-
   def correctTokens(
       students: DataFrame, question: String,
       threshold: Double = 75.0): DataFrame = {
@@ -232,21 +232,40 @@ object FuzzySearch {
     (c.getValue % GramBuckets).toInt
   }
 
+  /** The count-filter bound at maxlen = m, in the same exact integer
+    * arithmetic every call site must use — ONE implementation, so the
+    * lossless-fallback guarantee cannot desynchronize between the
+    * single-query and batch paths. */
+  private def intBound(distPct: Int, m: Int): Int =
+    m - (GramQ - 1) - GramQ * (distPct * m / 100)
+
   /** The largest name length at which the count-filter bound can be
     * vacuous (≤ 0) at this distance budget — a PURE function of the
     * threshold, so the batch fallback arm's names scan carries a static
     * pushed-down `len <=` predicate instead of reading the corpus.
-    * None: no length qualifies, the arm is provably empty and skipped;
-    * Some(Int.MaxValue): threshold ≤ 50, the bound never prunes. */
-  private def maxFallbackLen(distPct: Int): Option[Int] =
-    if (distPct >= 50) Some(Int.MaxValue)
+    * Int.MaxValue when threshold ≤ 50 (the bound never prunes). Never
+    * below 1 at GramQ = 2: intBound(distPct, 1) = 0 for every distPct,
+    * so the fallback arm always ships — but pruned to the (usually
+    * empty) `len <= cap` sliver. */
+  private def maxFallbackLen(distPct: Int): Int =
+    if (distPct >= 50) Int.MaxValue
     else {
       // bound(m) grows ~linearly with slope 1 − GramQ·distPct/100 > 0
       // past the floor() wiggles; 20000 is far beyond the last dip for
       // every distPct ≤ 49
-      val hits = (1 to 20000).filter(m =>
-        m - (GramQ - 1) - GramQ * (distPct * m / 100) <= 0)
-      if (hits.isEmpty) None else Some(hits.max)
+      (1 to 20000).filter(m => intBound(distPct, m) <= 0).max
+    }
+
+  /** Can ANY stored name give this query a vacuous (≤ 0) bound? False
+    * skips the single-query fallback arm entirely; derived from the
+    * same [[intBound]]/[[maxFallbackLen]] arithmetic as the batch arm's
+    * length cap (m ranges over max(qLen, len), so only m ≥ qLen and
+    * ≤ the cap can qualify). */
+  private def fallbackReachableAt(distPct: Int, qLen: Int): Boolean =
+    distPct >= 50 || {
+      val cap = maxFallbackLen(distPct)
+      cap >= qLen && (math.max(qLen, 1) to cap)
+        .exists(m => intBound(distPct, m) <= 0)
     }
 
   /** [[topK]] served from the materialized q-gram index — SAME RESULT
@@ -331,15 +350,11 @@ object FuzzySearch {
     // the integer div (no one-ulp over-prune at exact boundaries)
     val dMax = floor((lit(distPct) * maxlen) / lit(100.0))
     val bound = maxlen - (GramQ - 1) - lit(GramQ) * dMax
-    // is the bound <= 0 fallback REACHABLE? bound depends only on
-    // maxlen = max(qLen, len); for distPct < 50 it grows ~linearly, so
-    // only finitely many lengths can have a vacuous bound — when none
-    // can, the fallback branch (a second names scan) is skipped
+    // is the bound <= 0 fallback REACHABLE for THIS query? bound depends
+    // only on maxlen = max(qLen, len) — when no length can make it
+    // vacuous, the fallback branch (a second names scan) is skipped
     // entirely instead of shipping a provably-empty union arm
-    def boundAt(m: Int): Int =
-      m - (GramQ - 1) - GramQ * (distPct * m / 100)
-    val fallbackReachable = distPct >= 50 ||
-      (1 to math.max(qLen, 1) + 1000).exists(l => boundAt(math.max(qLen, l)) <= 0)
+    val fallbackReachable = fallbackReachableAt(distPct, qLen)
     if (qOcc.isEmpty) names
     else {
       import spark.implicits._
@@ -450,8 +465,9 @@ object FuzzySearch {
     * The fallback arm (names whose count-filter bound is vacuous — only
     * possible at small max(qlen, len)) is a names scan under a STATIC
     * `len <=` pushdown derived from the threshold alone
-    * ([[maxFallbackLen]]), crossed with the broadcast query dim — and
-    * skipped entirely when no length qualifies. */
+    * ([[maxFallbackLen]]) crossed with the broadcast query dim — at
+    * GramQ = 2 length-1 names always qualify, so the arm always ships,
+    * pruned to that (usually empty) sliver. */
   def topKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, threshold: Double,
       k: Int, positional: Boolean): DataFrame = {
@@ -534,17 +550,14 @@ object FuzzySearch {
     val probed = names.join(shared, "id").join(broadcast(qDim), "qid")
       .filter(col("shared") >= bound)
       .drop("shared")
-    maxFallbackLen(distPct) match {
-      case None => probed
-      case Some(cap) =>
-        val fbNames = if (cap == Int.MaxValue) names
-          else names.filter(col("len") <= cap)
-        probed.unionByName(
-          fbNames.crossJoin(broadcast(qDim))
-            .filter(bound <= 0)
-            .join(shared.select(col("qid"), col("id")),
-              Seq("qid", "id"), "left_anti"))
-    }
+    val cap = maxFallbackLen(distPct)
+    val fbNames = if (cap == Int.MaxValue) names
+      else names.filter(col("len") <= cap)
+    probed.unionByName(
+      fbNames.crossJoin(broadcast(qDim))
+        .filter(bound <= 0)
+        .join(shared.select(col("qid"), col("id")),
+          Seq("qid", "id"), "left_anti"))
   }
 
   /** [[correctTokens]] served from the standing q-gram index — U2's

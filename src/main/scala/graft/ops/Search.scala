@@ -337,6 +337,15 @@ object Search {
     * or aggregation reads the index pre-clustered — the TB-scale corpus is
     * never re-shuffled after build. */
   def buildIndex(docs: DataFrame, table: String, buckets: Int = 8): Unit = {
+    // rebuild-in-session safety (the FuzzySearch.writeIndex discipline):
+    // DROP first so cached plans derived from the old generation — e.g.
+    // a prior bm25TopKBatch's pinned postings join — cascade-uncache
+    // through the catalog; a bare overwrite-CTAS would try to RECACHE
+    // them mid-write against the dropped table (TABLE_OR_VIEW_NOT_FOUND)
+    // or let a canonically-equal later plan hit the stale generation
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_postings")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
     postings(docs).write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(s"${table}_postings")

@@ -771,8 +771,10 @@ object Similarity {
 
   /** Resolve the shortlist sentinel: a non-positive value means "derive
     * from nprobe" (the [[ShortlistPerProbe]] rule); positive values are
-    * explicit caller overrides, honored as-is. */
-  private def resolveShortlist(shortlist: Int, nprobe: Int): Int =
+    * explicit caller overrides, honored as-is. private[graft]: the
+    * oracle-SQL generators resolve through the SAME function, so the
+    * engine and its oracles cannot derive different shortlists. */
+  private[graft] def resolveShortlist(shortlist: Int, nprobe: Int): Int =
     if (shortlist > 0) shortlist else ShortlistPerProbe * nprobe
 
   /** The ORACLE-PARITY fixture convention: query vectors are the lowest

@@ -817,15 +817,4 @@ class AnnLifecycleSpec extends SparkSpec {
       "compaction left more than one file in a cell dir")
   }
 
-  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec        => scans(q.plan)
-      case f: FileSourceScanExec    => Seq(f)
-      case other                    => other.children.flatMap(scans)
-    }
-  }
 }

@@ -317,19 +317,4 @@ class FuzzyIndexSpec extends SparkSpec {
     }
   }
 
-  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec        => scans(q.plan)
-      case f: FileSourceScanExec    => Seq(f)
-      // the batch probe pins its shared-count subtree (CacheScope.track),
-      // so the postings scan lives inside the cached plan
-      case m: InMemoryTableScanExec => scans(m.relation.cachedPlan)
-      case other                    => other.children.flatMap(scans)
-    }
-  }
 }

@@ -118,20 +118,6 @@ class LayoutSpec extends SparkSpec {
     assert(ZValue.compute(3L, 1L) === (1L | 4L | 2L))
   }
 
-  /** Every FileSourceScanExec in the executed plan, descending into AQE
-    * stages (same traversal as PlanGuardSpec). */
-  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec        => scans(q.plan)
-      case f: FileSourceScanExec    => Seq(f)
-      case other                    => other.children.flatMap(scans)
-    }
-  }
-
   test("date-partitioned write: a week filter scans only the 7 matching dirs") {
     val events = Tables.events(spark, sfDir)
     val dir = Files.createTempDirectory("datepart").toFile.getAbsolutePath

@@ -76,7 +76,7 @@ class SearchIndexDenseSpec extends SparkSpec {
       s"corpus scanned by the batch probe:\n$plan")
     // distinct: both consumers of the pinned join descend into the SAME
     // cached relation — one physical pass, seen through two cache reads
-    val postingScans = scansIncl(plan).filter(
+    val postingScans = scans(plan).filter(
       _.relation.location.rootPaths.exists(_.toString.contains("postings")))
       .distinct
     assert(postingScans.size === 1,
@@ -84,6 +84,16 @@ class SearchIndexDenseSpec extends SparkSpec {
         s"shared pass:\n$plan")
     assert(!plan.toString.contains("zzznope"),
       s"query strings leaked into the scan plan as literals:\n$plan")
+
+    // rebuild-in-session: the pinned postings join from the batch above
+    // is still registered — a rebuild must neither die on the recache of
+    // that dependent nor serve it the stale generation (the
+    // FuzzySearch.writeIndex drop-first regression, BM25 family)
+    Search.buildIndex(docs, t)
+    val rows2 = Search.bm25TopKBatch(spark, t, qs.toDF("qid", "q"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(rows2.toSeq === rows.toSeq, "rebuild changed batch BM25 results")
 
     // index stats: recomputable invariants against the postings
     val st = Search.indexStats(spark, t).collect()(0)
@@ -95,22 +105,6 @@ class SearchIndexDenseSpec extends SparkSpec {
       .agg(max(col("count"))).collect()(0).getLong(0)
     assert(st.getAs[Long]("max_df") === hottest)
     assert(st.getAs[Double]("imbalance") >= 1.0)
-  }
-
-  // scans() that also descends into cached subtrees (the batch probe
-  // pins its shared postings join via CacheScope)
-  private def scansIncl(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    p match {
-      case a: AdaptiveSparkPlanExec => scansIncl(a.executedPlan)
-      case q: QueryStageExec        => scansIncl(q.plan)
-      case f: FileSourceScanExec    => Seq(f)
-      case m: InMemoryTableScanExec => scansIncl(m.relation.cachedPlan)
-      case other                    => other.children.flatMap(scansIncl)
-    }
   }
 
   test("indexDelta: delta-maintained index equals full build equals scan path") {
@@ -400,17 +394,6 @@ class SearchIndexDenseSpec extends SparkSpec {
       "replayed idempotent ingest changed ANN answers")
   }
 
-  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec        => scans(q.plan)
-      case f: FileSourceScanExec    => Seq(f)
-      case other                    => other.children.flatMap(scans)
-    }
-  }
 
   test("docVectors: bridge + integer-sum pooling matches the posexplode derivation") {
     val docs = Tables.documents(spark, sfDir)

@@ -20,4 +20,24 @@ trait SparkSpec extends AnyFunSuite {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Every FileSourceScan in an executed plan — descending through
+    * adaptive wrappers, query stages, AND cached subtrees (operators
+    * pin multi-consumer views via CacheScope, so load-bearing scans
+    * live inside InMemoryRelation cached plans). ONE walker for every
+    * suite's plan assertions: a new wrapper node type added here keeps
+    * all of them descending instead of passing vacuously. */
+  protected def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case m: InMemoryTableScanExec => scans(m.relation.cachedPlan)
+      case other                    => other.children.flatMap(scans)
+    }
+  }
 }
