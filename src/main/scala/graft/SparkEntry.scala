@@ -378,6 +378,22 @@ object SparkEntry {
       FuzzySearch.compactIndex(s, "graft_idx.fuzzyc")
       FuzzySearch.topKIndexed(s, "graft_idx.fuzzyc", fuzzyQuery)
     }),
+    // PREFIX-FILTERED fuzzy probe (Chaudhuri et al., ICDE 2006 composed
+    // with the Gravano bound): the advisory _gramdf sidecar orders the
+    // query's gram occurrences by posting-list length and the probe
+    // SKIPS the min-positive-bound−1 hottest — those lists are never
+    // read (spec-measured 16× less posting mass on a hot-prefix
+    // corpus); count filter weakens to shared >= bound − s, exact
+    // rescore unchanged. Same oracle as fuzzy_search_indexed
+    "fuzzy_search_skip" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-fuzzy-skip")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      FuzzySearch.buildIndex(Tables.students(s, d), "graft_idx.fuzzysk")
+      FuzzySearch.writeGramDf(s, "graft_idx.fuzzysk")
+      FuzzySearch.topKIndexed(s, "graft_idx.fuzzysk", fuzzyQuery,
+        prefixSkip = true)
+    }),
     // QUERY-ONLY fuzzy twin off the session-prebuilt index (WarmIndex):
     // times the gram probe + count filter + rescore alone — the
     // bm25_query/sim_ann_*_query regime separation applied to the fuzzy
@@ -1409,6 +1425,8 @@ object SparkEntry {
     // index-served token correction
     "fuzzy_search_query", "fuzzy_batch_query", "bm25_search_batch",
     "fuzzy_index_stats", "bm25_index_stats", "u2_token_correct_indexed",
+    // the prefix-filtered (hot-gram-skipping) probe
+    "fuzzy_search_skip",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -2925,6 +2943,12 @@ object SparkEntry {
     "fuzzy_search_batch" -> fuzzyBatchOracleSql,
     "fuzzy_batch_query" -> fuzzyBatchOracleSql,
     "fuzzy_index_compact" -> withStudents(
+      "SELECT id, name, college, board, stream, address, " +
+      s"${levScoreSql("name")} AS score FROM students " +
+      s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
+    // the prefix-filtered probe changes WHAT is read, never the answer —
+    // same oracle as the plain indexed row
+    "fuzzy_search_skip" -> withStudents(
       "SELECT id, name, college, board, stream, address, " +
       s"${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),

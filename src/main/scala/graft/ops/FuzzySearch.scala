@@ -174,6 +174,13 @@ object FuzzySearch {
     graft.ops.IngestGuard.write(spark,
       spark.table(s"${table}_names").select(col("id")), "id", table,
       overwrite = true)
+    // refresh the advisory df sidecar when the deployment opted into it
+    // (deltas leave it stale by design; compaction is where freshness is
+    // cheap — the postings were just rewritten anyway). A crash between
+    // the postings swap and this refresh leaves a stale sidecar, which
+    // the prefix filter tolerates by construction.
+    if (spark.catalog.tableExists(s"${table}_gramdf"))
+      writeGramDf(spark, table)
   }
 
   /** Compaction policy — [[Similarity.compactIvfIfNeeded]] for the
@@ -204,6 +211,10 @@ object FuzzySearch {
       val spark = students.sparkSession
       spark.sql(s"DROP TABLE IF EXISTS ${table}_names")
       spark.sql(s"DROP TABLE IF EXISTS ${table}_grams")
+      // a rebuilt corpus invalidates the advisory df sidecar; dropping
+      // (not refreshing) keeps the build band free of the stats pass —
+      // writeGramDf is the opt-in refresh
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_gramdf")
     }
     val named = students.withColumn("len", length(col("name")))
     named.write.mode(mode).format("parquet")
@@ -268,6 +279,46 @@ object FuzzySearch {
         .exists(m => intBound(distPct, m) <= 0)
     }
 
+  /** The smallest POSITIVE count-filter bound any stored name can see
+    * for this query (maxlen = max(qLen, len) ranges over [qLen, ∞);
+    * past the floor() wiggles the bound grows linearly with slope
+    * 1 − GramQ·distPct/100 > 0 for distPct < 50, so the minimum is
+    * attained by m ≤ 20000 — the [[maxFallbackLen]] horizon). 1 when no
+    * positive bound exists (distPct ≥ 50: every bound is vacuous and
+    * prefix skipping has no occurrences to spare). Governs how many
+    * query-gram occurrences the prefix filter may skip: a name passing
+    * its own bound b ≥ 1 shares ≥ b gram occurrences with the query, so
+    * after removing s ≤ minPositiveBound − 1 ≤ b − 1 occurrences from
+    * the query bag it still shares ≥ b − s ≥ 1 probed occurrences. */
+  private def minPositiveBound(distPct: Int, qLen: Int): Int =
+    if (distPct >= 50 || qLen > 20000) 1
+    else {
+      val vs = (math.max(qLen, 1) to 20000)
+        .map(intBound(distPct, _)).filter(_ >= 1)
+      if (vs.isEmpty) 1 else vs.min
+    }
+
+  /** Materialize the ADVISORY per-gram posting-list-length sidecar
+    * `{t}_gramdf` the prefix filter reads ([[topKIndexed]]
+    * `prefixSkip`): (bucket, gram, df) with df = OCCURRENCE count = the
+    * posting list length a probe of that gram would scan — the exact
+    * cost the skip avoids. Opt-in maintenance (run after build or
+    * compact; [[compactIndex]] refreshes it when present): the sidecar
+    * only ORDERS the choice of which gram occurrences to skip, so a
+    * stale, missing, or even wrong df can never lose a result — delta
+    * ingest deliberately leaves it untouched. Tiny by construction
+    * (≤ alphabet^[[GramQ]] distinct grams), coalesced to one file. */
+  def writeGramDf(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_gramdf")
+    spark.table(s"${table}_grams")
+      .groupBy(col("bucket"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_gramdf")
+  }
+
   /** [[topK]] served from the materialized q-gram index — SAME RESULT
     * row-for-row (the oracle gates both): candidates are generated by
     * COUNT FILTERING (Gravano et al., VLDB 2001, "Approximate String
@@ -294,8 +345,8 @@ object FuzzySearch {
     * bucket probe is the 1000× pruning lever. */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
       query: String, threshold: Double = 70.0, k: Int = 10,
-      positional: Boolean = false): DataFrame =
-    indexedCandidates(spark, table, query, threshold, positional)
+      positional: Boolean = false, prefixSkip: Boolean = false): DataFrame =
+    indexedCandidates(spark, table, query, threshold, positional, prefixSkip)
       .withColumn("score", levRatio(col("name"), lit(query)))
       .filter(col("score") >= threshold)
       .drop("len")
@@ -323,7 +374,8 @@ object FuzzySearch {
     * [[topKIndexed]] makes results identical either way. */
   private[graft] def indexedCandidates(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      query: String, threshold: Double, positional: Boolean): DataFrame = {
+      query: String, threshold: Double, positional: Boolean,
+      prefixSkip: Boolean = false): DataFrame = {
     require(threshold == math.floor(threshold) && threshold > 0,
       "count-filter bound uses exact integer arithmetic — whole-number " +
         s"thresholds only, got $threshold")
@@ -358,9 +410,46 @@ object FuzzySearch {
     if (qOcc.isEmpty) names
     else {
       import spark.implicits._
+      // PREFIX FILTERING (Chaudhuri/Ganti/Kaushik, ICDE 2006, "A
+      // Primitive Operator for Similarity Joins in Data Cleaning",
+      // composed with Gravano's count bound): a name passing its bound
+      // b ≥ 1 shares ≥ b gram occurrences with the query, so skipping
+      // the s ≤ min-positive-bound − 1 HOTTEST query-gram occurrences
+      // (by posting-list length, from the advisory `{t}_gramdf`
+      // sidecar) leaves it ≥ b − s ≥ 1 probed occurrences — the probe
+      // never reads the hottest posting lists at all, and the count
+      // filter weakens to `shared ≥ bound − s` (still ≥ 1 exactly where
+      // the original bound was ≥ 1; vacuous exactly where it was
+      // vacuous, so the bound ≤ 0 fallback arm is untouched). The df
+      // ordering is ADVISORY — a stale or missing sidecar only changes
+      // WHICH occurrences are skipped (or skips none), never the
+      // losslessness; the sidecar read is a statically-pruned scan of
+      // ≤ |query grams| rows collected driver-side (bounded by the
+      // query length, like the gram bag itself). Positional composes:
+      // a true match's ≥ b in-window 1-1 matching restricted to probed
+      // occurrences still has ≥ b − s pairs.
+      val skipN: Int =
+        if (!prefixSkip) 0
+        else if (!spark.catalog.tableExists(s"${table}_gramdf")) 0
+        else math.max(0, math.min(minPositiveBound(distPct, qLen) - 1,
+          qOcc.size - 1))
+      val qOccP: Seq[(Int, String)] =
+        if (skipN == 0) qOcc
+        else {
+          val dfByGram = spark.table(s"${table}_gramdf")
+            .filter(col("bucket").isin(buckets: _*) &&
+              col("gram").isin(qGramKeys: _*))
+            .groupBy(col("gram")).agg(sum(col("df")).as("df"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          // deterministic: hottest list first; gram then position break ties
+          qOcc.sortBy { case (p, g0) =>
+            (-dfByGram.getOrElse(g0, 0L), g0, p) }.drop(skipN)
+        }
+      val probeKeys = qOccP.map(_._2).distinct
+      val probeBuckets = probeKeys.map(bucketOf).distinct
       val g = spark.table(s"${table}_grams")
-        .filter(col("bucket").isin(buckets: _*) &&
-          col("gram").isin(qGramKeys: _*))
+        .filter(col("bucket").isin(probeBuckets: _*) &&
+          col("gram").isin(probeKeys: _*))
       val shared0 =
         if (positional) {
           // POSITIONAL count filter (Gravano et al., VLDB 2001): strings
@@ -383,7 +472,7 @@ object FuzzySearch {
           // blowup ∝ cq·cn on hot grams plus a two-distinct Expand,
           // measured 1.9× on the shared-prefix fixture whose repeated
           // `00` grams are exactly that hot case.)
-          val qg = qOcc.groupBy(_._2)
+          val qg = qOccP.groupBy(_._2)
             .map { case (g0, o) => (g0, o.map(_._1).sorted) }.toSeq
             .toDF("gram", "qpos")
           val d = floor((lit(distPct) * greatest(lit(qLen), col("len")))
@@ -400,7 +489,7 @@ object FuzzySearch {
             .groupBy(col("id")).agg(sum(col("m")).as("shared"))
         } else {
           // bag-min baseline: Σ_gram min(cnt_query, cnt_name)
-          val qg = qOcc.groupBy(_._2)
+          val qg = qOccP.groupBy(_._2)
             .map { case (g0, o) => (g0, o.size.toLong) }.toSeq
             .toDF("gram", "cq")
           g.groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cn"))
@@ -417,7 +506,8 @@ object FuzzySearch {
       // zero-shared-gram sliver of bound <= 0 names (len-predicate
       // pushdown; non-empty only for short queries) — disjoint by
       // construction, so no dedup pass
-      val probed = names.join(shared, "id").filter(col("shared") >= bound)
+      val probed = names.join(shared, "id")
+        .filter(col("shared") >= bound - lit(skipN))
         .drop("shared")
       if (!fallbackReachable) probed
       else probed.unionByName(

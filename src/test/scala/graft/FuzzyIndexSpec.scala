@@ -291,6 +291,114 @@ class FuzzyIndexSpec extends SparkSpec {
       "positional batch path diverged from the bag batch path")
   }
 
+  test("prefix filter (hot-gram skip): lossless, and the hottest posting lists are never read (measured)") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val students = Tables.students(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-fuzzys-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fuzzys_test LOCATION '$wh'")
+    val t = "graft_fuzzys_test.idx"
+    FuzzySearch.buildIndex(students, t)
+
+    // no sidecar yet: prefixSkip degrades gracefully to the plain probe
+    for (q <- Seq("customer#000000012", "custoner#000000011")) {
+      assert(collectRows(FuzzySearch.topKIndexed(spark, t, q,
+          prefixSkip = true))
+        === collectRows(FuzzySearch.topKIndexed(spark, t, q)),
+        s"prefixSkip without a _gramdf sidecar diverged for '$q'")
+    }
+
+    FuzzySearch.writeGramDf(spark, t)
+    // identical answers with the skip ON across the fixture query mix
+    // (exact, typo, garbage, short query, long query), alone and
+    // composed with the positional filter — both are lossless screens
+    // ahead of the exact rescore
+    for (q <- Seq("customer#000000012", "custoner#000000011", "xyzzy",
+        "customer", "customer#0000000121111")) {
+      val scan = collectRows(FuzzySearch.topK(students, q,
+        c => FuzzySearch.levRatio(c, lit(q))))
+      assert(collectRows(FuzzySearch.topKIndexed(spark, t, q,
+          prefixSkip = true)) === scan,
+        s"prefix-skip probe diverged from the scan for '$q'")
+      assert(collectRows(FuzzySearch.topKIndexed(spark, t, q,
+          positional = true, prefixSkip = true)) === scan,
+        s"prefix-skip + positional diverged from the scan for '$q'")
+    }
+
+    // a DELTA leaves the sidecar stale by design (advisory ordering
+    // only) — answers must still equal the scan over the grown corpus
+    FuzzySearch.indexDelta(t, Seq(
+      (900100L, "customer#000000012x", "c", "b", "s", "a"))
+      .toDF("id", "name", "college", "board", "stream", "address"))
+    val grown = students.unionByName(Seq(
+      (900100L, "customer#000000012x", "c", "b", "s", "a"))
+      .toDF("id", "name", "college", "board", "stream", "address"))
+    assert(collectRows(FuzzySearch.topKIndexed(spark, t,
+        "customer#000000012", prefixSkip = true))
+      === collectRows(FuzzySearch.topK(grown, "customer#000000012",
+        c => FuzzySearch.levRatio(c, lit("customer#000000012")))),
+      "stale sidecar after delta lost a result")
+
+    // WHERE THE SKIP BITES (measured on the grams-scan row metric): a
+    // corpus whose names share a long hot prefix with short distinctive
+    // tails — the hot prefix grams carry posting lists ∝ corpus while
+    // the tail grams identify the answer. The skip budget (min positive
+    // bound − 1) covers every hot-prefix occurrence, so the probe never
+    // reads the hot lists at all: at 100 TB this is the difference
+    // between a probe ∝ hottest-gram df and one ∝ the rare grams' lists
+    // 7-char hot prefix (6 'aa' occurrences, posting list ∝ corpus) +
+    // 17-char seeded-random letter tails (every tail gram's df ≈ 6 —
+    // rare, not necessarily unique). At threshold 70 and len 24 the
+    // skip budget is min-positive-bound − 1 = 8 ≥ the 6 hot
+    // occurrences, so the 'aa' list drops out of the probe entirely
+    val rnd = new scala.util.Random(7)
+    val tails = (1L to 200L).map(i =>
+      i -> (1 to 17).map(_ => ('b' + rnd.nextInt(24)).toChar).mkString)
+    val hot = tails.map { case (i, tl) =>
+      (i, "aaaaaaa" + tl, "c", "b", "s", "a") }
+      .toDF("id", "name", "college", "board", "stream", "address")
+    val wh2 = Files.createTempDirectory("graft-fuzzys2-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fuzzys2_test LOCATION '$wh2'")
+    val t2 = "graft_fuzzys2_test.idx"
+    FuzzySearch.buildIndex(hot, t2)
+    FuzzySearch.writeGramDf(spark, t2)
+    val q2 = "aaaaaaa" + tails.find(_._1 == 42L).get._2
+    def gramScanRows(skip: Boolean): Long = {
+      // rows SURVIVING the gram predicate — the posting mass the probe
+      // aggregates. Measured at the Filter above the postings scan: the
+      // scan's own metric only reflects bucket pruning (parquet data
+      // filters are row-group granular; the row-level cut is the
+      // FilterExec's)
+      import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val c = FuzzySearch.indexedCandidates(spark, t2, q2, 70.0,
+        positional = false, prefixSkip = skip)
+      c.collect()
+      def walk(x: SparkPlan): Seq[FilterExec] = x match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec       => walk(qs.plan)
+        case f: FilterExec =>
+          Seq(f) ++ f.children.flatMap(walk)
+        case o => o.children.flatMap(walk)
+      }
+      walk(c.queryExecution.executedPlan)
+        .filter(_.condition.toString.contains("gram#"))
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val massFull = gramScanRows(skip = false)
+    val massSkip = gramScanRows(skip = true)
+    info(s"hot-prefix fixture: grams-scan rows full=$massFull skip=$massSkip")
+    assert(massSkip * 5 <= massFull,
+      s"prefix skip did not avoid the hot posting lists: " +
+        s"full=$massFull skip=$massSkip")
+    // and the answers still match the scan path exactly
+    assert(collectRows(FuzzySearch.topKIndexed(spark, t2, q2,
+        prefixSkip = true))
+      === collectRows(FuzzySearch.topK(hot, q2,
+        c => FuzzySearch.levRatio(c, lit(q2)))),
+      "prefix skip lost a result on the hot-prefix fixture")
+  }
+
   test("count filter is lossless for short queries (vacuous-bound fallback)") {
     import java.nio.file.Files
     import spark.implicits._
