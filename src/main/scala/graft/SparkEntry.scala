@@ -394,6 +394,13 @@ object SparkEntry {
       FuzzySearch.topKIndexed(s, "graft_idx.fuzzysk", fuzzyQuery,
         prefixSkip = true)
     }),
+    // query-only twin of the PREFIX-FILTERED probe off a warm index
+    // carrying the gram-df sidecar: isolates the claim that the skip
+    // PROBE is cheaper than the plain probe (fuzzy_search_skip's
+    // build+sidecar+probe number cannot). Same oracle as the family
+    "fuzzy_skip_query" -> ((s, d) =>
+      FuzzySearch.topKIndexed(s, WarmIndex.fuzzySkip(s, d), fuzzyQuery,
+        prefixSkip = true)),
     // QUERY-ONLY fuzzy twin off the session-prebuilt index (WarmIndex):
     // times the gram probe + count filter + rescore alone — the
     // bm25_query/sim_ann_*_query regime separation applied to the fuzzy
@@ -1425,8 +1432,8 @@ object SparkEntry {
     // index-served token correction
     "fuzzy_search_query", "fuzzy_batch_query", "bm25_search_batch",
     "fuzzy_index_stats", "bm25_index_stats", "u2_token_correct_indexed",
-    // the prefix-filtered (hot-gram-skipping) probe
-    "fuzzy_search_skip",
+    // the prefix-filtered (hot-gram-skipping) probe + query-only twin
+    "fuzzy_search_skip", "fuzzy_skip_query",
     "sim_ann_recall", "sim_centroids",
     "sim_kmeans_assign", "sim_near_dup", "sim_pq_codes", "sim_pq_recall",
     "sim_ivfpq_recall",
@@ -2947,7 +2954,11 @@ object SparkEntry {
       s"${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
     // the prefix-filtered probe changes WHAT is read, never the answer —
-    // same oracle as the plain indexed row
+    // same oracle as the plain indexed row (and its query-only twin)
+    "fuzzy_skip_query" -> withStudents(
+      "SELECT id, name, college, board, stream, address, " +
+      s"${levScoreSql("name")} AS score FROM students " +
+      s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
     "fuzzy_search_skip" -> withStudents(
       "SELECT id, name, college, board, stream, address, " +
       s"${levScoreSql("name")} AS score FROM students " +

@@ -69,4 +69,15 @@ object WarmIndex {
   def fuzzy(spark: SparkSession, sfDir: String): String =
     ensure(spark, sfDir, "fuzzy")(t =>
       FuzzySearch.buildIndex(Tables.students(spark, sfDir), t))
+
+  /** Fuzzy index WITH the advisory gram-df sidecar — the standing
+    * layout the prefix-filtered (`prefixSkip`) probe reads. A separate
+    * kind from [[fuzzy]]: the plain query-only rows keep pricing the
+    * sidecar-less layout, and the skip twin's number prices the skip
+    * PROBE alone, not the sidecar build. */
+  def fuzzySkip(spark: SparkSession, sfDir: String): String =
+    ensure(spark, sfDir, "fuzzyskip") { t =>
+      FuzzySearch.buildIndex(Tables.students(spark, sfDir), t)
+      FuzzySearch.writeGramDf(spark, t)
+    }
 }
