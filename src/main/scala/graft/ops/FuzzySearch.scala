@@ -67,7 +67,15 @@ object FuzzySearch {
     * crc32(gram) % [[GramBuckets]] so a probe's literal gram set prunes
     * partitions at scan time (the [[Search.buildIndex]] term-bucket
     * discipline); `{t}_names` carries the full student projection +
-    * name length for the rescore and the per-candidate bound. */
+    * name length for the rescore and the per-candidate bound.
+    *
+    * NOT crash-atomic when rebuilding in place: the write DROPs the old
+    * generation first (required — cached plans from it must cascade-
+    * uncache, see [[writeIndex]]), so a crash between the DROPs and the
+    * saves leaves no standing index and queries fail loudly until a
+    * rebuild ([[indexDelta]] refuses the torn state). Rebuilding a
+    * production index under live queries should stage through the
+    * [[compactIndex]] swap protocol instead of this in-place path. */
   def buildIndex(students: DataFrame, table: String): Unit = {
     writeIndex(students, table, overwrite = true)
     graft.ops.IngestGuard.write(students.sparkSession, students, "id",
@@ -111,6 +119,20 @@ object FuzzySearch {
     graft.ops.IngestGuard.assertDisjoint(spark, table, delta, "id",
       spark.table(s"${table}_names"), "fuzzyIndexDelta")
     writeIndex(delta, table, overwrite = false)
+    // keep the ADVISORY df sidecar FRESH when the deployment opted into
+    // it: gram df is additive (the probe folds rows by sum), so the
+    // delta's own gram counts append as one delta-sized tiny file —
+    // never a postings re-scan. This closes the staleness policy hole
+    // (a prefixSkip deployment under heavy ingest no longer degrades
+    // back to hot-list scans between compactions); a sidecar-less index
+    // still pays nothing here.
+    if (spark.catalog.tableExists(s"${table}_gramdf"))
+      gramPostings(delta.withColumn("len", length(col("name"))))
+        .groupBy(col("bucket"), col("gram"))
+        .agg(count(lit(1)).as("df"))
+        .coalesce(1)
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_gramdf")
     graft.ops.IngestGuard.write(spark, delta, "id", table,
       overwrite = false)
   }
@@ -174,11 +196,12 @@ object FuzzySearch {
     graft.ops.IngestGuard.write(spark,
       spark.table(s"${table}_names").select(col("id")), "id", table,
       overwrite = true)
-    // refresh the advisory df sidecar when the deployment opted into it
-    // (deltas leave it stale by design; compaction is where freshness is
-    // cheap — the postings were just rewritten anyway). A crash between
-    // the postings swap and this refresh leaves a stale sidecar, which
-    // the prefix filter tolerates by construction.
+    // rewrite the advisory df sidecar when the deployment opted into it:
+    // deltas keep it fresh with additive appends (indexDelta), so this
+    // fold is about FILE COUNT, not staleness — one file again after
+    // many ingest generations. A crash between the postings swap and
+    // this rewrite leaves a coarser-grained but still-correct sidecar,
+    // which the prefix filter tolerates by construction.
     if (spark.catalog.tableExists(s"${table}_gramdf"))
       writeGramDf(spark, table)
   }
@@ -219,10 +242,20 @@ object FuzzySearch {
     val named = students.withColumn("len", length(col("name")))
     named.write.mode(mode).format("parquet")
       .saveAsTable(s"${table}_names")
-    // postings keep the 0-based gram POSITION (Gravano's position filter
-    // needs it at probe time) and denormalize the name length (the
-    // per-pair window width d_max depends on it, and the windowed filter
-    // runs BEFORE any join against `_names`)
+    gramPostings(named)
+      .repartition(col("bucket")) // one file per touched bucket per generation
+      .write.mode(mode).partitionBy("bucket").format("parquet")
+      .saveAsTable(s"${table}_grams")
+  }
+
+  /** The gram-posting rows of a (id, name, len) frame — postings keep
+    * the 0-based gram POSITION (Gravano's position filter needs it at
+    * probe time) and denormalize the name length (the per-pair window
+    * width d_max depends on it, and the windowed filter runs BEFORE any
+    * join against `_names`). ONE derivation site shared by the index
+    * write and the sidecar's delta refresh, so the stored grams and the
+    * df accounting cannot disagree. */
+  private def gramPostings(named: DataFrame): DataFrame =
     named.filter(col("len") >= GramQ)
       .select(col("id"), col("len"), posexplode(
         transform(sequence(lit(1), col("len") - (GramQ - 1)),
@@ -230,10 +263,6 @@ object FuzzySearch {
       .withColumn("bucket",
         pmod(crc32(col("gram").cast("binary")), lit(GramBuckets)).cast("int"))
       .select(col("id"), col("gram"), col("pos"), col("len"), col("bucket"))
-      .repartition(col("bucket")) // one file per touched bucket per generation
-      .write.mode(mode).partitionBy("bucket").format("parquet")
-      .saveAsTable(s"${table}_grams")
-  }
 
   /** CRC32-derived posting bucket of one gram — the driver-side twin of
     * the `pmod(crc32(...))` expression [[writeIndex]] stores. */
@@ -293,7 +322,14 @@ object FuzzySearch {
   private def minPositiveBound(distPct: Int, qLen: Int): Int =
     if (distPct >= 50 || qLen > 20000) 1
     else {
-      val vs = (math.max(qLen, 1) to 20000)
+      // scan 200 PAST the 20000 horizon: at a floor step intBound(m+1)
+      // = intBound(m) − 1, so for qLen within ~100 of the horizon the
+      // true minimum positive bound can sit just beyond it — stopping
+      // at 20000 would overshoot the safe skip by 1 and the "lossless"
+      // prefix filter could drop a true match (theoretical: ≈20000-
+      // code-point queries only, but the guarantee must be airtight).
+      // 200 covers the last floor-wiggle window for every distPct ≤ 49.
+      val vs = (math.max(qLen, 1) to 20200)
         .map(intBound(distPct, _)).filter(_ >= 1)
       if (vs.isEmpty) 1 else vs.min
     }
@@ -302,12 +338,13 @@ object FuzzySearch {
     * `{t}_gramdf` the prefix filter reads ([[topKIndexed]]
     * `prefixSkip`): (bucket, gram, df) with df = OCCURRENCE count = the
     * posting list length a probe of that gram would scan — the exact
-    * cost the skip avoids. Opt-in maintenance (run after build or
-    * compact; [[compactIndex]] refreshes it when present): the sidecar
-    * only ORDERS the choice of which gram occurrences to skip, so a
-    * stale, missing, or even wrong df can never lose a result — delta
-    * ingest deliberately leaves it untouched. Tiny by construction
-    * (≤ alphabet^[[GramQ]] distinct grams), coalesced to one file. */
+    * cost the skip avoids. Opt-in maintenance (run after build;
+    * [[indexDelta]] keeps it fresh with additive delta-count appends
+    * and [[compactIndex]] rewrites it when present): the sidecar only
+    * ORDERS the choice of which gram occurrences to skip, so a stale,
+    * missing, or even wrong df can never lose a result. Tiny by
+    * construction (≤ alphabet^[[GramQ]] distinct grams), coalesced to
+    * one file per generation. */
   def writeGramDf(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_gramdf")
@@ -423,9 +460,10 @@ object FuzzySearch {
       // vacuous, so the bound ≤ 0 fallback arm is untouched). The df
       // ordering is ADVISORY — a stale or missing sidecar only changes
       // WHICH occurrences are skipped (or skips none), never the
-      // losslessness; the sidecar read is a statically-pruned scan of
-      // ≤ |query grams| rows collected driver-side (bounded by the
-      // query length, like the gram bag itself). Positional composes:
+      // losslessness; the sidecar read is a plain row filter over the
+      // tiny coalesced sidecar file(s) — NOT partition pruning — and
+      // collects ≤ |query grams| folded rows driver-side (bounded by
+      // the query length, like the gram bag itself). Positional composes:
       // a true match's ≥ b in-window 1-1 matching restricted to probed
       // occurrences still has ≥ b − s pairs.
       val skipN: Int =

@@ -335,7 +335,14 @@ object Search {
     * Bucketing on `term` means a point query's `term IN (...)` filter
     * prunes to the matching buckets at scan time, and any term-keyed join
     * or aggregation reads the index pre-clustered — the TB-scale corpus is
-    * never re-shuffled after build. */
+    * never re-shuffled after build.
+    *
+    * NOT crash-atomic when rebuilding in place: the DROP-first discipline
+    * below is required (cached plans must cascade-uncache), so a crash
+    * between the DROPs and the saves leaves no standing index — queries
+    * fail loudly and [[indexDelta]] refuses to bootstrap over the torn
+    * state. Rebuilding a production index under live queries should stage
+    * through the [[compactIndex]] swap protocol instead. */
   def buildIndex(docs: DataFrame, table: String, buckets: Int = 8): Unit = {
     // rebuild-in-session safety (the FuzzySearch.writeIndex discipline):
     // DROP first so cached plans derived from the old generation — e.g.

@@ -325,8 +325,12 @@ class FuzzyIndexSpec extends SparkSpec {
         s"prefix-skip + positional diverged from the scan for '$q'")
     }
 
-    // a DELTA leaves the sidecar stale by design (advisory ordering
-    // only) — answers must still equal the scan over the grown corpus
+    // a DELTA keeps the sidecar FRESH when present (additive per-gram
+    // count append, delta-sized — never a postings re-scan): answers
+    // equal the scan over the grown corpus AND the folded df accounting
+    // matches the standing postings exactly — the round-14 staleness
+    // policy hole (heavy ingest silently degrading the skip ordering
+    // between compactions) is closed
     FuzzySearch.indexDelta(t, Seq(
       (900100L, "customer#000000012x", "c", "b", "s", "a"))
       .toDF("id", "name", "college", "board", "stream", "address"))
@@ -337,7 +341,11 @@ class FuzzyIndexSpec extends SparkSpec {
         "customer#000000012", prefixSkip = true))
       === collectRows(FuzzySearch.topK(grown, "customer#000000012",
         c => FuzzySearch.levRatio(c, lit("customer#000000012")))),
-      "stale sidecar after delta lost a result")
+      "sidecar after delta lost a result")
+    import org.apache.spark.sql.functions.sum
+    assert(spark.table(s"${t}_gramdf").agg(sum("df")).collect()(0).getLong(0)
+      === spark.table(s"${t}_grams").count(),
+      "delta left the df sidecar stale: folded counts != standing postings")
 
     // WHERE THE SKIP BITES (measured on the grams-scan row metric): a
     // corpus whose names share a long hot prefix with short distinctive
