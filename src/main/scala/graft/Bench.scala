@@ -25,6 +25,15 @@ object Bench {
     // JVM costs; steady-state is what BASELINE.md compares across rounds.
     spark.sql("SELECT 1").count()
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().count()
+    // r15: whichever query runs FIRST was still absorbing several hundred
+    // ms of one-time cost the tiny nation warmup doesn't touch (driver
+    // r14: q1_agg 1.66× its quiet band, purely positional) — the big-fact
+    // parquet footer/stripe readers and the agg/shuffle codegen paths.
+    // Warm them with a SLICE of lineitem (limit before the agg: footer +
+    // codegen warm, but none of the real query's full-scan work).
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .limit(1000).groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity")).count()
     // Best-of-2 per query: this machine carries concurrent load and per-run
     // variance is large (BASELINE.md: ±30%); the min of two back-to-back runs
     // is a far more stable regression signal than a single sample, at the

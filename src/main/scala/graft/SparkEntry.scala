@@ -642,6 +642,51 @@ object SparkEntry {
       Similarity.compactIvfIndex(s, "graft_idx.ivfc")
       Similarity.annIvfIndexedTopK(s, "graft_idx.ivfc")
     }),
+    // DELETION from the standing lists — the tombstone lifecycle
+    // (takedown/right-to-erasure at 100 TB cannot be a rebuild): delete
+    // appends the victim vec_ids to a broadcast-sized sidecar, the probe
+    // anti-joins it (DPP cell pruning untouched), and compaction folds
+    // the victims away physically. Victims = every 7th vector outside
+    // the fixture query anchors; the quantizer stays frozen on the FULL
+    // corpus (build-then-delete), so the oracle trains C on everything
+    // and excludes the victims from candidates only
+    "sim_ann_ivf_index_delete" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-del")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(emb, "graft_idx.ivfdel")
+      Similarity.ivfIndexDelete("graft_idx.ivfdel",
+        emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= 8)
+          .select(col("vec_id")))
+      Similarity.annIvfIndexedTopK(s, "graft_idx.ivfdel")
+    }),
+    // ATTRIBUTE-FILTERED ANN — the production retrieval shape ("nearest
+    // within label = 3"): the lists carry the attribute column, the
+    // predicate is PUSHED into the DPP-pruned candidate scan
+    // (pre-filter), and within the probed cells the result is exact
+    // under the predicate. ~10% selectivity at the fixture's 10 labels
+    "sim_ann_filtered" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-filt")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      Similarity.buildIvfIndex(Tables.embeddings(s, d), "graft_idx.ivff")
+      Similarity.annIvfFilteredTopK(s, "graft_idx.ivff", col("label") === 3)
+    }),
+    // the pre-vs-post adjudication, measured: recall@k of BOTH filtered
+    // probe modes against the exact filtered brute force — pre-filter
+    // ranks the predicate's survivors, post-filter cuts a widened
+    // UNFILTERED shortlist first and loses whatever the cut starved out
+    // (the recorded reason pre-filter is the default; BASELINE.md r15)
+    "sim_ann_filtered_recall" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-frec")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(emb, "graft_idx.ivffr")
+      Similarity.annFilteredRecall(s, "graft_idx.ivffr", emb,
+        col("label") === 3)
+    }),
     // the PQ-FUSED index: inverted lists carry per-vector PQ codes, the
     // probe scores candidates in the compressed domain (ADC lookup table
     // + 8 code lookups per candidate, v never read in the scan) and only
@@ -1067,6 +1112,19 @@ object SparkEntry {
     // them all — candidates ~(1+planes)/2^planes of the corpus
     "search_hybrid_dense_ann" -> ((s, d) =>
       Search.hybridRrfDenseAnn(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // BATCH hybrid off the STANDING indexes: one (qid, q, v) frame — text
+    // + its embedding, the production query-service shape — through the
+    // shared-postings batch BM25 leg and the DPP-pruned external ANN leg,
+    // bridged to doc space and RRF-fused per qid. Both warm indexes are
+    // session-prebuilt, so the row prices the two query paths + fuse
+    "search_hybrid_batch" -> ((s, d) => {
+      import s.implicits._
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("v"))
+      Search.hybridRrfBatch(s, WarmIndex.bm25(s, d), WarmIndex.ivf(s, d),
+        batchBm25Queries.toDF("qid", "q").join(qv, "qid"))
+    }),
     // BM25 off the MATERIALIZED inverted index (term-bucketed postings +
     // 1-row stats): build once, query without a corpus scan — must equal
     // bm25_search row-for-row (same score expression, same doubles)
@@ -1128,6 +1186,23 @@ object SparkEntry {
       Search.indexDelta("graft_idx.bm25c", docs.filter(col("doc_id") % 5 === 0))
       Search.compactIndex(s, "graft_idx.bm25c")
       Search.bm25Indexed(s, "graft_idx.bm25c")
+    }),
+    // DELETION from the standing postings — the tombstone lifecycle for
+    // the lexical family: delete = sidecar append + ONE negative additive
+    // stats row (never a postings rewrite); the probe anti-joins the
+    // broadcast sidecar BEFORE the df aggregate, so the scores are
+    // EXACTLY the rebuild-without-victims scores (df, n_docs, avgdl all
+    // reflect the surviving corpus — spec-gated row identity, and this
+    // oracle recomputes the whole chain over the surviving docs)
+    "bm25_index_delete" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25-del")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val docs = Tables.documents(s, d)
+      Search.buildIndex(docs, "graft_idx.bm25del")
+      Search.indexDelete("graft_idx.bm25del",
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      Search.bm25Indexed(s, "graft_idx.bm25del")
     }),
     // streaming ANN ingest: base-built IVF index (frozen quantizer),
     // the remaining vectors arrive as a REAL bounded stream ingested via
@@ -1481,7 +1556,17 @@ object SparkEntry {
     // engine-portable 3-sigma outlier counts + the real pixel resize
     "a13_outliers", "mm_resize",
     // link prediction over the backfilled graph
-    "graph_node_similarity")
+    "graph_node_similarity",
+    // round-15: tombstone deletion — build + delete + probe for both
+    // families (the one lifecycle edge that was missing; prices the
+    // sidecar append and the broadcast anti-join the probes now carry)
+    "bm25_index_delete", "sim_ann_ivf_index_delete",
+    // round-15: attribute-filtered ANN (predicate pushed into the
+    // DPP-pruned candidate scan) + the measured pre-vs-post adjudication
+    "sim_ann_filtered", "sim_ann_filtered_recall",
+    // round-15: batch hybrid off the two warm standing indexes (shared
+    // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
+    "search_hybrid_batch")
 
   // ---------------------------------------------------------------- oracle
 
@@ -1566,7 +1651,15 @@ object SparkEntry {
     ivfTrainedCtesFrom(basePred, 2)
 
   private def ivfTrainedCtesFrom(basePred: String, nprobe: Int): String =
-    "E0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+    ivfTrainedCtesFrom(basePred, nprobe, "TRUE")
+
+  /** `basePred` restricts which vectors TRAIN the centroids (frozen-
+    * quantizer delta rows); `candPred` restricts which vectors may be
+    * CANDIDATES (the tombstone-deletion row: trained on everything,
+    * deleted ids excluded from results only). */
+  private def ivfTrainedCtesFrom(basePred: String, nprobe: Int,
+      candPred: String): String =
+    "E0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
     "Q0 AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, embedding FROM embeddings), " +
     "QQ AS (SELECT vec_id, label, dim, CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM Q0), " +
     "C AS (SELECT label AS c_label, dim, " +
@@ -1579,10 +1672,10 @@ object SparkEntry {
     "(SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DIST) WHERE rk = 1), " +
     "PROBE AS (SELECT vec_id AS qid, c_label AS cell FROM " +
     s"(SELECT vec_id, c_label, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DIST WHERE vec_id < 8) WHERE rk <= $nprobe), " +
-    "EC AS (SELECT e.vec_id, e.v, CELL.cell FROM E0 e JOIN CELL ON CELL.vec_id = e.vec_id), " +
+    "EC AS (SELECT e.vec_id, e.v, e.label, CELL.cell FROM E0 e JOIN CELL ON CELL.vec_id = e.vec_id), " +
     "QV AS (SELECT vec_id AS qid, v AS qv FROM E0 WHERE vec_id < 8), " +
     s"J AS (SELECT p.qid, ec.vec_id, ec.cell, round(${cosSql("ec.v", "QV.qv")}, 6) AS cos " +
-    "FROM PROBE p JOIN EC ec ON ec.cell = p.cell JOIN QV ON QV.qid = p.qid WHERE ec.vec_id <> p.qid), " +
+    s"FROM PROBE p JOIN EC ec ON ec.cell = p.cell JOIN QV ON QV.qid = p.qid WHERE ec.vec_id <> p.qid AND ($candPred)), " +
     "R AS (SELECT qid, vec_id, cell, cos, row_number() OVER " +
     "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM J)"
 
@@ -1841,7 +1934,12 @@ object SparkEntry {
 
   /** BM25 oracle chain — shared verbatim by `bm25_search` and
     * `bm25_indexed` (the index-backed path must be row-identical). */
-  private val bm25OracleSql: String = {
+  private val bm25OracleSql: String = bm25OracleSqlFrom("TRUE")
+
+  /** `docPred` restricts the corpus the whole chain sees — the
+    * tombstone-deletion row's oracle is the SAME chain over the
+    * surviving documents (df, n_docs, avgdl all recomputed). */
+  private def bm25OracleSqlFrom(docPred: String): String = {
     import graft.ops.Search.{K1, B => B25, TopK, QueryTerms}
     val tfs = QueryTerms.map(t =>
       s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf_$t").mkString(", ")
@@ -1851,7 +1949,7 @@ object SparkEntry {
       s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1) * (tf_$t * ${K1 + 1}) / " +
       s"(tf_$t + $K1 * (${1 - B25} + $B25 * dl / avgdl))").mkString(" + ")
     val outTfs = QueryTerms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")
-    s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+    s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents WHERE $docPred), " +
     s"D AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, $tfs FROM W), " +
     s"S AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfs FROM D), " +
     s"X AS (SELECT doc_id, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")}, " +
@@ -1913,6 +2011,55 @@ object SparkEntry {
     "FROM G WHERE score > 0) " +
     "SELECT qid, doc_id, CAST(dl AS BIGINT) AS dl, score, CAST(rank AS INT) AS rank " +
     "FROM R WHERE rank <= 10 ORDER BY qid, rank"
+  }
+
+  /** Batch hybrid oracle: the batch BM25 rank chain (per-query tokenized
+    * terms, ordered part fold) fused per qid with the trained-IVF dense
+    * chain's top-k bridged to doc space ((vec_id·37+11) mod n_docs, best
+    * round-4 cosine per doc) — mirrors Search.hybridRrfBatch over the
+    * standing indexes. Lexical CTEs renamed RL/LX to dodge the IVF
+    * chain's R. */
+  private lazy val hybridBatchOracleSql: String = {
+    import graft.ops.Search.{K1, B => B25, TopK, RrfK, BridgeMul, BridgeAdd}
+    val values = batchBm25Queries.map { case (qid, q) =>
+      s"(CAST($qid AS BIGINT), '${q.replace("'", "''")}')" }.mkString(", ")
+    s"WITH ${ivfTrainedCtesFrom("TRUE", 2, "TRUE")}, " +
+    s"W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+    "D AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, w FROM W), " +
+    "S AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM D), " +
+    s"Q(qid, q) AS (VALUES $values), " +
+    "QT AS (SELECT DISTINCT qid, term FROM (SELECT qid, " +
+    "unnest(string_split(regexp_replace(lower(trim(q)), '[ \\t\\n\\f\\r]+', ' ', 'g'), ' ')) AS term " +
+    "FROM Q) WHERE term <> ''), " +
+    "H AS (SELECT t.qid, d.doc_id, d.dl, t.term, " +
+    "CAST(len(list_filter(d.w, x -> x = t.term)) AS DOUBLE) AS tf " +
+    "FROM D d CROSS JOIN QT t), " +
+    "H1 AS (SELECT * FROM H WHERE tf > 0), " +
+    "DF AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM H1 GROUP BY term), " +
+    "P AS (SELECT h.qid, h.doc_id, h.dl, h.term, " +
+    s"ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1) * (h.tf * ${K1 + 1}) / " +
+    s"(h.tf + $K1 * (${1 - B25} + $B25 * h.dl / s.avgdl)) AS part " +
+    "FROM H1 h JOIN DF f ON f.term = h.term CROSS JOIN S s), " +
+    "G AS (SELECT qid, doc_id, " +
+    "round(list_reduce(list(part ORDER BY term), (a, b) -> a + b), 4) AS score " +
+    "FROM P GROUP BY qid, doc_id), " +
+    "RL AS (SELECT qid, doc_id, row_number() OVER " +
+    "(PARTITION BY qid ORDER BY score DESC, doc_id) AS r_bm25 " +
+    "FROM G WHERE score > 0), " +
+    s"LX AS (SELECT qid, doc_id, r_bm25 FROM RL WHERE r_bm25 <= $TopK), " +
+    "ND AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+    s"BR0 AS (SELECT qid, (vec_id * $BridgeMul + $BridgeAdd) % (SELECT n FROM ND) AS doc_id, " +
+    s"round(cos, 4) AS cos FROM R WHERE rank <= $TopK AND qid < 4), " +
+    "BR AS (SELECT qid, doc_id, max(cos) AS cos FROM BR0 GROUP BY qid, doc_id), " +
+    "DR AS (SELECT qid, doc_id, row_number() OVER " +
+    "(PARTITION BY qid ORDER BY cos DESC, doc_id) AS r_dense FROM BR), " +
+    "F AS (SELECT coalesce(l.qid, r.qid) AS qid, " +
+    "coalesce(l.doc_id, r.doc_id) AS doc_id, l.r_bm25, r.r_dense " +
+    "FROM LX l FULL OUTER JOIN DR r ON l.qid = r.qid AND l.doc_id = r.doc_id) " +
+    "SELECT qid, doc_id, CAST(r_bm25 AS BIGINT) AS r_bm25, " +
+    "CAST(r_dense AS BIGINT) AS r_dense, " +
+    s"round(coalesce(1.0 / ($RrfK + r_bm25), 0) + coalesce(1.0 / ($RrfK + r_dense), 0), 6) AS rrf " +
+    "FROM F ORDER BY qid, rrf DESC, doc_id"
   }
 
   /** Lexical+dense hybrid oracle: the BM25 top-k rank chain fused with the
@@ -2471,6 +2618,46 @@ object SparkEntry {
       (s"WITH ${ivfTrainedCtesFrom("vec_id % 5 <> 0")} " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // tombstone deletion: the quantizer stays FROZEN on the full corpus
+    // (build-then-delete), so C trains on everything and only the
+    // CANDIDATE set excludes the victims — the engine's broadcast
+    // anti-join semantics exactly
+    "sim_ann_ivf_index_delete" ->
+      (s"WITH ${ivfTrainedCtesFrom("TRUE", 2,
+         "NOT (ec.vec_id % 7 = 3 AND ec.vec_id >= 8)")} " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // attribute-filtered probe: the same chain with the predicate on the
+    // CANDIDATE set (pre-filter semantics — rank among the survivors)
+    "sim_ann_filtered" ->
+      (s"WITH ${ivfTrainedCtesFrom("TRUE", 2, "ec.label = 3")} " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // pre-vs-post recall adjudication: PRE ranks J's survivors under the
+    // predicate; POST takes the UNFILTERED rank <= widen*k cut, filters,
+    // re-ranks; truth is the exact filtered brute force over E0 — both
+    // recalls are ratios of counts over nQueries*k = 24
+    "sim_ann_filtered_recall" ->
+      (s"WITH ${ivfTrainedCtesFrom("TRUE", 2, "TRUE")}, " +
+       "PREC AS (SELECT j.qid, j.vec_id, row_number() OVER " +
+       "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rk " +
+       "FROM J j JOIN E0 e ON e.vec_id = j.vec_id WHERE e.label = 3), " +
+       "PRE AS (SELECT qid, vec_id FROM PREC WHERE rk <= 3), " +
+       "POSTC AS (SELECT r.qid, r.vec_id, row_number() OVER " +
+       "(PARTITION BY r.qid ORDER BY r.cos DESC, r.vec_id) AS rk2 " +
+       "FROM R r JOIN E0 e ON e.vec_id = r.vec_id " +
+       "WHERE r.rank <= 9 AND e.label = 3), " +
+       "POST AS (SELECT qid, vec_id FROM POSTC WHERE rk2 <= 3), " +
+       s"TC AS (SELECT QV.qid, e.vec_id, row_number() OVER " +
+       s"(PARTITION BY QV.qid ORDER BY round(${cosSql("e.v", "QV.qv")}, 6) DESC, e.vec_id) AS rk " +
+       "FROM E0 e CROSS JOIN QV WHERE e.label = 3 AND e.vec_id <> QV.qid), " +
+       "T AS (SELECT qid, vec_id FROM TC WHERE rk <= 3) " +
+       "SELECT 'pre' AS mode, round(CAST((SELECT count(*) FROM PRE JOIN T " +
+       "ON PRE.qid = T.qid AND PRE.vec_id = T.vec_id) AS DOUBLE) / 24.0, 4) AS recall " +
+       "UNION ALL " +
+       "SELECT 'post' AS mode, round(CAST((SELECT count(*) FROM POST JOIN T " +
+       "ON POST.qid = T.qid AND POST.vec_id = T.vec_id) AS DOUBLE) / 24.0, 4) AS recall " +
+       "ORDER BY mode DESC"),
     // a drained ANN ingest stream converges to the batch delta result
     "stream_ann_ingest" ->
       (s"WITH ${ivfTrainedCtesFrom("vec_id % 5 <> 0")} " +
@@ -3572,6 +3759,9 @@ object SparkEntry {
        "FROM DF"),
     // delta-maintained index must converge to the full-corpus result
     "bm25_index_delta" -> bm25OracleSql,
+    // tombstone deletion: the same chain over the SURVIVING corpus —
+    // df, n_docs, avgdl all recomputed without the victims
+    "bm25_index_delete" -> bm25OracleSqlFrom("doc_id % 7 <> 3"),
     // compaction is layout-only: the compacted index must STILL equal the
     // full-corpus scan-time result row-for-row
     "bm25_index_compact" -> bm25OracleSql,
@@ -3579,6 +3769,7 @@ object SparkEntry {
     "stream_index_ingest" -> bm25OracleSql,
     "search_hybrid_dense" -> hybridDenseOracle(ann = false),
     "search_hybrid_dense_ann" -> hybridDenseOracle(ann = true),
+    "search_hybrid_batch" -> hybridBatchOracleSql,
     // hybrid RRF: same BM25 CTE chain + a tf-idf scorer off the same D/S,
     // both cut to top-k, ranks fused as 1/(60+r) — double-cast divisions
     // so DuckDB's decimal literals can't diverge from Spark's doubles

@@ -319,6 +319,53 @@ object Search {
     fuseRrf(bm25Ranks(docs, terms, k), rankTopK(dcos, "cos", "r_dense", k))
   }
 
+  /** BATCH hybrid retrieval off the STANDING indexes — the composition
+    * the two batch frontends exist for: one caller-supplied
+    * broadcast-sized (qid, q, v) frame (text query + its embedding, the
+    * shape a production query service actually sends) served by ONE
+    * shared bucketed-postings pass ([[bm25TopKBatch]]) for the lexical
+    * leg and one DPP-pruned probed-cell read
+    * ([[Similarity.annIvfIndexedTopK]] external form) for the dense leg,
+    * fused per query by reciprocal rank. The dense hits rank in VECTOR
+    * space and bridge to doc space ([[BridgeMul]] affine map — the
+    * fixture's stand-in for a vec→doc metadata join), collapsing
+    * multi-vector docs to their best cosine before the dense re-rank;
+    * n_docs for the bridge folds from the 1-row BM25 stats table, so
+    * NOTHING corpus-sized is read by either leg. Both cuts are bounded
+    * heaps; the fuse is a per-qid ≤2k-row full-outer join. */
+  def hybridRrfBatch(spark: SparkSession, bmTable: String,
+      ivfTable: String, queries: DataFrame, k: Int = TopK,
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopKBatch(spark, bmTable,
+        queries.select(col("qid"), col("q")), k)
+      .select(col("qid"), col("doc_id"),
+        col("rank").cast("long").as("r_bm25"))
+    val nDocs = spark.table(s"${bmTable}_stats")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"))
+    val bridged = Similarity.annIvfIndexedTopK(spark, ivfTable,
+        queries.select(col("qid"), col("v")), k, nprobe)
+      .crossJoin(broadcast(nDocs))
+      .select(col("qid"),
+        ((col("vec_id") * BridgeMul + BridgeAdd) % col("n_docs"))
+          .as("doc_id"),
+        col("cos"))
+      .groupBy(col("qid"), col("doc_id")).agg(max(col("cos")).as("cos"))
+    // ≤ k rows per qid by construction (the vec-space cut already
+    // happened) — this window re-ranks a bounded sliver, never a funnel
+    val dense = bridged.withColumn("r_dense", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("doc_id"))))
+      .select(col("qid"), col("doc_id"),
+        col("r_dense").cast("long").as("r_dense"))
+    lex.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), col("r_bm25"), col("r_dense"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("qid"), desc("rrf"), col("doc_id"))
+  }
+
   // --------------------------------------------------- inverted index
 
   /** Materialize the inverted index: `{table}_postings` (term, doc_id, dl,
@@ -353,6 +400,7 @@ object Search {
     val spark = docs.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS ${table}_postings")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
+    Tombstones.drop(spark, table) // stale deletes die with the generation
     postings(docs).write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(s"${table}_postings")
@@ -423,6 +471,58 @@ object Search {
     statsRow(delta).write.mode("append")
       .format("parquet").saveAsTable(s"${table}_stats")
     IngestGuard.write(spark, delta, "doc_id", table, overwrite = false)
+  }
+
+  /** DELETE documents from the standing index — the tombstone lifecycle
+    * ([[Tombstones]]): the postings are insert-only (delta appends never
+    * rewrite standing data), so at 100 TB a delete cannot be a rewrite
+    * either. A delete appends the victim doc_ids to the broadcast-sized
+    * `{table}_tombstones` sidecar plus ONE NEGATIVE additive stats row
+    * (−n_docs, −sum_dl priced from the victims' standing (doc_id, dl)
+    * rows — integer-valued doubles, so the query-time sum is exact), and
+    * every probe anti-joins the broadcast sidecar. The scores are then
+    * EXACTLY the from-scratch-rebuild-without-the-victims scores: tf/dl
+    * rows are filtered out before the per-term df aggregate, and
+    * n_docs/avgdl fold the negative row into the surviving corpus's
+    * values (spec-gated row identity in `IndexDeleteSpec`).
+    * [[compactIndex]] folds the tombstones away physically and drops the
+    * sidecar.
+    *
+    * Cost: one column-pruned (doc_id, dl) pass over the postings to
+    * price the victims + two tiny appends — never a postings rewrite.
+    * Unknown ids are ignored (no postings rows → no tombstone, no stats
+    * row); already-deleted ids are ignored ([[Tombstones.freshOnly]] —
+    * a re-delete must not double-subtract the stats). Re-ingesting a
+    * deleted id is refused until compaction (see [[Tombstones]]). */
+  def indexDelete(table: String, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    require(spark.catalog.tableExists(s"${table}_postings"),
+      s"indexDelete: no standing index at $table — build first")
+    val fresh = Tombstones.freshOnly(spark, table,
+      ids.select(col("doc_id").cast("long").as("doc_id")).distinct(),
+      "doc_id")
+    // the victims' standing (doc_id, dl) rows price the negative stats
+    // correction; lineage-cut before the writes (it reads the tombstone
+    // sidecar through freshOnly, and the sidecar append below would
+    // invalidate the cached plan mid-delete — the insert-time
+    // cache-invalidation trap, see indexDeltaIdempotent)
+    val victims = spark.table(s"${table}_postings")
+      .join(broadcast(fresh), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("dl")).distinct()
+      .localCheckpoint()
+    if (victims.isEmpty) return
+    // tombstones FIRST: a crash between the two appends then leaves the
+    // victims invisible to every probe (the user-facing invariant) with
+    // corpus stats uncorrected until rebuild — scores marginally stale.
+    // Stats-first would be worse on both axes: phantom docs in results,
+    // and a repair re-delete would double-subtract (freshOnly can only
+    // key off the tombstones). Not crash-atomic — two tables, no
+    // transaction log — same documented stance as the in-place rebuild.
+    Tombstones.append(spark, table, victims.select(col("doc_id")), "doc_id")
+    victims
+      .agg((-count(lit(1))).cast("double").as("n_docs"),
+        (-sum(col("dl"))).as("sum_dl"))
+      .write.mode("append").format("parquet").saveAsTable(s"${table}_stats")
   }
 
   /** At-least-once-safe ingest: [[indexDelta]] that SKIPS already-indexed
@@ -498,7 +598,11 @@ object Search {
   def compactIndex(spark: SparkSession, table: String, buckets: Int = 8): Unit = {
     recoverIndexSwap(spark, table) // roll forward/clean any interrupted swap
     val staged = s"${table}_postings_compacting"
-    spark.table(s"${table}_postings")
+    // the rewrite folds tombstones away physically (the delete lifecycle's
+    // deferred rewrite — see Tombstones); the sidecar is dropped LAST, so
+    // a crash at any intermediate state leaves its anti-join a no-op
+    Tombstones.filter(spark, table, spark.table(s"${table}_postings"),
+        "doc_id")
       // repartition on the SAME hash family bucketing uses (Murmur3), so
       // each write task holds exactly one bucket -> one file per bucket
       .repartition(buckets, col("term"))
@@ -523,6 +627,11 @@ object Search {
     IngestGuard.write(spark,
       spark.table(s"${table}_postings").select(col("doc_id")).distinct(),
       "doc_id", table, overwrite = true)
+    // the victims are physically gone (rewrite above), the stats fold
+    // already summed their negative rows into the surviving corpus's
+    // values, and the guard bloom no longer carries them (re-ingest of a
+    // deleted id becomes a plain insert again) — retire the sidecar
+    Tombstones.drop(spark, table)
   }
 
   /** Repair an interrupted [[compactIndex]] swap. The swap's catalog
@@ -598,7 +707,11 @@ object Search {
     * the query terms' document frequency — NOT to corpus size. */
   def bm25Indexed(spark: SparkSession, table: String,
       terms: Seq[String] = QueryTerms, k: Int = TopK): DataFrame = {
-    val p = spark.table(s"${table}_postings")
+    // deleted docs drop out BEFORE the df aggregate (broadcast anti-join
+    // against the tiny tombstone sidecar — no shuffle, no extra scan), so
+    // df/tf/dl all reflect the surviving corpus exactly
+    val p = Tombstones.filter(spark, table,
+        spark.table(s"${table}_postings"), "doc_id")
       .filter(col("term").isin(terms: _*))
     // additive stats rows (one per ingest) fold to the scan path's exact
     // doubles: integer-valued sums are exact, sum/count is avg's division
@@ -668,7 +781,9 @@ object Search {
     // pinned (the broadcast query-term join is the only filter; at batch
     // scale the term union approaches the vocabulary, see scaladoc)
     val hits = graft.CacheScope.track(
-      spark.table(s"${table}_postings").join(broadcast(qterms), Seq("term")))
+      Tombstones.filter(spark, table, spark.table(s"${table}_postings"),
+          "doc_id")
+        .join(broadcast(qterms), Seq("term")))
     val dfRow = hits.select(col("term"), col("doc_id")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     val stats = spark.table(s"${table}_stats")

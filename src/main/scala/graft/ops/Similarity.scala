@@ -268,11 +268,18 @@ object Similarity {
       zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, d) => acc + d)
     e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_label"), dist.as("d2"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"),
+        col("c_label"), dist.as("d2"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("c_label"))).as("best"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("v"), col("nrm"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        // filterable ATTRIBUTES ride along into the inverted lists:
+        // columnar storage makes them free for every probe that doesn't
+        // read them, and the attribute-filtered probe pushes its
+        // predicate into the pruned list scan instead of joining back
+        // to the corpus (annIvfFilteredTopK)
+        first(col("label")).as("label"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"),
         col("best.c_label").as("cell"))
   }
 
@@ -364,9 +371,13 @@ object Similarity {
     * so a stale `_pqbook` left by a previous fused build under the same
     * name would silently retrain/ingest the wrong layout. */
   private def dropStaleArtifacts(spark: org.apache.spark.sql.SparkSession,
-      table: String, keep: Set[String]): Unit =
+      table: String, keep: Set[String]): Unit = {
     Seq("pqbook", "sqrange").filterNot(keep).foreach(a =>
       spark.sql(s"DROP TABLE IF EXISTS ${table}_$a"))
+    // stale tombstones die with the generation they were cut against —
+    // a fresh build's vec_ids owe nothing to a previous index's deletes
+    graft.ops.Tombstones.drop(spark, table)
+  }
 
   /** At-least-once-safe IVF ingest — [[ivfIndexDelta]]'s idempotent twin
     * (the [[Search.indexDeltaIdempotent]] contract for ANN): already-
@@ -436,10 +447,15 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     recoverIvfSwap(spark, table) // roll forward/clean any interrupted swap
-    compactPartitioned(spark, s"${table}_ivf", "cell")
+    // the rewrite folds tombstoned vectors away physically (the delete
+    // lifecycle's deferred rewrite); the sidecar is dropped LAST, so a
+    // crash at any intermediate state leaves its anti-join a no-op
+    compactPartitioned(spark, s"${table}_ivf", "cell",
+      df => graft.ops.Tombstones.filter(spark, table, df, "vec_id"))
     graft.ops.IngestGuard.write(spark,
       spark.table(s"${table}_ivf").select(col("vec_id")),
       "vec_id", table, overwrite = true)
+    graft.ops.Tombstones.drop(spark, table)
   }
 
   /** Rewrite a partitioned index table to one file per partition dir
@@ -458,9 +474,10 @@ object Similarity {
     * new live data out from under it (observed, not hypothetical). */
   private[ops] def compactPartitioned(
       spark: org.apache.spark.sql.SparkSession, live: String,
-      partCol: String): Unit = {
+      partCol: String,
+      xform: DataFrame => DataFrame = identity): Unit = {
     val staged = s"${live}_compacting"
-    spark.table(live)
+    xform(spark.table(live))
       .repartition(col(partCol)) // one writer task per value -> one file per dir
       .write.mode("overwrite").partitionBy(partCol).format("parquet")
       .saveAsTable(staged)
@@ -570,7 +587,7 @@ object Similarity {
       table: String, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val cent = spark.table(s"${table}_centroids")
-    val idx = spark.table(s"${table}_ivf")
+    val idx = lists(spark, table)
     val q0 = externalQ0(queries)
     val probes = probesFor(q0, cent, nprobe)
     val q = q0.select(col("qid"), col("qv"), col("qnrm")).join(probes, "qid")
@@ -583,6 +600,128 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rank"),
         round(col("cos"), 4).as("cos"), col("cell"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** ATTRIBUTE-FILTERED ANN — the production retrieval shape ("nearest
+    * within source = X / lang = Y"): vector top-k under a row predicate
+    * over attribute columns the lists carry ([[assignedCells]] rides
+    * them along; columnar storage makes them free for unfiltered
+    * probes). PRE-FILTER semantics: the predicate is applied to the
+    * DPP-pruned candidate read ITSELF — it reaches the list scan as a
+    * pushed data filter (spec-asserted), so a 1%-selective probe reads
+    * its probed cells but scores only the 1% (row-group pruning cuts
+    * even the read when the attribute clusters). Within the probed
+    * cells the result is EXACT under the predicate — pre-filtering a
+    * plain (raw-vector) list loses nothing, unlike the fused ADC path
+    * where a shortlist cut before the predicate can starve the result
+    * set (the post-filter trade [[annFilteredRecall]] measures; see
+    * BASELINE.md round-15 for the recorded adjudication). Recall vs a
+    * FILTERED brute force is the usual IVF story: the predicate thins
+    * every probed cell, so matching unfiltered recall needs nprobe
+    * scaled by ~1/selectivity (measured in `AnnFilteredSpec`). */
+  def annIvfFilteredTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, pred: Column, nQueries: Int = 8, k: Int = 3,
+      nprobe: Int = 2): DataFrame =
+    annIvfFilteredTopK(spark, table,
+      fixtureQueries(spark, table, nQueries), pred, k, nprobe)
+
+  /** External-query form of [[annIvfFilteredTopK]] — same contract as
+    * the unfiltered external probe: queries arrive as a broadcast-sized
+    * (qid, v) frame, the standing lists are read only through the
+    * DPP-pruned probed cells, now with `pred` pushed into that scan. */
+  def annIvfFilteredTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, pred: Column, k: Int,
+      nprobe: Int): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val cent = spark.table(s"${table}_centroids")
+    val idx = lists(spark, table).filter(pred)
+    val q0 = externalQ0(queries)
+    val probes = probesFor(q0, cent, nprobe)
+    val q = q0.select(col("qid"), col("qv"), col("qnrm")).join(probes, "qid")
+    val scored = idx.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6)
+          .as("cos"))
+    rankedTopKPerQuery(scored, k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("cos"), 4).as("cos"), col("cell"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The POST-FILTER alternative the industry adjudicates against:
+    * probe UNFILTERED, cut a widened top-(widen·k) shortlist, THEN
+    * apply the predicate and keep k. Exists to be measured, not
+    * preferred: on plain (raw-vector) lists it reads and scores the
+    * same probed cells WITHOUT the predicate's scan savings, and any
+    * query whose true filtered neighbors rank below the widened cut
+    * loses them — recall degrades as selectivity tightens
+    * ([[annFilteredRecall]] prices exactly this against pre-filter).
+    * Post-filter only wins where a filter cannot be pushed into the
+    * candidate scan (opaque scorers, encrypted attributes) — not this
+    * engine's lists. */
+  def annIvfFilteredPostTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, pred: Column, k: Int,
+      nprobe: Int, widen: Int = 3): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val cent = spark.table(s"${table}_centroids")
+    val idx = lists(spark, table)
+    val q0 = externalQ0(queries)
+    val probes = probesFor(q0, cent, nprobe)
+    val q = q0.select(col("qid"), col("qv"), col("qnrm")).join(probes, "qid")
+    val scored = idx.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"), col("label"),
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6)
+          .as("cos"))
+    // widened UNFILTERED cut first (the post-filter mistake being
+    // priced), predicate second, final rank over the survivors
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopK.perKey(scored, Seq("qid"), "cos", "vec_id", widen * k)
+      .filter(pred)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("cos"), 4).as("cos"), col("cell"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Measured pre-vs-post adjudication: recall@k of both filtered-probe
+    * modes against the FILTERED brute force (the exact top-k among the
+    * predicate's survivors), averaged over the fixture queries — one
+    * row per mode. The deterministic ratio-of-counts shape every other
+    * recall row uses, so the DuckDB oracle reproduces it exactly. */
+  def annFilteredRecall(spark: org.apache.spark.sql.SparkSession,
+      table: String, embeddings: DataFrame, pred: Column,
+      nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
+      widen: Int = 3): DataFrame = {
+    val q = fixtureQueries(spark, table, nQueries)
+    // exact filtered ground truth: brute-force cosine over the
+    // predicate's survivors (query anchors need not satisfy it)
+    val e = withNorm(vecs(embeddings))
+    val qv = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val truth = rankedTopKPerQuery(
+      e.filter(pred).crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")),
+            6).as("cos")), k)
+      .select(col("qid"), col("vec_id"))
+    def recallOf(hits: DataFrame, mode: String): DataFrame =
+      hits.select(col("qid"), col("vec_id"))
+        .join(truth, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+        .agg(round(coalesce(sum(col("n")), lit(0L)) /
+          lit(nQueries.toDouble * k), 4).as("recall"))
+        .select(lit(mode).as("mode"), col("recall"))
+    recallOf(annIvfFilteredTopK(spark, table, q, pred, k, nprobe), "pre")
+      .unionAll(recallOf(
+        annIvfFilteredPostTopK(spark, table, q, pred, k, nprobe, widen),
+        "post"))
+      .orderBy(desc("mode")) // pre before post
   }
 
   /** Build the PQ-FUSED IVF index: the [[buildIvfIndex]] layout with one
@@ -730,7 +869,7 @@ object Similarity {
     graft.functions.DotProduct.register(spark)
     val cent = spark.table(s"${table}_centroids")
     val book = spark.table(s"${table}_pqbook")
-    val idx = spark.table(s"${table}_ivf")
+    val idx = lists(spark, table)
     val subDims = Dim / Centroids.SubSpaces
     val q0 = externalQ0(queries)
     val probes = probesFor(q0, cent, nprobe)
@@ -786,8 +925,55 @@ object Similarity {
     * DataFrame and this form is just its wrapper. */
   private def fixtureQueries(spark: org.apache.spark.sql.SparkSession,
       table: String, nQueries: Int): DataFrame =
-    spark.table(s"${table}_ivf").filter(col("vec_id") < nQueries)
+    lists(spark, table).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v"))
+
+  /** The standing inverted lists as every PROBE sees them: the raw
+    * cell-partitioned table anti-joined against the broadcast tombstone
+    * sidecar when one exists ([[ivfIndexDelete]]) — a deleted vector can
+    * never surface as a candidate (or fixture query anchor) between the
+    * delete and the compaction that folds it away physically. Identity
+    * when nothing was deleted; the anti-join is a broadcast hash join
+    * above the scan, so the DPP cell pruning below it is untouched
+    * (spec-asserted in `IndexDeleteSpec`). Ingest-side readers
+    * (replay-skip, guard checks) deliberately read the RAW table — a
+    * tombstoned id is still physically present and re-inserting it
+    * before a compact must be refused, not shadowed. */
+  private def lists(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    graft.ops.Tombstones.filter(spark, table,
+      spark.table(s"${table}_ivf"), "vec_id")
+
+  /** DELETE vectors from the standing IVF-family index — the
+    * [[graft.ops.Tombstones]] lifecycle for ANN (works identically on
+    * the plain, PQ, residual, and SQ8 layouts: all share the `_ivf`
+    * lists): append the victim vec_ids to the broadcast-sized
+    * `{table}_tombstones` sidecar; every probe anti-joins it;
+    * [[compactIvfIndex]] folds the victims away physically, rebuilds
+    * the guard bloom without them (re-ingest becomes a plain insert
+    * again), and drops the sidecar. Unlike the BM25 family there is no
+    * additive stats table to correct — per-cell/df statistics are
+    * computed from the lists at read time. Unknown and already-deleted
+    * ids are ignored; delete cost is one column-pruned vec_id pass to
+    * confirm presence plus a tiny sidecar append — never a list
+    * rewrite. */
+  def ivfIndexDelete(table: String, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    require(spark.catalog.tableExists(s"${table}_ivf"),
+      s"ivfIndexDelete: no standing lists at $table — build first")
+    // only ids actually standing get tombstoned (the sidecar ships into
+    // every probe plan as a broadcast — don't let misses accumulate),
+    // and only ids not ALREADY tombstoned (idempotent re-delete).
+    // Lineage-cut before the append: presence derives from the sidecar
+    // via freshOnly, and the append below would invalidate that plan
+    val victims = spark.table(s"${table}_ivf").select(col("vec_id"))
+      .join(broadcast(graft.ops.Tombstones.freshOnly(spark, table,
+        ids.select(col("vec_id").cast("long").as("vec_id")).distinct(),
+        "vec_id")), Seq("vec_id"), "left_semi")
+      .distinct().localCheckpoint()
+    if (!victims.isEmpty)
+      graft.ops.Tombstones.append(spark, table, victims, "vec_id")
+  }
 
   /** Normalize a caller-supplied (qid, v) query frame into the q0 form
     * every indexed entry point consumes (qid, qv, qnrm, xq). qnrm and xq
@@ -915,7 +1101,7 @@ object Similarity {
     graft.functions.DotProduct.register(spark)
     val cent = spark.table(s"${table}_centroids")
     val book = spark.table(s"${table}_pqbook")
-    val idx = spark.table(s"${table}_ivf")
+    val idx = lists(spark, table)
     val subDims = Dim / Centroids.SubSpaces
     val q0 = externalQ0(queries)
     val probes = probesFor(q0, cent, nprobe)
@@ -1085,7 +1271,7 @@ object Similarity {
         "plain IVF")
     graft.functions.DotProduct.register(spark)
     val cent = spark.table(s"${table}_centroids")
-    val idx = spark.table(s"${table}_ivf")
+    val idx = lists(spark, table)
     val q0 = externalQ0(queries)
     val probes = probesFor(q0, cent, nprobe)
     // the query side at scale q·255, matching sqDecode255's output scale
@@ -1233,7 +1419,7 @@ object Similarity {
       nprobe: Int): DataFrame = {
     graft.functions.DotProduct.register(spark)
     val cent = spark.table(s"${table}_centroids")
-    val idx = spark.table(s"${table}_ivf")
+    val idx = lists(spark, table)
     val q0 = externalQ0(queries)
     val probes = probesFor(q0, cent, nprobe)
     val q = q0.select(col("qid"), col("qv"), col("qnrm")).join(probes, "qid")

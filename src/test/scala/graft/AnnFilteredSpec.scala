@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Similarity
+
+/** Attribute-filtered ANN ([[Similarity.annIvfFilteredTopK]]): the
+  * predicate must reach the DPP-pruned list scan as a pushed data filter
+  * (not a post-scan residual over the full probed cells), pre-filter
+  * must equal post-filter-with-unbounded-widen (the two modes agree when
+  * nothing is starved — isolating the widen cut as the ONLY semantic
+  * difference), and the measured adjudication must come out the way the
+  * defaults assume: pre-filter recall ≥ post-filter recall. */
+class AnnFilteredSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  private lazy val t: String = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-annfilt")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_annfilt_test LOCATION '$wh'")
+    Similarity.buildIvfIndex(Tables.embeddings(spark, sfDir),
+      "graft_annfilt_test.idx")
+    "graft_annfilt_test.idx"
+  }
+
+  test("pre-filter == post-filter with unbounded widen; teeth vs unfiltered") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("v"))
+    val pre = Similarity.annIvfFilteredTopK(spark, t, q,
+      col("label") === 3, 3, 2)
+    // unbounded widen: nothing starved out of the cut, so the two modes
+    // must agree row-for-row — the widen cut is the ONLY difference
+    val postAll = Similarity.annIvfFilteredPostTopK(spark, t, q,
+      col("label") === 3, 3, 2, widen = 1000000)
+    assert(rows(pre) === rows(postAll),
+      "pre-filter diverged from unbounded post-filter: the modes differ " +
+        "beyond the widen cut")
+    // teeth: the predicate must actually change the result
+    assert(rows(pre) !== rows(Similarity.annIvfIndexedTopK(spark, t)),
+      "fixture rot: the label predicate did not change the top-k")
+    val labels = Tables.embeddings(spark, sfDir)
+      .filter(col("label") === 3).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows(pre).forall(r => labels(r(1).asInstanceOf[Long])),
+      "a candidate outside the predicate surfaced")
+  }
+
+  test("plan: predicate pushed into the list scan, DPP retained") {
+    val pre = Similarity.annIvfFilteredTopK(spark, t, col("label") === 3)
+    pre.collect()
+    val plan = pre.queryExecution.executedPlan
+    val idxScans = scans(plan).filter(_.relation.partitionSchema.nonEmpty)
+    assert(idxScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"predicate filter broke DPP on the list scan:\n$plan")
+    // the label predicate must reach the parquet scan as a pushed data
+    // filter (row-group pruning), not evaluate post-scan only
+    assert(idxScans.exists(_.dataFilters.exists(
+        _.toString.contains("label"))),
+      s"label predicate not pushed into the list scan:\n$plan")
+  }
+
+  test("measured adjudication: pre-filter recall >= post-filter recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val rec = Similarity.annFilteredRecall(spark, t, emb,
+        col("label") === 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rec("pre") >= rec("post"),
+      s"post-filter out-recalled pre-filter: $rec — the default is wrong")
+    assert(rec("pre") > 0.0, "pre-filter recall is zero: fixture rot")
+  }
+}

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.{Search, Similarity, Tombstones}
+
+/** The tombstone deletion lifecycle ([[graft.ops.Tombstones]]) — the one
+  * CRUD edge the insert-only index families lacked: delete must be
+  * sidecar-append-sized (never a standing-data rewrite), probes must
+  * exclude victims exactly (BM25: row-identical to a from-scratch
+  * rebuild without them, negative stats rows included), the probe plan
+  * must stay broadcast-anti-join + DPP-pruned, re-deletes must be
+  * idempotent (no double-subtracted stats), and compaction must fold the
+  * tombstones away physically without moving a single result. */
+class IndexDeleteSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  private def freshDb(tag: String): String = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_${tag}_test LOCATION '$wh'")
+    s"graft_${tag}_test"
+  }
+
+  test("bm25 indexDelete == from-scratch rebuild without the victims; " +
+      "re-delete idempotent; compact folds the tombstones away") {
+    val db = freshDb("bmdel")
+    val docs = Tables.documents(spark, sfDir)
+    val victims = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+
+    Search.buildIndex(docs, s"$db.full")
+    // teeth: the delete set must actually intersect the pre-delete top-k,
+    // otherwise this spec would pass with a no-op filter
+    val before = Search.bm25Indexed(spark, s"$db.full")
+    assert(before.filter(col("doc_id") % 7 === 3).count() > 0,
+      "fixture rot: no deleted doc in the pre-delete top-k — the spec " +
+        "would not exercise the tombstone filter")
+
+    Search.indexDelete(s"$db.full", victims)
+    val got = Search.bm25Indexed(spark, s"$db.full")
+
+    Search.buildIndex(docs.filter(col("doc_id") % 7 =!= 3), s"$db.wiped")
+    val want = Search.bm25Indexed(spark, s"$db.wiped")
+    assert(rows(got) === rows(want),
+      "post-delete scores diverged from the rebuild-without-victims " +
+        "scores (df/n_docs/avgdl must all reflect the surviving corpus)")
+
+    // the batch frontend reads through the same filter
+    import spark.implicits._
+    val q = Seq((1L, "signal marker")).toDF("qid", "q")
+    assert(rows(Search.bm25TopKBatch(spark, s"$db.full", q, 10))
+        === rows(Search.bm25TopKBatch(spark, s"$db.wiped", q, 10)),
+      "batch probe diverged from the rebuild-without-victims scores")
+
+    // probe plan: the sidecar is BROADCAST (anti-join above the postings
+    // scan), never shuffled or scanned as a fact side
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone filter is not a broadcast anti-join:\n$plan")
+
+    // idempotent re-delete: the negative stats row must not double-count
+    val statsBefore = rows(spark.table(s"$db.full_stats")
+      .agg(sum("n_docs"), sum("sum_dl")))
+    Search.indexDelete(s"$db.full", victims)
+    assert(rows(spark.table(s"$db.full_stats")
+        .agg(sum("n_docs"), sum("sum_dl"))) === statsBefore,
+      "re-delete double-subtracted the additive stats")
+    // unknown ids are ignored entirely
+    Search.indexDelete(s"$db.full", Seq(999999999L).toDF("doc_id"))
+    assert(rows(spark.table(s"$db.full_stats")
+        .agg(sum("n_docs"), sum("sum_dl"))) === statsBefore,
+      "deleting an unknown id perturbed the stats")
+
+    // compaction folds: victims physically gone, sidecar dropped, stats
+    // one corrected row, results unmoved
+    Search.compactIndex(spark, s"$db.full")
+    assert(!spark.catalog.tableExists(s"$db.full_tombstones"),
+      "compaction left the tombstone sidecar standing")
+    assert(spark.table(s"$db.full_postings")
+        .filter(col("doc_id") % 7 === 3).count() === 0,
+      "compaction left tombstoned postings physically present")
+    assert(rows(Search.bm25Indexed(spark, s"$db.full")) === rows(want),
+      "compaction moved the post-delete results")
+    assert(spark.table(s"$db.full_stats").count() === 1,
+      "compaction did not fold the stats rows")
+
+    // after the fold, a deleted doc_id is re-ingestable as a plain insert
+    Search.indexDelta(s"$db.full",
+      docs.filter(col("doc_id") % 7 === 3).limit(1))
+  }
+
+  test("ivf ivfIndexDelete: victims never surface, plan keeps DPP + " +
+      "broadcast anti-join, compact folds, fused layouts filtered too") {
+    val db = freshDb("ivfdel")
+    val emb = Tables.embeddings(spark, sfDir)
+    val t = s"$db.ivf"
+    Similarity.buildIvfIndex(emb, t)
+
+    val before = Similarity.annIvfIndexedTopK(spark, t)
+    // delete exactly the vectors the fixture queries retrieved (minus
+    // the query anchors themselves) — maximal teeth: every query's
+    // top-k must change
+    val victimIds = before.filter(col("vec_id") >= 8)
+      .select(col("vec_id")).distinct()
+    val nVictims = victimIds.count()
+    assert(nVictims > 0, "fixture rot: no non-anchor results to delete")
+    Similarity.ivfIndexDelete(t, victimIds)
+
+    val got = Similarity.annIvfIndexedTopK(spark, t)
+    val gotRows = rows(got)
+    val victimSet = victimIds.collect().map(_.getLong(0)).toSet
+    assert(!gotRows.exists(r => victimSet(r(1).asInstanceOf[Long])),
+      "a deleted vector surfaced as a candidate")
+    // ranks must REFILL from the surviving corpus, not just drop rows
+    assert(got.count() === before.count(),
+      "post-delete top-k did not refill to k from survivors")
+
+    // plan: DPP on the cell-partitioned scan survives the anti-join
+    val plan = got.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(scans(plan).filter(_.relation.partitionSchema.nonEmpty)
+        .exists(_.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"tombstone filter broke DPP on the index scan:\n$planStr")
+    assert(planStr.contains("BroadcastHashJoin") &&
+        planStr.contains("LeftAnti"),
+      s"tombstone filter is not a broadcast anti-join:\n$planStr")
+
+    // idempotent re-delete: sidecar row count unchanged
+    val sidecarRows = spark.table(s"${t}_tombstones").count()
+    Similarity.ivfIndexDelete(t, victimIds)
+    assert(spark.table(s"${t}_tombstones").count() === sidecarRows,
+      "re-delete appended duplicate tombstones")
+
+    // compaction folds: physical exclusion, sidecar dropped, results
+    // unmoved, guard allows re-insert
+    Similarity.compactIvfIndex(spark, t)
+    assert(!spark.catalog.tableExists(s"${t}_tombstones"),
+      "compaction left the tombstone sidecar standing")
+    assert(spark.table(s"${t}_ivf")
+        .filter(col("vec_id").isin(victimSet.toSeq: _*)).count() === 0,
+      "compaction left tombstoned vectors physically present")
+    assert(rows(Similarity.annIvfIndexedTopK(spark, t)) === gotRows,
+      "compaction moved the post-delete results")
+    Similarity.ivfIndexDelta(t,
+      emb.filter(col("vec_id") === lit(victimSet.head)))
+
+    // the FUSED layouts share the lists: a delete must filter the ADC
+    // candidates too (same sidecar, same anti-join)
+    val tf = s"$db.ivfpq"
+    Similarity.buildIvfPqIndex(emb, tf)
+    val pqBefore = Similarity.annIvfPqIndexedTopK(spark, tf)
+    val pqVictims = pqBefore.filter(col("vec_id") >= 8)
+      .select(col("vec_id")).distinct()
+    assert(pqVictims.count() > 0, "fixture rot: no fused victims")
+    Similarity.ivfIndexDelete(tf, pqVictims)
+    val pqSet = pqVictims.collect().map(_.getLong(0)).toSet
+    assert(!rows(Similarity.annIvfPqIndexedTopK(spark, tf))
+        .exists(r => pqSet(r(1).asInstanceOf[Long])),
+      "a deleted vector surfaced through the fused ADC probe")
+  }
+
+  test("tombstoned id is refused by strict delta and skipped by " +
+      "idempotent delta until compaction") {
+    val db = freshDb("delguard")
+    val docs = Tables.documents(spark, sfDir)
+    val t = s"$db.bm"
+    Search.buildIndex(docs, t)
+    val victim = docs.filter(col("doc_id") === 0).select(col("doc_id"))
+    Search.indexDelete(t, victim)
+    // strict delta: still refused — the rows are physically present and
+    // an append would be shadowed by the standing tombstone
+    intercept[IllegalArgumentException] {
+      Search.indexDelta(t, docs.filter(col("doc_id") === 0))
+    }
+    // idempotent delta: skipped, not duplicated
+    val postings = spark.table(s"${t}_postings")
+      .filter(col("doc_id") === 0).count()
+    Search.indexDeltaIdempotent(t, docs.filter(col("doc_id") === 0))
+    assert(spark.table(s"${t}_postings")
+        .filter(col("doc_id") === 0).count() === postings,
+      "idempotent delta re-ingested a tombstoned id")
+  }
+}
