@@ -379,10 +379,21 @@ object FuzzySearch {
     * names are deliberately adversarial for gram selectivity (every
     * name shares the `customer#0…` prefix — the measured worst case,
     * like the near-uniform corpus is for PQ); on a real name corpus the
-    * bucket probe is the 1000× pruning lever. */
+    * bucket probe is the 1000× pruning lever.
+    *
+    * `prefixSkip` defaults ON (round-15 adjudication): with no `_gramdf`
+    * sidecar the probe is byte-identical to the plain path (one catalog
+    * existence check), and with one it prices ≈ the plain probe at
+    * fixture scale (0.36 vs 0.33 quiet — the aligned-prefix fixture's
+    * rescore dominates) while cutting posting mass 16× on a hot-prefix
+    * corpus (spec-measured) — at 100 TB the plain probe is ∝ the hottest
+    * gram's df, the skip probe ∝ the rare lists. The sidecar itself
+    * stays opt-in maintenance; ingest keeps it fresh once built
+    * ([[indexDelta]]). `positional` stays OFF by measurement (0% pruning
+    * at real cost on aligned corpora — see [[indexedCandidates]]). */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
       query: String, threshold: Double = 70.0, k: Int = 10,
-      positional: Boolean = false, prefixSkip: Boolean = false): DataFrame =
+      positional: Boolean = false, prefixSkip: Boolean = true): DataFrame =
     indexedCandidates(spark, table, query, threshold, positional, prefixSkip)
       .withColumn("score", levRatio(col("name"), lit(query)))
       .filter(col("score") >= threshold)
@@ -572,10 +583,10 @@ object FuzzySearch {
   def topKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: Seq[(Long, String)],
       threshold: Double = 70.0, k: Int = 10,
-      positional: Boolean = false): DataFrame = {
+      positional: Boolean = false, prefixSkip: Boolean = true): DataFrame = {
     import spark.implicits._
     topKIndexedBatch(spark, table, queries.toDF("qid", "q"), threshold, k,
-      positional)
+      positional, prefixSkip)
   }
 
   /** DataFrame-native batch form — the bulk regime's real entry point
@@ -598,12 +609,13 @@ object FuzzySearch {
     * pruned to that (usually empty) sliver. */
   def topKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, threshold: Double,
-      k: Int, positional: Boolean): DataFrame = {
+      k: Int, positional: Boolean, prefixSkip: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qDim = queries.select(col("qid").cast("long").as("qid"),
         col("q").cast("string").as("q"))
       .withColumn("qlen", length(col("q")))
-    val scored = batchCandidates(spark, table, qDim, threshold, positional)
+    val scored = batchCandidates(spark, table, qDim, threshold, positional,
+        prefixSkip)
       .withColumn("score", levRatio(col("name"), col("q")))
       .filter(col("score") >= threshold)
       .select(col("qid"), col("id"), col("name"), col("score"))
@@ -621,7 +633,8 @@ object FuzzySearch {
     * exact rescore. */
   private def batchCandidates(spark: org.apache.spark.sql.SparkSession,
       table: String, qDim: DataFrame, threshold: Double,
-      positional: Boolean): DataFrame = {
+      positional: Boolean, prefixSkip: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(threshold == math.floor(threshold) && threshold > 0,
       "count-filter bound uses exact integer arithmetic — whole-number " +
         s"thresholds only, got $threshold")
@@ -643,6 +656,49 @@ object FuzzySearch {
       .filter(length(col("gram")) === GramQ)
       .withColumn("bucket",
         pmod(crc32(col("gram").cast("binary")), lit(GramBuckets)).cast("int"))
+    // DF-NATIVE prefix skip (the [[indexedCandidates]] hot-gram filter,
+    // batch form): rank each query's gram OCCURRENCES by stored df from
+    // the advisory `_gramdf` sidecar (hottest first — broadcast join, no
+    // driver collect) and drop its skipN hottest, where skipN =
+    // minPositiveBound − 1 is computed IN-ENGINE per query: the bound's
+    // minimum over m ∈ [qlen, qlen+400] (a transform/array_min over a
+    // generated sequence — the slope ≥ 0.02 at distPct ≤ 49 bounds the
+    // last floor wiggle well inside 400, the same horizon argument as
+    // the driver-side twin). The count filter weakens to
+    // `shared ≥ bound − skipN` for probed pairs; the vacuous-bound
+    // fallback arm is untouched (bound ≤ 0 admits regardless of skipN) —
+    // lossless by the single-query path's argument, applied per qid.
+    // All of it is query-side work on the broadcast-sized frame: the
+    // windows rank ≤ qlen rows per query, and the postings scan's DPP
+    // subquery sees FEWER (bucket, gram) keys — the hottest lists are
+    // never read. A missing sidecar skips nothing and costs one catalog
+    // check.
+    val skipOn = prefixSkip && distPct < 50 &&
+      spark.catalog.tableExists(s"${table}_gramdf")
+    val (qoS, qSkip) =
+      if (!skipOn) (qo, null)
+      else {
+        val dfg = spark.table(s"${table}_gramdf")
+          .groupBy(col("bucket"), col("gram")).agg(sum(col("df")).as("gdf"))
+        val mBounds = transform(
+          sequence(col("qlen"), least(col("qlen") + lit(400), lit(20400))),
+          m => m - lit(GramQ - 1) -
+            lit(GramQ) * (lit(distPct) * m / lit(100)).cast("int"))
+        val posB = filter(mBounds, b => b >= 1)
+        val minPosB = when(col("qlen") > 20000, lit(1))
+          .otherwise(when(size(posB) > 0, array_min(posB)).otherwise(lit(1)))
+        val w = Window.partitionBy(col("qid"))
+        val ranked = qo
+          .join(broadcast(dfg), Seq("bucket", "gram"), "left")
+          .withColumn("gdf", coalesce(col("gdf"), lit(0L)))
+          .withColumn("rk", row_number().over(
+            w.orderBy(desc("gdf"), col("gram"), col("posq"))))
+          .withColumn("skipn", greatest(lit(0),
+            least(minPosB - 1, count(lit(1)).over(w) - 1)))
+        (ranked.filter(col("rk") > col("skipn"))
+           .drop("gdf", "rk", "skipn"),
+         ranked.select(col("qid"), col("skipn")).distinct())
+      }
     val names = spark.table(s"${table}_names")
     val maxlen = greatest(col("qlen"), col("len"))
     val dMax = floor((lit(distPct) * maxlen) / lit(100.0))
@@ -652,7 +708,7 @@ object FuzzySearch {
     // position filter behind the measured-trade toggle), grouped by qid
     // and computed on one aggregated row per (qid, id, gram); consumed
     // twice (probed + fallback anti), so pinned once
-    val qgArr = qo.groupBy(col("qid"), col("qlen"), col("bucket"),
+    val qgArr = qoS.groupBy(col("qid"), col("qlen"), col("bucket"),
         col("gram"))
       .agg(sort_array(collect_list(col("posq"))).as("qpos"))
     val hits = spark.table(s"${table}_grams")
@@ -675,9 +731,13 @@ object FuzzySearch {
             least(size(col("qpos")).cast("long"), col("cn")).as("m"))
     val shared = graft.CacheScope.track(
       perGram.groupBy(col("qid"), col("id")).agg(sum(col("m")).as("shared")))
-    val probed = names.join(shared, "id").join(broadcast(qDim), "qid")
-      .filter(col("shared") >= bound)
-      .drop("shared")
+    val qDimS =
+      if (!skipOn) qDim.withColumn("skipn", lit(0L))
+      else qDim.join(qSkip, Seq("qid"), "left")
+        .withColumn("skipn", coalesce(col("skipn"), lit(0L)))
+    val probed = names.join(shared, "id").join(broadcast(qDimS), "qid")
+      .filter(col("shared") >= bound - col("skipn"))
+      .drop("shared", "skipn")
     val cap = maxFallbackLen(distPct)
     val fbNames = if (cap == Int.MaxValue) names
       else names.filter(col("len") <= cap)
