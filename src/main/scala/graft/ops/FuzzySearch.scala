@@ -609,7 +609,7 @@ object FuzzySearch {
     * pruned to that (usually empty) sliver. */
   def topKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, threshold: Double,
-      k: Int, positional: Boolean, prefixSkip: Boolean = true): DataFrame = {
+      k: Int, positional: Boolean, prefixSkip: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qDim = queries.select(col("qid").cast("long").as("qid"),
         col("q").cast("string").as("q"))

@@ -138,7 +138,7 @@ class FuzzyIndexSpec extends SparkSpec {
     // and the plan carries no per-query literal lists
     import spark.implicits._
     val qdf = FuzzySearch.topKIndexedBatch(spark, t,
-      qs.toDF("qid", "q"), 70.0, 5, positional = false)
+      qs.toDF("qid", "q"), 70.0, 5, positional = false, prefixSkip = true)
     assert(qdf.collect().map(r => (r.getLong(0), r.getLong(1),
         r.getString(2), r.getDouble(3), r.getInt(4))).toSeq === singles,
       "DataFrame-native batch form diverged from the Seq wrapper")
@@ -178,14 +178,14 @@ class FuzzyIndexSpec extends SparkSpec {
     // subtree REGISTERED (the bench harness unpersists only after both
     // iterations)
     FuzzySearch.buildIndex(students, t)
-    val first = FuzzySearch.topKIndexedBatch(spark, t, qs, 70.0, 5, positional = false)
+    val first = FuzzySearch.topKIndexedBatch(spark, t, qs, 70.0, 5, positional = false, prefixSkip = true)
       .collect().map(_.toSeq).toSeq
     // iteration 2: rebuild over the SAME catalog with that cache live —
     // an overwrite-CTAS would recache the dependent against the dropped
     // table and die with TABLE_OR_VIEW_NOT_FOUND; the drop-first write
     // cascade-uncaches instead
     FuzzySearch.buildIndex(students, t)
-    val second = FuzzySearch.topKIndexedBatch(spark, t, qs, 70.0, 5, positional = false)
+    val second = FuzzySearch.topKIndexedBatch(spark, t, qs, 70.0, 5, positional = false, prefixSkip = true)
       .collect().map(_.toSeq).toSeq
     assert(second === first, "rebuild changed batch results")
     graft.CacheScope.unpersistAll()
