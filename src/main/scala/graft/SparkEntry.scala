@@ -98,6 +98,16 @@ object SparkEntry {
   private val batchBm25Queries: Seq[(Long, String)] = Seq(
     0L -> "spark shuffle hash", 1L -> "vector join merge",
     2L -> "zzznope", 3L -> "scan scan filter")
+  /** Filtered-ANN fixture knobs — ONE derivation site for the query
+    * entries AND their oracle SQL (the entries pass these explicitly and
+    * the oracles interpolate them, so changing a knob cannot silently
+    * desynchronize the two sides). ~10% selectivity at the fixture's 10
+    * labels. */
+  private val FiltNQ = 8
+  private val FiltK = 3
+  private val FiltNprobe = 2
+  private val FiltWiden = 3
+  private val filtPredSql = "ec.label = 3"
   private def levScoreSql(colName: String) =
     s"round((1.0 - CAST(levenshtein($colName, '$fuzzyQuery') AS DOUBLE) / " +
     s"CAST(greatest(length($colName), length('$fuzzyQuery')) AS DOUBLE)) * 100.0, 4)"
@@ -377,6 +387,21 @@ object SparkEntry {
       FuzzySearch.indexDelta("graft_idx.fuzzyc", st.filter(col("id") % 5 === 0))
       FuzzySearch.compactIndex(s, "graft_idx.fuzzyc")
       FuzzySearch.topKIndexed(s, "graft_idx.fuzzyc", fuzzyQuery)
+    }),
+    // DELETION from the standing q-gram index — the tombstone lifecycle
+    // completing the contract across all five index families: delete =
+    // broadcast sidecar append (never a postings or names rewrite), every
+    // candidate arm anti-joins the sidecar, compaction folds physically.
+    // The oracle recomputes the scan chain over the surviving names
+    "fuzzy_index_delete" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-fuzzy-del")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val st = Tables.students(s, d)
+      FuzzySearch.buildIndex(st, "graft_idx.fuzzydel")
+      FuzzySearch.indexDelete("graft_idx.fuzzydel",
+        st.filter(col("id") % 7 === 3).select(col("id")))
+      FuzzySearch.topKIndexed(s, "graft_idx.fuzzydel", fuzzyQuery)
     }),
     // PREFIX-FILTERED fuzzy probe (Chaudhuri et al., ICDE 2006 composed
     // with the Gravano bound): the advisory _gramdf sidecar orders the
@@ -671,7 +696,8 @@ object SparkEntry {
         .toFile.getAbsolutePath
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
       Similarity.buildIvfIndex(Tables.embeddings(s, d), "graft_idx.ivff")
-      Similarity.annIvfFilteredTopK(s, "graft_idx.ivff", col("label") === 3)
+      Similarity.annIvfFilteredTopK(s, "graft_idx.ivff", col("label") === 3,
+        FiltNQ, FiltK, FiltNprobe)
     }),
     // the pre-vs-post adjudication, measured: recall@k of BOTH filtered
     // probe modes against the exact filtered brute force — pre-filter
@@ -685,7 +711,44 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.buildIvfIndex(emb, "graft_idx.ivffr")
       Similarity.annFilteredRecall(s, "graft_idx.ivffr", emb,
-        col("label") === 3)
+        col("label") === 3, FiltNQ, FiltK, FiltNprobe, FiltWiden)
+    }),
+    // ATTRIBUTE-FILTERED FUSED (IVF-PQ) ANN — the 100 TB filtered query
+    // actually runs against the compressed rungs: the predicate applies
+    // to the codes-only DPP-pruned scan BEFORE the lossy ADC shortlist
+    // cut, so the shortlist competes among survivors only and needs no
+    // 1/selectivity correction (the post-filter trade the fused recall
+    // row measures)
+    "sim_ann_filtered_fused" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-pq-filt")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      Similarity.buildIvfPqIndex(Tables.embeddings(s, d), "graft_idx.pqf")
+      Similarity.annIvfPqFilteredTopK(s, "graft_idx.pqf",
+        col("label") === 3, FiltNQ, FiltK, FiltNprobe)
+    }),
+    // the SQ8 rung's filtered probe — same contract at 8× compression
+    "sim_ann_filtered_sq" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-sq-filt")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      Similarity.buildIvfSqIndex(Tables.embeddings(s, d), "graft_idx.sqf")
+      Similarity.annIvfSqFilteredTopK(s, "graft_idx.sqf",
+        col("label") === 3, FiltNQ, FiltK, FiltNprobe)
+    }),
+    // the fused pre-vs-post adjudication, measured: on the compressed
+    // rung BOTH lossy cuts (ADC shortlist + widened rank cut) precede
+    // the predicate in post mode, so its recall collapses with
+    // selectivity unless widen and shortlist scale by ~1/selectivity —
+    // pre mode filters before the cut and needs neither
+    "sim_ann_filtered_fused_recall" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-pq-frec")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfPqIndex(emb, "graft_idx.pqfr")
+      Similarity.annFusedFilteredRecall(s, "graft_idx.pqfr", emb,
+        col("label") === 3, FiltNQ, FiltK, FiltNprobe, FiltWiden)
     }),
     // the PQ-FUSED index: inverted lists carry per-vector PQ codes, the
     // probe scores candidates in the compressed domain (ADC lookup table
@@ -1204,6 +1267,33 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
       Search.bm25Indexed(s, "graft_idx.bm25del")
     }),
+    // STREAMING deletion: the takedown feed as a real bounded stream —
+    // two micro-batches whose victim sets OVERLAP (the second file
+    // redelivers every id of the first plus the rest), so the benched
+    // row itself proves at-least-once replay safety: freshOnly makes
+    // the re-delivered ids no-ops (no double-subtracted stats). After
+    // the drain, probes answer the same rebuild-without-victims oracle
+    // as the batch delete row
+    "stream_index_delete" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25-sdel")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val docs = Tables.documents(s, d)
+      Search.buildIndex(docs, "graft_idx.bm25sdel")
+      val victims = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"))
+      val feed = java.nio.file.Files.createTempDirectory("graft-del-feed")
+        .toFile.getAbsolutePath + "/in"
+      victims.filter(col("doc_id") % 2 === 1).repartition(1)
+        .write.parquet(feed)
+      victims.repartition(1).write.mode("append").parquet(feed)
+      val q = graft.streaming.Streams.incrementalDeletion(
+        s.readStream.schema(victims.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        Search.indexDelete("graft_idx.bm25sdel", _))
+      q.processAllAvailable(); q.stop()
+      Search.bm25Indexed(s, "graft_idx.bm25sdel")
+    }),
     // streaming ANN ingest: base-built IVF index (frozen quantizer),
     // the remaining vectors arrive as a REAL bounded stream ingested via
     // the idempotent guard path — after the drain, index-served ANN must
@@ -1561,9 +1651,18 @@ object SparkEntry {
     // families (the one lifecycle edge that was missing; prices the
     // sidecar append and the broadcast anti-join the probes now carry)
     "bm25_index_delete", "sim_ann_ivf_index_delete",
+    // round-16: the fuzzy family's delete row completes the lifecycle
+    "fuzzy_index_delete",
     // round-15: attribute-filtered ANN (predicate pushed into the
     // DPP-pruned candidate scan) + the measured pre-vs-post adjudication
     "sim_ann_filtered", "sim_ann_filtered_recall",
+    // round-16: the filtered probe on the compressed rungs (predicate
+    // BEFORE the lossy ADC shortlist cut) + the fused pre-vs-post
+    // adjudication
+    "sim_ann_filtered_fused", "sim_ann_filtered_sq",
+    "sim_ann_filtered_fused_recall",
+    // round-16: streaming takedown feed with overlapping redelivery
+    "stream_index_delete",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -1700,8 +1799,8 @@ object SparkEntry {
     * nprobe rule) so the sweep row can reuse the identical chain per
     * probe width. */
   private def ivfPqChain(basePred: String, nprobe: Int,
-      shortlist: Int = -1): String =
-    s"${ivfTrainedCtesFrom(basePred, nprobe)}, " +
+      shortlist: Int = -1, candPred: String = "TRUE"): String =
+    s"${ivfTrainedCtesFrom(basePred, nprobe, candPred)}, " +
     "SDIST AS (SELECT x.vec_id, CAST(x.dim // 8 AS INT) AS sub, c.c_label, " +
     "sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
     "FROM QQ x JOIN C c ON x.dim = c.dim GROUP BY x.vec_id, x.dim // 8, c.c_label), " +
@@ -1711,11 +1810,17 @@ object SparkEntry {
     "sum((v.q * 1000 - c.c6) * (v.q * 1000 - c.c6)) AS sd2 " +
     "FROM QQ v JOIN C c ON v.dim = c.dim WHERE v.vec_id < 8 " +
     "GROUP BY v.vec_id, v.dim // 8, c.c_label), " +
+    // candPred restricts CANDIDATES before the lossy shortlist cut (the
+    // engine's filter-before-cut ordering); `ec` aliases E0 here exactly
+    // as it aliases EC in the trained chain's J, so one predicate string
+    // drives both restriction sites
     "ADC AS (SELECT l.qid, cd.vec_id, sum(l.sd2) AS d2 FROM SCODE cd " +
     "JOIN QLUT l ON l.sub = cd.sub AND l.code = cd.code " +
     "JOIN CELL cl ON cl.vec_id = cd.vec_id " +
+    (if (candPred == "TRUE") ""
+     else s"JOIN E0 ec ON ec.vec_id = cd.vec_id ") +
     "JOIN PROBE p ON p.qid = l.qid AND p.cell = cl.cell " +
-    "WHERE cd.vec_id <> l.qid GROUP BY l.qid, cd.vec_id), " +
+    s"WHERE cd.vec_id <> l.qid AND ($candPred) GROUP BY l.qid, cd.vec_id), " +
     "SL AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
     "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) " +
     s"WHERE rk <= ${slShortlist(nprobe, shortlist)}), " +
@@ -1795,20 +1900,23 @@ object SparkEntry {
     s"WITH ${ivfSqChain(basePred, 2)} " + annTopkSelect
 
   private def ivfSqChain(basePred: String, nprobe: Int,
-      shortlist: Int = -1): String =
-    s"${ivfTrainedCtesFrom(basePred, nprobe)}, " +
+      shortlist: Int = -1, candPred: String = "TRUE"): String =
+    s"${ivfTrainedCtesFrom(basePred, nprobe, candPred)}, " +
     s"MM AS (SELECT dim, min(q) AS minq, max(q) AS maxq FROM QQ WHERE $basePred GROUP BY dim), " +
     "SC AS (SELECT x.vec_id, x.dim, CASE WHEN m.maxq = m.minq THEN 0 " +
     "ELSE greatest(0, least(255, CAST(round((x.q - m.minq) * 255.0 / (m.maxq - m.minq)) AS BIGINT))) END AS code " +
     "FROM QQ x JOIN MM m ON m.dim = x.dim), " +
+    // candPred before the shortlist cut — see ivfPqChain's ADC note
     "ADC AS (SELECT p.qid, s.vec_id, " +
     "sum((q.q * 255 - (m.minq * 255 + s.code * (m.maxq - m.minq))) * " +
     "(q.q * 255 - (m.minq * 255 + s.code * (m.maxq - m.minq)))) AS d2 " +
     "FROM SC s JOIN CELL cl ON cl.vec_id = s.vec_id " +
+    (if (candPred == "TRUE") ""
+     else s"JOIN E0 ec ON ec.vec_id = s.vec_id ") +
     "JOIN PROBE p ON p.cell = cl.cell " +
     "JOIN QQ q ON q.vec_id = p.qid AND q.dim = s.dim " +
     "JOIN MM m ON m.dim = s.dim " +
-    "WHERE s.vec_id <> p.qid GROUP BY p.qid, s.vec_id), " +
+    s"WHERE s.vec_id <> p.qid AND ($candPred) GROUP BY p.qid, s.vec_id), " +
     "SL AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
     "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) " +
     s"WHERE rk <= ${slShortlist(nprobe, shortlist)}), " +
@@ -2048,8 +2156,11 @@ object SparkEntry {
     "FROM G WHERE score > 0), " +
     s"LX AS (SELECT qid, doc_id, r_bm25 FROM RL WHERE r_bm25 <= $TopK), " +
     "ND AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+    // the dense chain's fixture anchors are vec_id < 8 but only the
+    // batch's own qids probe — derive the bound from the fixture so a
+    // batch-set change desyncs loudly instead of silently
     s"BR0 AS (SELECT qid, (vec_id * $BridgeMul + $BridgeAdd) % (SELECT n FROM ND) AS doc_id, " +
-    s"round(cos, 4) AS cos FROM R WHERE rank <= $TopK AND qid < 4), " +
+    s"round(cos, 4) AS cos FROM R WHERE rank <= $TopK AND qid < ${batchBm25Queries.size}), " +
     "BR AS (SELECT qid, doc_id, max(cos) AS cos FROM BR0 GROUP BY qid, doc_id), " +
     "DR AS (SELECT qid, doc_id, row_number() OVER " +
     "(PARTITION BY qid ORDER BY cos DESC, doc_id) AS r_dense FROM BR), " +
@@ -2630,33 +2741,75 @@ object SparkEntry {
     // attribute-filtered probe: the same chain with the predicate on the
     // CANDIDATE set (pre-filter semantics — rank among the survivors)
     "sim_ann_filtered" ->
-      (s"WITH ${ivfTrainedCtesFrom("TRUE", 2, "ec.label = 3")} " +
+      (s"WITH ${ivfTrainedCtesFrom("TRUE", FiltNprobe, filtPredSql)} " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
-       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+       s"FROM R WHERE rank <= $FiltK ORDER BY qid, rank"),
     // pre-vs-post recall adjudication: PRE ranks J's survivors under the
     // predicate; POST takes the UNFILTERED rank <= widen*k cut, filters,
     // re-ranks; truth is the exact filtered brute force over E0 — both
-    // recalls are ratios of counts over nQueries*k = 24
+    // recalls are ratios of counts over nQueries*k (every knob
+    // interpolated from the SAME constants the query entry passes)
     "sim_ann_filtered_recall" ->
-      (s"WITH ${ivfTrainedCtesFrom("TRUE", 2, "TRUE")}, " +
+      (s"WITH ${ivfTrainedCtesFrom("TRUE", FiltNprobe, "TRUE")}, " +
        "PREC AS (SELECT j.qid, j.vec_id, row_number() OVER " +
        "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rk " +
-       "FROM J j JOIN E0 e ON e.vec_id = j.vec_id WHERE e.label = 3), " +
-       "PRE AS (SELECT qid, vec_id FROM PREC WHERE rk <= 3), " +
+       s"FROM J j JOIN E0 ec ON ec.vec_id = j.vec_id WHERE $filtPredSql), " +
+       s"PRE AS (SELECT qid, vec_id FROM PREC WHERE rk <= $FiltK), " +
        "POSTC AS (SELECT r.qid, r.vec_id, row_number() OVER " +
        "(PARTITION BY r.qid ORDER BY r.cos DESC, r.vec_id) AS rk2 " +
-       "FROM R r JOIN E0 e ON e.vec_id = r.vec_id " +
-       "WHERE r.rank <= 9 AND e.label = 3), " +
-       "POST AS (SELECT qid, vec_id FROM POSTC WHERE rk2 <= 3), " +
-       s"TC AS (SELECT QV.qid, e.vec_id, row_number() OVER " +
-       s"(PARTITION BY QV.qid ORDER BY round(${cosSql("e.v", "QV.qv")}, 6) DESC, e.vec_id) AS rk " +
-       "FROM E0 e CROSS JOIN QV WHERE e.label = 3 AND e.vec_id <> QV.qid), " +
-       "T AS (SELECT qid, vec_id FROM TC WHERE rk <= 3) " +
+       "FROM R r JOIN E0 ec ON ec.vec_id = r.vec_id " +
+       s"WHERE r.rank <= ${FiltWiden * FiltK} AND $filtPredSql), " +
+       s"POST AS (SELECT qid, vec_id FROM POSTC WHERE rk2 <= $FiltK), " +
+       s"TC AS (SELECT QV.qid, ec.vec_id, row_number() OVER " +
+       s"(PARTITION BY QV.qid ORDER BY round(${cosSql("ec.v", "QV.qv")}, 6) DESC, ec.vec_id) AS rk " +
+       s"FROM E0 ec CROSS JOIN QV WHERE $filtPredSql AND ec.vec_id <> QV.qid), " +
+       s"T AS (SELECT qid, vec_id FROM TC WHERE rk <= $FiltK) " +
        "SELECT 'pre' AS mode, round(CAST((SELECT count(*) FROM PRE JOIN T " +
-       "ON PRE.qid = T.qid AND PRE.vec_id = T.vec_id) AS DOUBLE) / 24.0, 4) AS recall " +
+       s"ON PRE.qid = T.qid AND PRE.vec_id = T.vec_id) AS DOUBLE) / ${FiltNQ * FiltK}.0, 4) AS recall " +
        "UNION ALL " +
        "SELECT 'post' AS mode, round(CAST((SELECT count(*) FROM POST JOIN T " +
-       "ON POST.qid = T.qid AND POST.vec_id = T.vec_id) AS DOUBLE) / 24.0, 4) AS recall " +
+       s"ON POST.qid = T.qid AND POST.vec_id = T.vec_id) AS DOUBLE) / ${FiltNQ * FiltK}.0, 4) AS recall " +
+       "ORDER BY mode DESC"),
+    // fused (IVF-PQ) filtered probe: the PQ chain with the predicate on
+    // the ADC candidate set — filter BEFORE the lossy shortlist cut,
+    // mirroring the engine's codes-scan pushdown
+    "sim_ann_filtered_fused" ->
+      (s"WITH ${ivfPqChain("TRUE", FiltNprobe, -1, filtPredSql)} " +
+       annTopkSelect),
+    // SQ8 filtered probe: same contract on the 8× rung
+    "sim_ann_filtered_sq" ->
+      (s"WITH ${ivfSqChain("TRUE", FiltNprobe, -1, filtPredSql)} " +
+       annTopkSelect),
+    // fused pre-vs-post: PRE = the ADC set filtered BEFORE the shortlist
+    // cut (ADC rows are per-candidate sums, so filtering them equals
+    // filtering the scan), re-ranked by the exact cosine; POST = the
+    // unfiltered fused pipeline's final ranks widened to widen*k,
+    // filtered, re-ranked on the published 4dp cosine; truth = exact
+    // filtered brute force
+    "sim_ann_filtered_fused_recall" ->
+      (s"WITH ${ivfPqChain("TRUE", FiltNprobe)}, " +
+       s"ADCF AS (SELECT a.* FROM ADC a JOIN E0 ec ON ec.vec_id = a.vec_id WHERE $filtPredSql), " +
+       "SLP AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
+       "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADCF) " +
+       s"WHERE rk <= ${slShortlist(FiltNprobe, -1)}), " +
+       "PREC AS (SELECT j.qid, j.vec_id, row_number() OVER " +
+       "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rk " +
+       "FROM J j JOIN SLP s ON s.qid = j.qid AND s.vec_id = j.vec_id), " +
+       s"PRE AS (SELECT qid, vec_id FROM PREC WHERE rk <= $FiltK), " +
+       "POSTC AS (SELECT r.qid, r.vec_id, row_number() OVER " +
+       "(PARTITION BY r.qid ORDER BY round(r.cos, 4) DESC, r.vec_id) AS rk2 " +
+       "FROM RR r JOIN E0 ec ON ec.vec_id = r.vec_id " +
+       s"WHERE r.rank <= ${FiltWiden * FiltK} AND $filtPredSql), " +
+       s"POST AS (SELECT qid, vec_id FROM POSTC WHERE rk2 <= $FiltK), " +
+       s"TC AS (SELECT QV.qid, ec.vec_id, row_number() OVER " +
+       s"(PARTITION BY QV.qid ORDER BY round(${cosSql("ec.v", "QV.qv")}, 6) DESC, ec.vec_id) AS rk " +
+       s"FROM E0 ec CROSS JOIN QV WHERE $filtPredSql AND ec.vec_id <> QV.qid), " +
+       s"T AS (SELECT qid, vec_id FROM TC WHERE rk <= $FiltK) " +
+       "SELECT 'pre' AS mode, round(CAST((SELECT count(*) FROM PRE JOIN T " +
+       s"ON PRE.qid = T.qid AND PRE.vec_id = T.vec_id) AS DOUBLE) / ${FiltNQ * FiltK}.0, 4) AS recall " +
+       "UNION ALL " +
+       "SELECT 'post' AS mode, round(CAST((SELECT count(*) FROM POST JOIN T " +
+       s"ON POST.qid = T.qid AND POST.vec_id = T.vec_id) AS DOUBLE) / ${FiltNQ * FiltK}.0, 4) AS recall " +
        "ORDER BY mode DESC"),
     // a drained ANN ingest stream converges to the batch delta result
     "stream_ann_ingest" ->
@@ -3140,6 +3293,13 @@ object SparkEntry {
       "SELECT id, name, college, board, stream, address, " +
       s"${levScoreSql("name")} AS score FROM students " +
       s"WHERE ${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
+    // post-delete probe == the scan chain over the SURVIVING names (the
+    // rebuild-without-victims identity, bm25_index_delete's shape)
+    "fuzzy_index_delete" -> withStudents(
+      "SELECT id, name, college, board, stream, address, " +
+      s"${levScoreSql("name")} AS score FROM students " +
+      "WHERE id % 7 <> 3 AND " +
+      s"${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
     // the prefix-filtered probe changes WHAT is read, never the answer —
     // same oracle as the plain indexed row (and its query-only twin)
     "fuzzy_skip_query" -> withStudents(
@@ -3762,6 +3922,9 @@ object SparkEntry {
     // tombstone deletion: the same chain over the SURVIVING corpus —
     // df, n_docs, avgdl all recomputed without the victims
     "bm25_index_delete" -> bm25OracleSqlFrom("doc_id % 7 <> 3"),
+    // a drained delete stream (with overlapping redelivery) converges to
+    // the batch delete's rebuild-without-victims scores
+    "stream_index_delete" -> bm25OracleSqlFrom("doc_id % 7 <> 3"),
     // compaction is layout-only: the compacted index must STILL equal the
     // full-corpus scan-time result row-for-row
     "bm25_index_compact" -> bm25OracleSql,

@@ -97,6 +97,9 @@ object FuzzySearch {
   def indexDelta(table: String, delta: DataFrame): Unit = {
     val spark = delta.sparkSession
     if (delta.isEmpty) return
+    // a missing names table next to a staged copy is an interrupted
+    // tombstone-fold swap (compactIndex) — roll it forward first
+    recoverNamesSwap(spark, table)
     require(spark.catalog.tableExists(s"${table}_names"),
       s"fuzzyIndexDelta needs a standing index: ${table}_names not found — " +
         "run buildIndex first")
@@ -159,6 +162,10 @@ object FuzzySearch {
     * for the bm25/IVF families. */
   def indexDeltaIdempotent(table: String, delta: DataFrame): Unit = {
     val spark = delta.sparkSession
+    // roll forward an interrupted names swap BEFORE the bootstrap check —
+    // a mid-swap catalog must not be mistaken for a fresh one (buildIndex
+    // here would drop the standing grams and rebuild from the delta alone)
+    recoverNamesSwap(spark, table)
     if (!spark.catalog.tableExists(s"${table}_names")) {
       buildIndex(delta, table); return
     }
@@ -180,19 +187,98 @@ object FuzzySearch {
     if (!novel.isEmpty) indexDelta(table, novel)
   }
 
+  /** DELETE names from the standing fuzzy index — the [[Tombstones]]
+    * lifecycle completing the tombstone contract across all five index
+    * families (BM25 postings, the four IVF layouts, and now the q-gram
+    * index): the gram postings are insert-only, so a delete appends the
+    * victim ids to the broadcast `{t}_tombstones` sidecar and every
+    * candidate path ([[indexedCandidates]], [[batchCandidates]] — and
+    * through them every topK/correct frontend) anti-joins the broadcast
+    * sidecar on the `_names` side, above both the probed arm and the
+    * vacuous-bound fallback arm. [[compactIndex]] folds the victims away
+    * physically (grams AND names) and drops the sidecar.
+    *
+    * Victim presence is confirmed against `_names`, not the postings —
+    * `_names` is id-complete (every indexed id has a names row, even a
+    * name shorter than [[GramQ]] that stores zero gram rows), so the
+    * zero-postings blind spot [[Search.indexDelete]] documents cannot
+    * arise here. Unknown ids are ignored; re-deletes are idempotent
+    * ([[Tombstones.freshOnly]] — the advisory df correction below must
+    * not double-subtract).
+    *
+    * The ADVISORY `{t}_gramdf` sidecar, when the deployment opted into
+    * it, gets the NEGATIVE df correction (victims' gram counts as
+    * negative additive rows — probes fold df by sum, so the skip
+    * ordering prices the surviving corpus exactly, same additive scheme
+    * as the BM25 negative stats row). Priced from the victims' standing
+    * gram rows via one broadcast semi-join pass; correctness never
+    * depends on it (df is advisory — it orders WHICH hot lists are
+    * skipped, losslessness is the count-bound's).
+    *
+    * Crash ordering: tombstones FIRST — a crash before the df correction
+    * leaves victims invisible to every probe (the user-facing invariant)
+    * with an advisory sidecar marginally stale until compaction rewrites
+    * it. Re-ingesting a deleted id is refused until compaction (see
+    * [[Tombstones]]). */
+  def indexDelete(table: String, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    require(spark.catalog.tableExists(s"${table}_names"),
+      s"fuzzy indexDelete: no standing index at $table — build first")
+    // lineage-cut before the writes: presence derives from the sidecar
+    // via freshOnly, and the append below would invalidate that plan
+    // (the insert-time cache-invalidation trap)
+    val victims = spark.table(s"${table}_names").select(col("id"))
+      .join(broadcast(Tombstones.freshOnly(spark, table,
+        ids.select(col("id").cast("long").as("id")).distinct(), "id")),
+        Seq("id"), "left_semi")
+      .distinct().localCheckpoint()
+    if (victims.isEmpty) return
+    Tombstones.append(spark, table, victims, "id")
+    if (spark.catalog.tableExists(s"${table}_gramdf"))
+      spark.table(s"${table}_grams")
+        .join(broadcast(victims), Seq("id"), "left_semi")
+        .groupBy(col("bucket"), col("gram"))
+        .agg((-count(lit(1))).as("df"))
+        .coalesce(1)
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_gramdf")
+  }
+
   /** Compact the delta-grown fuzzy index — the [[Similarity
     * .compactIvfIndex]] maintenance rewrite for gram postings: the
     * bucket-partitioned `{t}_grams` is rewritten one-file-per-bucket
     * through the crash-recoverable staged swap, and the guard sidecar
-    * folds to one bloom. The `{t}_names` table is left as-is: its file
-    * count is one per generation TOTAL (unpartitioned appends — no
-    * per-bucket amplification) and it is read through an id join, so
+    * folds to one bloom. The `{t}_names` table is normally left as-is:
+    * its file count is one per generation TOTAL (unpartitioned appends —
+    * no per-bucket amplification) and it is read through an id join, so
     * the postings rewrite is where probe latency lives. Layout-only:
-    * queries before/after are row-identical (spec-gated). */
+    * queries before/after are row-identical (spec-gated).
+    *
+    * With a standing tombstone sidecar ([[indexDelete]]) the rewrite
+    * also folds the victims away PHYSICALLY — the grams rewrite filters
+    * them, `_names` is rewritten through the same staged-swap scheme
+    * (victims must not resurface once the sidecar drops), the guard
+    * bloom rebuilds from the survivors (re-ingest of a deleted id
+    * becomes a plain insert again), and the sidecar is dropped LAST so a
+    * crash at any intermediate state leaves its anti-join a no-op. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     Similarity.recoverPartitionedSwap(spark, s"${table}_grams")
-    Similarity.compactPartitioned(spark, s"${table}_grams", "bucket")
+    recoverNamesSwap(spark, table)
+    Similarity.compactPartitioned(spark, s"${table}_grams", "bucket",
+      df => Tombstones.filter(spark, table, df, "id"))
+    if (spark.catalog.tableExists(Tombstones.sidecar(table))) {
+      // physical fold of the victims' name rows through the unpartitioned
+      // staged swap (the Search.compactIndex scheme — stage, rename away,
+      // rename in, drop retired; every intermediate state is one
+      // recoverNamesSwap away from a readable table)
+      val staged = s"${table}_names_compacting"
+      Tombstones.filter(spark, table, spark.table(s"${table}_names"), "id")
+        .write.mode("overwrite").format("parquet").saveAsTable(staged)
+      spark.sql(s"ALTER TABLE ${table}_names RENAME TO ${table}_names_retired")
+      spark.sql(s"ALTER TABLE $staged RENAME TO ${table}_names")
+      spark.sql(s"DROP TABLE ${table}_names_retired")
+    }
     graft.ops.IngestGuard.write(spark,
       spark.table(s"${table}_names").select(col("id")), "id", table,
       overwrite = true)
@@ -204,6 +290,33 @@ object FuzzySearch {
     // which the prefix filter tolerates by construction.
     if (spark.catalog.tableExists(s"${table}_gramdf"))
       writeGramDf(spark, table)
+    // victims physically gone (both rewrites above), guard rebuilt from
+    // survivors, advisory df recomputed from the purged grams — retire
+    // the sidecar (the Tombstones lifecycle's last step)
+    Tombstones.drop(spark, table)
+  }
+
+  /** Repair an interrupted `_names` staged swap ([[compactIndex]]'s
+    * tombstone fold) — the [[Search.recoverIndexSwap]] scheme for the
+    * unpartitioned names table: roll a complete staged copy forward when
+    * the live table is missing, drop a stale staged copy or leftover
+    * retired generation otherwise. Idempotent cheap DDL. */
+  private[ops] def recoverNamesSwap(
+      spark: org.apache.spark.sql.SparkSession, table: String): Boolean = {
+    val live = s"${table}_names"
+    val staged = s"${table}_names_compacting"
+    val retired = s"${table}_names_retired"
+    val rolledForward =
+      if (!spark.catalog.tableExists(live) &&
+          spark.catalog.tableExists(staged)) {
+        spark.sql(s"ALTER TABLE $staged RENAME TO $live")
+        true
+      } else false
+    if (spark.catalog.tableExists(live) && spark.catalog.tableExists(staged))
+      spark.sql(s"DROP TABLE $staged")
+    if (spark.catalog.tableExists(live) && spark.catalog.tableExists(retired))
+      spark.sql(s"DROP TABLE $retired")
+    rolledForward
   }
 
   /** Compaction policy — [[Similarity.compactIvfIfNeeded]] for the
@@ -238,6 +351,7 @@ object FuzzySearch {
       // (not refreshing) keeps the build band free of the stats pass —
       // writeGramDf is the opt-in refresh
       spark.sql(s"DROP TABLE IF EXISTS ${table}_gramdf")
+      Tombstones.drop(spark, table) // stale deletes die with the generation
     }
     val named = students.withColumn("len", length(col("name")))
     named.write.mode(mode).format("parquet")
@@ -442,7 +556,11 @@ object FuzzySearch {
       .map { case (a, i) => (i, new String(a, 0, a.length)) }
     val qGramKeys = qOcc.map(_._2).distinct
     val buckets = qGramKeys.map(bucketOf).distinct
-    val names = spark.table(s"${table}_names")
+    // tombstoned names never surface ([[indexDelete]]): one broadcast
+    // anti-join on the names side covers the probed arm, the fallback
+    // arm, and the gram-less short-query branch alike
+    val names = Tombstones.filter(spark, table,
+      spark.table(s"${table}_names"), "id")
     // per-candidate count-filter bound from the stored name length
     val maxlen = greatest(lit(qLen), col("len"))
     // d_max = (distPct·maxlen) div 100 — correctly-rounded IEEE division
@@ -699,7 +817,10 @@ object FuzzySearch {
            .drop("gdf", "rk", "skipn"),
          ranked.select(col("qid"), col("skipn")).distinct())
       }
-    val names = spark.table(s"${table}_names")
+    // tombstoned names never surface ([[indexDelete]]) — both arms read
+    // through the broadcast anti-join
+    val names = Tombstones.filter(spark, table,
+      spark.table(s"${table}_names"), "id")
     val maxlen = greatest(col("qlen"), col("len"))
     val dMax = floor((lit(distPct) * maxlen) / lit(100.0))
     val bound = maxlen - (GramQ - 1) - lit(GramQ) * dMax
@@ -789,7 +910,12 @@ object FuzzySearch {
     * query grams' posting lists, so the hottest gram is the probe-skew
     * predictor (on this fixture the shared `customer#0` prefix grams ARE
     * the hot lists — the measured worst case). One slim scan of the gram
-    * column, one tiny aggregate. */
+    * column, one tiny aggregate.
+    *
+    * PHYSICAL stats by design: between an [[indexDelete]] and its
+    * compaction the aggregate includes tombstoned rows — probe cost IS
+    * the physical posting list until the fold rewrites it, and these
+    * stats price probes/compaction, not the logical corpus. */
   def indexStats(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame = {
     val sizes = spark.table(s"${table}_grams")

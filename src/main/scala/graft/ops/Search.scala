@@ -493,7 +493,21 @@ object Search {
     * Unknown ids are ignored (no postings rows → no tombstone, no stats
     * row); already-deleted ids are ignored ([[Tombstones.freshOnly]] —
     * a re-delete must not double-subtract the stats). Re-ingesting a
-    * deleted id is refused until compaction (see [[Tombstones]]). */
+    * deleted id is refused until compaction (see [[Tombstones]]).
+    *
+    * ZERO-TERM caveat (distinct from "unknown ids"): a doc whose
+    * normalized text tokenizes to nothing was counted in the additive
+    * n_docs at build time but stores NO postings rows, so this presence
+    * probe cannot tell it from a never-ingested id (the guard bloom is
+    * approximate — a hit proves nothing) and deleting it leaves n_docs/
+    * avgdl including it until the next full rebuild. Consequences are
+    * bounded: such a doc can never SURFACE in any result (no postings),
+    * so the user-facing erasure invariant holds unconditionally; only
+    * the rebuild-score identity degrades, by one phantom doc in the
+    * corpus constants. An exact correction would need a doc-id→dl table
+    * the lexical family deliberately doesn't keep (the postings ARE the
+    * corpus). `IndexDeleteSpec` asserts the fixture corpus has no
+    * zero-term docs, so the spec-gated identity is exact there. */
   def indexDelete(table: String, ids: DataFrame): Unit = {
     val spark = ids.sparkSession
     require(spark.catalog.tableExists(s"${table}_postings"),
@@ -826,7 +840,14 @@ object Search {
     * factor. A probe's cost is the df of its terms, so the hottest term
     * IS the probe-skew predictor (the bucketed layout hashes terms into
     * files, and a hot term concentrates its bucket's read). One slim
-    * scan of the term column, one tiny aggregate. */
+    * scan of the term column, one tiny aggregate.
+    *
+    * PHYSICAL stats by design: between an [[indexDelete]] and its
+    * compaction the df distribution includes tombstoned rows — a probe's
+    * scan cost IS the physical posting list until compaction rewrites
+    * it, and these stats exist to price probes and schedule maintenance,
+    * not to describe the logical corpus (the 1-row `_stats` fold already
+    * carries the logical n_docs/avgdl). */
   def indexStats(spark: SparkSession, table: String): DataFrame = {
     val sizes = spark.table(s"${table}_postings")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -697,19 +697,34 @@ object Similarity {
       nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
       widen: Int = 3): DataFrame = {
     val q = fixtureQueries(spark, table, nQueries)
-    // exact filtered ground truth: brute-force cosine over the
-    // predicate's survivors (query anchors need not satisfy it)
+    preVsPostRecall(filteredTruth(embeddings, pred, nQueries, k),
+      nQueries, k,
+      annIvfFilteredTopK(spark, table, q, pred, k, nprobe),
+      annIvfFilteredPostTopK(spark, table, q, pred, k, nprobe, widen))
+  }
+
+  /** Exact filtered ground truth: brute-force cosine top-k over the
+    * predicate's survivors (query anchors need not satisfy it) — the
+    * shared denominator of every filtered-recall adjudication. */
+  private def filteredTruth(embeddings: DataFrame, pred: Column,
+      nQueries: Int, k: Int): DataFrame = {
     val e = withNorm(vecs(embeddings))
     val qv = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"))
-    val truth = rankedTopKPerQuery(
+    rankedTopKPerQuery(
       e.filter(pred).crossJoin(broadcast(qv))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")),
             6).as("cos")), k)
       .select(col("qid"), col("vec_id"))
+  }
+
+  /** Two-row (mode, recall) frame — the deterministic ratio-of-counts
+    * shape every recall row uses, pre before post. */
+  private def preVsPostRecall(truth: DataFrame, nQueries: Int, k: Int,
+      pre: DataFrame, post: DataFrame): DataFrame = {
     def recallOf(hits: DataFrame, mode: String): DataFrame =
       hits.select(col("qid"), col("vec_id"))
         .join(truth, Seq("qid", "vec_id"), "left_semi")
@@ -717,11 +732,27 @@ object Similarity {
         .agg(round(coalesce(sum(col("n")), lit(0L)) /
           lit(nQueries.toDouble * k), 4).as("recall"))
         .select(lit(mode).as("mode"), col("recall"))
-    recallOf(annIvfFilteredTopK(spark, table, q, pred, k, nprobe), "pre")
-      .unionAll(recallOf(
-        annIvfFilteredPostTopK(spark, table, q, pred, k, nprobe, widen),
-        "post"))
+    recallOf(pre, "pre").unionAll(recallOf(post, "post"))
       .orderBy(desc("mode")) // pre before post
+  }
+
+  /** The FUSED-rung pre-vs-post adjudication ([[annFilteredRecall]] on
+    * the PQ layout): pre = predicate before the ADC shortlist cut
+    * ([[annIvfPqFilteredTopK]]); post = the unfiltered fused pipeline's
+    * widened top-(widen·k) cut filtered after the fact
+    * ([[annIvfPqFilteredPostTopK]]) — the mode whose recall collapses
+    * with selectivity unless widen AND shortlist scale by
+    * ~1/selectivity. Same exact filtered brute-force truth, same
+    * ratio-of-counts rows, so the DuckDB oracle reproduces it. */
+  def annFusedFilteredRecall(spark: org.apache.spark.sql.SparkSession,
+      table: String, embeddings: DataFrame, pred: Column,
+      nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
+      widen: Int = 3): DataFrame = {
+    val q = fixtureQueries(spark, table, nQueries)
+    preVsPostRecall(filteredTruth(embeddings, pred, nQueries, k),
+      nQueries, k,
+      annIvfPqFilteredTopK(spark, table, q, pred, k, nprobe, -1),
+      annIvfPqFilteredPostTopK(spark, table, q, pred, k, nprobe, widen))
   }
 
   /** Build the PQ-FUSED IVF index: the [[buildIvfIndex]] layout with one
@@ -784,9 +815,11 @@ object Similarity {
         .withColumn("xq", transform(col("v"),
           x => round(x * 1000).cast("long") * lit(1000L)))
         .join(broadcast(cent), col("cell") === col("c_label"))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        .select(col("vec_id"), col("v"), col("nrm"), col("label"),
+          col("cell"),
           zip_with(col("xq"), col("cvec"), (x, c) => x - c).as("rvec")))
-      withR.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      withR.select(col("vec_id"), col("v"), col("nrm"), col("label"),
+          col("cell"))
         .join(packCodes(Centroids.pqCodesFromInt(
           withR.select(col("vec_id"), col("rvec").as("xq")), book)), "vec_id")
         .repartition(col("cell")) // one file per touched cell per generation
@@ -861,7 +894,18 @@ object Similarity {
     * ADC scan + shortlist rescore). */
   def annIvfPqIndexedTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, k: Int, nprobe: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int): DataFrame =
+    pqAdcTopK(spark, table, queries, k, nprobe, shortlist, identity)
+
+  /** The raw-code ADC pipeline with a pluggable CANDIDATE transform —
+    * ONE derivation site for the unfiltered probe (identity) and the
+    * attribute-filtered probe ([[annIvfPqFilteredTopK]] passes
+    * `_.filter(pred)`, applied to the codes-only scan BEFORE the ADC
+    * shortlist cut — the predicate-before-cut ordering that keeps the
+    * shortlist competing among the predicate's survivors only). */
+  private def pqAdcTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, k: Int, nprobe: Int,
+      shortlist: Int, candFilter: DataFrame => DataFrame): DataFrame = {
     require(fusedEnc(spark, table) == "raw",
       s"$table stores RESIDUAL codes — query it with annIvfPqResidualTopK " +
         "(a raw-vector ADC table against residual codes mis-scores every " +
@@ -886,8 +930,11 @@ object Similarity {
       .select(col("qid"), col("sub"), col("c_label").as("code"),
         lutDist.as("sd2"))
     // ADC scan: candidates read (vec_id, cell, codes) ONLY — column
-    // pruning keeps the 64-double v out of the probed-cell scan
-    val cand = idx.select(col("vec_id"), col("cell"), col("codes"))
+    // pruning keeps the 64-double v out of the probed-cell scan (the
+    // candidate transform's predicate, when present, pushes into this
+    // scan as a data filter alongside it)
+    val cand = candFilter(idx).select(col("vec_id"), col("cell"),
+        col("codes"))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("cell"),
@@ -896,6 +943,57 @@ object Similarity {
       .groupBy(col("qid"), col("vec_id"), col("cell"))
       .agg(sum(col("sd2")).as("d2"))
     shortlistRescore(idx, q0, adc, k, resolveShortlist(shortlist, nprobe))
+  }
+
+  /** ATTRIBUTE-FILTERED fused (IVF-PQ) ANN — [[annIvfFilteredTopK]]'s
+    * pre-filter semantics on the 32×-compressed rung: the predicate
+    * applies to the codes-only DPP-pruned candidate scan BEFORE the ADC
+    * shortlist cut, so the shortlist ranks ONLY the predicate's
+    * survivors and the post-filter starvation mode (an unfiltered
+    * shortlist cut keeping mostly non-matching candidates, recall
+    * collapsing as selectivity tightens unless the shortlist scales
+    * with 1/selectivity) cannot arise — the shortlist∝nprobe rule needs
+    * NO selectivity correction in this ordering. The rescore reads raw
+    * vectors for the (already-filtered) shortlist survivors only.
+    * [[annFusedFilteredRecall]] measures this mode against the widened
+    * post-filter alternative; BASELINE.md round-16 records the
+    * adjudication. */
+  def annIvfPqFilteredTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, pred: Column, nQueries: Int = 8, k: Int = 3,
+      nprobe: Int = 2, shortlist: Int = -1): DataFrame =
+    annIvfPqFilteredTopK(spark, table,
+      fixtureQueries(spark, table, nQueries), pred, k, nprobe, shortlist)
+
+  /** External-query form of [[annIvfPqFilteredTopK]]. */
+  def annIvfPqFilteredTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, pred: Column, k: Int,
+      nprobe: Int, shortlist: Int): DataFrame =
+    pqAdcTopK(spark, table, queries, k, nprobe, shortlist, _.filter(pred))
+
+  /** The POST-FILTER fused alternative, existing to be measured (the
+    * [[annIvfFilteredPostTopK]] adjudication on the compressed rung):
+    * run the UNFILTERED fused pipeline (ADC shortlist + rescore), take
+    * the widened top-(widen·k), then apply the predicate and keep k.
+    * Both lossy cuts (the ADC shortlist AND the widened rank cut)
+    * happen before the predicate, so every slot they spend on
+    * non-matching candidates is recall lost — matching the pre-filter
+    * mode needs widen AND shortlist scaled by ~1/selectivity
+    * ([[annFusedFilteredRecall]] prices exactly this). */
+  def annIvfPqFilteredPostTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, pred: Column, k: Int,
+      nprobe: Int, widen: Int = 3, shortlist: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wide = annIvfPqIndexedTopK(spark, table, queries, widen * k,
+      nprobe, shortlist)
+    wide.join(lists(spark, table).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+      .filter(pred)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), col("cos"),
+        col("cell"))
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** Default ADC shortlist width PER PROBED CELL. The round-13 sweep
@@ -1055,7 +1153,8 @@ object Similarity {
         .withColumn("xq", transform(col("v"),
           x => round(x * 1000).cast("long") * lit(1000L)))
         .join(broadcast(cent), col("cell") === col("c_label"))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        .select(col("vec_id"), col("v"), col("nrm"), col("label"),
+          col("cell"),
           zip_with(col("xq"), col("cvec"), (x, c) => x - c).as("rvec")))
     val book = Centroids.residualCodebook(res.select(col("vec_id"), col("rvec")),
       lloydRounds)
@@ -1063,7 +1162,10 @@ object Similarity {
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_pqbook")
     val spark = embeddings.sparkSession
-    res.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    // label rides along (the assignedCells attribute discipline) so the
+    // residual layout stays filterable like the other rungs
+    res.select(col("vec_id"), col("v"), col("nrm"), col("label"),
+        col("cell"))
       .join(packCodes(Centroids.pqCodesFromInt(
         res.select(col("vec_id"), col("rvec").as("xq")),
         spark.table(s"${table}_pqbook"))), "vec_id")
@@ -1163,7 +1265,8 @@ object Similarity {
       .saveAsTable(s"${table}_sqrange")
     assignedCells(embeddings, cent)
       .crossJoin(broadcast(sqRangeArrays(spark, table)))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"),
+        col("cell"),
         sqCodes(transform(col("v"), x => round(x * 1000).cast("long")))
           .as("sq"))
       .repartition(col("cell")) // one file per cell from generation zero
@@ -1188,7 +1291,8 @@ object Similarity {
         "ivfSqIndexDelta")) return
     assignedCells(delta, spark.table(s"${table}_centroids"))
       .crossJoin(broadcast(sqRangeArrays(spark, table)))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"),
+        col("cell"),
         sqCodes(transform(col("v"), x => round(x * 1000).cast("long")))
           .as("sq"))
       .repartition(col("cell")) // one file per touched cell per generation
@@ -1259,9 +1363,32 @@ object Similarity {
     * caller-supplied (qid, v) shape; see [[fixtureQueries]]. */
   def annIvfSqIndexedTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, k: Int, nprobe: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int): DataFrame =
+    sqAdcTopK(spark, table, queries, k, nprobe, shortlist, identity)
+
+  /** ATTRIBUTE-FILTERED SQ8 ANN — the [[annIvfPqFilteredTopK]] contract
+    * on the 8× rung: predicate into the codes-only scan BEFORE the
+    * shortlist cut, exact-under-predicate up to the (now
+    * survivor-only) lossy cut, no selectivity correction needed. */
+  def annIvfSqFilteredTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, pred: Column, nQueries: Int = 8, k: Int = 3,
+      nprobe: Int = 2, shortlist: Int = -1): DataFrame =
+    annIvfSqFilteredTopK(spark, table,
+      fixtureQueries(spark, table, nQueries), pred, k, nprobe, shortlist)
+
+  /** External-query form of [[annIvfSqFilteredTopK]]. */
+  def annIvfSqFilteredTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, pred: Column, k: Int,
+      nprobe: Int, shortlist: Int): DataFrame =
+    sqAdcTopK(spark, table, queries, k, nprobe, shortlist, _.filter(pred))
+
+  /** The SQ8 ADC pipeline with a pluggable candidate transform — the
+    * [[pqAdcTopK]] single-derivation-site discipline for the 8× rung. */
+  private def sqAdcTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, k: Int, nprobe: Int,
+      shortlist: Int, candFilter: DataFrame => DataFrame): DataFrame = {
     // layout contract, symmetric with the fused entry points' enc check
-    // (ONE site — both overloads flow through here): a non-SQ table
+    // (ONE site — all overloads flow through here): a non-SQ table
     // would otherwise fail five calls deep on a missing _sqrange/sq
     // column instead of naming the right entry point
     require(spark.catalog.tableExists(s"${table}_sqrange"),
@@ -1279,7 +1406,7 @@ object Similarity {
       x => round(x * 1000).cast("long") * lit(255L)).as("qs"))
     // dequantize BEFORE the probes fan-out: a candidate probed by m
     // queries decodes once, not m times
-    val adc = idx.select(col("vec_id"), col("cell"), col("sq"))
+    val adc = candFilter(idx).select(col("vec_id"), col("cell"), col("sq"))
       .crossJoin(broadcast(sqRangeArrays(spark, table)))
       .withColumn("dec", sqDecode255(col("sq")))
       .join(broadcast(probes), Seq("cell"))
@@ -1445,7 +1572,13 @@ object Similarity {
     * predicts probe skew (a probe landing on the hottest cell reads
     * imbalance× the average list) and motivates re-training or cell
     * splitting long before recall decays. One slim scan of the cell
-    * column (never v), one tiny aggregate. */
+    * column (never v), one tiny aggregate.
+    *
+    * PHYSICAL stats by design: between an [[ivfIndexDelete]] and its
+    * compaction the list sizes include tombstoned vectors — a probe's
+    * scan cost IS the physical list until compaction rewrites it, and
+    * maintenance decisions (compact, split, retrain) price the physical
+    * layout, not the logical corpus. */
   def annIvfIndexStats(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame = {
     val sizes = spark.table(s"${table}_ivf")

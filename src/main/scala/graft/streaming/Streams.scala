@@ -381,6 +381,28 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming DELETION from a standing index — the takedown feed
+    * (right-to-erasure ids arriving continuously) as a `foreachBatch`
+    * sink: each micro-batch applies the family's tombstone delete
+    * (`delete` is the family entry point — [[graft.ops.Search
+    * .indexDelete]], [[graft.ops.Similarity.ivfIndexDelete]], or
+    * [[graft.ops.FuzzySearch.indexDelete]], partially applied to the
+    * table). At-least-once safety needs NO extra replay filter here:
+    * the delete lifecycle is idempotent by construction —
+    * [[graft.ops.Tombstones.freshOnly]] makes a re-delivered victim a
+    * no-op, including the BM25 negative stats row and the fuzzy
+    * advisory-df correction (a replayed batch must not double-subtract
+    * either) — so the redelivery window every ingest twin closes with
+    * sliver-confirm logic is closed for free on the delete side.
+    * Replay is spec-gated in `IndexDeleteSpec` with a feed that
+    * delivers the same victim file twice. */
+  def incrementalDeletion(victimIds: DataFrame,
+      delete: DataFrame => Unit): StreamingQuery =
+    victimIds.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => delete(batch); () }
+      .outputMode("append")
+      .start()
+
   /** Streaming corpus curation — the continuous-ingest capstone: per
     * micro-batch, keep-first exact dedup WITHIN the batch (min doc_id
     * per content hash), an anti-join against the STANDING curated

@@ -76,4 +76,52 @@ class AnnFilteredSpec extends SparkSpec {
       s"post-filter out-recalled pre-filter: $rec — the default is wrong")
     assert(rec("pre") > 0.0, "pre-filter recall is zero: fixture rot")
   }
+
+  test("FUSED rungs: predicate before the ADC cut on PQ and SQ8 — " +
+      "filtered results stay within the predicate, plan keeps the " +
+      "pushed filter + DPP on the codes scan, pre >= post recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val wh = java.nio.file.Files.createTempDirectory("graft-fusedfilt")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ff_test LOCATION '$wh'")
+    val labels = emb.filter(col("label") === 3).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+
+    for ((tag, build, query) <- Seq[(String, String => Unit,
+        String => org.apache.spark.sql.DataFrame)](
+      ("pq", tb => Similarity.buildIvfPqIndex(emb, tb),
+        tb => Similarity.annIvfPqFilteredTopK(spark, tb,
+          col("label") === 3)),
+      ("sq", tb => Similarity.buildIvfSqIndex(emb, tb),
+        tb => Similarity.annIvfSqFilteredTopK(spark, tb,
+          col("label") === 3)))) {
+      val tb = s"graft_ff_test.$tag"
+      build(tb)
+      val got = query(tb)
+      val gotRows = rows(got)
+      assert(gotRows.nonEmpty, s"$tag filtered probe returned nothing")
+      assert(gotRows.forall(r => labels(r(1).asInstanceOf[Long])),
+        s"$tag: a candidate outside the predicate surfaced through ADC")
+      // plan: the label predicate reaches the codes scan as a pushed
+      // data filter and DPP cell pruning survives above it
+      got.collect()
+      val plan = got.queryExecution.executedPlan
+      val idxScans = scans(plan).filter(_.relation.partitionSchema.nonEmpty)
+      assert(idxScans.exists(_.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning"))),
+        s"$tag: predicate filter broke DPP on the codes scan:\n$plan")
+      assert(idxScans.exists(_.dataFilters.exists(
+          _.toString.contains("label"))),
+        s"$tag: label predicate not pushed into the codes scan:\n$plan")
+    }
+
+    // the fused adjudication has REAL teeth (unlike the raw rung, both
+    // lossy cuts precede the predicate in post mode): pre must win
+    val rec = Similarity.annFusedFilteredRecall(spark,
+        "graft_ff_test.pq", emb, col("label") === 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rec("pre") >= rec("post"),
+      s"fused post-filter out-recalled pre-filter: $rec")
+    assert(rec("pre") > 0.0, "fused pre-filter recall is zero: fixture rot")
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.{Search, Similarity, Tombstones}
+import graft.ops.{Dedup, FuzzySearch, Search, Similarity, Tombstones}
 
 /** The tombstone deletion lifecycle ([[graft.ops.Tombstones]]) — the one
   * CRUD edge the insert-only index families lacked: delete must be
@@ -32,6 +32,14 @@ class IndexDeleteSpec extends SparkSpec {
     val db = freshDb("bmdel")
     val docs = Tables.documents(spark, sfDir)
     val victims = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+
+    // the rebuild-score identity below is exact only when every victim
+    // has postings rows — a zero-term doc is invisible to the presence
+    // probe (documented caveat on indexDelete); assert the fixture has
+    // none so the identity this spec gates is the exact one
+    assert(docs.filter(size(Dedup.words(col("text"))) === 0).count() === 0,
+      "fixture rot: zero-term docs present — the rebuild identity would " +
+        "carry the documented phantom-doc caveat")
 
     Search.buildIndex(docs, s"$db.full")
     // teeth: the delete set must actually intersect the pre-delete top-k,
@@ -163,6 +171,132 @@ class IndexDeleteSpec extends SparkSpec {
     assert(!rows(Similarity.annIvfPqIndexedTopK(spark, tf))
         .exists(r => pqSet(r(1).asInstanceOf[Long])),
       "a deleted vector surfaced through the fused ADC probe")
+  }
+
+  test("fuzzy indexDelete == rebuild without the victims (single + batch " +
+      "probes, advisory gramdf included); re-delete idempotent; compact " +
+      "folds names AND grams physically") {
+    import spark.implicits._
+    val db = freshDb("fzdel")
+    val students = Tables.students(spark, sfDir)
+    val t = s"$db.fz"
+    val q = "customer#000000012"
+
+    FuzzySearch.buildIndex(students, t)
+    FuzzySearch.writeGramDf(spark, t) // opt into the advisory sidecar
+    val before = FuzzySearch.topKIndexed(spark, t, q)
+    // maximal teeth: delete every pre-delete hit except the exact match —
+    // the post-delete top-k must refill entirely from survivors
+    val victims = before.filter(lower(col("name")) =!= q)
+      .select(col("id")).distinct().localCheckpoint()
+    assert(victims.count() > 0, "fixture rot: nothing to delete")
+    FuzzySearch.indexDelete(t, victims)
+
+    val got = FuzzySearch.topKIndexed(spark, t, q)
+    val victimSet = victims.collect().map(_.getLong(0)).toSet
+    val wiped = students.filter(!col("id").isin(victimSet.toSeq: _*))
+    val tw = s"$db.fzw"
+    FuzzySearch.buildIndex(wiped, tw)
+    FuzzySearch.writeGramDf(spark, tw)
+    val want = FuzzySearch.topKIndexed(spark, tw, q)
+    assert(rows(got) === rows(want),
+      "post-delete fuzzy top-k diverged from the rebuild-without-victims " +
+        "rows (both candidate arms must read through the tombstone filter)")
+    assert(got.count() === before.count(),
+      "post-delete top-k did not refill to k from survivors")
+
+    // the batch frontend reads through the same filter
+    val bq = Seq((1L, q), (2L, "custoner#000000011")).toDF("qid", "q")
+    assert(rows(FuzzySearch.topKIndexedBatch(spark, t, bq, 70.0, 5,
+        positional = false, prefixSkip = true))
+        === rows(FuzzySearch.topKIndexedBatch(spark, tw, bq, 70.0, 5,
+        positional = false, prefixSkip = true)),
+      "batch probe diverged from the rebuild-without-victims rows")
+
+    // advisory gramdf: the negative correction must make per-gram sums
+    // exactly the rebuild's df values (zero-sum grams = fully-deleted)
+    def dfMap(tbl: String) = spark.table(s"${tbl}_gramdf")
+      .groupBy(col("bucket"), col("gram")).agg(sum(col("df")).as("df"))
+      .filter(col("df") =!= 0L).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(dfMap(t) === dfMap(tw),
+      "gramdf negative correction diverged from the rebuild's df values")
+
+    // probe plan: broadcast anti-join above the names read
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone filter is not a broadcast anti-join:\n$plan")
+
+    // idempotent re-delete: sidecar AND advisory correction unchanged
+    val sidecarRows = spark.table(s"${t}_tombstones").count()
+    val dfBefore = dfMap(t)
+    FuzzySearch.indexDelete(t, victims)
+    assert(spark.table(s"${t}_tombstones").count() === sidecarRows,
+      "re-delete appended duplicate tombstones")
+    assert(dfMap(t) === dfBefore,
+      "re-delete double-subtracted the advisory gramdf")
+    // unknown ids are ignored entirely
+    FuzzySearch.indexDelete(t, Seq(999999999L).toDF("id"))
+    assert(spark.table(s"${t}_tombstones").count() === sidecarRows,
+      "deleting an unknown id appended a tombstone")
+
+    // compaction folds: names and grams physically purged, sidecar
+    // dropped, results unmoved, deleted id re-ingestable again
+    FuzzySearch.compactIndex(spark, t)
+    assert(!spark.catalog.tableExists(s"${t}_tombstones"),
+      "compaction left the tombstone sidecar standing")
+    assert(spark.table(s"${t}_names")
+        .filter(col("id").isin(victimSet.toSeq: _*)).count() === 0,
+      "compaction left tombstoned name rows physically present")
+    assert(spark.table(s"${t}_grams")
+        .filter(col("id").isin(victimSet.toSeq: _*)).count() === 0,
+      "compaction left tombstoned gram postings physically present")
+    assert(rows(FuzzySearch.topKIndexed(spark, t, q)) === rows(want),
+      "compaction moved the post-delete results")
+    FuzzySearch.indexDelta(t,
+      students.filter(col("id") === lit(victimSet.head)))
+  }
+
+  test("streaming delete feed with overlapping redelivery: replayed " +
+      "victims are no-ops (no double-subtracted stats), drained stream " +
+      "== batch delete") {
+    val db = freshDb("sdel")
+    val docs = Tables.documents(spark, sfDir)
+    val t = s"$db.bm"
+    Search.buildIndex(docs, t)
+    val victims = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+
+    // batch reference on a second index
+    Search.buildIndex(docs, s"$db.ref")
+    Search.indexDelete(s"$db.ref", victims)
+    val want = rows(Search.bm25Indexed(spark, s"$db.ref"))
+
+    // the feed delivers HALF the victims, then ALL of them — the second
+    // micro-batch REDELIVERS every id of the first (the at-least-once
+    // crash-between-ingest-and-checkpoint shape, made deterministic)
+    val feed = java.nio.file.Files.createTempDirectory("graft-sdel-feed")
+      .toFile.getAbsolutePath + "/in"
+    victims.filter(col("doc_id") % 2 === 1).repartition(1)
+      .write.parquet(feed)
+    victims.repartition(1).write.mode("append").parquet(feed)
+    val q = graft.streaming.Streams.incrementalDeletion(
+      spark.readStream.schema(victims.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed),
+      Search.indexDelete(t, _))
+    q.processAllAvailable(); q.stop()
+
+    assert(rows(Search.bm25Indexed(spark, t)) === want,
+      "drained delete stream diverged from the batch delete")
+    // the replayed half must not have double-subtracted the stats: the
+    // additive fold must equal the reference index's fold exactly
+    assert(rows(spark.table(s"${t}_stats").agg(sum("n_docs"), sum("sum_dl")))
+        === rows(spark.table(s"$db.ref_stats")
+          .agg(sum("n_docs"), sum("sum_dl"))),
+      "overlapping redelivery double-subtracted the additive stats")
+    // and the sidecar holds each victim exactly once
+    assert(spark.table(s"${t}_tombstones").count() ===
+        spark.table(s"${t}_tombstones").select("doc_id").distinct().count(),
+      "redelivery appended duplicate tombstones")
   }
 
   test("tombstoned id is refused by strict delta and skipped by " +
