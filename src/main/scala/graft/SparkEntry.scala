@@ -108,6 +108,13 @@ object SparkEntry {
   private val FiltNprobe = 2
   private val FiltWiden = 3
   private val filtPredSql = "ec.label = 3"
+  /** Selectivity-sweep predicates (tag, engine Column, oracle SQL) —
+    * one site so the engine sweep and its oracle cannot diverge:
+    * ~10% (one of 10 labels) and ~3.3% (label ∧ vec_id mod 3). */
+  private val filtSweep: Seq[(String, org.apache.spark.sql.Column, String)] =
+    Seq(("sel10", col("label") === 3, "ec.label = 3"),
+      ("sel03", col("label") === 3 && col("vec_id") % 3 === 0,
+        "ec.label = 3 AND ec.vec_id % 3 = 0"))
   private def levScoreSql(colName: String) =
     s"round((1.0 - CAST(levenshtein($colName, '$fuzzyQuery') AS DOUBLE) / " +
     s"CAST(greatest(length($colName), length('$fuzzyQuery')) AS DOUBLE)) * 100.0, 4)"
@@ -735,6 +742,33 @@ object SparkEntry {
       Similarity.buildIvfSqIndex(Tables.embeddings(s, d), "graft_idx.sqf")
       Similarity.annIvfSqFilteredTopK(s, "graft_idx.sqf",
         col("label") === 3, FiltNQ, FiltK, FiltNprobe)
+    }),
+    // the residual (IVFADC) rung's filtered probe — completes the
+    // filtered contract across the WHOLE compression ladder (raw / SQ8
+    // / PQ / residual-PQ): predicate before the per-cell-rebased ADC
+    // shortlist cut
+    "sim_ann_filtered_residual" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-pqr-filt")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      Similarity.buildIvfPqResidualIndex(Tables.embeddings(s, d),
+        "graft_idx.pqrf")
+      Similarity.annIvfPqResidualFilteredTopK(s, "graft_idx.pqrf",
+        col("label") === 3, FiltNQ, FiltK, FiltNprobe)
+    }),
+    // the measured recall-vs-SELECTIVITY sweep on the fused rung (the
+    // nprobe-sweep methodology applied to the filtered knob): pre/post
+    // recall at ~10% and ~3.3% selectivity — the number that prices the
+    // post-mode's 1/selectivity widen requirement instead of asserting it
+    "sim_ann_filtered_selectivity" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-pq-fsel")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfPqIndex(emb, "graft_idx.pqsel")
+      Similarity.annFusedFilteredSelectivitySweep(s, "graft_idx.pqsel",
+        emb, filtSweep.map { case (tag, p, _) => (tag, p) },
+        FiltNQ, FiltK, FiltNprobe, FiltWiden)
     }),
     // the fused pre-vs-post adjudication, measured: on the compressed
     // rung BOTH lossy cuts (ADC shortlist + widened rank cut) precede
@@ -1660,7 +1694,8 @@ object SparkEntry {
     // BEFORE the lossy ADC shortlist cut) + the fused pre-vs-post
     // adjudication
     "sim_ann_filtered_fused", "sim_ann_filtered_sq",
-    "sim_ann_filtered_fused_recall",
+    "sim_ann_filtered_residual", "sim_ann_filtered_fused_recall",
+    "sim_ann_filtered_selectivity",
     // round-16: streaming takedown feed with overlapping redelivery
     "stream_index_delete",
     // round-15: batch hybrid off the two warm standing indexes (shared
@@ -1828,6 +1863,43 @@ object SparkEntry {
     "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rank " +
     "FROM J j JOIN SL s ON s.qid = j.qid AND s.vec_id = j.vec_id)"
 
+  /** The fused selectivity-sweep oracle: ONE unfiltered PQ chain shared
+    * by every predicate's pre/post/truth block (CTE names suffixed per
+    * tag), each block the exact CTE shapes of the single-predicate
+    * fused-recall oracle. */
+  private lazy val fusedSelectivitySweepSql: String = {
+    val blocks = filtSweep.map { case (tag, _, q) =>
+      s"ADCF_$tag AS (SELECT a.* FROM ADC a JOIN E0 ec ON ec.vec_id = a.vec_id WHERE $q), " +
+      s"SLP_$tag AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADCF_$tag) " +
+      s"WHERE rk <= ${slShortlist(FiltNprobe, -1)}), " +
+      s"PREC_$tag AS (SELECT j.qid, j.vec_id, row_number() OVER " +
+      "(PARTITION BY j.qid ORDER BY j.cos DESC, j.vec_id) AS rk " +
+      s"FROM J j JOIN SLP_$tag sl ON sl.qid = j.qid AND sl.vec_id = j.vec_id), " +
+      s"PRE_$tag AS (SELECT qid, vec_id FROM PREC_$tag WHERE rk <= $FiltK), " +
+      s"POSTC_$tag AS (SELECT r.qid, r.vec_id, row_number() OVER " +
+      "(PARTITION BY r.qid ORDER BY round(r.cos, 4) DESC, r.vec_id) AS rk2 " +
+      "FROM RR r JOIN E0 ec ON ec.vec_id = r.vec_id " +
+      s"WHERE r.rank <= ${FiltWiden * FiltK} AND $q), " +
+      s"POST_$tag AS (SELECT qid, vec_id FROM POSTC_$tag WHERE rk2 <= $FiltK), " +
+      s"TC_$tag AS (SELECT QV.qid, ec.vec_id, row_number() OVER " +
+      s"(PARTITION BY QV.qid ORDER BY round(${cosSql("ec.v", "QV.qv")}, 6) DESC, ec.vec_id) AS rk " +
+      s"FROM E0 ec CROSS JOIN QV WHERE $q AND ec.vec_id <> QV.qid), " +
+      s"T_$tag AS (SELECT qid, vec_id FROM TC_$tag WHERE rk <= $FiltK)"
+    }.mkString(", ")
+    val selects = filtSweep.map { case (tag, _, _) =>
+      s"SELECT '$tag' AS sel, 'pre' AS mode, round(CAST((SELECT count(*) " +
+      s"FROM PRE_$tag p JOIN T_$tag t ON p.qid = t.qid AND p.vec_id = t.vec_id) " +
+      s"AS DOUBLE) / ${FiltNQ * FiltK}.0, 4) AS recall " +
+      "UNION ALL " +
+      s"SELECT '$tag' AS sel, 'post' AS mode, round(CAST((SELECT count(*) " +
+      s"FROM POST_$tag p JOIN T_$tag t ON p.qid = t.qid AND p.vec_id = t.vec_id) " +
+      s"AS DOUBLE) / ${FiltNQ * FiltK}.0, 4) AS recall"
+    }.mkString(" UNION ALL ")
+    s"WITH ${ivfPqChain("TRUE", FiltNprobe)}, $blocks $selects " +
+    "ORDER BY sel, mode DESC"
+  }
+
   /** The shared top-k projection every rung's ranked-candidate chain
     * (… ending with RR) finishes with. */
   private val annTopkSelect: String =
@@ -1849,8 +1921,8 @@ object SparkEntry {
     s"WITH ${ivfPqResidualChain(basePred, 2)} " + annTopkSelect
 
   private def ivfPqResidualChain(basePred: String, nprobe: Int,
-      shortlist: Int = -1): String =
-    s"${ivfTrainedCtesFrom(basePred, nprobe)}, " +
+      shortlist: Int = -1, candPred: String = "TRUE"): String =
+    s"${ivfTrainedCtesFrom(basePred, nprobe, candPred)}, " +
     "RES AS (SELECT x.vec_id, x.dim, x.q * 1000 - c.c6 AS r " +
     "FROM QQ x JOIN CELL cl ON cl.vec_id = x.vec_id " +
     "JOIN C c ON c.c_label = cl.cell AND c.dim = x.dim), " +
@@ -1879,10 +1951,14 @@ object SparkEntry {
     "sum((q.r - c.c6) * (q.r - c.c6)) AS sd2 " +
     "FROM QRES q JOIN RC c ON q.dim = c.dim " +
     "GROUP BY q.qid, q.cell, q.dim // 8, c.c_label), " +
+    // candPred restricts candidates BEFORE the shortlist cut — see
+    // ivfPqChain's ADC note (same `ec` aliasing convention)
     "ADC AS (SELECT l.qid, cd.vec_id, sum(l.sd2) AS d2 FROM SCODE cd " +
     "JOIN CELL cl ON cl.vec_id = cd.vec_id " +
+    (if (candPred == "TRUE") ""
+     else s"JOIN E0 ec ON ec.vec_id = cd.vec_id ") +
     "JOIN QLUT l ON l.sub = cd.sub AND l.code = cd.code AND l.cell = cl.cell " +
-    "WHERE cd.vec_id <> l.qid GROUP BY l.qid, cd.vec_id), " +
+    s"WHERE cd.vec_id <> l.qid AND ($candPred) GROUP BY l.qid, cd.vec_id), " +
     "SL AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER " +
     "(PARTITION BY qid ORDER BY d2, vec_id) AS rk FROM ADC) " +
     s"WHERE rk <= ${slShortlist(nprobe, shortlist)}), " +
@@ -2780,6 +2856,14 @@ object SparkEntry {
     "sim_ann_filtered_sq" ->
       (s"WITH ${ivfSqChain("TRUE", FiltNprobe, -1, filtPredSql)} " +
        annTopkSelect),
+    // residual (IVFADC) filtered probe: same contract, LUT per cell
+    "sim_ann_filtered_residual" ->
+      (s"WITH ${ivfPqResidualChain("TRUE", FiltNprobe, -1, filtPredSql)} " +
+       annTopkSelect),
+    // the selectivity sweep: one shared unfiltered fused chain, one
+    // suffixed pre/post/truth block per predicate (same CTE shapes as
+    // the single-pred fused recall oracle), unioned with sel tags
+    "sim_ann_filtered_selectivity" -> fusedSelectivitySweepSql,
     // fused pre-vs-post: PRE = the ADC set filtered BEFORE the shortlist
     // cut (ADC rows are per-candidate sums, so filtering them equals
     // filtering the scan), re-ranked by the exact cosine; POST = the

@@ -755,6 +755,25 @@ object Similarity {
       annIvfPqFilteredPostTopK(spark, table, q, pred, k, nprobe, widen))
   }
 
+  /** Selectivity SWEEP of the fused pre-vs-post adjudication — the
+    * measured form of the claim the post-filter scaladoc makes ("recall
+    * collapses as selectivity tightens unless widen/shortlist scale by
+    * ~1/selectivity"): [[annFusedFilteredRecall]] at each labeled
+    * predicate, one (sel, mode, recall) row per (predicate, mode). The
+    * nprobe-sweep methodology applied to the filtered knob: tune by
+    * measurement, not folklore. */
+  def annFusedFilteredSelectivitySweep(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      embeddings: DataFrame, preds: Seq[(String, Column)],
+      nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
+      widen: Int = 3): DataFrame =
+    preds.map { case (tag, p) =>
+      annFusedFilteredRecall(spark, table, embeddings, p, nQueries, k,
+          nprobe, widen)
+        .select(lit(tag).as("sel"), col("mode"), col("recall"))
+    }.reduce(_.unionAll(_))
+      .orderBy(col("sel"), desc("mode"))
+
   /** Build the PQ-FUSED IVF index: the [[buildIvfIndex]] layout with one
     * addition — each inverted-list row also carries the vector's PQ codes
     * ([[Centroids.pqCodes]], 8 small ints for 64 floats), and the
@@ -1195,7 +1214,33 @@ object Similarity {
     * caller-supplied (qid, v) shape; see [[fixtureQueries]]. */
   def annIvfPqResidualTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, k: Int, nprobe: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int): DataFrame =
+    residualAdcTopK(spark, table, queries, k, nprobe, shortlist, identity)
+
+  /** ATTRIBUTE-FILTERED residual (IVFADC) ANN — completes the filtered
+    * contract across the whole compression ladder (raw / SQ8 / PQ /
+    * residual-PQ): the predicate applies to the codes-only scan BEFORE
+    * the per-cell-rebased ADC shortlist cut, same
+    * [[annIvfPqFilteredTopK]] ordering and guarantees. */
+  def annIvfPqResidualFilteredTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, pred: Column, nQueries: Int = 8, k: Int = 3,
+      nprobe: Int = 2, shortlist: Int = -1): DataFrame =
+    annIvfPqResidualFilteredTopK(spark, table,
+      fixtureQueries(spark, table, nQueries), pred, k, nprobe, shortlist)
+
+  /** External-query form of [[annIvfPqResidualFilteredTopK]]. */
+  def annIvfPqResidualFilteredTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, pred: Column, k: Int,
+      nprobe: Int, shortlist: Int): DataFrame =
+    residualAdcTopK(spark, table, queries, k, nprobe, shortlist,
+      _.filter(pred))
+
+  /** The residual ADC pipeline with a pluggable candidate transform —
+    * the [[pqAdcTopK]] single-derivation-site discipline, LUT rebased
+    * per probed cell. */
+  private def residualAdcTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, k: Int, nprobe: Int,
+      shortlist: Int, candFilter: DataFrame => DataFrame): DataFrame = {
     require(fusedEnc(spark, table) == "residual",
       s"$table stores RAW codes — query it with annIvfPqIndexedTopK " +
         "(a per-cell residual ADC table against raw codes mis-scores " +
@@ -1223,7 +1268,8 @@ object Similarity {
     val lut = qsubs.join(broadcast(book), "sub")
       .select(col("qid"), col("cell"), col("sub"),
         col("c_label").as("code"), lutDist.as("sd2"))
-    val cand = idx.select(col("vec_id"), col("cell"), col("codes"))
+    val cand = candFilter(idx).select(col("vec_id"), col("cell"),
+        col("codes"))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("cell"),

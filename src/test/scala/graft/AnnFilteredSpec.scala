@@ -94,6 +94,9 @@ class AnnFilteredSpec extends SparkSpec {
           col("label") === 3)),
       ("sq", tb => Similarity.buildIvfSqIndex(emb, tb),
         tb => Similarity.annIvfSqFilteredTopK(spark, tb,
+          col("label") === 3)),
+      ("pqr", tb => Similarity.buildIvfPqResidualIndex(emb, tb),
+        tb => Similarity.annIvfPqResidualFilteredTopK(spark, tb,
           col("label") === 3)))) {
       val tb = s"graft_ff_test.$tag"
       build(tb)
@@ -123,5 +126,19 @@ class AnnFilteredSpec extends SparkSpec {
     assert(rec("pre") >= rec("post"),
       s"fused post-filter out-recalled pre-filter: $rec")
     assert(rec("pre") > 0.0, "fused pre-filter recall is zero: fixture rot")
+
+    // the selectivity sweep: pre >= post at EVERY selectivity (the
+    // post-mode collapse is monotone in practice but tiny-sf recall
+    // quantization makes strict monotonicity brittle — the invariant
+    // worth pinning is that pre never loses)
+    val sweep = Similarity.annFusedFilteredSelectivitySweep(spark,
+        "graft_ff_test.pq", emb,
+        Seq(("s10", col("label") === 3),
+          ("s03", col("label") === 3 && col("vec_id") % 3 === 0)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    for (tag <- Seq("s10", "s03"))
+      assert(sweep((tag, "pre")) >= sweep((tag, "post")),
+        s"$tag: post out-recalled pre in the sweep: $sweep")
   }
 }
