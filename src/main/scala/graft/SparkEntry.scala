@@ -743,6 +743,14 @@ object SparkEntry {
       Similarity.annIvfSqFilteredTopK(s, "graft_idx.sqf",
         col("label") === 3, FiltNQ, FiltK, FiltNprobe)
     }),
+    // query-only filtered twin off the warm standing IVF index: the
+    // benched number is the filtered DPP-pruned probe + rescore alone
+    // (the bm25_query regime separation for the filtered family — a
+    // filtered-probe plan regression can't hide in build noise). Same
+    // oracle as the build+query filtered row
+    "sim_ann_filtered_query" -> ((s, d) =>
+      Similarity.annIvfFilteredTopK(s, WarmIndex.ivf(s, d),
+        col("label") === 3, FiltNQ, FiltK, FiltNprobe)),
     // the residual (IVFADC) rung's filtered probe — completes the
     // filtered contract across the WHOLE compression ladder (raw / SQ8
     // / PQ / residual-PQ): predicate before the per-cell-rebased ADC
@@ -1695,7 +1703,7 @@ object SparkEntry {
     // adjudication
     "sim_ann_filtered_fused", "sim_ann_filtered_sq",
     "sim_ann_filtered_residual", "sim_ann_filtered_fused_recall",
-    "sim_ann_filtered_selectivity",
+    "sim_ann_filtered_selectivity", "sim_ann_filtered_query",
     // round-16: streaming takedown feed with overlapping redelivery
     "stream_index_delete",
     // round-15: batch hybrid off the two warm standing indexes (shared
@@ -2817,6 +2825,11 @@ object SparkEntry {
     // attribute-filtered probe: the same chain with the predicate on the
     // CANDIDATE set (pre-filter semantics — rank among the survivors)
     "sim_ann_filtered" ->
+      (s"WITH ${ivfTrainedCtesFrom("TRUE", FiltNprobe, filtPredSql)} " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+       s"FROM R WHERE rank <= $FiltK ORDER BY qid, rank"),
+    // the warm query-only twin serves the same rows — one oracle chain
+    "sim_ann_filtered_query" ->
       (s"WITH ${ivfTrainedCtesFrom("TRUE", FiltNprobe, filtPredSql)} " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        s"FROM R WHERE rank <= $FiltK ORDER BY qid, rank"),

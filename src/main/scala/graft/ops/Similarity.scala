@@ -108,7 +108,7 @@ object Similarity {
   /** Sign-sketch bucket: one bit per hyperplane (sign of the projection). */
   def bucketCol(v: Column): Column =
     concat((0 until NumPlanes).map { p =>
-      val s = array(planeSigns(p).map(lit): _*)
+      val s = array(planeSigns(p).toIndexedSeq.map(lit): _*)
       when(dot(v, s) > 0, "1").otherwise("0")
     }: _*)
 

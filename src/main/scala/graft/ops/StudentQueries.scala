@@ -100,7 +100,7 @@ object StudentQueries {
     val bothOrientations = edges.unionByName(
       edges.withColumnRenamed("src", "tmp")
         .withColumnRenamed("dst", "src").withColumnRenamed("tmp", "dst")
-        .select(edges.columns.map(col): _*))
+        .select(edges.columns.toIndexedSeq.map(col): _*))
     val propCols = edges.columns.filterNot(Set("src", "dst", "rel_type")).toSeq
     val interestCols =
       if (hasInterests)

@@ -222,10 +222,16 @@ class IndexDeleteSpec extends SparkSpec {
     assert(dfMap(t) === dfMap(tw),
       "gramdf negative correction diverged from the rebuild's df values")
 
-    // probe plan: broadcast anti-join above the names read
-    val plan = got.queryExecution.executedPlan.toString
+    // probe plan: broadcast anti-join above the names read, and the
+    // postings scan KEEPS its static bucket pruning (the tombstone
+    // filter sits on the names side — the gram probe must be untouched)
+    val gotPlan = got.queryExecution.executedPlan
+    val plan = gotPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"tombstone filter is not a broadcast anti-join:\n$plan")
+    assert(scans(gotPlan).filter(_.relation.partitionSchema.nonEmpty)
+        .exists(_.partitionFilters.nonEmpty),
+      s"tombstone filter broke bucket pruning on the gram scan:\n$plan")
 
     // idempotent re-delete: sidecar AND advisory correction unchanged
     val sidecarRows = spark.table(s"${t}_tombstones").count()
