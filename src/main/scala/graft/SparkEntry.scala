@@ -410,6 +410,24 @@ object SparkEntry {
         st.filter(col("id") % 7 === 3).select(col("id")))
       FuzzySearch.topKIndexed(s, "graft_idx.fuzzydel", fuzzyQuery)
     }),
+    // full-CRUD fuzzy capstone: build 80% -> delta 20% -> delete every
+    // 7th name (victims span both generations) -> compact (folds grams
+    // AND names physically, gramdf-less here so the advisory path stays
+    // out of the priced chain) -> query; rebuild-without-victims oracle
+    "fuzzy_index_lifecycle" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-fuzzy-life")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val st = Tables.students(s, d)
+      FuzzySearch.buildIndex(st.filter(col("id") % 5 =!= 0),
+        "graft_idx.fuzzylife")
+      FuzzySearch.indexDelta("graft_idx.fuzzylife",
+        st.filter(col("id") % 5 === 0))
+      FuzzySearch.indexDelete("graft_idx.fuzzylife",
+        st.filter(col("id") % 7 === 3).select(col("id")))
+      FuzzySearch.compactIndex(s, "graft_idx.fuzzylife")
+      FuzzySearch.topKIndexed(s, "graft_idx.fuzzylife", fuzzyQuery)
+    }),
     // PREFIX-FILTERED fuzzy probe (Chaudhuri et al., ICDE 2006 composed
     // with the Gravano bound): the advisory _gramdf sidecar orders the
     // query's gram occurrences by posting-list length and the probe
@@ -693,6 +711,27 @@ object SparkEntry {
           .select(col("vec_id")))
       Similarity.annIvfIndexedTopK(s, "graft_idx.ivfdel")
     }),
+    // full-CRUD IVF capstone: frozen-quantizer build on 80% -> delta
+    // 20% -> delete every 7th non-anchor vector (victims span both
+    // generations) -> compact (folds delta files AND tombstones, guard
+    // to one bloom) -> query; the quantizer stays frozen on the base
+    // split throughout, so the oracle trains C on the base and excludes
+    // victims from candidates only
+    "sim_ann_ivf_lifecycle" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-life")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val emb = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+        "graft_idx.ivflife")
+      Similarity.ivfIndexDelta("graft_idx.ivflife",
+        emb.filter(col("vec_id") % 5 === 0))
+      Similarity.ivfIndexDelete("graft_idx.ivflife",
+        emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= 8)
+          .select(col("vec_id")))
+      Similarity.compactIvfIndex(s, "graft_idx.ivflife")
+      Similarity.annIvfIndexedTopK(s, "graft_idx.ivflife")
+    }),
     // ATTRIBUTE-FILTERED ANN — the production retrieval shape ("nearest
     // within label = 3"): the lists carry the attribute column, the
     // predicate is PUSHED into the DPP-pruned candidate scan
@@ -742,6 +781,18 @@ object SparkEntry {
       Similarity.buildIvfSqIndex(Tables.embeddings(s, d), "graft_idx.sqf")
       Similarity.annIvfSqFilteredTopK(s, "graft_idx.sqf",
         col("label") === 3, FiltNQ, FiltK, FiltNprobe)
+    }),
+    // PER-QUERY label-matched ANN — the multi-tenant shape a global
+    // predicate can't express: each fixture query retrieves within its
+    // OWN label, the constraint a broadcast join condition above the
+    // DPP-pruned scan (no shuffle, no per-query scan)
+    "sim_ann_label_matched" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-lbl")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      Similarity.buildIvfIndex(Tables.embeddings(s, d), "graft_idx.ivflm")
+      Similarity.annIvfLabelMatchedTopK(s, "graft_idx.ivflm",
+        FiltNQ, FiltK, FiltNprobe)
     }),
     // query-only filtered twin off the warm standing IVF index: the
     // benched number is the filtered DPP-pruned probe + rescore alone
@@ -1309,6 +1360,26 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
       Search.bm25Indexed(s, "graft_idx.bm25del")
     }),
+    // FULL-CRUD lifecycle capstone: build 80% -> delta-ingest 20% ->
+    // delete every 7th doc (victims span BOTH generations) -> compact
+    // (folds the delta generations AND the tombstones physically, stats
+    // to one row, guard to one bloom) -> query. The one row that prices
+    // the whole maintenance story end-to-end; same rebuild-without-
+    // victims oracle as the delete rows
+    "bm25_index_lifecycle" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25-life")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val docs = Tables.documents(s, d)
+      Search.buildIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        "graft_idx.bm25life")
+      Search.indexDelta("graft_idx.bm25life",
+        docs.filter(col("doc_id") % 5 === 0))
+      Search.indexDelete("graft_idx.bm25life",
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      Search.compactIndex(s, "graft_idx.bm25life")
+      Search.bm25Indexed(s, "graft_idx.bm25life")
+    }),
     // STREAMING deletion: the takedown feed as a real bounded stream —
     // two micro-batches whose victim sets OVERLAP (the second file
     // redelivers every id of the first plus the rest), so the benched
@@ -1704,8 +1775,11 @@ object SparkEntry {
     "sim_ann_filtered_fused", "sim_ann_filtered_sq",
     "sim_ann_filtered_residual", "sim_ann_filtered_fused_recall",
     "sim_ann_filtered_selectivity", "sim_ann_filtered_query",
-    // round-16: streaming takedown feed with overlapping redelivery
-    "stream_index_delete",
+    "sim_ann_label_matched",
+    // round-16: streaming takedown feed with overlapping redelivery +
+    // the full-CRUD lifecycle capstone
+    "stream_index_delete", "bm25_index_lifecycle",
+    "fuzzy_index_lifecycle", "sim_ann_ivf_lifecycle",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -2822,12 +2896,31 @@ object SparkEntry {
          "NOT (ec.vec_id % 7 = 3 AND ec.vec_id >= 8)")} " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
+    // full-CRUD capstone: C frozen on the base split, every vector
+    // assigned/probed against it, victims excluded from candidates only
+    "sim_ann_ivf_lifecycle" ->
+      (s"WITH ${ivfTrainedCtesFrom("vec_id % 5 <> 0", FiltNprobe,
+         "NOT (ec.vec_id % 7 = 3 AND ec.vec_id >= 8)")} " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+       "FROM R WHERE rank <= 3 ORDER BY qid, rank"),
     // attribute-filtered probe: the same chain with the predicate on the
     // CANDIDATE set (pre-filter semantics — rank among the survivors)
     "sim_ann_filtered" ->
       (s"WITH ${ivfTrainedCtesFrom("TRUE", FiltNprobe, filtPredSql)} " +
        "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
        s"FROM R WHERE rank <= $FiltK ORDER BY qid, rank"),
+    // per-query label matching: J re-derived with each query's OWN label
+    // from the shared trained-chain CTEs
+    "sim_ann_label_matched" ->
+      (s"WITH ${ivfTrainedCtesFrom("TRUE", FiltNprobe, "TRUE")}, " +
+       s"QL AS (SELECT vec_id AS qid, label AS qlabel FROM E0 WHERE vec_id < $FiltNQ), " +
+       s"JM AS (SELECT p.qid, ec.vec_id, ec.cell, round(${cosSql("ec.v", "QV.qv")}, 6) AS cos " +
+       "FROM PROBE p JOIN EC ec ON ec.cell = p.cell JOIN QV ON QV.qid = p.qid " +
+       "JOIN QL ON QL.qid = p.qid WHERE ec.vec_id <> p.qid AND ec.label = QL.qlabel), " +
+       "RM AS (SELECT qid, vec_id, cell, cos, row_number() OVER " +
+       "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM JM) " +
+       "SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos, cell " +
+       s"FROM RM WHERE rank <= $FiltK ORDER BY qid, rank"),
     // the warm query-only twin serves the same rows — one oracle chain
     "sim_ann_filtered_query" ->
       (s"WITH ${ivfTrainedCtesFrom("TRUE", FiltNprobe, filtPredSql)} " +
@@ -3393,6 +3486,12 @@ object SparkEntry {
     // post-delete probe == the scan chain over the SURVIVING names (the
     // rebuild-without-victims identity, bm25_index_delete's shape)
     "fuzzy_index_delete" -> withStudents(
+      "SELECT id, name, college, board, stream, address, " +
+      s"${levScoreSql("name")} AS score FROM students " +
+      "WHERE id % 7 <> 3 AND " +
+      s"${levScoreSql("name")} >= 70.0 ORDER BY score DESC, id LIMIT 10"),
+    // full-CRUD capstone: base+delta ingested, victims deleted, compacted
+    "fuzzy_index_lifecycle" -> withStudents(
       "SELECT id, name, college, board, stream, address, " +
       s"${levScoreSql("name")} AS score FROM students " +
       "WHERE id % 7 <> 3 AND " +
@@ -4022,6 +4121,9 @@ object SparkEntry {
     // a drained delete stream (with overlapping redelivery) converges to
     // the batch delete's rebuild-without-victims scores
     "stream_index_delete" -> bm25OracleSqlFrom("doc_id % 7 <> 3"),
+    // the full-CRUD capstone: every doc ingested (base + delta), victims
+    // deleted, compacted — the surviving corpus is the same set
+    "bm25_index_lifecycle" -> bm25OracleSqlFrom("doc_id % 7 <> 3"),
     // compaction is layout-only: the compacted index must STILL equal the
     // full-corpus scan-time result row-for-row
     "bm25_index_compact" -> bm25OracleSql,

@@ -300,8 +300,11 @@ object FuzzySearch {
     * tombstone fold) — the [[Search.recoverIndexSwap]] scheme for the
     * unpartitioned names table: roll a complete staged copy forward when
     * the live table is missing, drop a stale staged copy or leftover
-    * retired generation otherwise. Idempotent cheap DDL. */
-  private[ops] def recoverNamesSwap(
+    * retired generation otherwise. Idempotent cheap DDL; public like
+    * its siblings ([[Search.recoverIndexSwap]],
+    * [[Similarity.recoverIvfSwap]]) — swap repair is part of the
+    * maintenance API. */
+  def recoverNamesSwap(
       spark: org.apache.spark.sql.SparkSession, table: String): Boolean = {
     val live = s"${table}_names"
     val staged = s"${table}_names_compacting"

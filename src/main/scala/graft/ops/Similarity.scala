@@ -755,6 +755,50 @@ object Similarity {
       annIvfPqFilteredPostTopK(spark, table, q, pred, k, nprobe, widen))
   }
 
+  /** PER-QUERY label-matched ANN — the multi-tenant retrieval shape
+    * ("each query retrieves within ITS OWN tenant/class"), which a
+    * global predicate ([[annIvfFilteredTopK]]) cannot express: the
+    * query frame carries (qid, v, qlabel) and the candidate constraint
+    * `label = qlabel` is a JOIN condition against the broadcast query
+    * dim — evaluated right above the DPP-pruned cell scan, before the
+    * cosine, so a probe scans its probed cells once and scores only
+    * its own label's rows. Per-query values cannot push as a static
+    * scan filter (they differ per query), but the filter is codegen'd
+    * against the broadcast side — no shuffle, no per-query scan. Exact
+    * within probed cells under each query's own constraint. */
+  def annIvfLabelMatchedTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, nQueries: Int = 8, k: Int = 3,
+      nprobe: Int = 2): DataFrame =
+    annIvfLabelMatchedTopK(spark, table,
+      lists(spark, table).filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("v"),
+          col("label").as("qlabel")), k, nprobe)
+
+  /** External-query form of [[annIvfLabelMatchedTopK]]: `queries` is a
+    * broadcast-sized (qid, v, qlabel) frame. */
+  def annIvfLabelMatchedTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    val cent = spark.table(s"${table}_centroids")
+    val idx = lists(spark, table)
+    val q0 = externalQ0(queries.select(col("qid"), col("v")))
+    val ql = queries.select(col("qid").cast("long").as("qid"),
+      col("qlabel"))
+    val probes = probesFor(q0, cent, nprobe)
+    val q = q0.select(col("qid"), col("qv"), col("qnrm"))
+      .join(ql, "qid").join(probes, "qid")
+    val scored = idx.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid") &&
+        col("label") === col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6)
+          .as("cos"))
+    rankedTopKPerQuery(scored, k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("cos"), 4).as("cos"), col("cell"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Selectivity SWEEP of the fused pre-vs-post adjudication — the
     * measured form of the claim the post-filter scaladoc makes ("recall
     * collapses as selectivity tightens unless widen/shortlist scale by

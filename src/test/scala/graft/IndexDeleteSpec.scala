@@ -263,6 +263,52 @@ class IndexDeleteSpec extends SparkSpec {
       students.filter(col("id") === lit(victimSet.head)))
   }
 
+  test("interrupted names-swap states are recoverable: mid-swap rolls " +
+      "forward, stale staged copy is dropped, ingest preambles repair") {
+    val db = freshDb("nswap")
+    val students = Tables.students(spark, sfDir)
+    val t = s"$db.fz"
+    val q = "customer#000000012"
+    FuzzySearch.buildIndex(students, t)
+    val want = rows(FuzzySearch.topKIndexed(spark, t, q))
+
+    // state: crash AFTER the staged copy completed and the live table
+    // was renamed away, BEFORE the rename-in (the only state with no
+    // readable live table) — recovery must roll the staged copy forward
+    spark.sql(s"CREATE TABLE ${t}_names_compacting AS SELECT * FROM ${t}_names")
+    spark.sql(s"ALTER TABLE ${t}_names RENAME TO ${t}_names_retired")
+    assert(!spark.catalog.tableExists(s"${t}_names"))
+    assert(FuzzySearch.recoverNamesSwap(spark, t),
+      "mid-swap state did not roll forward")
+    assert(spark.catalog.tableExists(s"${t}_names") &&
+      !spark.catalog.tableExists(s"${t}_names_compacting") &&
+      !spark.catalog.tableExists(s"${t}_names_retired"),
+      "roll-forward left swap debris")
+    assert(rows(FuzzySearch.topKIndexed(spark, t, q)) === want,
+      "roll-forward changed the standing names")
+
+    // state: crash DURING staging (staged partial/complete, live intact)
+    // — the live table is authoritative; the stale staged copy drops.
+    // The ingest preamble runs the same repair, so a delta ingests
+    // cleanly over the torn state
+    spark.sql(s"CREATE TABLE ${t}_names_compacting AS " +
+      s"SELECT * FROM ${t}_names LIMIT 1")
+    assert(!FuzzySearch.recoverNamesSwap(spark, t),
+      "a stale staged copy must not roll forward over a live table")
+    assert(!spark.catalog.tableExists(s"${t}_names_compacting"),
+      "stale staged copy not dropped")
+    assert(rows(FuzzySearch.topKIndexed(spark, t, q)) === want,
+      "stale-staged repair changed the standing names")
+
+    // state: crash after rename-in, before the retired drop — leftover
+    // retired generation is dropped on the next recovery
+    spark.sql(s"CREATE TABLE ${t}_names_retired AS " +
+      s"SELECT * FROM ${t}_names LIMIT 1")
+    FuzzySearch.recoverNamesSwap(spark, t)
+    assert(!spark.catalog.tableExists(s"${t}_names_retired"),
+      "leftover retired generation not dropped")
+  }
+
   test("streaming delete feed with overlapping redelivery: replayed " +
       "victims are no-ops (no double-subtracted stats), drained stream " +
       "== batch delete") {
