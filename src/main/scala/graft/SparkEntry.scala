@@ -609,6 +609,24 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0))
     }),
+    // DELETION from the standing band index — right-to-erasure reaches
+    // DERIVED state: an erased doc's minhash signatures must stop
+    // matching future deltas or the pipeline keeps naming it as a
+    // near-dup partner. Build on 80%, tombstone every 7th doc, probe
+    // with the 20% delta; candidates anti-join the broadcast sidecar
+    // ABOVE the bucketed scan (co-located join untouched)
+    "dedup_index_delete" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-lshdel")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val docs = Tables.documents(s, d)
+      DedupIndex.build(docs.filter(col("doc_id") % 5 =!= 0),
+        "graft_idx.lshdel")
+      DedupIndex.indexDelete(s, "graft_idx.lshdel",
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      DedupIndex.candidates(s, "graft_idx.lshdel",
+        docs.filter(col("doc_id") % 5 === 0))
+    }),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "a5_stats" -> ((s, d) =>
       Tables.orders(s, d).agg(
@@ -1780,6 +1798,8 @@ object SparkEntry {
     // the full-CRUD lifecycle capstone
     "stream_index_delete", "bm25_index_lifecycle",
     "fuzzy_index_lifecycle", "sim_ann_ivf_lifecycle",
+    // round-16: erasure reaches derived dedup state (6th family)
+    "dedup_index_delete",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -2622,6 +2642,14 @@ object SparkEntry {
        "JOIN SIZES sb ON sb.doc_id = c.index_id " +
        "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5 " +
        "ORDER BY delta_id, index_id"),
+    // band collisions recomputed over the SURVIVING index docs only
+    "dedup_index_delete" ->
+      (s"WITH $shingleCtes, " +
+       "DB AS (SELECT doc_id AS delta_id, b, k FROM BANDS WHERE doc_id % 5 = 0), " +
+       "IB AS (SELECT doc_id AS index_id, b, k FROM BANDS " +
+       "WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3) " +
+       "SELECT DISTINCT d.delta_id, i.index_id FROM DB d " +
+       "JOIN IB i ON d.b = i.b AND d.k = i.k ORDER BY delta_id, index_id"),
     "a5_stats" ->
       ("SELECT count(DISTINCT o_custkey) AS n_cust, min(o_totalprice) AS min_price, " +
        "max(o_totalprice) AS max_price, " +

@@ -34,14 +34,56 @@ object DedupIndex {
       .format("parquet").saveAsTable(table)
 
   /** Candidate (delta, index) near-dup pairs from band collisions against
-    * the materialized index. */
+    * the materialized index. Tombstoned docs never surface as partners
+    * ([[indexDelete]]): the broadcast anti-join sits ABOVE the bucketed
+    * index scan, so the co-located (b, k) join stays shuffle-free on the
+    * index side. */
   def candidates(spark: SparkSession, table: String, delta: DataFrame): DataFrame = {
-    val ib = spark.table(table)
+    val ib = Tombstones.filter(spark, table, spark.table(table), "doc_id")
       .select(col("doc_id").as("index_id"), col("b"), col("k"))
     val db = Dedup.lshBands(delta)
       .select(col("doc_id").as("delta_id"), col("b"), col("k"))
     db.join(ib, Seq("b", "k"))
       .select(col("delta_id"), col("index_id")).distinct()
       .orderBy(col("delta_id"), col("index_id"))
+  }
+
+  /** DELETE documents from the standing band index — right-to-erasure
+    * includes DERIVED state: a taken-down doc's minhash signatures must
+    * stop matching future deltas, or the pipeline keeps reporting the
+    * erased doc as a near-dup partner. The [[Tombstones]] lifecycle,
+    * 6th standing index family: sidecar append (never a band-table
+    * rewrite), probe-side broadcast anti-join ([[candidates]]),
+    * [[compact]] folds physically. Unknown and already-deleted ids are
+    * ignored; presence is confirmed against the band rows (every
+    * indexed doc with ≥1 shingle has rows; a shingle-less doc stored
+    * nothing and can never collide — nothing to erase). */
+  def indexDelete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    require(spark.catalog.tableExists(table),
+      s"DedupIndex.indexDelete: no standing index at $table — build first")
+    val victims = spark.table(table).select(col("doc_id"))
+      .join(broadcast(Tombstones.freshOnly(spark, table,
+        ids.select(col("doc_id").cast("long").as("doc_id")).distinct(),
+        "doc_id")), Seq("doc_id"), "left_semi")
+      .distinct().localCheckpoint()
+    if (!victims.isEmpty) Tombstones.append(spark, table, victims, "doc_id")
+  }
+
+  /** Compact the band index: rewrite WITHOUT the tombstoned docs through
+    * the crash-recoverable unpartitioned swap ([[Swap]]), preserving the
+    * bucketed-sorted layout (the co-located probe join's clustering
+    * contract), then retire the sidecar. Also the small-files fold for a
+    * future delta-append path. */
+  def compact(spark: SparkSession, table: String, buckets: Int = 8): Unit = {
+    Swap.recoverUnpartitioned(spark, table)
+    Swap.stageThenSwap(spark, table,
+      Tombstones.filter(spark, table, spark.table(table), "doc_id")) {
+      (df, staged) =>
+        df.repartition(buckets, col("b"), col("k"))
+          .write.mode("overwrite")
+          .bucketBy(buckets, "b", "k").sortBy("b", "k")
+          .format("parquet").saveAsTable(staged)
+    }
+    Tombstones.drop(spark, table)
   }
 }

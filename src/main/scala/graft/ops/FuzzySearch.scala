@@ -269,15 +269,13 @@ object FuzzySearch {
       df => Tombstones.filter(spark, table, df, "id"))
     if (spark.catalog.tableExists(Tombstones.sidecar(table))) {
       // physical fold of the victims' name rows through the unpartitioned
-      // staged swap (the Search.compactIndex scheme — stage, rename away,
-      // rename in, drop retired; every intermediate state is one
+      // staged swap ([[Swap]] — every intermediate state is one
       // recoverNamesSwap away from a readable table)
-      val staged = s"${table}_names_compacting"
-      Tombstones.filter(spark, table, spark.table(s"${table}_names"), "id")
-        .write.mode("overwrite").format("parquet").saveAsTable(staged)
-      spark.sql(s"ALTER TABLE ${table}_names RENAME TO ${table}_names_retired")
-      spark.sql(s"ALTER TABLE $staged RENAME TO ${table}_names")
-      spark.sql(s"DROP TABLE ${table}_names_retired")
+      Swap.stageThenSwap(spark, s"${table}_names",
+        Tombstones.filter(spark, table, spark.table(s"${table}_names"),
+          "id")) { (df, staged) =>
+        df.write.mode("overwrite").format("parquet").saveAsTable(staged)
+      }
     }
     graft.ops.IngestGuard.write(spark,
       spark.table(s"${table}_names").select(col("id")), "id", table,
@@ -300,27 +298,13 @@ object FuzzySearch {
     * tombstone fold) — the [[Search.recoverIndexSwap]] scheme for the
     * unpartitioned names table: roll a complete staged copy forward when
     * the live table is missing, drop a stale staged copy or leftover
-    * retired generation otherwise. Idempotent cheap DDL; public like
-    * its siblings ([[Search.recoverIndexSwap]],
-    * [[Similarity.recoverIvfSwap]]) — swap repair is part of the
-    * maintenance API. */
+    * retired generation otherwise. Idempotent cheap DDL ([[Swap]]'s
+    * generic core); public like its siblings
+    * ([[Search.recoverIndexSwap]], [[Similarity.recoverIvfSwap]]) —
+    * swap repair is part of the maintenance API. */
   def recoverNamesSwap(
-      spark: org.apache.spark.sql.SparkSession, table: String): Boolean = {
-    val live = s"${table}_names"
-    val staged = s"${table}_names_compacting"
-    val retired = s"${table}_names_retired"
-    val rolledForward =
-      if (!spark.catalog.tableExists(live) &&
-          spark.catalog.tableExists(staged)) {
-        spark.sql(s"ALTER TABLE $staged RENAME TO $live")
-        true
-      } else false
-    if (spark.catalog.tableExists(live) && spark.catalog.tableExists(staged))
-      spark.sql(s"DROP TABLE $staged")
-    if (spark.catalog.tableExists(live) && spark.catalog.tableExists(retired))
-      spark.sql(s"DROP TABLE $retired")
-    rolledForward
-  }
+      spark: org.apache.spark.sql.SparkSession, table: String): Boolean =
+    Swap.recoverUnpartitioned(spark, s"${table}_names")
 
   /** Compaction policy — [[Similarity.compactIvfIfNeeded]] for the
     * fuzzy index: trigger on ingest generations or cumulative guard

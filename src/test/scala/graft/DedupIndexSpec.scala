@@ -69,4 +69,62 @@ class DedupIndexSpec extends SparkSpec {
       assert(n <= 2, s"index side re-shuffled ($n hash exchanges):\n$exec")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("indexDelete: erased docs stop matching; compact folds physically " +
+      "and keeps the bucketed layout") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val index = docs.filter(col("doc_id") % 5 =!= 0)
+
+    val wh = Files.createTempDirectory("graft-lshdel-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_lshdel LOCATION '$wh'")
+    val t = "graft_lshdel.bands"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    DedupIndex.build(index, t)
+
+    // maximal teeth: victims drawn FROM the pre-delete partner set
+    // (every other partner), so the delete provably changes the result
+    val before = DedupIndex.candidates(spark, t, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val victimSet = before.map(_._2).toSeq.sorted.zipWithIndex
+      .collect { case (id, i) if i % 2 == 0 => id }.toSet
+    assert(victimSet.nonEmpty,
+      "fixture rot: no pre-delete partners to delete")
+
+    import spark.implicits._
+    DedupIndex.indexDelete(spark, t,
+      victimSet.toSeq.toDF("doc_id"))
+    val got = DedupIndex.candidates(spark, t, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === before.filterNot(p => victimSet(p._2)),
+      "post-delete candidates differ from the erased-partner filter")
+    // probe plan: broadcast anti-join, bucketed scan intact
+    val plan = DedupIndex.candidates(spark, t, delta)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"tombstone filter is not an anti-join:\n$plan")
+
+    // re-delete is a no-op on the sidecar
+    val sidecarRows = spark.table(s"${t}_tombstones").count()
+    DedupIndex.indexDelete(spark, t, victimSet.toSeq.toDF("doc_id"))
+    assert(spark.table(s"${t}_tombstones").count() === sidecarRows,
+      "re-delete appended duplicate tombstones")
+
+    // compact: victims physically gone, sidecar dropped, candidates
+    // unchanged, and the rewritten table still answers with a bucketed
+    // scan (the co-located probe contract survives the fold)
+    DedupIndex.compact(spark, t)
+    assert(!spark.catalog.tableExists(s"${t}_tombstones"),
+      "compaction left the tombstone sidecar standing")
+    assert(spark.table(t)
+        .filter(col("doc_id").isin(victimSet.toSeq: _*)).count() === 0,
+      "compaction left tombstoned band rows physically present")
+    val after = DedupIndex.candidates(spark, t, delta)
+    assert(after.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        === got, "compaction moved the candidate set")
+    assert(after.queryExecution.executedPlan.toString
+        .contains("Bucketed: true"),
+      "compaction lost the bucketed layout")
+  }
 }
