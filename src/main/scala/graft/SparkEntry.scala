@@ -627,6 +627,26 @@ object SparkEntry {
       DedupIndex.candidates(s, "graft_idx.lshdel",
         docs.filter(col("doc_id") % 5 === 0))
     }),
+    // full-CRUD band-index capstone: build on the odd half of the index
+    // docs -> delta-append the even half (bands derive from the delta
+    // alone into the bucketed layout; guarded) -> delete every 7th doc
+    // -> compact (fold + guard rebuild + sidecar retire) -> probe
+    "dedup_index_lifecycle" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-lshlife")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val docs = Tables.documents(s, d)
+      val idx = docs.filter(col("doc_id") % 5 =!= 0)
+      DedupIndex.build(idx.filter(col("doc_id") % 2 === 1),
+        "graft_idx.lshlife")
+      DedupIndex.delta(s, "graft_idx.lshlife",
+        idx.filter(col("doc_id") % 2 === 0))
+      DedupIndex.indexDelete(s, "graft_idx.lshlife",
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      DedupIndex.compact(s, "graft_idx.lshlife")
+      DedupIndex.candidates(s, "graft_idx.lshlife",
+        docs.filter(col("doc_id") % 5 === 0))
+    }),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "a5_stats" -> ((s, d) =>
       Tables.orders(s, d).agg(
@@ -1799,7 +1819,7 @@ object SparkEntry {
     "stream_index_delete", "bm25_index_lifecycle",
     "fuzzy_index_lifecycle", "sim_ann_ivf_lifecycle",
     // round-16: erasure reaches derived dedup state (6th family)
-    "dedup_index_delete",
+    "dedup_index_delete", "dedup_index_lifecycle",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -2642,6 +2662,14 @@ object SparkEntry {
        "JOIN SIZES sb ON sb.doc_id = c.index_id " +
        "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5 " +
        "ORDER BY delta_id, index_id"),
+    // capstone: base+delta invisible in the final state — survivors only
+    "dedup_index_lifecycle" ->
+      (s"WITH $shingleCtes, " +
+       "DB AS (SELECT doc_id AS delta_id, b, k FROM BANDS WHERE doc_id % 5 = 0), " +
+       "IB AS (SELECT doc_id AS index_id, b, k FROM BANDS " +
+       "WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3) " +
+       "SELECT DISTINCT d.delta_id, i.index_id FROM DB d " +
+       "JOIN IB i ON d.b = i.b AND d.k = i.k ORDER BY delta_id, index_id"),
     // band collisions recomputed over the SURVIVING index docs only
     "dedup_index_delete" ->
       (s"WITH $shingleCtes, " +

@@ -27,11 +27,42 @@ object DedupIndex {
     * at corpus scale pick shuffle-partition-sized buckets; the join works
     * unchanged at any value because the bucket count only constrains the
     * delta side's matching exchange. */
-  def build(docs: DataFrame, table: String, buckets: Int = 8): Unit =
+  def build(docs: DataFrame, table: String, buckets: Int = 8): Unit = {
     Dedup.lshBands(docs)
       .write.mode("overwrite")
       .bucketBy(buckets, "b", "k").sortBy("b", "k")
       .format("parquet").saveAsTable(table)
+    IngestGuard.write(docs.sparkSession, docs, "doc_id", table,
+      overwrite = true)
+  }
+
+  /** Incremental ingest into the standing band index — the
+    * [[Search.indexDelta]] contract for LSH bands: the delta's band rows
+    * derive from the DELTA ALONE and append into the bucketed layout
+    * (the writer shuffles only the delta to match the bucket spec; the
+    * standing corpus is never read), so ingest cost is independent of
+    * index size. Band rows are purely additive with NO stored aggregate,
+    * and [[candidates]] dedups pairs — a re-ingested doc_id would not
+    * corrupt RESULTS, only duplicate its rows physically (cost, file
+    * growth) — but the loud [[IngestGuard]] discipline applies anyway:
+    * silent physical duplication is how an index doubles between
+    * compactions without anyone noticing. */
+  def delta(spark: SparkSession, table: String, newDocs: DataFrame,
+      buckets: Int = 8): Unit = {
+    if (newDocs.isEmpty) return
+    Swap.recoverUnpartitioned(spark, table)
+    require(spark.catalog.tableExists(table),
+      s"DedupIndex.delta needs a standing index: $table not found — " +
+        "run build first")
+    IngestGuard.assertDisjoint(spark, table, newDocs, "doc_id",
+      spark.table(table), "DedupIndex.delta")
+    Dedup.lshBands(newDocs)
+      .repartition(buckets, col("b"), col("k"))
+      .write.mode("append")
+      .bucketBy(buckets, "b", "k").sortBy("b", "k")
+      .format("parquet").saveAsTable(table)
+    IngestGuard.write(spark, newDocs, "doc_id", table, overwrite = false)
+  }
 
   /** Candidate (delta, index) near-dup pairs from band collisions against
     * the materialized index. Tombstoned docs never surface as partners
@@ -84,6 +115,11 @@ object DedupIndex {
           .bucketBy(buckets, "b", "k").sortBy("b", "k")
           .format("parquet").saveAsTable(staged)
     }
+    // guard refolds to one bloom over the SURVIVORS (a deleted doc_id
+    // becomes re-ingestable, per-batch blobs collapse), sidecar last
+    IngestGuard.write(spark,
+      spark.table(table).select(col("doc_id")).distinct(), "doc_id",
+      table, overwrite = true)
     Tombstones.drop(spark, table)
   }
 }

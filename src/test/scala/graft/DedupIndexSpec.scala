@@ -127,4 +127,39 @@ class DedupIndexSpec extends SparkSpec {
         .contains("Bucketed: true"),
       "compaction lost the bucketed layout")
   }
+
+  test("delta append: merged index == build-at-once; re-ingest refused; " +
+      "post-compact re-ingest of a deleted id is a plain insert") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val index = docs.filter(col("doc_id") % 5 =!= 0)
+
+    val wh = Files.createTempDirectory("graft-lshd-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_lshd LOCATION '$wh'")
+    val t = "graft_lshd.bands"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    DedupIndex.build(index.filter(col("doc_id") % 2 === 1), t)
+    DedupIndex.delta(spark, t, index.filter(col("doc_id") % 2 === 0))
+
+    val tw = "graft_lshd.whole"
+    spark.sql(s"DROP TABLE IF EXISTS $tw")
+    DedupIndex.build(index, tw)
+    assert(DedupIndex.candidates(spark, t, delta).collect().toSeq
+        === DedupIndex.candidates(spark, tw, delta).collect().toSeq,
+      "delta-grown index diverged from the build-at-once candidates")
+
+    // re-ingest is refused loudly (silent physical duplication is how an
+    // index doubles between compactions)
+    intercept[IllegalArgumentException] {
+      DedupIndex.delta(spark, t, index.limit(1))
+    }
+
+    // delete + compact: the deleted id becomes re-ingestable (guard
+    // rebuilt from survivors)
+    val victim = index.select(col("doc_id")).limit(1)
+    DedupIndex.indexDelete(spark, t, victim)
+    DedupIndex.compact(spark, t)
+    DedupIndex.delta(spark, t, index.join(victim, Seq("doc_id"), "left_semi"))
+  }
 }
