@@ -647,6 +647,28 @@ object SparkEntry {
       DedupIndex.candidates(s, "graft_idx.lshlife",
         docs.filter(col("doc_id") % 5 === 0))
     }),
+    // streaming band-index ingest: index docs arrive as a REAL bounded
+    // stream (two files, the second overlapping the first — replay in
+    // the benched row); after the drain, candidates must equal the
+    // build-at-once collisions
+    "stream_dedup_ingest" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-lsh-stream")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val docs = Tables.documents(s, d)
+      val idx = docs.filter(col("doc_id") % 5 =!= 0)
+      val feed = java.nio.file.Files.createTempDirectory("graft-lsh-feed")
+        .toFile.getAbsolutePath + "/in"
+      idx.filter(col("doc_id") % 2 === 1).repartition(1).write.parquet(feed)
+      idx.repartition(1).write.mode("append").parquet(feed)
+      val q = graft.streaming.Streams.incrementalDedupIndexing(
+        s.readStream.schema(idx.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        "graft_idx.lshstream")
+      q.processAllAvailable(); q.stop()
+      DedupIndex.candidates(s, "graft_idx.lshstream",
+        docs.filter(col("doc_id") % 5 === 0))
+    }),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "a5_stats" -> ((s, d) =>
       Tables.orders(s, d).agg(
@@ -1819,7 +1841,7 @@ object SparkEntry {
     "stream_index_delete", "bm25_index_lifecycle",
     "fuzzy_index_lifecycle", "sim_ann_ivf_lifecycle",
     // round-16: erasure reaches derived dedup state (6th family)
-    "dedup_index_delete", "dedup_index_lifecycle",
+    "dedup_index_delete", "dedup_index_lifecycle", "stream_dedup_ingest",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -2662,6 +2684,14 @@ object SparkEntry {
        "JOIN SIZES sb ON sb.doc_id = c.index_id " +
        "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5 " +
        "ORDER BY delta_id, index_id"),
+    // a drained (replay-overlapped) band-ingest stream converges to the
+    // build-at-once collisions
+    "stream_dedup_ingest" ->
+      (s"WITH $shingleCtes, " +
+       "DB AS (SELECT doc_id AS delta_id, b, k FROM BANDS WHERE doc_id % 5 = 0), " +
+       "IB AS (SELECT doc_id AS index_id, b, k FROM BANDS WHERE doc_id % 5 <> 0) " +
+       "SELECT DISTINCT d.delta_id, i.index_id FROM DB d " +
+       "JOIN IB i ON d.b = i.b AND d.k = i.k ORDER BY delta_id, index_id"),
     // capstone: base+delta invisible in the final state — survivors only
     "dedup_index_lifecycle" ->
       (s"WITH $shingleCtes, " +

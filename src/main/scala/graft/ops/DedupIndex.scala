@@ -79,6 +79,35 @@ object DedupIndex {
       .orderBy(col("delta_id"), col("index_id"))
   }
 
+  /** At-least-once-safe band ingest — [[delta]]'s idempotent twin (the
+    * family-wide streaming contract): a replayed micro-batch is a
+    * no-op. Replay filter: exact confirmation only for the bloom-suspect
+    * SLIVER of the batch (the standing doc_id column is probed against
+    * the broadcast sliver — delta-proportional); the novel set is
+    * lineage-cut before the append (it derives from the table being
+    * appended to). Batch 0 bootstraps an empty catalog. */
+  def deltaIdempotent(spark: SparkSession, table: String,
+      newDocs: DataFrame): Unit = {
+    Swap.recoverUnpartitioned(spark, table)
+    if (!spark.catalog.tableExists(table)) { build(newDocs, table); return }
+    val novel = IngestGuard.suspectPredicate(spark, table, "doc_id") match {
+      case Some(hit) =>
+        val suspects = newDocs.select(col("doc_id")).distinct().filter(hit)
+        if (suspects.isEmpty) newDocs
+        else {
+          val present = spark.table(table).select(col("doc_id"))
+            .join(broadcast(suspects), Seq("doc_id"), "left_semi")
+            .distinct()
+          newDocs.join(broadcast(present), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+        }
+      case None =>
+        newDocs.join(spark.table(table).select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+    }
+    if (!novel.isEmpty) delta(spark, table, novel)
+  }
+
   /** DELETE documents from the standing band index — right-to-erasure
     * includes DERIVED state: a taken-down doc's minhash signatures must
     * stop matching future deltas, or the pipeline keeps reporting the

@@ -381,6 +381,25 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming ingest into the standing LSH band index —
+    * [[incrementalIndexing]] for the dedup family: each micro-batch runs
+    * [[graft.ops.DedupIndex.deltaIdempotent]] (at-least-once replays are
+    * no-ops — a replayed doc would duplicate its band rows physically);
+    * batch 0 bootstraps an empty catalog. A drained stream serves
+    * [[graft.ops.DedupIndex.candidates]] identically to a one-shot
+    * build. Completes streaming-safe ingest symmetry across all SIX
+    * standing index families. */
+  def incrementalDedupIndexing(newDocs: DataFrame,
+      table: String): StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.DedupIndex.deltaIdempotent(batch.sparkSession, table,
+          batch)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming DELETION from a standing index — the takedown feed
     * (right-to-erasure ids arriving continuously) as a `foreachBatch`
     * sink: each micro-batch applies the family's tombstone delete
