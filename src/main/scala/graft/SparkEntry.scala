@@ -175,6 +175,15 @@ object SparkEntry {
     // on arrays in round 1), and a global total-order over tens of millions
     // of edge rows is pure overhead nobody would run at 100 TB.
     "edges_backfill" -> ((s, d) => EdgeRules.backfill(Tables.students(s, d))),
+    // DETACH DELETE (beyond-reference: the reference has no delete
+    // endpoint) — node removal takes every incident edge with it in one
+    // pushed-predicate pass over the edge table; output = the surviving
+    // edges, the part a dangling-edge bug would corrupt
+    "ingest_detach_delete" -> ((s, d) => {
+      val st = Tables.students(s, d)
+      val (_, edges) = Ingest.detachDelete(st, EdgeRules.backfill(st), 3L)
+      edges.orderBy(col("rel_type"), col("src"), col("dst"))
+    }),
     // Skew-resilience evidence (round-4 verdict item 8): the same salted
     // pair join driven by a deliberately Zipfian 3-value key (80/10/10 over
     // a FIXED 12k-student slice — a controlled workload, identical at every
@@ -3452,6 +3461,11 @@ object SparkEntry {
       "(SELECT 1 FROM orders o WHERE o.o_custkey = st.id) ORDER BY id"),
     "edges_backfill" -> withStudents(
       s", e AS ($edgesSql) SELECT * FROM e ORDER BY rel_type, src, dst"),
+    // DETACH DELETE: the backfilled edge view minus every edge incident
+    // to the victim (node removal is the trivial id filter)
+    "ingest_detach_delete" -> withStudents(
+      s", e AS ($edgesSql) SELECT * FROM e WHERE src <> 3 AND dst <> 3 " +
+      "ORDER BY rel_type, src, dst"),
     // neighbor-set jaccard: undirected 4-rule edge view TRUNCATED to the
     // 32 smallest neighbor ids per node (the bounded-state GDS-style
     // slice), wedge join for common neighbors, inner (>=1 shared

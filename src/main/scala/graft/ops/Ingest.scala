@@ -86,4 +86,19 @@ object Ingest {
       .withColumn("stream", lower(col("stream")))
     (updated, updated.count())
   }
+
+  /** DETACH DELETE — Neo4j's node-removal semantics (`DETACH DELETE s`
+    * drops the node AND every incident relationship atomically), which
+    * the reference's CRUD surface omits entirely (no delete endpoint
+    * exists); this is the beyond-reference completion of the S-series
+    * write path, the node-graph sibling of the index families'
+    * [[Tombstones]] lifecycle. Copy-on-write like [[syncLowercase]]:
+    * returns the filtered (students, edges) frames — at scale both are
+    * pushed-predicate scans writing a new generation, never in-place
+    * mutations, and the edge filter is ONE pass over the edge table
+    * (src ≠ id ∧ dst ≠ id), not a per-rule rebuild. */
+  def detachDelete(students: DataFrame, edges: DataFrame,
+      id: Long): (DataFrame, DataFrame) =
+    (students.filter(col("id") =!= id),
+      edges.filter(col("src") =!= id && col("dst") =!= id))
 }
