@@ -656,6 +656,47 @@ object SparkEntry {
       DedupIndex.candidates(s, "graft_idx.lshlife",
         docs.filter(col("doc_id") % 5 === 0))
     }),
+    // INCREMENTALLY-MAINTAINED MATERIALIZED AGGREGATE (IVM): the
+    // additive-stats discipline as a user-facing view — build folds the
+    // base once, read folds the additive generations; bit-exact DECIMAL
+    // sums (the money-math discipline)
+    "mv_orders_build" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-mv")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val o = Tables.orders(s, d)
+        .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+      MatView.build(o, "graft_idx.mvo", Seq("o_custkey"), Seq("price"),
+        "o_orderkey")
+      MatView.read(s, "graft_idx.mvo", Seq("o_custkey"), Seq("price"))
+        .select(col("o_custkey"), col("cnt").as("n_orders"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy(col("o_custkey"))
+    }),
+    // the IVM lifecycle: build 80% -> delta 20% (delta-sized refresh,
+    // base never re-read) -> delete every 7th order (negated partials)
+    // -> compact (fold to one row per key) -> read == GROUP BY over the
+    // survivors, bit-exact
+    "mv_orders_lifecycle" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-mvl")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val o = Tables.orders(s, d)
+        .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+      MatView.build(o.filter(col("o_orderkey") % 5 =!= 0),
+        "graft_idx.mvol", Seq("o_custkey"), Seq("price"), "o_orderkey")
+      MatView.delta("graft_idx.mvol",
+        o.filter(col("o_orderkey") % 5 === 0),
+        Seq("o_custkey"), Seq("price"), "o_orderkey")
+      MatView.deleteRows("graft_idx.mvol",
+        o.filter(col("o_orderkey") % 7 === 3),
+        Seq("o_custkey"), Seq("price"))
+      MatView.compact(s, "graft_idx.mvol", Seq("o_custkey"), Seq("price"))
+      MatView.read(s, "graft_idx.mvol", Seq("o_custkey"), Seq("price"))
+        .select(col("o_custkey"), col("cnt").as("n_orders"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy(col("o_custkey"))
+    }),
     // streaming band-index ingest: index docs arrive as a REAL bounded
     // stream (two files, the second overlapping the first — replay in
     // the benched row); after the drain, candidates must equal the
@@ -1851,6 +1892,8 @@ object SparkEntry {
     "fuzzy_index_lifecycle", "sim_ann_ivf_lifecycle",
     // round-16: erasure reaches derived dedup state (6th family)
     "dedup_index_delete", "dedup_index_lifecycle", "stream_dedup_ingest",
+    // round-16: incrementally-maintained materialized aggregate (IVM)
+    "mv_orders_build", "mv_orders_lifecycle",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -2693,6 +2736,17 @@ object SparkEntry {
        "JOIN SIZES sb ON sb.doc_id = c.index_id " +
        "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5 " +
        "ORDER BY delta_id, index_id"),
+    // the folded view == a from-scratch GROUP BY, bit-exact decimal sums
+    "mv_orders_build" ->
+      ("SELECT o_custkey, count(*) AS n_orders, " +
+       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+       "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+    // after delta + delete + compact: the survivors' GROUP BY exactly
+    "mv_orders_lifecycle" ->
+      ("SELECT o_custkey, count(*) AS n_orders, " +
+       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+       "FROM orders WHERE o_orderkey % 7 <> 3 " +
+       "GROUP BY o_custkey ORDER BY o_custkey"),
     // a drained (replay-overlapped) band-ingest stream converges to the
     // build-at-once collisions
     "stream_dedup_ingest" ->
