@@ -1722,6 +1722,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
     }),
+    // CO-LOCATED fact-fact join: both facts written bucketed on the
+    // join key -> the SortMergeJoin consumes the bucketed scans with
+    // ZERO exchange and zero sort on either side (plan-asserted in
+    // BucketedJoinSpec) — at 100 TB the single biggest shuffle in the
+    // q-series moved to write time, paid once
+    "layout_bucketed_join" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-buck")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      graft.sources.Layout.writeBucketed(Tables.orders(s, d),
+        "graft_idx.bko", "o_orderkey")
+      graft.sources.Layout.writeBucketed(Tables.lineitem(s, d),
+        "graft_idx.bkl", "l_orderkey")
+      s.table("graft_idx.bko")
+        .join(s.table("graft_idx.bkl"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))"))
+            .cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // DYNAMIC partition pruning: the filter lives on a joined date dim,
     // not the fact — Spark pushes the dim's surviving keys into the
     // fact scan's partition filters at runtime (star-schema shape;
@@ -1892,8 +1915,9 @@ object SparkEntry {
     "fuzzy_index_lifecycle", "sim_ann_ivf_lifecycle",
     // round-16: erasure reaches derived dedup state (6th family)
     "dedup_index_delete", "dedup_index_lifecycle", "stream_dedup_ingest",
-    // round-16: incrementally-maintained materialized aggregate (IVM)
-    "mv_orders_build", "mv_orders_lifecycle",
+    // round-16: incrementally-maintained materialized aggregate (IVM) +
+    // the co-located fact-fact bucketed join
+    "mv_orders_build", "mv_orders_lifecycle", "layout_bucketed_join",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -2736,6 +2760,13 @@ object SparkEntry {
        "JOIN SIZES sb ON sb.doc_id = c.index_id " +
        "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5 " +
        "ORDER BY delta_id, index_id"),
+    // co-located join result == the plain join over the base tables
+    "layout_bucketed_join" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+       "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+       "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     // the folded view == a from-scratch GROUP BY, bit-exact decimal sums
     "mv_orders_build" ->
       ("SELECT o_custkey, count(*) AS n_orders, " +

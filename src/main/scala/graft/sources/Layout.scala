@@ -76,6 +76,29 @@ object Layout {
     * partition column must stay bounded-cardinality (days — not user
     * ids), or the small-files problem this module exists to prevent
     * comes back through the directory tree. */
+  /** CO-LOCATED fact-fact join via write-side bucketing — the third
+    * layout lever, and at 100 TB the biggest one: a fact×fact equi-join
+    * (orders×lineitem on orderkey) normally shuffles BOTH inputs; with
+    * both tables written `bucketBy(n, key).sortBy(key)` on the SAME key
+    * with the SAME bucket count, Spark's SortMergeJoin consumes the
+    * bucketed scans directly — ZERO exchange on either side
+    * (`BucketedJoinSpec` plan-asserts it): the network cost, which is
+    * the 100 TB cost, moves to WRITE time, paid once, amortized over
+    * every subsequent join — the standard warehouse discipline (Hive
+    * bucketed tables, lakehouse clustered tables) expressed with plain
+    * writer primitives. A LOCAL per-partition sort remains in the join
+    * plan: Spark deliberately does not propagate sortBy file order from
+    * bucketed scans (a bucket spread over several files would
+    * interleave), so the nearly-sorted runs re-sort in memory — cheap,
+    * no IO, no network; `sortBy` still pays for itself via run-merge
+    * locality and parquet footer stats. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int = 8): Unit =
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   def writeDatePartitioned(events: DataFrame, dir: String): Unit =
     events.withColumn("event_date", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("event_date").parquet(dir)
