@@ -29,7 +29,15 @@ import org.apache.spark.sql.functions._
   * caller-named unique row-id column; deletes trust the caller to
   * deliver each victim ROW exactly once (the view stores no per-row
   * identity — at scale the base table's own delete pipeline, e.g. a
-  * [[Tombstones]] victims frame, is the driver). */
+  * [[Tombstones]] victims frame, is the driver).
+  *
+  * SCOPE: additive measures only — count, sum, and anything derivable
+  * from them at read time (avg = sum/cnt). min/max are deliberately NOT
+  * offered: they are insert-maintainable but not delete-maintainable
+  * (removing the current min needs the runner-up, which only the base
+  * rows know) — a min/max view under deletes is a recompute-on-affected-
+  * groups structure, a different design with base-read refresh cost,
+  * and pretending otherwise here would be a silent-wrong-answer trap. */
 object MatView {
 
   private def partial(df: DataFrame, keys: Seq[String],

@@ -155,6 +155,23 @@ class DedupIndexSpec extends SparkSpec {
       DedupIndex.delta(spark, t, index.limit(1))
     }
 
+    // the idempotent twin SKIPS a replayed batch instead: physical band
+    // row count must not move (candidates() would mask duplication via
+    // its distinct — the row count is the real claim)
+    val bandRows = spark.table(t).count()
+    DedupIndex.deltaIdempotent(spark, t,
+      index.filter(col("doc_id") % 2 === 0))
+    assert(spark.table(t).count() === bandRows,
+      "deltaIdempotent re-appended a fully-replayed batch")
+    // and a mixed novel+replay batch ingests exactly the novel rows —
+    // feed one standing doc + one brand-new synthetic doc
+    val novelDoc = index.limit(1)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val novelBands = graft.ops.Dedup.lshBands(novelDoc).count()
+    DedupIndex.deltaIdempotent(spark, t, index.limit(1).unionByName(novelDoc))
+    assert(spark.table(t).count() === bandRows + novelBands,
+      "mixed novel+replay batch did not ingest exactly the novel rows")
+
     // delete + compact: the deleted id becomes re-ingestable (guard
     // rebuilt from survivors)
     val victim = index.select(col("doc_id")).limit(1)
