@@ -697,6 +697,32 @@ object SparkEntry {
           col("sum_price").cast("double").as("sum_price"))
         .orderBy(col("o_custkey"))
     }),
+    // STREAMING view maintenance: order rows arrive as a real bounded
+    // stream, each micro-batch folds its delta-sized partials under the
+    // batch-id ledger (same-bid crash redelivery is a no-op — spec-gated
+    // directly, since a file feed can't replay a committed batch id);
+    // the drained view answers the one-shot GROUP BY oracle
+    "stream_mv_ingest" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-mvs")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val o = Tables.orders(s, d)
+        .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+      val feed = java.nio.file.Files.createTempDirectory("graft-mv-feed")
+        .toFile.getAbsolutePath + "/in"
+      o.filter(col("o_orderkey") % 2 === 1).repartition(1).write.parquet(feed)
+      o.filter(col("o_orderkey") % 2 === 0).repartition(1)
+        .write.mode("append").parquet(feed)
+      val q = graft.streaming.Streams.incrementalViewMaintenance(
+        s.readStream.schema(o.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        "graft_idx.mvs", Seq("o_custkey"), Seq("price"), "o_orderkey")
+      q.processAllAvailable(); q.stop()
+      MatView.read(s, "graft_idx.mvs", Seq("o_custkey"), Seq("price"))
+        .select(col("o_custkey"), col("cnt").as("n_orders"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy(col("o_custkey"))
+    }),
     // streaming band-index ingest: index docs arrive as a REAL bounded
     // stream (two files, the second overlapping the first — replay in
     // the benched row); after the drain, candidates must equal the
@@ -1917,7 +1943,8 @@ object SparkEntry {
     "dedup_index_delete", "dedup_index_lifecycle", "stream_dedup_ingest",
     // round-16: incrementally-maintained materialized aggregate (IVM) +
     // the co-located fact-fact bucketed join
-    "mv_orders_build", "mv_orders_lifecycle", "layout_bucketed_join",
+    "mv_orders_build", "mv_orders_lifecycle", "stream_mv_ingest",
+    "layout_bucketed_join",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -2778,6 +2805,11 @@ object SparkEntry {
        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
        "FROM orders WHERE o_orderkey % 7 <> 3 " +
        "GROUP BY o_custkey ORDER BY o_custkey"),
+    // a drained view-maintenance stream == the one-shot GROUP BY
+    "stream_mv_ingest" ->
+      ("SELECT o_custkey, count(*) AS n_orders, " +
+       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+       "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
     // a drained (replay-overlapped) band-ingest stream converges to the
     // build-at-once collisions
     "stream_dedup_ingest" ->

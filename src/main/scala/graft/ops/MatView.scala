@@ -114,6 +114,43 @@ object MatView {
         sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
       .filter(col("cnt") > 0)
 
+  /** Streaming maintenance: fold ONE micro-batch under BATCH-ID
+    * idempotence — the standard exactly-once `foreachBatch` recipe (a
+    * batch-id ledger instead of row identity, which the view doesn't
+    * keep): batch `bid` appends its partials once; a redelivered bid is
+    * skipped entirely. SCOPE (the family-wide streaming contract): this
+    * closes the REDELIVERY window — a batch fully folded but redelivered
+    * because the crash hit between the fold and the stream's checkpoint
+    * commit. A crash INSIDE the two appends (partials written, ledger
+    * not) is the single-writer recovery scenario every multi-table
+    * append shares: rebuild the view (delta-cheapness makes that rare
+    * pain acceptable; a per-row ledger would change the structure's
+    * whole cost model). Batch 0 bootstraps an empty catalog. */
+  def foldBatch(table: String, bid: Long, df: DataFrame,
+      keys: Seq[String], sums: Seq[String], idCol: String): Unit = {
+    val spark = df.sparkSession
+    val ledger = s"${table}_batches"
+    if (!spark.catalog.tableExists(s"${table}_mv")) {
+      build(df, table, keys, sums, idCol)
+      writeLedger(spark, ledger, bid); return
+    }
+    if (spark.catalog.tableExists(ledger) &&
+        spark.table(ledger).filter(col("bid") === bid).take(1).nonEmpty)
+      return // redelivered batch: already folded
+    if (df.isEmpty) { writeLedger(spark, ledger, bid); return }
+    partial(df, keys, sums)
+      .write.mode("append").format("parquet").saveAsTable(s"${table}_mv")
+    IngestGuard.write(spark, df, idCol, table, overwrite = false)
+    writeLedger(spark, ledger, bid)
+  }
+
+  private def writeLedger(spark: SparkSession, ledger: String,
+      bid: Long): Unit = {
+    import spark.implicits._
+    Seq(bid).toDF("bid").coalesce(1)
+      .write.mode("append").format("parquet").saveAsTable(ledger)
+  }
+
   /** Fold the generations physically to one row per key through the
     * crash-recoverable staged swap — read cost back to ~|keys|. The
     * guard sidecar is left as-is: unlike the index families the view

@@ -400,6 +400,21 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming MATERIALIZED-VIEW maintenance — [[graft.ops.MatView]]
+    * folded per micro-batch under batch-id idempotence (`foldBatch`'s
+    * ledger — the exactly-once `foreachBatch` recipe; the view keeps no
+    * row identity, so idempotence lives at the batch level). A drained
+    * stream reads identically to a one-shot build over the same rows. */
+  def incrementalViewMaintenance(newRows: DataFrame, table: String,
+      keys: Seq[String], sums: Seq[String], idCol: String): StreamingQuery =
+    newRows.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.MatView.foldBatch(table, bid, batch, keys, sums, idCol)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming DELETION from a standing index — the takedown feed
     * (right-to-erasure ids arriving continuously) as a `foreachBatch`
     * sink: each micro-batch applies the family's tombstone delete

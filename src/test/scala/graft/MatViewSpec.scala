@@ -72,4 +72,33 @@ class MatViewSpec extends SparkSpec {
       .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0).getLong(0)
     assert(perKey === 1L, s"compaction left $perKey rows for some key")
   }
+
+  test("foldBatch: same-bid redelivery is a no-op (batch-id ledger); " +
+      "distinct bids fold; drained == one-shot") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvs-wh")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mvs_test LOCATION '$wh'")
+    val t = "graft_mvs_test.mv"
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+    val keys = Seq("o_custkey"); val sums = Seq("price")
+    def read() = MatView.read(spark, t, keys, sums)
+      .select(col("o_custkey"), col("cnt"), col("sum_price"))
+
+    val b0 = o.filter(col("o_orderkey") % 2 === 1)
+    val b1 = o.filter(col("o_orderkey") % 2 === 0)
+    MatView.foldBatch(t, 0L, b0, keys, sums, "o_orderkey")
+    MatView.foldBatch(t, 1L, b1, keys, sums, "o_orderkey")
+    assert(rows(read()) === rows(recompute(o)),
+      "drained folds diverged from the one-shot GROUP BY")
+
+    // the crash-redelivery case: SAME bid again, content identical —
+    // must be skipped entirely (no doubled groups, no new generation)
+    val gens = spark.table(s"${t}_mv").count()
+    MatView.foldBatch(t, 1L, b1, keys, sums, "o_orderkey")
+    assert(spark.table(s"${t}_mv").count() === gens,
+      "redelivered batch id re-folded (ledger miss)")
+    assert(rows(read()) === rows(recompute(o)),
+      "redelivery changed the view")
+  }
 }
