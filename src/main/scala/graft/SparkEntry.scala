@@ -697,6 +697,29 @@ object SparkEntry {
           col("sum_price").cast("double").as("sum_price"))
         .orderBy(col("o_custkey"))
     }),
+    // CDC-APPLIED view: one Debezium-shaped change batch (op = I/D with
+    // full row images) folds as ONE appended generation — inserts'
+    // partials + deletes' negated partials, batch-id idempotent; read
+    // == GROUP BY over (base + inserts − deletes), bit-exact
+    "mv_orders_cdc" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-mvcdc")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val o = Tables.orders(s, d)
+        .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+      MatView.build(o.filter(col("o_orderkey") % 5 =!= 0),
+        "graft_idx.mvcdc", Seq("o_custkey"), Seq("price"), "o_orderkey")
+      val changes = o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("op", lit("I"))
+        .unionByName(o.filter(col("o_orderkey") % 5 =!= 0 &&
+          col("o_orderkey") % 7 === 3).withColumn("op", lit("D")))
+      MatView.applyCdc("graft_idx.mvcdc", 0L, changes,
+        Seq("o_custkey"), Seq("price"))
+      MatView.read(s, "graft_idx.mvcdc", Seq("o_custkey"), Seq("price"))
+        .select(col("o_custkey"), col("cnt").as("n_orders"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy(col("o_custkey"))
+    }),
     // STREAMING view maintenance: order rows arrive as a real bounded
     // stream, each micro-batch folds its delta-sized partials under the
     // batch-id ledger (same-bid crash redelivery is a no-op — spec-gated
@@ -1944,7 +1967,7 @@ object SparkEntry {
     // round-16: incrementally-maintained materialized aggregate (IVM) +
     // the co-located fact-fact bucketed join
     "mv_orders_build", "mv_orders_lifecycle", "stream_mv_ingest",
-    "layout_bucketed_join",
+    "mv_orders_cdc", "layout_bucketed_join",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -2804,6 +2827,12 @@ object SparkEntry {
       ("SELECT o_custkey, count(*) AS n_orders, " +
        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
        "FROM orders WHERE o_orderkey % 7 <> 3 " +
+       "GROUP BY o_custkey ORDER BY o_custkey"),
+    // CDC batch applied: base + inserts − deletes, the survivors' GROUP BY
+    "mv_orders_cdc" ->
+      ("SELECT o_custkey, count(*) AS n_orders, " +
+       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+       "FROM orders WHERE NOT (o_orderkey % 5 <> 0 AND o_orderkey % 7 = 3) " +
        "GROUP BY o_custkey ORDER BY o_custkey"),
     // a drained view-maintenance stream == the one-shot GROUP BY
     "stream_mv_ingest" ->

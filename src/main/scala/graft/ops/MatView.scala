@@ -144,6 +144,35 @@ object MatView {
     writeLedger(spark, ledger, bid)
   }
 
+  /** CDC apply — one change-feed micro-batch (Debezium shape: an `op`
+    * column, 'I' inserts / 'D' deletes carrying FULL row images) folded
+    * into the view as ONE appended generation: the inserts' partials
+    * plus the deletes' NEGATED partials, under the same batch-id ledger
+    * as [[foldBatch]] (a redelivered bid is a strict no-op — CDC feeds
+    * are exactly-once at the batch level, and both halves commit in one
+    * append so a batch can never half-apply ACROSS ops; the
+    * append-vs-ledger crash window is [[foldBatch]]'s documented
+    * single-writer scope). Delete images must be the rows as ingested —
+    * the CDC producer's before-image contract. */
+  def applyCdc(table: String, bid: Long, changes: DataFrame,
+      keys: Seq[String], sums: Seq[String]): Unit = {
+    val spark = changes.sparkSession
+    val ledger = s"${table}_batches"
+    require(spark.catalog.tableExists(s"${table}_mv"),
+      s"MatView.applyCdc needs a standing view: ${table}_mv not found — " +
+        "run build first")
+    if (spark.catalog.tableExists(ledger) &&
+        spark.table(ledger).filter(col("bid") === bid).take(1).nonEmpty)
+      return
+    val ins = partial(changes.filter(col("op") === "I"), keys, sums)
+    val del = partial(changes.filter(col("op") === "D"), keys, sums)
+      .select(keys.map(col) ++ ((-col("cnt")).as("cnt") +:
+        sums.map(c => (-col(s"sum_$c")).as(s"sum_$c"))): _*)
+    ins.unionByName(del)
+      .write.mode("append").format("parquet").saveAsTable(s"${table}_mv")
+    writeLedger(spark, ledger, bid)
+  }
+
   private def writeLedger(spark: SparkSession, ledger: String,
       bid: Long): Unit = {
     import spark.implicits._

@@ -100,5 +100,22 @@ class MatViewSpec extends SparkSpec {
       "redelivered batch id re-folded (ledger miss)")
     assert(rows(read()) === rows(recompute(o)),
       "redelivery changed the view")
+
+    // CDC: a mixed I/D batch applies as one generation; a redelivered
+    // bid is a strict no-op; read == base + inserts − deletes
+    val t2 = "graft_mvs_test.cdc"
+    MatView.build(b0, t2, keys, sums, "o_orderkey")
+    val changes = b1.withColumn("op", lit("I")).unionByName(
+      b0.filter(col("o_orderkey") % 7 === 3).withColumn("op", lit("D")))
+    MatView.applyCdc(t2, 0L, changes, keys, sums)
+    val surviving = o.filter(!(col("o_orderkey") % 2 === 1 &&
+      col("o_orderkey") % 7 === 3))
+    def read2() = MatView.read(spark, t2, keys, sums)
+      .select(col("o_custkey"), col("cnt"), col("sum_price"))
+    assert(rows(read2()) === rows(recompute(surviving)),
+      "CDC apply diverged from base + inserts − deletes")
+    MatView.applyCdc(t2, 0L, changes, keys, sums)
+    assert(rows(read2()) === rows(recompute(surviving)),
+      "redelivered CDC bid re-applied")
   }
 }
