@@ -720,6 +720,37 @@ object SparkEntry {
           col("sum_price").cast("double").as("sum_price"))
         .orderBy(col("o_custkey"))
     }),
+    // STREAMING CDC: the change feed arrives as a real bounded stream —
+    // an insert batch, then a mixed insert+delete batch; the drained
+    // view answers the survivors' GROUP BY
+    "stream_mv_cdc" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-mvscdc")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val o = Tables.orders(s, d)
+        .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+      MatView.build(o.filter(col("o_orderkey") % 5 =!= 0),
+        "graft_idx.mvscdc", Seq("o_custkey"), Seq("price"), "o_orderkey")
+      val feed = java.nio.file.Files.createTempDirectory("graft-cdc-feed")
+        .toFile.getAbsolutePath + "/in"
+      o.filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 2 === 1)
+        .withColumn("op", lit("I")).repartition(1).write.parquet(feed)
+      o.filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 2 === 0)
+        .withColumn("op", lit("I"))
+        .unionByName(o.filter(col("o_orderkey") % 5 =!= 0 &&
+          col("o_orderkey") % 7 === 3).withColumn("op", lit("D")))
+        .repartition(1).write.mode("append").parquet(feed)
+      val schema = o.withColumn("op", lit("I")).schema
+      val q = graft.streaming.Streams.incrementalCdcMaintenance(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        "graft_idx.mvscdc", Seq("o_custkey"), Seq("price"))
+      q.processAllAvailable(); q.stop()
+      MatView.read(s, "graft_idx.mvscdc", Seq("o_custkey"), Seq("price"))
+        .select(col("o_custkey"), col("cnt").as("n_orders"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy(col("o_custkey"))
+    }),
     // STREAMING view maintenance: order rows arrive as a real bounded
     // stream, each micro-batch folds its delta-sized partials under the
     // batch-id ledger (same-bid crash redelivery is a no-op — spec-gated
@@ -778,6 +809,18 @@ object SparkEntry {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"))),
     // training-data pipeline: text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(Tables.documents(s, d))),
+    // dataset-version diff: v2 simulated deterministically (every 11th
+    // doc removed, every 7th's text changed, every 13th re-added under a
+    // shifted id) — the 4-row added/removed/changed/unchanged audit
+    "corpus_diff" -> ((s, d) => {
+      val v1 = Tables.documents(s, d)
+      val v2 = v1.filter(col("doc_id") % 11 =!= 5)
+        .withColumn("text", when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 13 === 1)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      TextAnalysis.corpusDiff(v1, v2)
+    }),
     // the pre-training dashboard: per (source, lang) docs/tokens/quality
     // keep-rate/exact-dup rate/langid agreement — one scan, one hash
     // shuffle, a |sources|x|langs|-row aggregate
@@ -1967,7 +2010,9 @@ object SparkEntry {
     // round-16: incrementally-maintained materialized aggregate (IVM) +
     // the co-located fact-fact bucketed join
     "mv_orders_build", "mv_orders_lifecycle", "stream_mv_ingest",
-    "mv_orders_cdc", "layout_bucketed_join",
+    "mv_orders_cdc", "stream_mv_cdc", "layout_bucketed_join",
+    // round-16: dataset-version diff audit
+    "corpus_diff",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -2827,6 +2872,26 @@ object SparkEntry {
       ("SELECT o_custkey, count(*) AS n_orders, " +
        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
        "FROM orders WHERE o_orderkey % 7 <> 3 " +
+       "GROUP BY o_custkey ORDER BY o_custkey"),
+    // version diff: the same deterministic v2, statuses by text compare
+    "corpus_diff" ->
+      ("WITH V2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3 " +
+       "THEN text || ' v2' ELSE text END AS text " +
+       "FROM documents WHERE doc_id % 11 <> 5 " +
+       "UNION ALL SELECT doc_id + 1000000 AS doc_id, text " +
+       "FROM documents WHERE doc_id % 13 = 1) " +
+       "SELECT status, count(*) AS n FROM (" +
+       "SELECT CASE WHEN a.doc_id IS NULL THEN 'added' " +
+       "WHEN b.doc_id IS NULL THEN 'removed' " +
+       "WHEN a.text <> b.text THEN 'changed' " +
+       "ELSE 'unchanged' END AS status " +
+       "FROM documents a FULL OUTER JOIN V2 b ON a.doc_id = b.doc_id) " +
+       "GROUP BY status ORDER BY status"),
+    // a drained CDC stream: same survivors' GROUP BY as the batch row
+    "stream_mv_cdc" ->
+      ("SELECT o_custkey, count(*) AS n_orders, " +
+       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+       "FROM orders WHERE NOT (o_orderkey % 5 <> 0 AND o_orderkey % 7 = 3) " +
        "GROUP BY o_custkey ORDER BY o_custkey"),
     // CDC batch applied: base + inserts − deletes, the survivors' GROUP BY
     "mv_orders_cdc" ->

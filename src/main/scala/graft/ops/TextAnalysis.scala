@@ -439,4 +439,25 @@ object TextAnalysis {
           .as("lang_match_rate"))
       .orderBy(col("source"), col("lang"))
   }
+
+  /** Dataset-version DIFF — the audit between two corpus snapshots
+    * (dataset versioning: "what changed between v1 and v2 of the
+    * training set"): per doc_id, `added` (v2 only), `removed` (v1
+    * only), `changed` (both, different content hash), `unchanged`; out
+    * comes the 4-row status summary, never the corpus. ONE full-outer
+    * equi-join on doc_id comparing md5(text) — each side shuffles once
+    * on the id (zero shuffles when both snapshots share a bucketed
+    * id layout, [[graft.sources.Layout.writeBucketed]]); the hash
+    * column prunes both scans to (doc_id, text). */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(when(col("h1").isNull, "added")
+        .when(col("h2").isNull, "removed")
+        .when(col("h1") =!= col("h2"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
 }

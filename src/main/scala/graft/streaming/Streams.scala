@@ -415,6 +415,23 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming CDC apply — the change feed (op = I/D, full row images)
+    * as a `foreachBatch` sink over [[graft.ops.MatView.applyCdc]]: each
+    * micro-batch folds as one generation under the batch-id ledger, so
+    * crash redelivery is a strict no-op and a batch never half-applies
+    * across its inserts and deletes. The production IVM shape: a
+    * Debezium topic keeps a 100 TB-base aggregate fresh at change-feed
+    * cost, never base-scan cost. */
+  def incrementalCdcMaintenance(changes: DataFrame, table: String,
+      keys: Seq[String], sums: Seq[String]): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.MatView.applyCdc(table, bid, batch, keys, sums)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming DELETION from a standing index — the takedown feed
     * (right-to-erasure ids arriving continuously) as a `foreachBatch`
     * sink: each micro-batch applies the family's tombstone delete
