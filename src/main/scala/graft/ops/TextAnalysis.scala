@@ -448,7 +448,12 @@ object TextAnalysis {
     * equi-join on doc_id comparing md5(text) — each side shuffles once
     * on the id (zero shuffles when both snapshots share a bucketed
     * id layout, [[graft.sources.Layout.writeBucketed]]); the hash
-    * column prunes both scans to (doc_id, text). */
+    * column prunes both scans to (doc_id, text).
+    *
+    * Complements [[Snapshot.diff]]: that produces the PER-DOC changelog
+    * (and [[Snapshot.applyChangelog]] rolls a snapshot forward with it);
+    * this is the bounded SUMMARY a version audit or CI gate reads —
+    * same join shape, 4 rows out instead of a changelog-sized frame. */
   def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
     val a = v1.select(col("doc_id"), md5(col("text")).as("h1"))
     val b = v2.select(col("doc_id"), md5(col("text")).as("h2"))
