@@ -1457,6 +1457,62 @@ object SparkEntry {
     // lexical retrieval: BM25 top-k for a fixed term set — per-doc tfs in
     // the scan, corpus stats as one broadcast row, TakeOrderedAndProject
     "bm25_search" -> ((s, d) => Search.bm25TopK(Tables.documents(s, d))),
+    // positional lexical retrieval: exact-phrase match computed IN the
+    // scan (filter over token-start offsets — no explode, no per-token
+    // rows) ranked by occurrence count, and proximity search ranked by
+    // the closest (a, b) pair within the token window
+    "bm25_phrase" -> ((s, d) => Phrase.phraseTopK(Tables.documents(s, d))),
+    "bm25_proximity" -> ((s, d) =>
+      Phrase.proximityTopK(Tables.documents(s, d))),
+    // phrase probe off the MATERIALIZED positional index (term-bucketed
+    // (term, doc_id, positions[]) rows): `term IN (phrase)` prunes the
+    // scan to the phrase's postings, one df-bounded groupBy pivots to a
+    // term->positions map, shifted sorted-array intersection yields the
+    // match starts — must equal bm25_phrase row-for-row (PhraseSpec)
+    "bm25_phrase_indexed" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-pos-idx")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      Phrase.buildPositional(Tables.documents(s, d), "graft_idx.pos")
+      Phrase.phraseIndexedTopK(s, "graft_idx.pos")
+    }),
+    // QUERY-ONLY twin off the session-prebuilt positional index: times
+    // the pruned-probe + intersection path alone (the repeated-query
+    // regime the positional index exists for)
+    "bm25_phrase_query" -> ((s, d) =>
+      Phrase.phraseIndexedTopK(s, WarmIndex.positional(s, d))),
+    // tombstone deletion for the positional family: delete IS the
+    // sidecar append (no corpus-stats sidecar to correct), the probe's
+    // broadcast anti-join hides victims immediately — same rebuild-
+    // without-victims oracle discipline as bm25_index_delete
+    "bm25_phrase_delete" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-pos-del")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val docs = Tables.documents(s, d)
+      Phrase.buildPositional(docs, "graft_idx.posdel")
+      Phrase.positionalDelete("graft_idx.posdel",
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      Phrase.phraseIndexedTopK(s, "graft_idx.posdel")
+    }),
+    // FULL-CRUD lifecycle for the positional family: build 80% ->
+    // delta-ingest 20% (guarded) -> delete every 7th doc (victims span
+    // both generations) -> compact (folds generations + tombstones,
+    // one guard bloom) -> query
+    "bm25_phrase_lifecycle" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-pos-life")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val docs = Tables.documents(s, d)
+      Phrase.buildPositional(docs.filter(col("doc_id") % 5 =!= 0),
+        "graft_idx.poslife")
+      Phrase.positionalDelta("graft_idx.poslife",
+        docs.filter(col("doc_id") % 5 === 0))
+      Phrase.positionalDelete("graft_idx.poslife",
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      Phrase.positionalCompact(s, "graft_idx.poslife")
+      Phrase.phraseIndexedTopK(s, "graft_idx.poslife")
+    }),
     // hybrid retrieval: BM25 + tf-idf rankings off ONE shared projection,
     // fused by reciprocal rank (RRF) — bounded top-k cuts, 2k-row fusion
     "search_hybrid_rrf" -> ((s, d) => Search.hybridRrf(Tables.documents(s, d))),
@@ -2013,6 +2069,11 @@ object SparkEntry {
     "mv_orders_cdc", "stream_mv_cdc", "layout_bucketed_join",
     // round-16: dataset-version diff audit
     "corpus_diff",
+    // round-16: positional lexical retrieval — scan-time phrase +
+    // proximity, the positional-index build+probe row, and its warm
+    // query-only twin (prices the pruned probe + intersection alone)
+    "bm25_phrase", "bm25_proximity", "bm25_phrase_indexed",
+    "bm25_phrase_query", "bm25_phrase_delete", "bm25_phrase_lifecycle",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -2434,6 +2495,46 @@ object SparkEntry {
   /** BM25 oracle chain — shared verbatim by `bm25_search` and
     * `bm25_indexed` (the index-backed path must be row-identical). */
   private val bm25OracleSql: String = bm25OracleSqlFrom("TRUE")
+
+  /** Phrase oracle — generated from the SAME fixture constants the engine
+    * uses ([[graft.ops.Phrase.DefaultPhrase]]/TopK), per the r15 advice
+    * (hardcoded oracle literals silently desynchronize from the engine).
+    * DuckDB lists are 1-based (`w[i]`, `range` upper-exclusive, so a doc
+    * shorter than the phrase yields `range(1, ≤0)` = empty); `hits[1]-1`
+    * converts back to the 0-based token offsets the engine reports.
+    * Shared verbatim by the scan-time, build+probe, and warm query rows —
+    * all three must produce the identical frame. */
+  private def phraseOracleSql: String = phraseOracleSqlFrom("TRUE")
+
+  /** `docPred` restricts the corpus — the tombstone-deletion and
+    * lifecycle rows' oracle is the SAME chain over the surviving
+    * documents (no corpus stats in phrase scoring, so the rebuild-
+    * without-victims identity is trivially exact). */
+  private def phraseOracleSqlFrom(docPred: String): String = {
+    import graft.ops.Phrase.{DefaultPhrase => P, TopK}
+    val n = P.length
+    val pred = P.zipWithIndex.map { case (t, off) =>
+      if (off == 0) s"w[i] = '$t'" else s"w[i+$off] = '$t'" }.mkString(" AND ")
+    s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents WHERE $docPred), " +
+    s"P AS (SELECT doc_id, list_filter(range(1, len(w)-$n+2), i -> $pred) AS hits FROM W) " +
+    s"SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_occ, " +
+    s"CAST(hits[1]-1 AS INT) AS first_pos " +
+    s"FROM P WHERE len(hits) > 0 ORDER BY n_occ DESC, doc_id LIMIT $TopK"
+  }
+
+  /** Proximity oracle — 1-based positions, but pair DISTANCES are
+    * invariant to the base shift, so `min_dist` matches the engine's
+    * 0-based arithmetic exactly. */
+  private def proximityOracleSql: String = {
+    import graft.ops.Phrase.{ProxA, ProxB, ProxWindow, TopK}
+    s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+    s"P AS (SELECT doc_id, list_filter(range(1, len(w)+1), i -> w[i] = '$ProxA') AS pa, " +
+    s"list_filter(range(1, len(w)+1), i -> w[i] = '$ProxB') AS pb FROM W), " +
+    s"D AS (SELECT doc_id, CAST(len(pa) AS BIGINT) AS n_a, CAST(len(pb) AS BIGINT) AS n_b, " +
+    s"CAST(list_min(flatten(list_transform(pa, x -> list_transform(pb, y -> abs(x-y))))) AS INT) AS min_dist " +
+    s"FROM P WHERE len(pa) > 0 AND len(pb) > 0) " +
+    s"SELECT * FROM D WHERE min_dist <= $ProxWindow ORDER BY min_dist, doc_id LIMIT $TopK"
+  }
 
   /** `docPred` restricts the corpus the whole chain sees — the
     * tombstone-deletion row's oracle is the SAME chain over the
@@ -4405,6 +4506,12 @@ object SparkEntry {
     "bpe_merges" -> bpeOracleSql,
     "bpe_encode" -> bpeEncodeOracleSql,
     "bm25_search" -> bm25OracleSql,
+    "bm25_phrase" -> phraseOracleSql,
+    "bm25_phrase_indexed" -> phraseOracleSql,
+    "bm25_phrase_query" -> phraseOracleSql,
+    "bm25_phrase_delete" -> phraseOracleSqlFrom("doc_id % 7 <> 3"),
+    "bm25_phrase_lifecycle" -> phraseOracleSqlFrom("doc_id % 7 <> 3"),
+    "bm25_proximity" -> proximityOracleSql,
     // the index-backed variant must reproduce the scan-time result
     // row-for-row — same oracle, so any drift between the two paths fails
     "bm25_indexed" -> bm25OracleSql,

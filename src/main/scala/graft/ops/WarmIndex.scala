@@ -66,6 +66,11 @@ object WarmIndex {
     ensure(spark, sfDir, "bm25")(t =>
       Search.buildIndex(Tables.documents(spark, sfDir), t))
 
+  /** Positional postings for the phrase probes ([[Phrase]] family). */
+  def positional(spark: SparkSession, sfDir: String): String =
+    ensure(spark, sfDir, "pos")(t =>
+      Phrase.buildPositional(Tables.documents(spark, sfDir), t))
+
   def fuzzy(spark: SparkSession, sfDir: String): String =
     ensure(spark, sfDir, "fuzzy")(t =>
       FuzzySearch.buildIndex(Tables.students(spark, sfDir), t))
