@@ -1376,6 +1376,12 @@ object SparkEntry {
           round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_qty"),
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
         .orderBy(col("l_returnflag"))),
+    // EXACT quantiles by histogram bisection — the scale path the exact
+    // `percentile` aggregate (a9) lacks: log_B(domain) map-side-combined
+    // count passes with O(B) driver state, vs a value->count map per agg
+    // buffer (memory ∝ distinct values — the thing that OOMs at 100 TB)
+    "a14_exact_quantile" -> ((s, d) =>
+      Quantiles.priceQuantiles(Tables.lineitem(s, d))),
     // time-series gap-fill: dense per-user daily counts, zero-filled
     "w6_gapfill" -> ((s, d) => Windows.gapfillDaily(Tables.events(s, d))),
     // JSON path extraction over event props (the parse direction of F13's
@@ -2074,6 +2080,9 @@ object SparkEntry {
     // query-only twin (prices the pruned probe + intersection alone)
     "bm25_phrase", "bm25_proximity", "bm25_phrase_indexed",
     "bm25_phrase_query", "bm25_phrase_delete", "bm25_phrase_lifecycle",
+    // round-16: exact quantiles by histogram bisection (log_B(domain)
+    // count passes — the scale path the buffered percentile agg lacks)
+    "a14_exact_quantile",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -4272,6 +4281,17 @@ object SparkEntry {
        "round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty, " +
        "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // k-th-smallest (duplicates counted, k = ceil(q*n)) — the engine's
+    // bisection must land on EXACTLY this element; q literals generated
+    // from the same Quantiles.Qs constant the engine uses
+    "a14_exact_quantile" ->
+      (s"WITH S AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v, " +
+       "row_number() OVER (ORDER BY l_extendedprice) AS rn, " +
+       "count(*) OVER () AS n FROM lineitem), " +
+       "Q(q) AS (VALUES " +
+       graft.ops.Quantiles.Qs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ") +
+       ") SELECT q, min(v) AS value FROM Q, S WHERE rn >= ceil(q*n) " +
+       "GROUP BY q ORDER BY q"),
     // generate_series can't take lateral column args in DuckDB — the list
     // form under unnest can, hence the one-row SPAN CTE exploded directly.
     "w6_gapfill" ->
