@@ -1761,6 +1761,26 @@ object SparkEntry {
     // micro-batches through the idempotent gram-posting path (batch 0
     // bootstraps the empty catalog; compaction policy runs per batch);
     // the drained index must answer the scan-path fuzzy oracle
+    // streaming ingest into the positional index: two micro-batches
+    // through the idempotent delta; a drained stream answers the same
+    // phrase oracle as a one-shot build (7th-family streaming symmetry)
+    "stream_phrase_ingest" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-pos-stream")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val docs = Tables.documents(s, d)
+      val feed = java.nio.file.Files.createTempDirectory("graft-pos-feed")
+        .toFile.getAbsolutePath + "/in"
+      docs.filter(col("doc_id") % 2 === 0).repartition(1).write.parquet(feed)
+      docs.filter(col("doc_id") % 2 === 1).repartition(1)
+        .write.mode("append").parquet(feed)
+      val q = graft.streaming.Streams.incrementalPositionalIndexing(
+        s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        "graft_idx.poss")
+      q.processAllAvailable(); q.stop()
+      Phrase.phraseIndexedTopK(s, "graft_idx.poss")
+    }),
     "stream_fuzzy_ingest" -> ((s, d) => {
       val wh = java.nio.file.Files.createTempDirectory("graft-fuzzy-stream")
         .toFile.getAbsolutePath
@@ -2083,6 +2103,8 @@ object SparkEntry {
     // round-16: exact quantiles by histogram bisection (log_B(domain)
     // count passes — the scale path the buffered percentile agg lacks)
     "a14_exact_quantile",
+    // round-16: streaming positional ingest (7th-family symmetry)
+    "stream_phrase_ingest",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -4529,6 +4551,7 @@ object SparkEntry {
     "bm25_phrase" -> phraseOracleSql,
     "bm25_phrase_indexed" -> phraseOracleSql,
     "bm25_phrase_query" -> phraseOracleSql,
+    "stream_phrase_ingest" -> phraseOracleSql,
     "bm25_phrase_delete" -> phraseOracleSqlFrom("doc_id % 7 <> 3"),
     "bm25_phrase_lifecycle" -> phraseOracleSqlFrom("doc_id % 7 <> 3"),
     "bm25_proximity" -> proximityOracleSql,

@@ -179,6 +179,37 @@ object Phrase {
     IngestGuard.write(spark, delta, "doc_id", table, overwrite = false)
   }
 
+  /** At-least-once-safe ingest ([[Search.indexDeltaIdempotent]]'s recipe,
+    * stats-free): SKIPS already-indexed doc_ids instead of throwing — the
+    * idempotent form a streaming `foreachBatch` sink needs. The skip set
+    * is confirmed exactly only for the bloom-suspect SLIVER of the delta;
+    * the novel set's lineage is CUT (eager localCheckpoint) before the
+    * append — it derives from the postings table the append mutates.
+    * Batch 0 bootstraps an empty catalog via a full build. */
+  def positionalDeltaIdempotent(table: String, delta: DataFrame,
+      buckets: Int = 8): Unit = {
+    val spark = delta.sparkSession
+    if (!spark.catalog.tableExists(s"${table}_pos")) { // bootstrap
+      buildPositional(delta, table, buckets); return
+    }
+    val standingIds = spark.table(s"${table}_pos").select(col("doc_id"))
+    val novel = IngestGuard.suspectPredicate(spark, table, "doc_id") match {
+      case Some(hit) =>
+        val suspects = delta.select(col("doc_id")).distinct().filter(hit)
+        if (suspects.isEmpty) delta
+        else {
+          val present = standingIds
+            .join(broadcast(suspects), Seq("doc_id"), "left_semi").distinct()
+          delta.join(broadcast(present), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+        }
+      case None => // legacy index without a guard: everything is suspect
+        delta.join(standingIds.distinct(), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+    }
+    if (!novel.isEmpty) positionalDelta(table, novel, buckets)
+  }
+
   /** Tombstone deletion ([[Tombstones]] discipline): append the victim
     * ids to the sidecar — nothing else; the positional family keeps no
     * corpus-stats sidecar, so a delete IS the sidecar append, and the

@@ -400,6 +400,24 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming ingest into the standing POSITIONAL index
+    * ([[graft.ops.Phrase]] family): each micro-batch runs
+    * [[graft.ops.Phrase.positionalDeltaIdempotent]] (at-least-once
+    * replays are no-ops — a replayed doc would double-count its
+    * occurrences); batch 0 bootstraps an empty catalog. A drained stream
+    * serves [[graft.ops.Phrase.phraseIndexedTopK]] identically to a
+    * one-shot build — streaming-safe ingest symmetry now spans all SEVEN
+    * standing index families. */
+  def incrementalPositionalIndexing(newDocs: DataFrame,
+      table: String): StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Phrase.positionalDeltaIdempotent(table, batch)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming MATERIALIZED-VIEW maintenance — [[graft.ops.MatView]]
     * folded per micro-batch under batch-id idempotence (`foldBatch`'s
     * ledger — the exactly-once `foreachBatch` recipe; the view keeps no

@@ -152,6 +152,28 @@ class PhraseSpec extends SparkSpec {
       .collect().toSeq === want, "post-compact probe diverged")
   }
 
+  test("idempotent delta: full replay is a physical no-op, mixed batch " +
+      "ingests only the novel rows") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-phrase-st")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_phrase_st LOCATION '$wh'")
+    val docs = Tables.documents(spark, sfDir)
+    val half0 = docs.filter(col("doc_id") % 2 === 0)
+    Phrase.positionalDeltaIdempotent("graft_phrase_st.d", half0) // bootstrap
+    val n0 = spark.table("graft_phrase_st.d_pos").count()
+    Phrase.positionalDeltaIdempotent("graft_phrase_st.d", half0) // replay
+    assert(spark.table("graft_phrase_st.d_pos").count() === n0,
+      "full replay appended postings — double-counted occurrences")
+    Phrase.positionalDeltaIdempotent("graft_phrase_st.d", docs) // mixed
+    Phrase.buildPositional(docs, "graft_phrase_st.r")
+    assert(spark.table("graft_phrase_st.d_pos").count() ===
+      spark.table("graft_phrase_st.r_pos").count(),
+      "mixed batch did not converge to the one-shot build's postings")
+    assert(Phrase.phraseIndexedTopK(spark, "graft_phrase_st.d")
+      .collect().toSeq ===
+      Phrase.phraseIndexedTopK(spark, "graft_phrase_st.r").collect().toSeq)
+  }
+
   test("interrupted compact swap rolls forward to a readable index") {
     val wh = java.nio.file.Files.createTempDirectory("graft-phrase-rec")
       .toFile.getAbsolutePath
