@@ -1382,6 +1382,10 @@ object SparkEntry {
     // buffer (memory ∝ distinct values — the thing that OOMs at 100 TB)
     "a14_exact_quantile" -> ((s, d) =>
       Quantiles.priceQuantiles(Tables.lineitem(s, d))),
+    // per-group lockstep: one (lo, hi, k) cell per (group, q), the join
+    // gains a group-equality conjunct — still ONE scan per pass total
+    "a15_quantile_grouped" -> ((s, d) =>
+      Quantiles.priceQuantilesByFlag(Tables.lineitem(s, d))),
     // time-series gap-fill: dense per-user daily counts, zero-filled
     "w6_gapfill" -> ((s, d) => Windows.gapfillDaily(Tables.events(s, d))),
     // JSON path extraction over event props (the parse direction of F13's
@@ -2102,7 +2106,7 @@ object SparkEntry {
     "bm25_phrase_query", "bm25_phrase_delete", "bm25_phrase_lifecycle",
     // round-16: exact quantiles by histogram bisection (log_B(domain)
     // count passes — the scale path the buffered percentile agg lacks)
-    "a14_exact_quantile",
+    "a14_exact_quantile", "a15_quantile_grouped",
     // round-16: streaming positional ingest (7th-family symmetry)
     "stream_phrase_ingest",
     // round-15: batch hybrid off the two warm standing indexes (shared
@@ -4314,6 +4318,14 @@ object SparkEntry {
        graft.ops.Quantiles.Qs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ") +
        ") SELECT q, min(v) AS value FROM Q, S WHERE rn >= ceil(q*n) " +
        "GROUP BY q ORDER BY q"),
+    "a15_quantile_grouped" ->
+      (s"WITH S AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v, " +
+       "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn, " +
+       "count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem), " +
+       "Q(q) AS (VALUES " +
+       graft.ops.Quantiles.Qs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ") +
+       ") SELECT l_returnflag, q, min(v) AS value FROM Q, S " +
+       "WHERE rn >= ceil(q*n) GROUP BY l_returnflag, q ORDER BY l_returnflag, q"),
     // generate_series can't take lateral column args in DuckDB — the list
     // form under unnest can, hence the one-row SPAN CTE exploded directly.
     "w6_gapfill" ->

@@ -97,6 +97,65 @@ object Quantiles {
     qs.zipWithIndex.map { case (q, i) => (q, state(i).lo) }
   }
 
+  /** Per-GROUP exact quantiles, same lockstep discipline: the state is
+    * one (lo, hi, k) per (group, q), the per-pass dim carries every open
+    * cell, and the join adds a group-equality conjunct so the histogram
+    * aggregation stays ONE scan per pass regardless of group count.
+    * Bounded-cardinality groups only (the dim broadcasts; a high-
+    * cardinality group column should go through [[exactQuantiles]] per
+    * partition of interest instead). Returns (group, q, value) rows. */
+  def exactQuantilesBy(df: DataFrame, group: Column, value: Column,
+      qs: Seq[Double], buckets: Int = Buckets): Seq[(String, Double, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(group.cast("string").as("g"),
+        value.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val heads = vals.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect()
+    require(heads.nonEmpty, "exactQuantilesBy: empty input")
+    qs.foreach(q =>
+      require(q > 0.0 && q <= 1.0, s"quantile out of range: $q"))
+    final case class St(lo: Long, hi: Long, k: Long)
+    val state = scala.collection.mutable.LinkedHashMap[(String, Int), St]()
+    heads.foreach { h =>
+      val (g, n) = (h.getString(0), h.getLong(1))
+      qs.zipWithIndex.foreach { case (q, i) =>
+        state((g, i)) = St(h.getLong(2), h.getLong(3), math.ceil(q * n).toLong)
+      }
+    }
+    while (state.values.exists(s => s.lo < s.hi)) {
+      val open = state.toSeq.filter { case (_, s) => s.lo < s.hi }
+      val dim = open.map { case ((g, i), s) =>
+        (g, i, s.lo, s.hi, (s.hi - s.lo) / buckets + 1) }
+        .toDF("qg", "qi", "qlo", "qhi", "qw")
+      val hists = vals
+        .join(broadcast(dim), col("g") === col("qg") &&
+          col("v") >= col("qlo") && col("v") <= col("qhi"))
+        .groupBy(col("qg"), col("qi"),
+          ((col("v") - col("qlo")) / col("qw")).cast("int").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(r => (r.getString(0), r.getInt(1)))
+      open.foreach { case (key @ (_, _), s) =>
+        val width = (s.hi - s.lo) / buckets + 1
+        val hist = hists(key).map(r => (r.getInt(2), r.getLong(3))).sortBy(_._1)
+        var acc = 0L; var found = -1; var before = 0L
+        hist.foreach { case (b, c) =>
+          if (found < 0) {
+            if (acc + c >= s.k) { found = b; before = acc } else acc += c
+          }
+        }
+        require(found >= 0, "exactQuantilesBy: rank walked past histogram")
+        val lo = s.lo + found * width
+        state(key) = St(lo, math.min(s.hi, lo + width - 1), s.k - before)
+      }
+    }
+    state.toSeq.map { case ((g, i), s) => (g, qs(i), s.lo) }
+      .sortBy { case (g, q, _) => (g, q) }
+  }
+
   /** The fixture quantile set the oracle exercises. */
   val Qs: Seq[Double] = Seq(0.5, 0.9, 0.99)
 
@@ -109,5 +168,16 @@ object Quantiles {
     exactQuantiles(lineitem, col("l_extendedprice") * 100, Qs)
       .map { case (q, cents) => (q, cents / 100.0) }
       .toDF("q", "value")
+  }
+
+  /** Per-returnflag exact price quantiles. Output:
+    * (l_returnflag, q, value), (flag, q)-ordered. */
+  def priceQuantilesByFlag(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    exactQuantilesBy(lineitem, col("l_returnflag"),
+        col("l_extendedprice") * 100, Qs)
+      .map { case (g, q, cents) => (g, q, cents / 100.0) }
+      .toDF("l_returnflag", "q", "value")
   }
 }

@@ -39,6 +39,21 @@ class QuantilesSpec extends SparkSpec {
     check(values, Seq(0.1, 0.5, 0.9, 0.999))
   }
 
+  test("grouped bisection == per-group sort-based selection") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = Seq.tabulate(3000)(i =>
+      (s"g${i % 3}", rng.nextLong() % 100000L))
+    val df = rows.toDF("g", "x")
+    val qs = Seq(0.25, 0.5, 0.95)
+    val got = Quantiles.exactQuantilesBy(df, col("g"), col("x"), qs)
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted.toIndexedSeq
+      qs.map(q => (g, q, kth(sorted, q)))
+    }.sortBy { case (g, q, _) => (g, q) }
+    assert(got === want)
+  }
+
   test("fixture row: priceQuantiles == window-rank selection on lineitem") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val got = Quantiles.priceQuantiles(li).collect()
