@@ -1445,6 +1445,13 @@ object SparkEntry {
       Sketches.kmvDistinct(Tables.lineitem(s, d), "l_returnflag", "l_orderkey")),
     // Count-Min heavy-hitter audit: exact top-20 terms vs their CMS
     // estimate; map-side partial agg IS the sketch merge
+    // EXACT heavy hitters (every term with freq > n/(k+1)) in two passes:
+    // per-partition Misra-Gries summaries (O(k) task state — no
+    // vocabulary-sized agg state) -> broadcast candidate superset ->
+    // exact counts of candidates only; the threshold applies to EXACT
+    // counts, so MG internals never touch the result
+    "sketch_mg_heavy" -> ((s, d) =>
+      Sketches.mgHeavyHitters(Tables.documents(s, d))),
     "sketch_cms_topterms" -> ((s, d) =>
       Sketches.cmsHeavyHitters(Tables.documents(s, d))),
     // near-dup clustering: GraphX connected components over the verified
@@ -2107,6 +2114,8 @@ object SparkEntry {
     // round-16: exact quantiles by histogram bisection (log_B(domain)
     // count passes — the scale path the buffered percentile agg lacks)
     "a14_exact_quantile", "a15_quantile_grouped",
+    // round-16: exact heavy hitters via two-pass Misra-Gries
+    "sketch_mg_heavy",
     // round-16: streaming positional ingest (7th-family symmetry)
     "stream_phrase_ingest",
     // round-15: batch hybrid off the two warm standing indexes (shared
@@ -4511,6 +4520,14 @@ object SparkEntry {
     },
     // CMS heavy-hitter audit: sketch built from term counts (identical to
     // the occurrence-built sketch), est = min over depth rows
+    // integer threshold: DuckDB // is floor division on integers, matching
+    // the engine's Long division n/(k+1)
+    "sketch_mg_heavy" ->
+      (s"WITH T AS (SELECT unnest(string_split($docNorm, ' ')) AS term FROM documents), " +
+       "C AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM T WHERE term <> '' GROUP BY term), " +
+       "N AS (SELECT CAST(sum(n_exact) AS BIGINT) AS n FROM C) " +
+       s"SELECT term, n_exact FROM C, N WHERE n_exact > n // ${graft.ops.Sketches.MgK + 1} " +
+       "ORDER BY n_exact DESC, term"),
     "sketch_cms_topterms" -> {
       import graft.ops.Sketches.{CmsDepth, CmsWidth}
       s"WITH WD AS (SELECT unnest(string_split($docNorm, ' ')) AS term FROM documents), " +

@@ -96,6 +96,70 @@ object Sketches {
     * (count-built and occurrence-built sketches are identical — gated
     * in `SketchesSpec`); the tiny sketch broadcasts into the probe
     * join. */
+  // ------------------------------------------------------ Misra-Gries
+
+  /** MG counter budget for the fixture row: threshold = n/(K+1). The
+    * synthetic corpus's 31-term near-uniform vocabulary makes the
+    * candidate superset the whole vocabulary (the measured degenerate
+    * case — recorded, not hidden); `SketchesSpec` proves the candidate
+    * bounding on a skewed fixture, where it is the entire point. */
+  val MgK = 30
+
+  /** Pass 1 of exact heavy hitters: per-partition Misra-Gries(k)
+    * summaries — k counters of imperative state per partition (the
+    * genuine mapPartitions case), emitting each partition's SURVIVOR
+    * terms plus one null-term row carrying the partition's token count
+    * (so the total n needs no second scan). Soundness (Misra-Gries 1982):
+    * any term with global frequency > n/(k+1) exceeds n_p/(k+1) in at
+    * least one partition (averaging) and therefore survives that
+    * partition's summary — the union is a guaranteed superset of the
+    * true heavy hitters, of size ≤ partitions·k. */
+  private[graft] def mgSummaries(terms: DataFrame, k: Int): DataFrame = {
+    import terms.sparkSession.implicits._
+    terms.select(col("term")).as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
+      it.foreach { t =>
+        np += 1
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < k => counters(t) = 1L
+          case None => // decrement-all step; drop zeroed counters
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.keysIterator.foreach { key =>
+              val c = counters(key) - 1
+              if (c == 0) dead += key else counters(key) = c
+            }
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator.map(t => (t, 0L)) ++ Iterator((null: String, np))
+    }.toDF("term", "np")
+  }
+
+  /** EXACT heavy hitters in two passes — every term with true frequency
+    * > n/(k+1), no approximation in the OUTPUT: pass 1's MG summaries
+    * yield a ≤ partitions·k candidate superset with O(k) state per task
+    * (no vocabulary-sized aggregation state anywhere — the guarantee a
+    * plain groupBy can't give when the key space is unbounded at 100 TB);
+    * pass 2 exact-counts ONLY the broadcast candidates (aggregation state
+    * = candidate count, not vocabulary) and applies the threshold to the
+    * exact counts. Deterministic: MG internals affect only the superset,
+    * never the result. Output: (term, n_exact), count-desc. */
+  def mgHeavyHitters(docs: DataFrame, k: Int = MgK): DataFrame = {
+    val terms = graft.CacheScope.track(
+      docs.select(explode(Dedup.words(col("text"))).as("term"))
+        .filter(col("term") =!= ""))
+    val summ = mgSummaries(terms, k).localCheckpoint()
+    val n = summ.agg(sum(col("np"))).collect()(0).getLong(0)
+    val candidates = summ.filter(col("term").isNotNull)
+      .select(col("term")).distinct()
+    terms.join(broadcast(candidates), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") > n / (k + 1))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
   def cmsHeavyHitters(docs: DataFrame, topK: Int = 20): DataFrame = {
     val tc = graft.CacheScope.track(
       docs.select(explode(Dedup.words(col("text"))).as("term"))

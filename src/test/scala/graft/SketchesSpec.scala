@@ -74,4 +74,36 @@ class SketchesSpec extends SparkSpec {
     }
     CacheScope.unpersistAll()
   }
+
+  test("Misra-Gries: candidate superset bounded, result exact on a " +
+      "skewed fixture") {
+    import spark.implicits._
+    // one dominant term in a 200-term vocabulary, spread over 4 partitions
+    val rng = new scala.util.Random(3)
+    val tokens = Seq.fill(2000)("hot") ++
+      Seq.fill(6000)(s"cold${rng.nextInt(200)}")
+    val terms = rng.shuffle(tokens).toDF("term").repartition(4)
+
+    val k = 8
+    val summ = Sketches.mgSummaries(terms, k)
+    val cands = summ.filter(col("term").isNotNull)
+      .select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(cands.size <= 4 * k,
+      s"candidate superset ${cands.size} exceeds partitions*k")
+    assert(cands.size < 100, "MG pruned nothing on a skewed stream")
+    assert(cands.contains("hot"), "the true heavy hitter fell out of MG")
+    // token-count marker rows sum to n
+    assert(summ.agg(sum(col("np"))).collect()(0).getLong(0) === 8000L)
+
+    // end-to-end: exact result = brute-force threshold filter
+    val docs = tokens.grouped(40).map(_.mkString(" ")).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Sketches.mgHeavyHitters(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val n = tokens.size
+    val want = tokens.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter(_._2 > n / (k + 1))
+      .sortBy { case (t, c) => (-c, t) }
+    assert(got === want)
+  }
 }
