@@ -1591,6 +1591,10 @@ object SparkEntry {
     // probe-skew predictor for the lexical family (a query's cost is
     // the df of its terms), the annIvfIndexStats shape
     "bm25_index_stats" -> ((s, d) => Search.indexStats(s, WarmIndex.bm25(s, d))),
+    // positional-family twin of bm25_index_stats, + the positions
+    // dimension (largest single position list = in-row intersection cost)
+    "phrase_index_stats" -> ((s, d) =>
+      Phrase.positionalStats(s, WarmIndex.positional(s, d))),
     // incremental maintenance of the standing index: base build on 80% of
     // the corpus, delta-ingest the rest (postings derived from the DELTA
     // ALONE, appended bucketed; stats merge additively), then query — must
@@ -2117,7 +2121,7 @@ object SparkEntry {
     // round-16: exact heavy hitters via two-pass Misra-Gries
     "sketch_mg_heavy",
     // round-16: streaming positional ingest (7th-family symmetry)
-    "stream_phrase_ingest",
+    "stream_phrase_ingest", "phrase_index_stats",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -4601,6 +4605,20 @@ object SparkEntry {
        "CAST(min(df) AS BIGINT) AS min_df, " +
        "CAST(max(df) AS BIGINT) AS max_df, " +
        "round(avg(df), 4) AS avg_df, " +
+       "round(CAST(max(df) AS DOUBLE) / round(avg(df), 4), 4) AS imbalance " +
+       "FROM DF"),
+    "phrase_index_stats" ->
+      (s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+       "O AS (SELECT doc_id, unnest(w) AS term FROM W), " +
+       "P AS (SELECT term, doc_id, count(*) AS occ FROM O GROUP BY term, doc_id), " +
+       "DF AS (SELECT term, count(*) AS df, sum(occ) AS occs, max(occ) AS maxp FROM P GROUP BY term) " +
+       "SELECT CAST(count(*) AS BIGINT) AS n_terms, " +
+       "CAST(sum(df) AS BIGINT) AS n_postings, " +
+       "CAST(sum(occs) AS BIGINT) AS n_occurrences, " +
+       "CAST(min(df) AS BIGINT) AS min_df, " +
+       "CAST(max(df) AS BIGINT) AS max_df, " +
+       "round(avg(df), 4) AS avg_df, " +
+       "CAST(max(maxp) AS BIGINT) AS max_positions, " +
        "round(CAST(max(df) AS DOUBLE) / round(avg(df), 4), 4) AS imbalance " +
        "FROM DF"),
     // delta-maintained index must converge to the full-corpus result

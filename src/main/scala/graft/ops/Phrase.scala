@@ -251,6 +251,33 @@ object Phrase {
     Tombstones.drop(spark, table)
   }
 
+  /** Posting-skew stats for the positional index ([[Search.indexStats]]
+    * shape + the positions dimension): per-term df distribution plus
+    * occurrence totals and the largest single position list — the probe-
+    * cost predictors a maintenance job reads (a hot term's phrase probe
+    * scans df rows; the in-row intersection cost scales with the
+    * position-list length). PHYSICAL stats — reads the raw postings, so
+    * between a delete and its compaction the numbers include tombstoned
+    * rows (probe cost IS the physical list until the fold; the
+    * [[Search.indexStats]] adjudication). */
+  def positionalStats(spark: SparkSession, table: String): DataFrame = {
+    val perTerm = spark.table(s"${table}_pos")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(size(col("positions"))).as("occs"),
+        max(size(col("positions"))).as("maxp"))
+    perTerm.agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("df")).as("n_postings"),
+        sum(col("occs")).as("n_occurrences"),
+        min(col("df")).as("min_df"),
+        max(col("df")).as("max_df"),
+        round(avg(col("df")), 4).as("avg_df"),
+        max(col("maxp")).cast("bigint").as("max_positions"))
+      .withColumn("imbalance",
+        round(col("max_df").cast("double") / col("avg_df"), 4))
+  }
+
   /** Repair an interrupted [[positionalCompact]] swap — the
     * [[Search.recoverIndexSwap]] state machine on the `_pos` names. */
   def recoverPositionalSwap(spark: SparkSession, table: String): Boolean = {
