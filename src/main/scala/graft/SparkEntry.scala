@@ -1498,6 +1498,10 @@ object SparkEntry {
     // regime the positional index exists for)
     "bm25_phrase_query" -> ((s, d) =>
       Phrase.phraseIndexedTopK(s, WarmIndex.positional(s, d))),
+    // BATCH phrase probe off the warm index: union-of-terms pruned scan,
+    // one shared term->positions pivot, per-phrase guarded cuts
+    "bm25_phrase_batch" -> ((s, d) =>
+      Phrase.phraseIndexedBatch(s, WarmIndex.positional(s, d))),
     // tombstone deletion for the positional family: delete IS the
     // sidecar append (no corpus-stats sidecar to correct), the probe's
     // broadcast anti-join hides victims immediately — same rebuild-
@@ -2121,7 +2125,7 @@ object SparkEntry {
     // round-16: exact heavy hitters via two-pass Misra-Gries
     "sketch_mg_heavy",
     // round-16: streaming positional ingest (7th-family symmetry)
-    "stream_phrase_ingest", "phrase_index_stats",
+    "stream_phrase_ingest", "phrase_index_stats", "bm25_phrase_batch",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
     "search_hybrid_batch")
@@ -2568,6 +2572,27 @@ object SparkEntry {
     s"SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_occ, " +
     s"CAST(hits[1]-1 AS INT) AS first_pos " +
     s"FROM P WHERE len(hits) > 0 ORDER BY n_occ DESC, doc_id LIMIT $TopK"
+  }
+
+  /** Batch-phrase oracle: one per-phrase block over the shared tokenized
+    * CTE, UNION ALL, (qid, n_occ DESC, doc_id) order — generated from the
+    * same [[graft.ops.Phrase.BatchPhrases]] fixture the engine uses. */
+  private def phraseBatchOracleSql: String = {
+    import graft.ops.Phrase.{BatchPhrases, TopK}
+    def block(qid: Int, p: Seq[String]): String = {
+      val n = p.length
+      val pred = p.zipWithIndex.map { case (t, off) =>
+        if (off == 0) s"w[i] = '$t'" else s"w[i+$off] = '$t'" }.mkString(" AND ")
+      s"(SELECT $qid AS qid, doc_id, n_occ, first_pos FROM " +
+      s"(SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_occ, " +
+      s"CAST(hits[1]-1 AS INT) AS first_pos " +
+      s"FROM (SELECT doc_id, list_filter(range(1, len(w)-$n+2), i -> $pred) AS hits FROM W) " +
+      s"WHERE len(hits) > 0 ORDER BY n_occ DESC, doc_id LIMIT $TopK))"
+    }
+    s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents) " +
+    "SELECT qid, doc_id, n_occ, first_pos FROM (" +
+    BatchPhrases.map { case (q, p) => block(q, p) }.mkString(" UNION ALL ") +
+    ") ORDER BY qid, n_occ DESC, doc_id"
   }
 
   /** Proximity oracle — 1-based positions, but pair DISTANCES are
@@ -4585,6 +4610,7 @@ object SparkEntry {
     "bm25_phrase_indexed" -> phraseOracleSql,
     "bm25_phrase_query" -> phraseOracleSql,
     "stream_phrase_ingest" -> phraseOracleSql,
+    "bm25_phrase_batch" -> phraseBatchOracleSql,
     "bm25_phrase_delete" -> phraseOracleSqlFrom("doc_id % 7 <> 3"),
     "bm25_phrase_lifecycle" -> phraseOracleSqlFrom("doc_id % 7 <> 3"),
     "bm25_proximity" -> proximityOracleSql,

@@ -251,6 +251,57 @@ object Phrase {
     Tombstones.drop(spark, table)
   }
 
+  /** Fixture batch for the batch probe: (qid, phrase). */
+  val BatchPhrases: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("table", "scan"),
+    2 -> Seq("key", "order"),
+    3 -> Seq("group", "query"),
+    4 -> Seq("part", "filter", "scan"))
+
+  /** BATCH phrase probe — many phrases in ONE index pass (the family's
+    * batch-frontend discipline: bm25/fuzzy/ANN all have one): the
+    * postings scan is pruned once by the UNION of all phrases' terms,
+    * one df-bounded groupBy pivots to the shared term→positions map
+    * (pinned — each phrase's cut re-reads the ≤candidates-sized map, not
+    * the index), and each phrase evaluates its own presence guard +
+    * shifted-containment filter over that map. Per-phrase top-k cuts,
+    * result ordered (qid, n_occ DESC, doc_id). Row-identical per qid to
+    * the single-phrase probe (spec-gated). */
+  def phraseIndexedBatch(spark: SparkSession, table: String,
+      phrases: Seq[(Int, Seq[String])] = BatchPhrases,
+      k: Int = TopK): DataFrame = {
+    val unionTerms = phrases.flatMap(_._2).distinct
+    val cand = Tombstones.filter(spark, table,
+        spark.table(s"${table}_pos")
+          .filter(col("term").isin(unionTerms: _*)),
+        "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("term"), col("positions")))).as("m"))
+    val pinned = graft.CacheScope.track(cand)
+    val cuts = phrases.map { case (qid, p) =>
+      // presence guard FIRST (a row missing any term never evaluates the
+      // map lookups — ANSI element_at throws on an absent key)
+      val present = p.distinct
+        .map(t => map_contains_key(col("m"), lit(t))).reduce(_ && _)
+      val hits = filter(element_at(col("m"), lit(p.head)), x =>
+        p.zipWithIndex.drop(1).map { case (t, off) =>
+          array_contains(element_at(col("m"), lit(t)), x + off)
+        }.reduceOption(_ && _).getOrElse(lit(true)))
+      pinned.filter(present)
+        .select(col("doc_id"), hits.as("hits"))
+        .select(lit(qid).as("qid"), col("doc_id"),
+          size(col("hits")).cast("bigint").as("n_occ"),
+          when(size(col("hits")) > 0, element_at(col("hits"), 1))
+            .cast("int").as("first_pos"))
+        .orderBy(desc("n_occ"), col("doc_id"))
+        .limit(k)
+        .filter(col("n_occ") > 0)
+    }
+    cuts.reduce(_ unionAll _)
+      .orderBy(col("qid"), desc("n_occ"), col("doc_id"))
+  }
+
   /** Posting-skew stats for the positional index ([[Search.indexStats]]
     * shape + the positions dimension): per-term df distribution plus
     * occurrence totals and the largest single position list — the probe-

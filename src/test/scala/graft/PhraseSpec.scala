@@ -152,6 +152,17 @@ class PhraseSpec extends SparkSpec {
       .collect().toSeq === want, "post-compact probe diverged")
   }
 
+  test("batch probe == per-phrase single probes, per qid") {
+    val batch = Phrase.phraseIndexedBatch(spark, posTable).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val singles = Phrase.BatchPhrases.flatMap { case (qid, p) =>
+      Phrase.phraseIndexedTopK(spark, posTable, p).collect()
+        .map(r => (qid, r.getLong(0), r.getLong(1), r.getInt(2)))
+    }.sortBy { case (q, d, occ, _) => (q, -occ, d) }
+    assert(batch.nonEmpty, "batch fixture matched nothing — fixture rot")
+    assert(batch === singles, "batch probe diverged from single probes")
+  }
+
   test("idempotent delta: full replay is a physical no-op, mixed batch " +
       "ingests only the novel rows") {
     val wh = java.nio.file.Files.createTempDirectory("graft-phrase-st")
