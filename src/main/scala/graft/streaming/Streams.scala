@@ -433,6 +433,27 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming SCD2 dimension maintenance — the observation feed as a
+    * `foreachBatch` sink over [[graft.ops.Scd.foldScd2Batch]]: batch 0
+    * bootstraps the dimension, each later micro-batch applies as an
+    * affected-keys-only incremental fold under the batch-id ledger
+    * (redelivery no-ops BEFORE the monotone-feed refusal can see the
+    * replayed observations — see the fold's scaladoc for why the two
+    * guards must be ordered that way). The production shape: an entity-
+    * attribute event topic keeps a billions-of-entities versioned
+    * dimension fresh at feed cost, never re-window-the-history cost. */
+  def incrementalScd2Maintenance(obs: DataFrame, table: String,
+      key: String, date: String, obsId: String,
+      value: String): StreamingQuery =
+    obs.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.Scd.foldScd2Batch(table, bid, batch, key, date,
+          obsId, value)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming CDC apply — the change feed (op = I/D, full row images)
     * as a `foreachBatch` sink over [[graft.ops.MatView.applyCdc]]: each
     * micro-batch folds as one generation under the batch-id ledger, so

@@ -118,4 +118,239 @@ class MatViewSpec extends SparkSpec {
     assert(rows(read2()) === rows(recompute(surviving)),
       "redelivered CDC bid re-applied")
   }
+
+  test("join view: read == recompute after buildJoin/deltaJoin/" +
+      "deleteJoinRows; unmatched fact rows invisible but guard-refused; " +
+      "delta enriches through a broadcast join (no fact shuffle)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvj-wh")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mvj_test LOCATION '$wh'")
+    val t = "graft_mvj_test.mvj"
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+      .withColumnRenamed("o_custkey", "c_custkey")
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val keys = Seq("c_nationkey"); val sums = Seq("price")
+    def read() = MatView.read(spark, t, keys, sums)
+      .select(col("c_nationkey").as("o_custkey"), // reuse the sorter
+        col("cnt"), col("sum_price"))
+    def recomputeJ(fact: org.apache.spark.sql.DataFrame) =
+      fact.join(dim, Seq("c_custkey"))
+        .groupBy(col("c_nationkey").as("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price")).as("sum_price"))
+
+    val base = o.filter(col("o_orderkey") % 5 =!= 0)
+    MatView.buildJoin(base, dim, t, Seq("c_custkey"), keys, sums,
+      "o_orderkey")
+    assert(rows(read()) === rows(recomputeJ(base)),
+      "post-buildJoin read diverged from the join recompute")
+
+    val delta = o.filter(col("o_orderkey") % 5 === 0)
+    MatView.deltaJoin(t, delta, dim, Seq("c_custkey"), keys, sums,
+      "o_orderkey")
+    assert(rows(read()) === rows(recomputeJ(o)),
+      "post-deltaJoin read diverged")
+
+    // an UNMATCHED fact row: invisible to the view (inner join), but its
+    // id still enters the guard — a replay of it is refused, so a
+    // late-arriving dim row can never resurrect it unnoticed
+    val orphan = o.limit(1)
+      .withColumn("o_orderkey", lit(77000001L))
+      .withColumn("c_custkey", lit(-1L)).localCheckpoint()
+    MatView.deltaJoin(t, orphan, dim, Seq("c_custkey"), keys, sums,
+      "o_orderkey")
+    assert(rows(read()) === rows(recomputeJ(o)),
+      "an unmatched fact row changed the view")
+    intercept[IllegalArgumentException] {
+      MatView.deltaJoin(t, orphan, dim, Seq("c_custkey"), keys, sums,
+        "o_orderkey")
+    }
+
+    // delete through the same dim: exact inverse of the insert path
+    val victims = o.filter(col("o_orderkey") % 7 === 3)
+    MatView.deleteJoinRows(t, victims, dim, Seq("c_custkey"), keys, sums)
+    assert(rows(read()) === rows(recomputeJ(
+      o.filter(col("o_orderkey") % 7 =!= 3))),
+      "post-deleteJoinRows read diverged")
+
+    // scale shape: the maintenance join is a BroadcastHashJoin — the
+    // fact delta is never shuffled on the join key
+    val plan = delta.join(broadcast(dim), Seq("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"join-view maintenance join did not broadcast:\n$plan")
+  }
+
+  test("distinct view: ndv/cnt == recompute after build/delta/delete; " +
+      "a value with surviving supporters stays; one without leaves; " +
+      "emptied group vanishes; compact folds to one row per pair; " +
+      "replay refused") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvd-wh")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mvd_test LOCATION '$wh'")
+    val t = "graft_mvd_test.mvd"
+    val o = Tables.orders(spark, sfDir)
+    val keys = Seq("o_orderpriority"); val v = "o_custkey"
+    def read() = MatView.readDistinct(spark, t, keys, v)
+      .select(col("o_orderpriority").as("o_custkey"), // reuse the sorter
+        col("ndv"), col("cnt"))
+    def recomputeD(base: org.apache.spark.sql.DataFrame) =
+      base.groupBy(col("o_orderpriority").as("o_custkey"))
+        .agg(countDistinct(col(v)).as("ndv"), count(lit(1)).as("cnt"))
+
+    val base = o.filter(col("o_orderkey") % 5 =!= 0)
+    MatView.buildDistinct(base, t, keys, v, "o_orderkey")
+    assert(rows(read()) === rows(recomputeD(base)),
+      "post-buildDistinct read diverged from COUNT DISTINCT recompute")
+
+    val delta = o.filter(col("o_orderkey") % 5 === 0)
+    MatView.deltaDistinct(t, delta, keys, v, "o_orderkey")
+    assert(rows(read()) === rows(recomputeD(o)),
+      "post-deltaDistinct read diverged")
+    intercept[IllegalArgumentException] {
+      MatView.deltaDistinct(t, delta.limit(1), keys, v, "o_orderkey")
+    }
+
+    // TEETH: delete ONE order of a multi-order (priority, customer) pair
+    // — ndv must NOT move (survivors support the value); then delete the
+    // rest of that customer's orders in the priority — ndv drops by
+    // exactly 1. Additive ndv storage cannot make this distinction; the
+    // refcount can.
+    val pair = o.groupBy(col("o_orderpriority"), col(v))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .limit(1).collect()(0)
+    val (pr, ck) = (pair.getString(0), pair.getLong(1))
+    val pairRows = o.filter(col("o_orderpriority") === pr &&
+      col(v) === ck).localCheckpoint()
+    val first = pairRows.orderBy(col("o_orderkey")).limit(1)
+      .localCheckpoint()
+    MatView.deleteRowsDistinct(t, first, keys, v)
+    val afterOne = o.join(first.select(col("o_orderkey")),
+      Seq("o_orderkey"), "left_anti")
+    assert(rows(read()) === rows(recomputeD(afterOne)),
+      "deleting one supporter of a 2+-supporter pair moved ndv")
+    MatView.deleteRowsDistinct(t,
+      pairRows.join(first.select(col("o_orderkey")),
+        Seq("o_orderkey"), "left_anti"), keys, v)
+    val afterAll = o.join(pairRows.select(col("o_orderkey")),
+      Seq("o_orderkey"), "left_anti")
+    assert(rows(read()) === rows(recomputeD(afterAll)),
+      "deleting the last supporter did not retire the value")
+
+    // empty a whole group: delete every row of one priority
+    val gonePr = "1-URGENT"
+    MatView.deleteRowsDistinct(t,
+      afterAll.filter(col("o_orderpriority") === gonePr), keys, v)
+    val surviving = afterAll.filter(col("o_orderpriority") =!= gonePr)
+    assert(rows(read()) === rows(recomputeD(surviving)),
+      "post-group-delete read diverged")
+    assert(read().filter(col("o_custkey") === gonePr).count() === 0,
+      "a fully-deleted group survived the distinct fold")
+
+    // compact: one physical row per surviving pair, result unmoved
+    val want = rows(read())
+    MatView.compactDistinct(spark, t, keys, v)
+    assert(rows(read()) === want, "distinct compaction moved the view")
+    val perPair = spark.table(s"${t}_dv")
+      .groupBy(col("o_orderpriority"), col(v))
+      .agg(count(lit(1)).as("n")).agg(max(col("n")))
+      .collect()(0).getLong(0)
+    assert(perPair === 1L,
+      s"distinct compaction left $perPair rows for a pair")
+  }
+
+  private def recomputeMM(base: org.apache.spark.sql.DataFrame) =
+    base.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"))
+
+  test("minmax view: read == recompute after build/delta/delete; " +
+      "delete recompute supersedes history (runner-up surfaces); " +
+      "emptied group vanishes and a later delta folds against a clean " +
+      "slate; compact preserves; replay refused; affected keys broadcast") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mm-wh")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mm_test LOCATION '$wh'")
+    val t = "graft_mm_test.mm"
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+    val keys = Seq("o_custkey"); val cols = Seq("price")
+    def read() = MatView.readMinMax(spark, t, keys, cols)
+      .select(col("o_custkey"), col("cnt"),
+        col("min_price"), col("max_price"))
+
+    val base = o.filter(col("o_orderkey") % 5 =!= 0)
+    MatView.buildMinMax(base, t, keys, cols, "o_orderkey")
+    assert(rows(read()) === rows(recomputeMM(base)),
+      "post-build minmax read diverged from the GROUP BY recompute")
+
+    val delta = o.filter(col("o_orderkey") % 5 === 0)
+    MatView.deltaMinMax(t, delta, keys, cols, "o_orderkey")
+    assert(rows(read()) === rows(recomputeMM(o)),
+      "post-delta minmax read diverged (insert partials mis-folded)")
+
+    // replay refused loudly — the same no-row-identity stance as delta
+    intercept[IllegalArgumentException] {
+      MatView.deltaMinMax(t, delta.limit(1), keys, cols, "o_orderkey")
+    }
+
+    // TEETH for the recompute: delete every group's CURRENT MAX row —
+    // additive math cannot answer this (the runner-up only exists in
+    // the base); the read must surface exactly the runner-up maxes
+    val wmax = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+    val ranked = o.withColumn("rk", row_number().over(wmax))
+    val victims = ranked.filter(col("rk") === 1).drop("rk")
+      .localCheckpoint()
+    val survivors = ranked.filter(col("rk") =!= 1).drop("rk")
+    MatView.deleteRowsMinMax(t, victims, survivors, keys, cols)
+    assert(rows(read()) === rows(recomputeMM(survivors)),
+      "post-delete minmax read diverged — the runner-up max did not " +
+        "surface (recompute generation mis-folded)")
+    // single-order customers vanished with their only row
+    val single = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") === 1).select(col("o_custkey"))
+      .collect().map(_.getLong(0)).toSet
+    if (single.nonEmpty) {
+      val hit = read().filter(col("o_custkey").isin(single.toSeq: _*))
+      assert(hit.count() === 0, "a fully-deleted group survived the fold")
+    }
+
+    // the recompute generation must SUPERSEDE history even for a key
+    // later re-fed by a delta: re-add one vanished customer's rows
+    if (single.nonEmpty) {
+      val back = o.filter(col("o_custkey") === single.head)
+        .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
+      MatView.deltaMinMax(t, back, keys, cols, "o_orderkey")
+      val want = recomputeMM(survivors.unionByName(back))
+      assert(rows(read()) === rows(want),
+        "delta after a full-group delete folded against stale history")
+      // restore the frame the remaining assertions expect
+      MatView.deleteRowsMinMax(t, back, survivors, keys, cols)
+      assert(rows(read()) === rows(recomputeMM(survivors)),
+        "second delete (undo) diverged")
+    }
+
+    // compact: one physical row per key, result unmoved
+    val want = rows(read())
+    MatView.compactMinMax(spark, t, keys, cols)
+    assert(rows(read()) === want, "minmax compaction moved the view")
+    val perKey = spark.table(s"${t}_mm").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0).getLong(0)
+    assert(perKey === 1L, s"minmax compaction left $perKey rows for a key")
+
+    // scale shape: the delete-time recompute reaches the base through a
+    // BROADCAST semi join on the affected keys (key-pruned, never a
+    // repartition of the base)
+    val plan = survivors
+      .join(org.apache.spark.sql.functions.broadcast(
+        victims.select(col("o_custkey")).distinct()),
+        keys, "left_semi")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"affected-key semi join did not broadcast:\n$plan")
+  }
 }
