@@ -2042,6 +2042,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
     }),
+    // RETENTION via partition drop: expiring data on a date-partitioned
+    // fact is |expired partitions| catalog calls — METADATA ONLY (zero
+    // scans, zero rewrites; spec-gates zero Spark jobs); the read
+    // answers the survivors-only aggregate
+    "layout_retention" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-ret")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      graft.sources.Layout.writeDatePartitionedTable(
+        Tables.events(s, d), "graft_idx.events_ret")
+      graft.sources.Layout.enforceRetention(
+        s, "graft_idx.events_ret", "event_date", "2024-01-08")
+      s.table("graft_idx.events_ret")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+    // IDEMPOTENT DAILY BACKFILL: one day's partition replaced with a
+    // corrected load under dynamic partition overwrite (every other
+    // day's files untouched); the SAME backfill re-runs inside the
+    // priced row — re-running a daily job converges, never duplicates
+    "layout_backfill_day" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bf")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val ev = Tables.events(s, d)
+      graft.sources.Layout.writeDatePartitionedTable(
+        ev, "graft_idx.events_bf")
+      val corrected = ev.filter(
+        to_date(col("ts")) === to_date(lit("2024-01-15")) &&
+          col("user_id") % 10 =!= 7)
+      graft.sources.Layout.backfillDay(s, "graft_idx.events_bf", corrected)
+      graft.sources.Layout.backfillDay(s, "graft_idx.events_bf", corrected)
+      s.table("graft_idx.events_bf")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
     // CO-LOCATED fact-fact join: both facts written bucketed on the
     // join key -> the SortMergeJoin consumes the bucketed scans with
     // ZERO exchange and zero sort on either side (plan-asserted in
@@ -2242,6 +2282,8 @@ object SparkEntry {
     // the co-located fact-fact bucketed join
     "mv_orders_build", "mv_orders_lifecycle", "stream_mv_ingest",
     "mv_orders_cdc", "stream_mv_cdc", "layout_bucketed_join",
+    // round-16: metadata-only retention + idempotent daily backfill
+    "layout_retention", "layout_backfill_day",
     // round-16: min/max IVM — insert-associative deltas + delete-time
     // affected-group recompute (the non-additive honest cost model)
     "mv_minmax_lifecycle",
@@ -3131,6 +3173,19 @@ object SparkEntry {
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events " +
        "WHERE CAST(ts AS DATE) BETWEEN '2024-01-08' AND '2024-01-14' " +
+       "GROUP BY event_type ORDER BY event_type"),
+    // retention: survivors = dates at/after the horizon
+    "layout_retention" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events " +
+       "WHERE CAST(ts AS DATE) >= '2024-01-08' " +
+       "GROUP BY event_type ORDER BY event_type"),
+    // backfill: day 15 replaced by its corrected load (user_id%10=7
+    // rows dropped), every other day intact; re-run converges
+    "layout_backfill_day" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events " +
+       "WHERE NOT (CAST(ts AS DATE) = '2024-01-15' AND user_id % 10 = 7) " +
        "GROUP BY event_type ORDER BY event_type"),
     // the dim-filtered star join reduces to the weekend-day filter
     // (isodow >= 6 == Spark's dayofweek IN (1, 7))

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Write-side data layout for the 100 TB sink path.
@@ -102,6 +102,59 @@ object Layout {
   def writeDatePartitioned(events: DataFrame, dir: String): Unit =
     events.withColumn("event_date", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+
+  /** The catalog-table twin of [[writeDatePartitioned]] — partitions
+    * tracked in the catalog so retention ([[enforceRetention]]) and
+    * day-replacement ([[backfillDay]]) are DDL/metadata operations. */
+  def writeDatePartitionedTable(events: DataFrame, table: String): Unit =
+    events.withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date")
+      .format("parquet").saveAsTable(table)
+
+  /** RETENTION enforcement on a date-partitioned table: drop every
+    * partition strictly before `keepFrom` via catalog DDL — METADATA
+    * ONLY. At 100 TB a retention pass that reads, filters, or rewrites
+    * data is a failure mode: row-level retention on a date-partitioned
+    * fact is a lie (the partition IS the retention unit — that is what
+    * the layout lever bought), and the drop must cost |expired
+    * partitions| catalog calls, zero scans, zero shuffles (spec-gated:
+    * zero Spark jobs run). Returns the dropped partition values; the
+    * boundary partition and everything above stay byte-identical. */
+  def enforceRetention(spark: SparkSession, table: String,
+      dateCol: String, keepFrom: String): Seq[String] = {
+    val victims = spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0).split("=")(1)).filter(_ < keepFrom).sorted
+    victims.foreach { v =>
+      spark.sql(
+        s"ALTER TABLE $table DROP IF EXISTS PARTITION ($dateCol = '$v')")
+    }
+    victims.toSeq
+  }
+
+  /** Idempotent DAILY BACKFILL: replace exactly one day's partition
+    * with a corrected load — `INSERT OVERWRITE` under DYNAMIC partition
+    * overwrite, so only the partitions present in `corrected` rewrite
+    * and every other day's files are untouched (the daily-batch
+    * idempotence contract: re-running a day's job converges instead of
+    * duplicating, without the read-modify-write a MERGE would cost).
+    * The caller guarantees `corrected` carries the full replacement
+    * content for its day(s) — partition replacement, not row upsert. */
+  def backfillDay(spark: SparkSession, table: String,
+      corrected: DataFrame): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // v1 insertInto is POSITION-based: `corrected` must carry the
+    // table's data columns in order; event_date lands last (the
+    // partition column's slot in a partitionBy saveAsTable layout)
+    try corrected.withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 
   /** The date dimension for the partitioned fact — distinct event dates
     * with calendar attributes. |dates| rows: a true dimension, always

@@ -140,6 +140,78 @@ class LayoutSpec extends SparkSpec {
     assert(nDates > 7)
   }
 
+  test("enforceRetention: metadata-only (ZERO Spark jobs), expired " +
+      "partitions gone, survivors byte-identical") {
+    val wh = Files.createTempDirectory("graft-ret-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ret_test LOCATION '$wh'")
+    val t = "graft_ret_test.ev"
+    val events = Tables.events(spark, sfDir)
+    Layout.writeDatePartitionedTable(events, t)
+    val before = spark.sql(s"SHOW PARTITIONS $t").count()
+    val keptFiles = spark.table(t)
+      .filter(col("event_date") >= "2024-01-08")
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+
+    // the claim: retention is DDL, not computation — no job may run
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val dropped = Layout.enforceRetention(spark, t, "event_date",
+        "2024-01-08")
+      Thread.sleep(1000) // listener delivery is async; let the bus drain
+      assert(jobs === 0, s"retention ran $jobs Spark job(s) — not " +
+        "metadata-only")
+      assert(dropped.size === 7 && dropped.head === "2024-01-01" &&
+        dropped.last === "2024-01-07", s"dropped: $dropped")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    assert(spark.sql(s"SHOW PARTITIONS $t").count() === before - 7)
+    // survivors: same rows AND the same physical files (nothing rewritten)
+    assert(spark.table(t).count() ===
+      events.filter(to_date(col("ts")) >= "2024-01-08").count())
+    val after = spark.table(t).select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(after.sorted.toSeq === keptFiles.sorted.toSeq,
+      "retention rewrote surviving files")
+  }
+
+  test("backfillDay: one partition replaced, other days' files " +
+      "physically untouched, re-run converges") {
+    val wh = Files.createTempDirectory("graft-bf-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bf_test LOCATION '$wh'")
+    val t = "graft_bf_test.ev"
+    val events = Tables.events(spark, sfDir)
+    Layout.writeDatePartitionedTable(events, t)
+    val day = "2024-01-15"
+    def otherFiles() = spark.table(t)
+      .filter(col("event_date") =!= day)
+      .select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    val othersBefore = otherFiles()
+    val corrected = events.filter(
+      to_date(col("ts")) === to_date(lit(day)) && col("user_id") % 10 =!= 7)
+    val want = events.filter(
+      !(to_date(col("ts")) === to_date(lit(day)) && col("user_id") % 10 === 7))
+      .count()
+
+    Layout.backfillDay(spark, t, corrected)
+    assert(spark.table(t).count() === want, "backfill content wrong")
+    assert(otherFiles() === othersBefore,
+      "backfill rewrote files outside the target day")
+    // idempotence: the re-run converges (replacement, not append)
+    Layout.backfillDay(spark, t, corrected)
+    assert(spark.table(t).count() === want, "re-run duplicated the day")
+    assert(otherFiles() === othersBefore)
+    // the session conf is restored (no dynamic-overwrite leakage)
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"), "backfillDay leaked the overwrite mode")
+  }
+
   test("DPP: a dim-side weekend filter prunes the fact scan at runtime") {
     val events = Tables.events(spark, sfDir)
     val dir = Files.createTempDirectory("datepart-dpp").toFile.getAbsolutePath
