@@ -780,6 +780,79 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("ndv"), col("cnt"))
         .orderBy(col("o_orderpriority"))
     }),
+    // CDC through the JOIN VIEW: the change batch's fact images enrich
+    // through the broadcast dim and fold as one applyCdc generation —
+    // the dim probe commutes with the I/D split under immutability
+    "mv_join_cdc" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-mvjcdc")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val o = Tables.orders(s, d)
+        .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+        .withColumnRenamed("o_custkey", "c_custkey")
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      MatView.buildJoin(o.filter(col("o_orderkey") % 5 =!= 0), dim,
+        "graft_idx.mvjcdc", Seq("c_custkey"), Seq("c_nationkey"),
+        Seq("price"), "o_orderkey")
+      val changes = o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("op", lit("I"))
+        .unionByName(o.filter(col("o_orderkey") % 5 =!= 0 &&
+          col("o_orderkey") % 7 === 3).withColumn("op", lit("D")))
+      MatView.applyCdcJoin("graft_idx.mvjcdc", 0L, changes, dim,
+        Seq("c_custkey"), Seq("c_nationkey"), Seq("price"))
+      MatView.read(s, "graft_idx.mvjcdc", Seq("c_nationkey"), Seq("price"))
+        .select(col("c_nationkey"), col("cnt").as("n_orders"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy(col("c_nationkey"))
+    }),
+    // STREAMING distinct-view maintenance: exact ndv kept fresh from a
+    // real bounded feed (refcount partials per micro-batch, ledgered)
+    "stream_mv_distinct" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-mvds")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val o = Tables.orders(s, d)
+      val feed = java.nio.file.Files.createTempDirectory("graft-mvd-feed")
+        .toFile.getAbsolutePath + "/in"
+      o.filter(col("o_orderkey") % 2 === 1).repartition(1).write.parquet(feed)
+      o.filter(col("o_orderkey") % 2 === 0).repartition(1)
+        .write.mode("append").parquet(feed)
+      val q = graft.streaming.Streams.incrementalDistinctMaintenance(
+        s.readStream.schema(o.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        "graft_idx.mvds", Seq("o_orderpriority"), "o_custkey", "o_orderkey")
+      q.processAllAvailable(); q.stop()
+      MatView.readDistinct(s, "graft_idx.mvds",
+        Seq("o_orderpriority"), "o_custkey")
+        .select(col("o_orderpriority"), col("ndv"), col("cnt"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // STREAMING min/max-view maintenance: insert generations per
+    // micro-batch (the insert-associative half; deletes are the
+    // takedown-feed recompute, not a streaming fold)
+    "stream_mv_minmax" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-mvms")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val o = Tables.orders(s, d)
+        .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+      val feed = java.nio.file.Files.createTempDirectory("graft-mvm-feed")
+        .toFile.getAbsolutePath + "/in"
+      o.filter(col("o_orderkey") % 2 === 1).repartition(1).write.parquet(feed)
+      o.filter(col("o_orderkey") % 2 === 0).repartition(1)
+        .write.mode("append").parquet(feed)
+      val q = graft.streaming.Streams.incrementalMinMaxMaintenance(
+        s.readStream.schema(o.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        "graft_idx.mvms", Seq("o_custkey"), Seq("price"), "o_orderkey")
+      q.processAllAvailable(); q.stop()
+      MatView.readMinMax(s, "graft_idx.mvms", Seq("o_custkey"), Seq("price"))
+        .select(col("o_custkey"), col("cnt").as("n_orders"),
+          col("min_price").cast("double").as("min_price"),
+          col("max_price").cast("double").as("max_price"))
+        .orderBy(col("o_custkey"))
+    }),
     // CDC-APPLIED view: one Debezium-shaped change batch (op = I/D with
     // full row images) folds as ONE appended generation — inserts'
     // partials + deletes' negated partials, batch-id idempotent; read
@@ -2288,8 +2361,10 @@ object SparkEntry {
     // affected-group recompute (the non-additive honest cost model)
     "mv_minmax_lifecycle",
     // round-16: the join-view (broadcast fact⋈dim delta maintenance)
-    // and exact-count-distinct (refcounted support) IVM members
+    // and exact-count-distinct (refcounted support) IVM members, their
+    // streaming twins, and CDC through the join view
     "mv_join_lifecycle", "mv_distinct_lifecycle",
+    "mv_join_cdc", "stream_mv_distinct", "stream_mv_minmax",
     // round-16: dataset-version diff audit
     "corpus_diff",
     // round-16: positional lexical retrieval — scan-time phrase +
@@ -3286,6 +3361,24 @@ object SparkEntry {
        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
        "FROM orders WHERE NOT (o_orderkey % 5 <> 0 AND o_orderkey % 7 = 3) " +
        "GROUP BY o_custkey ORDER BY o_custkey"),
+    // the same CDC survivors, through the fact⋈dim join view
+    "mv_join_cdc" ->
+      ("SELECT c_nationkey, count(*) AS n_orders, " +
+       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey " +
+       "WHERE NOT (o_orderkey % 5 <> 0 AND o_orderkey % 7 = 3) " +
+       "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    // a drained distinct-view stream == the one-shot COUNT(DISTINCT)
+    "stream_mv_distinct" ->
+      ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS ndv, " +
+       "count(*) AS cnt FROM orders " +
+       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // a drained min/max-view stream == the one-shot min/max GROUP BY
+    "stream_mv_minmax" ->
+      ("SELECT o_custkey, count(*) AS n_orders, " +
+       "CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price, " +
+       "CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price " +
+       "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
     // a drained view-maintenance stream == the one-shot GROUP BY
     "stream_mv_ingest" ->
       ("SELECT o_custkey, count(*) AS n_orders, " +

@@ -132,9 +132,7 @@ object MatView {
       build(df, table, keys, sums, idCol)
       writeLedger(spark, ledger, bid); return
     }
-    if (spark.catalog.tableExists(ledger) &&
-        spark.table(ledger).filter(col("bid") === bid).take(1).nonEmpty)
-      return // redelivered batch: already folded
+    if (ledgerHas(spark, ledger, bid)) return // redelivered: folded
     if (df.isEmpty) { writeLedger(spark, ledger, bid); return }
     partial(df, keys, sums)
       .write.mode("append").format("parquet").saveAsTable(s"${table}_mv")
@@ -159,9 +157,7 @@ object MatView {
     require(spark.catalog.tableExists(s"${table}_mv"),
       s"MatView.applyCdc needs a standing view: ${table}_mv not found — " +
         "run build first")
-    if (spark.catalog.tableExists(ledger) &&
-        spark.table(ledger).filter(col("bid") === bid).take(1).nonEmpty)
-      return
+    if (ledgerHas(spark, ledger, bid)) return
     val ins = partial(changes.filter(col("op") === "I"), keys, sums)
     val del = partial(changes.filter(col("op") === "D"), keys, sums)
       .select(keys.map(col) ++ ((-col("cnt")).as("cnt") +:
@@ -170,6 +166,70 @@ object MatView {
       .write.mode("append").format("parquet").saveAsTable(s"${table}_mv")
     writeLedger(spark, ledger, bid)
   }
+
+  /** CDC apply for the JOIN VIEW: the change batch (op = I/D, full FACT
+    * row images) enriches through the broadcast immutable dim and folds
+    * as ONE [[applyCdc]] generation — inserts' joined partials plus
+    * deletes' negated joined partials, batch-id idempotent. The dim
+    * probe commutes with the I/D split (the dim is immutable, so both
+    * halves see the same match set), which is why this is literally
+    * the plain CDC fold over the enriched batch. */
+  def applyCdcJoin(table: String, bid: Long, changes: DataFrame,
+      dim: DataFrame, joinKeys: Seq[String], keys: Seq[String],
+      sums: Seq[String]): Unit =
+    applyCdc(table, bid, changes.join(broadcast(dim), joinKeys), keys, sums)
+
+  /** Streaming maintenance for the DISTINCT view — [[foldBatch]]'s
+    * batch-id ledger recipe over `_dv` support partials: batch `bid`
+    * appends its refcounts once, a redelivered bid is skipped entirely,
+    * batch 0 bootstraps an empty catalog. Same scope note as
+    * [[foldBatch]]: the ledger closes the redelivery-after-fold window;
+    * a crash between the append and the ledger write is the
+    * single-writer rebuild scenario. */
+  def foldBatchDistinct(table: String, bid: Long, df: DataFrame,
+      keys: Seq[String], valueCol: String, idCol: String): Unit = {
+    val spark = df.sparkSession
+    val ledger = s"${table}_batches"
+    if (!spark.catalog.tableExists(s"${table}_dv")) {
+      buildDistinct(df, table, keys, valueCol, idCol)
+      writeLedger(spark, ledger, bid); return
+    }
+    if (ledgerHas(spark, ledger, bid)) return
+    if (df.isEmpty) { writeLedger(spark, ledger, bid); return }
+    partialDV(df, keys, valueCol)
+      .write.mode("append").format("parquet").saveAsTable(s"${table}_dv")
+    IngestGuard.write(spark, df, idCol, table, overwrite = false)
+    writeLedger(spark, ledger, bid)
+  }
+
+  /** Streaming maintenance for the MIN/MAX view — insert generations
+    * under the batch-id ledger (min/max ARE insert-associative, so the
+    * streaming insert path is exactly the additive family's shape;
+    * DELETES are not a streaming fold here — they need the surviving
+    * base for the affected-group recompute, so a takedown feed drives
+    * [[deleteRowsMinMax]] through its own `foreachBatch` with the base
+    * at hand, the [[graft.streaming.Streams.incrementalDeletion]]
+    * pattern). Batch 0 bootstraps. */
+  def foldBatchMinMax(table: String, bid: Long, df: DataFrame,
+      keys: Seq[String], cols: Seq[String], idCol: String): Unit = {
+    val spark = df.sparkSession
+    val ledger = s"${table}_batches"
+    if (!spark.catalog.tableExists(s"${table}_mm")) {
+      buildMinMax(df, table, keys, cols, idCol)
+      writeLedger(spark, ledger, bid); return
+    }
+    if (ledgerHas(spark, ledger, bid)) return
+    if (df.isEmpty) { writeLedger(spark, ledger, bid); return }
+    partialMM(df, keys, cols, nextGen(spark, table), reco = false)
+      .write.mode("append").format("parquet").saveAsTable(s"${table}_mm")
+    IngestGuard.write(spark, df, idCol, table, overwrite = false)
+    writeLedger(spark, ledger, bid)
+  }
+
+  private def ledgerHas(spark: SparkSession, ledger: String,
+      bid: Long): Boolean =
+    spark.catalog.tableExists(ledger) &&
+      spark.table(ledger).filter(col("bid") === bid).take(1).nonEmpty
 
   /** The view stores NO per-row identity, so a bloom hit cannot be
     * exact-confirmed like the index families do — suspects are refused

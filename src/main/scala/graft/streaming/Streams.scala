@@ -433,6 +433,36 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming maintenance of the DISTINCT view — the feed as a
+    * `foreachBatch` sink over [[graft.ops.MatView.foldBatchDistinct]]:
+    * each micro-batch appends its refcounted support partials once
+    * under the batch-id ledger. Exact ndv stays fresh at feed cost. */
+  def incrementalDistinctMaintenance(newRows: DataFrame, table: String,
+      keys: Seq[String], valueCol: String, idCol: String): StreamingQuery =
+    newRows.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.MatView.foldBatchDistinct(table, bid, batch, keys,
+          valueCol, idCol)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
+  /** Streaming maintenance of the MIN/MAX view — insert generations
+    * under the batch-id ledger ([[graft.ops.MatView.foldBatchMinMax]]);
+    * deletes stay a takedown-feed concern (they need the surviving
+    * base — see the fold's scaladoc). */
+  def incrementalMinMaxMaintenance(newRows: DataFrame, table: String,
+      keys: Seq[String], cols: Seq[String], idCol: String): StreamingQuery =
+    newRows.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ops.MatView.foldBatchMinMax(table, bid, batch, keys, cols,
+          idCol)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming SCD2 dimension maintenance — the observation feed as a
     * `foreachBatch` sink over [[graft.ops.Scd.foldScd2Batch]]: batch 0
     * bootstraps the dimension, each later micro-batch applies as an

@@ -260,6 +260,84 @@ class MatViewSpec extends SparkSpec {
       s"distinct compaction left $perPair rows for a pair")
   }
 
+  test("foldBatchDistinct / foldBatchMinMax: drained == one-shot; " +
+      "same-bid redelivery is a physical no-op; applyCdcJoin == " +
+      "survivors' join GROUP BY") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvx-wh")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mvx_test LOCATION '$wh'")
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+    val b0 = o.filter(col("o_orderkey") % 2 === 1)
+    val b1 = o.filter(col("o_orderkey") % 2 === 0)
+
+    // distinct: bootstrap + fold, redelivery leaves the pair rows alone
+    val td = "graft_mvx_test.dv"
+    MatView.foldBatchDistinct(td, 0L, b0,
+      Seq("o_orderpriority"), "o_custkey", "o_orderkey")
+    MatView.foldBatchDistinct(td, 1L, b1,
+      Seq("o_orderpriority"), "o_custkey", "o_orderkey")
+    def readD() = MatView.readDistinct(spark, td,
+      Seq("o_orderpriority"), "o_custkey")
+      .select(col("o_orderpriority").as("o_custkey"), col("ndv"), col("cnt"))
+    val wantD = rows(o.groupBy(col("o_orderpriority").as("o_custkey"))
+      .agg(countDistinct(col("o_custkey")).as("ndv"),
+        count(lit(1)).as("cnt")))
+    assert(rows(readD()) === wantD, "drained distinct stream diverged")
+    val nD = spark.table(s"${td}_dv").count()
+    MatView.foldBatchDistinct(td, 1L, b1,
+      Seq("o_orderpriority"), "o_custkey", "o_orderkey")
+    assert(spark.table(s"${td}_dv").count() === nD &&
+      rows(readD()) === wantD, "redelivered distinct batch re-folded")
+
+    // minmax: bootstrap + fold, redelivery adds no generation
+    val tm = "graft_mvx_test.mm"
+    MatView.foldBatchMinMax(tm, 0L, b0,
+      Seq("o_custkey"), Seq("price"), "o_orderkey")
+    MatView.foldBatchMinMax(tm, 1L, b1,
+      Seq("o_custkey"), Seq("price"), "o_orderkey")
+    def readM() = MatView.readMinMax(spark, tm,
+      Seq("o_custkey"), Seq("price"))
+      .select(col("o_custkey"), col("cnt"),
+        col("min_price"), col("max_price"))
+    assert(rows(readM()) === rows(recomputeMM(o)),
+      "drained minmax stream diverged")
+    val nM = spark.table(s"${tm}_mm").count()
+    MatView.foldBatchMinMax(tm, 1L, b1,
+      Seq("o_custkey"), Seq("price"), "o_orderkey")
+    assert(spark.table(s"${tm}_mm").count() === nM &&
+      rows(readM()) === rows(recomputeMM(o)),
+      "redelivered minmax batch re-folded")
+
+    // CDC through the join view: I/D fact images enrich through the dim
+    val tj = "graft_mvx_test.jcdc"
+    val oj = o.withColumnRenamed("o_custkey", "c_custkey")
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    MatView.buildJoin(oj.filter(col("o_orderkey") % 2 === 1), dim, tj,
+      Seq("c_custkey"), Seq("c_nationkey"), Seq("price"), "o_orderkey")
+    val changes = oj.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("op", lit("I"))
+      .unionByName(oj.filter(col("o_orderkey") % 2 === 1 &&
+        col("o_orderkey") % 7 === 3).withColumn("op", lit("D")))
+    MatView.applyCdcJoin(tj, 0L, changes, dim,
+      Seq("c_custkey"), Seq("c_nationkey"), Seq("price"))
+    val surviving = oj.filter(!(col("o_orderkey") % 2 === 1 &&
+      col("o_orderkey") % 7 === 3))
+    val wantJ = rows(surviving.join(dim, Seq("c_custkey"))
+      .groupBy(col("c_nationkey").as("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price")).as("sum_price")))
+    assert(rows(MatView.read(spark, tj, Seq("c_nationkey"), Seq("price"))
+      .select(col("c_nationkey").as("o_custkey"), col("cnt"),
+        col("sum_price"))) === wantJ,
+      "join-view CDC diverged from the survivors' join GROUP BY")
+    MatView.applyCdcJoin(tj, 0L, changes, dim,
+      Seq("c_custkey"), Seq("c_nationkey"), Seq("price"))
+    assert(rows(MatView.read(spark, tj, Seq("c_nationkey"), Seq("price"))
+      .select(col("c_nationkey").as("o_custkey"), col("cnt"),
+        col("sum_price"))) === wantJ, "redelivered CDC bid re-applied")
+  }
+
   private def recomputeMM(base: org.apache.spark.sql.DataFrame) =
     base.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("cnt"), min(col("price")).as("min_price"),
