@@ -2115,6 +2115,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
     }),
+    // DATA-QUALITY GATE: a deterministically-corrupted orders load
+    // (dup keys, negated prices, orphan custkeys) through the
+    // constraint report — all row rules in ONE scan, uniqueness one
+    // aggregate, FK one broadcast anti join
+    "quality_report" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val corrupted = o
+        .unionByName(o.filter(col("o_orderkey") % 1000 === 1))
+        .unionByName(o.filter(col("o_orderkey") % 500 === 2)
+          .withColumn("o_totalprice", -col("o_totalprice"))
+          .withColumn("o_orderkey", col("o_orderkey") + 50000000L))
+        .unionByName(o.filter(col("o_orderkey") % 700 === 3)
+          .withColumn("o_custkey", col("o_custkey") + 1000000000L)
+          .withColumn("o_orderkey", col("o_orderkey") + 60000000L))
+      Quality.checkRows(corrupted, Seq(
+          Quality.RowRule("positive(o_totalprice)",
+            col("o_totalprice") <= 0),
+          Quality.notNull("o_orderdate")))
+        .unionByName(Quality.checkUnique(corrupted, Seq("o_orderkey")))
+        .unionByName(Quality.checkFk(corrupted, "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy(col("rule"))
+    }),
+    // PARTITION COMPLETENESS: gap detection on a date-partitioned fact
+    // as a metadata operation (catalog listing vs the continuous day
+    // range — "did yesterday land" without reading yesterday)
+    "quality_partitions" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-qp")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val ev = Tables.events(s, d).filter(
+        !to_date(col("ts")).isin("2024-01-10", "2024-01-20"))
+      graft.sources.Layout.writeDatePartitionedTable(
+        ev, "graft_idx.events_gap")
+      Quality.checkPartitionGaps(s, "graft_idx.events_gap")
+    }),
     // RETENTION via partition drop: expiring data on a date-partitioned
     // fact is |expired partitions| catalog calls — METADATA ONLY (zero
     // scans, zero rewrites; spec-gates zero Spark jobs); the read
@@ -2357,6 +2393,8 @@ object SparkEntry {
     "mv_orders_cdc", "stream_mv_cdc", "layout_bucketed_join",
     // round-16: metadata-only retention + idempotent daily backfill
     "layout_retention", "layout_backfill_day",
+    // round-16: the data-quality gate + metadata-only gap detection
+    "quality_report", "quality_partitions",
     // round-16: min/max IVM — insert-associative deltas + delete-time
     // affected-group recompute (the non-additive honest cost model)
     "mv_minmax_lifecycle",
@@ -3249,6 +3287,31 @@ object SparkEntry {
        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events " +
        "WHERE CAST(ts AS DATE) BETWEEN '2024-01-08' AND '2024-01-14' " +
        "GROUP BY event_type ORDER BY event_type"),
+    // quality gate: each corruption family's count derives from the
+    // deterministic construction (dups %1000=1, negated %500=2 under
+    // fresh keys, orphaned %700=3 under fresh keys; dates never null)
+    "quality_report" ->
+      ("SELECT 'fk(o_custkey -> c_custkey)' AS rule, " +
+       "CAST(count(*) AS BIGINT) AS n_violations FROM orders " +
+       "WHERE o_orderkey % 700 = 3 " +
+       "UNION ALL SELECT 'not_null(o_orderdate)', CAST(0 AS BIGINT) " +
+       "UNION ALL SELECT 'positive(o_totalprice)', " +
+       "CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 500 = 2 " +
+       "UNION ALL SELECT 'unique(o_orderkey)', " +
+       "CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 1000 = 1 " +
+       "ORDER BY rule"),
+    // partition gaps: days inside [min, max] of the remaining dates
+    // that are not present (the two excluded days, derived not assumed)
+    "quality_partitions" ->
+      ("WITH RECURSIVE P AS (SELECT DISTINCT CAST(ts AS DATE) AS d " +
+       "FROM events WHERE CAST(ts AS DATE) NOT IN " +
+       "(DATE '2024-01-10', DATE '2024-01-20')), " +
+       "B AS (SELECT min(d) AS lo, max(d) AS hi FROM P), " +
+       "G AS (SELECT lo AS expected_date, hi FROM B UNION ALL " +
+       "SELECT CAST(expected_date + INTERVAL 1 DAY AS DATE), hi " +
+       "FROM G WHERE expected_date < hi) " +
+       "SELECT expected_date FROM G WHERE expected_date NOT IN " +
+       "(SELECT d FROM P) ORDER BY expected_date"),
     // retention: survivors = dates at/after the horizon
     "layout_retention" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +

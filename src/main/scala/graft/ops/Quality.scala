@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality CONSTRAINT checking — the data-contract gate a pipeline
+  * runs before publishing a table (expectations/dbt-test shape): each
+  * constraint yields one (rule, n_violations) report row, and the
+  * whole report is built from the minimum number of passes the
+  * constraint mix admits:
+  *
+  *  - ALL row-level predicates fold in ONE scan ([[checkRows]]): a
+  *    single aggregate of `sum(violated)` columns, map-side combined —
+  *    at 100 TB, N row rules must not cost N scans, and a conditional
+  *    sum per rule is free next to the scan itself.
+  *  - UNIQUENESS is one key-shuffled aggregate ([[checkUnique]]) —
+  *    irreducible (uniqueness IS a distributed property of the key).
+  *  - REFERENTIAL integrity is one anti join ([[checkFk]]) — broadcast
+  *    when the parent key set is dim-sized (the common case: facts
+  *    reference dims), shuffled otherwise; only keys travel.
+  *
+  * Violation SAMPLES are deliberately not collected here: the report is
+  * the gate (bounded, one row per constraint); sampling offenders is a
+  * follow-up filter with the violated predicate, paid only on failure. */
+object Quality {
+
+  /** One row-level rule: `violated` must be true exactly on bad rows
+    * (null-safe — wrap nullable comparisons yourself or the null rows
+    * silently pass: SQL three-valued logic is the classic silent hole,
+    * so [[notNull]] exists as the explicit building block). */
+  final case class RowRule(name: String, violated: Column)
+
+  def notNull(c: String): RowRule =
+    RowRule(s"not_null($c)", col(c).isNull)
+
+  /** All row rules in ONE scan → (constraint, n_violations). */
+  def checkRows(df: DataFrame, rules: Seq[RowRule]): DataFrame = {
+    require(rules.nonEmpty, "checkRows needs at least one rule")
+    val aggs = rules.map(r =>
+      sum(when(r.violated, 1L).otherwise(0L)).as(r.name))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.map(r =>
+      s"'${r.name}', `${r.name}`").mkString(", ")
+    one.selectExpr(
+      s"stack(${rules.size}, $stacked) AS (rule, n_violations)")
+  }
+
+  /** Duplicate-key check → one report row counting the EXCESS rows
+    * (rows beyond the first per key — 0 iff the key is unique). */
+  def checkUnique(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") - 1L), lit(0L)).as("n_violations"))
+      .select(
+        lit(s"unique(${cols.mkString(",")})").as("rule"),
+        col("n_violations"))
+
+  /** Referential integrity: child keys with no parent → one report row.
+    * `broadcastParent` when the parent key set is dim-sized. */
+  def checkFk(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String, broadcastParent: Boolean = true): DataFrame = {
+    val pk0 = parent.select(col(parentKey).as(childKey)).distinct()
+    val pk = if (broadcastParent) broadcast(pk0) else pk0
+    child.filter(col(childKey).isNotNull)
+      .join(pk, Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(s"fk($childKey -> $parentKey)").as("rule"),
+        col("n_violations"))
+  }
+
+  /** PARTITION COMPLETENESS on a date-partitioned table — gap detection
+    * as a METADATA operation: the standing dates come from the catalog
+    * (`SHOW PARTITIONS`, |partitions| rows, zero data scanned), the
+    * expectation is the continuous [min, max] day range, and the report
+    * is the missing dates. The freshness/completeness monitor shape: at
+    * 100 TB "did yesterday's load land" must not read yesterday's
+    * data — the directory listing already knows. */
+  def checkPartitionGaps(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val present = spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0).split("=")(1)).toSeq
+    val dates = present.toDF("d").select(to_date(col("d")).as("d"))
+    val bounds = dates.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 DAY"))).as("expected_date"))
+      .join(dates, col("expected_date") === col("d"), "left_anti")
+      .select(col("expected_date")).orderBy(col("expected_date"))
+  }
+}

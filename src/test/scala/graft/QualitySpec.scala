@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Quality
+import graft.sources.Layout
+
+/** The data-quality gate: all row rules in ONE scan (plan-asserted),
+  * exact violation counts for uniqueness/FK on crafted corruptions,
+  * documented null semantics, and partition-gap detection that never
+  * scans the fact. */
+class QualitySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("checkRows: N rules, ONE scan; counts exact; null comparisons " +
+      "pass silently unless notNull is used (documented)") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, -5L), (3L, null), (4L, -1L))
+      .toDF("id", "v")
+    val out = Quality.checkRows(df, Seq(
+      Quality.RowRule("positive(v)", col("v") <= 0),
+      Quality.notNull("v"),
+      Quality.RowRule("id_range", col("id") > 100)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the null v row passes positive(v) — three-valued logic — and is
+    // caught by the explicit notNull rule instead
+    assert(out === Map("positive(v)" -> 2L, "not_null(v)" -> 1L,
+      "id_range" -> 0L))
+
+    val plan = Quality.checkRows(Tables.orders(spark, sfDir), Seq(
+      Quality.RowRule("a", col("o_totalprice") <= 0),
+      Quality.RowRule("b", col("o_custkey").isNull),
+      Quality.RowRule("c", col("o_orderkey") < 0)))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"3 row rules cost $scans scans, want 1:\n$plan")
+  }
+
+  test("checkUnique counts EXCESS rows; checkFk counts orphans via a " +
+      "broadcast anti join") {
+    import spark.implicits._
+    val child = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 99L), (3L, 10L))
+      .toDF("k", "ref")
+    val parent = Seq(10L, 11L).toDF("p")
+    val uniq = Quality.checkUnique(child, Seq("k")).collect()(0)
+    assert(uniq.getString(0) === "unique(k)" && uniq.getLong(1) === 2L,
+      s"k=1 has 3 rows -> 2 excess, got ${uniq.getLong(1)}")
+    val fk = Quality.checkFk(child, "ref", parent, "p")
+    assert(fk.collect()(0).getLong(1) === 1L, "one orphan (ref=99)")
+    val plan = fk.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), s"FK check not a broadcast anti join:\n$plan")
+  }
+
+  test("checkPartitionGaps: finds exactly the missing days, and its " +
+      "plan never scans the fact table") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qp-wh")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_qp_test LOCATION '$wh'")
+    val t = "graft_qp_test.ev"
+    val ev = Tables.events(spark, sfDir).filter(
+      !to_date(col("ts")).isin("2024-01-05", "2024-01-06", "2024-01-21"))
+    Layout.writeDatePartitionedTable(ev, t)
+    val gaps = Quality.checkPartitionGaps(spark, t)
+    assert(gaps.collect().map(_.getDate(0).toString).toSeq ===
+      Seq("2024-01-05", "2024-01-06", "2024-01-21"))
+    // the gap report derives from catalog metadata: no parquet scan
+    val plan = gaps.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"gap detection scanned data:\n$plan")
+  }
+}
