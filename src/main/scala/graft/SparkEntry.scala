@@ -726,6 +726,33 @@ object SparkEntry {
           col("max_price").cast("double").as("max_price"))
         .orderBy(col("o_custkey"))
     }),
+    // TOP-K IVM (the `_tk` structure): min/max generalized from k=1 —
+    // per-generation top-k partials are a guaranteed superset of the
+    // folded top-k (any union-top-k row is in its own generation's
+    // top-k), so inserts append ≤ k rows per touched key; deletes
+    // recompute affected groups (evicting rank 1 must surface rank k+1,
+    // which only the base knows); UNCOMPACTED read
+    "mv_topk_lifecycle" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-mvtk")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val o = Tables.orders(s, d)
+        .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+      MatView.buildTopK(o.filter(col("o_orderkey") % 5 =!= 0),
+        "graft_idx.mvtk", Seq("o_orderpriority"), "price", "o_orderkey", 3)
+      MatView.deltaTopK("graft_idx.mvtk",
+        o.filter(col("o_orderkey") % 5 === 0),
+        Seq("o_orderpriority"), "price", "o_orderkey", 3)
+      MatView.deleteRowsTopK("graft_idx.mvtk",
+        o.filter(col("o_orderkey") % 7 === 3),
+        o.filter(col("o_orderkey") % 7 =!= 3),
+        Seq("o_orderpriority"), "price", "o_orderkey", 3)
+      MatView.readTopK(s, "graft_idx.mvtk",
+        Seq("o_orderpriority"), "price", "o_orderkey", 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("price").cast("double").as("price"), col("rk"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    }),
     // JOIN-VIEW IVM: the additive view pushed through a broadcast
     // fact⋈dim join — revenue per nation maintained under fact inserts
     // (delta probes the broadcast dim, |delta|-sized) and deletes
@@ -2403,6 +2430,8 @@ object SparkEntry {
     // streaming twins, and CDC through the join view
     "mv_join_lifecycle", "mv_distinct_lifecycle",
     "mv_join_cdc", "stream_mv_distinct", "stream_mv_minmax",
+    // round-16: top-k IVM (order statistics beyond extremes)
+    "mv_topk_lifecycle",
     // round-16: dataset-version diff audit
     "corpus_diff",
     // round-16: positional lexical retrieval — scan-time phrase +
@@ -3376,6 +3405,17 @@ object SparkEntry {
        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
        "FROM orders WHERE o_orderkey % 7 <> 3 " +
        "GROUP BY o_custkey ORDER BY o_custkey"),
+    // top-k view after build 80% -> delta 20% -> delete every 7th: the
+    // survivors' per-priority top-3 by price (orderkey tie-break)
+    "mv_topk_lifecycle" ->
+      ("WITH R AS (SELECT o_orderpriority, o_orderkey, " +
+       "CAST(o_totalprice AS DECIMAL(18,2)) AS p, " +
+       "row_number() OVER (PARTITION BY o_orderpriority " +
+       "ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rk " +
+       "FROM orders WHERE o_orderkey % 7 <> 3) " +
+       "SELECT o_orderpriority, o_orderkey, CAST(p AS DOUBLE) AS price, " +
+       "CAST(rk AS INT) AS rk FROM R WHERE rk <= 3 " +
+       "ORDER BY o_orderpriority, rk"),
     // join view after build 80% -> delta 20% -> delete every 7th: the
     // survivors' fact⋈dim GROUP BY exactly (decimal-exact sums)
     "mv_join_lifecycle" ->

@@ -220,7 +220,7 @@ object MatView {
     }
     if (ledgerHas(spark, ledger, bid)) return
     if (df.isEmpty) { writeLedger(spark, ledger, bid); return }
-    partialMM(df, keys, cols, nextGen(spark, table), reco = false)
+    partialMM(df, keys, cols, nextGen(spark, s"${table}_mm"), reco = false)
       .write.mode("append").format("parquet").saveAsTable(s"${table}_mm")
     IngestGuard.write(spark, df, idCol, table, overwrite = false)
     writeLedger(spark, ledger, bid)
@@ -441,11 +441,11 @@ object MatView {
       .withColumn("gen", lit(gen)).withColumn("reco", lit(reco))
   }
 
-  /** Next generation stamp: max standing gen + 1. One column-pruned
-    * aggregate over the view (view-sized, never the base) — maintenance
-    * ops are single-writer, same stance as the whole family. */
-  private def nextGen(spark: SparkSession, table: String): Long =
-    spark.table(s"${table}_mm").agg(coalesce(max(col("gen")), lit(0L)))
+  /** Next generation stamp: max standing gen + 1 over the PHYSICAL view
+    * table. One column-pruned aggregate (view-sized, never the base) —
+    * maintenance ops are single-writer, same stance as the family. */
+  private def nextGen(spark: SparkSession, physical: String): Long =
+    spark.table(physical).agg(coalesce(max(col("gen")), lit(0L)))
       .head.getLong(0) + 1
 
   /** Materialize a MIN/MAX view over `df` (plus cnt — the group-vanish
@@ -473,7 +473,7 @@ object MatView {
       s"MatView.deltaMinMax needs a standing view: ${table}_mm not " +
         "found — run buildMinMax first")
     refuseSuspects(spark, table, df, idCol, "MatView.deltaMinMax")
-    partialMM(df, keys, cols, nextGen(spark, table), reco = false)
+    partialMM(df, keys, cols, nextGen(spark, s"${table}_mm"), reco = false)
       .write.mode("append").format("parquet").saveAsTable(s"${table}_mm")
     IngestGuard.write(spark, df, idCol, table, overwrite = false)
   }
@@ -500,7 +500,7 @@ object MatView {
       s"MatView.deleteRowsMinMax needs a standing view: ${table}_mm not found")
     val affected = victims.select(keys.map(col): _*).distinct()
       .localCheckpoint()
-    val g = nextGen(spark, table)
+    val g = nextGen(spark, s"${table}_mm")
     val reco = survivors
       .join(broadcast(affected), keys, "left_semi")
     val recoRows = partialMM(reco, keys, cols, g, reco = true)
@@ -535,6 +535,120 @@ object MatView {
       .filter(col("gen") >= coalesce(col("_rmax"), lit(Long.MinValue)))
       .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .filter(col("cnt") > 0)
+  }
+
+  // ------------------------------------------------- top-k (`_tk`) view
+
+  /** One generation of TOP-K partials: per touched key, the generation's
+    * own top-k (id, ord) pairs by `ord` DESC (id ASC tie-break —
+    * deterministic under replays and retries). The structural fact that
+    * makes insert maintenance delta-sized: any row in the true top-k of
+    * a UNION of generations is necessarily in the top-k of its OWN
+    * generation — so per-generation top-k partials are a guaranteed
+    * superset of the folded answer, and a delta contributes at most
+    * k·|touched keys| rows regardless of delta size. */
+  private def partialTK(df: DataFrame, keys: Seq[String], ord: String,
+      idCol: String, k: Int, gen: Long, reco: Boolean): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(ord).desc, col(idCol).asc)
+    df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+      .select(keys.map(col) :+ col(idCol) :+ col(ord): _*)
+      .withColumn("gen", lit(gen)).withColumn("reco", lit(reco))
+  }
+
+  /** Materialize a TOP-K view: per key, the k highest-`ord` rows (their
+    * id + ord), the leaderboard/dashboard primitive — [[buildMinMax]]
+    * generalized from k = 1 to k, with the same maintenance algebra:
+    * inserts are insert-associative (per-generation top-k partials,
+    * never more than k·|touched keys| rows appended), deletes RECOMPUTE
+    * the affected groups from the surviving base ([[deleteRowsTopK]] —
+    * evicting rank 1 must surface rank k+1, which only the base knows). */
+  def buildTopK(df: DataFrame, table: String, keys: Seq[String],
+      ord: String, idCol: String, k: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_tk")
+    partialTK(df, keys, ord, idCol, k, gen = 0L, reco = true)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_tk")
+    IngestGuard.write(spark, df, idCol, table, overwrite = true)
+  }
+
+  /** Incremental insert maintenance: append the delta's own top-k
+    * partial — ≤ k rows per touched key, base never re-read. */
+  def deltaTopK(table: String, df: DataFrame, keys: Seq[String],
+      ord: String, idCol: String, k: Int): Unit = {
+    val spark = df.sparkSession
+    if (df.isEmpty) return
+    Swap.recoverUnpartitioned(spark, s"${table}_tk")
+    require(spark.catalog.tableExists(s"${table}_tk"),
+      s"MatView.deltaTopK needs a standing view: ${table}_tk not found — " +
+        "run buildTopK first")
+    refuseSuspects(spark, table, df, idCol, "MatView.deltaTopK")
+    partialTK(df, keys, ord, idCol, k, nextGen(spark, s"${table}_tk"),
+      reco = false)
+      .write.mode("append").format("parquet").saveAsTable(s"${table}_tk")
+    IngestGuard.write(spark, df, idCol, table, overwrite = false)
+  }
+
+  /** Incremental delete maintenance: recompute the affected groups'
+    * top-k from the surviving base (broadcast-semi-join key-pruned —
+    * the [[deleteRowsMinMax]] shape) as a superseding reco generation;
+    * groups left EMPTY get a null-id reco marker so their history is
+    * superseded too and a later delta folds against a clean slate. */
+  def deleteRowsTopK(table: String, victims: DataFrame,
+      survivors: DataFrame, keys: Seq[String], ord: String,
+      idCol: String, k: Int): Unit = {
+    val spark = victims.sparkSession
+    if (victims.isEmpty) return
+    Swap.recoverUnpartitioned(spark, s"${table}_tk")
+    require(spark.catalog.tableExists(s"${table}_tk"),
+      s"MatView.deleteRowsTopK needs a standing view: ${table}_tk not found")
+    val affected = victims.select(keys.map(col): _*).distinct()
+      .localCheckpoint()
+    val g = nextGen(spark, s"${table}_tk")
+    val reco = partialTK(
+      survivors.join(broadcast(affected), keys, "left_semi"),
+      keys, ord, idCol, k, g, reco = true).localCheckpoint()
+    val gone = affected
+      .join(reco.select(keys.map(col): _*), keys, "left_anti")
+      .withColumn(idCol, lit(null).cast(survivors.schema(idCol).dataType))
+      .withColumn(ord, lit(null).cast(survivors.schema(ord).dataType))
+      .withColumn("gen", lit(g)).withColumn("reco", lit(true))
+    reco.unionByName(gone)
+      .write.mode("append").format("parquet").saveAsTable(s"${table}_tk")
+  }
+
+  /** The folded top-k: per key, candidates at/above the latest reco
+    * generation re-rank and cut at k (the per-generation superset
+    * guarantee makes this exact); null-id markers vanish after having
+    * superseded their group's history. Output carries the rank. */
+  def readTopK(spark: SparkSession, table: String, keys: Seq[String],
+      ord: String, idCol: String, k: Int): DataFrame = {
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val rmax = max(when(col("reco"), col("gen"))).over(wk)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(ord).desc, col(idCol).asc)
+    spark.table(s"${table}_tk")
+      .withColumn("_rmax", rmax)
+      .filter(col("gen") >= coalesce(col("_rmax"), lit(Long.MinValue)))
+      .filter(col(idCol).isNotNull)
+      .withColumn("rk", row_number().over(wr)).filter(col("rk") <= k)
+      .select(keys.map(col) :+ col(idCol) :+ col(ord) :+ col("rk"): _*)
+  }
+
+  /** Fold the `_tk` generations to one reco generation (gen 0) through
+    * the crash-recoverable staged swap — ≤ k rows per key standing. */
+  def compactTopK(spark: SparkSession, table: String, keys: Seq[String],
+      ord: String, idCol: String, k: Int): Unit = {
+    Swap.recoverUnpartitioned(spark, s"${table}_tk")
+    Swap.stageThenSwap(spark, s"${table}_tk",
+      readTopK(spark, table, keys, ord, idCol, k).drop("rk")
+        .withColumn("gen", lit(0L)).withColumn("reco", lit(true))) {
+      (df, staged) =>
+        df.write.mode("overwrite").format("parquet").saveAsTable(staged)
+    }
   }
 
   /** Fold the `_mm` generations to one reco row per key (gen 0) through

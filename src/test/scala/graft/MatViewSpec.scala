@@ -338,6 +338,75 @@ class MatViewSpec extends SparkSpec {
         col("sum_price"))) === wantJ, "redelivered CDC bid re-applied")
   }
 
+  test("topk view: read == recompute after build/delta/delete; evicting " +
+      "rank 1 surfaces rank k+1; emptied group vanishes and a later " +
+      "delta folds against a clean slate; compact bounds standing rows") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvtk-wh")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_tk_test LOCATION '$wh'")
+    val t = "graft_tk_test.tk"
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+    val keys = Seq("o_orderpriority"); val k = 3
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+    def recomputeTK(base: org.apache.spark.sql.DataFrame) =
+      base.withColumn("rk", row_number().over(wr)).filter(col("rk") <= k)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("price"), col("rk"))
+    def rowsTK(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderpriority", "rk").collect().map(_.toSeq).toSeq
+    def read() = MatView.readTopK(spark, t, keys, "price", "o_orderkey", k)
+
+    val base = o.filter(col("o_orderkey") % 5 =!= 0)
+    MatView.buildTopK(base, t, keys, "price", "o_orderkey", k)
+    assert(rowsTK(read()) === rowsTK(recomputeTK(base)),
+      "post-build topk diverged from the window recompute")
+
+    val delta = o.filter(col("o_orderkey") % 5 === 0)
+    MatView.deltaTopK(t, delta, keys, "price", "o_orderkey", k)
+    assert(rowsTK(read()) === rowsTK(recomputeTK(o)),
+      "post-delta topk diverged (generation supersets mis-folded)")
+    intercept[IllegalArgumentException] {
+      MatView.deltaTopK(t, delta.limit(1), keys, "price", "o_orderkey", k)
+    }
+
+    // TEETH: delete every key's CURRENT RANK-1 row — the fold must
+    // surface the old rank k+1, which no stored partial contains
+    val rank1 = o.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") === 1).drop("rk").localCheckpoint()
+    val survivors = o.join(rank1.select(col("o_orderkey")),
+      Seq("o_orderkey"), "left_anti")
+    MatView.deleteRowsTopK(t, rank1, survivors, keys, "price",
+      "o_orderkey", k)
+    assert(rowsTK(read()) === rowsTK(recomputeTK(survivors)),
+      "evicting rank 1 did not surface the runner-up ladder")
+
+    // emptied group + clean-slate re-feed
+    val gonePr = "1-URGENT"
+    val vic = survivors.filter(col("o_orderpriority") === gonePr)
+      .localCheckpoint()
+    val surv2 = survivors.filter(col("o_orderpriority") =!= gonePr)
+    MatView.deleteRowsTopK(t, vic, surv2, keys, "price", "o_orderkey", k)
+    assert(read().filter(col("o_orderpriority") === gonePr).count() === 0,
+      "a fully-deleted group survived the topk fold")
+    val back = vic.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + 91000000L)
+      .localCheckpoint()
+    MatView.deltaTopK(t, back, keys, "price", "o_orderkey", k)
+    assert(rowsTK(read()) === rowsTK(recomputeTK(surv2.unionByName(back))),
+      "delta after a full-group delete folded against stale history")
+
+    // compact: ≤ k standing physical rows per key, result unmoved
+    val want = rowsTK(read())
+    MatView.compactTopK(spark, t, keys, "price", "o_orderkey", k)
+    assert(rowsTK(read()) === want, "topk compaction moved the view")
+    val perKey = spark.table(s"${t}_tk").groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0).getLong(0)
+    assert(perKey <= k, s"topk compaction left $perKey rows for a key")
+  }
+
   private def recomputeMM(base: org.apache.spark.sql.DataFrame) =
     base.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("cnt"), min(col("price")).as("min_price"),
