@@ -2052,8 +2052,11 @@ object SparkEntry {
     "scd2_apply" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val cut = to_date(lit("1996-01-01"))
+      // the standing dim is materialized (in real use it IS a table;
+      // an unmaterialized build would re-run its windows per consumer)
       val dim = Scd.scd2Build(o.filter(col("o_orderdate") <= cut),
         "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        .localCheckpoint()
       Scd.scd2Apply(dim, o.filter(col("o_orderdate") > cut),
         "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
         .select(col("o_custkey"), col("version"), col("valid_from"),

@@ -147,10 +147,14 @@ object Scd {
     * history rows pass through verbatim, never re-windowed. */
   def scd2Apply(dim: DataFrame, obs: DataFrame, key: String,
       date: String, obsId: String, value: String): DataFrame = {
-    val affected = obs.select(col(key)).distinct()
+    // the two delta-sized slivers are MATERIALIZED (eager localCheckpoint):
+    // `cur` feeds the refusal, the seeds, and the version base — without
+    // the cut each consumer would re-evaluate the dim subtree (a standing
+    // dim is a table scan; a derived dim would re-run its whole lineage)
+    val affected = obs.select(col(key)).distinct().localCheckpoint()
     val untouched = dim.join(broadcast(affected), Seq(key), "left_anti")
     val aff = dim.join(broadcast(affected), Seq(key), "left_semi")
-    val cur = aff.filter(col("is_current"))
+    val cur = aff.filter(col("is_current")).localCheckpoint()
     val closed = aff.filter(!col("is_current"))
 
     val lateRows = obs.join(

@@ -407,6 +407,34 @@ class MatViewSpec extends SparkSpec {
     assert(perKey <= k, s"topk compaction left $perKey rows for a key")
   }
 
+  test("plan shape: readMinMax and readTopK fold in ONE key exchange " +
+      "(window + agg share it); readDistinct in two (pair fold, then " +
+      "key fold)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvp-wh")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mvp_test LOCATION '$wh'")
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+    MatView.buildMinMax(o, "graft_mvp_test.mm",
+      Seq("o_custkey"), Seq("price"), "o_orderkey")
+    MatView.buildTopK(o, "graft_mvp_test.tk",
+      Seq("o_orderpriority"), "price", "o_orderkey", 3)
+    MatView.buildDistinct(o, "graft_mvp_test.dv",
+      Seq("o_orderpriority"), "o_custkey", "o_orderkey")
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(exchanges(MatView.readMinMax(spark, "graft_mvp_test.mm",
+      Seq("o_custkey"), Seq("price"))) === 1,
+      "readMinMax: window and fold must share one key exchange")
+    assert(exchanges(MatView.readTopK(spark, "graft_mvp_test.tk",
+      Seq("o_orderpriority"), "price", "o_orderkey", 3)) === 1,
+      "readTopK: rmax window and rank window must share one exchange")
+    assert(exchanges(MatView.readDistinct(spark, "graft_mvp_test.dv",
+      Seq("o_orderpriority"), "o_custkey")) === 2,
+      "readDistinct: pair fold + key fold, nothing more")
+  }
+
   private def recomputeMM(base: org.apache.spark.sql.DataFrame) =
     base.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("cnt"), min(col("price")).as("min_price"),

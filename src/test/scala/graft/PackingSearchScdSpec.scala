@@ -189,6 +189,24 @@ class PackingSearchScdSpec extends SparkSpec {
     }
   }
 
+  test("scd2Apply plan: with a table-backed dim the apply costs two " +
+      "exchanges (day-dedup + the per-key seeded window) — delta-sized, " +
+      "never a history re-window") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cut = to_date(lit("1996-01-01"))
+    // localCheckpoint stands in for the standing TABLE the dim is in
+    // real use — the claim under test is the apply's own plan, not the
+    // build's
+    val dim = Scd.scd2Build(orders.filter(col("o_orderdate") <= cut),
+      "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+      .localCheckpoint()
+    val applied = Scd.scd2Apply(dim, orders.filter(col("o_orderdate") > cut),
+      "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+    val n = "Exchange hashpartitioning".r
+      .findAllIn(applied.queryExecution.executedPlan.toString).length
+    assert(n <= 2, s"scd2Apply plan has $n exchanges, want <= 2")
+  }
+
   test("scd2Apply semantics: same value EXTENDS the current run " +
       "(last_seen advances, no new version); a change opens version+1; " +
       "an unseen key starts at version 1") {
