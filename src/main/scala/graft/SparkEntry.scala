@@ -2168,6 +2168,29 @@ object SparkEntry {
           Tables.customer(s, d), "c_custkey"))
         .orderBy(col("rule"))
     }),
+    // PER-GROUP QUALITY TRIAGE: which stratum produces the bad rows —
+    // the same single scan as the global gate, stratified by key
+    "quality_by_group" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val corrupted = o.unionByName(o.filter(col("o_orderkey") % 500 === 2)
+        .withColumn("o_totalprice", -col("o_totalprice"))
+        .withColumn("o_orderkey", col("o_orderkey") + 50000000L))
+      Quality.checkRowsBy(corrupted, Seq("o_orderpriority"), Seq(
+          Quality.RowRule("positive(o_totalprice)",
+            col("o_totalprice") <= 0),
+          Quality.notNull("o_orderdate")))
+        .orderBy(col("o_orderpriority"), col("rule"))
+    }),
+    // FRESHNESS: newest landed partition vs the expected watermark —
+    // metadata only ("is the table stale" must not read the table)
+    "quality_freshness" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-qf")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      graft.sources.Layout.writeDatePartitionedTable(
+        Tables.events(s, d), "graft_idx.events_fresh")
+      Quality.checkFreshness(s, "graft_idx.events_fresh", "2024-01-30")
+    }),
     // PARTITION COMPLETENESS: gap detection on a date-partitioned fact
     // as a metadata operation (catalog listing vs the continuous day
     // range — "did yesterday land" without reading yesterday)
@@ -2423,8 +2446,10 @@ object SparkEntry {
     "mv_orders_cdc", "stream_mv_cdc", "layout_bucketed_join",
     // round-16: metadata-only retention + idempotent daily backfill
     "layout_retention", "layout_backfill_day",
-    // round-16: the data-quality gate + metadata-only gap detection
+    // round-16: the data-quality gate + metadata-only gap detection,
+    // per-group triage, and metadata-only freshness
     "quality_report", "quality_partitions",
+    "quality_by_group", "quality_freshness",
     // round-16: min/max IVM — insert-associative deltas + delete-time
     // affected-group recompute (the non-additive honest cost model)
     "mv_minmax_lifecycle",
@@ -3332,6 +3357,21 @@ object SparkEntry {
        "UNION ALL SELECT 'unique(o_orderkey)', " +
        "CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 1000 = 1 " +
        "ORDER BY rule"),
+    // per-group triage: the negated-price corruption is the only
+    // violating family; not_null never fires (dates complete)
+    "quality_by_group" ->
+      ("SELECT o_orderpriority, 'not_null(o_orderdate)' AS rule, " +
+       "CAST(0 AS BIGINT) AS n_violations FROM orders " +
+       "GROUP BY o_orderpriority " +
+       "UNION ALL SELECT o_orderpriority, 'positive(o_totalprice)', " +
+       "CAST(sum(CASE WHEN o_orderkey % 500 = 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+       "FROM orders GROUP BY o_orderpriority " +
+       "ORDER BY o_orderpriority, rule"),
+    // freshness: latest landed day vs the expected watermark
+    "quality_freshness" ->
+      ("SELECT max(CAST(ts AS DATE)) AS latest_date, " +
+       "DATE '2024-01-30' AS expected_from, " +
+       "max(CAST(ts AS DATE)) >= DATE '2024-01-30' AS fresh FROM events"),
     // partition gaps: days inside [min, max] of the remaining dates
     // that are not present (the two excluded days, derived not assumed)
     "quality_partitions" ->

@@ -45,6 +45,39 @@ object Quality {
       s"stack(${rules.size}, $stacked) AS (rule, n_violations)")
   }
 
+  /** Per-GROUP violation counts — [[checkRows]] stratified by `keys`,
+    * still ONE scan: the conditional sums ride the same groupBy
+    * aggregate (map-side combined), long-formed to (keys…, rule,
+    * n_violations). The triage view: "which source/day/tenant is
+    * producing the bad rows" costs the same single pass as the global
+    * gate, not a scan per stratum. */
+  def checkRowsBy(df: DataFrame, keys: Seq[String],
+      rules: Seq[RowRule]): DataFrame = {
+    require(rules.nonEmpty, "checkRowsBy needs at least one rule")
+    val aggs = rules.map(r =>
+      sum(when(r.violated, 1L).otherwise(0L)).as(r.name))
+    val wide = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.map(r => s"'${r.name}', `${r.name}`").mkString(", ")
+    wide.selectExpr(keys ++ Seq(
+      s"stack(${rules.size}, $stacked) AS (rule, n_violations)"): _*)
+  }
+
+  /** FRESHNESS check on a date-partitioned table — METADATA ONLY, like
+    * [[checkPartitionGaps]]: the newest landed partition against the
+    * expected watermark. Returns one report row (latest_date,
+    * expected_from, fresh); "is the table stale" must not read the
+    * table. */
+  def checkFreshness(spark: SparkSession, table: String,
+      expectedFrom: String): DataFrame = {
+    import spark.implicits._
+    spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0).split("=")(1)).toSeq.toDF("d")
+      .agg(max(to_date(col("d"))).as("latest_date"))
+      .select(col("latest_date"),
+        to_date(lit(expectedFrom)).as("expected_from"),
+        (col("latest_date") >= to_date(lit(expectedFrom))).as("fresh"))
+  }
+
   /** Duplicate-key check → one report row counting the EXCESS rows
     * (rows beyond the first per key — 0 iff the key is unique). */
   def checkUnique(df: DataFrame, cols: Seq[String]): DataFrame =

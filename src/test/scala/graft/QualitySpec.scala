@@ -55,6 +55,40 @@ class QualitySpec extends SparkSpec {
       plan.contains("LeftAnti"), s"FK check not a broadcast anti join:\n$plan")
   }
 
+  test("checkRowsBy: stratified counts in ONE scan; checkFreshness " +
+      "answers from the catalog alone") {
+    import spark.implicits._
+    val df = Seq((("a"), 10L), (("a"), -5L), (("b"), -1L), (("b"), 2L))
+      .toDF("g", "v")
+    val out = Quality.checkRowsBy(df, Seq("g"), Seq(
+      Quality.RowRule("positive(v)", col("v") <= 0),
+      Quality.notNull("v")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(("a", "positive(v)") -> 1L, ("a", "not_null(v)") -> 0L,
+      ("b", "positive(v)") -> 1L, ("b", "not_null(v)") -> 0L))
+    val plan = Quality.checkRowsBy(Tables.orders(spark, sfDir),
+      Seq("o_orderpriority"), Seq(
+        Quality.RowRule("a", col("o_totalprice") <= 0),
+        Quality.RowRule("b", col("o_custkey").isNull)))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length === 1,
+      s"stratified rules must still cost one scan:\n$plan")
+
+    val wh = java.nio.file.Files.createTempDirectory("graft-qf-wh")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_qf_test LOCATION '$wh'")
+    val t = "graft_qf_test.ev"
+    Layout.writeDatePartitionedTable(Tables.events(spark, sfDir), t)
+    val fresh = Quality.checkFreshness(spark, t, "2024-01-30")
+    val row = fresh.collect()(0)
+    assert(row.getBoolean(2), "table with day 30 landed must be fresh")
+    assert(!Quality.checkFreshness(spark, t, "2024-02-01")
+      .collect()(0).getBoolean(2), "watermark past the data must be stale")
+    assert(!fresh.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "freshness check scanned data")
+  }
+
   test("checkPartitionGaps: finds exactly the missing days, and its " +
       "plan never scans the fact table") {
     val wh = java.nio.file.Files.createTempDirectory("graft-qp-wh")
