@@ -1378,6 +1378,14 @@ object SparkEntry {
       Similarity.annNprobeSweep(s, Tables.embeddings(s, d),
         WarmIndex.ivfPq(s, d), WarmIndex.ivfPqResidual(s, d),
         WarmIndex.ivfSq(s, d))),
+    // the sweep turned into a DECISION: per rung the smallest nprobe
+    // meeting the recall target, or the widest with met=false (the
+    // fixture exercises all three outcomes: sq8 meets cheaply,
+    // residual at the edge, pq honestly fails)
+    "sim_ann_nprobe_autotune" -> ((s, d) =>
+      Similarity.annNprobeAutoTune(s, Tables.embeddings(s, d),
+        WarmIndex.ivfPq(s, d), WarmIndex.ivfPqResidual(s, d),
+        WarmIndex.ivfSq(s, d), target = NprobeTarget)),
     // EXTERNAL-query-vector entry points: query vectors arrive as a
     // caller-supplied (qid, v) frame — the 100 TB shape — instead of the
     // fixture's point-scan of the standing index; rows must be identical
@@ -2781,6 +2789,10 @@ object SparkEntry {
     * full ranked-candidate chain at that probe width plus the
     * brute-force truth (the `sim_ann_recall` BF CTEs), reduced to a
     * single recall value. Mirrors [[graft.ops.Similarity.annNprobeSweep]]. */
+  /** The autotune recall target — shared between the engine call and
+    * the oracle SQL (the r15 ADVICE rule: interpolate, never restate). */
+  private val NprobeTarget = 0.7
+
   private def nprobeSweepSql: String = {
     val bfCtes =
       "QB AS (SELECT vec_id AS qid, v AS qv FROM E0 WHERE vec_id < 8), " +
@@ -2801,6 +2813,19 @@ object SparkEntry {
         "sq8" -> ivfSqChain("TRUE", np)))
       yield branch(rung, np, chain))
       .mkString("", " UNION ALL ", " ORDER BY rung, nprobe")
+  }
+
+  /** The sweep wrapped with the pick rule — same body, same target as
+    * the engine ([[NprobeTarget]] interpolated, never restated). */
+  private def nprobeAutotuneSql: String = {
+    val body = nprobeSweepSql.stripSuffix(" ORDER BY rung, nprobe")
+    s"WITH S AS ($body), " +
+    s"P AS (SELECT rung, coalesce(min(CASE WHEN recall >= $NprobeTarget " +
+    s"THEN nprobe END), max(nprobe)) AS pick FROM S GROUP BY rung) " +
+    "SELECT s.rung, s.nprobe, s.recall, " +
+    s"s.recall >= $NprobeTarget AS met " +
+    "FROM S s JOIN P p ON s.rung = p.rung AND s.nprobe = p.pick " +
+    "ORDER BY s.rung"
   }
 
   private val chainBlock = graft.graph.GraphOps.ChainBlock
@@ -3971,6 +3996,7 @@ object SparkEntry {
     "sim_ann_ivfpq_residual" -> ivfPqResidualSqlFrom("TRUE"),
     // the nprobe/recall sweep across all three rungs
     "sim_ann_nprobe_sweep" -> nprobeSweepSql,
+    "sim_ann_nprobe_autotune" -> nprobeAutotuneSql,
     // probe-bounded range search: the trained-IVF chain's scored
     // candidates (J) thresholded instead of rank-cut
     "sim_ann_range_search" ->

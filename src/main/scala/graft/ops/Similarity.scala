@@ -1724,6 +1724,37 @@ object Similarity {
     rows.reduce(_.unionAll(_)).orderBy(col("rung"), col("nprobe"))
   }
 
+  /** The sweep turned into a DECISION: per rung, the smallest swept
+    * nprobe whose measured recall meets `target` — or the widest swept
+    * one with `met = false` when none does (the honest answer: this
+    * rung cannot reach the target at this shortlist scaling; move up
+    * the compression ladder or widen the shortlist, both measured
+    * trades recorded in BASELINE). Pure view-sized fold over the sweep
+    * rows, factored out so the picking rule is testable without
+    * standing indexes. */
+  def nprobePick(sweep: DataFrame, target: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("rung"))
+    sweep
+      .withColumn("_pick", coalesce(
+        min(when(col("recall") >= target, col("nprobe"))).over(w),
+        max(col("nprobe")).over(w)))
+      .filter(col("nprobe") === col("_pick"))
+      .select(col("rung"), col("nprobe"), col("recall"),
+        (col("recall") >= target).as("met"))
+      .orderBy(col("rung"))
+  }
+
+  /** AUTO-TUNED probe width across the compression ladder: run the
+    * measured nprobe sweep ([[annNprobeSweep]]) on the warm indexes and
+    * pick per rung with [[nprobePick]]. At 100 TB the sweep runs on a
+    * sampled validation slice once per index generation; the chosen
+    * nprobe then serves every query — tuning cost amortized, recall
+    * target explicit instead of folklore. */
+  def annNprobeAutoTune(spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, tPq: String, tRes: String, tSq: String,
+      target: Double = 0.7): DataFrame =
+    nprobePick(annNprobeSweep(spark, embeddings, tPq, tRes, tSq), target)
+
   /** Recall@k of the trained-IVF path against the brute-force truth —
     * the companion of [[annRecall]]: that row prices sign-sketch bucket
     * pruning, this one prices nprobe-bounded probing of TRAINED cells.

@@ -141,4 +141,16 @@ class AnnFilteredSpec extends SparkSpec {
       assert(sweep((tag, "pre")) >= sweep((tag, "post")),
         s"$tag: post out-recalled pre in the sweep: $sweep")
   }
+
+  test("nprobePick: smallest nprobe meeting the target per rung; widest " +
+      "with met=false when none does") {
+    import spark.implicits._
+    val sweep = Seq(
+      ("a", 1, 0.30), ("a", 2, 0.75), ("a", 4, 0.90),
+      ("b", 1, 0.10), ("b", 2, 0.40), ("b", 4, 0.60))
+      .toDF("rung", "nprobe", "recall")
+    val out = Similarity.nprobePick(sweep, target = 0.7)
+      .as[(String, Int, Double, Boolean)].collect().toList
+    assert(out === List(("a", 2, 0.75, true), ("b", 4, 0.60, false)))
+  }
 }
