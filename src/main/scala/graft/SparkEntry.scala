@@ -1861,6 +1861,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
       Search.bm25Indexed(s, "graft_idx.bm25del")
     }),
+    // COMPACTION ADVICE: the tombstone dead-fraction (the probe tax
+    // every query pays until the rewrite) turned into a maintenance
+    // decision — the fixture's ~31% dead postings cross the threshold
+    "bm25_compaction_advice" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25-adv")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      val docs = Tables.documents(s, d)
+      Search.buildIndex(docs, "graft_idx.bm25adv")
+      Search.indexDelete("graft_idx.bm25adv",
+        docs.filter(col("doc_id") % 7 === 3 || col("doc_id") % 5 === 0)
+          .select(col("doc_id")))
+      Tombstones.compactionAdvice(s, "graft_idx.bm25adv",
+        s.table("graft_idx.bm25adv_postings"), "doc_id", CompactThreshold)
+    }),
     // FULL-CRUD lifecycle capstone: build 80% -> delta-ingest 20% ->
     // delete every 7th doc (victims span BOTH generations) -> compact
     // (folds the delta generations AND the tombstones physically, stats
@@ -2432,6 +2447,8 @@ object SparkEntry {
     "bm25_index_delete", "sim_ann_ivf_index_delete",
     // round-16: the fuzzy family's delete row completes the lifecycle
     "fuzzy_index_delete",
+    // round-16: tombstone dead-fraction -> compaction decision
+    "bm25_compaction_advice",
     // round-15: attribute-filtered ANN (predicate pushed into the
     // DPP-pruned candidate scan) + the measured pre-vs-post adjudication
     "sim_ann_filtered", "sim_ann_filtered_recall",
@@ -2792,6 +2809,9 @@ object SparkEntry {
   /** The autotune recall target — shared between the engine call and
     * the oracle SQL (the r15 ADVICE rule: interpolate, never restate). */
   private val NprobeTarget = 0.7
+
+  /** The compaction-advice dead-fraction threshold — same sharing rule. */
+  private val CompactThreshold = 0.2
 
   private def nprobeSweepSql: String = {
     val bfCtes =
@@ -5130,6 +5150,17 @@ object SparkEntry {
     // tombstone deletion: the same chain over the SURVIVING corpus —
     // df, n_docs, avgdl all recomputed without the victims
     "bm25_index_delete" -> bm25OracleSqlFrom("doc_id % 7 <> 3"),
+    // compaction advice: dead postings fraction over the same distinct
+    // (doc_id, term) posting set the stats oracle derives
+    "bm25_compaction_advice" ->
+      (s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+       "T AS (SELECT DISTINCT doc_id, term FROM (SELECT doc_id, unnest(w) AS term FROM W)), " +
+       "A AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+       "CAST(sum(CASE WHEN doc_id % 7 = 3 OR doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead FROM T) " +
+       "SELECT n_rows, n_dead, " +
+       "round(CAST(n_dead AS DOUBLE) / n_rows, 4) AS dead_frac, " +
+       s"CASE WHEN CAST(n_dead AS DOUBLE) / n_rows >= $CompactThreshold " +
+       "THEN 'compact' ELSE 'keep' END AS action FROM A"),
     // a drained delete stream (with overlapping redelivery) converges to
     // the batch delete's rebuild-without-victims scores
     "stream_index_delete" -> bm25OracleSqlFrom("doc_id % 7 <> 3"),

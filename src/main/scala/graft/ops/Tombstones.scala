@@ -64,6 +64,35 @@ object Tombstones {
         Seq(idCol), "left_anti")
     else df
 
+  /** COMPACTION ADVICE — the physical-vs-logical gap turned into a
+    * maintenance decision: count how many standing index rows the
+    * sidecar still shadows and recommend `compact` once the dead
+    * fraction crosses `threshold`. The dead fraction IS the probe tax
+    * every query pays between a delete and its compaction (tombstoned
+    * rows are scanned, then anti-joined away), and compaction pays one
+    * index-sized rewrite to zero it — this row prices that trade
+    * instead of leaving it folklore-scheduled. Cost: one broadcast
+    * left join over a column-pruned index scan (the same price the
+    * family's `indexStats` row already pays); with no sidecar the
+    * answer is trivially `keep`. */
+  def compactionAdvice(spark: SparkSession, table: String,
+      rows: DataFrame, idCol: String,
+      threshold: Double = 0.2): DataFrame = {
+    val ids = rows.select(col(idCol))
+    val flagged =
+      if (spark.catalog.tableExists(sidecar(table)))
+        ids.join(broadcast(spark.table(sidecar(table))
+            .select(col(idCol), lit(1).as("_dead")).distinct()),
+          Seq(idCol), "left")
+      else ids.withColumn("_dead", lit(null).cast("int"))
+    flagged.agg(count(lit(1)).as("n_rows"), count(col("_dead")).as("n_dead"))
+      .select(col("n_rows"), col("n_dead"),
+        round(col("n_dead").cast("double") / col("n_rows"), 4)
+          .as("dead_frac"),
+        when(col("n_dead").cast("double") / col("n_rows") >= threshold,
+          "compact").otherwise("keep").as("action"))
+  }
+
   /** Drop the sidecar — compaction's last step, AFTER the rewrite has
     * physically excluded the victims (a crash in between leaves a
     * sidecar whose anti-join is a no-op: harmless, idempotent). */

@@ -372,4 +372,37 @@ class IndexDeleteSpec extends SparkSpec {
         .filter(col("doc_id") === 0).count() === postings,
       "idempotent delta re-ingested a tombstoned id")
   }
+
+  test("compactionAdvice: no sidecar -> keep with zero dead; below the " +
+      "threshold -> keep; crossing it -> compact; exact dead count") {
+    val db = freshDb("adv")
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    Search.buildIndex(docs, s"$db.idx")
+    val postings = spark.table(s"$db.idx_postings")
+
+    val clean = Tombstones.compactionAdvice(spark, s"$db.idx",
+      postings, "doc_id").collect()(0)
+    assert(clean.getLong(1) === 0L && clean.getString(3) === "keep",
+      "an undeleted index must advise keep with zero dead rows")
+
+    // delete ~1/7 of docs: dead postings fraction < 0.2 -> keep
+    Search.indexDelete(s"$db.idx",
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+    val below = Tombstones.compactionAdvice(spark, s"$db.idx",
+      postings, "doc_id").collect()(0)
+    val wantDead = postings.filter(col("doc_id") % 7 === 3).count()
+    assert(below.getLong(1) === wantDead,
+      s"dead count ${below.getLong(1)} != shadowed postings $wantDead")
+    assert(below.getString(3) === "keep",
+      s"~1/7 dead must stay below the 0.2 threshold: $below")
+
+    // widen the delete past the threshold -> compact
+    Search.indexDelete(s"$db.idx",
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+    val above = Tombstones.compactionAdvice(spark, s"$db.idx",
+      postings, "doc_id").collect()(0)
+    assert(above.getString(3) === "compact",
+      s"~31% dead must advise compact: $above")
+    assert(above.getDouble(2) > 0.2 && above.getDouble(2) < 0.45)
+  }
 }
