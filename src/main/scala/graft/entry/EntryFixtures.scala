@@ -1,0 +1,114 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.IndelRatio
+import graft.model.Tables
+import graft.ops._
+
+/** Query-side shared fixtures (oracle CTE helpers live in [[OracleCtes]]).
+  * Split verbatim from SparkEntry (round 17) so per-family entry files can
+  * share them; members are package-public for graft.entry only by
+  * convention — nothing outside the entry registration uses them. */
+object EntryFixtures {
+  // ---------------------------------------------------------------- oracle SQL helpers
+
+  /** students view as a CTE (kept in lockstep with Tables.students). */
+  def withStudents(rest: String): String =
+    s"WITH students AS (${Tables.studentsSql}) $rest"
+
+  /** The 4-rule edge backfill as SQL (kept in lockstep with EdgeRules). */
+  val edgesSql: String =
+    Seq("college" -> "SAME_COLLEGE", "board" -> "SAME_BOARD",
+        "stream" -> "SAME_STREAM", "address" -> "NEARBY")
+      .map { case (a, t) =>
+        s"SELECT a.id AS src, b.id AS dst, '$t' AS rel_type " +
+        s"FROM students a JOIN students b " +
+        s"ON lower(trim(coalesce(a.$a,''))) = lower(trim(coalesce(b.$a,''))) AND a.id < b.id " +
+        s"WHERE a.$a IS NOT NULL AND b.$a IS NOT NULL " +
+        s"AND lower(trim(coalesce(a.$a,''))) <> ''"
+      }.mkString(" UNION ALL ")
+
+  val decRev =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  // ------------------------------------------------------------ EP1 fixtures
+  // Literal new-student row for the onboarding queries — MIXED case on
+  // purpose so the gate proves the F10 ingest lowercasing.
+  def newStudentDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("New Student", "5", "BUILDING", "7", "3"))
+      .toDF("name", "address", "college", "board", "stream")
+  }
+  def emptyEdges(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Long, String)].toDF("src", "dst", "rel_type")
+  }
+  /** The same literal row as a DuckDB CTE (normalized + id assigned). */
+  val newStudentSql: String =
+    ", n AS (SELECT (SELECT CAST(coalesce(max(id), 0) + 1 AS BIGINT) FROM students) AS id, " +
+    "lower('New Student') AS name, lower('BUILDING') AS college, lower('7') AS board, " +
+    "lower('3') AS stream, lower('5') AS address)"
+
+  // ------------------------------------------------------- skew-bench fixture
+  /** Zipfian-keyed slice for the skew bench: a fixed 12000-student window
+    * whose `board` is remapped to 3 values split 80/10/10 — the hot key
+    * alone yields ~46M unordered pairs through the salted equi-join. */
+  def skewStudents(s: SparkSession, d: String): DataFrame =
+    Tables.students(s, d).filter(col("id") < 12000)
+      .withColumn("board",
+        when(col("id") % 10 < 8, "hot")
+          .when(col("id") % 10 === 8, "warm").otherwise("cold"))
+
+  def skewPairsChecksum(s: SparkSession, d: String): DataFrame =
+    skewPairsChecksumFrom(skewStudents(s, d))
+
+  def skewPairsChecksumFrom(students: DataFrame): DataFrame =
+    EdgeRules.equiRule(students, "board", "SKEW")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("src") + col("dst")).as("checksum"))
+
+  val skewOracleSql: String =
+    ", sk AS (SELECT id, CASE WHEN id % 10 < 8 THEN 'hot' " +
+    "WHEN id % 10 = 8 THEN 'warm' ELSE 'cold' END AS board " +
+    "FROM students WHERE id < 12000) " +
+    "SELECT count(*) AS n_pairs, CAST(sum(a.id + b.id) AS BIGINT) AS checksum " +
+    "FROM sk a JOIN sk b ON a.board = b.board AND a.id < b.id"
+
+  val fuzzyQuery = "customer#000000012"
+  /** Batch fuzzy fixture: an exact name, a typo'd name, and garbage
+    * (must return zero rows for qid 2 — the negative case rides along). */
+  val batchFuzzyQueries: Seq[(Long, String)] = Seq(
+    0L -> "customer#000000012", 1L -> "custoner#000000011",
+    2L -> "xyzzy#0000")
+  val tokenQuestion =
+    "who is customr#000000042 nearby custoner#000000011 and friends"
+  /** Batch BM25 fixture: the QueryTerms anchor, a disjoint term set, a
+    * no-hit query (zero rows ride along), and a duplicate-term query
+    * (per-query terms dedup — each term scores once). */
+  val batchBm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark shuffle hash", 1L -> "vector join merge",
+    2L -> "zzznope", 3L -> "scan scan filter")
+  /** Filtered-ANN fixture knobs — ONE derivation site for the query
+    * entries AND their oracle SQL (the entries pass these explicitly and
+    * the oracles interpolate them, so changing a knob cannot silently
+    * desynchronize the two sides). ~10% selectivity at the fixture's 10
+    * labels. */
+  val FiltNQ = 8
+  val FiltK = 3
+  val FiltNprobe = 2
+  val FiltWiden = 3
+  val filtPredSql = "ec.label = 3"
+  /** Selectivity-sweep predicates (tag, engine Column, oracle SQL) —
+    * one site so the engine sweep and its oracle cannot diverge:
+    * ~10% (one of 10 labels) and ~3.3% (label ∧ vec_id mod 3). */
+  val filtSweep: Seq[(String, org.apache.spark.sql.Column, String)] =
+    Seq(("sel10", col("label") === 3, "ec.label = 3"),
+      ("sel03", col("label") === 3 && col("vec_id") % 3 === 0,
+        "ec.label = 3 AND ec.vec_id % 3 = 0"))
+  def levScoreSql(colName: String) =
+    s"round((1.0 - CAST(levenshtein($colName, '$fuzzyQuery') AS DOUBLE) / " +
+    s"CAST(greatest(length($colName), length('$fuzzyQuery')) AS DOUBLE)) * 100.0, 4)"
+
+}
