@@ -18,17 +18,33 @@ object EntryFixtures {
   def withStudents(rest: String): String =
     s"WITH students AS (${Tables.studentsSql}) $rest"
 
-  /** The 4-rule edge backfill as SQL (kept in lockstep with EdgeRules). */
-  val edgesSql: String =
-    Seq("college" -> "SAME_COLLEGE", "board" -> "SAME_BOARD",
-        "stream" -> "SAME_STREAM", "address" -> "NEARBY")
-      .map { case (a, t) =>
+  /** Edge-backfill SQL over a subset of the equi rules (kept in lockstep
+    * with EdgeRules.AllEquiRules / EdgeRules.backfill's toggles). */
+  def edgesSqlFrom(rules: Seq[(String, String)]): String =
+    rules.map { case (a, t) =>
         s"SELECT a.id AS src, b.id AS dst, '$t' AS rel_type " +
         s"FROM students a JOIN students b " +
         s"ON lower(trim(coalesce(a.$a,''))) = lower(trim(coalesce(b.$a,''))) AND a.id < b.id " +
         s"WHERE a.$a IS NOT NULL AND b.$a IS NOT NULL " +
         s"AND lower(trim(coalesce(a.$a,''))) <> ''"
       }.mkString(" UNION ALL ")
+
+  /** The full 4-rule edge backfill as SQL. */
+  val edgesSql: String = edgesSqlFrom(EdgeRules.AllEquiRules)
+
+  /** users view as a CTE (kept in lockstep with Tables.users), plus the
+    * literal new-User row — MIXED case name on purpose: the oracle proves
+    * User ingest does NOT lowercase (graphdb.py:32-40 has no
+    * normalization, unlike the Student route). */
+  def withUsers(rest: String): String =
+    s"WITH users AS (${Tables.usersSql}) $rest"
+  def newUserDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("Ada Lovelace", 36L)).toDF("name", "age")
+  }
+  val newUserSql: String =
+    ", n AS (SELECT (SELECT CAST(coalesce(max(id), 0) + 1 AS BIGINT) FROM users) AS id, " +
+    "'Ada Lovelace' AS name, CAST(36 AS BIGINT) AS age)"
 
   val decRev =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"

@@ -68,6 +68,12 @@ object StudentEntry {
     // on arrays in round 1), and a global total-order over tens of millions
     // of edge rows is pure overhead nobody would run at 100 TB.
     "edges_backfill" -> ((s, d) => EdgeRules.backfill(Tables.students(s, d))),
+    // run_all's per-edge-type toggles (create_relationships.py:96-106):
+    // a partial backfill — college + stream only — whose oracle hash
+    // PROVES the disabled SAME_BOARD/NEARBY rules are absent, not merely
+    // filtered out (each disabled rule's self-join never enters the plan).
+    "edges_backfill_partial" -> ((s, d) => EdgeRules.backfill(
+      Tables.students(s, d), Set("SAME_COLLEGE", "SAME_STREAM"))),
     // DETACH DELETE (beyond-reference: the reference has no delete
     // endpoint) — node removal takes every incident edge with it in one
     // pushed-predicate pass over the edge table; output = the surviving
@@ -206,6 +212,13 @@ object StudentEntry {
     // J5's interest variant under the oracle: one new member's interests
     // (mixed case + an unknown token, exercising normArr) broadcast against
     // the existing token table — never an all-pairs join.
+    // S4b — the reference's second node label (CREATE (u:User {name, age})
+    // RETURN u, graphdb.py:32-40): MAX+1 id, NO lowercasing (the mixed-case
+    // literal survives verbatim — the contrast with ingest_onboard_row).
+    "ingest_user_row" -> ((s, d) => {
+      val (appended, id) = Ingest.onboardUser(Tables.users(s, d), newUserDf(s))
+      appended.filter(col("id") === lit(id)).select("id", "name", "age")
+    }),
     "ingest_interest_delta" -> ((s, d) => {
       import s.implicits._
       val newcomer = Seq((10000000L, Seq("Burnished ", "GIZMO", "red", "unobtainium")))
@@ -302,6 +315,13 @@ object StudentEntry {
       "(SELECT 1 FROM orders o WHERE o.o_custkey = st.id) ORDER BY id"),
     "edges_backfill" -> withStudents(
       s", e AS ($edgesSql) SELECT * FROM e ORDER BY rel_type, src, dst"),
+    // partial backfill: ONLY the college+stream rules in the oracle view —
+    // a hash match proves the disabled rules' edges are absent
+    "edges_backfill_partial" -> withStudents(
+      s", e AS (${edgesSqlFrom(Seq("college" -> "SAME_COLLEGE", "stream" -> "SAME_STREAM"))}) " +
+      "SELECT * FROM e ORDER BY rel_type, src, dst"),
+    "ingest_user_row" -> withUsers(
+      s"$newUserSql SELECT id, name, age FROM n"),
     // DETACH DELETE: the backfilled edge view minus every edge incident
     // to the victim (node removal is the trivial id filter)
     "ingest_detach_delete" -> withStudents(

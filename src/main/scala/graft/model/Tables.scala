@@ -94,6 +94,26 @@ object Tables {
       | CAST(CAST(floor(c_acctbal/1000) AS INT) AS VARCHAR) AS address
       | FROM customer""".stripMargin.replace("\n", "")
 
+  /** The reference's `User` node table (its second label — `CREATE (u:User
+    * {name, age})`, src/graphdb.py:32-40) mapped onto `supplier`:
+    *   id   = s_suppkey
+    *   name = s_name AS-IS (User ingest does NOT lowercase — the
+    *          normalization in student_routes.py:26-33 is Student-only)
+    *   age  = 18 + s_suppkey % 60 (deterministic synthetic age; supplier
+    *          has no age-like column)
+    */
+  def users(spark: SparkSession, sfDir: String): DataFrame =
+    supplier(spark, sfDir).select(
+      col("s_suppkey").as("id"),
+      col("s_name").as("name"),
+      (lit(18L) + col("s_suppkey") % 60).cast("long").as("age"))
+
+  /** SQL text of the users view — MUST stay expression-for-expression
+    * identical to [[users]]. */
+  val usersSql: String =
+    "SELECT s_suppkey AS id, s_name AS name, " +
+    "CAST(18 + s_suppkey % 60 AS BIGINT) AS age FROM supplier"
+
   /** Deterministic `interests` for the students view, so the J4
     * pair-relationship template can surface a SHARES_INTEREST edge's
     * `common` property (reference returns `properties(rel)`,

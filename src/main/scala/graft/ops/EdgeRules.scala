@@ -155,16 +155,32 @@ object EdgeRules {
     pairJoinOnTokens(rarr, "SHARES_RARE_TOKEN")
   }
 
-  /** Full backfill over the students view: the four equi rules unioned
-    * (run_all, create_relationships.py:96-106). The interest rule lives on
-    * the part-token table and is exposed separately. */
-  def backfill(students: DataFrame): DataFrame =
-    Seq(
-      equiRule(students, "college", "SAME_COLLEGE"),
-      equiRule(students, "board", "SAME_BOARD"),
-      equiRule(students, "stream", "SAME_STREAM"),
-      equiRule(students, "address", "NEARBY")
-    ).reduce(_.unionByName(_))
+  /** The four equi rules in the reference's run_all order: attribute →
+    * relationship type (create_relationships.py:96-106; the fifth,
+    * SHARES_INTEREST, lives on the interest-token table and is exposed
+    * separately as [[interestRule]]). */
+  val AllEquiRules: Seq[(String, String)] = Seq(
+    "college" -> "SAME_COLLEGE",
+    "board" -> "SAME_BOARD",
+    "stream" -> "SAME_STREAM",
+    "address" -> "NEARBY")
+
+  /** Full backfill over the students view: the enabled equi rules unioned.
+    * `enabled` mirrors run_all's per-edge-type booleans
+    * (create_relationships.py:96-106, `run_all(create_board=..., ...)` and
+    * the --no-* CLI flags below it) as the set of relationship types to
+    * build; defaults to all four. Each disabled rule removes its entire
+    * self-join from the plan — not a post-filter — so a partial backfill
+    * costs only the rules it runs. */
+  def backfill(
+      students: DataFrame,
+      enabled: Set[String] = AllEquiRules.map(_._2).toSet): DataFrame = {
+    val rules = AllEquiRules.filter { case (_, t) => enabled.contains(t) }
+    require(rules.nonEmpty,
+      s"backfill: no known edge type in $enabled (known: ${AllEquiRules.map(_._2)})")
+    rules.map { case (attr, t) => equiRule(students, attr, t) }
+      .reduce(_.unionByName(_))
+  }
 
   /** MERGE-as-anti-join (J7): edges in `candidates` not already present in
     * `existing` on the (src, dst, rel_type) key —

@@ -74,6 +74,21 @@ object Ingest {
     id
   }
 
+  /** S4b — the reference's SECOND node label: `CREATE (u:User {name: $name,
+    * age: $age}) RETURN u` (src/graphdb.py:32-40). Two deliberate contrasts
+    * with the Student path: (1) NO ingest normalization — create_user passes
+    * name/age through verbatim; the lowercasing lives only in
+    * student_routes.py:26-33 — and (2) no edge rules fire (no relationship
+    * type in the reference touches User). Same MAX+1 substitute for Neo4j's
+    * internal node id as [[onboard]] (single-writer OLTP idiom, see the
+    * object scaladoc). Returns (users', assigned id) — the RETURN u row is
+    * the appended row filtered to that id. */
+  def onboardUser(users: DataFrame, newUser: DataFrame): (DataFrame, Long) = {
+    val id = nextId(users)
+    val withId = newUser.withColumn("id", lit(id))
+    (users.unionByName(withId, allowMissingColumns = true), id)
+  }
+
   /** S6 — batch property update with copy-on-write semantics: the
     * reference's `sync_lowercase_students` (student_service.py:201-220)
     * SET s.name = toLower(s.name) over all rows. Returns the updated table

@@ -88,4 +88,42 @@ class IngestSpec extends SparkSpec {
     assert(n === 5)
     assert(updated.filter(col("name") =!= lower(col("name"))).count() === 0)
   }
+
+  test("onboardUser assigns MAX+1 and preserves case (User ingest has no normalization)") {
+    import spark.implicits._
+    val users = Seq((1L, "Grace Hopper", 85L), (7L, "Alan Turing", 41L))
+      .toDF("id", "name", "age")
+    val (users2, id) = Ingest.onboardUser(users, Seq(("Ada Lovelace", 36L)).toDF("name", "age"))
+    assert(id === 8L)
+    assert(users2.count() === 3)
+    val row = users2.filter(col("id") === 8L).select("name", "age").first()
+    // verbatim mixed case — graphdb.py:32-40 creates the node as given;
+    // the Student route's lowercasing must NOT leak onto the User label
+    assert(row.getString(0) === "Ada Lovelace")
+    assert(row.getLong(1) === 36L)
+    // empty table: the same null→0 coalesce as the Student path
+    val (_, firstId) = Ingest.onboardUser(
+      users.filter(lit(false)), Seq(("Solo", 1L)).toDF("name", "age"))
+    assert(firstId === 1L)
+  }
+
+  test("backfill toggles: disabled rules' edges are absent and the default is all four") {
+    val partial = EdgeRules.backfill(fixture, Set("SAME_COLLEGE", "SAME_STREAM"))
+    val types = partial.select("rel_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types === Set("SAME_COLLEGE", "SAME_STREAM"))
+    // partial == full backfill restricted to the enabled types, row-for-row
+    val full = EdgeRules.backfill(fixture)
+    val expected = full.filter(col("rel_type").isin("SAME_COLLEGE", "SAME_STREAM"))
+    assert(partial.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(partial).count() === 0)
+    // a disabled rule never enters the plan (no post-filter): the partial
+    // plan carries exactly 2 joins, the full one 4
+    def nJoins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    assert(nJoins(partial) === 2)
+    assert(nJoins(full) === 4)
+    intercept[IllegalArgumentException](EdgeRules.backfill(fixture, Set("NOPE")))
+  }
 }
