@@ -341,10 +341,12 @@ object AnnEntry {
       Similarity.annNprobeSweep(s, Tables.embeddings(s, d),
         WarmIndex.ivfPq(s, d), WarmIndex.ivfPqResidual(s, d),
         WarmIndex.ivfSq(s, d))),
-    // the sweep turned into a DECISION: per rung the smallest nprobe
-    // meeting the recall target, or the widest with met=false (the
-    // fixture exercises all three outcomes: sq8 meets cheaply,
-    // residual at the edge, pq honestly fails)
+    // the sweep turned into a DECISION: per rung the cheapest
+    // (shortlist, nprobe) grid point meeting the recall target — base
+    // nprobe sweep first, then shortlist escalation at the widest probe
+    // (r17: raw PQ met=false at the fixed rule became nprobe 8 × slpp
+    // 10, recall 0.75 — every rung now meets the target; sq8 still wins
+    // at nprobe 4 on the base rule, residual at nprobe 8)
     "sim_ann_nprobe_autotune" -> ((s, d) =>
       Similarity.annNprobeAutoTune(s, Tables.embeddings(s, d),
         WarmIndex.ivfPq(s, d), WarmIndex.ivfPqResidual(s, d),

@@ -342,16 +342,47 @@ object OracleCtes {
       .mkString("", " UNION ALL ", " ORDER BY rung, nprobe")
   }
 
-  /** The sweep wrapped with the pick rule — same body, same target as
-    * the engine ([[NprobeTarget]] interpolated, never restated). */
+  /** The two-knob grid wrapped with the pick rule — same grid, same
+    * lexicographic (shortlist, nprobe) cost order, same target as the
+    * engine ([[NprobeTarget]] interpolated, never restated). Mirrors
+    * [[graft.ops.Similarity.annParamSweep]] + paramPick: base branches =
+    * the nprobe sweep at slpp 5; escalation branches = slpp 10/20/40 at
+    * the widest probe (nprobe 8) per rung. */
   def nprobeAutotuneSql: String = {
-    val body = nprobeSweepSql.stripSuffix(" ORDER BY rung, nprobe")
+    val slpp = graft.ops.Similarity.ShortlistPerProbe
+    val bfCtes =
+      "QB AS (SELECT vec_id AS qid, v AS qv FROM E0 WHERE vec_id < 8), " +
+      s"JB AS (SELECT QB.qid, E0.vec_id, round(${cosSql("E0.v", "QB.qv")}, 6) AS cos " +
+      "FROM E0 CROSS JOIN QB WHERE E0.vec_id <> QB.qid), " +
+      "RB AS (SELECT qid, vec_id, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM JB), " +
+      "BF AS (SELECT qid, vec_id FROM RB WHERE rank <= 3)"
+    def branch(rung: String, np: Int, s: Int, chain: String): String =
+      s"SELECT '$rung' AS rung, $np AS nprobe, $s AS shortlist_per_probe, " +
+      s"recall FROM (WITH $chain, " +
+      "TOPK AS (SELECT qid, vec_id FROM RR WHERE rank <= 3), " +
+      s"$bfCtes " +
+      "SELECT round(CAST(count(t.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS recall " +
+      "FROM BF b LEFT JOIN TOPK t ON t.qid = b.qid AND t.vec_id = b.vec_id)"
+    def chains(np: Int, shortlist: Int): Seq[(String, String)] = Seq(
+      "pq" -> ivfPqChain("TRUE", np, shortlist),
+      "residual" -> ivfPqResidualChain("TRUE", np, shortlist),
+      "sq8" -> ivfSqChain("TRUE", np, shortlist))
+    val base = for (np <- Seq(1, 2, 4, 8); (rung, chain) <- chains(np, -1))
+      yield branch(rung, np, slpp, chain)
+    val esc = for (m <- Seq(2, 4, 8);
+        (rung, chain) <- chains(8, slpp * m * 8))
+      yield branch(rung, 8, slpp * m, chain)
+    val body = (base ++ esc).mkString(" UNION ALL ")
     s"WITH S AS ($body), " +
-    s"P AS (SELECT rung, coalesce(min(CASE WHEN recall >= $NprobeTarget " +
-    s"THEN nprobe END), max(nprobe)) AS pick FROM S GROUP BY rung) " +
-    "SELECT s.rung, s.nprobe, s.recall, " +
+    "P AS (SELECT rung, coalesce(" +
+    s"min(CASE WHEN recall >= $NprobeTarget " +
+    "THEN shortlist_per_probe * 100000 + nprobe END), " +
+    "max(shortlist_per_probe * 100000 + nprobe)) AS pick FROM S GROUP BY rung) " +
+    "SELECT s.rung, s.nprobe, s.shortlist_per_probe, s.recall, " +
     s"s.recall >= $NprobeTarget AS met " +
-    "FROM S s JOIN P p ON s.rung = p.rung AND s.nprobe = p.pick " +
+    "FROM S s JOIN P p ON s.rung = p.rung " +
+    "AND s.shortlist_per_probe * 100000 + s.nprobe = p.pick " +
     "ORDER BY s.rung"
   }
 

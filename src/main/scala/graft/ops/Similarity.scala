@@ -1744,16 +1744,70 @@ object Similarity {
       .orderBy(col("rung"))
   }
 
-  /** AUTO-TUNED probe width across the compression ladder: run the
-    * measured nprobe sweep ([[annNprobeSweep]]) on the warm indexes and
-    * pick per rung with [[nprobePick]]. At 100 TB the sweep runs on a
-    * sampled validation slice once per index generation; the chosen
-    * nprobe then serves every query — tuning cost amortized, recall
-    * target explicit instead of folklore. */
+  /** Two-knob tuning grid: the base nprobe sweep at the default
+    * shortlist rule (shortlist = [[ShortlistPerProbe]] × nprobe), PLUS
+    * shortlist-escalation legs — each escalation multiplier re-measured
+    * at the WIDEST swept nprobe only. Rationale: probe width drives
+    * candidate IO (each probe reads a whole inverted list), so nprobe is
+    * exhausted first; the shortlist only widens the raw-vector rescore
+    * join over already-read candidates, so it is the cheap second knob —
+    * escalated exactly when the widest probe still misses the target
+    * (measured here: raw PQ, whose ADC distortion under-ranks true
+    * neighbors below the default cut — recall 0.58 → 0.75 from slpp 5 →
+    * 10 at nprobe 8 while residual/SQ8 never need the second knob).
+    * Output: (rung, nprobe, shortlist_per_probe, recall). */
+  def annParamSweep(spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, tPq: String, tRes: String, tSq: String,
+      nQueries: Int = 8, k: Int = 3,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+      escalateMults: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    val base = annNprobeSweep(spark, embeddings, tPq, tRes, tSq,
+        nQueries, k, ShortlistPerProbe, nprobes)
+      .withColumn("shortlist_per_probe", lit(ShortlistPerProbe))
+    val esc = escalateMults.map { m =>
+      annNprobeSweep(spark, embeddings, tPq, tRes, tSq, nQueries, k,
+          ShortlistPerProbe * m, Seq(nprobes.max))
+        .withColumn("shortlist_per_probe", lit(ShortlistPerProbe * m))
+    }
+    (base +: esc).reduce(_.unionByName(_))
+      .select(col("rung"), col("nprobe"), col("shortlist_per_probe"),
+        col("recall"))
+  }
+
+  /** The grid pick: per rung the CHEAPEST (shortlist_per_probe, nprobe)
+    * meeting `target` — lexicographic, shortlist first, because a wider
+    * shortlist leg only exists at the widest nprobe and a base-rule pick
+    * at ANY nprobe is cheaper than escalating the rescore width; the
+    * widest grid point with met=false when nothing meets. Same
+    * view-sized testable fold shape as [[nprobePick]]. */
+  def paramPick(sweep: DataFrame, target: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("rung"))
+    val key = col("shortlist_per_probe") * lit(100000) + col("nprobe")
+    sweep
+      .withColumn("_key", key)
+      .withColumn("_pick", coalesce(
+        min(when(col("recall") >= target, col("_key"))).over(w),
+        max(col("_key")).over(w)))
+      .filter(col("_key") === col("_pick"))
+      .select(col("rung"), col("nprobe"), col("shortlist_per_probe"),
+        col("recall"), (col("recall") >= target).as("met"))
+      .orderBy(col("rung"))
+  }
+
+  /** AUTO-TUNED probe width AND shortlist width across the compression
+    * ladder: run the measured two-knob grid ([[annParamSweep]]) on the
+    * warm indexes and pick per rung with [[paramPick]]. Since round 17
+    * the tuner escalates the shortlist when the widest probe misses the
+    * target, so every rung that CAN meet it reports its cheapest
+    * meeting config (raw PQ: nprobe 8 × slpp 10) instead of a dead-end
+    * met=false at the fixed rule. At 100 TB the grid runs on a sampled
+    * validation slice once per index generation; the chosen config then
+    * serves every query — tuning cost amortized, recall target explicit
+    * instead of folklore. */
   def annNprobeAutoTune(spark: org.apache.spark.sql.SparkSession,
       embeddings: DataFrame, tPq: String, tRes: String, tSq: String,
       target: Double = 0.7): DataFrame =
-    nprobePick(annNprobeSweep(spark, embeddings, tPq, tRes, tSq), target)
+    paramPick(annParamSweep(spark, embeddings, tPq, tRes, tSq), target)
 
   /** Recall@k of the trained-IVF path against the brute-force truth —
     * the companion of [[annRecall]]: that row prices sign-sketch bucket

@@ -153,4 +153,28 @@ class AnnFilteredSpec extends SparkSpec {
       .as[(String, Int, Double, Boolean)].collect().toList
     assert(out === List(("a", 2, 0.75, true), ("b", 4, 0.60, false)))
   }
+
+  test("paramPick: base-rule pick beats escalation; escalation only when " +
+      "the widest probe misses at the base shortlist; widest grid point " +
+      "with met=false when nothing meets") {
+    import spark.implicits._
+    val grid = Seq(
+      // rung a: meets on the base rule at nprobe 2 — escalated legs
+      // (cheaper-looking recall notwithstanding) must NOT win
+      ("a", 1, 5, 0.30), ("a", 2, 5, 0.75), ("a", 4, 5, 0.90), ("a", 8, 5, 0.95),
+      ("a", 8, 10, 0.99),
+      // rung b: base rule tops out at 0.58; slpp 10 at the widest probe
+      // meets — the raw-PQ shape
+      ("b", 1, 5, 0.10), ("b", 2, 5, 0.30), ("b", 4, 5, 0.45), ("b", 8, 5, 0.58),
+      ("b", 8, 10, 0.75), ("b", 8, 20, 0.83), ("b", 8, 40, 0.92),
+      // rung c: nothing meets — widest grid point, met=false
+      ("c", 1, 5, 0.05), ("c", 8, 5, 0.20), ("c", 8, 10, 0.25), ("c", 8, 40, 0.40))
+      .toDF("rung", "nprobe", "shortlist_per_probe", "recall")
+    val out = Similarity.paramPick(grid, target = 0.7)
+      .as[(String, Int, Int, Double, Boolean)].collect().toList
+    assert(out === List(
+      ("a", 2, 5, 0.75, true),
+      ("b", 8, 10, 0.75, true),
+      ("c", 8, 40, 0.40, false)))
+  }
 }
