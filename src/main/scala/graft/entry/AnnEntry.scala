@@ -194,16 +194,15 @@ object AnnEntry {
     // nprobe-sweep methodology applied to the filtered knob): pre/post
     // recall at ~10% and ~3.3% selectivity — the number that prices the
     // post-mode's 1/selectivity widen requirement instead of asserting it
-    "sim_ann_filtered_selectivity" -> ((s, d) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-pq-fsel")
-        .toFile.getAbsolutePath
-      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
-      val emb = Tables.embeddings(s, d)
-      Similarity.buildIvfPqIndex(emb, "graft_idx.pqsel")
-      Similarity.annFusedFilteredSelectivitySweep(s, "graft_idx.pqsel",
-        emb, filtSweep.map { case (tag, p, _) => (tag, p) },
-        FiltNQ, FiltK, FiltNprobe, FiltWiden)
-    }),
+    // served from the standing warm PQ index (read-only, like the other
+    // sweep/autotune rows): the sweep is a per-generation tuning
+    // diagnostic, not a build capstone — build cost is already priced by
+    // sim_ann_ivfpq_indexed and the fused_recall twin, and rebuilding a
+    // private index per call tripled the row for no added coverage (r17)
+    "sim_ann_filtered_selectivity" -> ((s, d) =>
+      Similarity.annFusedFilteredSelectivitySweep(s, WarmIndex.ivfPq(s, d),
+        Tables.embeddings(s, d), filtSweep.map { case (tag, p, _) => (tag, p) },
+        FiltNQ, FiltK, FiltNprobe, FiltWiden)),
     // the fused pre-vs-post adjudication, measured: on the compressed
     // rung BOTH lossy cuts (ADC shortlist + widened rank cut) precede
     // the predicate in post mode, so its recall collapses with

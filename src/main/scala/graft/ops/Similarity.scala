@@ -722,9 +722,15 @@ object Similarity {
   }
 
   /** Two-row (mode, recall) frame — the deterministic ratio-of-counts
-    * shape every recall row uses, pre before post. */
-  private def preVsPostRecall(truth: DataFrame, nQueries: Int, k: Int,
+    * shape every recall row uses, pre before post. The truth set is
+    * nQueries×k rows but its lineage is the brute-force cross join over
+    * the corpus; both mode legs consume it, so it is cached here once
+    * per adjudication (r17: halves the brute-force work of every
+    * pre-vs-post row — the 5-predicate selectivity sweep was paying the
+    * corpus scan 10× for 5 distinct truth sets). */
+  private def preVsPostRecall(truth0: DataFrame, nQueries: Int, k: Int,
       pre: DataFrame, post: DataFrame): DataFrame = {
+    val truth = graft.CacheScope.track(truth0)
     def recallOf(hits: DataFrame, mode: String): DataFrame =
       hits.select(col("qid"), col("vec_id"))
         .join(truth, Seq("qid", "vec_id"), "left_semi")
@@ -802,21 +808,60 @@ object Similarity {
   /** Selectivity SWEEP of the fused pre-vs-post adjudication — the
     * measured form of the claim the post-filter scaladoc makes ("recall
     * collapses as selectivity tightens unless widen/shortlist scale by
-    * ~1/selectivity"): [[annFusedFilteredRecall]] at each labeled
-    * predicate, one (sel, mode, recall) row per (predicate, mode). The
-    * nprobe-sweep methodology applied to the filtered knob: tune by
-    * measurement, not folklore. */
+    * ~1/selectivity"): [[annFusedFilteredRecall]]'s adjudication at each
+    * labeled predicate, one (sel, mode, recall) row per (predicate,
+    * mode). The nprobe-sweep methodology applied to the filtered knob:
+    * tune by measurement, not folklore.
+    *
+    * The predicate-INDEPENDENT subtrees are computed once and cached
+    * across every predicate (r17, roughly halves the row): the post
+    * mode's widened unfiltered probe+rescore (identical for all legs —
+    * post-filtering is by definition blind to the predicate until the
+    * cut) and the truth side's scored query×corpus cross join (the
+    * predicate commutes with scoring: it filters candidate attributes,
+    * so filter-then-rank over the shared scored frame equals
+    * [[filteredTruth]]'s filter-then-score row-for-row). Only the pre
+    * legs — where the predicate lives INSIDE the probe, the mode's whole
+    * point — stay per-predicate plans. */
   def annFusedFilteredSelectivitySweep(
       spark: org.apache.spark.sql.SparkSession, table: String,
       embeddings: DataFrame, preds: Seq[(String, Column)],
       nQueries: Int = 8, k: Int = 3, nprobe: Int = 2,
-      widen: Int = 3): DataFrame =
+      widen: Int = 3): DataFrame = {
+    val q = fixtureQueries(spark, table, nQueries)
+    // eager localCheckpoint, NOT persist: the frame's lineage reads the
+    // catalog tables `${table}_ivf`/`_centroids`, and a persist would
+    // outlive this query into a caller's NEXT index rebuild (bench
+    // iteration 2) — whose DROP re-resolves every live cached plan
+    // against the mid-rebuild catalog and throws TABLE_OR_VIEW_NOT_FOUND
+    // (the drop-side twin of the INSERT-invalidation gotcha at
+    // Search.indexDeltaIdempotent). The checkpoint cuts the catalog
+    // lineage to an in-memory RDD: widen·k×nQueries rows + labels.
+    val wideLabeled =
+      annIvfPqIndexedTopK(spark, table, q, widen * k, nprobe, -1)
+        .join(lists(spark, table).select(col("vec_id"), col("label")),
+          Seq("vec_id"))
+        .localCheckpoint()
+    val e = withNorm(vecs(embeddings))
+    val qv = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scoredAll = graft.CacheScope.track(
+      e.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")),
+            6).as("cos")))
     preds.map { case (tag, p) =>
-      annFusedFilteredRecall(spark, table, embeddings, p, nQueries, k,
-          nprobe, widen)
+      val truth = rankedTopKPerQuery(scoredAll.filter(p), k)
+        .select(col("qid"), col("vec_id"))
+      preVsPostRecall(truth, nQueries, k,
+          annIvfPqFilteredTopK(spark, table, q, p, k, nprobe, -1),
+          postFilterCut(wideLabeled, p, k))
         .select(lit(tag).as("sel"), col("mode"), col("recall"))
     }.reduce(_.unionAll(_))
       .orderBy(col("sel"), desc("mode"))
+  }
 
   /** Build the PQ-FUSED IVF index: the [[buildIvfIndex]] layout with one
     * addition — each inverted-list row also carries the vector's PQ codes
@@ -1044,12 +1089,23 @@ object Similarity {
     * ([[annFusedFilteredRecall]] prices exactly this). */
   def annIvfPqFilteredPostTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, pred: Column, k: Int,
-      nprobe: Int, widen: Int = 3, shortlist: Int = -1): DataFrame = {
+      nprobe: Int, widen: Int = 3, shortlist: Int = -1): DataFrame =
+    postFilterCut(
+      annIvfPqIndexedTopK(spark, table, queries, widen * k, nprobe,
+          shortlist)
+        .join(lists(spark, table).select(col("vec_id"), col("label")),
+          Seq("vec_id")),
+      pred, k)
+
+  /** The predicate-DEPENDENT tail of the post-filter mode, split out so
+    * the selectivity sweep can share one cached widened+labeled frame
+    * across every predicate (the widened unfiltered probe is predicate-
+    * independent by definition — that is the post-filter mode's whole
+    * mistake): filter the widened candidates, re-rank, keep k. */
+  private def postFilterCut(wideLabeled: DataFrame, pred: Column,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wide = annIvfPqIndexedTopK(spark, table, queries, widen * k,
-      nprobe, shortlist)
-    wide.join(lists(spark, table).select(col("vec_id"), col("label")),
-        Seq("vec_id"))
+    wideLabeled
       .filter(pred)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))))
