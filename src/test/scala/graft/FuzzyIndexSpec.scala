@@ -433,4 +433,51 @@ class FuzzyIndexSpec extends SparkSpec {
     }
   }
 
+  test("gramdf sidecar lifecycle: files bounded by generations, compaction folds to one") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val students = Tables.students(spark, sfDir)
+    val wh = Files.createTempDirectory("graft-fuzzygd-wh").toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_fuzzygd_test LOCATION '$wh'")
+    val t = "graft_fuzzygd_test.idx"
+    FuzzySearch.buildIndex(students.filter(col("id") % 5 =!= 0), t)
+    FuzzySearch.writeGramDf(spark, t)
+    def sidecarFiles: Int = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("idx_gramdf",
+            Some("graft_fuzzygd_test"))).location.toString))
+      loc.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(sidecarFiles === 1, "fresh writeGramDf must be one file")
+    // each ingest generation appends ONE tiny advisory file — the bound
+    // is 1 (base) + #generations, never postings-proportional
+    for (r <- 0 to 2)
+      FuzzySearch.indexDelta(t,
+        students.filter(col("id") % 5 === 0 && (col("id") / 5) % 3 === r))
+    assert(sidecarFiles === 4,
+      s"3 delta generations must add exactly 3 sidecar files, got $sidecarFiles")
+    // a delete adds one negative-correction file
+    FuzzySearch.indexDelete(t, Seq(5L, 10L).toDF("id"))
+    assert(sidecarFiles === 5)
+    // compaction folds the sidecar with the postings rewrite: ONE file
+    // again, and the folded df equals an exact recount of the surviving
+    // postings (base + deltas − victims)
+    FuzzySearch.compactIndex(spark, t)
+    assert(sidecarFiles === 1,
+      s"compaction must fold the gramdf sidecar to one file, got $sidecarFiles")
+    val foldedSum = spark.table(s"${t}_gramdf")
+      .agg(sum("df")).collect()(0).getLong(0)
+    assert(foldedSum === spark.table(s"${t}_grams").count(),
+      "folded gramdf must equal an exact recount of the surviving postings")
+    // and the prefix-skip probe still equals the scan path on the
+    // surviving corpus
+    val survivors = students.filter(col("id") =!= 5L && col("id") =!= 10L)
+    val q = "customer#000000012"
+    assert(collectRows(FuzzySearch.topKIndexed(spark, t, q))
+      === collectRows(FuzzySearch.topK(survivors, q,
+        c => FuzzySearch.levRatio(c, lit(q)))),
+      "post-compaction prefix-skip probe diverged from the scan path")
+  }
+
 }
