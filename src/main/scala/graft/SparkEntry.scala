@@ -51,7 +51,8 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q3_top_revenue", "q5_region_revenue", "q7_volume", "q9_profit",
     "q10_returned_items", "set_ops",
-    "edges_backfill", "edges_skew_salted", "edges_skew_unsalted",
+    "edges_backfill", "edges_backfill_partial",
+    "edges_skew_salted", "edges_skew_unsalted",
     "edges_skew_aqe",
     "j2_rare_token_pairs", "j3_recommend", "j8_asof_join",
     // both fuzzy scorers: the built-in levenshtein and the custom codegen

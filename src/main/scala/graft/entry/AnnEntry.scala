@@ -125,50 +125,36 @@ object AnnEntry {
     // ranks the predicate's survivors, post-filter cuts a widened
     // UNFILTERED shortlist first and loses whatever the cut starved out
     // (the recorded reason pre-filter is the default; BASELINE.md r15)
-    "sim_ann_filtered_recall" -> ((s, d) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-frec")
-        .toFile.getAbsolutePath
-      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
-      val emb = Tables.embeddings(s, d)
-      Similarity.buildIvfIndex(emb, "graft_idx.ivffr")
-      Similarity.annFilteredRecall(s, "graft_idx.ivffr", emb,
-        col("label") === 3, FiltNQ, FiltK, FiltNprobe, FiltWiden)
-    }),
+    // served from the warm standing IVF index (r17): the adjudication is
+    // read-only and the flat build is already priced by sim_ann_ivf_indexed
+    "sim_ann_filtered_recall" -> ((s, d) =>
+      Similarity.annFilteredRecall(s, WarmIndex.ivf(s, d),
+        Tables.embeddings(s, d),
+        col("label") === 3, FiltNQ, FiltK, FiltNprobe, FiltWiden)),
     // ATTRIBUTE-FILTERED FUSED (IVF-PQ) ANN — the 100 TB filtered query
     // actually runs against the compressed rungs: the predicate applies
     // to the codes-only DPP-pruned scan BEFORE the lossy ADC shortlist
     // cut, so the shortlist competes among survivors only and needs no
     // 1/selectivity correction (the post-filter trade the fused recall
     // row measures)
-    "sim_ann_filtered_fused" -> ((s, d) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-pq-filt")
-        .toFile.getAbsolutePath
-      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
-      Similarity.buildIvfPqIndex(Tables.embeddings(s, d), "graft_idx.pqf")
-      Similarity.annIvfPqFilteredTopK(s, "graft_idx.pqf",
-        col("label") === 3, FiltNQ, FiltK, FiltNprobe)
-    }),
+    // warm standing PQ index (r17): read-only probe, build priced by
+    // sim_ann_ivfpq_indexed
+    "sim_ann_filtered_fused" -> ((s, d) =>
+      Similarity.annIvfPqFilteredTopK(s, WarmIndex.ivfPq(s, d),
+        col("label") === 3, FiltNQ, FiltK, FiltNprobe)),
     // the SQ8 rung's filtered probe — same contract at 8× compression
-    "sim_ann_filtered_sq" -> ((s, d) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-sq-filt")
-        .toFile.getAbsolutePath
-      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
-      Similarity.buildIvfSqIndex(Tables.embeddings(s, d), "graft_idx.sqf")
-      Similarity.annIvfSqFilteredTopK(s, "graft_idx.sqf",
-        col("label") === 3, FiltNQ, FiltK, FiltNprobe)
-    }),
+    // warm standing SQ8 index (r17): build priced by sim_ann_ivfsq_indexed
+    "sim_ann_filtered_sq" -> ((s, d) =>
+      Similarity.annIvfSqFilteredTopK(s, WarmIndex.ivfSq(s, d),
+        col("label") === 3, FiltNQ, FiltK, FiltNprobe)),
     // PER-QUERY label-matched ANN — the multi-tenant shape a global
     // predicate can't express: each fixture query retrieves within its
     // OWN label, the constraint a broadcast join condition above the
     // DPP-pruned scan (no shuffle, no per-query scan)
-    "sim_ann_label_matched" -> ((s, d) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-lbl")
-        .toFile.getAbsolutePath
-      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
-      Similarity.buildIvfIndex(Tables.embeddings(s, d), "graft_idx.ivflm")
-      Similarity.annIvfLabelMatchedTopK(s, "graft_idx.ivflm",
-        FiltNQ, FiltK, FiltNprobe)
-    }),
+    // warm standing IVF index (r17): build priced by sim_ann_ivf_indexed
+    "sim_ann_label_matched" -> ((s, d) =>
+      Similarity.annIvfLabelMatchedTopK(s, WarmIndex.ivf(s, d),
+        FiltNQ, FiltK, FiltNprobe)),
     // query-only filtered twin off the warm standing IVF index: the
     // benched number is the filtered DPP-pruned probe + rescore alone
     // (the bm25_query regime separation for the filtered family — a
@@ -181,15 +167,11 @@ object AnnEntry {
     // filtered contract across the WHOLE compression ladder (raw / SQ8
     // / PQ / residual-PQ): predicate before the per-cell-rebased ADC
     // shortlist cut
-    "sim_ann_filtered_residual" -> ((s, d) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-pqr-filt")
-        .toFile.getAbsolutePath
-      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
-      Similarity.buildIvfPqResidualIndex(Tables.embeddings(s, d),
-        "graft_idx.pqrf")
-      Similarity.annIvfPqResidualFilteredTopK(s, "graft_idx.pqrf",
-        col("label") === 3, FiltNQ, FiltK, FiltNprobe)
-    }),
+    // warm standing residual index (r17): build priced by
+    // sim_ann_ivfpq_residual
+    "sim_ann_filtered_residual" -> ((s, d) =>
+      Similarity.annIvfPqResidualFilteredTopK(s, WarmIndex.ivfPqResidual(s, d),
+        col("label") === 3, FiltNQ, FiltK, FiltNprobe)),
     // the measured recall-vs-SELECTIVITY sweep on the fused rung (the
     // nprobe-sweep methodology applied to the filtered knob): pre/post
     // recall at ~10% and ~3.3% selectivity — the number that prices the
@@ -197,8 +179,8 @@ object AnnEntry {
     // served from the standing warm PQ index (read-only, like the other
     // sweep/autotune rows): the sweep is a per-generation tuning
     // diagnostic, not a build capstone — build cost is already priced by
-    // sim_ann_ivfpq_indexed and the fused_recall twin, and rebuilding a
-    // private index per call tripled the row for no added coverage (r17)
+    // sim_ann_ivfpq_indexed, and rebuilding a private index per call
+    // tripled the row for no added coverage (r17)
     "sim_ann_filtered_selectivity" -> ((s, d) =>
       Similarity.annFusedFilteredSelectivitySweep(s, WarmIndex.ivfPq(s, d),
         Tables.embeddings(s, d), filtSweep.map { case (tag, p, _) => (tag, p) },
@@ -208,15 +190,12 @@ object AnnEntry {
     // the predicate in post mode, so its recall collapses with
     // selectivity unless widen and shortlist scale by ~1/selectivity —
     // pre mode filters before the cut and needs neither
-    "sim_ann_filtered_fused_recall" -> ((s, d) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft-pq-frec")
-        .toFile.getAbsolutePath
-      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
-      val emb = Tables.embeddings(s, d)
-      Similarity.buildIvfPqIndex(emb, "graft_idx.pqfr")
-      Similarity.annFusedFilteredRecall(s, "graft_idx.pqfr", emb,
-        col("label") === 3, FiltNQ, FiltK, FiltNprobe, FiltWiden)
-    }),
+    // warm standing PQ index (r17): the adjudication is read-only, build
+    // priced by sim_ann_ivfpq_indexed
+    "sim_ann_filtered_fused_recall" -> ((s, d) =>
+      Similarity.annFusedFilteredRecall(s, WarmIndex.ivfPq(s, d),
+        Tables.embeddings(s, d),
+        col("label") === 3, FiltNQ, FiltK, FiltNprobe, FiltWiden)),
     // the PQ-FUSED index: inverted lists carry per-vector PQ codes, the
     // probe scores candidates in the compressed domain (ADC lookup table
     // + 8 code lookups per candidate, v never read in the scan) and only
