@@ -137,6 +137,7 @@ object SparkEntry {
     // sampling suite
     "sample_split", "sample_split_safe", "sample_stratified",
     "sample_weighted", "sample_mix", "sample_mix_temperature",
+    "sample_epochs",
     // text family beyond quality/repetition/keywords
     "text_clean", "text_tokens", "text_langid", "text_langid_mixed",
     "text_fingerprint",

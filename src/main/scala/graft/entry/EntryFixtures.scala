@@ -123,6 +123,19 @@ object EntryFixtures {
     Seq(("sel10", col("label") === 3, "ec.label = 3"),
       ("sel03", col("label") === 3 && col("vec_id") % 3 === 0,
         "ec.label = 3 AND ec.vec_id % 3 = 0"))
+  /** Epoch targets for the upsampling-mixture row: >1 (repeat), clean
+    * fractional (2.25 → whole 2 + 64/256; 0.5 → 128/256), drop (0.0),
+    * and every unlisted source passes at exactly 1 epoch. ONE derivation
+    * site: the oracle's (whole, extra256) integers are computed from
+    * THIS map below, never restated. */
+  val epochFixture: Seq[(String, Double)] =
+    Seq("src1" -> 2.25, "src2" -> 0.5, "src4" -> 0.0)
+  /** The same map as DuckDB VALUES rows of exact integers. */
+  val epochDimSql: String = epochFixture.map { case (s, e) =>
+    val whole = math.floor(e).toLong
+    s"('$s', $whole, ${math.round((e - whole) * 256)})"
+  }.mkString("(VALUES ", ", ", ") AS W(source, whole, extra256)")
+
   def levScoreSql(colName: String) =
     s"round((1.0 - CAST(levenshtein($colName, '$fuzzyQuery') AS DOUBLE) / " +
     s"CAST(greatest(length($colName), length('$fuzzyQuery')) AS DOUBLE)) * 100.0, 4)"

@@ -100,6 +100,11 @@ object PipelineEntry {
     // training-data pipeline: weighted source mixing (per-domain hash
     // thresholds against a broadcast weights dim — the mixture recipe step)
     "sample_mix" -> ((s, d) => Sampling.weightedMix(Tables.documents(s, d))),
+    // the data-REPETITION half of mixture weighting: epoch targets >1
+    // repeat a source, fractional targets add a deterministic
+    // hash-selected extra copy, 0 drops it, unlisted sources pass at 1
+    "sample_epochs" -> ((s, d) =>
+      Sampling.epochMix(Tables.documents(s, d), epochFixture)),
     // temperature-scaled mixture (α = 0.5 — the sqrt special case,
     // chosen because IEEE sqrt is correctly rounded and pow is not):
     // source share ∝ √n_s, exact-integer targets, md5-ranked keep prefix
@@ -403,6 +408,27 @@ object PipelineEntry {
       s"array_to_string(w[i * $st + 1 : i * $st + $k], ' ') AS chunk, " +
       s"CAST(len(w[i * $st + 1 : i * $st + $k]) AS INT) AS n_tokens " +
       "FROM C ORDER BY doc_id, chunk_idx"
+    },
+    // epoch mixture: same two-hex-digit bucket parse as sample_mix; the
+    // (whole, extra256) dim rows interpolate from epochFixture (one
+    // derivation site); copies via a recursive CTE (DuckDB
+    // generate_series rejects subquery bounds)
+    "sample_epochs" -> {
+      val maxCopyIdx = epochFixture.map { case (_, e) =>
+        math.floor(e).toLong + (if (e % 1 > 0) 1L else 0L)
+      }.max.max(1L) - 1L
+      "WITH RECURSIVE B AS (SELECT doc_id, source, " +
+      "md5(concat('epoch|', CAST(doc_id AS VARCHAR))) AS h FROM documents), " +
+      "K AS (SELECT doc_id, source, (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+      "instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket FROM B), " +
+      "D AS (SELECT k.doc_id, k.source, CAST(coalesce(W.whole, 1) + " +
+      "CASE WHEN k.bucket < coalesce(W.extra256, 0) THEN 1 ELSE 0 END AS BIGINT) AS n_copies " +
+      s"FROM K k LEFT JOIN $epochDimSql ON k.source = W.source), " +
+      "C AS (SELECT CAST(0 AS BIGINT) AS copy_idx UNION ALL " +
+      s"SELECT copy_idx + 1 FROM C WHERE copy_idx < $maxCopyIdx) " +
+      "SELECT d.doc_id, d.source, c.copy_idx, d.n_copies " +
+      "FROM D d JOIN C c ON c.copy_idx < d.n_copies " +
+      "ORDER BY d.doc_id, c.copy_idx"
     },
     "sample_mix" ->
       ("WITH B AS (SELECT doc_id, source, md5(concat('mix|', CAST(doc_id AS VARCHAR))) AS h FROM documents), " +

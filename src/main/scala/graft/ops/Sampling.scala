@@ -105,6 +105,49 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("keep_below"))
       .orderBy(col("doc_id"))
 
+  /** EPOCH/UPSAMPLING mixture — the data-REPETITION half of mixture
+    * weighting ([[weightedMix]]/[[temperatureMix]] only ever DOWN-sample;
+    * real training recipes also repeat high-quality sources, e.g.
+    * Wikipedia at 2–5 epochs in the GPT-3/LLaMA data tables). Each
+    * source s carries a target epoch count e_s — fractional and > 1
+    * allowed: every doc emits floor(e_s) full copies, plus one extra
+    * copy iff its [[bucket256]] hash falls below round(frac(e_s)·256)
+    * — so e = 2.25 repeats every doc twice and a deterministic quarter
+    * of docs a third time, e = 0.5 halves the source, e = 0 drops it,
+    * and an UNLISTED source passes through at exactly 1 epoch.
+    * Fractions quantize to 1/256 granularity at the API boundary
+    * (exact integer thresholds — the cross-engine house rule; the
+    * oracle interpolates the same (whole, extra256) integers from the
+    * same map, never a float).
+    *
+    * Scale shape: a broadcast epochs dim, ONE corpus scan, per-row
+    * hash + `explode(sequence(...))` — output rows ∝ Σ e_s·n_s, no
+    * shuffle at all before the (oracle-only) final sort. copy_idx is
+    * emitted so downstream shuffling/packing can decorrelate repeats
+    * (consumers salt on (doc_id, copy_idx), never on doc_id alone). */
+  def epochMix(docs: DataFrame, epochs: Seq[(String, Double)],
+      salt: String = "epoch"): DataFrame = {
+    require(epochs.forall { case (_, e) => e >= 0.0 && e <= 16.0 },
+      s"epochMix: epoch targets must be in [0, 16], got $epochs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dim = epochs.map { case (s, e) =>
+      val whole = math.floor(e).toLong
+      (s, whole, math.round((e - whole) * 256).toInt)
+    }.toDF("source", "whole", "extra256")
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(dim), Seq("source"), "left_outer")
+      .withColumn("n_copies",
+        coalesce(col("whole"), lit(1L)) +
+          when(bucket256(salt, col("doc_id")) <
+            coalesce(col("extra256"), lit(0)), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"),
+        col("n_copies"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
   /** TEMPERATURE-scaled source mixture — the α-exponent re-weighting
     * training recipes use to keep low-resource sources from drowning
     * (multilingual sampling à la the α = 0.3–0.7 exponents in the

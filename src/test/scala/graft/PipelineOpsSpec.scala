@@ -125,6 +125,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Sampling.weightedMix(docs.repartition(13)).collect().toSeq)
   }
 
+  test("epochMix: whole copies exact, fractional extras hash-deterministic, " +
+      "drop and pass-through sources behave") {
+    val epochs = Seq("src1" -> 2.25, "src2" -> 0.5, "src4" -> 0.0)
+    val mixed = Sampling.epochMix(docs, epochs)
+    val out = mixed.collect().toSeq
+    val perSourceIn = docs.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val perSourceOut = mixed.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    // dropped source emits nothing
+    assert(perSourceOut.getOrElse("src4", 0L) === 0L)
+    // unlisted sources pass through at exactly one epoch, copy_idx 0
+    perSourceIn.keys.filterNot(Set("src1", "src2", "src4")).foreach { s =>
+      assert(perSourceOut(s) === perSourceIn(s), s"source $s not 1-epoch")
+    }
+    assert(mixed.filter(col("source") === "src3" && col("copy_idx") =!= 0)
+      .count() === 0)
+    // src1 at 2.25: every doc twice, plus a hash-selected extra — count
+    // is n·2 + |bucket < 64|, and every doc has copy_idx 0 and 1
+    val n1 = perSourceIn("src1")
+    val extras = docs.filter(col("source") === "src1")
+      .filter(Sampling.bucket256("epoch", col("doc_id")) < 64).count()
+    assert(perSourceOut("src1") === n1 * 2 + extras)
+    assert(mixed.filter(col("source") === "src1" && col("copy_idx") === 1)
+      .count() === n1)
+    assert(mixed.filter(col("source") === "src1" && col("copy_idx") === 2)
+      .count() === extras)
+    // src2 at 0.5: the bucket<128 half survives once
+    val kept2 = docs.filter(col("source") === "src2")
+      .filter(Sampling.bucket256("epoch", col("doc_id")) < 128).count()
+    assert(perSourceOut.getOrElse("src2", 0L) === kept2)
+    // pure function of (doc_id, source): identical under repartitioning
+    assert(out === Sampling.epochMix(docs.repartition(13), epochs).collect().toSeq)
+    // out-of-range targets refused
+    intercept[IllegalArgumentException](
+      Sampling.epochMix(docs, Seq("src1" -> 17.0)))
+  }
+
   test("chunks reassemble to the normalized document, all full but the tail") {
     val k = TextAnalysis.ChunkTokens
     val rejoined = TextAnalysis.chunks(docs)
