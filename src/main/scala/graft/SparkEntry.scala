@@ -213,7 +213,7 @@ object SparkEntry {
     // round-16: the data-quality gate + metadata-only gap detection,
     // per-group triage, and metadata-only freshness
     "quality_report", "quality_partitions",
-    "quality_by_group", "quality_freshness",
+    "quality_by_group", "quality_freshness", "quality_volume_trend",
     // round-16: min/max IVM — insert-associative deltas + delete-time
     // affected-group recompute (the non-additive honest cost model)
     "mv_minmax_lifecycle",

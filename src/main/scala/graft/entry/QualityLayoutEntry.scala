@@ -177,6 +177,19 @@ object QualityLayoutEntry {
         Tables.events(s, d), "graft_idx.events_fresh")
       Quality.checkFreshness(s, "graft_idx.events_fresh", "2024-01-30")
     }),
+    // VOLUME ANOMALY: each day's count vs the trailing-7-day median —
+    // catches the half-empty load freshness and gap checks both pass.
+    // Deterministic corruption: day 25 cut to its user_id%10==0 slice
+    // (the >2x drop), day 28 tripled (the >2x spike); the trailing
+    // median shrugs both off as history for later days
+    "quality_volume_trend" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val corrupted = ev
+        .filter(!(to_date(col("ts")) === "2024-01-25" && col("user_id") % 10 =!= 0))
+        .unionByName(ev.filter(to_date(col("ts")) === "2024-01-28"))
+        .unionByName(ev.filter(to_date(col("ts")) === "2024-01-28"))
+      Quality.checkVolumeTrend(corrupted, to_date(col("ts")))
+    }),
     // PARTITION COMPLETENESS: gap detection on a date-partitioned fact
     // as a metadata operation (catalog listing vs the continuous day
     // range — "did yesterday land" without reading yesterday)
@@ -307,6 +320,22 @@ object QualityLayoutEntry {
       ("SELECT max(CAST(ts AS DATE)) AS latest_date, " +
        "DATE '2024-01-30' AS expected_from, " +
        "max(CAST(ts AS DATE)) >= DATE '2024-01-30' AS fresh FROM events"),
+    // volume trend: trailing-7 median (the exact 4th order statistic of
+    // 7 bigint counts — no interpolation) over the same corrupted frame
+    "quality_volume_trend" ->
+      ("WITH E0 AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events), " +
+       "E AS (SELECT d FROM E0 WHERE NOT (d = DATE '2024-01-25' AND user_id % 10 <> 0) " +
+       "UNION ALL SELECT d FROM E0 WHERE d = DATE '2024-01-28' " +
+       "UNION ALL SELECT d FROM E0 WHERE d = DATE '2024-01-28'), " +
+       "DAILY AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM E GROUP BY d), " +
+       "H AS (SELECT d, n, count(*) OVER w AS hcnt, " +
+       "CAST(median(n) OVER w AS BIGINT) AS baseline FROM DAILY " +
+       "WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
+       "SELECT d AS obs_date, n, baseline, " +
+       "CASE WHEN n * 2 < baseline THEN 'drop' " +
+       "WHEN n > baseline * 2 THEN 'spike' END AS anomaly " +
+       "FROM H WHERE hcnt = 7 AND (n * 2 < baseline OR n > baseline * 2) " +
+       "ORDER BY obs_date"),
     // partition gaps: days inside [min, max] of the remaining dates
     // that are not present (the two excluded days, derived not assumed)
     "quality_partitions" ->

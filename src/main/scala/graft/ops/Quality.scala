@@ -100,6 +100,41 @@ object Quality {
         col("n_violations"))
   }
 
+  /** VOLUME-ANOMALY check — the monitor that catches "yesterday landed
+    * but HALF of it is missing", which [[checkFreshness]] (did anything
+    * land) and [[checkPartitionGaps]] (did the partition exist) both
+    * pass: each day's row count against the MEDIAN of the trailing 7
+    * LANDED days (rows-based frame — run [[checkPartitionGaps]] for
+    * calendar holes), flagged when it falls below baseline/dropFactor
+    * or above baseline·spikeFactor. The median of 7 integer counts is
+    * the exact 4th order statistic (a long — no interpolation, so both
+    * engines agree bit-for-bit); a median baseline shrugs off one bad
+    * day in the history where a mean would chase it. Days without a
+    * full 7-day history are not judged.
+    *
+    * Scale shape: ONE corpus scan into a |days|-row aggregate; the
+    * trailing window runs on that day-level frame (hundreds of rows for
+    * years of data), where its single-partition sort is free — never on
+    * the fact. */
+  def checkVolumeTrend(df: DataFrame, dateCol: Column,
+      dropFactor: Int = 2, spikeFactor: Int = 2): DataFrame = {
+    val daily = df.groupBy(dateCol.as("obs_date"))
+      .agg(count(lit(1)).as("n"))
+    // day-level frame only: the no-partition window is |days| rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("obs_date")).rowsBetween(-7, -1)
+    daily
+      .withColumn("hist", collect_list(col("n")).over(w))
+      .filter(size(col("hist")) === 7)
+      .withColumn("baseline", element_at(sort_array(col("hist")), 4))
+      .withColumn("anomaly",
+        when(col("n") * dropFactor < col("baseline"), "drop")
+          .when(col("n") > col("baseline") * spikeFactor, "spike"))
+      .filter(col("anomaly").isNotNull)
+      .select(col("obs_date"), col("n"), col("baseline"), col("anomaly"))
+      .orderBy(col("obs_date"))
+  }
+
   /** PARTITION COMPLETENESS on a date-partitioned table — gap detection
     * as a METADATA operation: the standing dates come from the catalog
     * (`SHOW PARTITIONS`, |partitions| rows, zero data scanned), the

@@ -106,4 +106,28 @@ class QualitySpec extends SparkSpec {
     assert(!plan.contains("Scan parquet"),
       s"gap detection scanned data:\n$plan")
   }
+
+  test("checkVolumeTrend: flags the >2x drop and spike, judges only full-" +
+      "history days, and the median baseline shrugs off single bad days") {
+    import spark.implicits._
+    // 20 uniform days of 100 rows, day 12 cut to 30 (drop), day 16
+    // tripled to 300 (spike)
+    val rows = (1 to 20).flatMap { day =>
+      val n = if (day == 12) 30 else if (day == 16) 300 else 100
+      (1 to n).map(i => (f"2024-02-$day%02d", i))
+    }
+    val df = rows.toDF("ds", "i").withColumn("d", to_date(col("ds")))
+    val out = Quality.checkVolumeTrend(df, col("d"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getString(3))).toSeq
+    assert(out === Seq(
+      ("2024-02-12", 30L, 100L, "drop"),
+      ("2024-02-16", 300L, 100L, "spike")))
+    // days 13-19 carry the bad days in their trailing history: the
+    // MEDIAN baseline stays 100 (one outlier of seven), so none flag.
+    // days 1-8 are unjudged (no full 7-day history)
+    val early = Quality.checkVolumeTrend(
+      df.filter(col("d") <= "2024-02-08"), col("d"))
+    assert(early.count() === 0)
+  }
 }
