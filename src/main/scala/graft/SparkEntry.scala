@@ -214,6 +214,7 @@ object SparkEntry {
     // per-group triage, and metadata-only freshness
     "quality_report", "quality_partitions",
     "quality_by_group", "quality_freshness", "quality_volume_trend",
+    "stream_volume_trend",
     // round-16: min/max IVM — insert-associative deltas + delete-time
     // affected-group recompute (the non-additive honest cost model)
     "mv_minmax_lifecycle",

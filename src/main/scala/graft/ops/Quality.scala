@@ -117,9 +117,17 @@ object Quality {
     * years of data), where its single-partition sort is free — never on
     * the fact. */
   def checkVolumeTrend(df: DataFrame, dateCol: Column,
+      dropFactor: Int = 2, spikeFactor: Int = 2): DataFrame =
+    volumeTrendFrom(
+      df.groupBy(dateCol.as("obs_date")).agg(count(lit(1)).as("n")),
+      dropFactor, spikeFactor)
+
+  /** The judgment half of [[checkVolumeTrend]], split out so an
+    * incrementally-maintained daily-count view (the streaming twin —
+    * MatView additive fold keyed on the day) feeds the same rule:
+    * monitoring stays fresh at feed cost, the fact is never re-scanned. */
+  def volumeTrendFrom(daily: DataFrame,
       dropFactor: Int = 2, spikeFactor: Int = 2): DataFrame = {
-    val daily = df.groupBy(dateCol.as("obs_date"))
-      .agg(count(lit(1)).as("n"))
     // day-level frame only: the no-partition window is |days| rows
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("obs_date")).rowsBetween(-7, -1)
