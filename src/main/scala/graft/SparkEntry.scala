@@ -61,7 +61,7 @@ object SparkEntry {
     "dedup_lsh_pairs", "dedup_ngram_jaccard", "dedup_jaccard_sliver",
     "dedup_simhash", "dedup_simhash_pairs",
     "text_quality", "sim_topk_bruteforce", "sim_ann_multiprobe", "mm_features",
-    "w1_event_windows", "w2_sessionize", "graph_cc",
+    "w1_event_windows", "w2_sessionize", "graph_cc", "graph_shortest_path",
     // round-4 additions: the fact⋈fact-heavy q-series shapes
     "q12_priority_class", "q13_order_distribution", "q16_supplier_cnt",
     "q21_sole_returner", "q20_recent_concentration",

@@ -84,6 +84,15 @@ object WindowsGraphEntry {
     // 7 in blocks of 10), unlike the star's 0/1/2 closed form.
     "graph_khop_chain" -> ((s, d) =>
       graft.graph.GraphOps.kHopChain(s, Tables.customer(s, d), 7L)),
+    // WEIGHTED shortest paths (bounded Bellman-Ford): the chain blocks
+    // with an express lane (locals w=2, skips w=5) — relaxation faces
+    // real route choices, resolved by the min fold. maxHops=4 covers the
+    // block's weighted-shortest diameter from the anchor (spec-pinned),
+    // so the bounded result equals the oracle's unbounded fixpoint.
+    "graph_shortest_path" -> ((s, d) =>
+      graft.graph.GraphOps.shortestPathsBounded(
+        graft.graph.GraphOps.weightedChainEdges(Tables.customer(s, d)),
+        1L, 4)),
     // Path reconstruction (relationships(p), llm_cypher.py:211-216): the
     // ordered edge list of each shortest path, serialized src->dst|... for
     // the driver gate.
@@ -231,6 +240,32 @@ object WindowsGraphEntry {
        "SELECT E.dst AS id, BFS.dist + 1 AS dist FROM BFS JOIN E ON E.src = BFS.id " +
        "WHERE BFS.dist < 30) " +
        "SELECT id, CAST(min(dist) AS INT) AS dist FROM BFS GROUP BY id ORDER BY id"),
+    // weighted SSSP: (node, dist) STATES recurse under UNION (set
+    // semantics dedups, so the state space is |block| x bounded dists),
+    // min per node at the end = the unbounded weighted fixpoint — equal
+    // to the engine's 4-round bounded fold because 4 covers the block's
+    // weighted-shortest diameter from anchor 1
+    "graph_shortest_path" -> {
+      val cb = chainBlock
+      "WITH RECURSIVE E AS (" +
+      "SELECT a.c_custkey AS src, b.c_custkey AS dst, CAST(2 AS BIGINT) AS w " +
+      s"FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 " +
+      s"WHERE a.c_custkey % $cb <> ${cb - 1} " +
+      "UNION ALL SELECT b.c_custkey, a.c_custkey, CAST(2 AS BIGINT) " +
+      s"FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 " +
+      s"WHERE a.c_custkey % $cb <> ${cb - 1} " +
+      "UNION ALL SELECT a.c_custkey, b.c_custkey, CAST(5 AS BIGINT) " +
+      s"FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 3 " +
+      s"WHERE a.c_custkey % $cb <= ${cb - 4} " +
+      "UNION ALL SELECT b.c_custkey, a.c_custkey, CAST(5 AS BIGINT) " +
+      s"FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 3 " +
+      s"WHERE a.c_custkey % $cb <= ${cb - 4}), " +
+      "S AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist " +
+      "UNION " +
+      "SELECT E.dst AS node, S.dist + E.w AS dist FROM S JOIN E ON E.src = S.node " +
+      "WHERE S.dist < 30) " +
+      "SELECT node, min(dist) AS dist FROM S GROUP BY node ORDER BY node"
+    },
     // Path-accumulating BFS: walks (not states) are enumerated, so UNION ALL
     // is correct and the dist bound terminates the recursion — on the chain
     // graph walks of length <= 9 from one anchor are a few hundred rows.

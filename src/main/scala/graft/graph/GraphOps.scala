@@ -214,6 +214,58 @@ object GraphOps {
     * endpoint (the wedge join `graph_triangles` uses), never an
     * all-pairs product; the per-anchor rank window partitions on the
     * anchor id. */
+  /** Hop-bounded WEIGHTED single-source shortest paths — distributed
+    * Bellman-Ford as k relax-and-fold rounds over the edge frame: each
+    * round is ONE equi-join (frontier × incident edges) and ONE
+    * min-aggregate (`dist' = min(dist, min over edges of dist[src]+w)`),
+    * the k-shuffle SSSP every Pregel/GAS system runs, expressed as
+    * DataFrame folds so Catalyst keeps the small dist frame broadcast
+    * and the edge scan pruned. Bounded hops is the production form at
+    * 100 TB: an unbounded fixpoint needs a convergence action per round,
+    * and the bounded result is still exact for every node whose true
+    * shortest path uses ≤ k edges (Bellman-Ford's invariant) — the
+    * "within k hops" contract retrieval/feature uses actually want.
+    * Distances use exact long arithmetic; weights must be non-negative
+    * (the min-fold's correctness condition). Undirected: each edge
+    * relaxes both endpoints. Lineage truncated per round ([[truncated]],
+    * the [[bfsPaths]] discipline). Unlike [[kHopChain]]'s GraphX hop
+    * counting this exercises genuine weight-based route CHOICE (the
+    * fixture's express edges lose to multi-hop locals and win over long
+    * stretches). */
+  def shortestPathsBounded(edges: DataFrame, anchorId: Long,
+      maxHops: Int): DataFrame = {
+    val und = truncated(edges.select(col("src"), col("dst"), col("w"))
+      .unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst"), col("w"))))
+    var dist = edges.sparkSession.range(1)
+      .select(lit(anchorId).as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to maxHops)
+      dist = truncated(
+        dist.join(und, dist("node") === und("src"))
+          .select(und("dst").as("node"), (col("dist") + col("w")).as("dist"))
+          .unionByName(dist)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+    dist.orderBy(col("node"))
+  }
+
+  /** Weighted-graph fixture: the [[chainGraph]] blocks with an EXPRESS
+    * lane — local edges id→id+1 at weight 2, skip edges id→id+3 at
+    * weight 5 (both block-bounded) — so relaxation faces real choices:
+    * the skip beats three locals by one (5 vs 6), two skips beat the
+    * local route to +6 by two, and mixed routes tie and resolve through
+    * the min fold. Deterministic from ids alone. */
+  def weightedChainEdges(customer: DataFrame): DataFrame = {
+    val ids = customer.select(col("c_custkey").as("id"))
+    val nxt = ids.select(col("id").as("nid"))
+    val chain = ids.filter(col("id") % ChainBlock =!= (ChainBlock - 1))
+      .join(nxt, col("nid") === col("id") + 1)
+      .select(col("id").as("src"), col("nid").as("dst"), lit(2L).as("w"))
+    val skip = ids.filter(col("id") % ChainBlock <= (ChainBlock - 4))
+      .join(nxt, col("nid") === col("id") + 3)
+      .select(col("id").as("src"), col("nid").as("dst"), lit(5L).as("w"))
+    chain.unionByName(skip)
+  }
+
   def nodeSimilarity(students: DataFrame, anchorMod: Int = 200,
       k: Int = 3, neighborCap: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -76,4 +76,26 @@ class GraphPathsSpec extends SparkSpec {
     // beyond the block boundary.
     assert(got === (0L to 9L).map(i => i -> math.abs(i - 7).toInt).toMap)
   }
+
+  test("weighted SSSP: bounded Bellman-Ford picks the cheapest mixed routes") {
+    import spark.implicits._
+    val customers = (1L to 25L).toDF("c_custkey")
+    val got = GraphOps.shortestPathsBounded(
+        GraphOps.weightedChainEdges(customers), 1L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // block 1..9: locals w=2, skips (+3) w=5 — hand-checked shortest:
+    // the skip beats three locals (5 < 6), long stretches chain skips,
+    // and node 9's best route needs all 4 allowed hops (1->4->7->8->9)
+    assert(got === Map(
+      1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 5L, 5L -> 7L,
+      6L -> 9L, 7L -> 10L, 8L -> 12L, 9L -> 14L))
+    // one fewer round drops the 4-edge node entirely (its minimum EDGE
+    // count is 4: 1->4->7->8->9) but everything else stays exact — the
+    // bounded-k contract (exact for paths of <= k edges)
+    val k3 = GraphOps.shortestPathsBounded(
+        GraphOps.weightedChainEdges(customers), 1L, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k3(8L) === 12L)
+    assert(!k3.contains(9L), s"node 9 needs 4 edges, k=3 must not reach it: $k3")
+  }
 }
