@@ -50,6 +50,19 @@ object Bench {
     val toRun =
       if (nameArgs.nonEmpty) SparkEntry.benchQueries.filter(nameArgs.toSet)
       else SparkEntry.benchQueries
+    // Build every warm standing index BEFORE the timed loop, priced as its
+    // own row: previously the suite's FIRST toucher of a shared index paid
+    // the build inside its own number, so a converted query-only row's
+    // reading depended on run order (r17 verdict item 1 — 6.6× phantom
+    // regressions). Full-suite runs (the driver and the close) always
+    // prewarm; subset runs skip it unless SPARK_GRAFT_PREWARM=1, so a solo
+    // row still prices like its full-suite self via best-of-2's warm min.
+    val warmBuildSec =
+      if (nameArgs.isEmpty || sys.env.get("SPARK_GRAFT_PREWARM").contains("1")) {
+        val t0 = System.nanoTime()
+        graft.ops.WarmIndex.prebuildAll(spark, sfDir)
+        Some((System.nanoTime() - t0) / 1e9)
+      } else None
     val results = toRun.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to iterations).map { _ =>
@@ -75,12 +88,17 @@ object Bench {
         if (times.exists(_ < 0)) -1.0 else times.min,
         times.head) // iteration 1 = the cold number (-1 if it failed)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // warm_index_build leads the queries map (single-shot time: the builds
+    // are memoized per JVM, so a best-of-2 min would read ~0 and hide the
+    // cost). It counts toward the headline total — the suite paid this
+    // work before too, just smeared into first-toucher rows.
+    val qs = (warmBuildSec.map("\"warm_index_build\":" + _).toSeq ++
+        results.map { case (k, v, _) => "\"" + k + "\":" + v })
       .mkString("{", ",", "}")
     // A failed query (-1 marker) must not DEFLATE the headline total — sum
     // only successes and surface the failure count alongside.
     val failed = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum + warmBuildSec.getOrElse(0.0)
     // Cold-run reporting (SPARK_GRAFT_BENCH_COLD=1): iteration-1 times as
     // a SIBLING key, so warm-cache rows (q15's revenue view, the shingle
     // views, the WarmIndex query twins) get an honest first-run number
@@ -100,5 +118,11 @@ object Bench {
       java.nio.file.Paths.get(outPath),
       json + "\n")
     spark.stop()
+    // Sentinel-prefixed copy as the very LAST stdout line (after
+    // spark.stop(), so no shutdown chatter can follow it): BENCH_r17.json
+    // recorded "parsed": null because the driver greps stdout and sbt's
+    // "[info] " prefix plus interleaved log lines made the bare JSON line
+    // unreliable. A fixed prefix makes the grep deterministic.
+    println("BENCHJSON:" + json)
   }
 }

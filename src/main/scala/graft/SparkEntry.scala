@@ -241,7 +241,11 @@ object SparkEntry {
     "stream_phrase_ingest", "phrase_index_stats", "bm25_phrase_batch",
     // round-15: batch hybrid off the two warm standing indexes (shared
     // postings pass + DPP-pruned ANN probes + per-qid RRF fuse)
-    "search_hybrid_batch")
+    "search_hybrid_batch",
+    // round-18: personalized PageRank (k scaled-integer power-iteration
+    // rounds), the convergence-detected SSSP fixpoint (priced isEmpty
+    // halt), and the one-scan recipe-composer capstone
+    "graph_ppr", "graph_shortest_path_converged", "sample_recipe")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -92,6 +92,34 @@ object EntryFixtures {
     "SELECT count(*) AS n_pairs, CAST(sum(a.id + b.id) AS BIGINT) AS checksum " +
     "FROM sk a JOIN sk b ON a.board = b.board AND a.id < b.id"
 
+  /** Personalized-PageRank oracle tail (appended to `withStudents`): the
+    * engine's 3 scaled-integer power-iteration rounds unrolled as CTEs —
+    * DuckDB forbids aggregates in a recursive term, and 3 fixed rounds
+    * unroll exactly. Numbers (10^12 scale, 15/85 α split, anchor 1)
+    * interpolate from [[graft.graph.GraphOps.PprScale]] and the entry's
+    * literals — one derivation site per the repo rule. */
+  val pprOracleTail: String = {
+    val scale = graft.graph.GraphOps.PprScale
+    val anchor = 1L
+    val tele = scale * 15 / 100
+    val rounds = (1 to 3).map { i =>
+      s"C$i AS (SELECT u.dst AS node, " +
+      "CAST(sum(((r.r // u.deg) * 85) // 100) AS BIGINT) AS r " +
+      s"FROM R${i - 1} r JOIN UD u ON u.src = r.node GROUP BY u.dst), " +
+      s"R$i AS (SELECT node, CAST(sum(r) AS BIGINT) AS r FROM " +
+      s"(SELECT CAST($anchor AS BIGINT) AS node, CAST($tele AS BIGINT) AS r " +
+      s"UNION ALL SELECT node, r FROM C$i) GROUP BY node)"
+    }.mkString(", ")
+    s", e AS ($edgesSql), P AS (SELECT DISTINCT src, dst FROM e), " +
+    "U AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
+    "D AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM U GROUP BY src), " +
+    "UD AS (SELECT u.src, u.dst, d.deg FROM U u JOIN D d ON d.src = u.src), " +
+    s"R0 AS (SELECT CAST($anchor AS BIGINT) AS node, CAST($scale AS BIGINT) AS r), " +
+    rounds +
+    " SELECT node, r AS rank_scaled FROM R3 WHERE r > 0 " +
+    "ORDER BY rank_scaled DESC, node"
+  }
+
   val fuzzyQuery = "customer#000000012"
   /** Batch fuzzy fixture: an exact name, a typo'd name, and garbage
     * (must return zero rows for qid 2 — the negative case rides along). */

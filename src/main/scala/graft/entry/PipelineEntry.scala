@@ -116,6 +116,11 @@ object PipelineEntry {
     // token-budgeted mixture: per-source TOKEN quotas (recipes are
     // specified in tokens), admission by source-local running sum
     "sample_token_budget" -> ((s, d) => Sampling.tokenBudget(Tables.documents(s, d))),
+    // the recipe COMPOSER capstone: quality gate → temperature share →
+    // epoch repetition → token-budget truncation in ONE DAG over ONE
+    // corpus scan, emitting the per-source audited manifest
+    "sample_recipe" -> ((s, d) =>
+      Sampling.recipe(Tables.documents(s, d), epochFixture)),
     // KMV cardinality sketch (the oracle-able approx-distinct; estimate is
     // a pure function of the k-th smallest md5, maintained by TopKPerKey's
     // bounded heaps) with the exact count alongside
@@ -469,6 +474,76 @@ object PipelineEntry {
        "q.quota FROM T t JOIN Q q ON t.source = q.source) " +
        "SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, quota " +
        "FROM C WHERE cum_tokens - n_tokens < quota ORDER BY doc_id"),
+    // the recipe composer: each stage's CTE mirrors its standalone row's
+    // oracle verbatim (gate = text_quality_gate's quantile_cont pairing,
+    // temperature = sample_mix_temperature's HUGEINT targets, epochs =
+    // sample_epochs' (whole, extra256) interpolation + recursive copy_idx,
+    // budget = sample_token_budget's integer quota / running sum) — the
+    // composition is recomputed INDEPENDENTLY end-to-end
+    "sample_recipe" -> {
+      val maxCopyIdx = epochFixture.map { case (_, e) =>
+        math.floor(e).toLong + (if (e % 1 > 0) 1L else 0L)
+      }.max.max(1L) - 1L
+      s"WITH RECURSIVE R AS (SELECT doc_id, source, " +
+      s"round(CAST(len(list_filter(string_split($docNorm, ' '), " +
+      "x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE) / " +
+      s"CAST(len(string_split($docNorm, ' ')) AS DOUBLE), 4) AS stop_ratio, " +
+      s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens, " +
+      "md5(concat('tmix|', CAST(doc_id AS VARCHAR))) AS th, " +
+      "(instr('0123456789abcdef', substr(md5(concat('epoch|', CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 16 + " +
+      "instr('0123456789abcdef', substr(md5(concat('epoch|', CAST(doc_id AS VARCHAR))), 2, 1)) - 1 AS ebucket " +
+      "FROM documents), " +
+      "T AS (SELECT source, round(quantile_cont(stop_ratio, 0.25), 4) AS thr FROM R GROUP BY source), " +
+      "G AS (SELECT r.* FROM R r JOIN T t USING (source) WHERE r.stop_ratio >= t.thr), " +
+      "C AS (SELECT source, CAST(count(*) AS BIGINT) AS n_gated FROM G GROUP BY source), " +
+      "WT AS (SELECT source, n_gated, CAST(round(sqrt(CAST(n_gated AS DOUBLE)) * 1000000.0) AS BIGINT) AS w6 FROM C), " +
+      "TT AS (SELECT CAST(sum(w6) AS BIGINT) AS wtot, CAST(sum(n_gated) AS BIGINT) AS ntot FROM WT), " +
+      "D AS (SELECT w.source, w.n_gated, w.w6, " +
+      "CAST((CAST(w.w6 AS HUGEINT) * CAST(floor(t.ntot * 0.5) AS BIGINT)) // t.wtot AS BIGINT) AS target " +
+      "FROM WT w CROSS JOIN TT t), " +
+      "K AS (SELECT g.*, row_number() OVER (PARTITION BY g.source ORDER BY g.th, g.doc_id) AS rk FROM G g), " +
+      "A AS (SELECT k.* FROM K k JOIN D d USING (source) WHERE k.rk <= d.target), " +
+      s"E AS (SELECT a.*, CAST(coalesce(W.whole, 1) + " +
+      "CASE WHEN a.ebucket < coalesce(W.extra256, 0) THEN 1 ELSE 0 END AS BIGINT) AS n_copies " +
+      s"FROM A a LEFT JOIN $epochDimSql ON a.source = W.source), " +
+      "CI AS (SELECT CAST(0 AS BIGINT) AS copy_idx UNION ALL " +
+      s"SELECT copy_idx + 1 FROM CI WHERE copy_idx < $maxCopyIdx), " +
+      "CP AS (SELECT e.doc_id, e.source, e.n_tokens, c.copy_idx " +
+      "FROM E e JOIN CI c ON c.copy_idx < e.n_copies WHERE e.n_copies > 0), " +
+      "KB AS (SELECT DISTINCT source, 64 * (1 + CAST(substr(source, 4) AS INT) % 4) AS keep_below FROM documents), " +
+      "Q AS (SELECT s.source, CAST((kb.keep_below * s.src_tokens) // 256 AS BIGINT) AS quota " +
+      "FROM (SELECT source, sum(n_tokens) AS src_tokens FROM CP GROUP BY source) s " +
+      "JOIN KB kb USING (source)), " +
+      "CU AS (SELECT cp.*, sum(cp.n_tokens) OVER (PARTITION BY cp.source " +
+      "ORDER BY cp.doc_id, cp.copy_idx ROWS UNBOUNDED PRECEDING) AS cum FROM CP cp), " +
+      "AD AS (SELECT cu.source, CAST(count(*) AS BIGINT) AS copies_admitted, " +
+      "CAST(sum(cu.n_tokens) AS BIGINT) AS tokens_admitted " +
+      "FROM CU cu JOIN Q q USING (source) WHERE cu.cum - cu.n_tokens < q.quota GROUP BY cu.source), " +
+      "RAW AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM R GROUP BY source), " +
+      "KEPT AS (SELECT source, CAST(count(*) AS BIGINT) AS n_temp_kept FROM A GROUP BY source), " +
+      "CPA AS (SELECT source, CAST(count(*) AS BIGINT) AS copies_total, " +
+      "CAST(sum(n_tokens) AS BIGINT) AS tokens_pre_budget FROM CP GROUP BY source) " +
+      "SELECT raw.source, raw.n_raw, t.thr, " +
+      "CAST(coalesce(d.n_gated, 0) AS BIGINT) AS n_gated, " +
+      "CAST(coalesce(d.w6, 0) AS BIGINT) AS w6, " +
+      "CAST(coalesce(d.target, 0) AS BIGINT) AS target, " +
+      "CAST(coalesce(kept.n_temp_kept, 0) AS BIGINT) AS n_temp_kept, " +
+      "CAST(coalesce(W.whole, 1) AS BIGINT) AS epoch_whole, " +
+      "CAST(coalesce(W.extra256, 0) AS INT) AS epoch_extra256, " +
+      "CAST(coalesce(cpa.copies_total, 0) AS BIGINT) AS copies_total, " +
+      "CAST(coalesce(cpa.tokens_pre_budget, 0) AS BIGINT) AS tokens_pre_budget, " +
+      "CAST(kb.keep_below AS INT) AS keep_below, " +
+      "CAST(coalesce(q.quota, 0) AS BIGINT) AS quota, " +
+      "CAST(coalesce(ad.copies_admitted, 0) AS BIGINT) AS copies_admitted, " +
+      "CAST(coalesce(ad.tokens_admitted, 0) AS BIGINT) AS tokens_admitted " +
+      "FROM RAW raw JOIN T t USING (source) JOIN KB kb USING (source) " +
+      "LEFT JOIN D d USING (source) LEFT JOIN KEPT kept USING (source) " +
+      s"LEFT JOIN $epochDimSql ON raw.source = W.source " +
+      "LEFT JOIN CPA cpa ON cpa.source = raw.source " +
+      "LEFT JOIN Q q ON q.source = raw.source " +
+      "LEFT JOIN AD ad ON ad.source = raw.source " +
+      "ORDER BY raw.source"
+    },
     // A-ES: same 13-hex-digit uniform, same rounded-key ranking
     "sample_weighted" -> {
       val denom = java.lang.Math.pow(16.0, 13)

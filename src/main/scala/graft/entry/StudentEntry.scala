@@ -74,6 +74,12 @@ object StudentEntry {
     // filtered out (each disabled rule's self-join never enters the plan).
     "edges_backfill_partial" -> ((s, d) => EdgeRules.backfill(
       Tables.students(s, d), Set("SAME_COLLEGE", "SAME_STREAM"))),
+    // Personalized PageRank from the flagship anchor over the backfilled
+    // student graph (the graph-native "recommend people" scorer the EP2
+    // one-vs-all query feeds into) — 3 power-iteration rounds in exact
+    // scaled-integer arithmetic; every rank is a bit-reproducible long.
+    "graph_ppr" -> ((s, d) =>
+      graft.graph.GraphOps.personalizedPageRank(Tables.students(s, d), 1L)),
     // DETACH DELETE (beyond-reference: the reference has no delete
     // endpoint) — node removal takes every incident edge with it in one
     // pushed-predicate pass over the edge table; output = the surviving
@@ -347,6 +353,12 @@ object StudentEntry {
       "R AS (SELECT *, row_number() OVER (PARTITION BY a ORDER BY jaccard DESC, b) AS rk FROM J) " +
       "SELECT a, b, common, jaccard, CAST(rk AS INT) AS rank FROM R WHERE rk <= 3 " +
       "ORDER BY a, rank"),
+    // personalized PageRank: the 3 power-iteration rounds UNROLLED (DuckDB
+    // recursive CTEs forbid aggregation in the recursive term) — each
+    // round mirrors the engine exactly: contribution ((r // deg) * 85) //
+    // 100 per undirected neighbor, plus the scaled 0.15 teleport on the
+    // anchor; all BIGINT floor-division, so the hash match is bit-exact
+    "graph_ppr" -> withStudents(pprOracleTail),
     "edges_skew_salted" -> withStudents(skewOracleSql),
     "edges_skew_unsalted" -> withStudents(skewOracleSql),
     // same checksum: AQE splitting is an execution-plan change only

@@ -14,6 +14,35 @@ object WindowsGraphEntry {
   import EntryFixtures._
   import OracleCtes._
 
+  /** Weighted-SSSP fixpoint oracle (shared by the hop-bounded and the
+    * convergence-detected rows — both reach the same fixpoint on this
+    * fixture): (node, dist) STATES recurse under UNION (set semantics
+    * dedups, so the state space is |block| × bounded dists), min per node
+    * at the end = the unbounded weighted fixpoint. The bounded engine
+    * form equals it because 4 hops cover the block's weighted-shortest
+    * diameter from anchor 1; the converged form equals it by definition. */
+  private val sspFixpointOracleSql: String = {
+    val cb = chainBlock
+    "WITH RECURSIVE E AS (" +
+    "SELECT a.c_custkey AS src, b.c_custkey AS dst, CAST(2 AS BIGINT) AS w " +
+    s"FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 " +
+    s"WHERE a.c_custkey % $cb <> ${cb - 1} " +
+    "UNION ALL SELECT b.c_custkey, a.c_custkey, CAST(2 AS BIGINT) " +
+    s"FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 " +
+    s"WHERE a.c_custkey % $cb <> ${cb - 1} " +
+    "UNION ALL SELECT a.c_custkey, b.c_custkey, CAST(5 AS BIGINT) " +
+    s"FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 3 " +
+    s"WHERE a.c_custkey % $cb <= ${cb - 4} " +
+    "UNION ALL SELECT b.c_custkey, a.c_custkey, CAST(5 AS BIGINT) " +
+    s"FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 3 " +
+    s"WHERE a.c_custkey % $cb <= ${cb - 4}), " +
+    "S AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist " +
+    "UNION " +
+    "SELECT E.dst AS node, S.dist + E.w AS dist FROM S JOIN E ON E.src = S.node " +
+    "WHERE S.dist < 30) " +
+    "SELECT node, min(dist) AS dist FROM S GROUP BY node ORDER BY node"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f5_keepcase_intersect" -> ((s, d) => {
       val rawWords = split(
@@ -93,6 +122,13 @@ object WindowsGraphEntry {
       graft.graph.GraphOps.shortestPathsBounded(
         graft.graph.GraphOps.weightedChainEdges(Tables.customer(s, d)),
         1L, 4)),
+    // The FIXPOINT form: frontier-only relaxation, halting when a round
+    // improves no distance (one isEmpty action per round — the Pregel
+    // halt). Same fixture, same oracle, NO hop bound: exact on any
+    // diameter, where the bounded form is exact only to its k.
+    "graph_shortest_path_converged" -> ((s, d) =>
+      graft.graph.GraphOps.shortestPathsConverged(
+        graft.graph.GraphOps.weightedChainEdges(Tables.customer(s, d)), 1L)),
     // Path reconstruction (relationships(p), llm_cypher.py:211-216): the
     // ordered edge list of each shortest path, serialized src->dst|... for
     // the driver gate.
@@ -245,27 +281,10 @@ object WindowsGraphEntry {
     // min per node at the end = the unbounded weighted fixpoint — equal
     // to the engine's 4-round bounded fold because 4 covers the block's
     // weighted-shortest diameter from anchor 1
-    "graph_shortest_path" -> {
-      val cb = chainBlock
-      "WITH RECURSIVE E AS (" +
-      "SELECT a.c_custkey AS src, b.c_custkey AS dst, CAST(2 AS BIGINT) AS w " +
-      s"FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 " +
-      s"WHERE a.c_custkey % $cb <> ${cb - 1} " +
-      "UNION ALL SELECT b.c_custkey, a.c_custkey, CAST(2 AS BIGINT) " +
-      s"FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 " +
-      s"WHERE a.c_custkey % $cb <> ${cb - 1} " +
-      "UNION ALL SELECT a.c_custkey, b.c_custkey, CAST(5 AS BIGINT) " +
-      s"FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 3 " +
-      s"WHERE a.c_custkey % $cb <= ${cb - 4} " +
-      "UNION ALL SELECT b.c_custkey, a.c_custkey, CAST(5 AS BIGINT) " +
-      s"FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 3 " +
-      s"WHERE a.c_custkey % $cb <= ${cb - 4}), " +
-      "S AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist " +
-      "UNION " +
-      "SELECT E.dst AS node, S.dist + E.w AS dist FROM S JOIN E ON E.src = S.node " +
-      "WHERE S.dist < 30) " +
-      "SELECT node, min(dist) AS dist FROM S GROUP BY node ORDER BY node"
-    },
+    "graph_shortest_path" -> sspFixpointOracleSql,
+    // the converged engine form reaches the SAME unbounded fixpoint the
+    // recursive-CTE oracle computes — identical SQL by construction
+    "graph_shortest_path_converged" -> sspFixpointOracleSql,
     // Path-accumulating BFS: walks (not states) are enumerated, so UNION ALL
     // is correct and the dist bound terminates the recursion — on the chain
     // graph walks of length <= 9 from one anchor are a few hundred rows.

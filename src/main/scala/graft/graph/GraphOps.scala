@@ -248,6 +248,104 @@ object GraphOps {
     dist.orderBy(col("node"))
   }
 
+  /** Convergence-detected weighted SSSP — the fixpoint form of
+    * [[shortestPathsBounded]]: identical relax-and-fold rounds, but each
+    * round relaxes only the FRONTIER (nodes whose distance improved last
+    * round — the delta optimization every Pregel implementation ships)
+    * and the loop halts when a round improves nothing. One `isEmpty`
+    * action on the per-round delta frame is the priced convergence check
+    * (the standard Pregel halt); unbounded-diameter graphs get exact
+    * answers where the bounded form is only exact to k hops. Weights
+    * must be non-negative (the min-fold invariant); `maxRounds` is a
+    * runaway backstop (|V|-1 rounds suffice for any non-negative graph),
+    * not a semantic bound. Lineage truncated per round. */
+  def shortestPathsConverged(edges: DataFrame, anchorId: Long,
+      maxRounds: Int = 64): DataFrame =
+    shortestPathsConvergedWithRounds(edges, anchorId, maxRounds)._1
+
+  /** [[shortestPathsConverged]] plus the number of relax rounds actually
+    * run (spec hook: rounds = weighted shortest-path-tree depth + 1 — the
+    * final empty round is the convergence proof). */
+  private[graft] def shortestPathsConvergedWithRounds(edges: DataFrame,
+      anchorId: Long, maxRounds: Int): (DataFrame, Int) = {
+    val und = truncated(edges.select(col("src"), col("dst"), col("w"))
+      .unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst"), col("w"))))
+    val spark = edges.sparkSession
+    var dist = truncated(spark.range(1)
+      .select(lit(anchorId).as("node"), lit(0L).as("dist")))
+    var frontier = dist
+    var rounds = 0
+    while (rounds < maxRounds && !frontier.isEmpty) {
+      val relaxed = frontier.join(und, frontier("node") === und("src"))
+        .select(und("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      // improved = strictly better than (or absent from) the settled map —
+      // next round's frontier; empty improved = the Bellman-Ford fixpoint
+      val improved = truncated(
+        relaxed.join(dist.select(col("node"), col("dist").as("old")),
+            Seq("node"), "left_outer")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select(col("node"), col("dist")))
+      dist = truncated(dist.unionByName(improved)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      frontier = improved
+      rounds += 1
+    }
+    (dist.orderBy(col("node")), rounds)
+  }
+
+  /** Scale factor for [[personalizedPageRank]]'s fixed-point ranks:
+    * rank mass 1.0 == 10^12 — headroom for the ×85 damping product
+    * (≤ 8.5·10^13, well inside a long) while keeping 12 digits of
+    * precision. */
+  val PprScale = 1000000000000L
+
+  /** Personalized PageRank over the backfilled student graph — the
+    * reference's flagship "recommend people" shape
+    * (fastapi/services/student_service.py:146-162 scores one student
+    * against all others; PPR is the canonical graph-native form those
+    * features feed into). `iters` power-iteration rounds of
+    * r' = α·e_anchor + (1−α)·Σ_{u→v} r(u)/deg(u) with α = 0.15 over the
+    * undirected rel-type-collapsed edge view.
+    *
+    * Arithmetic is SCALED-INTEGER throughout (the KMV/epochMix house
+    * rule): ranks are longs in units of 10⁻¹² mass, each neighbor share
+    * is the exact floor-division chain `((r div deg) · 85) div 100` —
+    * bit-identical in any engine (`div`/`//`), no float addition order
+    * anywhere, so the DuckDB oracle reproduces every rank exactly.
+    *
+    * Scale shape: the degree dim joins the edge frame ONCE before the
+    * loop; each round is ONE equi-join (sparse rank frame × incident
+    * edges) and ONE sum-aggregate — k rounds = k shuffle pairs, the same
+    * relax-and-fold discipline as [[shortestPathsBounded]]. The rank
+    * frame stays sparse (zero-floored nodes are dropped each round —
+    * they contribute nothing downstream), lineage truncated per round. */
+  def personalizedPageRank(students: DataFrame, anchorId: Long,
+      iters: Int = 3): DataFrame = {
+    val pairs = graft.ops.EdgeRules.backfill(students)
+      .select(col("src"), col("dst")).distinct()
+    val und = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val undDeg = truncated(und.join(deg, "src"))
+    val spark = students.sparkSession
+    val teleport = spark.range(1)
+      .select(lit(anchorId).as("node"), lit(PprScale * 15 / 100).as("r"))
+    var r = truncated(spark.range(1)
+      .select(lit(anchorId).as("node"), lit(PprScale).as("r")))
+    for (_ <- 1 to iters)
+      r = truncated(
+        r.join(undDeg, r("node") === undDeg("src"))
+          .select(undDeg("dst").as("node"),
+            expr("((r div deg) * 85) div 100").as("r"))
+          .unionByName(teleport)
+          .groupBy(col("node")).agg(sum(col("r")).as("r"))
+          .filter(col("r") > 0))
+    r.select(col("node"), col("r").as("rank_scaled"))
+      .orderBy(desc("rank_scaled"), col("node"))
+  }
+
   /** Weighted-graph fixture: the [[chainGraph]] blocks with an EXPRESS
     * lane — local edges id→id+1 at weight 2, skip edges id→id+3 at
     * weight 5 (both block-bounded) — so relaxation faces real choices:

@@ -368,9 +368,10 @@ object Phrase {
       .agg(map_from_entries(collect_list(
         struct(col("term"), col("positions")))).as("m"))
       .filter(size(col("m")) === terms.size)
-    // filter+array_contains, NOT a chained array_intersect: ~50× faster
-    // on short arrays (measured — see .claude/skills/verify gotchas) and
-    // it keeps the first term's ascending position order for free
+    // filter+array_contains, NOT a chained array_intersect: measured
+    // ~50× faster on short position arrays (array_intersect allocates an
+    // intermediate set per pair of terms; the lambda probe is one pass)
+    // and it keeps the first term's ascending position order for free
     val hits = filter(element_at(col("m"), lit(phrase.head)), x =>
       phrase.zipWithIndex.drop(1).map { case (t, off) =>
         array_contains(element_at(col("m"), lit(t)), x + off)

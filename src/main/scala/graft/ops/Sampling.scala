@@ -254,6 +254,123 @@ object Sampling {
     * domain, the same per-domain bound [[stratifiedQuota]] documents,
     * with the same sharding escape hatch if one domain dominates. The
     * quota side is |sources| rows (a true dimension) and broadcasts. */
+  /** The data-recipe COMPOSER — the query a pretraining run actually
+    * issues, chaining the family's stages over one corpus in one DAG:
+    *
+    *   1. per-source relative QUALITY GATE (the [[TextAnalysis.qualityGate]]
+    *      recipe: keep docs at/above their source's p25 stopword ratio);
+    *   2. TEMPERATURE share over the survivors ([[temperatureMix]]'s α = 0.5
+    *      exact-integer targets, md5-ranked keep prefix per source);
+    *   3. EPOCH repetition of the admitted docs ([[epochMix]]'s
+    *      (whole, extra256) integer interpolation, unlisted sources = 1);
+    *   4. TOKEN-BUDGET truncation over the copy stream ([[tokenBudget]]'s
+    *      per-source quota — here on the POST-epoch token mass — with the
+    *      crossing copy admitted);
+    *
+    * emitting the final corpus MANIFEST: one row per source with audited
+    * counts at every stage (raw → gated → temperature-kept → copies →
+    * budget-admitted, docs and tokens), so a recipe change diffs as a
+    * 20-row table instead of a 100 TB re-read.
+    *
+    * Scale shape: ONE corpus scan — every per-row signal all four stages
+    * need (quality ratio, token count, epoch bucket, temperature hash)
+    * rides a single cached projection (spec-asserted); everything above
+    * it is per-source aggregates (map-side combined, |sources| rows),
+    * broadcast dims, and exactly two per-source windows (the temperature
+    * rank and the budget running sum — the same bounded-by-largest-domain
+    * shuffles the standalone rows price). Every number in the manifest is
+    * integer or pre-rounded — bit-reproducible cross-engine. */
+  def recipe(docs: DataFrame, epochs: Seq[(String, Double)]): DataFrame = {
+    require(epochs.forall { case (_, e) => e >= 0.0 && e <= 16.0 },
+      s"recipe: epoch targets must be in [0, 16], got $epochs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = graft.CacheScope.track(docs.select(
+      col("doc_id"), col("source"),
+      TextAnalysis.stopRatioCol.as("stop_ratio"),
+      size(Dedup.words(col("text"))).cast("long").as("n_tokens"),
+      bucket256("epoch", col("doc_id")).as("ebucket"),
+      md5(concat(lit("tmix|"), col("doc_id").cast("string")
+        ).cast("binary")).as("th")))
+    // 1. quality gate: per-source exact p25 threshold, broadcast back
+    val thr = base.groupBy(col("source"))
+      .agg(round(expr("percentile(stop_ratio, 0.25)"), 4).as("thr"))
+    val gated = base.join(broadcast(thr), "source")
+      .filter(col("stop_ratio") >= col("thr"))
+    // 2. temperature share over the survivors (α = 0.5, integer targets)
+    val counts = gated.groupBy(col("source")).agg(count(lit(1)).as("n_gated"))
+      .withColumn("w6",
+        round(sqrt(col("n_gated").cast("double")) * 1000000.0).cast("long"))
+    val tot = counts.agg(sum(col("w6")).as("wtot"), sum(col("n_gated")).as("ntot"))
+    val dim = counts.crossJoin(broadcast(tot))
+      .withColumn("budget", floor(col("ntot").cast("double") * 0.5).cast("long"))
+      .withColumn("target", expr("(CAST(w6 AS DECIMAL(38,0)) * budget) div wtot"))
+      .select(col("source"), col("n_gated"), col("w6"), col("target"))
+    val tw = Window.partitionBy(col("source")).orderBy(col("th"), col("doc_id"))
+    val admittedTemp = gated.withColumn("rk", row_number().over(tw))
+      .join(broadcast(dim.select(col("source"), col("target"))), "source")
+      .filter(col("rk") <= col("target"))
+    // 3. epoch repetition: broadcast (whole, extra256) dim, explode copies
+    val edim = epochs.map { case (s, e) =>
+      val whole = math.floor(e).toLong
+      (s, whole, math.round((e - whole) * 256).toInt)
+    }.toDF("source", "whole", "extra256")
+    val copies = admittedTemp.join(broadcast(edim), Seq("source"), "left_outer")
+      .withColumn("n_copies",
+        coalesce(col("whole"), lit(1L)) +
+          when(col("ebucket") < coalesce(col("extra256"), lit(0)), 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
+    // 4. token budget on the post-epoch copy stream, crossing copy admitted
+    val weights = base.select(col("source")).distinct()
+      .withColumn("keep_below", lit(64) *
+        (lit(1) + pmod(substring(col("source"), 4, 10).cast("int"), lit(4))))
+    val quota = copies.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .join(broadcast(weights), "source")
+      .select(col("source"), expr("(keep_below * src_tokens) div 256").as("quota"))
+    val cw = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val admitted = copies.withColumn("cum", sum(col("n_tokens")).over(cw))
+      .join(broadcast(quota), "source")
+      .filter(col("cum") - col("n_tokens") < col("quota"))
+    // the manifest: per-source audited counts at every stage
+    val raw = base.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+    val kept = admittedTemp.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_temp_kept"))
+    val copyAgg = copies.groupBy(col("source"))
+      .agg(count(lit(1)).as("copies_total"),
+        sum(col("n_tokens")).as("tokens_pre_budget"))
+    val admitAgg = admitted.groupBy(col("source"))
+      .agg(count(lit(1)).as("copies_admitted"),
+        sum(col("n_tokens")).as("tokens_admitted"))
+    raw.join(thr, "source")
+      .join(broadcast(weights), "source")
+      .join(dim, Seq("source"), "left_outer")
+      .join(kept, Seq("source"), "left_outer")
+      .join(broadcast(edim), Seq("source"), "left_outer")
+      .join(copyAgg, Seq("source"), "left_outer")
+      .join(quota, Seq("source"), "left_outer")
+      .join(admitAgg, Seq("source"), "left_outer")
+      .select(col("source"), col("n_raw"), col("thr"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("w6"), lit(0L)).as("w6"),
+        coalesce(col("target"), lit(0L)).as("target"),
+        coalesce(col("n_temp_kept"), lit(0L)).as("n_temp_kept"),
+        coalesce(col("whole"), lit(1L)).as("epoch_whole"),
+        coalesce(col("extra256"), lit(0)).as("epoch_extra256"),
+        coalesce(col("copies_total"), lit(0L)).as("copies_total"),
+        coalesce(col("tokens_pre_budget"), lit(0L)).as("tokens_pre_budget"),
+        col("keep_below"),
+        coalesce(col("quota"), lit(0L)).as("quota"),
+        coalesce(col("copies_admitted"), lit(0L)).as("copies_admitted"),
+        coalesce(col("tokens_admitted"), lit(0L)).as("tokens_admitted"))
+      .orderBy(col("source"))
+  }
+
   def tokenBudget(docs: DataFrame): DataFrame = {
     // the tokenized scan feeds both the quota aggregation and the
     // admission join — cache it once (same pattern as docDupSpans /

@@ -29,6 +29,13 @@ object TextAnalysis {
   private def hits(list: Seq[String]): Column =
     size(filter(w, x => array_contains(array(list.map(lit): _*), x)))
 
+  /** Rounded stopword ratio of `text` — the per-row quality signal shared
+    * by [[qualityGate]]/[[qualityRank]] and [[Sampling.recipe]]'s gate
+    * stage (rounded BEFORE any percentile so both engines interpolate
+    * identical inputs). */
+  private[ops] def stopRatioCol: Column =
+    round(hits(stopwords).cast("double") / size(w).cast("double"), 4)
+
   /** Quality scoring: length, mean token length, stopword ratio,
     * punctuation ratio, and a CASE-based keep/flag label — the standard
     * cheap pre-filters applied before expensive dedup at corpus scale. */

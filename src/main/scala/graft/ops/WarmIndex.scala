@@ -85,4 +85,17 @@ object WarmIndex {
       FuzzySearch.buildIndex(Tables.students(spark, sfDir), t)
       FuzzySearch.writeGramDf(spark, t)
     }
+
+  /** Force-build every standing index for `sfDir`. Bench calls this ONCE
+    * before the timed loop (priced as its own `warm_index_build` number),
+    * so no query row's recorded time depends on whether it happened to be
+    * the suite's first toucher of a shared index — the round-17 verdict's
+    * order-dependent-pricing finding (`sim_ann_filtered_fused` read 6.6×
+    * its band purely because it ran first). Idempotent: each build is
+    * memoized per (kind, sfDir) per JVM. */
+  def prebuildAll(spark: SparkSession, sfDir: String): Unit = {
+    ivf(spark, sfDir); ivfPq(spark, sfDir); ivfPqResidual(spark, sfDir)
+    ivfSq(spark, sfDir); bm25(spark, sfDir); positional(spark, sfDir)
+    fuzzy(spark, sfDir); fuzzySkip(spark, sfDir)
+  }
 }

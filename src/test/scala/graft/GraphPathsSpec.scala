@@ -98,4 +98,61 @@ class GraphPathsSpec extends SparkSpec {
     assert(k3(8L) === 12L)
     assert(!k3.contains(9L), s"node 9 needs 4 edges, k=3 must not reach it: $k3")
   }
+
+  test("converged SSSP: reaches the unbounded fixpoint, halts at tree depth + 1") {
+    import spark.implicits._
+    val customers = (1L to 25L).toDF("c_custkey")
+    val edges = GraphOps.weightedChainEdges(customers)
+    val (df, rounds) = GraphOps.shortestPathsConvergedWithRounds(edges, 1L, 64)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the fixpoint includes node 9 (4 edges — beyond what a k=3 bound
+    // reaches) and matches the hand-checked distances exactly
+    assert(got === Map(
+      1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 5L, 5L -> 7L,
+      6L -> 9L, 7L -> 10L, 8L -> 12L, 9L -> 14L))
+    // the deepest shortest-path tree edge count is 4 (1->4->7->8->9); the
+    // halt costs exactly ONE extra (empty) round — the priced isEmpty check
+    assert(rounds === 5, s"expected 4 improving rounds + 1 empty, got $rounds")
+  }
+
+  test("personalized PageRank: exact scaled-integer parity with a local reference") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("address", StringType, true),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("interests", ArrayType(StringType), true)))
+    val students = spark.createDataFrame(Seq(
+      Row(1L, "aayush", "lalitpur", "st. xavier college", "nepal board", "science", Seq("math")),
+      Row(2L, "dikshanta", "kathmandu", "st. xavier college", "nepal board", "science", Seq("music")),
+      Row(3L, "rohan", "lalitpur", "trinity college", "nepal board", "management", Seq("music")),
+      Row(4L, "umesh", "pokhara", "trinity college", null, "science", Seq.empty[String]),
+      Row(5L, "sita", null, null, null, null, Seq("math"))
+    ).asJava, schema)
+    val got = GraphOps.personalizedPageRank(students, 1L, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // plain-Scala mirror of the exact integer recurrence over the same
+    // collapsed undirected edge set — long division == `div` on non-negatives
+    val pairs = graft.ops.EdgeRules.backfill(students)
+      .select("src", "dst").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val und = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val scale = GraphOps.PprScale
+    var r = Map(1L -> scale)
+    for (_ <- 1 to 3)
+      r = (und.flatMap { case (u, v) =>
+          r.get(u).map(ru => v -> ru / deg(u) * 85 / 100)
+        } :+ (1L -> scale * 15 / 100))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        .filter(_._2 > 0)
+    assert(got === r, s"engine PPR diverged from the exact-integer reference")
+    // the anchor keeps the maximum rank (teleport mass dominates at α=0.15)
+    assert(got.maxBy(_._2)._1 === 1L)
+  }
 }

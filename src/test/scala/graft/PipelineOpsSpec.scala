@@ -775,4 +775,62 @@ class PipelineOpsSpec extends SparkSpec {
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
     }
   }
+
+  test("recipe composer: stage-consistent manifest, ONE documents scan (inside the cache)") {
+    val epochs = Seq("src1" -> 2.25, "src2" -> 0.5, "src4" -> 0.0)
+    val out = graft.ops.Sampling.recipe(docs, epochs)
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    try {
+      assert(rows.size === 20, s"one manifest row per source, got ${rows.size}")
+      rows.foreach { case (s, r) =>
+        val (nRaw, nGated) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_gated"))
+        val (target, kept) = (r.getAs[Long]("target"), r.getAs[Long]("n_temp_kept"))
+        val (copies, admitted) =
+          (r.getAs[Long]("copies_total"), r.getAs[Long]("copies_admitted"))
+        val (preTok, admTok, quota) = (r.getAs[Long]("tokens_pre_budget"),
+          r.getAs[Long]("tokens_admitted"), r.getAs[Long]("quota"))
+        // the stage funnel only narrows (docs), then repeats (copies)
+        assert(nGated <= nRaw && nGated > 0, s"$s gate: $nGated of $nRaw")
+        assert(kept === math.min(target, nGated), s"$s temp kept $kept")
+        val (whole, extra) = epochs.toMap.get(s) match {
+          case Some(e) => (math.floor(e).toLong, e % 1 > 0)
+          case None => (1L, false)
+        }
+        // copies bounded by the epoch dim exactly
+        assert(copies >= kept * whole && copies <= kept * (whole + (if (extra) 1 else 0)),
+          s"$s copies $copies vs kept $kept @ whole=$whole extra=$extra")
+        // budget: admitted never exceeds the pre-budget mass, and the
+        // crossing-copy rule fills at least min(quota, everything)
+        assert(admitted <= copies && admTok <= preTok, s"$s budget shrank wrong")
+        assert(admTok >= math.min(quota, preTok), s"$s under-filled: $admTok < min($quota, $preTok)")
+      }
+      assert(rows("src4").getAs[Long]("copies_total") === 0L, "epoch 0.0 must drop src4")
+      // plan shape: every documents read lives INSIDE the one cached base
+      // projection — dedupe cached subtrees (many consumers, one cache)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      val seen = scala.collection.mutable.Set[SparkPlan]()
+      def walk(p: SparkPlan, inCache: Boolean): (Int, Int) = {
+        val self = p match {
+          case f: FileSourceScanExec if f.toString.contains("documents") =>
+            if (inCache) (0, 1) else (1, 0)
+          case _ => (0, 0)
+        }
+        val kids: Seq[(SparkPlan, Boolean)] = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan -> inCache)
+          case q: QueryStageExec => Seq(q.plan -> inCache)
+          case m: InMemoryTableScanExec =>
+            val cached = m.relation.cachedPlan
+            if (seen.add(cached)) Seq(cached -> true) else Nil
+          case other => other.children.map(_ -> inCache)
+        }
+        kids.map { case (k, c) => walk(k, c) }
+          .foldLeft(self) { case ((a, b), (x, y)) => (a + x, b + y) }
+      }
+      val (outside, inside) = walk(out.queryExecution.executedPlan, inCache = false)
+      assert(outside === 0, "documents rescanned outside the cached base projection")
+      assert(inside === 1, s"expected one documents scan inside the cache, got $inside")
+    } finally graft.CacheScope.unpersistAll()
+  }
 }
