@@ -245,7 +245,10 @@ object SparkEntry {
     // round-18: personalized PageRank (k scaled-integer power-iteration
     // rounds), the convergence-detected SSSP fixpoint (priced isEmpty
     // halt), and the one-scan recipe-composer capstone
-    "graph_ppr", "graph_shortest_path_converged", "sample_recipe")
+    "graph_ppr", "graph_shortest_path_converged", "sample_recipe",
+    // the walk family's warm twin + the EP2 top-k recommend output +
+    // the standing adjacency's affected-keys-only delta maintenance
+    "graph_ppr_query", "graph_ppr_recommend", "graph_adj_delta")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -98,7 +98,7 @@ object EntryFixtures {
     * unroll exactly. Numbers (10^12 scale, 15/85 α split, anchor 1)
     * interpolate from [[graft.graph.GraphOps.PprScale]] and the entry's
     * literals — one derivation site per the repo rule. */
-  val pprOracleTail: String = {
+  private val pprCtes: String = {
     val scale = graft.graph.GraphOps.PprScale
     val anchor = 1L
     val tele = scale * 15 / 100
@@ -111,14 +111,29 @@ object EntryFixtures {
       s"UNION ALL SELECT node, r FROM C$i) GROUP BY node)"
     }.mkString(", ")
     s", e AS ($edgesSql), P AS (SELECT DISTINCT src, dst FROM e), " +
-    "U AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
+    "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
+    // the 32-smallest-dst capped adjacency — the nodeSimilarity bounded-
+    // degree slice (the walk's graph, mirrored exactly)
+    "U AS (SELECT src, dst FROM (SELECT src, dst, " +
+    "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM U0) WHERE rn <= 32), " +
     "D AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM U GROUP BY src), " +
     "UD AS (SELECT u.src, u.dst, d.deg FROM U u JOIN D d ON d.src = u.src), " +
     s"R0 AS (SELECT CAST($anchor AS BIGINT) AS node, CAST($scale AS BIGINT) AS r), " +
-    rounds +
+    rounds
+  }
+
+  val pprOracleTail: String = pprCtes +
     " SELECT node, r AS rank_scaled FROM R3 WHERE r > 0 " +
     "ORDER BY rank_scaled DESC, node"
-  }
+
+  /** The recommend tail: same walk, minus the anchor and its TRUE 1-hop
+    * neighbors (uncapped edge view — an existing edge is never
+    * recommended), top-10 with the node tiebreak. */
+  val pprRecommendOracleTail: String = pprCtes +
+    " SELECT node, r AS rank_scaled FROM R3 WHERE r > 0 AND node <> 1 " +
+    "AND node NOT IN (SELECT dst FROM e WHERE src = 1 " +
+    "UNION SELECT src FROM e WHERE dst = 1) " +
+    "ORDER BY rank_scaled DESC, node LIMIT 10"
 
   val fuzzyQuery = "customer#000000012"
   /** Batch fuzzy fixture: an exact name, a typo'd name, and garbage

@@ -14,6 +14,19 @@ object StudentEntry {
   import EntryFixtures._
   import OracleCtes._
 
+  /** J5 incremental-edge CTE body (one new student `n` vs all existing) —
+    * shared by `ingest_onboard_delta` and the adjacency-delta oracle. */
+  private val onboardDeltaSql: String =
+    Seq("college" -> "SAME_COLLEGE", "board" -> "SAME_BOARD",
+        "stream" -> "SAME_STREAM", "address" -> "NEARBY")
+      .map { case (a, t) =>
+        s"SELECT least(s.id, n.id) AS src, greatest(s.id, n.id) AS dst, '$t' AS rel_type " +
+        s"FROM students s, n WHERE s.id <> n.id " +
+        s"AND s.$a IS NOT NULL AND n.$a IS NOT NULL " +
+        s"AND lower(trim(coalesce(s.$a,''))) <> '' " +
+        s"AND lower(trim(coalesce(s.$a,''))) = lower(trim(coalesce(n.$a,'')))"
+      }.mkString(" UNION ALL ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 scans
     "s1_students_scan" -> ((s, d) =>
@@ -80,6 +93,28 @@ object StudentEntry {
     // scaled-integer arithmetic; every rank is a bit-reproducible long.
     "graph_ppr" -> ((s, d) =>
       graft.graph.GraphOps.personalizedPageRank(Tables.students(s, d), 1L)),
+    // the walk served from the STANDING adjacency table (WarmIndex —
+    // build priced once per suite): k relax rounds and nothing else
+    "graph_ppr_query" -> ((s, d) =>
+      graft.graph.GraphOps.personalizedPageRankIndexed(
+        s, WarmIndex.graphAdjacency(s, d), 1L)),
+    // the EP2 output shape: top-10 PPR-ranked NEW people (anchor and its
+    // true 1-hop neighbors excluded — never recommend an existing edge)
+    "graph_ppr_recommend" -> ((s, d) =>
+      graft.graph.GraphOps.personalizedPageRankRecommend(
+        Tables.students(s, d), 1L)),
+    // the adjacency layout's LIFECYCLE member: onboard one student (J5
+    // incremental edges) and emit the post-insert capped slices of every
+    // affected key — old slice ∪ {newId} re-capped, never a corpus rescan;
+    // the oracle recomputes post-insert slices FROM SCRATCH (the hash
+    // match proves the maintenance identity)
+    "graph_adj_delta" -> ((s, d) => {
+      val (_, id, delta) =
+        Ingest.onboard(Tables.students(s, d), emptyEdges(s), newStudentDf(s))
+      graft.graph.GraphOps.adjacencyDelta(
+        s, WarmIndex.graphAdjacency(s, d),
+        delta.select(col("src"), col("dst")), id)
+    }),
     // DETACH DELETE (beyond-reference: the reference has no delete
     // endpoint) — node removal takes every incident edge with it in one
     // pushed-predicate pass over the edge table; output = the surviving
@@ -305,17 +340,24 @@ object StudentEntry {
     "ingest_onboard_row" -> withStudents(
       s"$newStudentSql SELECT id, name, college, board, stream, address FROM n"),
     "ingest_onboard_delta" -> withStudents(
-      newStudentSql + ", delta AS (" +
-      Seq("college" -> "SAME_COLLEGE", "board" -> "SAME_BOARD",
-          "stream" -> "SAME_STREAM", "address" -> "NEARBY")
-        .map { case (a, t) =>
-          s"SELECT least(s.id, n.id) AS src, greatest(s.id, n.id) AS dst, '$t' AS rel_type " +
-          s"FROM students s, n WHERE s.id <> n.id " +
-          s"AND s.$a IS NOT NULL AND n.$a IS NOT NULL " +
-          s"AND lower(trim(coalesce(s.$a,''))) <> '' " +
-          s"AND lower(trim(coalesce(s.$a,''))) = lower(trim(coalesce(n.$a,'')))"
-        }.mkString(" UNION ALL ") +
-      ") SELECT * FROM delta ORDER BY rel_type, src, dst"),
+      newStudentSql + s", delta AS ($onboardDeltaSql) " +
+      "SELECT * FROM delta ORDER BY rel_type, src, dst"),
+    // standing-adjacency delta: post-insert capped slices of the affected
+    // keys recomputed FROM SCRATCH (U0 ∪ the new edges, re-windowed) — the
+    // engine's old-slice ∪ {newId} shortcut must hash-match this exactly
+    "graph_adj_delta" -> withStudents(
+      newStudentSql + s", delta AS ($onboardDeltaSql), " +
+      "DD AS (SELECT DISTINCT src, dst FROM delta), " +
+      s"e AS ($edgesSql), P AS (SELECT DISTINCT src, dst FROM e), " +
+      "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
+      "POST AS (SELECT src, dst FROM U0 UNION ALL SELECT src, dst FROM DD " +
+      "UNION ALL SELECT dst AS src, src AS dst FROM DD), " +
+      "AFF AS (SELECT DISTINCT src FROM DD), " +
+      "SL AS (SELECT src, dst FROM (SELECT src, dst, " +
+      "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM POST) WHERE rn <= 32) " +
+      "SELECT s.src, s.dst FROM SL s JOIN AFF a ON a.src = s.src " +
+      "UNION ALL SELECT s.src, s.dst FROM SL s, n WHERE s.src = n.id " +
+      "ORDER BY src, dst"),
     "j6_exists" -> withStudents(
       "SELECT id FROM students st WHERE EXISTS " +
       "(SELECT 1 FROM orders o WHERE o.o_custkey = st.id) ORDER BY id"),
@@ -359,6 +401,10 @@ object StudentEntry {
     // 100 per undirected neighbor, plus the scaled 0.15 teleport on the
     // anchor; all BIGINT floor-division, so the hash match is bit-exact
     "graph_ppr" -> withStudents(pprOracleTail),
+    // the standing-adjacency twin reaches the identical walk (the warm
+    // table IS cappedAdjacency materialized — hash match proves it)
+    "graph_ppr_query" -> withStudents(pprOracleTail),
+    "graph_ppr_recommend" -> withStudents(pprRecommendOracleTail),
     "edges_skew_salted" -> withStudents(skewOracleSql),
     "edges_skew_unsalted" -> withStudents(skewOracleSql),
     // same checksum: AQE splitting is an execution-plan change only

@@ -315,21 +315,67 @@ object GraphOps {
     * bit-identical in any engine (`div`/`//`), no float addition order
     * anywhere, so the DuckDB oracle reproduces every rank exactly.
     *
-    * Scale shape: the degree dim joins the edge frame ONCE before the
-    * loop; each round is ONE equi-join (sparse rank frame × incident
+    * The walk runs over the `neighborCap`-TRUNCATED adjacency (smallest
+    * dst ids per node — deterministic), the [[nodeSimilarity]] discipline
+    * and for the same reason: the equi-rule graph is near-clique with
+    * degree LINEAR in SF (measured: 45M distinct pairs at sf0.1 from 15k
+    * nodes), so the unbounded edge frame is Θ(n²) and any walk over it
+    * inherits that. The capped slice is the GDS-style bounded-state
+    * contract that survives 100 TB; truncation runs on the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator (≤ cap rows per node per
+    * partition ever reach the shuffle).
+    *
+    * Scale shape: the degree dim joins the capped edge frame ONCE before
+    * the loop; each round is ONE equi-join (sparse rank frame × incident
     * edges) and ONE sum-aggregate — k rounds = k shuffle pairs, the same
     * relax-and-fold discipline as [[shortestPathsBounded]]. The rank
     * frame stays sparse (zero-floored nodes are dropped each round —
     * they contribute nothing downstream), lineage truncated per round. */
   def personalizedPageRank(students: DataFrame, anchorId: Long,
-      iters: Int = 3): DataFrame = {
-    val pairs = graft.ops.EdgeRules.backfill(students)
-      .select(col("src"), col("dst")).distinct()
-    val und = pairs.unionByName(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
+      iters: Int = 3, neighborCap: Int = 32): DataFrame =
+    pprWalk(graft.CacheScope.track(cappedAdjacency(students, neighborCap)),
+      anchorId, iters)
+
+  /** The capped undirected adjacency the walk family runs on (src, dst).
+    * Cap BEFORE dedup: a (src,dst) pair appears at most once per rule
+    * type (4 rules), so the 4·cap smallest rows by dst are a superset of
+    * every copy of the cap smallest DISTINCT dsts (copies of smaller
+    * dsts form a prefix of the dst-sorted multiset). The bounded heaps
+    * replace a 45M-pair corpus-wide DISTINCT shuffle with ≤ 4·cap rows
+    * per node per partition; the exact distinct + final cap then run on
+    * the ≤ 4·cap·|V| survivor frame. */
+  private[graft] def cappedAdjacency(students: DataFrame,
+      neighborCap: Int = 32): DataFrame = {
+    val raw = graft.ops.EdgeRules.backfill(students)
+      .select(col("src"), col("dst"))
+    val undFull = raw.unionByName(
+      raw.select(col("dst").as("src"), col("src").as("dst")))
+    val preCap = graft.plans.TopK.perKeyMin(undFull, Seq("src"), "dst",
+      "dst", 4 * neighborCap).distinct()
+    graft.plans.TopK.perKeyMin(preCap, Seq("src"), "dst", "dst", neighborCap)
+  }
+
+  /** Materialize the capped adjacency as a standing catalog table — the
+    * graph family's WarmIndex layout (built once per corpus, served to
+    * the query-only twins). */
+  def buildAdjacencyTable(students: DataFrame, table: String,
+      neighborCap: Int = 32): Unit =
+    cappedAdjacency(students, neighborCap)
+      .write.mode("overwrite").saveAsTable(table)
+
+  /** PPR walk served from a standing adjacency table ([[buildAdjacencyTable]])
+    * — the query-only form: k relax rounds and nothing else, the amortized
+    * repeated-query regime a standing graph layout exists for. */
+  def personalizedPageRankIndexed(spark: SparkSession, table: String,
+      anchorId: Long, iters: Int = 3): DataFrame =
+    pprWalk(spark.table(table), anchorId, iters)
+
+  /** The walk core: `iters` scaled-integer power-iteration rounds over a
+    * given capped adjacency. */
+  private def pprWalk(und: DataFrame, anchorId: Long, iters: Int): DataFrame = {
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val undDeg = truncated(und.join(deg, "src"))
-    val spark = students.sparkSession
+    val spark = und.sparkSession
     val teleport = spark.range(1)
       .select(lit(anchorId).as("node"), lit(PprScale * 15 / 100).as("r"))
     var r = truncated(spark.range(1)
@@ -344,6 +390,60 @@ object GraphOps {
           .filter(col("r") > 0))
     r.select(col("node"), col("r").as("rank_scaled"))
       .orderBy(desc("rank_scaled"), col("node"))
+  }
+
+  /** Affected-keys-only DELTA maintenance of a standing capped adjacency
+    * ([[buildAdjacencyTable]]) after onboarding one student — the graph
+    * layout's member of the repo-wide index-lifecycle family. `newEdges`
+    * is the J5 incremental edge set (src = existing node, dst = the MAX+1
+    * new id). The maintenance identity: an affected node's post-insert
+    * slice is the cap smallest of (its OLD slice ∪ {newId}) — EXACT,
+    * because the old slice already holds the true cap smallest of the
+    * pre-insert neighbor set and an insert only adds one candidate (an
+    * evicted neighbor can never re-enter); with MAX+1 ids the new id
+    * moreover never displaces a full slice (slices are append-only under
+    * onboarding — the oracle recomputes post-insert slices FROM SCRATCH,
+    * so the hash match proves the shortcut identity every run).
+    *
+    * Scale shape: ONE pushed semi-probe of the standing table on the
+    * broadcast affected-key set + per-affected-node re-rank windows over
+    * ≤ cap+1 rows each — delta-sized end to end, the standing corpus is
+    * never rescanned. Returns the post-insert slices of every affected
+    * key (existing gainers + the new node's own slice). */
+  def adjacencyDelta(spark: SparkSession, table: String, newEdges: DataFrame,
+      newId: Long, neighborCap: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val delta = newEdges.select(col("src"), col("dst")).distinct()
+    val affected = broadcast(delta.select(col("src")).distinct())
+    val w = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val updated = spark.table(table).join(affected, Seq("src"))
+      .unionByName(delta)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= neighborCap).drop("rn")
+    val own = delta.select(lit(newId).as("src"), col("src").as("dst"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= neighborCap).drop("rn")
+    updated.unionByName(own).orderBy(col("src"), col("dst"))
+  }
+
+  /** The EP2 "recommend people" OUTPUT shape on top of the walk: top-`k`
+    * PPR-ranked nodes that are NOT the anchor and NOT already connected
+    * to it (exclusion uses the TRUE 1-hop neighbor set from the uncapped
+    * edge rules — an existing edge must never be recommended, even one
+    * the capped walk adjacency dropped; the neighbor probe is a pushed
+    * anchor-equality filter, broadcast-sized). */
+  def personalizedPageRankRecommend(students: DataFrame, anchorId: Long,
+      iters: Int = 3, neighborCap: Int = 32, k: Int = 10): DataFrame = {
+    val ranks = personalizedPageRank(students, anchorId, iters, neighborCap)
+    val raw = graft.ops.EdgeRules.backfill(students)
+    val nbrs = raw.filter(col("src") === anchorId).select(col("dst").as("node"))
+      .unionByName(
+        raw.filter(col("dst") === anchorId).select(col("src").as("node")))
+      .distinct()
+    ranks.filter(col("node") =!= anchorId)
+      .join(nbrs, Seq("node"), "left_anti")
+      .orderBy(desc("rank_scaled"), col("node"))
+      .limit(k)
   }
 
   /** Weighted-graph fixture: the [[chainGraph]] blocks with an EXPRESS

@@ -86,6 +86,13 @@ object WarmIndex {
       FuzzySearch.writeGramDf(spark, t)
     }
 
+  /** Standing capped student-graph adjacency (the walk family's layout —
+    * [[graft.graph.GraphOps.buildAdjacencyTable]]); serves the
+    * `graph_ppr_query` query-only twin. */
+  def graphAdjacency(spark: SparkSession, sfDir: String): String =
+    ensure(spark, sfDir, "graphadj")(t =>
+      graft.graph.GraphOps.buildAdjacencyTable(Tables.students(spark, sfDir), t))
+
   /** Force-build every standing index for `sfDir`. Bench calls this ONCE
     * before the timed loop (priced as its own `warm_index_build` number),
     * so no query row's recorded time depends on whether it happened to be
@@ -96,6 +103,6 @@ object WarmIndex {
   def prebuildAll(spark: SparkSession, sfDir: String): Unit = {
     ivf(spark, sfDir); ivfPq(spark, sfDir); ivfPqResidual(spark, sfDir)
     ivfSq(spark, sfDir); bm25(spark, sfDir); positional(spark, sfDir)
-    fuzzy(spark, sfDir); fuzzySkip(spark, sfDir)
+    fuzzy(spark, sfDir); fuzzySkip(spark, sfDir); graphAdjacency(spark, sfDir)
   }
 }

@@ -141,7 +141,11 @@ class GraphPathsSpec extends SparkSpec {
     val pairs = graft.ops.EdgeRules.backfill(students)
       .select("src", "dst").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same 32-smallest-dst capped adjacency as the engine (inert on this
+    // 5-node fixture — degrees < 32 — but part of the contract)
     val und = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).toSeq.flatMap { case (s, ds) =>
+        ds.map(_._2).sorted.take(32).map(s -> _) }
     val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
     val scale = GraphOps.PprScale
     var r = Map(1L -> scale)
@@ -154,5 +158,115 @@ class GraphPathsSpec extends SparkSpec {
     assert(got === r, s"engine PPR diverged from the exact-integer reference")
     // the anchor keeps the maximum rank (teleport mass dominates at α=0.15)
     assert(got.maxBy(_._2)._1 === 1L)
+  }
+
+  test("PPR recommend excludes anchor + true neighbors; indexed twin is identical") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("address", StringType, true),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("interests", ArrayType(StringType), true)))
+    // a 4-chain: 1-2 (college), 2-3 (board), 3-4 (stream) — anchor 1's only
+    // true neighbor is 2, so the walk's 2- and 3-hop mass is recommendable
+    val students = spark.createDataFrame(Seq(
+      Row(1L, "a", null, "ca", null, null, Seq.empty[String]),
+      Row(2L, "b", null, "ca", "bb", null, Seq.empty[String]),
+      Row(3L, "c", null, null, "bb", "sc", Seq.empty[String]),
+      Row(4L, "d", null, null, null, "sc", Seq.empty[String])
+    ).asJava, schema)
+    val full = GraphOps.personalizedPageRank(students, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // standing-table twin reaches the identical walk
+    spark.sql("DROP TABLE IF EXISTS ppr_adj_spec")
+    GraphOps.buildAdjacencyTable(students, "ppr_adj_spec")
+    try {
+      val ix = GraphOps.personalizedPageRankIndexed(spark, "ppr_adj_spec", 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(ix === full, "indexed PPR diverged from the inline walk")
+    } finally spark.sql("DROP TABLE IF EXISTS ppr_adj_spec")
+    // hand-computed 3-round flooring: r3(4) = 153_531_250_000 beats
+    // r3(3) = 54_187_500_000 (node 3 drains forward in round 3), so the
+    // recommendation order is 4 then 3 — anchor 1 and neighbor 2 excluded
+    val rec = GraphOps.personalizedPageRankRecommend(students, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rec === Seq(4L -> 153531250000L, 3L -> 54187500000L), s"got $rec")
+
+    // cost linearity: each extra iteration adds exactly ONE relax-and-fold
+    // round (a constant, bounded number of jobs — join + agg + checkpoint;
+    // everything before the loop is checkpoint-severed, so rounds can't
+    // smuggle in re-derivation of the adjacency)
+    spark.sql("DROP TABLE IF EXISTS ppr_adj_spec2")
+    GraphOps.buildAdjacencyTable(students, "ppr_adj_spec2")
+    def jobsFor(iters: Int): Int = {
+      var jobs = 0
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        GraphOps.personalizedPageRankIndexed(spark, "ppr_adj_spec2", 1L, iters)
+          .collect()
+        Thread.sleep(1000) // listener delivery is async
+      } finally spark.sparkContext.removeSparkListener(l)
+      jobs
+    }
+    try {
+      val j1 = jobsFor(1)
+      val j3 = jobsFor(3)
+      val perRound = (j3 - j1) / 2.0
+      assert(j3 > j1 && perRound == perRound.floor && perRound <= 4,
+        s"expected a constant <=4 jobs per extra round, got j1=$j1 j3=$j3")
+    } finally spark.sql("DROP TABLE IF EXISTS ppr_adj_spec2")
+  }
+
+  test("adjacencyDelta == from-scratch post-insert slices (cap=2 exercised)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("address", StringType, true),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("interests", ArrayType(StringType), true)))
+    def df(rows: Row*) = spark.createDataFrame(rows.asJava, schema)
+    // 1-2-3 a full 'b'-board clique (slices saturated at cap=2); 9 isolated
+    val students = df(
+      Row(1L, "a", null, null, "b", null, Seq.empty[String]),
+      Row(2L, "b", null, null, "b", null, Seq.empty[String]),
+      Row(3L, "c", null, null, "b", null, Seq.empty[String]),
+      Row(9L, "i", null, "x", null, null, Seq.empty[String]))
+    // newcomer 10 joins BOTH groups: saturated slices must not change,
+    // 9's empty slice gains it, 10's own slice is the cap-2 smallest
+    val newcomer = df(Row(10L, "z", null, "x", "b", null, Seq.empty[String]))
+    spark.sql("DROP TABLE IF EXISTS ppr_adj_delta_spec")
+    GraphOps.buildAdjacencyTable(students, "ppr_adj_delta_spec", neighborCap = 2)
+    try {
+      val newEdges = graft.ops.EdgeRules.incrementalEdges(students, newcomer)
+        .select(col("src"), col("dst"))
+      val got = GraphOps.adjacencyDelta(spark, "ppr_adj_delta_spec",
+          newEdges, 10L, neighborCap = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val affected = newEdges.select("src").distinct()
+        .collect().map(_.getLong(0)).toSet + 10L
+      val post = GraphOps.cappedAdjacency(students.unionByName(newcomer), 2)
+        .filter(col("src").isin(affected.toSeq: _*))
+        .orderBy(col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === post, s"shortcut $got != recompute $post")
+      // the hand-checked shape: saturated slices untouched, slack filled
+      assert(got === Seq(1L -> 2L, 1L -> 3L, 2L -> 1L, 2L -> 3L,
+        3L -> 1L, 3L -> 2L, 9L -> 10L, 10L -> 1L, 10L -> 2L))
+    } finally spark.sql("DROP TABLE IF EXISTS ppr_adj_delta_spec")
   }
 }
