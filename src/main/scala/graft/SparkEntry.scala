@@ -248,7 +248,8 @@ object SparkEntry {
     "graph_ppr", "graph_shortest_path_converged", "sample_recipe",
     // the walk family's warm twin + the EP2 top-k recommend output +
     // the standing adjacency's affected-keys-only delta maintenance
-    "graph_ppr_query", "graph_ppr_recommend", "graph_adj_delta")
+    "graph_ppr_query", "graph_ppr_recommend", "graph_adj_delta",
+    "graph_adj_delete")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -115,6 +115,13 @@ object StudentEntry {
         s, WarmIndex.graphAdjacency(s, d),
         delta.select(col("src"), col("dst")), id)
     }),
+    // the DELETE side (detach-delete student 3, the ingest_detach_delete
+    // victim): eviction makes slices non-reconstructible, so affected keys
+    // re-derive from one rule-join pass — the delete-time affected-group
+    // recompute cost model, priced here
+    "graph_adj_delete" -> ((s, d) =>
+      graft.graph.GraphOps.adjacencyDelete(
+        s, WarmIndex.graphAdjacency(s, d), Tables.students(s, d), 3L)),
     // DETACH DELETE (beyond-reference: the reference has no delete
     // endpoint) — node removal takes every incident edge with it in one
     // pushed-predicate pass over the edge table; output = the surviving
@@ -358,6 +365,20 @@ object StudentEntry {
       "SELECT s.src, s.dst FROM SL s JOIN AFF a ON a.src = s.src " +
       "UNION ALL SELECT s.src, s.dst FROM SL s, n WHERE s.src = n.id " +
       "ORDER BY src, dst"),
+    // delete side: post-delete slices of the keys whose PRE-delete slice
+    // contained victim 3, recomputed from scratch over the victim-free
+    // edge view — the engine's rule-join re-derivation must match exactly
+    "graph_adj_delete" -> withStudents(
+      s", e AS ($edgesSql), P AS (SELECT DISTINCT src, dst FROM e), " +
+      "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
+      "U AS (SELECT src, dst FROM (SELECT src, dst, " +
+      "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM U0) WHERE rn <= 32), " +
+      "AFF AS (SELECT src FROM U WHERE dst = 3), " +
+      "REM AS (SELECT src, dst FROM U0 WHERE src <> 3 AND dst <> 3), " +
+      "SL AS (SELECT src, dst FROM (SELECT src, dst, " +
+      "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM REM) WHERE rn <= 32) " +
+      "SELECT s.src, s.dst FROM SL s JOIN AFF a ON a.src = s.src " +
+      "ORDER BY s.src, s.dst"),
     "j6_exists" -> withStudents(
       "SELECT id FROM students st WHERE EXISTS " +
       "(SELECT 1 FROM orders o WHERE o.o_custkey = st.id) ORDER BY id"),

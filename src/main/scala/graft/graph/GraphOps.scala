@@ -426,6 +426,44 @@ object GraphOps {
     updated.unionByName(own).orderBy(col("src"), col("dst"))
   }
 
+  /** Affected-keys-only DELETE maintenance of a standing capped adjacency
+    * (detach-delete one node — the lifecycle edge [[adjacencyDelta]]'s
+    * insert side can't cover). Affected = nodes whose SLICE contains the
+    * victim; a node that held the victim only beyond its cap keeps its 32
+    * smallest unchanged and is (correctly) untouched. Unlike insert,
+    * deletion can EVICT: the replacement (the true 33rd neighbor) is not
+    * reconstructible from the slices, so the affected rows re-derive from
+    * the edge rules — one backfill pass over the remaining students,
+    * restricted to affected-incident pairs, re-capped (the
+    * delete-time affected-group recompute cost model the min/max IVM
+    * family records; honest, not amortizable). The victim's own slice is
+    * dropped by construction. Returns the post-delete slices of every
+    * affected key.
+    *
+    * Scale shape: affected keys come from ONE pushed dst-equality probe
+    * of the standing table (broadcast out); the recompute is the rule
+    * join with one side broadcast-semi-restricted to the affected set,
+    * pre-capped by the same 4·cap bounded heaps as [[cappedAdjacency]] —
+    * nothing corpus-wide shuffles beyond the single rule-join pass. */
+  def adjacencyDelete(spark: SparkSession, table: String, students: DataFrame,
+      victimId: Long, neighborCap: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val affected = broadcast(spark.table(table)
+      .filter(col("dst") === victimId).select(col("src")).distinct())
+    val raw = graft.ops.EdgeRules.backfill(
+        students.filter(col("id") =!= victimId))
+      .select(col("src"), col("dst"))
+    val incident = raw.unionByName(
+        raw.select(col("dst").as("src"), col("src").as("dst")))
+      .join(affected, Seq("src"), "left_semi")
+    val pre = graft.plans.TopK.perKeyMin(incident, Seq("src"), "dst", "dst",
+      4 * neighborCap).distinct()
+    val w = Window.partitionBy(col("src")).orderBy(col("dst"))
+    pre.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= neighborCap).drop("rn")
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** The EP2 "recommend people" OUTPUT shape on top of the walk: top-`k`
     * PPR-ranked nodes that are NOT the anchor and NOT already connected
     * to it (exclusion uses the TRUE 1-hop neighbor set from the uncapped

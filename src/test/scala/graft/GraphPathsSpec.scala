@@ -269,4 +269,44 @@ class GraphPathsSpec extends SparkSpec {
         3L -> 1L, 3L -> 2L, 9L -> 10L, 10L -> 1L, 10L -> 2L))
     } finally spark.sql("DROP TABLE IF EXISTS ppr_adj_delta_spec")
   }
+
+  test("adjacencyDelete: eviction replaced from the rules, untouched keys absent") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("address", StringType, true),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("interests", ArrayType(StringType), true)))
+    // clique 1,2,3,4 on one board; at cap=2 the slices are 1:{2,3},
+    // 2:{1,3}, 3:{1,2}, 4:{1,2} — deleting 3 affects ONLY 1 and 2 (4 held
+    // 3 beyond its cap), and their evicted slot refills with 4, which no
+    // slice-only shortcut could know
+    val students = spark.createDataFrame(Seq(
+      Row(1L, "a", null, null, "b", null, Seq.empty[String]),
+      Row(2L, "b", null, null, "b", null, Seq.empty[String]),
+      Row(3L, "c", null, null, "b", null, Seq.empty[String]),
+      Row(4L, "d", null, null, "b", null, Seq.empty[String])
+    ).asJava, schema)
+    spark.sql("DROP TABLE IF EXISTS ppr_adj_del_spec")
+    GraphOps.buildAdjacencyTable(students, "ppr_adj_del_spec", neighborCap = 2)
+    try {
+      val got = GraphOps.adjacencyDelete(spark, "ppr_adj_del_spec",
+          students, 3L, neighborCap = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === Seq(1L -> 2L, 1L -> 4L, 2L -> 1L, 2L -> 4L),
+        s"got $got")
+      // equals the from-scratch post-delete slices of the affected keys
+      val post = GraphOps.cappedAdjacency(
+          students.filter(col("id") =!= 3L), 2)
+        .filter(col("src").isin(1L, 2L))
+        .orderBy(col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === post)
+    } finally spark.sql("DROP TABLE IF EXISTS ppr_adj_del_spec")
+  }
 }
