@@ -249,7 +249,7 @@ object SparkEntry {
     // the walk family's warm twin + the EP2 top-k recommend output +
     // the standing adjacency's affected-keys-only delta maintenance
     "graph_ppr_query", "graph_ppr_recommend", "graph_adj_delta",
-    "graph_adj_delete")
+    "graph_adj_delete", "graph_ppr_batch")
 
   // ---------------------------------------------------------------- oracle
 }

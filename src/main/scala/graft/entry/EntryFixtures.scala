@@ -98,17 +98,22 @@ object EntryFixtures {
     * unroll exactly. Numbers (10^12 scale, 15/85 α split, anchor 1)
     * interpolate from [[graft.graph.GraphOps.PprScale]] and the entry's
     * literals — one derivation site per the repo rule. */
-  private val pprCtes: String = {
+  /** Batch-PPR anchor fixture: the flagship anchor, two others, and a
+    * MISSING id (degenerates to its teleport row — the negative case). */
+  val pprBatchAnchors: Seq[Long] = Seq(1L, 7L, 42L, 9999999L)
+
+  /** The (qid, node)-keyed walk chain, unrolled for `anchors` — one
+    * derivation site for the single-anchor, recommend, and batch tails. */
+  private def pprChain(anchors: Seq[Long]): String = {
     val scale = graft.graph.GraphOps.PprScale
-    val anchor = 1L
     val tele = scale * 15 / 100
     val rounds = (1 to 3).map { i =>
-      s"C$i AS (SELECT u.dst AS node, " +
+      s"C$i AS (SELECT r.qid, u.dst AS node, " +
       "CAST(sum(((r.r // u.deg) * 85) // 100) AS BIGINT) AS r " +
-      s"FROM R${i - 1} r JOIN UD u ON u.src = r.node GROUP BY u.dst), " +
-      s"R$i AS (SELECT node, CAST(sum(r) AS BIGINT) AS r FROM " +
-      s"(SELECT CAST($anchor AS BIGINT) AS node, CAST($tele AS BIGINT) AS r " +
-      s"UNION ALL SELECT node, r FROM C$i) GROUP BY node)"
+      s"FROM R${i - 1} r JOIN UD u ON u.src = r.node GROUP BY r.qid, u.dst), " +
+      s"R$i AS (SELECT qid, node, CAST(sum(r) AS BIGINT) AS r FROM " +
+      s"(SELECT qid, qid AS node, CAST($tele AS BIGINT) AS r FROM A0 " +
+      s"UNION ALL SELECT qid, node, r FROM C$i) GROUP BY qid, node)"
     }.mkString(", ")
     s", e AS ($edgesSql), P AS (SELECT DISTINCT src, dst FROM e), " +
     "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
@@ -118,18 +123,23 @@ object EntryFixtures {
     "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM U0) WHERE rn <= 32), " +
     "D AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM U GROUP BY src), " +
     "UD AS (SELECT u.src, u.dst, d.deg FROM U u JOIN D d ON d.src = u.src), " +
-    s"R0 AS (SELECT CAST($anchor AS BIGINT) AS node, CAST($scale AS BIGINT) AS r), " +
+    s"A0 AS (SELECT CAST(unnest([${anchors.mkString(", ")}]) AS BIGINT) AS qid), " +
+    s"R0 AS (SELECT qid, qid AS node, CAST($scale AS BIGINT) AS r FROM A0), " +
     rounds
   }
 
-  val pprOracleTail: String = pprCtes +
+  val pprOracleTail: String = pprChain(Seq(1L)) +
     " SELECT node, r AS rank_scaled FROM R3 WHERE r > 0 " +
     "ORDER BY rank_scaled DESC, node"
+
+  val pprBatchOracleTail: String = pprChain(pprBatchAnchors) +
+    " SELECT qid, node, r AS rank_scaled FROM R3 WHERE r > 0 " +
+    "ORDER BY qid, rank_scaled DESC, node"
 
   /** The recommend tail: same walk, minus the anchor and its TRUE 1-hop
     * neighbors (uncapped edge view — an existing edge is never
     * recommended), top-10 with the node tiebreak. */
-  val pprRecommendOracleTail: String = pprCtes +
+  val pprRecommendOracleTail: String = pprChain(Seq(1L)) +
     " SELECT node, r AS rank_scaled FROM R3 WHERE r > 0 AND node <> 1 " +
     "AND node NOT IN (SELECT dst FROM e WHERE src = 1 " +
     "UNION SELECT src FROM e WHERE dst = 1) " +

@@ -98,6 +98,13 @@ object StudentEntry {
     "graph_ppr_query" -> ((s, d) =>
       graft.graph.GraphOps.personalizedPageRankIndexed(
         s, WarmIndex.graphAdjacency(s, d), 1L)),
+    // the batch frontend off the standing adjacency: all anchors advance
+    // through the SAME k folds keyed by (qid, node) — the whole batch
+    // costs k shuffle rounds regardless of |anchors|; a missing anchor
+    // degenerates to its teleport row (negative case rides along)
+    "graph_ppr_batch" -> ((s, d) =>
+      graft.graph.GraphOps.personalizedPageRankBatchIndexed(
+        s, WarmIndex.graphAdjacency(s, d), pprBatchAnchors)),
     // the EP2 output shape: top-10 PPR-ranked NEW people (anchor and its
     // true 1-hop neighbors excluded — never recommend an existing edge)
     "graph_ppr_recommend" -> ((s, d) =>
@@ -425,6 +432,7 @@ object StudentEntry {
     // the standing-adjacency twin reaches the identical walk (the warm
     // table IS cappedAdjacency materialized — hash match proves it)
     "graph_ppr_query" -> withStudents(pprOracleTail),
+    "graph_ppr_batch" -> withStudents(pprBatchOracleTail),
     "graph_ppr_recommend" -> withStudents(pprRecommendOracleTail),
     "edges_skew_salted" -> withStudents(skewOracleSql),
     "edges_skew_unsalted" -> withStudents(skewOracleSql),

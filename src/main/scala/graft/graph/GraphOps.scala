@@ -333,8 +333,9 @@ object GraphOps {
     * they contribute nothing downstream), lineage truncated per round. */
   def personalizedPageRank(students: DataFrame, anchorId: Long,
       iters: Int = 3, neighborCap: Int = 32): DataFrame =
-    pprWalk(graft.CacheScope.track(cappedAdjacency(students, neighborCap)),
-      anchorId, iters)
+    singleAnchor(pprWalk(
+      graft.CacheScope.track(cappedAdjacency(students, neighborCap)),
+      Seq(anchorId), iters))
 
   /** The capped undirected adjacency the walk family runs on (src, dst).
     * Cap BEFORE dedup: a (src,dst) pair appears at most once per rule
@@ -368,28 +369,47 @@ object GraphOps {
     * repeated-query regime a standing graph layout exists for. */
   def personalizedPageRankIndexed(spark: SparkSession, table: String,
       anchorId: Long, iters: Int = 3): DataFrame =
-    pprWalk(spark.table(table), anchorId, iters)
+    singleAnchor(pprWalk(spark.table(table), Seq(anchorId), iters))
+
+  /** BATCH PPR off the standing adjacency — the family's DataFrame-batch
+    * frontend discipline (`topKIndexedBatch`/`bm25_search_batch` applied
+    * to the walk): ALL anchors advance through the SAME k folds, keyed by
+    * (qid, node), so the whole batch costs k shuffle rounds regardless of
+    * |anchors| and driver work is O(1) per anchor. A missing anchor id
+    * degenerates to its teleport row (the negative case rides along). */
+  def personalizedPageRankBatchIndexed(spark: SparkSession, table: String,
+      anchors: Seq[Long], iters: Int = 3): DataFrame =
+    pprWalk(spark.table(table), anchors, iters)
+      .select(col("qid"), col("node"), col("r").as("rank_scaled"))
+      .orderBy(col("qid"), desc("rank_scaled"), col("node"))
+
+  private def singleAnchor(walk: DataFrame): DataFrame =
+    walk.select(col("node"), col("r").as("rank_scaled"))
+      .orderBy(desc("rank_scaled"), col("node"))
 
   /** The walk core: `iters` scaled-integer power-iteration rounds over a
-    * given capped adjacency. */
-  private def pprWalk(und: DataFrame, anchorId: Long, iters: Int): DataFrame = {
+    * given capped adjacency, keyed by (qid = anchor, node) so one pass
+    * serves any number of personalization sources. */
+  private def pprWalk(und: DataFrame, anchors: Seq[Long],
+      iters: Int): DataFrame = {
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val undDeg = truncated(und.join(deg, "src"))
     val spark = und.sparkSession
-    val teleport = spark.range(1)
-      .select(lit(anchorId).as("node"), lit(PprScale * 15 / 100).as("r"))
-    var r = truncated(spark.range(1)
-      .select(lit(anchorId).as("node"), lit(PprScale).as("r")))
+    import spark.implicits._
+    val a = anchors.toDF("qid")
+    val teleport = a.select(col("qid"), col("qid").as("node"),
+      lit(PprScale * 15 / 100).as("r"))
+    var r = truncated(a.select(col("qid"), col("qid").as("node"),
+      lit(PprScale).as("r")))
     for (_ <- 1 to iters)
       r = truncated(
         r.join(undDeg, r("node") === undDeg("src"))
-          .select(undDeg("dst").as("node"),
+          .select(r("qid"), undDeg("dst").as("node"),
             expr("((r div deg) * 85) div 100").as("r"))
           .unionByName(teleport)
-          .groupBy(col("node")).agg(sum(col("r")).as("r"))
+          .groupBy(col("qid"), col("node")).agg(sum(col("r")).as("r"))
           .filter(col("r") > 0))
-    r.select(col("node"), col("r").as("rank_scaled"))
-      .orderBy(desc("rank_scaled"), col("node"))
+    r
   }
 
   /** Affected-keys-only DELTA maintenance of a standing capped adjacency

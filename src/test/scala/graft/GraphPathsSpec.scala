@@ -270,6 +270,42 @@ class GraphPathsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ppr_adj_delta_spec")
   }
 
+  test("batch PPR == per-anchor singles; missing anchor = its teleport row") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("address", StringType, true),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("interests", ArrayType(StringType), true)))
+    val students = spark.createDataFrame(Seq(
+      Row(1L, "a", null, "ca", null, null, Seq.empty[String]),
+      Row(2L, "b", null, "ca", "bb", null, Seq.empty[String]),
+      Row(3L, "c", null, null, "bb", "sc", Seq.empty[String]),
+      Row(4L, "d", null, null, null, "sc", Seq.empty[String])
+    ).asJava, schema)
+    spark.sql("DROP TABLE IF EXISTS ppr_adj_batch_spec")
+    GraphOps.buildAdjacencyTable(students, "ppr_adj_batch_spec")
+    try {
+      val batch = GraphOps.personalizedPageRankBatchIndexed(
+          spark, "ppr_adj_batch_spec", Seq(1L, 3L, 99L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (q, rows) => q -> rows.map(t => t._2 -> t._3).toSeq }
+      for (anchor <- Seq(1L, 3L)) {
+        val single = GraphOps.personalizedPageRankIndexed(
+            spark, "ppr_adj_batch_spec", anchor)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+        assert(batch(anchor) === single, s"anchor $anchor diverged in batch")
+      }
+      // 99 is not in the graph: three rounds of teleport-only
+      assert(batch(99L) === Seq(99L -> GraphOps.PprScale * 15 / 100))
+    } finally spark.sql("DROP TABLE IF EXISTS ppr_adj_batch_spec")
+  }
+
   test("adjacencyDelete: eviction replaced from the rules, untouched keys absent") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
