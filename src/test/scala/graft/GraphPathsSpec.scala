@@ -306,6 +306,54 @@ class GraphPathsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ppr_adj_batch_spec")
   }
 
+  test("delta-MAINTAINED adjacency serves the same walk as a from-scratch rebuild") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("address", StringType, true),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("interests", ArrayType(StringType), true)))
+    def df(rows: Row*) = spark.createDataFrame(rows.asJava, schema)
+    val students = df(
+      Row(1L, "a", null, null, "b", null, Seq.empty[String]),
+      Row(2L, "b", null, null, "b", null, Seq.empty[String]),
+      Row(3L, "c", null, null, "b", null, Seq.empty[String]),
+      Row(9L, "i", null, "x", null, null, Seq.empty[String]))
+    // newcomer 10 bridges the components: the maintained walk from
+    // anchor 1 must reach 9 through it, exactly like a full rebuild
+    val newcomer = df(Row(10L, "z", null, "x", "b", null, Seq.empty[String]))
+    Seq("adj_m_base", "adj_m_maint", "adj_m_rebuild")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    GraphOps.buildAdjacencyTable(students, "adj_m_base")
+    try {
+      val newEdges = graft.ops.EdgeRules.incrementalEdges(students, newcomer)
+        .select(col("src"), col("dst"))
+      val deltaRows = GraphOps.adjacencyDelta(spark, "adj_m_base",
+        newEdges, 10L)
+      // APPLY: replace the affected keys' slices, append the new node's
+      val affected = deltaRows.select(col("src")).distinct()
+      spark.table("adj_m_base")
+        .join(affected, Seq("src"), "left_anti")
+        .unionByName(deltaRows)
+        .write.saveAsTable("adj_m_maint")
+      GraphOps.buildAdjacencyTable(students.unionByName(newcomer), "adj_m_rebuild")
+      val maintained = GraphOps.personalizedPageRankIndexed(spark, "adj_m_maint", 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val rebuilt = GraphOps.personalizedPageRankIndexed(spark, "adj_m_rebuild", 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(maintained === rebuilt,
+        "maintenance moved the walk verdict — delta apply is not equivalent to rebuild")
+      // the walk really crossed the new bridge (10 and 9 both ranked)
+      assert(maintained.map(_._1).toSet.intersect(Set(9L, 10L)) === Set(9L, 10L))
+    } finally Seq("adj_m_base", "adj_m_maint", "adj_m_rebuild")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("adjacencyDelete: eviction replaced from the rules, untouched keys absent") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
