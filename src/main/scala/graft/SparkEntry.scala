@@ -249,7 +249,11 @@ object SparkEntry {
     // the walk family's warm twin + the EP2 top-k recommend output +
     // the standing adjacency's affected-keys-only delta maintenance
     "graph_ppr_query", "graph_ppr_recommend", "graph_adj_delta",
-    "graph_adj_delete", "graph_ppr_batch")
+    "graph_adj_delete", "graph_ppr_batch",
+    // round-18b: SAGE-style feature folds off the standing adjacency +
+    // the partitioned adjacency's streaming maintenance twin + MMR
+    // diversified top-k over the candidate-capped shortlist
+    "graph_feature_agg", "stream_adj_ingest", "sim_mmr_rerank")
 
   // ---------------------------------------------------------------- oracle
 }

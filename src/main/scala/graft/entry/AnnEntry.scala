@@ -16,6 +16,11 @@ object AnnEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    // MMR diversified top-k: corpus-sized work is ONE shortlist ranking;
+    // the greedy runs on the candidate-capped (30² pair-sim) frame with
+    // every comparison on 6-decimal-rounded cosines — the oracle unrolls
+    // the same greedy step by step
+    "sim_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(Tables.embeddings(s, d))),
     "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
     // contrastive-training curation: per-query top-k in-bucket NEAR
@@ -393,7 +398,37 @@ object AnnEntry {
     // raw-cased document words vs a mixed-case probe list.
   )
 
+  /** Unrolled MMR greedy (Similarity.mmrRerank's oracle): shortlist = 30
+    * by rounded cosine to anchor 0; S1 = argmax rel; each later step
+    * picks argmax of round(0.7·rel − 0.3·max-sim-to-selected, 6) with
+    * the vec_id tiebreak — k−1 steps unrolled as CTE triples (DuckDB
+    * recursive CTEs forbid the per-step aggregate). */
+  private def mmrOracleSql(k: Int = 8): String = {
+    val steps = (2 to k).map { i =>
+      s"M$i AS MATERIALIZED (SELECT c.vec_id, c.rel, max(s.sim) AS ms FROM C c JOIN SM s " +
+      s"ON ((s.a = c.vec_id AND s.b IN (SELECT vec_id FROM S${i - 1})) " +
+      s"OR (s.b = c.vec_id AND s.a IN (SELECT vec_id FROM S${i - 1}))) " +
+      s"WHERE c.vec_id NOT IN (SELECT vec_id FROM S${i - 1}) GROUP BY c.vec_id, c.rel), " +
+      s"P$i AS MATERIALIZED (SELECT vec_id FROM M$i ORDER BY round(0.7 * rel - 0.3 * ms, 6) DESC, vec_id LIMIT 1), " +
+      s"S$i AS MATERIALIZED (SELECT vec_id FROM S${i - 1} UNION ALL SELECT vec_id FROM P$i)"
+    }.mkString(", ")
+    val sel = (2 to k).map(i => s"SELECT $i AS rank, vec_id FROM P$i")
+      .mkString(" UNION ALL ")
+    s"WITH $embCtes, " +
+    "QV AS (SELECT v AS qv FROM E WHERE vec_id = 0), " +
+    s"C AS MATERIALIZED (SELECT e.vec_id, e.v, round(${cosSql("e.v", "q.qv")}, 6) AS rel " +
+    "FROM E e, QV q WHERE e.vec_id <> 0 ORDER BY rel DESC, vec_id LIMIT 30), " +
+    s"SM AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b, round(${cosSql("a.v", "b.v")}, 6) AS sim " +
+    "FROM C a JOIN C b ON a.vec_id < b.vec_id), " +
+    "S1 AS MATERIALIZED (SELECT vec_id FROM C ORDER BY rel DESC, vec_id LIMIT 1), " +
+    steps + ", " +
+    s"SEL AS (SELECT 1 AS rank, vec_id FROM S1 UNION ALL $sel) " +
+    "SELECT CAST(s.rank AS INT) AS rank, s.vec_id, c.rel " +
+    "FROM SEL s JOIN C c ON c.vec_id = s.vec_id ORDER BY rank"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "sim_mmr_rerank" -> mmrOracleSql(),
     "sim_topk_bruteforce" ->
       (s"WITH $embCtes, " +
        "Q AS (SELECT vec_id AS qid, v AS qv FROM E WHERE vec_id < 8), " +

@@ -19,15 +19,19 @@ object EntryFixtures {
     s"WITH students AS (${Tables.studentsSql}) $rest"
 
   /** Edge-backfill SQL over a subset of the equi rules (kept in lockstep
-    * with EdgeRules.AllEquiRules / EdgeRules.backfill's toggles). */
-  def edgesSqlFrom(rules: Seq[(String, String)]): String =
+    * with EdgeRules.AllEquiRules / EdgeRules.backfill's toggles), over an
+    * arbitrary students-shaped relation `tbl`. */
+  def edgesSqlFromOn(rules: Seq[(String, String)], tbl: String): String =
     rules.map { case (a, t) =>
         s"SELECT a.id AS src, b.id AS dst, '$t' AS rel_type " +
-        s"FROM students a JOIN students b " +
+        s"FROM $tbl a JOIN $tbl b " +
         s"ON lower(trim(coalesce(a.$a,''))) = lower(trim(coalesce(b.$a,''))) AND a.id < b.id " +
         s"WHERE a.$a IS NOT NULL AND b.$a IS NOT NULL " +
         s"AND lower(trim(coalesce(a.$a,''))) <> ''"
       }.mkString(" UNION ALL ")
+
+  def edgesSqlFrom(rules: Seq[(String, String)]): String =
+    edgesSqlFromOn(rules, "students")
 
   /** The full 4-rule edge backfill as SQL. */
   val edgesSql: String = edgesSqlFrom(EdgeRules.AllEquiRules)
@@ -144,6 +148,76 @@ object EntryFixtures {
     "AND node NOT IN (SELECT dst FROM e WHERE src = 1 " +
     "UNION SELECT src FROM e WHERE dst = 1) " +
     "ORDER BY rank_scaled DESC, node LIMIT 10"
+
+  /** Capped-adjacency CTE block (e → P → U0 → U, 32-smallest slices) over
+    * an edge-CTE body — the walk family's graph, shared by the PPR,
+    * feature-aggregation, and stream-maintenance oracles. */
+  def cappedAdjSqlOn(eBody: String): String =
+    s", e AS ($eBody), P AS (SELECT DISTINCT src, dst FROM e), " +
+    "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
+    "U AS (SELECT src, dst FROM (SELECT src, dst, " +
+    "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM U0) WHERE rn <= 32)"
+
+  /** GraphSAGE mean-aggregation oracle: two unrolled floor-division mean
+    * folds over the capped adjacency — contributions = slice neighbors'
+    * features + the node's own (so count = deg+1 and isolated nodes keep
+    * their own feature), mirroring
+    * [[graft.graph.GraphOps.featureAggregate]] exactly. */
+  val featureAggOracleTail: String =
+    cappedAdjSqlOn(edgesSql) +
+    s", F0 AS (SELECT id AS node, CAST(length(name) AS BIGINT) * ${graft.graph.GraphOps.FeatScale} AS f FROM students), " +
+    "C1 AS (SELECT u.src AS node, f.f FROM U u JOIN F0 f ON f.node = u.dst " +
+    "UNION ALL SELECT node, f FROM F0), " +
+    "H1 AS (SELECT node, CAST(sum(f) // count(f) AS BIGINT) AS f FROM C1 GROUP BY node), " +
+    "C2 AS (SELECT u.src AS node, h.f FROM U u JOIN H1 h ON h.node = u.dst " +
+    "UNION ALL SELECT node, f FROM H1), " +
+    "H2 AS (SELECT node, CAST(sum(f) // count(f) AS BIGINT) AS f FROM C2 GROUP BY node) " +
+    "SELECT f0.node, f0.f AS f0, h1.f AS h1, h2.f AS h2 " +
+    "FROM F0 f0 JOIN H1 h1 ON h1.node = f0.node " +
+    "JOIN H2 h2 ON h2.node = f0.node ORDER BY f0.node"
+
+  /** The two streamed students for `stream_adj_ingest`, ids assigned
+    * MAX+1/MAX+2 at run time. n1 carries only the fixture-unique college,
+    * so its ONLY possible edge is to n2; n2 additionally shares address
+    * '5' with the corpus. The n1–n2 edge therefore exists iff batch 2 saw
+    * a corpus that batch 1 had already grown — the stream==batch proof. */
+  def newStreamStudents(s: SparkSession, n1: Long, n2: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("address", StringType, true)))
+    s.createDataFrame(Seq(
+      Row(n1, "new one", "zzonlyus", null, null, null),
+      Row(n2, "new two", "zzonlyus", null, null, "5")).asJava, schema)
+  }
+
+  /** `stream_adj_ingest` oracle: the post-ingest capped adjacency
+    * recomputed FROM SCRATCH over students + the two streamed rows
+    * (literals kept in lockstep with [[newStreamStudents]]), restricted
+    * to the slices the engine emits — the new nodes' own + every slice
+    * that holds a new id. */
+  val streamAdjOracleTail: String =
+    ", mx AS (SELECT CAST(max(id) AS BIGINT) AS m FROM students), " +
+    "n1 AS (SELECT m + 1 AS id, 'new one' AS name, 'zzonlyus' AS college, " +
+    "CAST(NULL AS VARCHAR) AS board, CAST(NULL AS VARCHAR) AS stream, " +
+    "CAST(NULL AS VARCHAR) AS address FROM mx), " +
+    "n2 AS (SELECT m + 2 AS id, 'new two' AS name, 'zzonlyus' AS college, " +
+    "CAST(NULL AS VARCHAR) AS board, CAST(NULL AS VARCHAR) AS stream, " +
+    "'5' AS address FROM mx), " +
+    "s2 AS (SELECT id, name, college, board, stream, address FROM students " +
+    "UNION ALL SELECT * FROM n1 UNION ALL SELECT * FROM n2)" +
+    cappedAdjSqlOn(edgesSqlFromOn(EdgeRules.AllEquiRules, "s2")) +
+    ", NW AS (SELECT id FROM n1 UNION ALL SELECT id FROM n2) " +
+    "SELECT DISTINCT u.src, u.dst FROM U u " +
+    "WHERE u.src IN (SELECT id FROM NW) " +
+    "OR u.src IN (SELECT src FROM U WHERE dst IN (SELECT id FROM NW)) " +
+    "ORDER BY src, dst"
 
   val fuzzyQuery = "customer#000000012"
   /** Batch fuzzy fixture: an exact name, a typo'd name, and garbage

@@ -129,6 +129,60 @@ object StudentEntry {
     "graph_adj_delete" -> ((s, d) =>
       graft.graph.GraphOps.adjacencyDelete(
         s, WarmIndex.graphAdjacency(s, d), Tables.students(s, d), 3L)),
+    // GraphSAGE-style neighborhood feature aggregation off the standing
+    // adjacency: two exact floor-division mean folds (self + capped
+    // slice), so h2 mixes 2-hop structure in 2 joins — never 2-hop pairs
+    "graph_feature_agg" -> ((s, d) =>
+      graft.graph.GraphOps.featureAggregate(
+        s, WarmIndex.graphAdjacency(s, d), Tables.students(s, d))),
+    // STREAMING maintenance of the PARTITIONED standing adjacency (the
+    // 8th standing layout to gain a streaming twin): two onboarded
+    // students arrive as file-source micro-batches; each folds its J5
+    // one-vs-all edges into the adjacency via the bucket-pruned dynamic-
+    // partition-overwrite apply and grows the corpus table. n1's only
+    // edge is to n2 (fixture-unique college), so the n1–n2 slice rows
+    // exist iff batch 2 really saw batch 1's corpus growth; the oracle
+    // recomputes the post-ingest slices FROM SCRATCH.
+    "stream_adj_ingest" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-adj-stream")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      Seq("graft_idx.adjstream", "graft_idx.adjstream_corpus")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      val students = Tables.students(s, d)
+      students.coalesce(4).write.saveAsTable("graft_idx.adjstream_corpus")
+      // seed the maintainable layout from the WARM flat adjacency — the
+      // build is priced once by warm_index_build; this row prices the
+      // STREAMING maintenance, not a second rule-join backfill
+      graft.graph.GraphOps.partitionAdjacencyFrom(
+        s, WarmIndex.graphAdjacency(s, d), "graft_idx.adjstream")
+      val maxId = students.agg(max(col("id"))).collect()(0).getLong(0)
+      val (n1, n2) = (maxId + 1, maxId + 2)
+      val newRows = newStreamStudents(s, n1, n2)
+      val feed = java.nio.file.Files.createTempDirectory("graft-adj-feed")
+        .toFile.getAbsolutePath + "/in"
+      newRows.filter(col("id") === n1).repartition(1).write.parquet(feed)
+      newRows.filter(col("id") === n2).repartition(1)
+        .write.mode("append").parquet(feed)
+      val q = graft.streaming.Streams.incrementalAdjacencyMaintenance(
+        s.readStream.schema(newRows.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        "graft_idx.adjstream", "graft_idx.adjstream_corpus")
+      q.processAllAvailable(); q.stop()
+      // the stream's rewrites ran in the cloned micro-batch session —
+      // refresh this session's possibly-primed relation cache before
+      // reading the final state (stale listings point at deleted files)
+      s.catalog.refreshTable("graft_idx.adjstream")
+      s.catalog.refreshTable("graft_idx.adjstream_corpus")
+      val adj = s.table("graft_idx.adjstream")
+      val gained = adj.filter(col("dst").isin(n1, n2))
+        .select(col("src")).distinct()
+      adj.join(broadcast(gained), Seq("src"), "left_semi")
+        .select(col("src"), col("dst"))
+        .unionByName(adj.filter(col("src").isin(n1, n2))
+          .select(col("src"), col("dst")))
+        .distinct().orderBy(col("src"), col("dst"))
+    }),
     // DETACH DELETE (beyond-reference: the reference has no delete
     // endpoint) — node removal takes every incident edge with it in one
     // pushed-predicate pass over the edge table; output = the surviving
@@ -434,6 +488,10 @@ object StudentEntry {
     "graph_ppr_query" -> withStudents(pprOracleTail),
     "graph_ppr_batch" -> withStudents(pprBatchOracleTail),
     "graph_ppr_recommend" -> withStudents(pprRecommendOracleTail),
+    "graph_feature_agg" -> withStudents(featureAggOracleTail),
+    // post-ingest slices recomputed from scratch over students + the two
+    // streamed rows — stream==batch is the hash match
+    "stream_adj_ingest" -> withStudents(streamAdjOracleTail),
     "edges_skew_salted" -> withStudents(skewOracleSql),
     "edges_skew_unsalted" -> withStudents(skewOracleSql),
     // same checksum: AQE splitting is an execution-plan change only

@@ -436,8 +436,13 @@ object GraphOps {
     val delta = newEdges.select(col("src"), col("dst")).distinct()
     val affected = broadcast(delta.select(col("src")).distinct())
     val w = Window.partitionBy(col("src")).orderBy(col("dst"))
-    val updated = spark.table(table).join(affected, Seq("src"))
-      .unionByName(delta)
+    // select(src, dst) tolerates the partitioned layout's extra bucket
+    // column; the distinct before the re-rank makes a REPLAYED delta a
+    // no-op (at-least-once apply: a slice already holding the new id must
+    // not count it twice at the cap boundary)
+    val updated = spark.table(table).select(col("src"), col("dst"))
+      .join(affected, Seq("src"))
+      .unionByName(delta).distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= neighborCap).drop("rn")
     val own = delta.select(lit(newId).as("src"), col("src").as("dst"))
@@ -484,19 +489,175 @@ object GraphOps {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Bucket count for the PARTITIONED standing adjacency
+    * ([[buildAdjacencyTablePartitioned]]): src-keyed hash partitions so a
+    * delta apply rewrites only the buckets it touches. 64 at test SF;
+    * at 100 TB this is the table's partition budget (thousands), chosen
+    * so one bucket ≈ one executor-sized rewrite. */
+  val AdjBuckets = 64
+
+  /** The capped adjacency as a PARTITIONED standing table — the layout
+    * the maintained (streaming) form needs: rows land in
+    * `bucket = pmod(src, buckets)` partitions, so [[adjacencyApplyDelta]]
+    * can replace affected slices with a partition-pruned read and a
+    * dynamic-partition-overwrite write that never touches the other
+    * buckets. The flat [[buildAdjacencyTable]] stays the read-only-twin
+    * layout (no maintenance ⇒ no reason to pay partition overhead). */
+  def buildAdjacencyTablePartitioned(students: DataFrame, table: String,
+      neighborCap: Int = 32, buckets: Int = AdjBuckets): Unit =
+    writePartitioned(cappedAdjacency(students, neighborCap), table, buckets)
+
+  /** Bucket-partition an EXISTING flat standing adjacency
+    * ([[buildAdjacencyTable]] / WarmIndex) into the maintainable layout —
+    * the cheap seed path for the streaming twin: the flat table already
+    * IS cappedAdjacency materialized, so re-keying it costs one 2-column
+    * scan, not a rule-join backfill (measured 15.0s → 7.6s on the streaming
+    * ingest row at sf0.1, together with the one-file-per-bucket
+    * clustered write below). */
+  def partitionAdjacencyFrom(spark: SparkSession, flatTable: String,
+      table: String, buckets: Int = AdjBuckets): Unit =
+    writePartitioned(spark.table(flatTable).select(col("src"), col("dst")),
+      table, buckets)
+
+  /** Clustered partitioned write: repartition BY the bucket key first so
+    * each partition directory receives O(1) files instead of one per
+    * shuffle partition — 64 buckets × 32 tasks = 2048 tiny files
+    * otherwise, and small-file creation dominates the write. */
+  private def writePartitioned(adj: DataFrame, table: String,
+      buckets: Int): Unit =
+    adj.withColumn("bucket", pmod(col("src"), lit(buckets)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").saveAsTable(table)
+
+  /** APPLY one onboarding delta to the PARTITIONED standing adjacency —
+    * the in-place form of [[adjacencyDelta]] (which only RETURNS the
+    * post-insert slices). The apply goes one step further than the query
+    * form: of the delta's endpoint keys, only those whose slice actually
+    * CHANGES are rewritten — a slice changes iff it has room
+    * (`cnt < cap`) or the new id undercuts its largest kept neighbor
+    * (`max(dst) > newId`); on the near-clique student graph under MAX+1
+    * onboarding that is almost none of the endpoint set (full slices of
+    * smaller ids are invariant), so the rewrite is a handful of keys, not
+    * degree-sized. Work is bucket-local end to end: one pushed semi-probe
+    * of the standing table on the broadcast endpoint keys (slices +
+    * change stats in one read), survivors read back under a pushed
+    * `bucket IN (...)` partition filter, and a dynamic-partition-
+    * overwrite write — untouched buckets keep their files byte-identical
+    * (spec-gated). The touched-bucket collect is ≤ `buckets` ints —
+    * bounded metadata. Replay-safe: a re-applied batch finds
+    * `max(dst) = newId` (not >) on full slices and recomputes identical
+    * rows elsewhere — same slices, same partitions. Reads are
+    * lineage-cut (eager localCheckpoint) because the write overwrites
+    * the table they read. */
+  def adjacencyApplyDelta(spark: SparkSession, table: String,
+      newEdges: DataFrame, newId: Long, neighborCap: Int = 32,
+      buckets: Int = AdjBuckets): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val delta = newEdges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val cand = broadcast(delta.select(col("src")).distinct())
+    val probed = spark.table(table).select(col("src"), col("dst"))
+      .join(cand, Seq("src"), "left_semi").localCheckpoint()
+    val stats = probed.groupBy(col("src"))
+      .agg(count(lit(1)).as("cnt"), max(col("dst")).as("mx"))
+    val changeable = broadcast(cand.join(stats, Seq("src"), "left_outer")
+      .filter(col("cnt").isNull || col("cnt") < neighborCap ||
+        col("mx") > newId)
+      .select(col("src")))
+    val w = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val updated = probed.join(changeable, Seq("src"), "left_semi")
+      .unionByName(delta.join(changeable, Seq("src"), "left_semi"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= neighborCap).drop("rn")
+    val own = delta.select(lit(newId).as("src"), col("src").as("dst"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= neighborCap).drop("rn")
+    val slices = updated.unionByName(own)
+      .withColumn("bucket", pmod(col("src"), lit(buckets)).cast("int"))
+      .localCheckpoint()
+    val touched = slices.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val sliceKeys = broadcast(slices.select(col("src")).distinct())
+    val survivors = spark.table(table)
+      .filter(col("bucket").isin(touched: _*))
+      .join(sliceKeys, Seq("src"), "left_anti")
+      .select(col("src"), col("dst"), col("bucket"))
+    val out = survivors.unionByName(slices).localCheckpoint()
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try out.repartition(col("bucket")).write.mode("overwrite").insertInto(table)
+    finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** Scale for [[featureAggregate]]'s fixed-point features: 10^6 keeps 6
+    * digits of mean precision through the floor-division folds while the
+    * 2-round sums stay far inside a long. */
+  val FeatScale = 1000000L
+
+  /** GraphSAGE-style neighborhood MEAN aggregation over the standing
+    * capped adjacency — the graph-feature-engineering shape a training
+    * pipeline derives node features with (Hamilton et al., GraphSAGE,
+    * NeurIPS 2017: h_k(v) = AGG over {v} ∪ N(v) of h_{k-1}; the capped
+    * slice IS the paper's fixed-size neighbor sample, computed
+    * deterministically). Two rounds: h1 = floor-mean of base features
+    * over self + slice neighbors, h2 = the same fold over h1 — so h2
+    * mixes 2-hop structure without ever materializing 2-hop pairs.
+    *
+    * Arithmetic is SCALED-INTEGER (base feature = name length × 10^6,
+    * means are exact long floor-divisions), so the DuckDB oracle
+    * reproduces every value bit-exactly. Scale shape: each round is ONE
+    * equi-join (adjacency × current feature frame) and ONE sum/count
+    * aggregate — k rounds = k shuffle pairs, the [[pprWalk]] discipline;
+    * isolated nodes ride the union side and keep their own feature
+    * (mean over {v} alone). */
+  def featureAggregate(spark: SparkSession, adjTable: String,
+      students: DataFrame, rounds: Int = 2): DataFrame = {
+    val und = truncated(spark.table(adjTable).select(col("src"), col("dst")))
+    val base = students.select(col("id").as("node"),
+      (length(col("name")).cast("long") * FeatScale).as("f"))
+    var layers = Vector(truncated(base))
+    for (_ <- 1 to rounds) {
+      val f = layers.last
+      val next = und.join(f, und("dst") === f("node"))
+        .select(und("src").as("node"), col("f"))
+        .unionByName(f)
+        .groupBy(col("node"))
+        .agg(expr("sum(f) div count(f)").as("f"))
+      layers = layers :+ truncated(next)
+    }
+    layers.zipWithIndex
+      .map { case (l, i) =>
+        l.select(col("node"), col("f").as(if (i == 0) "f0" else s"h$i")) }
+      .reduce(_.join(_, "node"))
+      .orderBy(col("node"))
+  }
+
   /** The EP2 "recommend people" OUTPUT shape on top of the walk: top-`k`
     * PPR-ranked nodes that are NOT the anchor and NOT already connected
     * to it (exclusion uses the TRUE 1-hop neighbor set from the uncapped
     * edge rules — an existing edge must never be recommended, even one
-    * the capped walk adjacency dropped; the neighbor probe is a pushed
-    * anchor-equality filter, broadcast-sized). */
+    * the capped walk adjacency dropped).
+    *
+    * The neighbor probe is the J3/J5 one-vs-all broadcast shape
+    * ([[graft.ops.EdgeRules.incrementalEdges]]): the anchor's single row
+    * broadcast against the corpus, one streaming pass per rule — NOT the
+    * full 4-rule self-join backfill filtered to the anchor afterwards,
+    * which materializes the near-clique Θ(n²) pair set just to keep the
+    * anchor-incident sliver (measured 3.1s → 1.7s ≈ the bare walk's own
+    * cost at sf0.1; identical
+    * neighbor set — incrementalEdges == backfill restricted to one node
+    * is the J5 delta invariant, spec-pinned). */
   def personalizedPageRankRecommend(students: DataFrame, anchorId: Long,
       iters: Int = 3, neighborCap: Int = 32, k: Int = 10): DataFrame = {
     val ranks = personalizedPageRank(students, anchorId, iters, neighborCap)
-    val raw = graft.ops.EdgeRules.backfill(students)
-    val nbrs = raw.filter(col("src") === anchorId).select(col("dst").as("node"))
-      .unionByName(
-        raw.filter(col("dst") === anchorId).select(col("src").as("node")))
+    val inc = graft.ops.EdgeRules.incrementalEdges(
+      students, students.filter(col("id") === anchorId))
+    val nbrs = inc.select(
+        when(col("src") === anchorId, col("dst")).otherwise(col("src"))
+          .as("node"))
       .distinct()
     ranks.filter(col("node") =!= anchorId)
       .join(nbrs, Seq("node"), "left_anti")

@@ -2002,4 +2002,78 @@ object Similarity {
       .withColumn("kept", coalesce(col("kept"), lit(true)))
       .orderBy(col("vec_id"))
   }
+
+  /** Round-half-up at 6 decimals — mirrors Spark SQL `round(x, 6)` and
+    * DuckDB `round(x, 6)` (both ties-away-from-zero on decimal digits),
+    * so the driver-side greedy compares the same numbers the oracle
+    * does. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein SIGIR'98)
+    * diversified top-k — the diversity-selection shape a training-data
+    * pipeline uses to avoid filling a retrieval budget with near-copies:
+    * greedily pick argmax of `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`.
+    *
+    * Scale shape: the corpus-sized work is ONE shortlist ranking (here
+    * the brute-force broadcast pass every `sim_*` baseline uses; the
+    * warm IVF index serves the same shortlist at scale) cut to
+    * `shortlist` rows, plus the shortlist's own pair-sim self-join
+    * (shortlist² = 900 rows — candidate-capped, corpus-independent).
+    * The greedy itself is O(k·shortlist) on that bounded frame and runs
+    * driver-side over collected METADATA (ids + rounded sims — never
+    * embeddings, never corpus-sized; the same bounded-decision class as
+    * the autotune pick). Determinism: every comparison happens on
+    * 6-decimal-rounded cosines with vec_id tiebreaks, the cross-engine
+    * contract all ANN rows share, so the DuckDB oracle's unrolled greedy
+    * reproduces the selection bit-for-bit. */
+  def mmrRerank(embeddings: DataFrame, anchorId: Long = 0L,
+      shortlist: Int = 30, k: Int = 8, lambda: Double = 0.7): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = withNorm(vecs(embeddings))
+    val q = e.filter(col("vec_id") === anchorId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val cands = graft.CacheScope.track(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= anchorId)
+        .withColumn("rel", round(cosFromNorms(col("v"), col("qv"),
+          col("nrm"), col("qnrm")), 6))
+        .orderBy(desc("rel"), col("vec_id")).limit(shortlist)
+        .select(col("vec_id"), col("v"), col("nrm"), col("rel")))
+    val rels = cands.select(col("vec_id"), col("rel"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .sortBy(_._1)
+    val sims = cands.select(col("vec_id").as("a"), col("v").as("av"),
+        col("nrm").as("an"))
+      .join(cands.select(col("vec_id").as("b"), col("v").as("bv"),
+        col("nrm").as("bn")), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosFromNorms(col("av"), col("bv"), col("an"), col("bn")), 6)
+          .as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    def sim(x: Long, y: Long): Double =
+      if (x < y) sims((x, y)) else sims((y, x))
+    val relOf = rels.toMap
+    // (1 − λ) in binary is NOT the double the oracle's decimal literal
+    // parses to (1−0.7 = 0.30000000000000004 ≠ nearest(0.3)) — snap it
+    val mu = round6(1 - lambda)
+    var selected = Vector.empty[Long]
+    var remaining = rels.map(_._1).toVector
+    for (_ <- 1 to math.min(k, rels.length)) {
+      val pick =
+        if (selected.isEmpty) remaining.maxBy(c => (relOf(c), -c))
+        else remaining.maxBy { c =>
+          val ms = selected.map(s => sim(c, s)).max
+          (round6(lambda * relOf(c) - mu * ms), -c)
+        }
+      selected = selected :+ pick
+      remaining = remaining.filterNot(_ == pick)
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case (id, i) => (i + 1, id, relOf(id)) }
+      .toDF("rank", "vec_id", "rel")
+      .orderBy(col("rank"))
+  }
 }

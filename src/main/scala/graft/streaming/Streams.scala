@@ -329,6 +329,46 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming maintenance of the PARTITIONED standing adjacency — the
+    * graph layout's member of the streaming index-ingest family (the
+    * eighth standing layout to gain a streaming twin). Each micro-batch
+    * of onboarded students is folded one student at a time in id order
+    * (onboarding assigns MAX+1 ids, so arrival order IS id order): the
+    * J5 one-vs-all incremental edges against the CURRENT corpus table,
+    * then [[graft.graph.GraphOps.adjacencyApplyDelta]]'s bucket-pruned
+    * slice rewrite, then an id-guarded append of the student to the
+    * corpus table (the guard makes an at-least-once replay a no-op on
+    * the corpus; the apply is replay-idempotent by construction — same
+    * slices, same partitions). Per-batch cost: one broadcast pass over
+    * the corpus per student + touched-bucket rewrites — never a full
+    * backfill, never a full table rewrite. A drained stream serves
+    * walks identically to a from-scratch rebuild over the post-ingest
+    * corpus (stream==batch gated by the entry row's from-scratch
+    * oracle). The per-batch id collect is batch-sized (onboarding
+    * control rows), not corpus-sized. */
+  def incrementalAdjacencyMaintenance(newStudents: DataFrame,
+      adjTable: String, corpusTable: String): StreamingQuery =
+    newStudents.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint()
+        val ids = b.select(col("id")).collect().map(_.getLong(0)).sorted
+        for (id <- ids) {
+          val row = b.filter(col("id") === id)
+          val corpus = spark.table(corpusTable)
+          val edges = EdgeRules.incrementalEdges(corpus, row)
+            .select(col("src"), col("dst"))
+          graft.graph.GraphOps.adjacencyApplyDelta(spark, adjTable,
+            edges, id)
+          row.join(corpus.select(col("id")), Seq("id"), "left_anti")
+            .localCheckpoint()
+            .write.mode("append").saveAsTable(corpusTable)
+        }
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming ingest into the standing BM25 index — the continuous form
     * of [[graft.ops.Search.indexDelta]]: each micro-batch's postings are
     * derived from the batch alone and appended bucketed; corpus stats and

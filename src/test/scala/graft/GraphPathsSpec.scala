@@ -306,6 +306,42 @@ class GraphPathsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ppr_adj_batch_spec")
   }
 
+  test("recommend's one-vs-all neighbor probe == full backfill restricted to the anchor") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("address", StringType, true),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("interests", ArrayType(StringType), true)))
+    // mixed case + multi-rule overlaps + nulls + an isolated node
+    val students = spark.createDataFrame(Seq(
+      Row(1L, "a", "Pune", "MIT ", null, "sci", Seq.empty[String]),
+      Row(2L, "b", "pune", null, "cbse", "SCI", Seq.empty[String]),
+      Row(3L, "c", null, "mit", "CBSE", null, Seq.empty[String]),
+      Row(4L, "d", "Delhi", "mit", null, "sci", Seq.empty[String]),
+      Row(5L, "e", null, null, null, null, Seq.empty[String])
+    ).asJava, schema)
+    val full = graft.ops.EdgeRules.backfill(students)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (a <- 1L to 5L) {
+      val expected = full.collect {
+        case (s, d) if s == a => d
+        case (s, d) if d == a => s
+      }
+      val inc = graft.ops.EdgeRules
+        .incrementalEdges(students, students.filter(col("id") === a))
+        .select(col("src"), col("dst")).collect()
+        .map(r => if (r.getLong(0) == a) r.getLong(1) else r.getLong(0)).toSet
+      assert(inc === expected, s"probe diverged from backfill at anchor $a")
+    }
+  }
+
   test("delta-MAINTAINED adjacency serves the same walk as a from-scratch rebuild") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
@@ -351,6 +387,183 @@ class GraphPathsSpec extends SparkSpec {
       // the walk really crossed the new bridge (10 and 9 both ranked)
       assert(maintained.map(_._1).toSet.intersect(Set(9L, 10L)) === Set(9L, 10L))
     } finally Seq("adj_m_base", "adj_m_maint", "adj_m_rebuild")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("featureAggregate: hand-computed floor-mean folds; isolated node keeps its feature") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("address", StringType, true),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("interests", ArrayType(StringType), true)))
+    // 4-chain (1-2 college, 2-3 board, 3-4 stream) + isolated 5; name
+    // lengths 1..5 give distinct base features f0 = len * 10^6
+    val students = spark.createDataFrame(Seq(
+      Row(1L, "a", null, "ca", null, null, Seq.empty[String]),
+      Row(2L, "bb", null, "ca", "bo", null, Seq.empty[String]),
+      Row(3L, "ccc", null, null, "bo", "sc", Seq.empty[String]),
+      Row(4L, "dddd", null, null, null, "sc", Seq.empty[String]),
+      Row(5L, "eeeee", null, null, null, null, Seq.empty[String])
+    ).asJava, schema)
+    spark.sql("DROP TABLE IF EXISTS feat_adj_spec")
+    GraphOps.buildAdjacencyTable(students, "feat_adj_spec")
+    try {
+      val got = GraphOps.featureAggregate(spark, "feat_adj_spec", students)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val M = 1000000L
+      assert(got.toSeq === Seq(
+        (1L, 1 * M, 1500000L, 1750000L),
+        (2L, 2 * M, 2000000L, 2166666L), // floor(6.5M/3)
+        (3L, 3 * M, 3000000L, 2833333L), // floor(8.5M/3)
+        (4L, 4 * M, 3500000L, 3250000L),
+        (5L, 5 * M, 5 * M, 5 * M)))     // isolated: mean over {v} alone
+    } finally spark.sql("DROP TABLE IF EXISTS feat_adj_spec")
+  }
+
+  test("adjacencyApplyDelta: == rebuild; full smaller-id slices and their buckets untouched") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("address", StringType, true),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("interests", ArrayType(StringType), true)))
+    def df(rows: Row*) = spark.createDataFrame(rows.asJava, schema)
+    // 1,2,3 form a board clique (cap-2 slices all FULL of smaller ids);
+    // 9 is edgeless pre-insert; newcomer 10 shares board (can't enter any
+    // full slice) and college with 9 (creates 9's first slice)
+    val students = df(
+      Row(1L, "a", null, null, "b", null, Seq.empty[String]),
+      Row(2L, "b", null, null, "b", null, Seq.empty[String]),
+      Row(3L, "c", null, null, "b", null, Seq.empty[String]),
+      Row(9L, "i", null, "x", null, null, Seq.empty[String]))
+    val newcomer = df(Row(10L, "z", null, "x", "b", null, Seq.empty[String]))
+    Seq("adj_ap_t", "adj_ap_ref")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    GraphOps.buildAdjacencyTablePartitioned(students, "adj_ap_t", neighborCap = 2)
+    try {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("adj_ap_t")).location.getPath
+      def bucketFiles(): Map[String, Set[String]] = {
+        val root = new java.io.File(loc)
+        root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+          .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+      }
+      val before = bucketFiles()
+      val newEdges = graft.ops.EdgeRules.incrementalEdges(students, newcomer)
+        .select(col("src"), col("dst"))
+      GraphOps.adjacencyApplyDelta(spark, "adj_ap_t", newEdges, 10L,
+        neighborCap = 2)
+      val after = bucketFiles()
+      // the clique's buckets (1,2,3 — full slices of smaller ids) keep
+      // their files byte-identical; only 9's and 10's buckets are written
+      for (b <- Seq("bucket=1", "bucket=2", "bucket=3"))
+        assert(after(b) === before(b), s"$b was rewritten needlessly")
+      assert(after.keySet.contains("bucket=10") && after.keySet.contains("bucket=9"))
+      // table state == a from-scratch partitioned rebuild
+      GraphOps.buildAdjacencyTablePartitioned(
+        students.unionByName(newcomer), "adj_ap_ref", neighborCap = 2)
+      val got = spark.table("adj_ap_t").select(col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val ref = spark.table("adj_ap_ref").select(col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === ref, "apply diverged from rebuild")
+      // replay: re-applying the same delta changes nothing
+      GraphOps.adjacencyApplyDelta(spark, "adj_ap_t", newEdges, 10L,
+        neighborCap = 2)
+      val replayed = spark.table("adj_ap_t").select(col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(replayed === ref, "replayed apply is not a no-op")
+    } finally Seq("adj_ap_t", "adj_ap_ref")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("streaming adjacency maintenance == from-scratch rebuild over the grown corpus") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("address", StringType, true),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("interests", ArrayType(StringType), true)))
+    val students = spark.createDataFrame(Seq(
+      Row(1L, "a", null, null, "b", null, Seq.empty[String]),
+      Row(2L, "b", null, null, "b", null, Seq.empty[String]),
+      Row(3L, "c", null, "y", null, null, Seq.empty[String])
+    ).asJava, schema)
+    // n1 (10) introduces a college seen nowhere; n2 (11) shares it — the
+    // 10–11 edge exists only if batch 2 saw batch 1's corpus append
+    val feedSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("address", StringType, true)))
+    val n1 = spark.createDataFrame(
+      Seq(Row(10L, "n1", "zz", null, null, null)).asJava, feedSchema)
+    val n2 = spark.createDataFrame(
+      Seq(Row(11L, "n2", "zz", "b", null, null)).asJava, feedSchema)
+    Seq("adj_st_t", "adj_st_corpus", "adj_st_ref", "adj_st_flat")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    students.select(col("id"), col("name"), col("college"), col("board"),
+        col("stream"), col("address"))
+      .write.saveAsTable("adj_st_corpus")
+    // seed path: re-bucketing the flat standing adjacency == building
+    // the partitioned layout from the rules
+    GraphOps.buildAdjacencyTable(students, "adj_st_flat")
+    GraphOps.partitionAdjacencyFrom(spark, "adj_st_flat", "adj_st_t")
+    try {
+      val seeded = spark.table("adj_st_t").select(col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val flat = spark.table("adj_st_flat").select(col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(seeded === flat, "seed path lost or duplicated slices")
+      val feed = java.nio.file.Files.createTempDirectory("adj-st-feed")
+        .toFile.getAbsolutePath + "/in"
+      n1.repartition(1).write.parquet(feed)
+      n2.repartition(1).write.mode("append").parquet(feed)
+      val q = graft.streaming.Streams.incrementalAdjacencyMaintenance(
+        spark.readStream.schema(feedSchema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        "adj_st_t", "adj_st_corpus")
+      q.processAllAvailable(); q.stop()
+      // the stream's writes ran in the cloned micro-batch session; THIS
+      // session's relation cache (primed by the pre-stream reads above)
+      // still lists the overwritten files — refresh before reading
+      spark.catalog.refreshTable("adj_st_t")
+      spark.catalog.refreshTable("adj_st_corpus")
+      val grown = students.select(
+        col("id"), col("name"), col("college"), col("board"),
+        col("stream"), col("address"))
+        .unionByName(n1).unionByName(n2)
+        .withColumn("interests", lit(null).cast("array<string>"))
+      GraphOps.buildAdjacencyTablePartitioned(grown, "adj_st_ref")
+      val got = spark.table("adj_st_t").select(col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val ref = spark.table("adj_st_ref").select(col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === ref, "streamed maintenance diverged from rebuild")
+      // the cross-batch edge really exists (10-11 via the streamed college)
+      assert(got.contains((10L, 11L)) && got.contains((11L, 10L)),
+        "batch 2 did not see batch 1's corpus growth")
+      // and the corpus table holds both streamed students exactly once
+      assert(spark.table("adj_st_corpus").filter(col("id") >= 10L).count() === 2L)
+    } finally Seq("adj_st_t", "adj_st_corpus", "adj_st_ref", "adj_st_flat")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
