@@ -466,21 +466,43 @@ object GraphOps {
     * affected key.
     *
     * Scale shape: affected keys come from ONE pushed dst-equality probe
-    * of the standing table (broadcast out); the recompute is the rule
-    * join with one side broadcast-semi-restricted to the affected set,
-    * pre-capped by the same 4·cap bounded heaps as [[cappedAdjacency]] —
-    * nothing corpus-wide shuffles beyond the single rule-join pass. */
+    * of the standing table (broadcast out); the recompute restricts ONE
+    * side of each rule's key-equi-join to the affected students (the
+    * one-vs-all probe shape, broadcast-sized build side), so the pass
+    * costs |affected| × key-matches — the full corpus² self-join never
+    * runs (it used to: the semi-join restriction landed ABOVE the
+    * backfill, after the 45M-pair explosion had already happened). For
+    * an UNPOPULAR victim that is the whole game; for the fixture's
+    * victim 3 — a tiny id, so it sits in ~40% of all slices and
+    * affected ≈ its whole neighborhood — the restricted pass is still
+    * near-global and the measured win is modest (5.9s → 5.3s at sf0.1),
+    * the honest delete cost model this family records. Pre-capped by
+    * the same 4·cap
+    * bounded heaps as [[cappedAdjacency]] (each rule still emits ≤ 1
+    * copy per pair, preserving the cap-before-dedup bound). */
   def adjacencyDelete(spark: SparkSession, table: String, students: DataFrame,
       victimId: Long, neighborCap: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.functions.Norm
     val affected = broadcast(spark.table(table)
       .filter(col("dst") === victimId).select(col("src")).distinct())
-    val raw = graft.ops.EdgeRules.backfill(
-        students.filter(col("id") =!= victimId))
-      .select(col("src"), col("dst"))
-    val incident = raw.unionByName(
-        raw.select(col("dst").as("src"), col("src").as("dst")))
-      .join(affected, Seq("src"), "left_semi")
+    val remaining = students.filter(col("id") =!= victimId)
+    val affStudents = remaining.join(
+      affected.withColumnRenamed("src", "id"), Seq("id"), "left_semi")
+    val incident = graft.ops.EdgeRules.AllEquiRules.map { case (attr, _) =>
+      val aSide = broadcast(affStudents
+        .filter(col(attr).isNotNull && Norm.norm(col(attr)) =!= "")
+        .select(col("id").as("src"), Norm.norm(col(attr)).as("k")))
+      // probe side re-spread: the broadcast join is shuffle-free, so the
+      // pair explosion lands on the scan's few input splits unless the
+      // probe is repartitioned first (the salting lesson, broadcast form)
+      val bSide = remaining
+        .filter(col(attr).isNotNull && Norm.norm(col(attr)) =!= "")
+        .select(col("id").as("dst"), Norm.norm(col(attr)).as("k"))
+        .repartition(32)
+      aSide.join(bSide, Seq("k")).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+    }.reduce(_.unionByName(_))
     val pre = graft.plans.TopK.perKeyMin(incident, Seq("src"), "dst", "dst",
       4 * neighborCap).distinct()
     val w = Window.partitionBy(col("src")).orderBy(col("dst"))
