@@ -253,7 +253,9 @@ object SparkEntry {
     // round-18b: SAGE-style feature folds off the standing adjacency +
     // the partitioned adjacency's streaming maintenance twin + MMR
     // diversified top-k over the candidate-capped shortlist
-    "graph_feature_agg", "stream_adj_ingest", "sim_mmr_rerank")
+    "graph_feature_agg", "stream_adj_ingest", "sim_mmr_rerank",
+    // curriculum staging off exact bisected quartiles
+    "sample_curriculum")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -121,6 +121,10 @@ object PipelineEntry {
     // corpus scan, emitting the per-source audited manifest
     "sample_recipe" -> ((s, d) =>
       Sampling.recipe(Tables.documents(s, d), epochFixture)),
+    // curriculum staging: exact global difficulty quartiles (histogram
+    // bisection — no global sort) -> per-(stage, source) manifest
+    "sample_curriculum" -> ((s, d) =>
+      Sampling.curriculum(Tables.documents(s, d))),
     // KMV cardinality sketch (the oracle-able approx-distinct; estimate is
     // a pure function of the k-th smallest md5, maintained by TopKPerKey's
     // bounded heaps) with the exact count alongside
@@ -480,6 +484,25 @@ object PipelineEntry {
     // sample_epochs' (whole, extra256) interpolation + recursive copy_idx,
     // budget = sample_token_budget's integer quota / running sum) — the
     // composition is recomputed INDEPENDENTLY end-to-end
+    // curriculum manifest: quartile cuts = k-th smallest difficulty
+    // (duplicates counted, k = ceil(q*n) — the a14 convention the
+    // engine's bisection lands on), stage = 1 + |{cuts < d}|
+    "sample_curriculum" ->
+      (s"WITH T AS (SELECT doc_id, source, " +
+       s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+       "R AS (SELECT n_tokens AS v, row_number() OVER (ORDER BY n_tokens) AS rn, " +
+       "count(*) OVER () AS n FROM T), " +
+       "C AS (SELECT " +
+       "(SELECT min(v) FROM R WHERE rn >= ceil(0.25*n)) AS c1, " +
+       "(SELECT min(v) FROM R WHERE rn >= ceil(0.5*n)) AS c2, " +
+       "(SELECT min(v) FROM R WHERE rn >= ceil(0.75*n)) AS c3), " +
+       "S AS (SELECT t.source, t.n_tokens, 1 + CAST(t.n_tokens > c.c1 AS INT) + " +
+       "CAST(t.n_tokens > c.c2 AS INT) + CAST(t.n_tokens > c.c3 AS INT) AS stage " +
+       "FROM T t, C c) " +
+       "SELECT CAST(stage AS INT) AS stage, source, count(*) AS n_docs, " +
+       "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, min(n_tokens) AS min_tokens, " +
+       "max(n_tokens) AS max_tokens FROM S GROUP BY stage, source " +
+       "ORDER BY stage, source"),
     "sample_recipe" -> {
       val maxCopyIdx = epochFixture.map { case (_, e) =>
         math.floor(e).toLong + (if (e % 1 > 0) 1L else 0L)

@@ -371,6 +371,34 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Curriculum staging (Bengio et al., "Curriculum Learning", ICML
+    * 2009 — train easy→hard): difficulty = token count; stage cuts =
+    * the EXACT global quartiles of difficulty via
+    * [[graft.ops.Quantiles.exactQuantiles]]'s histogram bisection
+    * (bounded driver metadata — never a global sort, the op a naive
+    * ntile-over-everything would hide a single-partition window in);
+    * stage(d) = 1 + |{cuts < d}| ∈ 1..4. Output is the per-(stage,
+    * source) manifest a training scheduler consumes: doc and token
+    * counts with the difficulty envelope. Work: the bisection's
+    * column-pruned passes + ONE manifest aggregate over the cached
+    * tokenized scan. */
+  def curriculum(docs: DataFrame): DataFrame = {
+    val base = graft.CacheScope.track(docs.select(
+      col("doc_id"), col("source"),
+      size(Dedup.words(col("text"))).cast("long").as("n_tokens")))
+    val cuts = Quantiles.exactQuantiles(base, col("n_tokens"),
+      Seq(0.25, 0.5, 0.75)).map(_._2)
+    val staged = base.withColumn("stage",
+      (lit(1) + cuts.map(c => when(col("n_tokens") > c, 1).otherwise(0))
+        .reduce(_ + _)).cast("int"))
+    staged.groupBy(col("stage"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("stage"), col("source"))
+  }
+
   def tokenBudget(docs: DataFrame): DataFrame = {
     // the tokenized scan feeds both the quota aggregation and the
     // admission join — cache it once (same pattern as docDupSpans /
