@@ -254,8 +254,8 @@ object SparkEntry {
     // the partitioned adjacency's streaming maintenance twin + MMR
     // diversified top-k over the candidate-capped shortlist
     "graph_feature_agg", "stream_adj_ingest", "sim_mmr_rerank",
-    // curriculum staging off exact bisected quartiles
-    "sample_curriculum")
+    // curriculum staging off exact bisected quartiles + k-round LPA
+    "sample_curriculum", "graph_label_prop")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -129,6 +129,11 @@ object WindowsGraphEntry {
     "graph_shortest_path_converged" -> ((s, d) =>
       graft.graph.GraphOps.shortestPathsConverged(
         graft.graph.GraphOps.weightedChainEdges(Tables.customer(s, d)), 1L)),
+    // Synchronous label propagation (k = 3 mode-of-neighbor folds, ties
+    // to the smallest label) over the chain+express fixture — fixed k is
+    // the contract (sync LPA 2-colors a path and oscillates; no fixpoint)
+    "graph_label_prop" -> ((s, d) =>
+      graft.graph.GraphOps.labelPropagation(s, Tables.customer(s, d))),
     // Path reconstruction (relationships(p), llm_cypher.py:211-216): the
     // ordered edge list of each shortest path, serialized src->dst|... for
     // the driver gate.
@@ -276,6 +281,30 @@ object WindowsGraphEntry {
        "SELECT E.dst AS id, BFS.dist + 1 AS dist FROM BFS JOIN E ON E.src = BFS.id " +
        "WHERE BFS.dist < 30) " +
        "SELECT id, CAST(min(dist) AS INT) AS dist FROM BFS GROUP BY id ORDER BY id"),
+    // synchronous LPA: 3 mode-of-neighbor rounds unrolled (DuckDB
+    // recursive CTEs forbid the per-round aggregate); MATERIALIZED stops
+    // the L-chain from inlining exponentially
+    "graph_label_prop" -> {
+      val rounds = (1 to 3).map { i =>
+        s"C$i AS MATERIALIZED (SELECT u.src AS n, l.label, count(*) AS c " +
+        s"FROM U u JOIN L${i - 1} l ON l.node = u.dst GROUP BY u.src, l.label), " +
+        s"P$i AS MATERIALIZED (SELECT n AS node, label FROM " +
+        s"(SELECT n, label, row_number() OVER (PARTITION BY n ORDER BY c DESC, label) AS rk FROM C$i) " +
+        "WHERE rk = 1), " +
+        s"L$i AS MATERIALIZED (SELECT node, label FROM P$i UNION ALL " +
+        s"SELECT node, label FROM L${i - 1} WHERE node NOT IN (SELECT node FROM P$i))"
+      }.mkString(", ")
+      "WITH E0 AS MATERIALIZED (" +
+      "SELECT a.c_custkey AS src, b.c_custkey AS dst FROM customer a " +
+      s"JOIN customer b ON b.c_custkey = a.c_custkey + 1 WHERE a.c_custkey % $chainBlock <> ${chainBlock - 1} " +
+      "UNION ALL " +
+      "SELECT a.c_custkey AS src, b.c_custkey AS dst FROM customer a " +
+      s"JOIN customer b ON b.c_custkey = a.c_custkey + 3 WHERE a.c_custkey % $chainBlock <= ${chainBlock - 4}), " +
+      "U AS MATERIALIZED (SELECT src, dst FROM E0 UNION ALL SELECT dst AS src, src AS dst FROM E0), " +
+      "L0 AS MATERIALIZED (SELECT c_custkey AS node, c_custkey AS label FROM customer), " +
+      rounds +
+      " SELECT node, label FROM L3 ORDER BY node"
+    },
     // weighted SSSP: (node, dist) STATES recurse under UNION (set
     // semantics dedups, so the state space is |block| x bounded dists),
     // min per node at the end = the unbounded weighted fixpoint — equal

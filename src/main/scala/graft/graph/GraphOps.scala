@@ -705,6 +705,39 @@ object GraphOps {
     chain.unionByName(skip)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection as k mode-of-neighbor folds over the chain+express
+    * fixture graph: label'(v) = the most frequent label among N(v),
+    * ties to the SMALLEST label (the deterministic variant GraphX's LPA
+    * leaves to hash order — unusable under an exact oracle); a node
+    * with no neighbors keeps its label. Fixed k is the operator
+    * contract (sync LPA has no fixpoint guarantee — a path 2-colors
+    * itself and oscillates — so production runs price k rounds, exactly
+    * like the PPR walk). Each round is ONE equi-join (adjacency ×
+    * label frame), ONE (node, label) count-aggregate, and ONE top-1
+    * window per node — k rounds = k shuffle trios, lineage truncated
+    * per round; the count frame is bounded by Σ deg, never all-pairs. */
+  def labelPropagation(spark: SparkSession, customer: DataFrame,
+      iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = weightedChainEdges(customer).select(col("src"), col("dst"))
+    val und = truncated(e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"))))
+    val nodes = customer.select(col("c_custkey").as("node"))
+    var lab = truncated(nodes.select(col("node"), col("node").as("label")))
+    for (_ <- 1 to iters) {
+      val counts = und.join(lab, und("dst") === lab("node"))
+        .groupBy(und("src").as("n"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("n")).orderBy(desc("c"), col("label"))
+      val upd = counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).select(col("n").as("node"), col("label"))
+      lab = truncated(upd.unionByName(
+        lab.join(upd.select(col("node")), Seq("node"), "left_anti")))
+    }
+    lab.orderBy(col("node"))
+  }
+
   def nodeSimilarity(students: DataFrame, anchorMod: Int = 200,
       k: Int = 3, neighborCap: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window

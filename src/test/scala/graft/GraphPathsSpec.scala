@@ -390,6 +390,17 @@ class GraphPathsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("labelPropagation: hand-computed mode folds (count branch fires in round 2)") {
+    import spark.implicits._
+    // one 5-node block 0..4: chain 0-1-2-3-4 plus skips 0-3, 1-4.
+    // L1 = (1,0,1,0,1); round 2 exercises the REAL mode (n0 sees label 0
+    // twice), L2 = (0,1,0,1,0); L3 = (1,0,1,0,1).
+    val customer = (0L to 4L).toDF("c_custkey")
+    val got = GraphOps.labelPropagation(spark, customer)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq(0L -> 1L, 1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("featureAggregate: hand-computed floor-mean folds; isolated node keeps its feature") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
