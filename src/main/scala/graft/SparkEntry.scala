@@ -255,7 +255,9 @@ object SparkEntry {
     // diversified top-k over the candidate-capped shortlist
     "graph_feature_agg", "stream_adj_ingest", "sim_mmr_rerank",
     // curriculum staging off exact bisected quartiles + k-round LPA
-    "sample_curriculum", "graph_label_prop")
+    "sample_curriculum", "graph_label_prop",
+    // cross-source vocabulary overlap from one bounded-heap KMV pass
+    "sketch_kmv_intersect")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -141,6 +141,11 @@ object PipelineEntry {
       Sketches.mgHeavyHitters(Tables.documents(s, d))),
     "sketch_cms_topterms" -> ((s, d) =>
       Sketches.cmsHeavyHitters(Tables.documents(s, d))),
+    // KMV intersection estimate between two sources' vocabularies (one
+    // bounded-heap pass over the union; exact columns ride along so the
+    // estimate's error is recorded)
+    "sketch_kmv_intersect" -> ((s, d) =>
+      Sketches.kmvIntersect(Tables.documents(s, d))),
     // near-dup clustering: GraphX connected components over the verified
     // Jaccard pairs; oracle = recursive-CTE reachability closure
     "dedup_components" -> ((s, d) =>
@@ -592,6 +597,30 @@ object PipelineEntry {
       s"ELSE ${(k - 1).toDouble} / (CAST(v.v AS DOUBLE) / 4294967296.0) END, 4) AS est_distinct, " +
       "CAST(x.exact_distinct AS BIGINT) AS exact_distinct " +
       "FROM V v JOIN X x ON v.g = x.g ORDER BY l_returnflag"
+    },
+    // KMV intersection: k smallest union hashes -> est(∪) = (k-1)/v_k,
+    // est(∩) = (n_both/k)·est(∪) — pure md5-order functions, exact match
+    "sketch_kmv_intersect" -> {
+      val k = graft.ops.Sketches.DefaultK
+      val frac = s"(CAST(${graft.ops.Sketches.hexToLongSql("s.kth")} AS DOUBLE) / 4294967296.0)"
+      s"WITH W AS MATERIALIZED (SELECT source, string_split($docNorm, ' ') AS w " +
+      "FROM documents WHERE source IN ('src1', 'src2')), " +
+      "T AS MATERIALIZED (SELECT DISTINCT source, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN " +
+      "list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) " +
+      "ELSE [array_to_string(w, ' ')] END)) AS tok FROM W), " +
+      "F AS MATERIALIZED (SELECT tok, max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS in_a, " +
+      "max(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS in_b, md5(tok) AS h FROM T GROUP BY tok), " +
+      s"K AS MATERIALIZED (SELECT * FROM F ORDER BY h LIMIT $k), " +
+      "S AS (SELECT CAST(count(*) AS BIGINT) AS k_actual, max(h) AS kth, " +
+      "CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both FROM K), " +
+      "X AS (SELECT CAST(count(*) AS BIGINT) AS exact_union, " +
+      "CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersect FROM F) " +
+      "SELECT s.k_actual, s.n_both, " +
+      s"round(CASE WHEN s.k_actual < $k THEN CAST(s.k_actual AS DOUBLE) " +
+      s"ELSE ${(k - 1).toDouble} / $frac END, 4) AS est_union, " +
+      s"round(CASE WHEN s.k_actual < $k THEN CAST(s.n_both AS DOUBLE) " +
+      s"ELSE CAST(s.n_both AS DOUBLE) / ${k.toDouble} * (${(k - 1).toDouble} / $frac) END, 4) AS est_intersect, " +
+      "x.exact_union, x.exact_intersect FROM S s, X x"
     },
     // CMS heavy-hitter audit: sketch built from term counts (identical to
     // the occurrence-built sketch), est = min over depth rows

@@ -49,6 +49,57 @@ object Sketches {
       .orderBy(col(groupCol))
   }
 
+  /** KMV INTERSECTION estimate between two sources' token vocabularies —
+    * the cross-corpus overlap question ("how much does corpus A share
+    * with corpus B") that at 100 TB must be answered from sketches, not
+    * a distinct-join (Beyer et al., "On synopses for distinct-value
+    * estimation under multiset operations", SIGMOD'07): take the k
+    * smallest hashes of the UNION (one bounded-heap pass — KMV
+    * signatures are union-mergeable), estimate |∪| = (k−1)/v_k, and
+    * scale by ρ = the fraction of those k that belong to BOTH sets:
+    * est(∩) = ρ·est(∪). Every number is a pure function of md5 order,
+    * so the DuckDB oracle reproduces the estimate EXACTLY; the exact
+    * union/intersection ride along so the estimate's error is a
+    * recorded number (the a10/sim_ann_recall measure-don't-assume
+    * policy — at scale the exact columns are the thing you stop
+    * computing). */
+  def kmvIntersect(docs: DataFrame, srcA: String = "src1",
+      srcB: String = "src2", k: Int = DefaultK): DataFrame = {
+    // sets = each source's distinct 3-gram SHINGLES (the dedup family's
+    // unit — high-cardinality, unlike the fixture's ~31-word vocabulary,
+    // so the k-th-smallest estimator genuinely fires at k = 64)
+    val sub = docs.filter(col("source").isin(srcA, srcB))
+    val toks = Dedup.shingles(sub)
+      .join(sub.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("sh").as("tok"))
+      .distinct()
+    val flags = graft.CacheScope.track(toks.groupBy(col("tok")).agg(
+        max(when(col("source") === srcA, 1).otherwise(0)).as("in_a"),
+        max(when(col("source") === srcB, 1).otherwise(0)).as("in_b"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+      .withColumn("g", lit(1)))
+    val kmin = graft.plans.TopK.perKeyMin(flags, Seq("g"), "h", "h", k)
+    val stats = kmin.agg(
+      count(lit(1)).as("k_actual"),
+      max(col("h")).as("kth"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+        .as("n_both"))
+    val exact = flags.agg(
+      count(lit(1)).as("exact_union"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+        .as("exact_intersect"))
+    stats.crossJoin(exact)
+      .withColumn("est_union",
+        round(when(col("k_actual") < k, col("k_actual").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / hexFrac(col("kth"))), 4))
+      .withColumn("est_intersect",
+        round(when(col("k_actual") < k, col("n_both").cast("double"))
+          .otherwise(col("n_both").cast("double") / lit(k.toDouble) *
+            (lit((k - 1).toDouble) / hexFrac(col("kth")))), 4))
+      .select(col("k_actual"), col("n_both"), col("est_union"),
+        col("est_intersect"), col("exact_union"), col("exact_intersect"))
+  }
+
   /** The DuckDB spelling of [[hexFrac]]'s hex parse (no conv() there):
     * Σ digit_i · 16^(8−i) over the first 8 hex chars of column `c`. */
   def hexToLongSql(c: String): String =

@@ -106,4 +106,27 @@ class SketchesSpec extends SparkSpec {
       .sortBy { case (t, c) => (-c, t) }
     assert(got === want)
   }
+
+  test("kmvIntersect: identical sets estimate ∩ == ∪; disjoint sets estimate 0") {
+    import spark.implicits._
+    // each doc contributes distinct 3-shingles; vocabulary per doc is
+    // unique words so shingle sets are controlled exactly
+    def doc(id: Long, src: String, words: Seq[String]) =
+      (id, src, words.mkString(" "))
+    // identical corpora in both sources -> every union hash is in both
+    val same = (Seq(doc(1L, "src1", (1 to 50).map(i => s"w$i")),
+        doc(2L, "src2", (1 to 50).map(i => s"w$i"))))
+      .toDF("doc_id", "source", "text")
+    val r1 = Sketches.kmvIntersect(same, k = 16).collect()(0)
+    assert(r1.getAs[Long]("n_both") === r1.getAs[Long]("k_actual"))
+    assert(r1.getAs[Double]("est_intersect") === r1.getAs[Double]("est_union"))
+    // disjoint corpora -> n_both = 0 -> est_intersect = 0
+    val disj = (Seq(doc(1L, "src1", (1 to 50).map(i => s"a$i")),
+        doc(2L, "src2", (1 to 50).map(i => s"b$i"))))
+      .toDF("doc_id", "source", "text")
+    val r2 = Sketches.kmvIntersect(disj, k = 16).collect()(0)
+    assert(r2.getAs[Long]("n_both") === 0L)
+    assert(r2.getAs[Double]("est_intersect") === 0.0)
+    assert(r2.getAs[Long]("exact_intersect") === 0L)
+  }
 }
