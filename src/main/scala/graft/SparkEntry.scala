@@ -256,8 +256,9 @@ object SparkEntry {
     "graph_feature_agg", "stream_adj_ingest", "sim_mmr_rerank",
     // curriculum staging off exact bisected quartiles + k-round LPA
     "sample_curriculum", "graph_label_prop",
-    // cross-source vocabulary overlap from one bounded-heap KMV pass
-    "sketch_kmv_intersect")
+    // cross-source vocabulary overlap from one bounded-heap KMV pass +
+    // CMS-F2 self-join-size estimation
+    "sketch_kmv_intersect", "sketch_f2_selfjoin")
 
   // ---------------------------------------------------------------- oracle
 }

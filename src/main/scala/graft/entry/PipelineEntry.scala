@@ -146,6 +146,11 @@ object PipelineEntry {
     // estimate's error is recorded)
     "sketch_kmv_intersect" -> ((s, d) =>
       Sketches.kmvIntersect(Tables.documents(s, d))),
+    // self-join size (F2) from the count sketch — the planner's join-
+    // cardinality question answered in ≤ depth×width state; exact F2
+    // rides along (CMS inner product only overestimates)
+    "sketch_f2_selfjoin" -> ((s, d) =>
+      Sketches.f2SelfJoin(Tables.events(s, d))),
     // near-dup clustering: GraphX connected components over the verified
     // Jaccard pairs; oracle = recursive-CTE reachability closure
     "dedup_components" -> ((s, d) =>
@@ -621,6 +626,22 @@ object PipelineEntry {
       s"round(CASE WHEN s.k_actual < $k THEN CAST(s.n_both AS DOUBLE) " +
       s"ELSE CAST(s.n_both AS DOUBLE) / ${k.toDouble} * (${(k - 1).toDouble} / $frac) END, 4) AS est_intersect, " +
       "x.exact_union, x.exact_intersect FROM S s, X x"
+    },
+    // F2 self-join size: CMS row inner products, min over depths; all
+    // integer, so the match is exact
+    "sketch_f2_selfjoin" -> {
+      import graft.ops.Sketches.{CmsDepth, CmsWidth}
+      "WITH C AS (SELECT CAST(user_id AS VARCHAR) AS term, " +
+      "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY term), " +
+      s"E AS (SELECT term, c, unnest(range($CmsDepth)) AS d FROM C), " +
+      "M AS (SELECT term, c, d, md5(CAST(d AS VARCHAR) || '|' || term) AS m FROM E), " +
+      s"B AS (SELECT c, d, (${graft.ops.Sketches.hexToLongSql("m")}) % $CmsWidth AS bucket FROM M), " +
+      "SK AS (SELECT d, bucket, CAST(sum(c) AS BIGINT) AS bcnt FROM B GROUP BY d, bucket), " +
+      "EST AS (SELECT min(s2) AS est_f2 FROM " +
+      "(SELECT d, sum(bcnt * bcnt) AS s2 FROM SK GROUP BY d)), " +
+      "EX AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM C) " +
+      "SELECT CAST(est_f2 AS BIGINT) AS est_f2, exact_f2, " +
+      "CAST(est_f2 - exact_f2 AS BIGINT) AS overcount FROM EST, EX"
     },
     // CMS heavy-hitter audit: sketch built from term counts (identical to
     // the occurrence-built sketch), est = min over depth rows

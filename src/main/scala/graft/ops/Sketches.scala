@@ -139,6 +139,33 @@ object Sketches {
       .groupBy(col("d"), cmsBucket(col("d"), col("term")).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Self-join SIZE estimation from the count sketch — the F2 (second
+    * frequency moment) question a planner answers BEFORE running a
+    * 100 TB key join: |R ⋈_k R| = Σ_k cnt(k)², estimated as
+    * min over depths of Σ_b row_d[b]² (the CMS inner-product estimator,
+    * Cormode & Muthukrishnan 2005 §4.2 — an upper bound, collisions only
+    * ADD). Sketch rows are the only state (≤ depth×width regardless of
+    * corpus); the exact F2 rides along so the overestimate is a recorded
+    * number. All-integer arithmetic — the oracle matches exactly. Keyed
+    * on the events stream's user_id (Zipf-ish — self-join size is what
+    * a user-interaction join explodes by). */
+  def f2SelfJoin(events: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    val cms = events.select(col(keyCol).cast("string").as("term"))
+      .select(col("term"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .groupBy(col("d"), cmsBucket(col("d"), col("term")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = cms.groupBy(col("d"))
+      .agg(sum(col("cnt") * col("cnt")).as("est_f2"))
+      .agg(min(col("est_f2")).as("est_f2"))
+    val exact = events.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_f2"))
+    est.crossJoin(exact)
+      .select(col("est_f2").cast("long").as("est_f2"),
+        col("exact_f2").cast("long").as("exact_f2"),
+        (col("est_f2") - col("exact_f2")).cast("long").as("overcount"))
+  }
+
   /** Heavy-hitter estimate audit: the exact top-`topK` terms with their
     * CMS estimates (min over depth rows) and the overcount — CMS
     * guarantees est ≥ exact, and the recorded overcount prices the

@@ -107,6 +107,18 @@ class SketchesSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("f2SelfJoin: exact F2 matches brute force; CMS estimate only overestimates") {
+    import spark.implicits._
+    // skewed stream: user u repeated u times, u = 1..40 -> F2 = Σ u²
+    val events = (1L to 40L).flatMap(u => Seq.fill(u.toInt)(u))
+      .toDF("user_id")
+    val r = Sketches.f2SelfJoin(events).collect()(0)
+    val want = (1L to 40L).map(u => u * u).sum
+    assert(r.getAs[Long]("exact_f2") === want)
+    assert(r.getAs[Long]("est_f2") >= want, "CMS inner product must upper-bound F2")
+    assert(r.getAs[Long]("overcount") === r.getAs[Long]("est_f2") - want)
+  }
+
   test("kmvIntersect: identical sets estimate ∩ == ∪; disjoint sets estimate 0") {
     import spark.implicits._
     // each doc contributes distinct 3-shingles; vocabulary per doc is
