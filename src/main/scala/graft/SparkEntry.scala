@@ -258,7 +258,9 @@ object SparkEntry {
     "sample_curriculum", "graph_label_prop",
     // cross-source vocabulary overlap from one bounded-heap KMV pass +
     // CMS-F2 self-join-size estimation
-    "sketch_kmv_intersect", "sketch_f2_selfjoin")
+    "sketch_kmv_intersect", "sketch_f2_selfjoin",
+    // content-defined chunking (edit-stable chunk hashes)
+    "text_chunks_cdc")
 
   // ---------------------------------------------------------------- oracle
 }

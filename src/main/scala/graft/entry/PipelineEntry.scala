@@ -92,6 +92,10 @@ object PipelineEntry {
     // training-data pipeline: context-window chunking (32-token sequences,
     // ragged tail; chunks reassemble to the normalized doc — spec-certified)
     "text_chunks" -> ((s, d) => TextAnalysis.chunks(Tables.documents(s, d))),
+    // content-defined chunking: boundaries from local word hashes, so an
+    // edit reshapes one chunk and every later chunk hash survives
+    "text_chunks_cdc" -> ((s, d) =>
+      TextAnalysis.chunksCdc(Tables.documents(s, d))),
     // overlapping sliding-window chunking (32-token windows every 24) —
     // the retrieval-embedding prep twin; boundary-spanning facts stay
     // inside at least one chunk
@@ -406,6 +410,21 @@ object PipelineEntry {
        "ORDER BY source, rk"),
     // DuckDB list slicing w[a:b] is 1-based inclusive = Spark slice(w, a, k);
     // unnest(generate_series(...)) repeats the carried columns per element.
+    // CDC chunking: the same md5-bucket boundary rule + prefix-sum chunk
+    // assignment, per-chunk hash via ordered string_agg
+    "text_chunks_cdc" -> {
+      val m = graft.ops.TextAnalysis.CdcModulus
+      s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+      "P AS (SELECT doc_id, i - 1 AS pos, w[i] AS wd FROM W, " +
+      "unnest(range(1, len(w) + 1)) AS t(i)), " +
+      s"B AS (SELECT doc_id, pos, wd, CASE WHEN (${graft.ops.Sketches.hexToLongSql("md5(wd)")}) % $m = 0 " +
+      "THEN 1 ELSE 0 END AS isb FROM P), " +
+      "A AS (SELECT doc_id, pos, wd, CAST(coalesce(sum(isb) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx FROM B) " +
+      "SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_words, " +
+      "md5(string_agg(wd, ' ' ORDER BY pos)) AS chunk_hash FROM A " +
+      "GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_idx"
+    },
     "text_chunks" -> {
       val k = TextAnalysis.ChunkTokens
       s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +

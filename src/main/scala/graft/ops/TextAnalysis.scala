@@ -319,6 +319,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Content-defined-chunking cut modulus: boundary after any word whose
+    * md5 bucket ≡ 0 (mod this) — expected chunk length = the modulus. */
+  val CdcModulus = 64
+
+  /** CONTENT-DEFINED chunking (the FastCDC/Rabin idea at word
+    * granularity): a chunk boundary falls after every word whose hash
+    * bucket is 0 (mod [[CdcModulus]]), so boundaries depend only on
+    * LOCAL content — an edit reshapes at most the chunk it touches and
+    * every later chunk hash survives byte-identical (spec-gated), which
+    * is what makes CDC the dedup-friendly chunking for evolving corpora
+    * (fixed-width [[chunks]] shifts every downstream chunk after any
+    * insertion). One scan → per-doc position window (parallel across
+    * docs) → per-chunk fold; emits (doc_id, chunk_idx, n_words,
+    * chunk_hash) — hashes, not text, so the output stays slim at scale. */
+  def chunksCdc(docs: DataFrame, modulus: Int = CdcModulus): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"), posexplode(w).as(Seq("pos", "wd")))
+    val flagged = words.withColumn("isb",
+      when(pmod(conv(substring(md5(col("wd").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint"), lit(modulus.toLong)) === 0, 1L).otherwise(0L))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("chunk_idx", coalesce(sum(col("isb")).over(win), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_words"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("wd")))),
+            s => s("wd")), " ").cast("binary")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Overlap stride for [[chunksOverlap]]: windows advance 24 tokens, so
     * consecutive 32-token chunks share 8 — the retrieval-embedding prep
     * convention (overlap keeps boundary-spanning facts inside at least

@@ -833,4 +833,31 @@ class PipelineOpsSpec extends SparkSpec {
       assert(inside === 1, s"expected one documents scan inside the cache, got $inside")
     } finally graft.CacheScope.unpersistAll()
   }
+
+  test("chunksCdc: a front edit preserves every chunk hash after the first boundary") {
+    import spark.implicits._
+    // 400 words, deterministic content; doc 2 = doc 1 with 5 words
+    // prepended. CDC boundaries depend only on local hashes, so every
+    // chunk of doc 1 EXCEPT its first must reappear verbatim in doc 2.
+    // Fixed-width chunking shifts everything — the control assertion.
+    val words = (1 to 400).map(i => s"tok${i * 7 % 97}x$i")
+    val base = words.mkString(" ")
+    val edited = ((1 to 5).map(i => s"new$i") ++ words).mkString(" ")
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = TextAnalysis.chunksCdc(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val d1 = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val d2 = ch.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSet
+    assert(d1.length > 2, "fixture produced too few chunks to test stability")
+    val surviving = d1.drop(1)
+    assert(surviving.forall(d2.contains),
+      "a post-edit chunk hash changed — boundaries are not content-defined")
+    // control: fixed-width chunks do NOT survive the same edit
+    val fx = TextAnalysis.chunks(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val f1 = fx.filter(_._1 == 1L).map(_._2).drop(1)
+    val f2set = fx.filter(_._1 == 2L).map(_._2).toSet
+    assert(!f1.forall(f2set.contains),
+      "fixed-width chunking unexpectedly survived the front edit")
+  }
 }
