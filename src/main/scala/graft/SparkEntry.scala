@@ -259,8 +259,9 @@ object SparkEntry {
     // cross-source vocabulary overlap from one bounded-heap KMV pass +
     // CMS-F2 self-join-size estimation
     "sketch_kmv_intersect", "sketch_f2_selfjoin",
-    // content-defined chunking (edit-stable chunk hashes)
-    "text_chunks_cdc")
+    // content-defined chunking (edit-stable chunk hashes) + histogram
+    // distribution-drift monitor
+    "text_chunks_cdc", "quality_dist_drift")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -182,6 +182,25 @@ object QualityLayoutEntry {
     // Deterministic corruption: day 25 cut to its user_id%10==0 slice
     // (the >2x drop), day 28 tripled (the >2x spike); the trailing
     // median shrugs both off as history for later days
+    // DISTRIBUTION drift (token-length histograms, symmetric chi-square
+    // in scaled integers): the even/odd halves are the same distribution
+    // (negative case); lengthening every third doc's text is a real
+    // shift (positive case) — one row each, verdicts included
+    "quality_dist_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val halves = Quality.distDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+        .select(lit("halves").as("pair"), col("chi2_scaled"), col("n_a"),
+          col("n_b"), col("drifted"))
+      val longer = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" "), col("text"))).otherwise(col("text")))
+      val shifted = Quality.distDrift(docs, longer)
+        .select(lit("lengthened").as("pair"), col("chi2_scaled"), col("n_a"),
+          col("n_b"), col("drifted"))
+      halves.unionByName(shifted).orderBy(col("pair"))
+    }),
     "quality_volume_trend" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val corrupted = ev
@@ -350,6 +369,39 @@ object QualityLayoutEntry {
       ("SELECT max(CAST(ts AS DATE)) AS latest_date, " +
        "DATE '2024-01-30' AS expected_from, " +
        "max(CAST(ts AS DATE)) >= DATE '2024-01-30' AS fresh FROM events"),
+    "quality_dist_drift" -> {
+      val sc = graft.ops.Quality.DriftScale
+      val th = graft.ops.Quality.DriftThreshold
+      val normD = docNorm.replace("trim(text)", "trim(text || ' ' || text)")
+      val binOf = "least(CAST(15 AS BIGINT), nt // 16)"
+      s"WITH T AS (SELECT doc_id, CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS nt FROM documents), " +
+      "T2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
+      s"CAST(len(string_split($normD, ' ')) AS BIGINT) ELSE " +
+      s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) END AS nt FROM documents), " +
+      s"HA1 AS (SELECT $binOf AS bin, CAST(count(*) AS BIGINT) AS ca FROM T WHERE doc_id % 2 = 0 GROUP BY 1), " +
+      s"HB1 AS (SELECT $binOf AS bin, CAST(count(*) AS BIGINT) AS cb FROM T WHERE doc_id % 2 = 1 GROUP BY 1), " +
+      "N1 AS (SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+      "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM T), " +
+      s"P1 AS (SELECT (coalesce(ca, CAST(0 AS BIGINT)) * $sc) // na AS pa, " +
+      s"(coalesce(cb, CAST(0 AS BIGINT)) * $sc) // nb AS pb " +
+      "FROM HA1 FULL OUTER JOIN HB1 USING (bin), N1), " +
+      "C1 AS (SELECT CAST(sum(CASE WHEN pa + pb = 0 THEN 0 ELSE " +
+      "((pa - pb) * (pa - pb)) // (pa + pb) END) AS BIGINT) AS chi2 FROM P1), " +
+      s"HA2 AS (SELECT $binOf AS bin, CAST(count(*) AS BIGINT) AS ca FROM T GROUP BY 1), " +
+      s"HB2 AS (SELECT $binOf AS bin, CAST(count(*) AS BIGINT) AS cb FROM T2 GROUP BY 1), " +
+      "N2 AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM T) AS na, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM T2) AS nb), " +
+      s"P2 AS (SELECT (coalesce(ca, CAST(0 AS BIGINT)) * $sc) // na AS pa, " +
+      s"(coalesce(cb, CAST(0 AS BIGINT)) * $sc) // nb AS pb " +
+      "FROM HA2 FULL OUTER JOIN HB2 USING (bin), N2), " +
+      "C2 AS (SELECT CAST(sum(CASE WHEN pa + pb = 0 THEN 0 ELSE " +
+      "((pa - pb) * (pa - pb)) // (pa + pb) END) AS BIGINT) AS chi2 FROM P2) " +
+      "SELECT * FROM (" +
+      s"SELECT 'halves' AS pair, c1.chi2 AS chi2_scaled, n1.na AS n_a, n1.nb AS n_b, c1.chi2 > $th AS drifted FROM C1 c1, N1 n1 " +
+      "UNION ALL " +
+      s"SELECT 'lengthened' AS pair, c2.chi2, n2.na, n2.nb, c2.chi2 > $th FROM C2 c2, N2 n2" +
+      ") ORDER BY pair"
+    },
     // volume trend: trailing-7 median (the exact 4th order statistic of
     // 7 bigint counts — no interpolation) over the same corrupted frame
     "quality_volume_trend" ->

@@ -116,6 +116,47 @@ object Quality {
     * trailing window runs on that day-level frame (hundreds of rows for
     * years of data), where its single-partition sort is free — never on
     * the fact. */
+  /** Scale for [[distDrift]]'s fixed-point proportions: 1.0 == 10^8. */
+  val DriftScale = 100000000L
+
+  /** Drift verdict threshold, in [[DriftScale]] units (0.10): measured —
+    * two same-distribution halves read 0.039 at n=250/side (sampling
+    * noise, shrinks ~1/n) and 0.0015 at n=2500; the lengthened-third
+    * shift reads 0.18–0.21 at both n (a distribution-level distance).
+    * 0.10 splits the regimes with ≥2× margin on both sides. */
+  val DriftThreshold = 10000000L
+
+  /** DISTRIBUTION drift between two corpus versions — the data-quality
+    * monitor that catches "the new crawl's documents are suddenly short"
+    * even when volume, nulls, and freshness all pass: 16-bin token-length
+    * histograms, compared by the symmetric chi-square distance
+    * Σ_b (pA_b − pB_b)² / (pA_b + pB_b). Arithmetic is SCALED-INTEGER
+    * end to end (proportions as 10^8-units longs, floor division) — a
+    * float Σ over bins would be partition-order-dependent in any engine;
+    * the integer fold is order-free and bit-exact under the oracle.
+    * One scan per side into a ≤16-row histogram; the compare is
+    * metadata-sized. */
+  def distDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def hist(df: DataFrame, n: String) = df
+      .select(size(graft.ops.Dedup.words(col("text"))).cast("long").as("nt"))
+      .select(expr("least(CAST(15 AS BIGINT), nt div 16)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val ha = hist(a, "ca")
+    val hb = hist(b, "cb")
+    val na = a.count()
+    val nb = b.count()
+    val terms = ha.join(hb, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        expr(s"(coalesce(ca, CAST(0 AS BIGINT)) * $DriftScale) div $na").as("pa"),
+        expr(s"(coalesce(cb, CAST(0 AS BIGINT)) * $DriftScale) div $nb").as("pb"))
+      .withColumn("term",
+        expr("CASE WHEN pa + pb = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE ((pa - pb) * (pa - pb)) div (pa + pb) END"))
+    terms.agg(sum(col("term")).cast("long").as("chi2_scaled"))
+      .select(col("chi2_scaled"), lit(na).as("n_a"), lit(nb).as("n_b"),
+        (col("chi2_scaled") > DriftThreshold).as("drifted"))
+  }
+
   def checkVolumeTrend(df: DataFrame, dateCol: Column,
       dropFactor: Int = 2, spikeFactor: Int = 2): DataFrame =
     volumeTrendFrom(

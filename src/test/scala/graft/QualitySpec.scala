@@ -130,4 +130,20 @@ class QualitySpec extends SparkSpec {
       df.filter(col("d") <= "2024-02-08"), col("d"))
     assert(early.count() === 0)
   }
+
+  test("distDrift: identical frames score 0; a wholesale length shift flags") {
+    import spark.implicits._
+    def corpus(len: Int) = (1L to 200L)
+      .map(i => (i, Seq.fill(len + (i % 3).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = corpus(10)
+    val same = Quality.distDrift(a, corpus(10)).collect()(0)
+    assert(same.getAs[Long]("chi2_scaled") === 0L)
+    assert(!same.getAs[Boolean]("drifted"))
+    // every doc jumps two bins (10-12 -> 40-42 tokens): full mass moves
+    val far = Quality.distDrift(a, corpus(40)).collect()(0)
+    assert(far.getAs[Boolean]("drifted"),
+      s"wholesale shift not flagged: ${far.getAs[Long]("chi2_scaled")}")
+    assert(far.getAs[Long]("chi2_scaled") > same.getAs[Long]("chi2_scaled"))
+  }
 }
