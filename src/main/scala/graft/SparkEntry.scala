@@ -261,7 +261,9 @@ object SparkEntry {
     "sketch_kmv_intersect", "sketch_f2_selfjoin",
     // content-defined chunking (edit-stable chunk hashes) + histogram
     // distribution-drift monitor
-    "text_chunks_cdc", "quality_dist_drift")
+    "text_chunks_cdc", "quality_dist_drift",
+    // the drift monitor's streaming twin (bin-keyed MatView fold)
+    "stream_dist_drift")
 
   // ---------------------------------------------------------------- oracle
 }

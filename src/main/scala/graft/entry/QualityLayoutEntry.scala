@@ -14,6 +14,51 @@ object QualityLayoutEntry {
   import EntryFixtures._
   import OracleCtes._
 
+  /** The drift fixture's positive case: every third doc's text doubled
+    * — shared by the batch row and its streaming twin. */
+  private def lengthenedDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" "), col("text"))).otherwise(col("text")))
+
+  private val driftTh = graft.ops.Quality.DriftThreshold
+
+  /** Shared drift-oracle CTE chain: T/T2 = token counts of the corpus
+    * and its lengthened version; pair 1 (halves) folds to C1/N1, pair 2
+    * (corpus vs lengthened) to C2/N2 — all scaled-integer, mirroring
+    * Quality.chiFromHists exactly. */
+  private val driftOracleCtes: String = {
+    val sc = graft.ops.Quality.DriftScale
+    val normD = docNorm.replace("trim(text)", "trim(text || ' ' || text)")
+    val binOf = "least(CAST(15 AS BIGINT), nt // 16)"
+    s"WITH T AS (SELECT doc_id, CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS nt FROM documents), " +
+    "T2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
+    s"CAST(len(string_split($normD, ' ')) AS BIGINT) ELSE " +
+    s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) END AS nt FROM documents), " +
+    s"HA1 AS (SELECT $binOf AS bin, CAST(count(*) AS BIGINT) AS ca FROM T WHERE doc_id % 2 = 0 GROUP BY 1), " +
+    s"HB1 AS (SELECT $binOf AS bin, CAST(count(*) AS BIGINT) AS cb FROM T WHERE doc_id % 2 = 1 GROUP BY 1), " +
+    "N1 AS (SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+    "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM T), " +
+    s"P1 AS (SELECT (coalesce(ca, CAST(0 AS BIGINT)) * $sc) // na AS pa, " +
+    s"(coalesce(cb, CAST(0 AS BIGINT)) * $sc) // nb AS pb " +
+    "FROM HA1 FULL OUTER JOIN HB1 USING (bin), N1), " +
+    "C1 AS (SELECT CAST(sum(CASE WHEN pa + pb = 0 THEN 0 ELSE " +
+    "((pa - pb) * (pa - pb)) // (pa + pb) END) AS BIGINT) AS chi2 FROM P1), " +
+    s"HA2 AS (SELECT $binOf AS bin, CAST(count(*) AS BIGINT) AS ca FROM T GROUP BY 1), " +
+    s"HB2 AS (SELECT $binOf AS bin, CAST(count(*) AS BIGINT) AS cb FROM T2 GROUP BY 1), " +
+    "N2 AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM T) AS na, " +
+    "(SELECT CAST(count(*) AS BIGINT) FROM T2) AS nb), " +
+    s"P2 AS (SELECT (coalesce(ca, CAST(0 AS BIGINT)) * $sc) // na AS pa, " +
+    s"(coalesce(cb, CAST(0 AS BIGINT)) * $sc) // nb AS pb " +
+    "FROM HA2 FULL OUTER JOIN HB2 USING (bin), N2), " +
+    "C2 AS (SELECT CAST(sum(CASE WHEN pa + pb = 0 THEN 0 ELSE " +
+    "((pa - pb) * (pa - pb)) // (pa + pb) END) AS BIGINT) AS chi2 FROM P2) "
+  }
+
+  private val driftLengthenedRowSql: String =
+    s"SELECT 'lengthened' AS pair, c2.chi2 AS chi2_scaled, n2.na AS n_a, " +
+    s"n2.nb AS n_b, c2.chi2 > $driftTh AS drifted FROM C2 c2, N2 n2"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_keywords" -> ((s, d) => Search.keywords(Tables.documents(s, d))),
     // corpus-trained bigram LM fluency score (quantized logprobs ->
@@ -193,13 +238,44 @@ object QualityLayoutEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .select(lit("halves").as("pair"), col("chi2_scaled"), col("n_a"),
           col("n_b"), col("drifted"))
-      val longer = docs.withColumn("text",
-        when(col("doc_id") % 3 === 0,
-          concat(col("text"), lit(" "), col("text"))).otherwise(col("text")))
-      val shifted = Quality.distDrift(docs, longer)
+      val shifted = Quality.distDrift(docs, lengthenedDocs(docs))
         .select(lit("lengthened").as("pair"), col("chi2_scaled"), col("n_a"),
           col("n_b"), col("drifted"))
       halves.unionByName(shifted).orderBy(col("pair"))
+    }),
+    // STREAMING drift twin: the lengthened corpus arrives as a real
+    // bounded stream; its 16-bin histogram is maintained incrementally
+    // (bins are additive — MatView fold keyed on bin, batch-id ledger);
+    // the SAME chi-square judgment reads the view against the static
+    // side — same oracle row as the batch 'lengthened' pair:
+    // maintenance must not move the verdict
+    "stream_dist_drift" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-sdd")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      Seq("graft_idx.sdd_mv", "graft_idx.sdd_batches")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      val docs = Tables.documents(s, d)
+      val binned = Quality.driftBin(lengthenedDocs(docs))
+        .select(col("bin"), col("doc_id"))
+      val feed = java.nio.file.Files.createTempDirectory("graft-sdd-feed")
+        .toFile.getAbsolutePath + "/in"
+      binned.filter(col("doc_id") % 2 === 0).repartition(1).write.parquet(feed)
+      binned.filter(col("doc_id") % 2 === 1).repartition(1)
+        .write.mode("append").parquet(feed)
+      val q = graft.streaming.Streams.incrementalViewMaintenance(
+        s.readStream.schema(binned.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        "graft_idx.sdd", Seq("bin"), Seq(), "doc_id")
+      q.processAllAvailable(); q.stop()
+      val hb = MatView.read(s, "graft_idx.sdd", Seq("bin"), Seq())
+        .select(col("bin"), col("cnt").as("cb"))
+      val nb = hb.agg(sum(col("cb"))).collect()(0).getLong(0)
+      val ha = Quality.driftBin(docs).groupBy(col("bin"))
+        .agg(count(lit(1)).as("ca"))
+      Quality.chiFromHists(ha, hb, docs.count(), nb)
+        .select(lit("lengthened").as("pair"), col("chi2_scaled"),
+          col("n_a"), col("n_b"), col("drifted"))
     }),
     "quality_volume_trend" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -369,39 +445,16 @@ object QualityLayoutEntry {
       ("SELECT max(CAST(ts AS DATE)) AS latest_date, " +
        "DATE '2024-01-30' AS expected_from, " +
        "max(CAST(ts AS DATE)) >= DATE '2024-01-30' AS fresh FROM events"),
-    "quality_dist_drift" -> {
-      val sc = graft.ops.Quality.DriftScale
-      val th = graft.ops.Quality.DriftThreshold
-      val normD = docNorm.replace("trim(text)", "trim(text || ' ' || text)")
-      val binOf = "least(CAST(15 AS BIGINT), nt // 16)"
-      s"WITH T AS (SELECT doc_id, CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS nt FROM documents), " +
-      "T2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
-      s"CAST(len(string_split($normD, ' ')) AS BIGINT) ELSE " +
-      s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) END AS nt FROM documents), " +
-      s"HA1 AS (SELECT $binOf AS bin, CAST(count(*) AS BIGINT) AS ca FROM T WHERE doc_id % 2 = 0 GROUP BY 1), " +
-      s"HB1 AS (SELECT $binOf AS bin, CAST(count(*) AS BIGINT) AS cb FROM T WHERE doc_id % 2 = 1 GROUP BY 1), " +
-      "N1 AS (SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
-      "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM T), " +
-      s"P1 AS (SELECT (coalesce(ca, CAST(0 AS BIGINT)) * $sc) // na AS pa, " +
-      s"(coalesce(cb, CAST(0 AS BIGINT)) * $sc) // nb AS pb " +
-      "FROM HA1 FULL OUTER JOIN HB1 USING (bin), N1), " +
-      "C1 AS (SELECT CAST(sum(CASE WHEN pa + pb = 0 THEN 0 ELSE " +
-      "((pa - pb) * (pa - pb)) // (pa + pb) END) AS BIGINT) AS chi2 FROM P1), " +
-      s"HA2 AS (SELECT $binOf AS bin, CAST(count(*) AS BIGINT) AS ca FROM T GROUP BY 1), " +
-      s"HB2 AS (SELECT $binOf AS bin, CAST(count(*) AS BIGINT) AS cb FROM T2 GROUP BY 1), " +
-      "N2 AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM T) AS na, " +
-      "(SELECT CAST(count(*) AS BIGINT) FROM T2) AS nb), " +
-      s"P2 AS (SELECT (coalesce(ca, CAST(0 AS BIGINT)) * $sc) // na AS pa, " +
-      s"(coalesce(cb, CAST(0 AS BIGINT)) * $sc) // nb AS pb " +
-      "FROM HA2 FULL OUTER JOIN HB2 USING (bin), N2), " +
-      "C2 AS (SELECT CAST(sum(CASE WHEN pa + pb = 0 THEN 0 ELSE " +
-      "((pa - pb) * (pa - pb)) // (pa + pb) END) AS BIGINT) AS chi2 FROM P2) " +
+    "quality_dist_drift" ->
+      (driftOracleCtes +
       "SELECT * FROM (" +
-      s"SELECT 'halves' AS pair, c1.chi2 AS chi2_scaled, n1.na AS n_a, n1.nb AS n_b, c1.chi2 > $th AS drifted FROM C1 c1, N1 n1 " +
-      "UNION ALL " +
-      s"SELECT 'lengthened' AS pair, c2.chi2, n2.na, n2.nb, c2.chi2 > $th FROM C2 c2, N2 n2" +
-      ") ORDER BY pair"
-    },
+      s"SELECT 'halves' AS pair, c1.chi2 AS chi2_scaled, n1.na AS n_a, n1.nb AS n_b, c1.chi2 > $driftTh AS drifted FROM C1 c1, N1 n1 " +
+      "UNION ALL " + driftLengthenedRowSql +
+      ") ORDER BY pair"),
+    // stream twin: identical from-scratch semantics — the maintained
+    // histogram must reach the same chi-square and verdict
+    "stream_dist_drift" ->
+      (driftOracleCtes + driftLengthenedRowSql),
     // volume trend: trailing-7 median (the exact 4th order statistic of
     // 7 bigint counts — no interpolation) over the same corrupted frame
     "quality_volume_trend" ->

@@ -136,15 +136,20 @@ object Quality {
     * the integer fold is order-free and bit-exact under the oracle.
     * One scan per side into a ≤16-row histogram; the compare is
     * metadata-sized. */
-  def distDrift(a: DataFrame, b: DataFrame): DataFrame = {
-    def hist(df: DataFrame, n: String) = df
-      .select(size(graft.ops.Dedup.words(col("text"))).cast("long").as("nt"))
-      .select(expr("least(CAST(15 AS BIGINT), nt div 16)").as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as(n))
-    val ha = hist(a, "ca")
-    val hb = hist(b, "cb")
-    val na = a.count()
-    val nb = b.count()
+  /** The per-doc difficulty bin [[distDrift]] histograms on — public so
+    * the streaming twin feeds the SAME binning into its maintained
+    * view. */
+  def driftBin(docs: DataFrame): DataFrame = docs
+    .withColumn("nt", size(graft.ops.Dedup.words(col("text"))).cast("long"))
+    .withColumn("bin", expr("least(CAST(15 AS BIGINT), nt div 16)"))
+
+  private def driftHist(docs: DataFrame, n: String): DataFrame =
+    driftBin(docs).groupBy(col("bin")).agg(count(lit(1)).as(n))
+
+  /** The judgment shared by the batch row and its streaming twin: takes
+    * (bin, ca) / (bin, cb) histograms however they were maintained. */
+  def chiFromHists(ha: DataFrame, hb: DataFrame, na: Long,
+      nb: Long): DataFrame = {
     val terms = ha.join(hb, Seq("bin"), "full_outer")
       .select(col("bin"),
         expr(s"(coalesce(ca, CAST(0 AS BIGINT)) * $DriftScale) div $na").as("pa"),
@@ -156,6 +161,9 @@ object Quality {
       .select(col("chi2_scaled"), lit(na).as("n_a"), lit(nb).as("n_b"),
         (col("chi2_scaled") > DriftThreshold).as("drifted"))
   }
+
+  def distDrift(a: DataFrame, b: DataFrame): DataFrame =
+    chiFromHists(driftHist(a, "ca"), driftHist(b, "cb"), a.count(), b.count())
 
   def checkVolumeTrend(df: DataFrame, dateCol: Column,
       dropFactor: Int = 2, spikeFactor: Int = 2): DataFrame =
