@@ -262,8 +262,9 @@ object SparkEntry {
     // content-defined chunking (edit-stable chunk hashes) + histogram
     // distribution-drift monitor
     "text_chunks_cdc", "quality_dist_drift",
-    // the drift monitor's streaming twin (bin-keyed MatView fold)
-    "stream_dist_drift")
+    // the drift monitor's streaming twin (bin-keyed MatView fold) +
+    // MMR off the standing IVF index
+    "stream_dist_drift", "sim_mmr_query")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -294,6 +294,11 @@ object AnnEntry {
     // build+query rows (the result must not depend on who built)
     "sim_ann_ivf_query" -> ((s, d) =>
       Similarity.annIvfIndexedTopK(s, WarmIndex.ivf(s, d))),
+    // MMR served from the STANDING index: shortlist = DPP-pruned probed
+    // cells (the 100 TB form — never a corpus-wide ranking), greedy
+    // byte-identical to the scan form's
+    "sim_mmr_query" -> ((s, d) =>
+      Similarity.mmrRerankIndexed(s, WarmIndex.ivf(s, d))),
     "sim_ann_ivfpq_query" -> ((s, d) =>
       Similarity.annIvfPqIndexedTopK(s, WarmIndex.ivfPq(s, d))),
     "sim_ann_ivfsq_query" -> ((s, d) =>
@@ -398,37 +403,56 @@ object AnnEntry {
     // raw-cased document words vs a mixed-case probe list.
   )
 
-  /** Unrolled MMR greedy (Similarity.mmrRerank's oracle): shortlist = 30
-    * by rounded cosine to anchor 0; S1 = argmax rel; each later step
-    * picks argmax of round(0.7·rel − 0.3·max-sim-to-selected, 6) with
-    * the vec_id tiebreak — k−1 steps unrolled as CTE triples (DuckDB
-    * recursive CTEs forbid the per-step aggregate). */
-  private def mmrOracleSql(k: Int = 8): String = {
+  /** Unrolled MMR greedy tail, appended to a chain that defines
+    * `MC(vec_id, v, rel)` (the candidate set — brute-force top-30 for
+    * the scan row, IVF-probed top-30 for the index-served twin): MS1 =
+    * argmax rel; each later step picks argmax of
+    * round(0.7·rel − 0.3·max-sim-to-selected, 6) with the vec_id
+    * tiebreak — k−1 steps unrolled as CTE triples (DuckDB recursive
+    * CTEs forbid the per-step aggregate); MATERIALIZED stops the
+    * MS-chain from inlining exponentially. */
+  private def mmrGreedyTailSql(k: Int = 8): String = {
     val steps = (2 to k).map { i =>
-      s"M$i AS MATERIALIZED (SELECT c.vec_id, c.rel, max(s.sim) AS ms FROM C c JOIN SM s " +
-      s"ON ((s.a = c.vec_id AND s.b IN (SELECT vec_id FROM S${i - 1})) " +
-      s"OR (s.b = c.vec_id AND s.a IN (SELECT vec_id FROM S${i - 1}))) " +
-      s"WHERE c.vec_id NOT IN (SELECT vec_id FROM S${i - 1}) GROUP BY c.vec_id, c.rel), " +
-      s"P$i AS MATERIALIZED (SELECT vec_id FROM M$i ORDER BY round(0.7 * rel - 0.3 * ms, 6) DESC, vec_id LIMIT 1), " +
-      s"S$i AS MATERIALIZED (SELECT vec_id FROM S${i - 1} UNION ALL SELECT vec_id FROM P$i)"
+      s"MM$i AS MATERIALIZED (SELECT c.vec_id, c.rel, max(s.sim) AS ms FROM MC c JOIN MSM s " +
+      s"ON ((s.a = c.vec_id AND s.b IN (SELECT vec_id FROM MS${i - 1})) " +
+      s"OR (s.b = c.vec_id AND s.a IN (SELECT vec_id FROM MS${i - 1}))) " +
+      s"WHERE c.vec_id NOT IN (SELECT vec_id FROM MS${i - 1}) GROUP BY c.vec_id, c.rel), " +
+      s"MP$i AS MATERIALIZED (SELECT vec_id FROM MM$i ORDER BY round(0.7 * rel - 0.3 * ms, 6) DESC, vec_id LIMIT 1), " +
+      s"MS$i AS MATERIALIZED (SELECT vec_id FROM MS${i - 1} UNION ALL SELECT vec_id FROM MP$i)"
     }.mkString(", ")
-    val sel = (2 to k).map(i => s"SELECT $i AS rank, vec_id FROM P$i")
+    val sel = (2 to k).map(i => s"SELECT $i AS rank, vec_id FROM MP$i")
       .mkString(" UNION ALL ")
-    s"WITH $embCtes, " +
-    "QV AS (SELECT v AS qv FROM E WHERE vec_id = 0), " +
-    s"C AS MATERIALIZED (SELECT e.vec_id, e.v, round(${cosSql("e.v", "q.qv")}, 6) AS rel " +
-    "FROM E e, QV q WHERE e.vec_id <> 0 ORDER BY rel DESC, vec_id LIMIT 30), " +
-    s"SM AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b, round(${cosSql("a.v", "b.v")}, 6) AS sim " +
-    "FROM C a JOIN C b ON a.vec_id < b.vec_id), " +
-    "S1 AS MATERIALIZED (SELECT vec_id FROM C ORDER BY rel DESC, vec_id LIMIT 1), " +
+    s", MSM AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b, round(${cosSql("a.v", "b.v")}, 6) AS sim " +
+    "FROM MC a JOIN MC b ON a.vec_id < b.vec_id), " +
+    "MS1 AS MATERIALIZED (SELECT vec_id FROM MC ORDER BY rel DESC, vec_id LIMIT 1), " +
     steps + ", " +
-    s"SEL AS (SELECT 1 AS rank, vec_id FROM S1 UNION ALL $sel) " +
+    s"MSEL AS (SELECT 1 AS rank, vec_id FROM MS1 UNION ALL $sel) " +
     "SELECT CAST(s.rank AS INT) AS rank, s.vec_id, c.rel " +
-    "FROM SEL s JOIN C c ON c.vec_id = s.vec_id ORDER BY rank"
+    "FROM MSEL s JOIN MC c ON c.vec_id = s.vec_id ORDER BY rank"
   }
+
+  /** Scan-form MMR oracle: brute-force top-30 candidates. */
+  private def mmrOracleSql(k: Int = 8): String =
+    s"WITH $embCtes, " +
+    "MQV AS (SELECT v AS qv FROM E WHERE vec_id = 0), " +
+    s"MC AS MATERIALIZED (SELECT e.vec_id, e.v, round(${cosSql("e.v", "q.qv")}, 6) AS rel " +
+    "FROM E e, MQV q WHERE e.vec_id <> 0 ORDER BY rel DESC, vec_id LIMIT 30)" +
+    mmrGreedyTailSql(k)
+
+  /** Index-served MMR oracle: candidates = the trained-IVF chain's
+    * probed top-30 for anchor 0 (the same R every `sim_ann_ivf_*` row
+    * is gated on), rel recomputed on the raw vectors. */
+  private def mmrIndexedOracleSql(k: Int = 8): String =
+    s"WITH $ivfTrainedCtes, " +
+    "MIDS AS MATERIALIZED (SELECT vec_id FROM R WHERE qid = 0 AND rank <= 30), " +
+    "MQV AS (SELECT v AS qv FROM E0 WHERE vec_id = 0), " +
+    s"MC AS MATERIALIZED (SELECT e.vec_id, e.v, round(${cosSql("e.v", "q.qv")}, 6) AS rel " +
+    "FROM E0 e JOIN MIDS USING (vec_id), MQV q)" +
+    mmrGreedyTailSql(k)
 
   def oracleSql: Map[String, String] = Map(
     "sim_mmr_rerank" -> mmrOracleSql(),
+    "sim_mmr_query" -> mmrIndexedOracleSql(),
     "sim_topk_bruteforce" ->
       (s"WITH $embCtes, " +
        "Q AS (SELECT vec_id AS qid, v AS qv FROM E WHERE vec_id < 8), " +

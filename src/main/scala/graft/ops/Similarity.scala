@@ -2029,17 +2029,48 @@ object Similarity {
     * reproduces the selection bit-for-bit. */
   def mmrRerank(embeddings: DataFrame, anchorId: Long = 0L,
       shortlist: Int = 30, k: Int = 8, lambda: Double = 0.7): DataFrame = {
-    val spark = embeddings.sparkSession
     val e = withNorm(vecs(embeddings))
     val q = e.filter(col("vec_id") === anchorId)
       .select(col("v").as("qv"), col("nrm").as("qnrm"))
-    val cands = graft.CacheScope.track(
-      e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= anchorId)
-        .withColumn("rel", round(cosFromNorms(col("v"), col("qv"),
-          col("nrm"), col("qnrm")), 6))
-        .orderBy(desc("rel"), col("vec_id")).limit(shortlist)
-        .select(col("vec_id"), col("v"), col("nrm"), col("rel")))
+    val cands = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= anchorId)
+      .withColumn("rel", round(cosFromNorms(col("v"), col("qv"),
+        col("nrm"), col("qnrm")), 6))
+      .orderBy(desc("rel"), col("vec_id")).limit(shortlist)
+      .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
+    mmrGreedy(cands, k, lambda)
+  }
+
+  /** [[mmrRerank]] served from the STANDING IVF index — the form a
+    * 100 TB deployment runs: the shortlist comes from the DPP-pruned
+    * probed cells (never a corpus-wide ranking), candidate vectors come
+    * back from the lists via one broadcast-semi probe, and the greedy is
+    * byte-identical to the scan form's. The oracle mirrors the probe
+    * (same trained-IVF chain as every `sim_ann_ivf_*` row) and the same
+    * unrolled greedy. */
+  def mmrRerankIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, anchorId: Long = 0L, shortlist: Int = 30, k: Int = 8,
+      lambda: Double = 0.7, nprobe: Int = 2): DataFrame = {
+    val ids = annIvfIndexedTopK(spark, table, 1, shortlist, nprobe)
+      .filter(col("qid") === anchorId).select(col("vec_id"))
+    val lst = lists(spark, table)
+    val anchor = lst.filter(col("vec_id") === anchorId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val cands = lst.join(broadcast(ids), "vec_id")
+      .crossJoin(broadcast(anchor))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        round(cosFromNorms(col("v"), col("qv"), col("nrm"), col("qnrm")), 6)
+          .as("rel"))
+    mmrGreedy(cands, k, lambda)
+  }
+
+  /** The greedy core shared by the scan and index-served MMR forms —
+    * runs over an already-built candidate frame (vec_id, v, nrm, rel);
+    * collects only ids + rounded sims (bounded by the shortlist cap). */
+  private def mmrGreedy(cands0: DataFrame, k: Int,
+      lambda: Double): DataFrame = {
+    val spark = cands0.sparkSession
+    val cands = graft.CacheScope.track(cands0)
     val rels = cands.select(col("vec_id"), col("rel"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1))
       .sortBy(_._1)
