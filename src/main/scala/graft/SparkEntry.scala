@@ -264,7 +264,9 @@ object SparkEntry {
     "text_chunks_cdc", "quality_dist_drift",
     // the drift monitor's streaming twin (bin-keyed MatView fold) +
     // MMR off the standing IVF index
-    "stream_dist_drift", "sim_mmr_query")
+    "stream_dist_drift", "sim_mmr_query",
+    // rule-count-weighted PPR (the reference's EP2 scoring as mass)
+    "graph_ppr_weighted")
 
   // ---------------------------------------------------------------- oracle
 }

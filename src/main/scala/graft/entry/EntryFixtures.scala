@@ -219,6 +219,35 @@ object EntryFixtures {
     "OR u.src IN (SELECT src FROM U WHERE dst IN (SELECT id FROM NW)) " +
     "ORDER BY src, dst"
 
+  /** Rule-count-WEIGHTED PPR oracle tail: the capped adjacency carries
+    * w = |rules connecting the pair| (P keeps rel_type, so U0 has one
+    * row per rule per direction and WA's count is the rule multiset);
+    * each unrolled round mirrors the engine's
+    * (((r·w) div Σw)·85) div 100 exactly. */
+  val pprWeightedOracleTail: String = {
+    val scale = graft.graph.GraphOps.PprScale
+    val tele = scale * 15 / 100
+    val rounds = (1 to 3).map { i =>
+      s"C$i AS (SELECT u.dst AS node, " +
+      "CAST(sum((((r.r * u.w) // u.sumw) * 85) // 100) AS BIGINT) AS r " +
+      s"FROM R${i - 1} r JOIN UD u ON u.src = r.node GROUP BY u.dst), " +
+      s"R$i AS (SELECT node, CAST(sum(r) AS BIGINT) AS r FROM " +
+      s"(SELECT CAST(1 AS BIGINT) AS node, CAST($tele AS BIGINT) AS r " +
+      s"UNION ALL SELECT node, r FROM C$i) GROUP BY node)"
+    }.mkString(", ")
+    s", e AS ($edgesSql), P AS (SELECT DISTINCT src, dst, rel_type FROM e), " +
+    "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
+    "WA AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM U0 GROUP BY src, dst), " +
+    "U AS (SELECT src, dst, w FROM (SELECT src, dst, w, " +
+    "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM WA) WHERE rn <= 32), " +
+    "D AS (SELECT src, CAST(sum(w) AS BIGINT) AS sumw FROM U GROUP BY src), " +
+    "UD AS (SELECT u.src, u.dst, u.w, d.sumw FROM U u JOIN D d ON d.src = u.src), " +
+    s"R0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST($scale AS BIGINT) AS r), " +
+    rounds +
+    " SELECT node, r AS rank_scaled FROM R3 WHERE r > 0 " +
+    "ORDER BY rank_scaled DESC, node"
+  }
+
   val fuzzyQuery = "customer#000000012"
   /** Batch fuzzy fixture: an exact name, a typo'd name, and garbage
     * (must return zero rows for qid 2 — the negative case rides along). */

@@ -93,6 +93,11 @@ object StudentEntry {
     // scaled-integer arithmetic; every rank is a bit-reproducible long.
     "graph_ppr" -> ((s, d) =>
       graft.graph.GraphOps.personalizedPageRank(Tables.students(s, d), 1L)),
+    // rule-count-WEIGHTED walk: transition mass follows the reference's
+    // own EP2 scoring (a college+board pair pulls 2x a single-rule pair)
+    "graph_ppr_weighted" -> ((s, d) =>
+      graft.graph.GraphOps.personalizedPageRankWeighted(
+        Tables.students(s, d), 1L)),
     // the walk served from the STANDING adjacency table (WarmIndex —
     // build priced once per suite): k relax rounds and nothing else
     "graph_ppr_query" -> ((s, d) =>
@@ -483,6 +488,7 @@ object StudentEntry {
     // 100 per undirected neighbor, plus the scaled 0.15 teleport on the
     // anchor; all BIGINT floor-division, so the hash match is bit-exact
     "graph_ppr" -> withStudents(pprOracleTail),
+    "graph_ppr_weighted" -> withStudents(pprWeightedOracleTail),
     // the standing-adjacency twin reaches the identical walk (the warm
     // table IS cappedAdjacency materialized — hash match proves it)
     "graph_ppr_query" -> withStudents(pprOracleTail),

@@ -356,6 +356,60 @@ object GraphOps {
     graft.plans.TopK.perKeyMin(preCap, Seq("src"), "dst", "dst", neighborCap)
   }
 
+  /** WEIGHTED capped adjacency (src, dst, w): w = how many of the 4 equi
+    * rules connect the pair (1..4) — the reference's own EP2 scoring unit
+    * (student_service.py:146-162 sums one point per matching attribute).
+    * Same cap-before-dedup discipline as [[cappedAdjacency]], and the
+    * same lemma makes the WEIGHTS exact: every copy of the cap smallest
+    * distinct dsts sits inside the first 4·cap rows of the dst-sorted
+    * multiset (≤ 4 copies each), so the bounded-heap survivors contain
+    * the full rule multiset of every kept pair and the post-cap count
+    * is the true rule count. */
+  private[graft] def weightedCappedAdjacency(students: DataFrame,
+      neighborCap: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = graft.ops.EdgeRules.backfill(students)
+      .select(col("src"), col("dst"))
+    val undFull = raw.unionByName(
+      raw.select(col("dst").as("src"), col("src").as("dst")))
+    val pre = graft.plans.TopK.perKeyMin(undFull, Seq("src"), "dst",
+      "dst", 4 * neighborCap)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val wn = Window.partitionBy(col("src")).orderBy(col("dst"))
+    pre.withColumn("rn", row_number().over(wn))
+      .filter(col("rn") <= neighborCap).drop("rn")
+  }
+
+  /** RULE-COUNT-WEIGHTED personalized PageRank — the walk whose transition
+    * mass follows the reference's own scoring (two students connected by
+    * college AND board pull twice the mass of a single-rule pair):
+    * r'(v) = α·e + (1−α)·Σ_{u→v} r(u)·w(u,v)/Σ_w(u). Scaled-integer
+    * exactness: share = ((r·w) div Σw · 85) div 100 (r ≤ 10^12, w ≤ 4 —
+    * far inside a long); same k-round relax-and-fold shape and capped
+    * adjacency as [[personalizedPageRank]]. */
+  def personalizedPageRankWeighted(students: DataFrame, anchorId: Long,
+      iters: Int = 3, neighborCap: Int = 32): DataFrame = {
+    val und = graft.CacheScope.track(
+      weightedCappedAdjacency(students, neighborCap))
+    val deg = und.groupBy(col("src")).agg(sum(col("w")).as("sumw"))
+    val undDeg = truncated(und.join(deg, "src"))
+    val spark = students.sparkSession
+    val teleport = spark.range(1)
+      .select(lit(anchorId).as("node"), lit(PprScale * 15 / 100).as("r"))
+    var r = truncated(spark.range(1)
+      .select(lit(anchorId).as("node"), lit(PprScale).as("r")))
+    for (_ <- 1 to iters)
+      r = truncated(
+        r.join(undDeg, r("node") === undDeg("src"))
+          .select(undDeg("dst").as("node"),
+            expr("(((r * w) div sumw) * 85) div 100").as("r"))
+          .unionByName(teleport)
+          .groupBy(col("node")).agg(sum(col("r")).as("r"))
+          .filter(col("r") > 0))
+    r.select(col("node"), col("r").as("rank_scaled"))
+      .orderBy(desc("rank_scaled"), col("node"))
+  }
+
   /** Materialize the capped adjacency as a standing catalog table — the
     * graph family's WarmIndex layout (built once per corpus, served to
     * the query-only twins). */

@@ -390,6 +390,38 @@ class GraphPathsSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("weighted PPR: rule-count mass splits exactly (hand-computed 3 rounds)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("address", StringType, true),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("interests", ArrayType(StringType), true)))
+    // 1-2 share college AND board (w=2); 1-3 share stream (w=1):
+    // node 2 pulls exactly 2x node 3's mass through every round
+    val students = spark.createDataFrame(Seq(
+      Row(1L, "a", null, "ca", "bb", "ss", Seq.empty[String]),
+      Row(2L, "b", null, "ca", "bb", null, Seq.empty[String]),
+      Row(3L, "c", null, null, null, "ss", Seq.empty[String])
+    ).asJava, schema)
+    val got = GraphOps.personalizedPageRankWeighted(students, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(
+      1L -> 258375000000L, 2L -> 494416666666L, 3L -> 247208333333L),
+      s"got $got")
+    // the weighted walk really uses w: the UNWEIGHTED walk ties 2 and 3
+    val un = GraphOps.personalizedPageRank(students, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(un(2L) === un(3L), "control: unweighted walk should tie 2 and 3")
+    assert(got(2L) === 2 * got(3L),
+      "w=2 edge must pull exactly twice the w=1 edge's mass")
+  }
+
   test("labelPropagation: hand-computed mode folds (count branch fires in round 2)") {
     import spark.implicits._
     // one 5-node block 0..4: chain 0-1-2-3-4 plus skips 0-3, 1-4.
