@@ -265,8 +265,9 @@ object SparkEntry {
     // the drift monitor's streaming twin (bin-keyed MatView fold) +
     // MMR off the standing IVF index
     "stream_dist_drift", "sim_mmr_query",
-    // rule-count-weighted PPR (the reference's EP2 scoring as mass)
-    "graph_ppr_weighted")
+    // rule-count-weighted PPR (the reference's EP2 scoring as mass) +
+    // curriculum-staged packing
+    "graph_ppr_weighted", "pack_curriculum")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -129,6 +129,10 @@ object PipelineEntry {
     // bisection — no global sort) -> per-(stage, source) manifest
     "sample_curriculum" -> ((s, d) =>
       Sampling.curriculum(Tables.documents(s, d))),
+    // curriculum-STAGED packing: fixed-token sequences within (stage,
+    // shard) — the physical layout a curriculum schedule trains on
+    "pack_curriculum" -> ((s, d) =>
+      Packing.packCurriculum(Tables.documents(s, d))),
     // KMV cardinality sketch (the oracle-able approx-distinct; estimate is
     // a pure function of the k-th smallest md5, maintained by TopKPerKey's
     // bounded heaps) with the exact count alongside
@@ -699,6 +703,28 @@ object PipelineEntry {
       "C AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM T) " +
       "SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens, " +
+      s"CAST(floor(cum_before / $b.0) AS BIGINT) AS seq_id, " +
+      s"CAST(cum_before % $b AS BIGINT) AS seq_offset FROM C ORDER BY doc_id"
+    },
+    // staged pack: the curriculum quartile cuts (a14 k = ceil(q*n)
+    // convention) + the pack prefix sum keyed (stage, shard)
+    "pack_curriculum" -> {
+      val b = graft.ops.Packing.SeqTokens
+      val sh = graft.ops.Packing.Shards
+      s"WITH H AS (SELECT doc_id, md5(concat('pack|', CAST(doc_id AS VARCHAR))) AS h, " +
+      s"CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+      "T AS (SELECT doc_id, n_tokens, ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+      s"instr('0123456789abcdef', substr(h, 2, 1)) - 1) % $sh AS shard FROM H), " +
+      "RS AS (SELECT n_tokens AS v, row_number() OVER (ORDER BY n_tokens) AS rn, " +
+      "count(*) OVER () AS n FROM T), " +
+      "CU AS (SELECT (SELECT min(v) FROM RS WHERE rn >= ceil(0.25*n)) AS c1, " +
+      "(SELECT min(v) FROM RS WHERE rn >= ceil(0.5*n)) AS c2, " +
+      "(SELECT min(v) FROM RS WHERE rn >= ceil(0.75*n)) AS c3), " +
+      "S AS (SELECT t.doc_id, t.n_tokens, t.shard, 1 + CAST(t.n_tokens > c.c1 AS INT) + " +
+      "CAST(t.n_tokens > c.c2 AS INT) + CAST(t.n_tokens > c.c3 AS INT) AS stage FROM T t, CU c), " +
+      "C AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY stage, shard ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM S) " +
+      "SELECT doc_id, CAST(stage AS INT) AS stage, CAST(shard AS BIGINT) AS shard, n_tokens, " +
       s"CAST(floor(cum_before / $b.0) AS BIGINT) AS seq_id, " +
       s"CAST(cum_before % $b AS BIGINT) AS seq_offset FROM C ORDER BY doc_id"
     },

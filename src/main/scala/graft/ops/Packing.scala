@@ -55,6 +55,37 @@ object Packing {
       .orderBy(col("doc_id"))
   }
 
+  /** Curriculum-STAGED packing: documents pack into fixed-token
+    * sequences WITHIN their curriculum stage (and shard), so a training
+    * run consumes stage-1 sequences before stage-2 — the physical
+    * layout curriculum learning actually trains on (ordering by
+    * difficulty is useless if the packed sequences interleave stages).
+    * Stage cuts are the exact bisected quartiles
+    * ([[graft.ops.Sampling.curriculum]]'s discipline — bounded driver
+    * metadata, no global sort); the pack itself is the same
+    * per-(stage, shard) prefix sum as [[packSequences]]. */
+  def packCurriculum(docs: DataFrame, budget: Int = SeqTokens,
+      shards: Int = Shards): DataFrame = {
+    val base = graft.CacheScope.track(docs.select(
+      col("doc_id"),
+      pmod(Sampling.bucket256("pack", col("doc_id")), lit(shards)).as("shard"),
+      size(Dedup.words(col("text"))).cast("bigint").as("n_tokens")))
+    val cuts = Quantiles.exactQuantiles(base, col("n_tokens"),
+      Seq(0.25, 0.5, 0.75)).map(_._2)
+    val staged = base.withColumn("stage",
+      (lit(1) + cuts.map(c => when(col("n_tokens") > c, 1).otherwise(0))
+        .reduce(_ + _)).cast("int"))
+    val w = Window.partitionBy(col("stage"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    staged
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("stage"), col("shard").cast("long").as("shard"),
+        col("n_tokens"),
+        (col("cum_before") / budget).cast("bigint").as("seq_id"),
+        pmod(col("cum_before"), lit(budget.toLong)).as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Packed-sequence inventory: sequences started per (lang, shard) and
     * the padding the LAST partial sequence of each shard would carry —
     * the packing-efficiency number a pipeline reports. Derived from the
