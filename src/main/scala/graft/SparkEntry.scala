@@ -267,7 +267,9 @@ object SparkEntry {
     "stream_dist_drift", "sim_mmr_query",
     // rule-count-weighted PPR (the reference's EP2 scoring as mass) +
     // curriculum-staged packing
-    "graph_ppr_weighted", "pack_curriculum")
+    "graph_ppr_weighted", "pack_curriculum",
+    // chunk-level dedup off the CDC hashes (one groupBy, no pair join)
+    "dedup_cdc_chunks")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -14,6 +14,22 @@ object PipelineEntry {
   import EntryFixtures._
   import OracleCtes._
 
+  /** CDC chunk table as SQL (doc_id, chunk_idx, n_words, chunk_hash) —
+    * shared by the chunking row and the chunk-dedup row. */
+  private val cdcChunksSql: String = {
+    val m = graft.ops.TextAnalysis.CdcModulus
+    s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+    "P AS (SELECT doc_id, i - 1 AS pos, w[i] AS wd FROM W, " +
+    "unnest(range(1, len(w) + 1)) AS t(i)), " +
+    s"B AS (SELECT doc_id, pos, wd, CASE WHEN (${graft.ops.Sketches.hexToLongSql("md5(wd)")}) % $m = 0 " +
+    "THEN 1 ELSE 0 END AS isb FROM P), " +
+    "A AS (SELECT doc_id, pos, wd, CAST(coalesce(sum(isb) OVER " +
+    "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx FROM B) " +
+    "SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_words, " +
+    "md5(string_agg(wd, ' ' ORDER BY pos)) AS chunk_hash FROM A " +
+    "GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_idx"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.mediaTable(Tables.documents(s, d)))),
@@ -96,6 +112,10 @@ object PipelineEntry {
     // edit reshapes one chunk and every later chunk hash survives
     "text_chunks_cdc" -> ((s, d) =>
       TextAnalysis.chunksCdc(Tables.documents(s, d))),
+    // chunk-level exact dedup off the CDC hashes: a shared passage lands
+    // as the SAME chunk in every doc, so passage dedup = one groupBy
+    "dedup_cdc_chunks" -> ((s, d) =>
+      TextAnalysis.cdcChunkDups(Tables.documents(s, d))),
     // overlapping sliding-window chunking (32-token windows every 24) —
     // the retrieval-embedding prep twin; boundary-spanning facts stay
     // inside at least one chunk
@@ -416,19 +436,16 @@ object PipelineEntry {
     // unnest(generate_series(...)) repeats the carried columns per element.
     // CDC chunking: the same md5-bucket boundary rule + prefix-sum chunk
     // assignment, per-chunk hash via ordered string_agg
-    "text_chunks_cdc" -> {
-      val m = graft.ops.TextAnalysis.CdcModulus
-      s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
-      "P AS (SELECT doc_id, i - 1 AS pos, w[i] AS wd FROM W, " +
-      "unnest(range(1, len(w) + 1)) AS t(i)), " +
-      s"B AS (SELECT doc_id, pos, wd, CASE WHEN (${graft.ops.Sketches.hexToLongSql("md5(wd)")}) % $m = 0 " +
-      "THEN 1 ELSE 0 END AS isb FROM P), " +
-      "A AS (SELECT doc_id, pos, wd, CAST(coalesce(sum(isb) OVER " +
-      "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx FROM B) " +
-      "SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_words, " +
-      "md5(string_agg(wd, ' ' ORDER BY pos)) AS chunk_hash FROM A " +
-      "GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_idx"
-    },
+    "text_chunks_cdc" -> cdcChunksSql,
+    // chunk-level dedup: ONE hash groupBy over the CDC chunk table
+    "dedup_cdc_chunks" ->
+      (s"WITH CH AS ($cdcChunksSql) " +
+      "SELECT chunk_hash, n_words, CAST(count(*) AS BIGINT) AS n_copies, " +
+      "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+      "min(doc_id) AS keeper_doc, " +
+      "CAST((count(*) - 1) * n_words AS BIGINT) AS dup_words " +
+      "FROM CH GROUP BY chunk_hash, n_words HAVING count(*) > 1 " +
+      "ORDER BY n_copies DESC, chunk_hash"),
     "text_chunks" -> {
       val k = TextAnalysis.ChunkTokens
       s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +

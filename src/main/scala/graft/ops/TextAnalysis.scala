@@ -351,6 +351,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** CHUNK-level exact dedup off the CDC chunk hashes — the synergy
+    * content-defined chunking exists for: because boundaries are local,
+    * a passage shared between documents lands as the SAME chunk (same
+    * hash) in both, so passage-level dedup becomes ONE hash groupBy —
+    * no shingle explosion, no pair join (compare
+    * [[graft.ops.Dedup.docDupSpans]], which pays the shingle machinery
+    * to find spans at arbitrary alignment; CDC trades that generality
+    * for a groupBy). Emits each duplicated chunk with its copy count,
+    * distinct-doc count, the kept doc (smallest id), and the removable
+    * word mass. */
+  def cdcChunkDups(docs: DataFrame): DataFrame =
+    chunksCdc(docs)
+      .groupBy(col("chunk_hash"), col("n_words"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_copies") > 1)
+      .withColumn("dup_words", (col("n_copies") - 1) * col("n_words"))
+      .orderBy(desc("n_copies"), col("chunk_hash"))
+
   /** Overlap stride for [[chunksOverlap]]: windows advance 24 tokens, so
     * consecutive 32-token chunks share 8 — the retrieval-embedding prep
     * convention (overlap keeps boundary-spanning facts inside at least

@@ -859,5 +859,14 @@ class PipelineOpsSpec extends SparkSpec {
     val f2set = fx.filter(_._1 == 2L).map(_._2).toSet
     assert(!f1.forall(f2set.contains),
       "fixed-width chunking unexpectedly survived the front edit")
+    // and the chunk-dedup view finds exactly those shared chunks as
+    // cross-doc duplicates (keeper = the smaller doc id)
+    val dups = TextAnalysis.cdcChunkDups(docs).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    val dupHashes = dups.map(_._1).toSet
+    assert(surviving.forall(dupHashes.contains),
+      "a cross-doc shared chunk is missing from the dedup view")
+    assert(dups.forall { case (_, nDocs, keeper) =>
+      nDocs == 2L && keeper == 1L })
   }
 }
