@@ -433,6 +433,30 @@ class GraphPathsSpec extends SparkSpec {
     assert(got === Seq(0L -> 1L, 1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("labelPropagation: each extra round adds a bounded constant number of jobs") {
+    import spark.implicits._
+    val customer = (0L to 29L).toDF("c_custkey")
+    def jobsFor(iters: Int): Int = {
+      var jobs = 0
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        GraphOps.labelPropagation(spark, customer, iters).collect()
+        Thread.sleep(1000) // listener delivery is async
+      } finally spark.sparkContext.removeSparkListener(l)
+      jobs
+    }
+    val j1 = jobsFor(1)
+    val j3 = jobsFor(3)
+    val perRound = (j3 - j1) / 2.0
+    assert(j3 > j1 && perRound == perRound.floor && perRound <= 6,
+      s"expected a constant <=6 jobs per extra LPA round, got j1=$j1 j3=$j3")
+  }
+
   test("featureAggregate: hand-computed floor-mean folds; isolated node keeps its feature") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
