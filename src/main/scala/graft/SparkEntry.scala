@@ -268,8 +268,9 @@ object SparkEntry {
     // rule-count-weighted PPR (the reference's EP2 scoring as mass) +
     // curriculum-staged packing
     "graph_ppr_weighted", "pack_curriculum",
-    // chunk-level dedup off the CDC hashes (one groupBy, no pair join)
-    "dedup_cdc_chunks")
+    // chunk-level dedup off the CDC hashes (one groupBy, no pair join) +
+    // two-relation CMS join-cardinality estimate
+    "dedup_cdc_chunks", "sketch_join_card")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -179,6 +179,10 @@ object PipelineEntry {
     // rides along (CMS inner product only overestimates)
     "sketch_f2_selfjoin" -> ((s, d) =>
       Sketches.f2SelfJoin(Tables.events(s, d))),
+    // the general two-relation form: |views ⋈ purchases on user_id|
+    // from two sketches' row inner product
+    "sketch_join_card" -> ((s, d) =>
+      Sketches.joinCardinality(Tables.events(s, d))),
     // near-dup clustering: GraphX connected components over the verified
     // Jaccard pairs; oracle = recursive-CTE reachability closure
     "dedup_components" -> ((s, d) =>
@@ -682,6 +686,30 @@ object PipelineEntry {
       "EX AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM C) " +
       "SELECT CAST(est_f2 AS BIGINT) AS est_f2, exact_f2, " +
       "CAST(est_f2 - exact_f2 AS BIGINT) AS overcount FROM EST, EX"
+    },
+    // two-relation join cardinality: inner product of the two sketches'
+    // rows, min over depths; all integer
+    "sketch_join_card" -> {
+      import graft.ops.Sketches.{CmsDepth, CmsWidth}
+      "WITH CA AS (SELECT CAST(user_id AS VARCHAR) AS term, CAST(count(*) AS BIGINT) AS c " +
+      "FROM events WHERE event_type = 'view' GROUP BY term), " +
+      "CB AS (SELECT CAST(user_id AS VARCHAR) AS term, CAST(count(*) AS BIGINT) AS c " +
+      "FROM events WHERE event_type = 'purchase' GROUP BY term), " +
+      s"EA AS (SELECT term, c, unnest(range($CmsDepth)) AS d FROM CA), " +
+      "MA AS (SELECT term, c, d, md5(CAST(d AS VARCHAR) || '|' || term) AS m FROM EA), " +
+      s"BA AS (SELECT c, d, (${graft.ops.Sketches.hexToLongSql("m")}) % $CmsWidth AS bucket FROM MA), " +
+      "SKA AS (SELECT d, bucket, CAST(sum(c) AS BIGINT) AS bcnt FROM BA GROUP BY d, bucket), " +
+      s"EB AS (SELECT term, c, unnest(range($CmsDepth)) AS d FROM CB), " +
+      "MB AS (SELECT term, c, d, md5(CAST(d AS VARCHAR) || '|' || term) AS m FROM EB), " +
+      s"BB AS (SELECT c, d, (${graft.ops.Sketches.hexToLongSql("m")}) % $CmsWidth AS bucket FROM MB), " +
+      "SKB AS (SELECT d, bucket, CAST(sum(c) AS BIGINT) AS bcnt FROM BB GROUP BY d, bucket), " +
+      "J AS (SELECT a.d, sum(a.bcnt * b.bcnt) AS e FROM SKA a " +
+      "JOIN SKB b ON a.d = b.d AND a.bucket = b.bucket GROUP BY a.d), " +
+      "EST AS (SELECT min(e) AS est_join FROM J), " +
+      "EX AS (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT) AS exact_join " +
+      "FROM CA a JOIN CB b ON a.term = b.term) " +
+      "SELECT CAST(est_join AS BIGINT) AS est_join, exact_join, " +
+      "CAST(est_join - exact_join AS BIGINT) AS overcount FROM EST, EX"
     },
     // CMS heavy-hitter audit: sketch built from term counts (identical to
     // the occurrence-built sketch), est = min over depth rows

@@ -166,6 +166,41 @@ object Sketches {
         (col("est_f2") - col("exact_f2")).cast("long").as("overcount"))
   }
 
+  /** JOIN-cardinality estimation between two relations from their count
+    * sketches — the general form of [[f2SelfJoin]] (Cormode &
+    * Muthukrishnan §4.2: |R ⋈_k S| = Σ_k cntR(k)·cntS(k), estimated as
+    * min over depths of the CMS row inner product; collisions only
+    * ADD). The planner question before joining two 100 TB streams —
+    * here "view events ⋈ purchase events on user_id", the
+    * pre-aggregation sizing of a user-interaction join — answered in
+    * 2·depth×width state. Exact join size rides along; all-integer, so
+    * the oracle matches exactly. */
+  def joinCardinality(events: DataFrame, keyCol: String = "user_id",
+      typeCol: String = "event_type", typeA: String = "view",
+      typeB: String = "purchase"): DataFrame = {
+    def cms(pred: Column) = events.filter(pred)
+      .select(col(keyCol).cast("string").as("term"))
+      .select(col("term"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .groupBy(col("d"), cmsBucket(col("d"), col("term")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = cms(col(typeCol) === typeA)
+      .join(cms(col(typeCol) === typeB)
+        .withColumnRenamed("cnt", "cnt_b"), Seq("d", "bucket"))
+      .groupBy(col("d")).agg(sum(col("cnt") * col("cnt_b")).as("e"))
+      .agg(min(col("e")).as("est_join"))
+    def counts(pred: Column) = events.filter(pred)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val exact = counts(col(typeCol) === typeA)
+      .join(counts(col(typeCol) === typeB)
+        .withColumnRenamed("c", "cb"), Seq(keyCol))
+      .agg(coalesce(sum(col("c") * col("cb")), lit(0L)).as("exact_join"))
+    est.crossJoin(exact)
+      .select(col("est_join").cast("long").as("est_join"),
+        col("exact_join").cast("long").as("exact_join"),
+        (col("est_join") - col("exact_join")).cast("long").as("overcount"))
+  }
+
   /** Heavy-hitter estimate audit: the exact top-`topK` terms with their
     * CMS estimates (min over depth rows) and the overcount — CMS
     * guarantees est ≥ exact, and the recorded overcount prices the

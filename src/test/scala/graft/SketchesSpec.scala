@@ -119,6 +119,26 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("overcount") === r.getAs[Long]("est_f2") - want)
   }
 
+  test("joinCardinality: exact join size matches brute force; estimate upper-bounds") {
+    import spark.implicits._
+    // user u: u views and (u % 3) purchases, u = 1..30
+    val events = (1L to 30L).flatMap { u =>
+      Seq.fill(u.toInt)((u, "view")) ++ Seq.fill((u % 3).toInt)((u, "purchase"))
+    }.toDF("user_id", "event_type")
+    val r = Sketches.joinCardinality(events).collect()(0)
+    val want = (1L to 30L).map(u => u * (u % 3)).sum
+    assert(r.getAs[Long]("exact_join") === want)
+    assert(r.getAs[Long]("est_join") >= want,
+      "CMS inner product must upper-bound the join size")
+    // disjoint keys on the two sides -> exact 0 (estimate may exceed 0
+    // only through collisions, and still upper-bounds)
+    val disj = ((1L to 10L).map(u => (u, "view")) ++
+      (11L to 20L).map(u => (u, "purchase"))).toDF("user_id", "event_type")
+    val r2 = Sketches.joinCardinality(disj).collect()(0)
+    assert(r2.getAs[Long]("exact_join") === 0L)
+    assert(r2.getAs[Long]("est_join") >= 0L)
+  }
+
   test("kmvIntersect: identical sets estimate ∩ == ∪; disjoint sets estimate 0") {
     import spark.implicits._
     // each doc contributes distinct 3-shingles; vocabulary per doc is
