@@ -434,6 +434,23 @@ object OracleCtes {
       "GROUP BY doc_id ORDER BY doc_id"
   }
 
+  /** Fertility oracle: the same chain, rolled up per source instead of
+    * per doc — tokens/word and chars/token under the final vocab. */
+  val bpeFertilityOracleSql: String = {
+    val steps = graft.ops.Bpe.Steps
+    "WITH " + bpeChainBlocks(steps).mkString(", ") + ", " +
+      s"V AS (SELECT word, CAST(len(string_split(trim(s), '  ')) AS INT) AS word_tokens, " +
+      s"CAST(length(word) AS INT) AS word_chars FROM T$steps), " +
+      s"DW AS (SELECT source, unnest(string_split($docNorm, ' ')) AS word FROM documents) " +
+      "SELECT source, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(word_chars) AS BIGINT) AS n_chars, " +
+      "CAST(sum(word_tokens) AS BIGINT) AS n_tokens, " +
+      "round(CAST(sum(word_tokens) AS DOUBLE) / count(*), 4) AS fertility, " +
+      "round(CAST(sum(word_chars) AS DOUBLE) / sum(word_tokens), 4) AS chars_per_token " +
+      "FROM DW JOIN V USING (word) WHERE word <> '' " +
+      "GROUP BY source ORDER BY source"
+  }
+
   /** Corpus-capstone shared SQL — the keep chain (quality gate → exact
     * keepers → near-dup drops → KEEP; requires `shingleCtes`' SH/PAIRS in
     * scope) and the split+pack tail over a given id CTE. Shared verbatim

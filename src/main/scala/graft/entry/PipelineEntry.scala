@@ -97,6 +97,33 @@ object PipelineEntry {
     // bloom filter probed at scan time (native expression), exact verify
     // on the collided sliver only — same result, ~20x smaller exchange
     "decontam_bloom" -> ((s, d) => Decontam.overlapBloom(Tables.documents(s, d))),
+    // span-level (surgical) decontamination: positional 3-gram hits merged
+    // into maximal contiguous word spans per doc — remove the passage,
+    // keep the doc; one corpus scan, doc-partitioned windows
+    "decontam_spans" -> ((s, d) => Decontam.spans(Tables.documents(s, d))),
+    // streaming decontam twin: training docs arrive as a REAL bounded
+    // stream (two disjoint files); each micro-batch scores against the
+    // STANDING bench shingle set (stateless per doc — incremental ==
+    // batch by construction, gated by sharing decontam_overlap's oracle)
+    "stream_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("source") =!= "src0")
+      val feed = java.nio.file.Files.createTempDirectory("graft-decon-feed")
+        .toFile.getAbsolutePath + "/in"
+      corpus.filter(col("doc_id") % 2 === 1).repartition(1).write.parquet(feed)
+      corpus.filter(col("doc_id") % 2 === 0).repartition(1)
+        .write.mode("append").parquet(feed)
+      val out = java.nio.file.Files.createTempDirectory("graft-decon-out")
+        .toFile.getAbsolutePath + "/scored"
+      // the fixed eval-suite side, cached once and probed by every batch
+      val benchSh = graft.CacheScope.track(Decontam.benchSet(docs))
+      val q = graft.streaming.Streams.incrementalDecontam(
+        s.readStream.schema(corpus.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        benchSh, out)
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(out).orderBy(col("doc_id"))
+    }),
     // training-data pipeline: PII redaction (emails/IPv4/phones) with a
     // zero-residual certificate; corpus is synthetic-clean so the gate
     // injects deterministic PII first — see TextAnalysis.withPii
@@ -140,6 +167,10 @@ object PipelineEntry {
     // token-budgeted mixture: per-source TOKEN quotas (recipes are
     // specified in tokens), admission by source-local running sum
     "sample_token_budget" -> ((s, d) => Sampling.tokenBudget(Tables.documents(s, d))),
+    // DSIR importance scoring: hashed-unigram log-ratio of target (src0)
+    // vs raw distribution, scaled-long quantized before the per-doc sum;
+    // keep = mean log-ratio positive (stateless, no global sort)
+    "sample_dsir" -> ((s, d) => Sampling.dsirScores(Tables.documents(s, d))),
     // the recipe COMPOSER capstone: quality gate → temperature share →
     // epoch repetition → token-budget truncation in ONE DAG over ONE
     // corpus scan, emitting the per-source audited manifest
@@ -194,6 +225,11 @@ object PipelineEntry {
     // never all-pairs), top-3 partners per anchor
     "graph_node_similarity" -> ((s, d) =>
       graft.graph.GraphOps.nodeSimilarity(Tables.students(s, d))),
+    // link prediction, hub-discounted: Adamic-Adar (Σ 1/ln deg over shared
+    // neighbors, scaled-long quantized on the degree table) — same capped
+    // wedge join as node similarity, integer-exact rank tiebreaks
+    "graph_adamic_adar" -> ((s, d) =>
+      graft.graph.GraphOps.adamicAdar(Tables.students(s, d))),
     // training-data pipeline: sequence packing — concat-then-chunk slot
     // assignment over (lang, shard) prefix sums; shard = portable md5
     // bucket so the only shuffle's cardinality is a config knob
@@ -204,7 +240,28 @@ object PipelineEntry {
     // the scan, corpus stats as one broadcast row, TakeOrderedAndProject
   )
 
+  /** Shared by decontam_overlap, decontam_bloom (the sketch's false
+    * positives die in the exact verify join — result identical) and
+    * stream_decontam (per-batch scoring is stateless — drained union ==
+    * batch): one oracle, three engine paths gated against it. */
+  private val decontamOverlapOracle: String =
+    s"WITH W AS (SELECT doc_id, source, string_split($docNorm, ' ') AS w FROM documents), " +
+    "SH AS (SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN " +
+    "list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) " +
+    "ELSE [array_to_string(w, ' ')] END)) AS sh FROM W), " +
+    "BENCH AS (SELECT DISTINCT sh FROM SH WHERE source = 'src0'), " +
+    "CORP AS (SELECT doc_id, sh FROM SH WHERE source <> 'src0'), " +
+    "CNT AS (SELECT doc_id, count(*) AS n_sh FROM CORP GROUP BY 1), " +
+    "HIT AS (SELECT doc_id, count(*) AS n_hit FROM CORP SEMI JOIN BENCH USING (sh) GROUP BY 1), " +
+    "J AS (SELECT c.doc_id, c.n_sh, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, " +
+    "round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(c.n_sh AS DOUBLE), 4) AS overlap_frac " +
+    "FROM CNT c LEFT JOIN HIT h ON c.doc_id = h.doc_id) " +
+    s"SELECT doc_id, n_sh, n_hit, overlap_frac, " +
+    s"CAST(overlap_frac >= ${graft.ops.Decontam.ContaminatedFrac} AS INT) AS contaminated " +
+    "FROM J ORDER BY doc_id"
+
   def oracleSql: Map[String, String] = Map(
+    "stream_decontam" -> decontamOverlapOracle,
     "mm_features" ->
       ("WITH M AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, md5(text) AS h, " +
@@ -381,39 +438,35 @@ object PipelineEntry {
        "SELECT doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac, " +
        "CAST(dup_word_frac >= 0.65 OR top_bigram_frac >= 0.15 AS INT) AS repetitive " +
        "FROM J ORDER BY doc_id"),
-    "decontam_overlap" ->
-      (s"WITH W AS (SELECT doc_id, source, string_split($docNorm, ' ') AS w FROM documents), " +
-       "SH AS (SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN " +
-       "list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) " +
-       "ELSE [array_to_string(w, ' ')] END)) AS sh FROM W), " +
-       "BENCH AS (SELECT DISTINCT sh FROM SH WHERE source = 'src0'), " +
-       "CORP AS (SELECT doc_id, sh FROM SH WHERE source <> 'src0'), " +
-       "CNT AS (SELECT doc_id, count(*) AS n_sh FROM CORP GROUP BY 1), " +
-       "HIT AS (SELECT doc_id, count(*) AS n_hit FROM CORP SEMI JOIN BENCH USING (sh) GROUP BY 1), " +
-       "J AS (SELECT c.doc_id, c.n_sh, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, " +
-       "round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(c.n_sh AS DOUBLE), 4) AS overlap_frac " +
-       "FROM CNT c LEFT JOIN HIT h ON c.doc_id = h.doc_id) " +
-       s"SELECT doc_id, n_sh, n_hit, overlap_frac, " +
-       s"CAST(overlap_frac >= ${graft.ops.Decontam.ContaminatedFrac} AS INT) AS contaminated " +
-       "FROM J ORDER BY doc_id"),
+    "decontam_overlap" -> decontamOverlapOracle,
     // bloom-pruned decontam returns the IDENTICAL result (the exact verify
     // join kills the sketch's false positives), so it shares the exact
     // path's oracle — that equality is precisely what's being gated
-    "decontam_bloom" ->
+    "decontam_bloom" -> decontamOverlapOracle,
+    // span-level decontam: positional grams via DuckDB's zipped multi-unnest
+    // (pos list + gram list in one SELECT), islands = lag + running-sum —
+    // the same gaps-and-islands the engine runs, recomputed independently
+    "decontam_spans" ->
       (s"WITH W AS (SELECT doc_id, source, string_split($docNorm, ' ') AS w FROM documents), " +
-       "SH AS (SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN " +
+       "BENCH AS (SELECT DISTINCT unnest(list_distinct(CASE WHEN len(w) >= 3 THEN " +
        "list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) " +
-       "ELSE [array_to_string(w, ' ')] END)) AS sh FROM W), " +
-       "BENCH AS (SELECT DISTINCT sh FROM SH WHERE source = 'src0'), " +
-       "CORP AS (SELECT doc_id, sh FROM SH WHERE source <> 'src0'), " +
-       "CNT AS (SELECT doc_id, count(*) AS n_sh FROM CORP GROUP BY 1), " +
-       "HIT AS (SELECT doc_id, count(*) AS n_hit FROM CORP SEMI JOIN BENCH USING (sh) GROUP BY 1), " +
-       "J AS (SELECT c.doc_id, c.n_sh, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, " +
-       "round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(c.n_sh AS DOUBLE), 4) AS overlap_frac " +
-       "FROM CNT c LEFT JOIN HIT h ON c.doc_id = h.doc_id) " +
-       s"SELECT doc_id, n_sh, n_hit, overlap_frac, " +
-       s"CAST(overlap_frac >= ${graft.ops.Decontam.ContaminatedFrac} AS INT) AS contaminated " +
-       "FROM J ORDER BY doc_id"),
+       "ELSE [array_to_string(w, ' ')] END)) AS sh FROM W WHERE source = 'src0'), " +
+       "C AS (SELECT doc_id, w, len(w) AS n_words FROM W WHERE source <> 'src0' AND len(w) >= 3), " +
+       "G AS (SELECT doc_id, n_words, unnest(range(len(w)-2)) AS pos, " +
+       "unnest(list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh FROM C), " +
+       "H AS (SELECT doc_id, n_words, pos FROM G SEMI JOIN BENCH USING (sh)), " +
+       "I AS (SELECT doc_id, n_words, pos, CASE WHEN lag(pos) OVER dw IS NULL " +
+       "OR pos - lag(pos) OVER dw > 3 THEN 1 ELSE 0 END AS brk FROM H " +
+       "WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)), " +
+       "S AS (SELECT doc_id, n_words, pos, sum(brk) OVER " +
+       "(PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM I), " +
+       "E AS (SELECT doc_id, island, max(n_words) AS n_words, " +
+       "max(pos) + 3 - min(pos) AS covered FROM S GROUP BY 1, 2) " +
+       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+       "CAST(sum(covered) AS BIGINT) AS covered_words, " +
+       "CAST(max(n_words) AS BIGINT) AS n_words, " +
+       "round(CAST(sum(covered) AS DOUBLE) / max(n_words), 4) AS cover_frac " +
+       "FROM E GROUP BY doc_id ORDER BY doc_id"),
     // PII construction mirrored verbatim; regexes are shared constants from
     // TextAnalysis (RE2∩Java subset) interpolated into both engines.
     "text_pii" -> {
@@ -519,6 +572,29 @@ object PipelineEntry {
        "CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs, " +
        "round(CAST(d.target AS DOUBLE) / d.n_docs, 4) AS rate " +
        "FROM D d LEFT JOIN K k ON k.source = d.source ORDER BY d.source"),
+    // DSIR importance scores: the same 256-bucket md5 feature hash (instr
+    // arithmetic), Laplace-smoothed ratio with IDENTICAL parenthesization,
+    // ln quantized to a scaled long before the per-doc integer sum
+    "sample_dsir" ->
+      (s"WITH W AS (SELECT doc_id, source, string_split($docNorm, ' ') AS w FROM documents), " +
+       "TK AS (SELECT doc_id, source, unnest(w) AS tok FROM W), " +
+       "B AS (SELECT doc_id, source, (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 + " +
+       "instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS b FROM TK), " +
+       "T AS (SELECT b, count(*) AS t_cnt FROM B WHERE source = 'src0' GROUP BY b), " +
+       "R AS (SELECT b, count(*) AS r_cnt FROM B WHERE source <> 'src0' GROUP BY b), " +
+       "NT AS (SELECT coalesce(sum(t_cnt), 0) AS nt FROM T), " +
+       "NR AS (SELECT sum(r_cnt) AS nr FROM R), " +
+       "LR AS (SELECT r.b, CAST(round(ln(" +
+       "((coalesce(t.t_cnt, 0) + 1.0) / (nt + 256.0)) / " +
+       "((r.r_cnt + 1.0) / (nr + 256.0))) * 1000000.0) AS BIGINT) AS lr6 " +
+       "FROM R r LEFT JOIN T t ON r.b = t.b CROSS JOIN NT CROSS JOIN NR), " +
+       "D AS (SELECT x.doc_id, count(*) AS n_tokens, sum(lr.lr6) AS s6 " +
+       "FROM (SELECT doc_id, b FROM B WHERE source <> 'src0') x " +
+       "JOIN LR lr ON x.b = lr.b GROUP BY 1) " +
+       "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+       "round(CAST(s6 AS DOUBLE) / (1000000.0 * n_tokens), 4) AS dsir_score, " +
+       "CAST(round(CAST(s6 AS DOUBLE) / (1000000.0 * n_tokens), 4) > 0.0 AS INT) AS keep " +
+       "FROM D ORDER BY doc_id"),
     // token-budgeted mixture: integer quota arithmetic (div 256), source-
     // local running sums, crossing doc admitted
     "sample_token_budget" ->

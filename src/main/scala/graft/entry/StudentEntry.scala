@@ -482,6 +482,26 @@ object StudentEntry {
       "R AS (SELECT *, row_number() OVER (PARTITION BY a ORDER BY jaccard DESC, b) AS rk FROM J) " +
       "SELECT a, b, common, jaccard, CAST(rk AS INT) AS rank FROM R WHERE rk <= 3 " +
       "ORDER BY a, rank"),
+    // Adamic-Adar: same capped wedge join, shared neighbors weighted by
+    // 1/ln(deg) quantized to scaled longs on the degree table (deg >= 2);
+    // rank ties break on the exact integer s6, never the rounded double
+    "graph_adamic_adar" -> withStudents(
+      s", e AS ($edgesSql), P AS (SELECT DISTINCT src, dst FROM e), " +
+      "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
+      "U AS (SELECT src, dst FROM (SELECT src, dst, " +
+      "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM U0) WHERE rn <= 32), " +
+      "D AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM U GROUP BY src), " +
+      "IV AS (SELECT src AS c, CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS inv6 " +
+      "FROM D WHERE deg >= 2), " +
+      "C AS (SELECT x.src AS a, x.dst AS b, u1.dst AS c " +
+      "FROM (SELECT src, dst FROM U WHERE src % 200 = 0) x " +
+      "JOIN U u1 ON u1.src = x.src JOIN U u2 ON u2.src = x.dst AND u2.dst = u1.dst), " +
+      "W AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS common, " +
+      "CAST(sum(iv.inv6) AS BIGINT) AS s6 FROM C c JOIN IV iv ON iv.c = c.c GROUP BY 1, 2), " +
+      "R AS (SELECT a, b, common, round(CAST(s6 AS DOUBLE) / 1000000.0, 4) AS aa_score, " +
+      "row_number() OVER (PARTITION BY a ORDER BY s6 DESC, b) AS rk FROM W) " +
+      "SELECT a, b, common, aa_score, CAST(rk AS INT) AS rank FROM R WHERE rk <= 3 " +
+      "ORDER BY a, rank"),
     // personalized PageRank: the 3 power-iteration rounds UNROLLED (DuckDB
     // recursive CTEs forbid aggregation in the recursive term) — each
     // round mirrors the engine exactly: contribution ((r // deg) * 85) //

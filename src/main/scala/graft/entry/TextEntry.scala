@@ -48,6 +48,9 @@ object TextEntry {
     // encode under the trained vocab: replace chain runs once per
     // DISTINCT word; documents join the vocab-sized encode table
     "bpe_encode" -> ((s, d) => Bpe.encode(Tables.documents(s, d))),
+    // per-source tokenizer fertility (tokens/word, chars/token) under the
+    // trained vocab — the per-domain compute-cost audit
+    "text_fertility" -> ((s, d) => Bpe.fertility(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     // code-switching detector: per-chunk langid vote -> per-doc majority
@@ -182,5 +185,6 @@ object TextEntry {
   ) ++ Map(
     "bpe_merges" -> bpeOracleSql,
     "bpe_encode" -> bpeEncodeOracleSql,
+    "text_fertility" -> bpeFertilityOracleSql,
   )
 }

@@ -819,4 +819,50 @@ object GraphOps {
         col("rank").cast("int").as("rank"))
       .orderBy(col("a"), col("rank"))
   }
+
+  /** Adamic-Adar link prediction over the same capped undirected edge view
+    * as [[nodeSimilarity]]: score(a,b) = Σ over shared neighbors c of
+    * 1/ln(deg(c)) — rare shared neighbors count for more than hubs (the
+    * Neo4j GDS `linkprediction.adamicAdar` scorer). Shared neighbors of
+    * degree 1 are excluded (ln 1 = 0 — no finite weight; on an undirected
+    * view a wedge center nearly always has deg ≥ 2 anyway).
+    *
+    * Determinism: each neighbor's inverse-log weight quantizes to a scaled
+    * long (round(10⁶/ln deg)) on the DEGREE TABLE (node-sized) before the
+    * per-pair sum, so pair scores are exact integer arithmetic and the
+    * per-anchor rank ties break on the exact s6, never a rounded double.
+    *
+    * Scale shape: identical to [[nodeSimilarity]] — `neighborCap`-bounded
+    * adjacency via the TopKPerKey operator, wedge equi-join (never
+    * all-pairs, ≤ anchors × cap² rows), one node-sized degree aggregate
+    * joined on the wedge CENTER, per-anchor rank window. */
+  def adamicAdar(students: DataFrame, anchorMod: Int = 200, k: Int = 3,
+      neighborCap: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.ops.EdgeRules.backfill(students)
+      .select(col("src"), col("dst")).distinct()
+    val undFull = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val und = graft.CacheScope.track(
+      graft.plans.TopK.perKeyMin(undFull, Seq("src"), "dst", "dst", neighborCap))
+    val inv = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .select(col("src").as("c"),
+        round(lit(1000000.0) / log(col("deg").cast("double")))
+          .cast("long").as("inv6"))
+    und.filter(col("src") % anchorMod === 0)
+      .select(col("src").as("a"), col("dst").as("b"))
+      .join(und.select(col("src").as("a"), col("dst").as("c")), "a")
+      .join(und.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .join(inv, "c")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"), sum(col("inv6")).as("s6"))
+      .withColumn("aa_score", round(col("s6").cast("double") / 1000000.0, 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("a")).orderBy(desc("s6"), col("b"))))
+      .filter(col("rank") <= k)
+      .select(col("a"), col("b"), col("common"), col("aa_score"),
+        col("rank").cast("int").as("rank"))
+      .orderBy(col("a"), col("rank"))
+  }
 }

@@ -65,6 +65,31 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility audit, per source: tokens/word (fertility) and
+    * chars/token under the trained vocabulary — the per-domain check a
+    * tokenizer team runs before committing to a vocab (a domain whose
+    * fertility is high pays proportionally more compute per byte of text
+    * in training). Same vocabulary-sized replace chain as [[encode]]; the
+    * corpus pass carries `source` through the word explode so the rollup
+    * is one extra map-side-combined aggregate, not a second scan. */
+  def fertility(docs: DataFrame, steps: Int = Steps): DataFrame = {
+    val perWord = chain(docs, steps)._2.select(col("word"),
+      size(split(trim(col("s")), "  ")).as("word_tokens"),
+      length(col("word")).as("word_chars"))
+    docs.select(col("source"), explode(Dedup.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(perWord, "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("word_chars")).as("n_chars"),
+        sum(col("word_tokens")).as("n_tokens"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words"), 4))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("source"))
+  }
+
   /** The shared merge chain: per-step winners plus the final token
     * state (word, freq, s). */
   private def chain(docs: DataFrame, steps: Int): (Seq[DataFrame], DataFrame) = {

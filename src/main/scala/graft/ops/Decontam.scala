@@ -28,15 +28,26 @@ object Decontam {
   /** Per-doc 3-shingle overlap with the `benchSource` docs' shingle set.
     * Output: doc_id, n_sh (distinct shingles), n_hit (of those, how many
     * appear anywhere in the benchmark), overlap_frac, contaminated. */
-  def overlap(docs: DataFrame, benchSource: String = "src0"): DataFrame = {
-    val benchSh = Dedup.shingles(docs.filter(col("source") === benchSource))
+  def overlap(docs: DataFrame, benchSource: String = "src0"): DataFrame =
+    score(docs.filter(col("source") =!= benchSource), benchSet(docs, benchSource))
+
+  /** The distinct benchmark shingle set (with the join's hit marker). */
+  def benchSet(docs: DataFrame, benchSource: String = "src0"): DataFrame =
+    Dedup.shingles(docs.filter(col("source") === benchSource))
       .select("sh").distinct().withColumn("hit", lit(1))
-    val corpusSh = Dedup.shingles(docs.filter(col("source") =!= benchSource))
-    // One corpus shingle pass: LEFT join against the (distinct) benchmark
-    // set — multiplicity stays 1 — then a single per-doc aggregate counts
-    // totals and hits together. A semi-join + separate total count would
-    // shingle the corpus twice on different exchange keys (no reuse).
-    corpusSh.join(benchSh, Seq("sh"), "left")
+
+  /** Per-doc overlap scoring of `corpus` against a prepared benchmark
+    * shingle set — shared by the batch pass and the streaming twin (each
+    * micro-batch scores its own docs against the STANDING bench set; the
+    * scoring is stateless per doc, so incremental == batch by
+    * construction).
+    *
+    * One corpus shingle pass: LEFT join against the (distinct) benchmark
+    * set — multiplicity stays 1 — then a single per-doc aggregate counts
+    * totals and hits together. A semi-join + separate total count would
+    * shingle the corpus twice on different exchange keys (no reuse). */
+  def score(corpus: DataFrame, benchSh: DataFrame): DataFrame =
+    Dedup.shingles(corpus).join(benchSh, Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
       .withColumn("overlap_frac",
@@ -44,7 +55,6 @@ object Decontam {
       .withColumn("contaminated",
         (col("overlap_frac") >= ContaminatedFrac).cast("int"))
       .orderBy(col("doc_id"))
-  }
 
   /** Bloom-pruned decontamination — same RESULT as [[overlap]] (the exact
     * verify join kills the filter's false positives; no false negatives by
@@ -69,6 +79,59 @@ object Decontam {
     *
     * fpp trades sketch size against wasted verify work, NOT correctness —
     * PipelineOpsSpec proves result equality even at fpp = 0.5. */
+  /** Span-level ("surgical") decontamination — instead of [[overlap]]'s
+    * doc-drop verdict, locate WHERE each training doc collides with the
+    * benchmark: positional 3-gram hits are merged into maximal contiguous
+    * word spans (standard gaps-and-islands), and the doc is scored by how
+    * much of it those spans cover. This is the modern variant of the
+    * GPT-3-appendix procedure — remove the leaked passage, keep the doc —
+    * which at 100 TB preserves the large majority of tokens in partially
+    * contaminated documents rather than discarding them whole.
+    *
+    * Scale shape: ONE corpus scan (the doc length rides the explode as a
+    * per-row column, so no second pass for totals), a positional-gram
+    * explode (linear in tokens), one high-cardinality equi-semi-join on
+    * the gram string, then windows PARTITIONED BY doc (bounded by doc
+    * length) and two per-doc aggregates. Never all-pairs, nothing on the
+    * driver.
+    *
+    * Output (hit docs only; docs shorter than 3 words carry no positional
+    * gram and are out of scope): doc_id, n_spans, covered_words, n_words,
+    * cover_frac — two adjacent-or-overlapping hits (gap ≤ k after their
+    * k-word extents) merge into one span. */
+  def spans(docs: DataFrame, benchSource: String = "src0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 3
+    val benchSh = Dedup.shingles(docs.filter(col("source") === benchSource))
+      .select("sh").distinct()
+    val grams = docs.filter(col("source") =!= benchSource)
+      .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        posexplode(expr(
+          s"transform(sequence(0, size(w)-$k), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .as(Seq("pos", "sh")))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val hits = grams.join(benchSh, Seq("sh"), "left_semi")
+      // island break: previous hit's extent [p, p+k-1] no longer overlaps
+      // or touches this one's — i.e. pos > lag(pos) + k
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(byPos).isNull
+          || col("pos") - lag(col("pos"), 1).over(byPos) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    hits.groupBy(col("doc_id"), col("island"))
+      .agg(max(col("n_words")).as("n_words"),
+        (max(col("pos")) + lit(k) - min(col("pos"))).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("covered")).as("covered_words"),
+        max(col("n_words")).cast("long").as("n_words"))
+      .withColumn("cover_frac",
+        round(col("covered_words").cast("double") / col("n_words"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   def overlapBloom(docs: DataFrame, benchSource: String = "src0",
       fpp: Double = 0.01): DataFrame = {
     // three consumers of the eval-side shingle set (count, sketch build,

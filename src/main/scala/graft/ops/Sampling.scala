@@ -420,4 +420,58 @@ object Sampling {
         col("cum_tokens"), col("quota"))
       .orderBy(col("doc_id"))
   }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): score every raw-corpus document by how much
+    * more likely its hashed-unigram features are under a small TARGET
+    * distribution (curated data) than under the raw distribution itself —
+    * the standard pre-training trick for tilting a web-scale corpus toward
+    * a quality exemplar without training a classifier.
+    *
+    * Features are hashed to 256 buckets (first two md5 hex digits of the
+    * token — the repo's portable bucket), both distributions are
+    * Laplace-smoothed ((cnt+1)/(N+256)), and each bucket's log-ratio is
+    * quantized to a scaled long (round(ln·10⁶)) BEFORE the per-doc sum, so
+    * the document score is exact integer arithmetic (the [[TextAnalysis
+    * .lmScore]] discipline — no float-addition-order dependence). A doc is
+    * kept when its mean log-ratio is positive (more target-like than raw)
+    * — a stateless per-doc decision, no global sort, no resampling state.
+    *
+    * Scale shape: ONE cached token explode (three consumers on different
+    * keys: target counts, raw counts, the per-doc score join — the lmScore
+    * rationale), two vocabulary-bounded (≤256-row) aggregates, a broadcast
+    * join of the 256-row ratio dim back onto the token stream, one per-doc
+    * sum. Linear in corpus tokens; nothing on the driver. */
+  def dsirScores(docs: DataFrame, targetSource: String = "src0"): DataFrame = {
+    val tok = graft.CacheScope.track(
+      docs.select(col("doc_id"), col("source"),
+        explode(Dedup.words(col("text"))).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok").cast("binary")), 1, 2), 16, 10)
+            .cast("bigint"))
+        .select(col("doc_id"), col("source"), col("b")))
+    val tCnt = tok.filter(col("source") === targetSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("t_cnt"))
+    val rCnt = tok.filter(col("source") =!= targetSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("r_cnt"))
+    val nt = tCnt.agg(coalesce(sum(col("t_cnt")), lit(0L)).as("nt"))
+    val nr = rCnt.agg(sum(col("r_cnt")).as("nr"))
+    // 256-row ratio dim: raw-side buckets, target count 0-defaulted; the
+    // totals are 1-row frames cross-joined in (broadcast by size)
+    val lr = rCnt.join(tCnt, Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("t_cnt"), lit(0L)) + lit(1.0)) / (col("nt") + lit(256.0))) /
+          ((col("r_cnt") + lit(1.0)) / (col("nr") + lit(256.0)))) * lit(1000000.0))
+          .cast("long").as("lr6"))
+    tok.filter(col("source") =!= targetSource)
+      .join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lr6")).cast("double") / (lit(1000000.0) * count(lit(1))), 4)
+          .as("dsir_score"))
+      .withColumn("keep", (col("dsir_score") > 0.0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
 }

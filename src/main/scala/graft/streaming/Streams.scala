@@ -563,6 +563,24 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming decontamination — score each arriving micro-batch of
+    * training docs against the STANDING benchmark shingle set (the eval
+    * suite is fixed; at 100 TB it is MBs against a continuous TB-scale
+    * ingest). Per-doc scoring is stateless given the bench set, so
+    * incremental == batch by construction: each batch pays one
+    * batch-sized shingle explode + one join against the bench side, and
+    * the appended union equals [[graft.ops.Decontam.overlap]] over the
+    * drained corpus (same oracle row). */
+  def incrementalDecontam(newDocs: DataFrame, benchSh: DataFrame,
+      scoredDir: String): StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Decontam.score(batch, benchSh)
+          .write.mode("append").parquet(scoredDir)
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming corpus curation — the continuous-ingest capstone: per
     * micro-batch, keep-first exact dedup WITHIN the batch (min doc_id
     * per content hash), an anti-join against the STANDING curated

@@ -64,6 +64,25 @@ class BpeSpec extends SparkSpec {
     CacheScope.unpersistAll()
   }
 
+  test("fertility rolls encode up per source with exact token/word ratios") {
+    import spark.implicits._
+    // steps=2 merges (a,b) then (a,a): every word is one token, so
+    // fertility = 1.0 everywhere; srcA has 2 words (4 chars), srcB 2 words
+    val docs = Seq((0L, "aa ab", "srcA"), (1L, "ab ab", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = Bpe.fertility(docs, steps = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(out === Seq(("srcA", 2L, 4L, 2L, 1.0, 2.0),
+      ("srcB", 2L, 4L, 2L, 1.0, 2.0)))
+    CacheScope.unpersistAll()
+    // steps=1 merges only (a,b): 'aa' stays two tokens -> srcA fertility 1.5
+    val one = Bpe.fertility(docs, steps = 1).collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toSeq
+    assert(one === Seq(("srcA", 1.5), ("srcB", 1.0)))
+    CacheScope.unpersistAll()
+  }
+
   test("PROPERTY: spaced-string replace == greedy leftmost list merge") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // the reference semantics: one merge pass consumes disjoint adjacent

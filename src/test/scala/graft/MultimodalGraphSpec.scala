@@ -117,6 +117,22 @@ class MultimodalGraphSpec extends SparkSpec {
     CacheScope.unpersistAll()
   }
 
+  test("adamicAdar on K4: 2 shared deg-3 neighbors => score 2/ln(3), ties on b") {
+    import spark.implicits._
+    val students = Seq(0L, 1L, 2L, 3L)
+      .map(id => (id, s"s$id", "addr" + id, "c1", "b" + id, "st" + id,
+        Seq.empty[String]))
+      .toDF("id", "name", "address", "college", "board", "stream", "interests")
+    val out = graft.graph.GraphOps.adamicAdar(students).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    // every node has deg 3; each anchor-partner pair shares the other two
+    // vertices: s6 = 2 * round(1e6 / ln 3); score quantizes to 1.8205
+    val expected = math.round(2 * math.round(1000000.0 / math.log(3.0)) / 100.0) / 10000.0
+    assert(out === Seq((0L, 1L, 2L, expected, 1), (0L, 2L, 2L, expected, 2),
+      (0L, 3L, 2L, expected, 3)))
+    CacheScope.unpersistAll()
+  }
+
   test("ann recall is within (0, 1] and 1 exactly when ANN's top-k equals brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val recall = graft.ops.Similarity.annRecall(emb).collect()

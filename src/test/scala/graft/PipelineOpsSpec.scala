@@ -83,6 +83,61 @@ class PipelineOpsSpec extends SparkSpec {
       out(3L).getAs[Long]("n_hit") == 0L)
   }
 
+  test("dsirScores tilts toward target-like docs, statelessly") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha beta gamma alpha beta gamma alpha beta gamma", "src0"),
+      (2L, "alpha beta gamma alpha beta gamma", "src1"), // target-like
+      (3L, "zulu yankee xray whiskey victor uniform", "src1")) // off-target
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.dsirScores(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(1L)) // target docs are not scored
+    assert(out(2L).getAs[Long]("n_tokens") == 6L)
+    assert(out(2L).getAs[Double]("dsir_score") >
+      out(3L).getAs[Double]("dsir_score"))
+    assert(out(2L).getAs[Int]("keep") == 1)
+    assert(out(3L).getAs[Int]("keep") == 0)
+  }
+
+  test("decontam spans merges adjacent hits and scores partial coverage") {
+    import spark.implicits._
+    // bench doc carries two phrases; train doc 2 leaks BOTH, back to back
+    // (one merged span); train doc 3 leaks one phrase mid-doc (one span,
+    // partial coverage); train doc 4 is clean (absent from output).
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "src0"),
+      (2L, "alpha beta gamma delta epsilon zeta", "src1"),
+      (3L, "xx yy alpha beta gamma zz ww qq rr tt", "src1"),
+      (4L, "totally clean words here nothing shared anywhere at all", "src1"))
+      .toDF("doc_id", "text", "source")
+    val out = Decontam.spans(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(1L) && !out.contains(4L))
+    // doc 2: every position hits -> one span covering all 6 words
+    assert(out(2L).getAs[Long]("n_spans") == 1L)
+    assert(out(2L).getAs[Long]("covered_words") == 6L)
+    assert(out(2L).getAs[Double]("cover_frac") == 1.0)
+    // doc 3: only "alpha beta gamma" (pos 2) hits -> one 3-word span of 10
+    assert(out(3L).getAs[Long]("n_spans") == 1L)
+    assert(out(3L).getAs[Long]("covered_words") == 3L)
+    assert(out(3L).getAs[Double]("cover_frac") == 0.3)
+  }
+
+  test("decontam spans splits hits separated by an uncovered gap") {
+    import spark.implicits._
+    // hits at pos 0 and pos 8: extents [0,2] and [8,10], gap > 0 -> 2 spans
+    val fixture = Seq(
+      (1L, "alpha beta gamma", "src0"),
+      (2L, "delta epsilon zeta", "src0"),
+      (3L, "alpha beta gamma f1 f2 f3 f4 f5 delta epsilon zeta", "src1"))
+      .toDF("doc_id", "text", "source")
+    val out = Decontam.spans(fixture).collect().head
+    assert(out.getAs[Long]("n_spans") == 2L)
+    assert(out.getAs[Long]("covered_words") == 6L)
+    assert(out.getAs[Long]("n_words") == 11L)
+  }
+
   test("piiRedact counts every injected pattern and leaves zero residual") {
     val out = TextAnalysis.piiRedact(docs).collect()
     assert(out.nonEmpty)
