@@ -270,7 +270,12 @@ object SparkEntry {
     "graph_ppr_weighted", "pack_curriculum",
     // chunk-level dedup off the CDC hashes (one groupBy, no pair join) +
     // two-relation CMS join-cardinality estimate
-    "dedup_cdc_chunks", "sketch_join_card")
+    "dedup_cdc_chunks", "sketch_join_card",
+    // round-18c: span-level (surgical) decontamination, DSIR importance
+    // scoring, hub-discounted link prediction, the per-source tokenizer
+    // fertility audit, and the streaming decontam twin
+    "decontam_spans", "sample_dsir", "graph_adamic_adar", "text_fertility",
+    "stream_decontam")
 
   // ---------------------------------------------------------------- oracle
 }
