@@ -275,7 +275,12 @@ object SparkEntry {
     // scoring, hub-discounted link prediction, the per-source tokenizer
     // fertility audit, and the streaming decontam twin
     "decontam_spans", "sample_dsir", "graph_adamic_adar", "text_fertility",
-    "stream_decontam")
+    "stream_decontam",
+    // round-18c wave 2: PMI collocations, fixed-vocab OOV audit, local
+    // clustering coefficient, and the release-recipe capstone (curate +
+    // decontam + eval-suite exclusion before the budget)
+    "text_pmi_pairs", "text_oov_rate", "graph_clustering_coeff",
+    "corpus_release")
 
   // ---------------------------------------------------------------- oracle
 }

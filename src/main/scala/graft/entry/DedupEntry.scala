@@ -100,6 +100,35 @@ object DedupEntry {
         gated.join(admitted, Seq("doc_id"), "left_semi")
           .join(train, Seq("doc_id"), "left_semi"))
     }),
+    // CAPSTONE v3 — the RELEASE recipe: curate's chain (keepSet -> span
+    // gate) + the two release-only gates a shipped corpus needs — the
+    // eval suite itself excluded, and every doc whose benchmark 3-shingle
+    // overlap crosses the contamination threshold dropped — applied
+    // BEFORE the token budget so quotas reflect the actual releasable
+    // corpus; then split + pack. Every stage an already-oracled op.
+    "corpus_release" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = Dedup.keepSet(docs).select("doc_id")
+      val keptDocs = graft.CacheScope.track(
+        docs.join(kept, Seq("doc_id"), "left_semi"))
+      val lowDup = Dedup.docDupSpans(keptDocs)
+        .filter(col("dup_frac") < 0.5).select("doc_id")
+      val short = keptDocs
+        .filter(size(Dedup.words(col("text"))) < Dedup.SubstrK).select("doc_id")
+      val gated = keptDocs.join(lowDup.unionByName(short), Seq("doc_id"), "left_semi")
+      val clean = Decontam.overlap(docs)
+        .filter(col("contaminated") === 0).select("doc_id")
+      // two consumers (the budget aggregation and the admitted semi-join)
+      val releasable = graft.CacheScope.track(
+        gated.filter(col("source") =!= "src0")
+          .join(clean, Seq("doc_id"), "left_semi"))
+      val admitted = Sampling.tokenBudget(releasable).select("doc_id")
+      val train = Sampling.hashSplit(docs)
+        .filter(col("split") === "train").select("doc_id")
+      Packing.packSequences(
+        releasable.join(admitted, Seq("doc_id"), "left_semi")
+          .join(train, Seq("doc_id"), "left_semi"))
+    }),
     // continuous-ingest shape: a 20% delta batch checked against the
     // remaining 80% as the standing index
     "dedup_incremental" -> ((s, d) => {
@@ -309,6 +338,44 @@ object DedupEntry {
       "q.quota FROM TB t JOIN QB q ON t.source = q.source), " +
       "ADM AS (SELECT doc_id FROM CB WHERE cum_tokens - n_tokens < quota), " +
       packTailSql("ADM")
+    },
+    // capstone v3: curate's chain to GATED, then the decontam gate (the
+    // shared SH shingle view joined back to documents for source) and
+    // the src0 exclusion BEFORE a re-derived token budget over the
+    // releasable set, then the shared split+pack tail
+    "corpus_release" -> {
+      val k = graft.ops.Dedup.SubstrK
+      s"WITH $shingleCtes, $keepChainCtes, " +
+      "KD AS (SELECT d.* FROM documents d WHERE EXISTS (SELECT 1 FROM KEEP k2 WHERE k2.doc_id = d.doc_id)), " +
+      s"W2 AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM KD), " +
+      s"G2 AS (SELECT doc_id, array_to_string(w[i + 1:i + $k], ' ') AS gram " +
+      s"FROM (SELECT doc_id, w, unnest(range(len(w) - ${k - 1})) AS i FROM W2 WHERE len(w) >= $k)), " +
+      "D2 AS (SELECT gram FROM G2 GROUP BY gram HAVING count(*) >= 2), " +
+      "TSP AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM G2 GROUP BY doc_id), " +
+      "USP AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM G2 SEMI JOIN D2 USING (gram) GROUP BY doc_id), " +
+      "SPAN AS (SELECT t.doc_id FROM TSP t LEFT JOIN USP u ON t.doc_id = u.doc_id " +
+      "WHERE round(CAST(coalesce(u.n_dup, 0) AS DOUBLE) / t.n_windows, 4) < 0.5), " +
+      s"SHORT AS (SELECT doc_id FROM W2 WHERE len(w) < $k), " +
+      "GATED AS (SELECT * FROM KD WHERE doc_id IN (SELECT doc_id FROM SPAN UNION ALL SELECT doc_id FROM SHORT)), " +
+      // the decontam gate off the SAME distinct-shingle view (SH)
+      "BEN9 AS (SELECT DISTINCT sh FROM SH JOIN documents USING (doc_id) WHERE source = 'src0'), " +
+      "COR9 AS (SELECT s.doc_id, s.sh FROM SH s JOIN documents d USING (doc_id) WHERE d.source <> 'src0'), " +
+      "CNT9 AS (SELECT doc_id, count(*) AS n_sh FROM COR9 GROUP BY 1), " +
+      "HIT9 AS (SELECT doc_id, count(*) AS n_hit FROM COR9 SEMI JOIN BEN9 USING (sh) GROUP BY 1), " +
+      "CLEAN AS (SELECT c.doc_id FROM CNT9 c LEFT JOIN HIT9 h ON c.doc_id = h.doc_id " +
+      s"WHERE round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(c.n_sh AS DOUBLE), 4) < ${graft.ops.Decontam.ContaminatedFrac}), " +
+      "REL0 AS (SELECT g.* FROM GATED g JOIN CLEAN c ON g.doc_id = c.doc_id WHERE g.source <> 'src0'), " +
+      // token budget RE-DERIVED over the releasable set
+      s"TB9 AS (SELECT doc_id, source, CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tokens FROM REL0), " +
+      "SB9 AS (SELECT source, sum(n_tokens) AS src_tokens FROM TB9 GROUP BY source), " +
+      "WT9 AS (SELECT DISTINCT source, 64 * (1 + CAST(substr(source, 4) AS INT) % 4) AS keep_below FROM REL0), " +
+      "QB9 AS (SELECT s9.source, CAST((w9.keep_below * s9.src_tokens) // 256 AS BIGINT) AS quota " +
+      "FROM SB9 s9 JOIN WT9 w9 ON s9.source = w9.source), " +
+      "CB9 AS (SELECT t.doc_id, t.source, t.n_tokens, " +
+      "sum(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens, " +
+      "q.quota FROM TB9 t JOIN QB9 q ON t.source = q.source), " +
+      "REL AS (SELECT doc_id FROM CB9 WHERE cum_tokens - n_tokens < quota), " +
+      packTailSql("REL")
     },
     // Transitive closure of the verified near-dup pairs (UNION-dedup
     // recursion; components are near-dup chains — tiny — so the closure

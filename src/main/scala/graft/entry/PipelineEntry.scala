@@ -230,6 +230,10 @@ object PipelineEntry {
     // wedge join as node similarity, integer-exact rank tiebreaks
     "graph_adamic_adar" -> ((s, d) =>
       graft.graph.GraphOps.adamicAdar(Tables.students(s, d))),
+    // local clustering coefficient: neighbor-pair edge tests bounded by
+    // cap² per anchor; community cores vs bridge nodes
+    "graph_clustering_coeff" -> ((s, d) =>
+      graft.graph.GraphOps.clusteringCoeff(Tables.students(s, d))),
     // training-data pipeline: sequence packing — concat-then-chunk slot
     // assignment over (lang, shard) prefix sums; shard = portable md5
     // bucket so the only shuffle's cardinality is a config knob

@@ -502,6 +502,23 @@ object StudentEntry {
       "row_number() OVER (PARTITION BY a ORDER BY s6 DESC, b) AS rk FROM W) " +
       "SELECT a, b, common, aa_score, CAST(rk AS INT) AS rank FROM R WHERE rk <= 3 " +
       "ORDER BY a, rank"),
+    // local clustering coefficient: same capped view; tri(v) = capped
+    // directional edge tests over v's neighbor pairs (b < c)
+    "graph_clustering_coeff" -> withStudents(
+      s", e AS ($edgesSql), P AS (SELECT DISTINCT src, dst FROM e), " +
+      "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
+      "U AS (SELECT src, dst FROM (SELECT src, dst, " +
+      "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM U0) WHERE rn <= 32), " +
+      "A AS (SELECT src AS v, dst FROM U WHERE src % 200 = 0), " +
+      "NP AS (SELECT a1.v, a1.dst AS b, a2.dst AS c FROM A a1 " +
+      "JOIN A a2 ON a1.v = a2.v AND a1.dst < a2.dst), " +
+      "TRI AS (SELECT v, CAST(count(*) AS BIGINT) AS triangles FROM NP " +
+      "SEMI JOIN U ON U.src = NP.b AND U.dst = NP.c GROUP BY v), " +
+      "D AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM U GROUP BY src) " +
+      "SELECT d.v, d.deg, CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles, " +
+      "round(2.0 * coalesce(t.triangles, 0) / CAST(d.deg * (d.deg - 1) AS DOUBLE), 4) AS cc " +
+      "FROM D d LEFT JOIN TRI t ON t.v = d.v " +
+      "WHERE d.v % 200 = 0 AND d.deg >= 2 ORDER BY d.v"),
     // personalized PageRank: the 3 power-iteration rounds UNROLLED (DuckDB
     // recursive CTEs forbid aggregation in the recursive term) — each
     // round mirrors the engine exactly: contribution ((r // deg) * 85) //

@@ -60,6 +60,12 @@ object TextEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     // corpus heavy hitters: boilerplate phrases by document frequency
     "text_ngram_topk" -> ((s, d) => TextAnalysis.ngramTopK(Tables.documents(s, d))),
+    // PMI collocations: top pairs by pointwise mutual information
+    // (scaled-long ln on the vocabulary-sized pair table, exact ties)
+    "text_pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(Tables.documents(s, d))),
+    // per-source OOV rate under the fixed top-1000 corpus vocabulary
+    // (one token explode -> (source, word) counts; vocab broadcast back)
+    "text_oov_rate" -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
     // training-data pipeline: similarity search
   )
 
@@ -186,5 +192,34 @@ object TextEntry {
     "bpe_merges" -> bpeOracleSql,
     "bpe_encode" -> bpeEncodeOracleSql,
     "text_fertility" -> bpeFertilityOracleSql,
+    // PMI over the bigram table and its margins; DuckDB's zipped
+    // multi-unnest pairs the two slice lists positionally
+    "text_pmi_pairs" ->
+      (s"WITH W AS (SELECT doc_id, string_split($docNorm, ' ') AS w FROM documents), " +
+       "BI AS (SELECT unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM W WHERE len(w) >= 2), " +
+       "PC AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM BI GROUP BY a, b HAVING count(*) >= 5), " +
+       "UNI AS (SELECT t, CAST(count(*) AS BIGINT) AS c_t FROM " +
+       "(SELECT a AS t FROM BI UNION ALL SELECT b FROM BI) GROUP BY t), " +
+       "NB AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM BI), " +
+       "NT AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_tok FROM UNI), " +
+       "J AS (SELECT p.a, p.b, p.c_ab, CAST(round(ln(" +
+       "(CAST(p.c_ab AS DOUBLE) / n_big) / " +
+       "((CAST(ua.c_t AS DOUBLE) / n_tok) * (CAST(ub.c_t AS DOUBLE) / n_tok))) * 1000000.0) AS BIGINT) AS pmi6 " +
+       "FROM PC p JOIN UNI ua ON ua.t = p.a JOIN UNI ub ON ub.t = p.b " +
+       "CROSS JOIN NB CROSS JOIN NT) " +
+       "SELECT a, b, c_ab, round(CAST(pmi6 AS DOUBLE) / 1000000.0, 4) AS pmi " +
+       "FROM J ORDER BY pmi6 DESC, a, b LIMIT 20"),
+    "text_oov_rate" ->
+      (s"WITH SW AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt FROM " +
+       s"(SELECT source, unnest(string_split($docNorm, ' ')) AS word FROM documents) " +
+       "WHERE word <> '' GROUP BY source, word), " +
+       "V AS (SELECT word FROM (SELECT word, sum(cnt) AS tot FROM SW " +
+       "GROUP BY word ORDER BY tot DESC, word LIMIT 1000)), " +
+       "J AS (SELECT s.source, s.cnt, CASE WHEN v.word IS NULL THEN s.cnt ELSE 0 END AS oov " +
+       "FROM SW s LEFT JOIN V v ON v.word = s.word) " +
+       "SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens, " +
+       "CAST(sum(oov) AS BIGINT) AS n_oov, " +
+       "round(CAST(sum(oov) AS DOUBLE) / sum(cnt), 4) AS oov_rate " +
+       "FROM J GROUP BY source ORDER BY source"),
   )
 }

@@ -836,6 +836,44 @@ object GraphOps {
     * adjacency via the TopKPerKey operator, wedge equi-join (never
     * all-pairs, ≤ anchors × cap² rows), one node-sized degree aggregate
     * joined on the wedge CENTER, per-anchor rank window. */
+  /** Local clustering coefficient over the capped undirected edge view —
+    * the "how clique-like is this node's neighborhood" audit (for the
+    * near-clique equi-rule graph it separates genuine community cores
+    * from bridge nodes): cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), where
+    * tri(v) counts edges BETWEEN v's capped neighbors.
+    *
+    * Scale shape: anchors' neighbor PAIRS are bounded by cap² per anchor
+    * (never corpus-wide pair enumeration); the pair-edge test is one
+    * equi-semi-join against the capped view keyed on the (b, c) pair; deg
+    * is the node-sized count. Exact rational arithmetic until the final
+    * 4-dp rounding. Nodes with deg < 2 have no defined coefficient and
+    * are excluded (the GDS convention). */
+  def clusteringCoeff(students: DataFrame, anchorMod: Int = 200,
+      neighborCap: Int = 32): DataFrame = {
+    val pairs = graft.ops.EdgeRules.backfill(students)
+      .select(col("src"), col("dst")).distinct()
+    val undFull = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val und = graft.CacheScope.track(
+      graft.plans.TopK.perKeyMin(undFull, Seq("src"), "dst", "dst", neighborCap))
+    val anchors = und.filter(col("src") % anchorMod === 0)
+    val nbrPairs = anchors.select(col("src").as("v"), col("dst").as("b"))
+      .join(anchors.select(col("src").as("v"), col("dst").as("c")), "v")
+      .filter(col("b") < col("c"))
+    val tri = nbrPairs
+      .join(und.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"),
+        "left_semi")
+      .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
+    und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      .filter(col("v") % anchorMod === 0 && col("deg") >= 2)
+      .join(tri, Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc", round(lit(2.0) * col("triangles") /
+        (col("deg") * (col("deg") - lit(1))).cast("double"), 4))
+      .orderBy(col("v"))
+  }
+
   def adamicAdar(students: DataFrame, anchorMod: Int = 200, k: Int = 3,
       neighborCap: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -524,4 +524,81 @@ object TextAnalysis {
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
       .orderBy(col("status"))
   }
+
+  /** PMI collocations: top-k adjacent word pairs by pointwise mutual
+    * information — the classic corpus-linguistics miner for multiword
+    * units ("new york"-style pairs that co-occur far above chance),
+    * which a tokenizer/vocab team reads next to [[ngramTopK]]'s raw
+    * frequency list (PMI surfaces RARE-but-glued pairs frequency hides).
+    *
+    * PMI = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) over the bigram table
+    * and p(·) over its MARGINS (occurrences in either bigram slot — the
+    * contingency-table formulation, so the probabilities share one
+    * universe); a `minCount` support floor kills the noisy
+    * low-count tail (standard practice — PMI explodes on hapax pairs).
+    * The log quantizes to a scaled long on the vocabulary-sized pair
+    * table (the [[lmScore]] discipline), so ordering ties are exact.
+    *
+    * Shape at 100 TB: one bigram explode (linear in tokens), bigram and
+    * unigram count aggregates (vocabulary-sized), one join of the two
+    * count dims (the totals ride in as broadcast 1-row frames), then a
+    * bounded TakeOrderedAndProject. */
+  def pmiPairs(docs: DataFrame, k: Int = 20, minCount: Int = 5): DataFrame = {
+    val bi = graft.CacheScope.track(
+      docs.select(col("doc_id"), w.as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(explode(expr(
+          "transform(slice(words, 1, size(words) - 1), (x, i) -> struct(x AS a, element_at(words, i + 2) AS b))"))
+          .as("ab"))
+        .select(col("ab.a").as("a"), col("ab.b").as("b")))
+    val pairCnt = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = bi.select(col("a").as("t")).unionAll(bi.select(col("b").as("t")))
+      .groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+    val nBig = bi.agg(count(lit(1)).as("n_big"))
+    val nTok = uni.agg(sum(col("c_t")).as("n_tok"))
+    pairCnt
+      .join(uni.select(col("t").as("a"), col("c_t").as("c_a")), "a")
+      .join(uni.select(col("t").as("b"), col("c_t").as("c_b")), "b")
+      .crossJoin(broadcast(nBig)).crossJoin(broadcast(nTok))
+      .withColumn("pmi6",
+        round(log(
+          (col("c_ab").cast("double") / col("n_big")) /
+          ((col("c_a").cast("double") / col("n_tok")) *
+           (col("c_b").cast("double") / col("n_tok")))) * lit(1000000.0))
+          .cast("long"))
+      .withColumn("pmi", round(col("pmi6").cast("double") / 1000000.0, 4))
+      .orderBy(desc("pmi6"), col("a"), col("b"))
+      .limit(k)
+      .select(col("a"), col("b"), col("c_ab"), col("pmi"))
+  }
+
+  /** Out-of-vocabulary rate per source under a FIXED top-`vocabSize`
+    * corpus vocabulary — the coverage audit run before freezing a
+    * tokenizer/vocab: a source whose tokens fall outside the shared
+    * vocab will fragment into subwords (or UNKs) at training time.
+    *
+    * Shape at 100 TB: ONE token explode folded immediately into a
+    * (source, word) count table (map-side combined, vocabulary-sized);
+    * both the vocab (top-V by summed count, deterministic word
+    * tiebreak, bounded TakeOrdered) and the per-source rates derive
+    * from that cached table — the corpus is scanned once. The vocab is
+    * broadcast (V rows) back onto the count table, never the tokens. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val sw = graft.CacheScope.track(
+      docs.select(col("source"), explode(w).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt")))
+    val vocab = sw.groupBy(col("word")).agg(sum(col("cnt")).as("tot"))
+      .orderBy(desc("tot"), col("word")).limit(vocabSize)
+      .select(col("word"), lit(1).as("inv"))
+    sw.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(when(col("inv").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("source"))
+  }
 }

@@ -133,6 +133,33 @@ class MultimodalGraphSpec extends SparkSpec {
     CacheScope.unpersistAll()
   }
 
+  test("clusteringCoeff: K4 anchor reads cc=1.0; a star center reads 0") {
+    import spark.implicits._
+    // college c1 -> K4 on {0,1,2,3}: every neighbor pair is an edge
+    val k4 = Seq(0L, 1L, 2L, 3L)
+      .map(id => (id, s"s$id", "addr" + id, "c1", "b" + id, "st" + id,
+        Seq.empty[String]))
+    // node 200 bridges two otherwise-unconnected colleges via boards:
+    // board x1 pairs it with 201, board... a star: 200-201 (b1), 200-202
+    // (via college c2 with 202 only) — neighbors 201, 202 share no edge
+    val star = Seq(
+      (200L, "s200", "a200", "c2", "bX", "stA", Seq.empty[String]),
+      (201L, "s201", "a201", "c2", "bY", "stB", Seq.empty[String]),
+      (202L, "s202", "a202", "c3", "bX", "stC", Seq.empty[String]))
+    val students = (k4 ++ star)
+      .toDF("id", "name", "address", "college", "board", "stream", "interests")
+    val out = graft.graph.GraphOps.clusteringCoeff(students).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("deg") == 3L)
+    assert(out(0L).getAs[Long]("triangles") == 3L)
+    assert(out(0L).getAs[Double]("cc") == 1.0)
+    // 200's neighbors (201 via college, 202 via board) share no edge
+    assert(out(200L).getAs[Long]("deg") == 2L)
+    assert(out(200L).getAs[Long]("triangles") == 0L)
+    assert(out(200L).getAs[Double]("cc") == 0.0)
+    CacheScope.unpersistAll()
+  }
+
   test("ann recall is within (0, 1] and 1 exactly when ANN's top-k equals brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val recall = graft.ops.Similarity.annRecall(emb).collect()

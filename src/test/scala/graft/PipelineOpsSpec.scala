@@ -83,6 +83,40 @@ class PipelineOpsSpec extends SparkSpec {
       out(3L).getAs[Long]("n_hit") == 0L)
   }
 
+  test("pmiPairs surfaces glued pairs over frequent-but-independent ones") {
+    import spark.implicits._
+    // "aa bb" always co-occur (5 times, never apart); "cc dd" co-occur 5
+    // times but each also appears alone often -> lower PMI
+    val glue = (1 to 5).map(i => (i.toLong, "aa bb"))
+    val indep = (6 to 10).map(i => (i.toLong, "cc dd"))
+    val noise = (11 to 30).map(i =>
+      (i.toLong, if (i % 2 == 0) "cc xx" else "dd yy"))
+    val docs = (glue ++ indep ++ noise).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(docs, k = 10, minCount = 5).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getAs[String]("a") == "aa" && top.getAs[String]("b") == "bb")
+    val byPair = out.map(r =>
+      (r.getAs[String]("a"), r.getAs[String]("b")) -> r.getAs[Double]("pmi")).toMap
+    assert(byPair(("aa", "bb")) > byPair(("cc", "dd")))
+  }
+
+  test("oovRate: tokens outside the top-V vocab accumulate per source") {
+    import spark.implicits._
+    // vocab of size 2 = {"aa", "bb"} (most frequent); srcB's "zz" is OOV
+    val docs = Seq(
+      (1L, "aa aa bb bb aa", "srcA"),
+      (2L, "aa bb zz zz", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.oovRate(docs, vocabSize = 2).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("srcA").getAs[Long]("n_oov") == 0L)
+    assert(out("srcA").getAs[Double]("oov_rate") == 0.0)
+    assert(out("srcB").getAs[Long]("n_tokens") == 4L)
+    assert(out("srcB").getAs[Long]("n_oov") == 2L)
+    assert(out("srcB").getAs[Double]("oov_rate") == 0.5)
+  }
+
   test("dsirScores tilts toward target-like docs, statelessly") {
     import spark.implicits._
     val fixture = Seq(
@@ -743,6 +777,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(curate.subsetOf(build),
       "span/budget gates must only remove docs from the build set")
     assert(curate.size < build.size, "the extra gates removed nothing")
+    CacheScope.unpersistAll()
+  }
+
+  test("corpus_release drops the eval suite and contaminated docs from curate") {
+    val docs = Tables.documents(spark, sfDir)
+    val release = SparkEntry.queries("corpus_release")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(release.nonEmpty)
+    // no released doc comes from the benchmark source
+    val src0 = docs.filter(org.apache.spark.sql.functions.col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(release.intersect(src0).isEmpty, "released an eval-suite doc")
+    // no released doc is flagged contaminated by the decontam oracle op
+    val dirty = graft.ops.Decontam.overlap(docs)
+      .filter(org.apache.spark.sql.functions.col("contaminated") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(release.intersect(dirty).isEmpty, "released a contaminated doc")
     CacheScope.unpersistAll()
   }
 
