@@ -280,7 +280,10 @@ object SparkEntry {
     // clustering coefficient, and the release-recipe capstone (curate +
     // decontam + eval-suite exclusion before the budget)
     "text_pmi_pairs", "text_oov_rate", "graph_clustering_coeff",
-    "corpus_release")
+    "corpus_release",
+    // round-18c wave 3: bounded k-core peeling + the embedding-quality
+    // (own-centroid distance outlier) audit
+    "graph_kcore", "sim_embedding_outliers")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -119,6 +119,11 @@ object QualityLayoutEntry {
     // literals, integer-space distances (exact, order-free), argmin with
     // label tie-break
     "sim_kmeans_assign" -> ((s, d) => Centroids.kmeansAssign(Tables.embeddings(s, d))),
+    // embedding-quality audit: own-label centroid distance outliers
+    // (exact bigint distances, integer-div downscale, a13's moment
+    // discipline at the audit's 2-sigma threshold)
+    "sim_embedding_outliers" -> ((s, d) =>
+      Centroids.embeddingOutliers(Tables.embeddings(s, d))),
     // PQ encode: 8 codes per vector from subspace-restricted codebooks —
     // the 32x compression step of the ANN ladder, exact integer argmins
     "sim_pq_codes" -> ((s, d) => Centroids.pqCodes(Tables.embeddings(s, d))),
@@ -731,6 +736,29 @@ object QualityLayoutEntry {
        "R AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM DIST) " +
        "SELECT vec_id, label, c_label AS assigned, (c_label <> label) AS moved " +
        "FROM R WHERE rk = 1 ORDER BY vec_id"),
+    // embedding outliers: the kmeans distance chain restricted to the
+    // OWN label centroid, integer-div downscaled, a13's moment formula
+    "sim_embedding_outliers" ->
+      ("WITH Q0 AS (SELECT vec_id, label, unnest(range(len(embedding))) AS dim, embedding FROM embeddings), " +
+       "Q AS (SELECT vec_id, label, dim, CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM Q0), " +
+       "C AS (SELECT label AS c_label, dim, " +
+       "CAST(round(round(CAST(sum(q) AS DOUBLE) / (1000.0 * count(*)), 6) * 1000000.0) AS BIGINT) AS c6 " +
+       "FROM Q GROUP BY label, dim), " +
+       "DIST AS (SELECT x.vec_id, x.label, " +
+       "sum((x.q * 1000 - c.c6) * (x.q * 1000 - c.c6)) AS d2 " +
+       "FROM Q x JOIN C c ON x.dim = c.dim AND c.c_label = x.label GROUP BY x.vec_id, x.label), " +
+       "DQ AS (SELECT vec_id, label, d2 // 100000000 AS d FROM DIST), " +
+       "S AS (SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS s1, " +
+       "CAST(sum(d * d) AS BIGINT) AS s2 FROM DQ GROUP BY label), " +
+       "T AS (SELECT label, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d, " +
+       "CASE WHEN n <= 1 THEN 0.0 ELSE " +
+       "sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / " +
+       "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) END AS std_d FROM S) " +
+       "SELECT q.label, t.n, round(t.mean_d, 4) AS mean_dist, " +
+       "round(t.std_d, 4) AS std_dist, " +
+       "CAST(sum(CASE WHEN abs(CAST(q.d AS DOUBLE) - t.mean_d) > 2.0 * t.std_d THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+       "FROM DQ q JOIN T t USING (label) " +
+       "GROUP BY q.label, t.n, t.mean_d, t.std_d ORDER BY q.label"),
     // PQ encode: kmeans CTEs restricted per subspace (dim // 8), argmin
     // per (vec, subspace) over the same exact bigint distances
     "sim_pq_codes" ->

@@ -134,6 +134,10 @@ object WindowsGraphEntry {
     // the contract (sync LPA 2-colors a path and oscillates; no fixpoint)
     "graph_label_prop" -> ((s, d) =>
       graft.graph.GraphOps.labelPropagation(s, Tables.customer(s, d))),
+    // Bounded k-core peeling (3 synchronous remove-below-k rounds) over
+    // the same fixture — monotone upper bound, exact if converged
+    "graph_kcore" -> ((s, d) =>
+      graft.graph.GraphOps.kCore(s, Tables.customer(s, d))),
     // Path reconstruction (relationships(p), llm_cypher.py:211-216): the
     // ordered edge list of each shortest path, serialized src->dst|... for
     // the driver gate.
@@ -304,6 +308,25 @@ object WindowsGraphEntry {
       "L0 AS MATERIALIZED (SELECT c_custkey AS node, c_custkey AS label FROM customer), " +
       rounds +
       " SELECT node, label FROM L3 ORDER BY node"
+    },
+    // k-core peeling: 3 unrolled degree-filter-restrict rounds over the
+    // same chain+express undirected view
+    "graph_kcore" -> {
+      val rounds = (1 to 3).map { i =>
+        s"D$i AS MATERIALIZED (SELECT src, count(*) AS deg FROM U${i - 1} GROUP BY src), " +
+        s"S$i AS MATERIALIZED (SELECT src AS node FROM D$i WHERE deg >= 3), " +
+        s"U$i AS MATERIALIZED (SELECT u.src, u.dst FROM U${i - 1} u " +
+        s"JOIN S$i a ON a.node = u.src JOIN S$i b ON b.node = u.dst)"
+      }.mkString(", ")
+      "WITH E0 AS MATERIALIZED (" +
+      "SELECT a.c_custkey AS src, b.c_custkey AS dst FROM customer a " +
+      s"JOIN customer b ON b.c_custkey = a.c_custkey + 1 WHERE a.c_custkey % $chainBlock <> ${chainBlock - 1} " +
+      "UNION ALL " +
+      "SELECT a.c_custkey AS src, b.c_custkey AS dst FROM customer a " +
+      s"JOIN customer b ON b.c_custkey = a.c_custkey + 3 WHERE a.c_custkey % $chainBlock <= ${chainBlock - 4}), " +
+      "U0 AS MATERIALIZED (SELECT src, dst FROM E0 UNION ALL SELECT dst AS src, src AS dst FROM E0), " +
+      rounds +
+      " SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM U3 GROUP BY src ORDER BY id"
     },
     // weighted SSSP: (node, dist) STATES recurse under UNION (set
     // semantics dedups, so the state space is |block| x bounded dists),

@@ -792,6 +792,37 @@ object GraphOps {
     lab.orderBy(col("node"))
   }
 
+  /** Bounded k-core peeling (Seidman 1983; the BZ/peeling algorithm's
+    * synchronous round form) over the chain+express fixture graph:
+    * each round removes every node whose CURRENT degree is below `k`
+    * and restricts the edge set to survivors — the density-core
+    * extractor feature pipelines use to separate cohesive communities
+    * from peripheral tendrils. `rounds` is the priced contract (the
+    * LPA/PPR discipline): the result after R rounds is a monotone UPPER
+    * bound on the true k-core, exact when peeling converges within R
+    * (each round only ever removes nodes, so the bound tightens
+    * monotonically — spec-gated).
+    *
+    * Shape at 100 TB: each round is ONE degree aggregate (map-side
+    * combined, node-sized) + two semi-joins restricting the edge frame —
+    * R rounds = R shuffle trios, lineage truncated per round, nothing on
+    * the driver. Output = surviving nodes with residual degree. */
+  def kCore(spark: SparkSession, customer: DataFrame, k: Int = 3,
+      rounds: Int = 3): DataFrame = {
+    val e = weightedChainEdges(customer).select(col("src"), col("dst"))
+    var und = truncated(e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"))))
+    for (_ <- 1 to rounds) {
+      val surv = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      und = truncated(und
+        .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi"))
+    }
+    und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("id"))
+  }
+
   def nodeSimilarity(students: DataFrame, anchorMod: Int = 200,
       k: Int = 3, neighborCap: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -345,4 +345,60 @@ object Centroids {
       .agg(round(count(col("avid")).cast("double") / count(lit(1)), 4).as("recall"))
       .orderBy(col("qid"))
   }
+
+  /** Embedding-quality audit: per label, how many vectors sit
+    * anomalously far from their OWN label centroid — the
+    * mislabeled/corrupted-embedding detector an embedding pipeline runs
+    * before the vectors feed retrieval or dedup (a bad encoder batch or
+    * a label error shows up as own-cluster distance outliers long
+    * before recall metrics move).
+    *
+    * Exactness: distances are the same exact-bigint (x·10³·10³ − c·10⁶)²
+    * sums as [[kmeansAssign]]; they down-scale by an integer floor-div
+    * (10⁸) so the per-label moment sums (Σd, Σd²) stay inside longs,
+    * then mean/σ/flag use one identically-spelled IEEE expression per
+    * engine — the [[Histograms.outliers]] discipline (2σ, the audit's
+    * recall-leaning threshold). At 100 TB the Σd² long bound caps a
+    * label around 10⁶ vectors at this scale — beyond that, the same
+    * shape with DECIMAL(38) sums.
+    *
+    * Shape: centroids broadcast (k·dims literal), ONE scan computes every
+    * vector's own-centroid distance (no argmin fan-out — the join is on
+    * the label), cached across the two moment passes; stats side is a
+    * |labels|-row broadcast. */
+  def embeddingOutliers(embeddings: DataFrame): DataFrame = {
+    val cent = centroidVectors(embeddings)
+    val quantized = embeddings.select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => (round(x.cast("double") * Scale).cast("long") * lit(1000L))).as("xq"))
+    val dist = aggregate(
+      zip_with(col("xq"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, d) => acc + d)
+    val dq = graft.CacheScope.track(
+      quantized.join(broadcast(cent), col("label") === col("c_label"))
+        .select(col("vec_id"), col("label"), dist.as("d2"))
+        // TRUE integer div (a double round-trip loses ulps near 2^53)
+        .select(col("vec_id"), col("label"),
+          expr("d2 div 100000000").as("d")))
+    val stats = dq.groupBy("label").agg(
+        count(lit(1)).as("n"), sum(col("d")).as("s1"),
+        sum(col("d") * col("d")).as("s2"))
+      .select(col("label"), col("n"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mean_d"),
+        when(col("n") <= 1, lit(0.0)).otherwise(
+          sqrt((col("n").cast("double") * col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double")) /
+            (col("n").cast("double") * (col("n") - 1).cast("double"))))
+          .as("std_d"))
+    dq.join(broadcast(stats), "label")
+      .groupBy(col("label"), col("n"), col("mean_d"), col("std_d"))
+      .agg(sum(when(abs(col("d").cast("double") - col("mean_d")) >
+          lit(2.0) * col("std_d"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("label"), col("n"),
+        round(col("mean_d"), 4).as("mean_dist"),
+        round(col("std_d"), 4).as("std_dist"),
+        col("n_outliers"))
+      .orderBy(col("label"))
+  }
 }

@@ -433,6 +433,27 @@ class GraphPathsSpec extends SparkSpec {
     assert(got === Seq(0L -> 1L, 1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("kCore: 3 peeling rounds on one block leave the hand-computed 2-core") {
+    import spark.implicits._
+    // block 0..9: chain i-(i+1), skips i-(i+3). Degrees 2,3,3,4,4,4,4,
+    // 3,3,2 -> peel {0,9}; then {1,8}; then {2,7}; survivors {3,4,5,6}
+    // each keeping exactly 2 edges (3-4, 4-5, 5-6, 3-6).
+    val customer = (0L to 9L).toDF("c_custkey")
+    val got = GraphOps.kCore(spark, customer)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq(3L -> 2L, 4L -> 2L, 5L -> 2L, 6L -> 2L))
+  }
+
+  test("kCore: peeling is monotone — more rounds never add nodes") {
+    import spark.implicits._
+    val customer = (0L to 29L).toDF("c_custkey")
+    def surv(rounds: Int): Set[Long] =
+      GraphOps.kCore(spark, customer, rounds = rounds)
+        .collect().map(_.getLong(0)).toSet
+    val s1 = surv(1); val s2 = surv(2); val s3 = surv(3)
+    assert(s2.subsetOf(s1) && s3.subsetOf(s2))
+  }
+
   test("labelPropagation: each extra round adds a bounded constant number of jobs") {
     import spark.implicits._
     val customer = (0L to 29L).toDF("c_custkey")

@@ -133,6 +133,25 @@ class MultimodalGraphSpec extends SparkSpec {
     CacheScope.unpersistAll()
   }
 
+  test("embeddingOutliers flags the far vector, not the cluster body") {
+    import spark.implicits._
+    // label 0: nine vectors at the origin + one at all-ones (z ≈ 2.85);
+    // label 1: four identical vectors (std 0 -> zero outliers)
+    val rows =
+      (0L to 8L).map(i => (i, Array.fill(8)(0.0f), 0)) ++
+      Seq((9L, Array.fill(8)(1.0f), 0)) ++
+      (10L to 13L).map(i => (i, Array.fill(8)(0.5f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Centroids.embeddingOutliers(emb).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getAs[Long]("n") == 10L)
+    assert(out(0).getAs[Long]("n_outliers") == 1L)
+    assert(out(1).getAs[Long]("n") == 4L)
+    assert(out(1).getAs[Double]("std_dist") == 0.0)
+    assert(out(1).getAs[Long]("n_outliers") == 0L)
+    CacheScope.unpersistAll()
+  }
+
   test("clusteringCoeff: K4 anchor reads cc=1.0; a star center reads 0") {
     import spark.implicits._
     // college c1 -> K4 on {0,1,2,3}: every neighbor pair is an edge
