@@ -283,7 +283,10 @@ object SparkEntry {
     "corpus_release",
     // round-18c wave 3: bounded k-core peeling + the embedding-quality
     // (own-centroid distance outlier) audit
-    "graph_kcore", "sim_embedding_outliers")
+    "graph_kcore", "sim_embedding_outliers",
+    // round-18c wave 4: frozen-tokenizer encode (train 80%, apply to the
+    // unseen 20%) + per-source lexical diversity (TTR / hapax)
+    "bpe_encode_frozen", "text_lexical_diversity")
 
   // ---------------------------------------------------------------- oracle
 }

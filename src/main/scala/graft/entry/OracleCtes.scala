@@ -393,10 +393,14 @@ object OracleCtes {
     * see ops/Bpe.scala), then per step k: pair counts from T(k-1), the
     * (cnt DESC, l, r) argmax as B(k), and T(k) = the boundary-anchored
     * replace. Result = B1..Bn. */
-  def bpeChainBlocks(steps: Int): Seq[String] =
+  def bpeChainBlocks(steps: Int): Seq[String] = bpeChainBlocksFrom(steps, "TRUE")
+
+  /** The merge chain trained on a PREDICATE-restricted corpus slice —
+    * the frozen-tokenizer rows train on 80% and apply to the rest. */
+  def bpeChainBlocksFrom(steps: Int, basePred: String): Seq[String] =
     Seq(
       s"W AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
-        s"(SELECT unnest(string_split($docNorm, ' ')) AS word FROM documents) " +
+        s"(SELECT unnest(string_split($docNorm, ' ')) AS word FROM documents WHERE $basePred) " +
         "WHERE word <> '' GROUP BY word)",
       "T0 AS (SELECT word, freq, ' ' || array_to_string(" +
         "list_transform(range(length(word)), i -> substr(word, CAST(i + 1 AS INT), 1)), '  ') || ' ' AS s FROM W)") ++
@@ -426,6 +430,34 @@ object OracleCtes {
       s"V AS (SELECT word, CAST(len(string_split(trim(s), '  ')) AS INT) AS word_tokens, " +
       s"CAST(length(word) AS INT) AS word_chars FROM T$steps), " +
       s"DW AS (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS word FROM documents) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(word_chars) AS BIGINT) AS n_chars, " +
+      "CAST(sum(word_tokens) AS BIGINT) AS n_tokens, " +
+      "round(CAST(sum(word_chars) AS DOUBLE) / sum(word_tokens), 4) AS compression " +
+      "FROM DW JOIN V USING (word) WHERE word <> '' " +
+      "GROUP BY doc_id ORDER BY doc_id"
+  }
+
+  /** Frozen-encode oracle: the merge chain trained on the 80% slice
+    * (doc_id % 5 <> 0), then the DELTA vocabulary replayed through the
+    * frozen winners B1..Bk from characters (merges absent from a word
+    * are no-op replaces — total on any vocabulary), then the standard
+    * per-doc encode tail over the delta docs. */
+  val bpeEncodeFrozenOracleSql: String = {
+    val steps = graft.ops.Bpe.Steps
+    val replay = (1 to steps).map { k =>
+      s"F$k AS (SELECT word, replace(s, ' ' || b.l || '  ' || b.r || ' ', " +
+        s"' ' || b.l || b.r || ' ') AS s FROM F${k - 1} CROSS JOIN B$k b)"
+    }.mkString(", ")
+    "WITH " + bpeChainBlocksFrom(steps, "doc_id % 5 <> 0").mkString(", ") + ", " +
+      s"DV AS (SELECT DISTINCT word FROM (SELECT unnest(string_split($docNorm, ' ')) AS word " +
+      "FROM documents WHERE doc_id % 5 = 0) WHERE word <> ''), " +
+      "F0 AS (SELECT word, ' ' || array_to_string(" +
+      "list_transform(range(length(word)), i -> substr(word, CAST(i + 1 AS INT), 1)), '  ') || ' ' AS s FROM DV), " +
+      replay + ", " +
+      s"V AS (SELECT word, CAST(len(string_split(trim(s), '  ')) AS INT) AS word_tokens, " +
+      s"CAST(length(word) AS INT) AS word_chars FROM F$steps), " +
+      s"DW AS (SELECT doc_id, unnest(string_split($docNorm, ' ')) AS word FROM documents WHERE doc_id % 5 = 0) " +
       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
       "CAST(sum(word_chars) AS BIGINT) AS n_chars, " +
       "CAST(sum(word_tokens) AS BIGINT) AS n_tokens, " +

@@ -51,6 +51,17 @@ object TextEntry {
     // per-source tokenizer fertility (tokens/word, chars/token) under the
     // trained vocab — the per-domain compute-cost audit
     "text_fertility" -> ((s, d) => Bpe.fertility(Tables.documents(s, d))),
+    // FROZEN-tokenizer encode: merges trained on the 80% slice, applied
+    // in training order to the unseen 20% (the deployed-artifact form)
+    "bpe_encode_frozen" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Bpe.encodeFrozen(docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+    }),
+    // per-source lexical diversity: type-token ratio + hapax fraction
+    // (the source-level template/boilerplate detector)
+    "text_lexical_diversity" -> ((s, d) =>
+      TextAnalysis.lexicalDiversity(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     // code-switching detector: per-chunk langid vote -> per-doc majority
@@ -192,6 +203,17 @@ object TextEntry {
     "bpe_merges" -> bpeOracleSql,
     "bpe_encode" -> bpeEncodeOracleSql,
     "text_fertility" -> bpeFertilityOracleSql,
+    "bpe_encode_frozen" -> bpeEncodeFrozenOracleSql,
+    "text_lexical_diversity" ->
+      (s"WITH SW AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt FROM " +
+       s"(SELECT source, unnest(string_split($docNorm, ' ')) AS word FROM documents) " +
+       "WHERE word <> '' GROUP BY source, word) " +
+       "SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens, " +
+       "CAST(count(*) AS BIGINT) AS n_types, " +
+       "CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, " +
+       "round(CAST(count(*) AS DOUBLE) / sum(cnt), 4) AS ttr, " +
+       "round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS hapax_frac " +
+       "FROM SW GROUP BY source ORDER BY source"),
     // PMI over the bigram table and its margins; DuckDB's zipped
     // multi-unnest pairs the two slice lists positionally
     "text_pmi_pairs" ->

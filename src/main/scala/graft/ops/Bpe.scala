@@ -90,6 +90,52 @@ object Bpe {
       .orderBy(col("source"))
   }
 
+  /** FROZEN-tokenizer encode — the production semantics: the merge
+    * table is trained ONCE on `trainDocs` and then applied, in training
+    * order, to data it has never seen ([[encode]] retrains on its own
+    * input, which a deployed pipeline never does — the tokenizer is a
+    * versioned artifact). Unseen words replay the frozen merge list from
+    * characters, exactly like BPE inference in any tokenizer runtime:
+    * merges that don't occur in a word are no-ops, so the replay is
+    * total on ANY vocabulary.
+    *
+    * Shape at 100 TB: the replay runs once per DISTINCT delta word
+    * (vocabulary-sized, each step a broadcast 1-row merge + one string
+    * replace); delta documents join the encoded vocab on `word` — the
+    * same vocabulary-sized-work contract as [[encode]], now split
+    * train/apply. */
+  def encodeFrozen(trainDocs: DataFrame, deltaDocs: DataFrame,
+      steps: Int = Steps): DataFrame = {
+    val winners = chain(trainDocs, steps)._1
+    var t = graft.CacheScope.track(deltaDocs
+      .select(explode(Dedup.words(col("text"))).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .select(col("word"), concat(lit(" "),
+        array_join(filter(split(col("word"), ""), c => c =!= ""), "  "),
+        lit(" ")).as("s")))
+    for (best <- winners) {
+      // cached per step: the state feeds the next replay step AND (on
+      // the last step) the encode join — the chain-cache rationale
+      t = graft.CacheScope.track(t.crossJoin(broadcast(best))
+        .select(col("word"),
+          expr("replace(s, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))")
+            .as("s")))
+    }
+    val perWord = t.select(col("word"),
+      size(split(trim(col("s")), "  ")).as("word_tokens"),
+      length(col("word")).as("word_chars"))
+    deltaDocs.select(col("doc_id"), explode(Dedup.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(perWord, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("word_chars")).as("n_chars"),
+        sum(col("word_tokens")).as("n_tokens"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** The shared merge chain: per-step winners plus the final token
     * state (word, freq, s). */
   private def chain(docs: DataFrame, steps: Int): (Seq[DataFrame], DataFrame) = {

@@ -573,6 +573,27 @@ object TextAnalysis {
       .select(col("a"), col("b"), col("c_ab"), col("pmi"))
   }
 
+  /** Lexical-diversity audit per source: type-token ratio and hapax
+    * fraction — the template/boilerplate detector at the SOURCE level (a
+    * crawl slice full of generated or templated text shows a collapsed
+    * TTR and a thin hapax tail long before per-doc repetition flags
+    * fire). One (source, word) count fold — map-side combined,
+    * vocabulary-sized after aggregation — then a per-source rollup of
+    * that table; the corpus is scanned once, nothing else is corpus-
+    * sized. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(w).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens"), 4))
+      .withColumn("hapax_frac",
+        round(col("n_hapax").cast("double") / col("n_types"), 4))
+      .orderBy(col("source"))
+
   /** Out-of-vocabulary rate per source under a FIXED top-`vocabSize`
     * corpus vocabulary — the coverage audit run before freezing a
     * tokenizer/vocab: a source whose tokens fall outside the shared

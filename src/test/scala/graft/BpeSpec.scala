@@ -83,6 +83,20 @@ class BpeSpec extends SparkSpec {
     CacheScope.unpersistAll()
   }
 
+  test("encodeFrozen replays trained merges on unseen delta words") {
+    import spark.implicits._
+    // train: merges (a,b) then (a,a). Delta doc has a seen word ('ab'),
+    // a fully-mergeable seen word ('aa'), and an UNSEEN word ('ba') on
+    // which both merges are no-ops -> 2 char tokens.
+    val train = Seq((0L, "aa ab"), (1L, "ab ab")).toDF("doc_id", "text")
+    val delta = Seq((2L, "ab ba aa")).toDF("doc_id", "text")
+    val out = Bpe.encodeFrozen(train, delta, steps = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out === Seq((2L, 3L, 6L, 4L, 1.5)))
+    CacheScope.unpersistAll()
+  }
+
   test("PROPERTY: spaced-string replace == greedy leftmost list merge") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // the reference semantics: one merge pass consumes disjoint adjacent

@@ -101,6 +101,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byPair(("aa", "bb")) > byPair(("cc", "dd")))
   }
 
+  test("lexicalDiversity: exact TTR and hapax fraction per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa bb", "srcA"), // 3 tokens, types {aa, bb}, hapax {bb}
+      (2L, "cc cc cc cc", "srcB")) // 4 tokens, 1 type, 0 hapax
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.lexicalDiversity(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("srcA").getAs[Long]("n_tokens") == 3L)
+    assert(out("srcA").getAs[Long]("n_types") == 2L)
+    assert(out("srcA").getAs[Long]("n_hapax") == 1L)
+    assert(out("srcA").getAs[Double]("ttr") == 0.6667)
+    assert(out("srcA").getAs[Double]("hapax_frac") == 0.5)
+    assert(out("srcB").getAs[Double]("ttr") == 0.25)
+    assert(out("srcB").getAs[Long]("n_hapax") == 0L)
+  }
+
   test("oovRate: tokens outside the top-V vocab accumulate per source") {
     import spark.implicits._
     // vocab of size 2 = {"aa", "bb"} (most frequent); srcB's "zz" is OOV
