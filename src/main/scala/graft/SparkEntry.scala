@@ -286,7 +286,10 @@ object SparkEntry {
     "graph_kcore", "sim_embedding_outliers",
     // round-18c wave 4: frozen-tokenizer encode (train 80%, apply to the
     // unseen 20%) + per-source lexical diversity (TTR / hapax)
-    "bpe_encode_frozen", "text_lexical_diversity")
+    "bpe_encode_frozen", "text_lexical_diversity",
+    // round-18c wave 5: HyperLogLog (mergeable-register distinct sketch,
+    // estimate itself oracle-exact) on a10's fixture
+    "sketch_hll_distinct")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -189,6 +189,11 @@ object PipelineEntry {
     // bounded heaps) with the exact count alongside
     "a10_kmv_distinct" -> ((s, d) =>
       Sketches.kmvDistinct(Tables.lineitem(s, d), "l_returnflag", "l_orderkey")),
+    // HyperLogLog on the SAME fixture as a10 so the two distinct sketches
+    // (mergeable registers vs bounded-heap order statistics) are directly
+    // comparable recorded numbers
+    "sketch_hll_distinct" -> ((s, d) =>
+      Sketches.hllDistinct(Tables.lineitem(s, d), "l_returnflag", "l_orderkey")),
     // Count-Min heavy-hitter audit: exact top-20 terms vs their CMS
     // estimate; map-side partial agg IS the sketch merge
     // EXACT heavy hitters (every term with freq > n/(k+1)) in two passes:
@@ -726,6 +731,29 @@ object PipelineEntry {
       s"ELSE ${(k - 1).toDouble} / (CAST(v.v AS DOUBLE) / 4294967296.0) END, 4) AS est_distinct, " +
       "CAST(x.exact_distinct AS BIGINT) AS exact_distinct " +
       "FROM V v JOIN X x ON v.g = x.g ORDER BY l_returnflag"
+    },
+    // HLL: integer bit-length ladder for rho, register terms 2^(57-mb)
+    // summed as HUGEINT (exact — a 256-term double sum would be
+    // addition-order-dependent), one double division + the small-range
+    // linear-counting branch, identically spelled
+    "sketch_hll_distinct" -> {
+      val m = graft.ops.Sketches.HllRegisters
+      val a1 = graft.ops.Sketches.HllAlpha * m.toDouble * m
+      s"WITH H AS (SELECT l_returnflag AS g, md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem), " +
+      "B AS (SELECT g, (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+      "instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS b, " +
+      s"(${graft.ops.Sketches.hex14ToLongSql("h")}) AS v FROM H), " +
+      s"R AS (SELECT g, b, 57 - (${graft.ops.Sketches.bitLenSql("v")}) AS rho FROM B), " +
+      "M AS (SELECT g, b, max(rho) AS mb FROM R GROUP BY g, b), " +
+      "S AS (SELECT g, CAST(count(*) AS BIGINT) AS n_regs, " +
+      "sum(CAST((CAST(1 AS BIGINT) << (57 - mb)) AS HUGEINT)) AS s0 FROM M GROUP BY g), " +
+      s"T AS (SELECT g, n_regs, $m - n_regs AS zeros, " +
+      s"CAST(s0 + CAST($m - n_regs AS HUGEINT) * CAST(${1L << 57} AS HUGEINT) AS DOUBLE) AS sd FROM S), " +
+      s"E AS (SELECT g, n_regs, CASE WHEN ($a1 * ${(1L << 57).toDouble}) / sd <= ${2.5 * m} AND zeros > 0 " +
+      s"THEN $m.0 * ln($m.0 / zeros) ELSE ($a1 * ${(1L << 57).toDouble}) / sd END AS est FROM T), " +
+      "X AS (SELECT l_returnflag AS g, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct FROM lineitem GROUP BY 1) " +
+      "SELECT e.g AS l_returnflag, e.n_regs, round(e.est, 4) AS est_distinct, " +
+      "x.exact_distinct FROM E e JOIN X x ON e.g = x.g ORDER BY l_returnflag"
     },
     // KMV intersection: k smallest union hashes -> est(∪) = (k-1)/v_k,
     // est(∩) = (n_both/k)·est(∪) — pure md5-order functions, exact match

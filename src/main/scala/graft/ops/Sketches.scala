@@ -100,6 +100,80 @@ object Sketches {
         col("est_intersect"), col("exact_union"), col("exact_intersect"))
   }
 
+  // ------------------------------------------------------ HyperLogLog
+
+  /** HLL register count (2-hex-digit bucket) and its bias constant
+    * (Flajolet et al. 2007, α_256 = 0.7213/(1 + 1.079/m)). */
+  val HllRegisters = 256
+  val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / 256.0)
+  private val TwoPow57 = 1L << 57
+
+  /** Per-group HyperLogLog distinct estimate — the MERGEABLE distinct
+    * sketch (registers combine by max, so partial aggregation IS the
+    * sketch union — the property that makes HLL the streaming/shardable
+    * complement to [[kmvDistinct]]'s bounded-heap order statistics;
+    * m longs of state vs KMV's k hashes).
+    *
+    * Exactness contract: bucket = first 2 md5 hex digits; ρ = leading-
+    * zero count of the next 56 bits + 1, computed by an INTEGER
+    * comparison ladder (never float log2 — exact at power-of-two
+    * boundaries); the indicator sum Σ 2^{−M_b} scales by 2^57 into exact
+    * integer register terms summed as DECIMAL(38) (a 256-term double sum
+    * would be addition-order-dependent), with one double division + the
+    * standard small-range linear-counting correction at the end —
+    * identically spelled in both engines, so the ESTIMATE itself is
+    * oracle-exact. Exact distinct rides along (the a10 policy). */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val hashed = df.select(col(groupCol).as("g"),
+      md5(col(valueCol).cast("string").cast("binary")).as("h"))
+    val withRho = hashed.select(col("g"),
+      conv(substring(col("h"), 1, 2), 16, 10).cast("bigint").as("b"),
+      conv(substring(col("h"), 3, 14), 16, 10).cast("bigint").as("v"))
+      .withColumn("bitlen", (0 until 56)
+        .map(i => when(col("v") >= lit(1L << i), 1).otherwise(0))
+        .reduce(_ + _))
+      .select(col("g"), col("b"), (lit(57) - col("bitlen")).as("rho"))
+    val regs = withRho.groupBy(col("g"), col("b"))
+      .agg(max(col("rho")).as("mb"))
+    val sums = regs.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - mb) AS DECIMAL(38,0))"))
+          .as("s0"))
+      .withColumn("zeros", lit(HllRegisters) - col("n_regs"))
+      .withColumn("sd",
+        (col("s0") + col("zeros").cast("decimal(38,0)") *
+          lit(TwoPow57).cast("decimal(38,0)")).cast("double"))
+      .withColumn("est_raw",
+        lit(HllAlpha * HllRegisters.toDouble * HllRegisters) *
+          lit(TwoPow57.toDouble) / col("sd"))
+      .withColumn("est",
+        when(col("est_raw") <= lit(2.5 * HllRegisters) && col("zeros") > 0,
+          lit(HllRegisters.toDouble) *
+            log(lit(HllRegisters.toDouble) / col("zeros")))
+          .otherwise(col("est_raw")))
+    val exact = df.groupBy(col(groupCol).as("g"))
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+    sums.join(exact, "g")
+      .select(col("g").as(groupCol), col("n_regs"),
+        round(col("est"), 4).as("est_distinct"), col("exact_distinct"))
+      .orderBy(col(groupCol))
+  }
+
+  /** DuckDB spelling of the HLL 56-bit suffix parse (hex digits 3..16
+    * of column `c`). */
+  def hex14ToLongSql(c: String): String =
+    (0 until 14).map(j =>
+      s"(instr('0123456789abcdef', substr($c, ${3 + j}, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (13 - j))} AS BIGINT)")
+      .mkString(" + ")
+
+  /** DuckDB integer bit-length ladder for a 56-bit column — never float
+    * log2 (inexact at power-of-two boundaries). */
+  def bitLenSql(c: String): String =
+    (0 until 56).map(i =>
+      s"(CASE WHEN $c >= CAST(${1L << i} AS BIGINT) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
   /** The DuckDB spelling of [[hexFrac]]'s hex parse (no conv() there):
     * Σ digit_i · 16^(8−i) over the first 8 hex chars of column `c`. */
   def hexToLongSql(c: String): String =

@@ -26,6 +26,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("HLL estimate lands within the m=256 error envelope on lineitem") {
+    val out = Sketches.hllDistinct(Tables.lineitem(spark, sfDir),
+      "l_returnflag", "l_orderkey").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      // std err ≈ 1.04/sqrt(256) = 6.5%; 4σ envelope, deterministic hash
+      assert(math.abs(est - exact) / exact < 0.26,
+        s"${r.get(0)}: est $est vs exact $exact")
+      assert(r.getAs[Long]("n_regs") <= 256L)
+    }
+  }
+
+  test("HLL small-range correction: tiny sets fall to linear counting") {
+    import spark.implicits._
+    // 3 distinct values -> ~253 empty registers -> est = 256·ln(256/zeros)
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 1L))
+      .toDF("g", "v")
+    val r = Sketches.hllDistinct(df, "g", "v").collect().head
+    val nRegs = r.getAs[Long]("n_regs")
+    val expected = 256.0 * math.log(256.0 / (256 - nRegs))
+    assert(math.abs(r.getAs[Double]("est_distinct") - expected) < 0.001)
+    assert(r.getAs[Long]("exact_distinct") == 3L)
+  }
+
   test("groups with fewer than k distinct values report exactly") {
     import spark.implicits._
     val tiny = Seq.tabulate(40)(i => ("g1", i % 7))        // 7 distinct < k
