@@ -288,8 +288,9 @@ object SparkEntry {
     // unseen 20%) + per-source lexical diversity (TTR / hapax)
     "bpe_encode_frozen", "text_lexical_diversity",
     // round-18c wave 5: HyperLogLog (mergeable-register distinct sketch,
-    // estimate itself oracle-exact) on a10's fixture
-    "sketch_hll_distinct")
+    // estimate itself oracle-exact) on a10's fixture + its streaming
+    // twin (per-batch partial registers, ledger-free max-merge)
+    "sketch_hll_distinct", "stream_hll_ingest")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -194,6 +194,28 @@ object PipelineEntry {
     // comparable recorded numbers
     "sketch_hll_distinct" -> ((s, d) =>
       Sketches.hllDistinct(Tables.lineitem(s, d), "l_returnflag", "l_orderkey")),
+    // streaming HLL twin: per-batch PARTIAL register tables appended
+    // (delta-sized), read-side max-merge == the one-shot sketch exactly
+    // (max is idempotent — redelivery is a physical no-op, no ledger
+    // needed); shares the batch row's oracle
+    "stream_hll_ingest" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val feed = java.nio.file.Files.createTempDirectory("graft-hll-feed")
+        .toFile.getAbsolutePath + "/in"
+      li.filter(col("l_orderkey") % 2 === 1).repartition(1).write.parquet(feed)
+      li.filter(col("l_orderkey") % 2 === 0).repartition(1)
+        .write.mode("append").parquet(feed)
+      val regDir = java.nio.file.Files.createTempDirectory("graft-hll-regs")
+        .toFile.getAbsolutePath + "/regs"
+      val q = graft.streaming.Streams.incrementalHllIngest(
+        s.readStream.schema(li.schema).option("maxFilesPerTrigger", 1)
+          .parquet(feed),
+        regDir, "l_returnflag", "l_orderkey")
+      q.processAllAvailable(); q.stop()
+      val merged = s.read.parquet(regDir)
+        .groupBy(col("g"), col("b")).agg(max(col("mb")).as("mb"))
+      Sketches.hllEstimate(merged, li, "l_returnflag", "l_orderkey")
+    }),
     // Count-Min heavy-hitter audit: exact top-20 terms vs their CMS
     // estimate; map-side partial agg IS the sketch merge
     // EXACT heavy hitters (every term with freq > n/(k+1)) in two passes:
@@ -268,6 +290,29 @@ object PipelineEntry {
     s"SELECT doc_id, n_sh, n_hit, overlap_frac, " +
     s"CAST(overlap_frac >= ${graft.ops.Decontam.ContaminatedFrac} AS INT) AS contaminated " +
     "FROM J ORDER BY doc_id"
+
+  /** HLL oracle — shared by the batch row and the streaming twin (the
+    * per-batch partial registers max-merge to the one-shot sketch
+    * exactly; max is associative/commutative/idempotent). */
+  private val hllDistinctOracle: String = {
+    val m = graft.ops.Sketches.HllRegisters
+    val a1 = graft.ops.Sketches.HllAlpha * m.toDouble * m
+    s"WITH H AS (SELECT l_returnflag AS g, md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem), " +
+    "B AS (SELECT g, (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+    "instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS b, " +
+    s"(${graft.ops.Sketches.hex14ToLongSql("h")}) AS v FROM H), " +
+    s"R AS (SELECT g, b, 57 - (${graft.ops.Sketches.bitLenSql("v")}) AS rho FROM B), " +
+    "M AS (SELECT g, b, max(rho) AS mb FROM R GROUP BY g, b), " +
+    "S AS (SELECT g, CAST(count(*) AS BIGINT) AS n_regs, " +
+    "sum(CAST((CAST(1 AS BIGINT) << (57 - mb)) AS HUGEINT)) AS s0 FROM M GROUP BY g), " +
+    s"T AS (SELECT g, n_regs, $m - n_regs AS zeros, " +
+    s"CAST(s0 + CAST($m - n_regs AS HUGEINT) * CAST(${1L << 57} AS HUGEINT) AS DOUBLE) AS sd FROM S), " +
+    s"E AS (SELECT g, n_regs, CASE WHEN ($a1 * ${(1L << 57).toDouble}) / sd <= ${2.5 * m} AND zeros > 0 " +
+    s"THEN $m.0 * ln($m.0 / zeros) ELSE ($a1 * ${(1L << 57).toDouble}) / sd END AS est FROM T), " +
+    "X AS (SELECT l_returnflag AS g, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct FROM lineitem GROUP BY 1) " +
+    "SELECT e.g AS l_returnflag, e.n_regs, round(e.est, 4) AS est_distinct, " +
+    "x.exact_distinct FROM E e JOIN X x ON e.g = x.g ORDER BY l_returnflag"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "stream_decontam" -> decontamOverlapOracle,
@@ -736,25 +781,10 @@ object PipelineEntry {
     // summed as HUGEINT (exact — a 256-term double sum would be
     // addition-order-dependent), one double division + the small-range
     // linear-counting branch, identically spelled
-    "sketch_hll_distinct" -> {
-      val m = graft.ops.Sketches.HllRegisters
-      val a1 = graft.ops.Sketches.HllAlpha * m.toDouble * m
-      s"WITH H AS (SELECT l_returnflag AS g, md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem), " +
-      "B AS (SELECT g, (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
-      "instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS b, " +
-      s"(${graft.ops.Sketches.hex14ToLongSql("h")}) AS v FROM H), " +
-      s"R AS (SELECT g, b, 57 - (${graft.ops.Sketches.bitLenSql("v")}) AS rho FROM B), " +
-      "M AS (SELECT g, b, max(rho) AS mb FROM R GROUP BY g, b), " +
-      "S AS (SELECT g, CAST(count(*) AS BIGINT) AS n_regs, " +
-      "sum(CAST((CAST(1 AS BIGINT) << (57 - mb)) AS HUGEINT)) AS s0 FROM M GROUP BY g), " +
-      s"T AS (SELECT g, n_regs, $m - n_regs AS zeros, " +
-      s"CAST(s0 + CAST($m - n_regs AS HUGEINT) * CAST(${1L << 57} AS HUGEINT) AS DOUBLE) AS sd FROM S), " +
-      s"E AS (SELECT g, n_regs, CASE WHEN ($a1 * ${(1L << 57).toDouble}) / sd <= ${2.5 * m} AND zeros > 0 " +
-      s"THEN $m.0 * ln($m.0 / zeros) ELSE ($a1 * ${(1L << 57).toDouble}) / sd END AS est FROM T), " +
-      "X AS (SELECT l_returnflag AS g, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct FROM lineitem GROUP BY 1) " +
-      "SELECT e.g AS l_returnflag, e.n_regs, round(e.est, 4) AS est_distinct, " +
-      "x.exact_distinct FROM E e JOIN X x ON e.g = x.g ORDER BY l_returnflag"
-    },
+    "sketch_hll_distinct" -> hllDistinctOracle,
+    // max-merge of per-batch partials == the one-shot sketch (max is
+    // associative/idempotent) — the streaming twin shares the oracle
+    "stream_hll_ingest" -> hllDistinctOracle,
     // KMV intersection: k smallest union hashes -> est(∪) = (k-1)/v_k,
     // est(∩) = (n_both/k)·est(∪) — pure md5-order functions, exact match
     "sketch_kmv_intersect" -> {

@@ -123,18 +123,32 @@ object Sketches {
     * standard small-range linear-counting correction at the end —
     * identically spelled in both engines, so the ESTIMATE itself is
     * oracle-exact. Exact distinct rides along (the a10 policy). */
-  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, valueCol), df, groupCol, valueCol)
+
+  /** The (g, b, mb) register table — the sketch itself. Registers merge
+    * by MAX, so any partition of the input (shards, micro-batches)
+    * yields partial register tables whose max-merge equals the one-shot
+    * table: the property the streaming twin folds on. */
+  private[graft] def hllRegisters(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
     val hashed = df.select(col(groupCol).as("g"),
       md5(col(valueCol).cast("string").cast("binary")).as("h"))
-    val withRho = hashed.select(col("g"),
+    hashed.select(col("g"),
       conv(substring(col("h"), 1, 2), 16, 10).cast("bigint").as("b"),
       conv(substring(col("h"), 3, 14), 16, 10).cast("bigint").as("v"))
       .withColumn("bitlen", (0 until 56)
         .map(i => when(col("v") >= lit(1L << i), 1).otherwise(0))
         .reduce(_ + _))
       .select(col("g"), col("b"), (lit(57) - col("bitlen")).as("rho"))
-    val regs = withRho.groupBy(col("g"), col("b"))
+      .groupBy(col("g"), col("b"))
       .agg(max(col("rho")).as("mb"))
+  }
+
+  /** The estimate tail over a register table (possibly max-merged from
+    * partials), with the exact count from `exactSrc` alongside. */
+  private[graft] def hllEstimate(regs: DataFrame, exactSrc: DataFrame,
+      groupCol: String, valueCol: String): DataFrame = {
     val sums = regs.groupBy(col("g"))
       .agg(count(lit(1)).as("n_regs"),
         sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - mb) AS DECIMAL(38,0))"))
@@ -151,7 +165,7 @@ object Sketches {
           lit(HllRegisters.toDouble) *
             log(lit(HllRegisters.toDouble) / col("zeros")))
           .otherwise(col("est_raw")))
-    val exact = df.groupBy(col(groupCol).as("g"))
+    val exact = exactSrc.groupBy(col(groupCol).as("g"))
       .agg(countDistinct(col(valueCol)).as("exact_distinct"))
     sums.join(exact, "g")
       .select(col("g").as(groupCol), col("n_regs"),

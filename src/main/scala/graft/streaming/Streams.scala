@@ -563,6 +563,24 @@ object Streams {
       .outputMode("append")
       .start()
 
+  /** Streaming HLL maintenance — the mergeable-register property doing
+    * its job: each micro-batch appends its PARTIAL register table
+    * (delta-sized — at most groups × 256 rows regardless of batch size),
+    * and the read-side max-merge of all generations equals the one-shot
+    * sketch EXACTLY (max is associative/commutative/idempotent — even a
+    * redelivered batch is a physical no-op after the merge, so this twin
+    * needs no batch-id ledger). This is the sketch a 100 TB ingest keeps
+    * fresh at register-table cost, never rescanning the corpus. */
+  def incrementalHllIngest(newRows: DataFrame, regDir: String,
+      groupCol: String, valueCol: String): StreamingQuery =
+    newRows.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Sketches.hllRegisters(batch, groupCol, valueCol)
+          .write.mode("append").parquet(regDir)
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming decontamination — score each arriving micro-batch of
     * training docs against the STANDING benchmark shingle set (the eval
     * suite is fixed; at 100 TB it is MBs against a continuous TB-scale

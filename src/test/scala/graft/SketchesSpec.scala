@@ -52,6 +52,20 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("exact_distinct") == 3L)
   }
 
+  test("HLL registers max-merge: sharded partials == one-shot sketch") {
+    val li = Tables.lineitem(spark, sfDir)
+    val full = Sketches.hllRegisters(li, "l_returnflag", "l_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val a = Sketches.hllRegisters(
+      li.filter(col("l_orderkey") % 2 === 1), "l_returnflag", "l_orderkey")
+    val b = Sketches.hllRegisters(
+      li.filter(col("l_orderkey") % 2 === 0), "l_returnflag", "l_orderkey")
+    val merged = a.unionByName(b).groupBy(col("g"), col("b"))
+      .agg(max(col("mb")).as("mb"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(merged === full)
+  }
+
   test("groups with fewer than k distinct values report exactly") {
     import spark.implicits._
     val tiny = Seq.tabulate(40)(i => ("g1", i % 7))        // 7 distinct < k
