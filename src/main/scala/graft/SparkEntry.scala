@@ -290,7 +290,10 @@ object SparkEntry {
     // round-18c wave 5: HyperLogLog (mergeable-register distinct sketch,
     // estimate itself oracle-exact) on a10's fixture + its streaming
     // twin (per-batch partial registers, ledger-free max-merge)
-    "sketch_hll_distinct", "stream_hll_ingest")
+    "sketch_hll_distinct", "stream_hll_ingest",
+    // round-18c wave 7: perceptual image hash (real decode) + banded
+    // hamming near-dup pairs
+    "mm_phash", "mm_phash_pairs")
 
   // ---------------------------------------------------------------- oracle
 }

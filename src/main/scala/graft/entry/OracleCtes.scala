@@ -483,6 +483,42 @@ object OracleCtes {
       "GROUP BY source ORDER BY source"
   }
 
+  /** aHash oracle chain — replays the engine's REAL-decode average hash
+    * from BMP first principles (the mm_resize discipline): per 8×8 grid
+    * position, the NN source pixel's byte offset in the bottom-up
+    * md5-cycled pixel data, three hex-byte parses summed to an integer
+    * grayscale, then the integer mean threshold (64·g ≥ Σg). Ends with
+    * PH(doc_id, width, height, ahash). */
+  val mmPhashCtes: String = {
+    def hb(e: String) =
+      s"((instr('0123456789abcdef', substr(m, 2 * ($e) + 1, 1)) - 1) * 16 + " +
+        s"instr('0123456789abcdef', substr(m, 2 * ($e) + 2, 1)) - 1)"
+    val offs = (0 until 64).map { k =>
+      val x = k % 8; val y = k / 8
+      s"(h - 1 - ($y * h) // 8) * rowlen + 3 * (($x * w) // 8) AS o$k"
+    }.mkString(", ")
+    val grays = (0 until 64).map { k =>
+      s"(${hb(s"o$k % 16")} + ${hb(s"(o$k + 1) % 16")} + ${hb(s"(o$k + 2) % 16")}) // 3 AS g$k"
+    }.mkString(", ")
+    val gsum = (0 until 64).map(k => s"g$k").mkString(" + ")
+    val bits = (0 until 64).map(k =>
+      s"CASE WHEN 64 * g$k >= gs THEN '1' ELSE '0' END").mkString(", ")
+    "I AS (SELECT doc_id, md5(text) AS m, CAST(doc_id % 7 + 1 AS INT) AS w, " +
+      "CAST(doc_id % 5 + 1 AS INT) AS h, " +
+      "CAST((3 * (doc_id % 7 + 1) + 3) // 4 * 4 AS INT) AS rowlen " +
+      "FROM documents WHERE doc_id % 3 = 0), " +
+      s"O AS (SELECT doc_id, m, w, h, $offs FROM I), " +
+      s"G AS (SELECT doc_id, w, h, $grays FROM O), " +
+      s"S2 AS (SELECT *, ($gsum) AS gs FROM G), " +
+      s"PH AS (SELECT doc_id, w AS width, h AS height, concat($bits) AS ahash FROM S2)"
+  }
+
+  /** 64-position exact hamming between two bit-string columns. */
+  def hammingSql(a: String, b: String): String =
+    (1 to 64).map(i =>
+      s"(CASE WHEN substr($a, $i, 1) <> substr($b, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
   /** Corpus-capstone shared SQL — the keep chain (quality gate → exact
     * keepers → near-dup drops → KEEP; requires `shingleCtes`' SH/PAIRS in
     * scope) and the split+pack tail over a given id CTE. Shared verbatim

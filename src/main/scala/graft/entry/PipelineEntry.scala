@@ -43,6 +43,22 @@ object PipelineEntry {
     // value-checks the pipeline against closed-form md5 arithmetic
     "mm_resize" -> ((s, d) =>
       Multimodal.resizeImages(s, Multimodal.mediaTable(Tables.documents(s, d)))),
+    // perceptual image fingerprint: 8x8 average-hash over the REAL
+    // ImageIO decode (integer grayscale + integer mean threshold)
+    "mm_phash" -> ((s, d) =>
+      Multimodal.perceptualHash(s, Multimodal.mediaTable(Tables.documents(s, d)))),
+    // perceptual near-dup pairs: the image table plus a re-keyed mirror
+    // slice (the re-uploaded-copy fixture, dedup_canonical's derivation
+    // contract) -> banded bucket join -> exact hamming verify
+    "mm_phash_pairs" -> ((s, d) => {
+      // cached: the decode feeds the mirror projection and both join
+      // sides of the band bucket self-join
+      val ph = graft.CacheScope.track(Multimodal.perceptualHash(
+        s, Multimodal.mediaTable(Tables.documents(s, d))))
+      val mirror = ph.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("width"), col("height"), col("ahash"))
+      Multimodal.phashPairs(ph.unionByName(mirror))
+    }),
     // training-data pipeline: text cleaning (markup/URL strip + ws collapse;
     // the corpus is synthetic-clean, so the gate wraps docs in deterministic
     // markup first — see TextAnalysis.withMarkup)
@@ -331,6 +347,23 @@ object PipelineEntry {
        "strpos('0123456789abcdef', substr(h, 4, 1)) - 1 END AS INT) AS height, " +
        "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INT) AS channels " +
        "FROM M ORDER BY doc_id"),
+    // aHash from BMP first principles; the engine decodes the REAL image
+    // via ImageIO and must land on the same 64 bits
+    "mm_phash" ->
+      (s"WITH $mmPhashCtes SELECT doc_id, width, height, ahash FROM PH ORDER BY doc_id"),
+    // pairs: re-keyed mirror slice union, 4 x 16-bit band bucket join,
+    // exact 64-position hamming verify at threshold 6
+    "mm_phash_pairs" ->
+      (s"WITH $mmPhashCtes, " +
+       "U0 AS (SELECT doc_id, ahash FROM PH WHERE width * height >= " +
+       s"${graft.ops.Multimodal.MinPhashPixels}), " +
+       "U AS (SELECT doc_id, ahash FROM U0 UNION ALL SELECT doc_id + 1000000, ahash FROM U0), " +
+       "BD AS (SELECT doc_id, ahash, unnest([0, 1, 2, 3]) AS j, " +
+       "unnest([substr(ahash, 1, 16), substr(ahash, 17, 16), substr(ahash, 33, 16), substr(ahash, 49, 16)]) AS k FROM U), " +
+       "C AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst, a.ahash AS ha, b.ahash AS hb " +
+       "FROM BD a JOIN BD b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id), " +
+       s"HM AS (SELECT src, dst, CAST(${OracleCtes.hammingSql("ha", "hb")} AS INT) AS hamming FROM C) " +
+       "SELECT src, dst, hamming FROM HM WHERE hamming <= 6 ORDER BY src, dst"),
     // the resized top-left pixel: NN (0,0) maps to source (0,0), which in
     // the bottom-up 24-bit BMP sits at byte offset (h-1)*rowlen (B,G,R) of
     // the md5-cycled pixel data

@@ -12,6 +12,8 @@ case class MediaFeatures(doc_id: Long, kind: String, byte_len: Int,
 
 /** A real nearest-neighbor resize result (corner pixel value-checks the
   * decode→resample path against the closed-form oracle). */
+case class MediaPhash(doc_id: Long, width: Int, height: Int, ahash: String)
+
 case class MediaResize(doc_id: Long, width: Int, height: Int,
     rw: Int, rh: Int, corner_rgb: Int, out_px_bytes: Long)
 
@@ -232,6 +234,85 @@ object Multimodal {
     * real decode→resample path is value-checked end to end, not just
     * shape-checked. Undecodable bytes report corner −1 (stub posture as
     * [[decode]]). */
+  /** 8×8 average-hash (aHash — the classic perceptual image fingerprint):
+    * REAL ImageIO decode, nearest-neighbor sample of an 8×8 grid
+    * (sx = x·w/8, the [[resizeImages]] NN formula), integer grayscale
+    * (r+g+b)/3 — channel-order invariant, so BMP's BGR layout can't
+    * bite — and a mean threshold compared in integers (64·g ≥ Σg; a
+    * float mean could straddle a ulp). 64 bits out as a '0'/'1' string.
+    * The image/near-dup analogue of SimHash: re-encoded or
+    * slightly-retouched copies land within a few bits. */
+  def perceptualHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(_.map { m =>
+          imageIoInMemory
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+            catch { case _: Exception => null }
+          if (img == null) MediaPhash(m.doc_id, 0, 0, "")
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val grays = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              val rgb = img.getRGB((k % 8) * w / 8, (k / 8) * h / 8)
+              grays(k) =
+                (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3
+              k += 1
+            }
+            val sum = grays.sum
+            MediaPhash(m.doc_id, w, h,
+              grays.map(g => if (64 * g >= sum) '1' else '0').mkString)
+          }
+        })
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** aHash carries information only above a pixel floor: a 1-pixel image
+    * hashes to all-ones REGARDLESS of color (the mean equals the only
+    * gray), and 2–8-pixel images collapse into a handful of grid
+    * patterns — "similarity" between them is vacuous and the pattern
+    * clusters pair quadratically (measured: 42k junk pairs at sf0.1
+    * without the floor). Real-world aHash assumes ≥8×8 sources; this is
+    * that assumption as an explicit, spec-visible constant. */
+  val MinPhashPixels = 16
+
+  /** Perceptual near-dup pairs over an aHash table: the 64-bit hash is
+    * banded into 4 × 16-bit keys (a pair within hamming 6 of 64 bits
+    * must agree on ≥1 whole band when ≤3 bands carry all differing
+    * bits — the SimHash pigeonhole), candidates bucket-join on the
+    * band, and an exact 64-position hamming verify keeps pairs ≤
+    * `maxHamming`. Pairing applies only above the [[MinPhashPixels]]
+    * information floor. Never all-pairs: the join is keyed on
+    * (band, value). */
+  def phashPairs(phash: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val informative = phash
+      .filter(col("width") * col("height") >= MinPhashPixels)
+    val bands = informative.select(col("doc_id"), col("ahash"),
+        explode(expr(
+          "transform(sequence(0, 3), j -> struct(j AS j, substring(ahash, j * 16 + 1, 16) AS k))"))
+          .as("b"))
+      .select(col("doc_id"), col("ahash"), col("b.j").as("j"), col("b.k").as("k"))
+    val hamming = (0 until 64)
+      .map(i => when(substring(col("a_hash"), i + 1, 1) =!=
+        substring(col("b_hash"), i + 1, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    bands.select(col("doc_id").as("src"), col("ahash").as("a_hash"),
+        col("j"), col("k"))
+      .join(bands.select(col("doc_id").as("dst"), col("ahash").as("b_hash"),
+        col("j"), col("k")), Seq("j", "k"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("a_hash"), col("b_hash")).distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("src"), col("dst"), col("hamming"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   def resizeImages(spark: SparkSession, media: DataFrame,
       maxDim: Int = 4): DataFrame = {
     import spark.implicits._

@@ -133,6 +133,40 @@ class MultimodalGraphSpec extends SparkSpec {
     CacheScope.unpersistAll()
   }
 
+  test("perceptualHash: 64 bits, deterministic, and mirror copies pair at 0") {
+    import graft.ops.Multimodal
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.mediaTable(docs)
+    val ph = Multimodal.perceptualHash(spark, media)
+    val rows = ph.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("ahash").length == 64))
+    assert(rows.forall(r => r.getAs[String]("ahash").forall(c => c == '0' || c == '1')))
+    // layout-stable: a repartitioned input hashes identically
+    val re = Multimodal.perceptualHash(spark, media.repartition(7)).collect()
+    assert(re.map(r => (r.getLong(0), r.getString(3))).sorted.toSeq ===
+      rows.map(r => (r.getLong(0), r.getString(3))).sorted.toSeq)
+    // every re-keyed mirror copy must pair with its original at hamming 0
+    val mirror = ph.select((org.apache.spark.sql.functions.col("doc_id") + 1000000L).as("doc_id"),
+      org.apache.spark.sql.functions.col("width"),
+      org.apache.spark.sql.functions.col("height"),
+      org.apache.spark.sql.functions.col("ahash"))
+    val pairs = Multimodal.phashPairs(ph.unionByName(mirror)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // only images above the information floor participate in pairing
+    val ids = rows.filter(r => r.getInt(1) * r.getInt(2) >=
+      Multimodal.MinPhashPixels).map(_.getLong(0)).toSet
+    assert(ids.nonEmpty)
+    ids.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 1000000L && p._3 == 0),
+        s"mirror pair missing for $id")
+    }
+    // below-floor images never pair (their patterns are degenerate)
+    val small = rows.filter(r => r.getInt(1) * r.getInt(2) <
+      Multimodal.MinPhashPixels).map(_.getLong(0)).toSet
+    assert(pairs.forall(p => !small.contains(p._1) && !small.contains(p._2 % 1000000L)))
+  }
+
   test("embeddingOutliers flags the far vector, not the cluster body") {
     import spark.implicits._
     // label 0: nine vectors at the origin + one at all-ones (z ≈ 2.85);
