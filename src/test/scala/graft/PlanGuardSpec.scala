@@ -39,7 +39,17 @@ class PlanGuardSpec extends SparkSpec {
       // w8_funnel is NOT here: its conversion-fraction denominator is an
       // intentional 1-row broadcast cross (the j3 anchor family); its
       // window shape is guarded below instead
-      "j8_asof_join", "w9_retention")
+      "j8_asof_join", "w9_retention",
+      // round-18c: the positional-gram decontam join, the capped wedge
+      // joins, the release chain, the OOV broadcast probe, and the
+      // banded phash pair join must all stay hash-equi / bounded-heap
+      // shaped (sample_dsir and text_pmi_pairs stay UNGUARDED — their
+      // 1-row totals frames are intentional broadcast crosses, the
+      // j3-anchor family)
+      "decontam_spans", "graph_adamic_adar",
+      "graph_clustering_coeff", "corpus_release", "text_oov_rate",
+      "text_lexical_diversity", "mm_phash_pairs", "graph_kcore",
+      "sketch_hll_distinct")
       // dedup_semantic stays unguarded here — its centroid assignment is
       // an intentional k-row broadcast cross (the kmeans/bpe family);
       // SemanticDedupSpec asserts the pair join's shape directly
