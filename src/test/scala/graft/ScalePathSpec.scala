@@ -182,6 +182,48 @@ class ScalePathSpec extends SparkSpec {
       s"expected exactly one lineitem scan inside the cached-view subtree, got $inside:\n$plan")
   }
 
+  test("r18c one-scan contracts: dsir/oov/diversity scan documents once, spans twice") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def docScans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      val seen = scala.collection.mutable.Set[SparkPlan]()
+      def go(p: SparkPlan): Int = {
+        val self = p match {
+          case f: FileSourceScanExec if f.toString.contains("documents") => 1
+          case _ => 0
+        }
+        val kids: Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case m: InMemoryTableScanExec =>
+            val cached = m.relation.cachedPlan
+            if (seen.add(cached)) Seq(cached) else Nil
+          case other => other.children
+        }
+        self + kids.map(go).sum + p.subqueries.map(go).sum
+      }
+      go(df.queryExecution.executedPlan)
+    }
+    // DSIR: the cached token explode is the ONE corpus pass (target
+    // counts, raw counts, and the score join all read the cache)
+    assert(docScans(SparkEntry.queries("sample_dsir")(spark, sfDir)) === 1)
+    CacheScope.unpersistAll()
+    // OOV: vocab and rates both derive from the cached (source, word) fold
+    assert(docScans(SparkEntry.queries("text_oov_rate")(spark, sfDir)) === 1)
+    CacheScope.unpersistAll()
+    // diversity: one uncached pipeline, one scan
+    assert(docScans(
+      SparkEntry.queries("text_lexical_diversity")(spark, sfDir)) === 1)
+    CacheScope.unpersistAll()
+    // span decontam: corpus positional grams + the bench shingle side —
+    // exactly two scans, and the doc-length column riding the explode is
+    // what keeps a third (totals) pass out
+    assert(docScans(SparkEntry.queries("decontam_spans")(spark, sfDir)) === 2)
+    CacheScope.unpersistAll()
+  }
+
   test("de-hinted q-series agree between AQE-broadcast and forced shuffle-join paths") {
     // These queries deliberately carry NO broadcast hints on SF-growing
     // sides (r3 verdict item 3; r4 verdict item 1 extended the rule to the
