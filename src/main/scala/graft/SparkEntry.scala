@@ -293,7 +293,13 @@ object SparkEntry {
     "sketch_hll_distinct", "stream_hll_ingest",
     // round-18c wave 7: perceptual image hash (real decode) + banded
     // hamming near-dup pairs
-    "mm_phash", "mm_phash_pairs")
+    "mm_phash", "mm_phash_pairs",
+    // round-19: the warm-served EP2 recommend twin (walk + probe, no
+    // build), the convergence-detected walk fixpoint, LPA + k-core on
+    // the REAL capped student graph, and the phash streaming ingest twin
+    "graph_ppr_recommend_query", "graph_ppr_converged",
+    "graph_label_prop_students", "graph_kcore_students",
+    "stream_phash_ingest")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -107,15 +107,20 @@ object EntryFixtures {
   val pprBatchAnchors: Seq[Long] = Seq(1L, 7L, 42L, 9999999L)
 
   /** The (qid, node)-keyed walk chain, unrolled for `anchors` — one
-    * derivation site for the single-anchor, recommend, and batch tails. */
-  private def pprChain(anchors: Seq[Long]): String = {
-    val scale = graft.graph.GraphOps.PprScale
+    * derivation site for the single-anchor, recommend, batch, and
+    * converged tails. `nRounds`/`scale` default to the fixed-k walk's
+    * contract; the converged tail passes its own (and MATERIALIZED round
+    * CTEs — at 80 unrolled rounds DuckDB must not re-inline the chain). */
+  private def pprChain(anchors: Seq[Long], nRounds: Int = 3,
+      scale: Long = graft.graph.GraphOps.PprScale,
+      materialized: Boolean = false): String = {
     val tele = scale * 15 / 100
-    val rounds = (1 to 3).map { i =>
-      s"C$i AS (SELECT r.qid, u.dst AS node, " +
+    val mat = if (materialized) "MATERIALIZED " else ""
+    val rounds = (1 to nRounds).map { i =>
+      s"C$i AS $mat(SELECT r.qid, u.dst AS node, " +
       "CAST(sum(((r.r // u.deg) * 85) // 100) AS BIGINT) AS r " +
       s"FROM R${i - 1} r JOIN UD u ON u.src = r.node GROUP BY r.qid, u.dst), " +
-      s"R$i AS (SELECT qid, node, CAST(sum(r) AS BIGINT) AS r FROM " +
+      s"R$i AS $mat(SELECT qid, node, CAST(sum(r) AS BIGINT) AS r FROM " +
       s"(SELECT qid, qid AS node, CAST($tele AS BIGINT) AS r FROM A0 " +
       s"UNION ALL SELECT qid, node, r FROM C$i) GROUP BY qid, node)"
     }.mkString(", ")
@@ -123,10 +128,10 @@ object EntryFixtures {
     "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
     // the 32-smallest-dst capped adjacency — the nodeSimilarity bounded-
     // degree slice (the walk's graph, mirrored exactly)
-    "U AS (SELECT src, dst FROM (SELECT src, dst, " +
+    "U AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst, " +
     "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM U0) WHERE rn <= 32), " +
     "D AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM U GROUP BY src), " +
-    "UD AS (SELECT u.src, u.dst, d.deg FROM U u JOIN D d ON d.src = u.src), " +
+    "UD AS MATERIALIZED (SELECT u.src, u.dst, d.deg FROM U u JOIN D d ON d.src = u.src), " +
     s"A0 AS (SELECT CAST(unnest([${anchors.mkString(", ")}]) AS BIGINT) AS qid), " +
     s"R0 AS (SELECT qid, qid AS node, CAST($scale AS BIGINT) AS r FROM A0), " +
     rounds
@@ -148,6 +153,55 @@ object EntryFixtures {
     "AND node NOT IN (SELECT dst FROM e WHERE src = 1 " +
     "UNION SELECT src FROM e WHERE dst = 1) " +
     "ORDER BY rank_scaled DESC, node LIMIT 10"
+
+  /** Converged-walk oracle: the SAME chain unrolled to the engine's
+    * [[graft.graph.GraphOps.PprConvMaxRounds]] bound at
+    * [[graft.graph.GraphOps.PprConvScale]] — past the exact fixpoint
+    * every round is a no-op, so this equals the engine's halt state
+    * whether it converged early or ran the bound out. */
+  val pprConvergedOracleTail: String = {
+    val n = graft.graph.GraphOps.PprConvMaxRounds
+    pprChain(Seq(1L), n, graft.graph.GraphOps.PprConvScale,
+      materialized = true) +
+      s" SELECT node, r AS rank_scaled FROM R$n WHERE r > 0 " +
+      "ORDER BY rank_scaled DESC, node"
+  }
+
+  /** Student-graph LPA oracle: 3 sync mode-of-neighbor rounds unrolled
+    * over the capped equi-rule adjacency (ties to the smallest label;
+    * nodes with no update keep theirs) — the chain-fixture LPA oracle's
+    * rounds over the walk family's U view. MATERIALIZED stops the
+    * L-chain from inlining exponentially. */
+  val lpaStudentsOracleTail: String = {
+    val rounds = (1 to 3).map { i =>
+      s"C$i AS MATERIALIZED (SELECT u.src AS n, l.label, count(*) AS c " +
+      s"FROM U u JOIN L${i - 1} l ON l.node = u.dst GROUP BY u.src, l.label), " +
+      s"P$i AS MATERIALIZED (SELECT n AS node, label FROM " +
+      s"(SELECT n, label, row_number() OVER (PARTITION BY n ORDER BY c DESC, label) AS rk FROM C$i) " +
+      "WHERE rk = 1), " +
+      s"L$i AS MATERIALIZED (SELECT node, label FROM P$i UNION ALL " +
+      s"SELECT node, label FROM L${i - 1} WHERE node NOT IN (SELECT node FROM P$i))"
+    }.mkString(", ")
+    cappedAdjSqlOn(edgesSql) +
+      ", L0 AS MATERIALIZED (SELECT id AS node, id AS label FROM students), " +
+      rounds +
+      " SELECT node, label FROM L3 ORDER BY node"
+  }
+
+  /** Student-graph k-core oracle: 3 unrolled degree-filter-restrict
+    * rounds at k = 30 over the same capped adjacency. */
+  val kcoreStudentsOracleTail: String = {
+    val rounds = (1 to 3).map { i =>
+      s"D$i AS MATERIALIZED (SELECT src, count(*) AS deg FROM UK${i - 1} GROUP BY src), " +
+      s"S$i AS MATERIALIZED (SELECT src AS node FROM D$i WHERE deg >= 30), " +
+      s"UK$i AS MATERIALIZED (SELECT u.src, u.dst FROM UK${i - 1} u " +
+      s"JOIN S$i a ON a.node = u.src JOIN S$i b ON b.node = u.dst)"
+    }.mkString(", ")
+    cappedAdjSqlOn(edgesSql) +
+      ", UK0 AS MATERIALIZED (SELECT src, dst FROM U), " +
+      rounds +
+      " SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM UK3 GROUP BY src ORDER BY id"
+  }
 
   /** Capped-adjacency CTE block (e → P → U0 → U, 32-smallest slices) over
     * an edge-CTE body — the walk family's graph, shared by the PPR,

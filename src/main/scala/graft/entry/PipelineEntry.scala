@@ -59,6 +59,42 @@ object PipelineEntry {
         col("width"), col("height"), col("ahash"))
       Multimodal.phashPairs(ph.unionByName(mirror))
     }),
+    // STREAMING maintenance of the standing perceptual-hash table: the
+    // re-uploaded copies (same bytes, re-keyed ids — mm_phash_pairs's
+    // mirror fixture) arrive as file-source micro-batches, each hashed
+    // and folded in through the idempotent anti-join guard (batch 2
+    // re-delivers batch 1's rows — the at-least-once replay must be a
+    // no-op or doubled hash rows would band-join into phantom pairs);
+    // after the drain, banded pairs over the standing table must answer
+    // the same oracle as the batch mm_phash_pairs row
+    "stream_phash_ingest" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-phash-stream")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      s.sql("DROP TABLE IF EXISTS graft_idx.phashs")
+      val media = Multimodal.mediaTable(Tables.documents(s, d))
+      Multimodal.perceptualHash(s, media)
+        .write.saveAsTable("graft_idx.phashs")
+      val mirror = media.filter(col("kind") === "image")
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("kind"),
+          col("bytes"))
+      val feed = java.nio.file.Files.createTempDirectory("graft-phash-feed")
+        .toFile.getAbsolutePath + "/in"
+      mirror.filter(col("doc_id") % 2 === 0).repartition(1)
+        .write.parquet(feed)
+      // batch 2 = the odd half PLUS a replay of the full mirror set —
+      // the idempotency probe rides the real stream
+      mirror.repartition(1).write.mode("append").parquet(feed)
+      val q = s.readStream.schema(mirror.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Multimodal.phashIngest(s, "graft_idx.phashs", batch); ()
+        }
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      Multimodal.phashPairs(s.table("graft_idx.phashs"))
+    }),
     // training-data pipeline: text cleaning (markup/URL strip + ws collapse;
     // the corpus is synthetic-clean, so the gate wraps docs in deterministic
     // markup first — see TextAnalysis.withMarkup)
@@ -351,15 +387,34 @@ object PipelineEntry {
     // via ImageIO and must land on the same 64 bits
     "mm_phash" ->
       (s"WITH $mmPhashCtes SELECT doc_id, width, height, ahash FROM PH ORDER BY doc_id"),
-    // pairs: re-keyed mirror slice union, 4 x 16-bit band bucket join,
+    // pairs: re-keyed mirror slice union, 8 x 8-bit band bucket join
+    // (pigeonhole-exact recall to hamming 7 >= the threshold 6),
     // exact 64-position hamming verify at threshold 6
     "mm_phash_pairs" ->
       (s"WITH $mmPhashCtes, " +
        "U0 AS (SELECT doc_id, ahash FROM PH WHERE width * height >= " +
        s"${graft.ops.Multimodal.MinPhashPixels}), " +
        "U AS (SELECT doc_id, ahash FROM U0 UNION ALL SELECT doc_id + 1000000, ahash FROM U0), " +
-       "BD AS (SELECT doc_id, ahash, unnest([0, 1, 2, 3]) AS j, " +
-       "unnest([substr(ahash, 1, 16), substr(ahash, 17, 16), substr(ahash, 33, 16), substr(ahash, 49, 16)]) AS k FROM U), " +
+       "BD AS (SELECT doc_id, ahash, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j, " +
+       "unnest([substr(ahash, 1, 8), substr(ahash, 9, 8), substr(ahash, 17, 8), " +
+       "substr(ahash, 25, 8), substr(ahash, 33, 8), substr(ahash, 41, 8), " +
+       "substr(ahash, 49, 8), substr(ahash, 57, 8)]) AS k FROM U), " +
+       "C AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst, a.ahash AS ha, b.ahash AS hb " +
+       "FROM BD a JOIN BD b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id), " +
+       s"HM AS (SELECT src, dst, CAST(${OracleCtes.hammingSql("ha", "hb")} AS INT) AS hamming FROM C) " +
+       "SELECT src, dst, hamming FROM HM WHERE hamming <= 6 ORDER BY src, dst"),
+    // stream==batch: after the drain the standing hash table holds
+    // exactly the originals + the mirror copies, so the banded pairs
+    // answer the batch row's oracle verbatim
+    "stream_phash_ingest" ->
+      (s"WITH $mmPhashCtes, " +
+       "U0 AS (SELECT doc_id, ahash FROM PH WHERE width * height >= " +
+       s"${graft.ops.Multimodal.MinPhashPixels}), " +
+       "U AS (SELECT doc_id, ahash FROM U0 UNION ALL SELECT doc_id + 1000000, ahash FROM U0), " +
+       "BD AS (SELECT doc_id, ahash, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j, " +
+       "unnest([substr(ahash, 1, 8), substr(ahash, 9, 8), substr(ahash, 17, 8), " +
+       "substr(ahash, 25, 8), substr(ahash, 33, 8), substr(ahash, 41, 8), " +
+       "substr(ahash, 49, 8), substr(ahash, 57, 8)]) AS k FROM U), " +
        "C AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst, a.ahash AS ha, b.ahash AS hb " +
        "FROM BD a JOIN BD b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id), " +
        s"HM AS (SELECT src, dst, CAST(${OracleCtes.hammingSql("ha", "hb")} AS INT) AS hamming FROM C) " +

@@ -115,6 +115,34 @@ object StudentEntry {
     "graph_ppr_recommend" -> ((s, d) =>
       graft.graph.GraphOps.personalizedPageRankRecommend(
         Tables.students(s, d), 1L)),
+    // the recommend shape SERVED from the standing adjacency — the
+    // production read path (walk off the warm layout + the J5 broadcast
+    // neighbor probe); same oracle as the inline build-pricing form
+    "graph_ppr_recommend_query" -> ((s, d) =>
+      graft.graph.GraphOps.personalizedPageRankRecommendIndexed(
+        s, WarmIndex.graphAdjacency(s, d), Tables.students(s, d), 1L)),
+    // convergence-DETECTED walk off the standing adjacency: relax rounds
+    // stop at the exact scaled-integer fixpoint (one change-set isEmpty
+    // per round); the oracle unrolls the PprConvMaxRounds bound — a
+    // no-op past the fixpoint, so engine and oracle agree at any halt
+    "graph_ppr_converged" -> ((s, d) =>
+      graft.graph.GraphOps.personalizedPageRankConverged(
+        s, WarmIndex.graphAdjacency(s, d), 1L)),
+    // community detection on the REFERENCE'S OWN graph (which student
+    // cohorts exist): k sync LPA rounds over the capped equi-rule
+    // adjacency — exercises the near-clique cap discipline the chain-
+    // fixture LPA row avoids. Served from the STANDING adjacency (the
+    // graph_ppr_query separation: the rule-join build is priced once by
+    // warm_index_build; the spec pins indexed == inline)
+    "graph_label_prop_students" -> ((s, d) =>
+      graft.graph.GraphOps.labelPropagationStudentsIndexed(
+        s, WarmIndex.graphAdjacency(s, d), Tables.students(s, d))),
+    // k-core peeling on the same capped student view (cohort cores vs
+    // peripheral members); k = 30 peels against the 32-cap's upper range
+    // where the near-clique graph actually thins
+    "graph_kcore_students" -> ((s, d) =>
+      graft.graph.GraphOps.kCoreStudentsIndexed(
+        s, WarmIndex.graphAdjacency(s, d))),
     // the adjacency layout's LIFECYCLE member: onboard one student (J5
     // incremental edges) and emit the post-insert capped slices of every
     // affected key — old slice ∪ {newId} re-capped, never a corpus rescan;
@@ -531,6 +559,16 @@ object StudentEntry {
     "graph_ppr_query" -> withStudents(pprOracleTail),
     "graph_ppr_batch" -> withStudents(pprBatchOracleTail),
     "graph_ppr_recommend" -> withStudents(pprRecommendOracleTail),
+    // the warm-served recommend twin reaches the identical output (same
+    // walk off the standing adjacency + same exclusion probe)
+    "graph_ppr_recommend_query" -> withStudents(pprRecommendOracleTail),
+    // converged walk: the chain unrolled to the PprConvMaxRounds bound —
+    // rounds past the exact fixpoint are no-ops, so this equals the
+    // engine's halt state at whatever round it detected convergence
+    "graph_ppr_converged" -> withStudents(pprConvergedOracleTail),
+    // cohort detection over the real equi-rule graph (capped adjacency)
+    "graph_label_prop_students" -> withStudents(lpaStudentsOracleTail),
+    "graph_kcore_students" -> withStudents(kcoreStudentsOracleTail),
     "graph_feature_agg" -> withStudents(featureAggOracleTail),
     // post-ingest slices recomputed from scratch over students + the two
     // streamed rows — stream==batch is the hash match

@@ -437,6 +437,74 @@ object GraphOps {
       .select(col("qid"), col("node"), col("r").as("rank_scaled"))
       .orderBy(col("qid"), desc("rank_scaled"), col("node"))
 
+  /** Rank scale for the CONVERGED walk — the full [[PprScale]]: the
+    * geometric worst case (deltas shrink ×0.85/round, so exact
+    * convergence ~ln(scale)/ln(1/0.85) ≈ 170 rounds at 10^12) does NOT
+    * bind in practice, because each relax hop floors through `r div deg`
+    * — a delta below a node's degree usually cannot move the quotient
+    * and dies on the spot. Measured on the real capped equi-rule graph
+    * (DuckDB replica of the exact integer recurrence): fixpoint at round
+    * 25 (sf0.01) / 34 (sf0.1) at 10^12, and nearly identical (27/34) at
+    * 10^6 — so the fixpoint twin keeps full precision for free. */
+  val PprConvScale: Long = PprScale
+
+  /** Safety bound on the converged walk — and the EXACT round count the
+    * oracle unrolls (measured fixpoints above + ~40% headroom). The
+    * early-stop identity makes any value correct: once r_k == r_{k-1}
+    * every later round is a no-op (the round map is a pure function of
+    * the rank frame), so the engine's halt state equals the oracle's
+    * round-`PprConvMaxRounds` state whether the walk converged early or
+    * ran the bound out. */
+  val PprConvMaxRounds = 48
+
+  /** Convergence-DETECTED personalized PageRank — the walk family's
+    * fixpoint twin (the [[shortestPathsConverged]] pattern): relax
+    * rounds stop as soon as the round-over-round rank delta is zero,
+    * instead of pricing a fixed k. Exactness survives the unknown round
+    * count because the arithmetic is scaled-integer: the rank frame
+    * either changes or is EXACTLY the fixpoint, and once fixed it stays
+    * fixed (the round map is deterministic), so the DuckDB oracle can
+    * unroll the [[PprConvMaxRounds]] bound and land on the identical
+    * frame regardless of where the engine halted. One priced change-set
+    * `isEmpty` per round (a full-outer mismatch probe on the sparse
+    * rank frame — node-sized, never corpus-sized); same k-shuffle-pairs
+    * relax-and-fold and capped standing adjacency as
+    * [[personalizedPageRankIndexed]]. */
+  def personalizedPageRankConverged(spark: SparkSession, table: String,
+      anchorId: Long): DataFrame =
+    pprConvergedWithRounds(spark.table(table), anchorId)._1
+
+  private[graft] def pprConvergedWithRounds(und: DataFrame, anchorId: Long,
+      maxRounds: Int = PprConvMaxRounds): (DataFrame, Int) = {
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val undDeg = truncated(und.join(deg, "src"))
+    val spark = und.sparkSession
+    val teleport = spark.range(1)
+      .select(lit(anchorId).as("node"), lit(PprConvScale * 15 / 100).as("r"))
+    var r = truncated(spark.range(1)
+      .select(lit(anchorId).as("node"), lit(PprConvScale).as("r")))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = truncated(
+        r.join(undDeg, r("node") === undDeg("src"))
+          .select(undDeg("dst").as("node"),
+            expr("((r div deg) * 85) div 100").as("r"))
+          .unionByName(teleport)
+          .groupBy(col("node")).agg(sum(col("r")).as("r"))
+          .filter(col("r") > 0))
+      converged = next
+        .join(r.withColumnRenamed("r", "r_prev"), Seq("node"), "full")
+        .filter(col("r").isNull || col("r_prev").isNull ||
+          col("r") =!= col("r_prev"))
+        .isEmpty
+      r = next
+      rounds += 1
+    }
+    (r.select(col("node"), col("r").as("rank_scaled"))
+      .orderBy(desc("rank_scaled"), col("node")), rounds)
+  }
+
   private def singleAnchor(walk: DataFrame): DataFrame =
     walk.select(col("node"), col("r").as("rank_scaled"))
       .orderBy(desc("rank_scaled"), col("node"))
@@ -727,8 +795,32 @@ object GraphOps {
     * neighbor set — incrementalEdges == backfill restricted to one node
     * is the J5 delta invariant, spec-pinned). */
   def personalizedPageRankRecommend(students: DataFrame, anchorId: Long,
-      iters: Int = 3, neighborCap: Int = 32, k: Int = 10): DataFrame = {
-    val ranks = personalizedPageRank(students, anchorId, iters, neighborCap)
+      iters: Int = 3, neighborCap: Int = 32, k: Int = 10): DataFrame =
+    recommendFromRanks(
+      personalizedPageRank(students, anchorId, iters, neighborCap),
+      students, anchorId, k)
+
+  /** The EP2 recommend shape served from the STANDING adjacency table —
+    * the production read path: the walk is
+    * [[personalizedPageRankIndexed]]'s k relax rounds off the warm
+    * layout (no rule-join rebuild — that cost is priced once by the
+    * index build row), plus the same J5 broadcast one-vs-all neighbor
+    * probe for the exclusion set. The inline
+    * [[personalizedPageRankRecommend]] stays as the build-pricing form;
+    * this twin is what a serving tier runs per request. */
+  def personalizedPageRankRecommendIndexed(spark: SparkSession,
+      table: String, students: DataFrame, anchorId: Long,
+      iters: Int = 3, k: Int = 10): DataFrame =
+    recommendFromRanks(
+      personalizedPageRankIndexed(spark, table, anchorId, iters),
+      students, anchorId, k)
+
+  /** Shared recommend tail: drop the anchor and its TRUE 1-hop neighbor
+    * set (from the one-vs-all broadcast probe — an existing edge must
+    * never be recommended, even one the capped walk adjacency dropped),
+    * top-`k` by rank. */
+  private def recommendFromRanks(ranks: DataFrame, students: DataFrame,
+      anchorId: Long, k: Int): DataFrame = {
     val inc = graft.ops.EdgeRules.incrementalEdges(
       students, students.filter(col("id") === anchorId))
     val nbrs = inc.select(
@@ -773,11 +865,42 @@ object GraphOps {
     * per round; the count frame is bounded by Σ deg, never all-pairs. */
   def labelPropagation(spark: SparkSession, customer: DataFrame,
       iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = weightedChainEdges(customer).select(col("src"), col("dst"))
     val und = truncated(e.unionByName(
       e.select(col("dst").as("src"), col("src").as("dst"))))
-    val nodes = customer.select(col("c_custkey").as("node"))
+    lpaLoop(und, customer.select(col("c_custkey").as("node")), iters)
+  }
+
+  /** LPA over the REAL student equi-rule graph — community detection on
+    * the reference's own domain ("which student cohorts exist"), run on
+    * the same `neighborCap`-capped adjacency as the walk family (the
+    * fixture-graph [[labelPropagation]] avoids the near-clique cap
+    * discipline; this form exercises it). Same fixed-k sync-round
+    * contract and per-round shapes. */
+  def labelPropagationStudents(students: DataFrame, iters: Int = 3,
+      neighborCap: Int = 32): DataFrame =
+    lpaLoop(
+      truncated(cappedAdjacency(students, neighborCap)),
+      students.select(col("id").as("node")), iters)
+
+  /** [[labelPropagationStudents]] served from the STANDING adjacency
+    * table — the production analysis path (the rule-join build is priced
+    * once by the index-build row, exactly the `graph_ppr_query`
+    * separation). `students` still supplies the node universe (isolated
+    * nodes keep their own label and never appear in the edge table). */
+  def labelPropagationStudentsIndexed(spark: SparkSession, table: String,
+      students: DataFrame, iters: Int = 3): DataFrame =
+    lpaLoop(truncated(spark.table(table)),
+      students.select(col("id").as("node")), iters)
+
+  /** The shared synchronous-LPA loop: k rounds of mode-of-neighbors
+    * (ties to the smallest label; isolated nodes keep their own) over a
+    * given undirected adjacency — ONE equi-join, ONE (node, label)
+    * count-aggregate, ONE top-1 window per round, lineage truncated per
+    * round; the count frame is bounded by Σ deg, never all-pairs. */
+  private def lpaLoop(und: DataFrame, nodes: DataFrame,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     var lab = truncated(nodes.select(col("node"), col("node").as("label")))
     for (_ <- 1 to iters) {
       val counts = und.join(lab, und("dst") === lab("node"))
@@ -810,8 +933,31 @@ object GraphOps {
   def kCore(spark: SparkSession, customer: DataFrame, k: Int = 3,
       rounds: Int = 3): DataFrame = {
     val e = weightedChainEdges(customer).select(col("src"), col("dst"))
-    var und = truncated(e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst"))))
+    kCoreLoop(truncated(e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))), k, rounds)
+  }
+
+  /** k-core peeling over the REAL student equi-rule graph (the capped
+    * adjacency — the [[labelPropagationStudents]] rationale): separates
+    * the dense student cohort cores from peripheral members. Note the
+    * cap bounds degrees at `neighborCap`, so `k` is meaningful only in
+    * [2, neighborCap]; the default peels against the cap's upper range,
+    * where the near-clique graph actually thins. */
+  def kCoreStudents(students: DataFrame, k: Int = 30, rounds: Int = 3,
+      neighborCap: Int = 32): DataFrame =
+    kCoreLoop(truncated(cappedAdjacency(students, neighborCap)), k, rounds)
+
+  /** [[kCoreStudents]] off the standing adjacency — the
+    * [[labelPropagationStudentsIndexed]] rationale. */
+  def kCoreStudentsIndexed(spark: SparkSession, table: String,
+      k: Int = 30, rounds: Int = 3): DataFrame =
+    kCoreLoop(truncated(spark.table(table)), k, rounds)
+
+  /** The shared bounded-peel loop: each round is ONE degree aggregate +
+    * two semi-joins restricting the edge frame to survivors — R rounds =
+    * R shuffle trios, lineage truncated per round. */
+  private def kCoreLoop(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var und = edges
     for (_ <- 1 to rounds) {
       val surv = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node"))
@@ -851,22 +997,6 @@ object GraphOps {
       .orderBy(col("a"), col("rank"))
   }
 
-  /** Adamic-Adar link prediction over the same capped undirected edge view
-    * as [[nodeSimilarity]]: score(a,b) = Σ over shared neighbors c of
-    * 1/ln(deg(c)) — rare shared neighbors count for more than hubs (the
-    * Neo4j GDS `linkprediction.adamicAdar` scorer). Shared neighbors of
-    * degree 1 are excluded (ln 1 = 0 — no finite weight; on an undirected
-    * view a wedge center nearly always has deg ≥ 2 anyway).
-    *
-    * Determinism: each neighbor's inverse-log weight quantizes to a scaled
-    * long (round(10⁶/ln deg)) on the DEGREE TABLE (node-sized) before the
-    * per-pair sum, so pair scores are exact integer arithmetic and the
-    * per-anchor rank ties break on the exact s6, never a rounded double.
-    *
-    * Scale shape: identical to [[nodeSimilarity]] — `neighborCap`-bounded
-    * adjacency via the TopKPerKey operator, wedge equi-join (never
-    * all-pairs, ≤ anchors × cap² rows), one node-sized degree aggregate
-    * joined on the wedge CENTER, per-anchor rank window. */
   /** Local clustering coefficient over the capped undirected edge view —
     * the "how clique-like is this node's neighborhood" audit (for the
     * near-clique equi-rule graph it separates genuine community cores
@@ -905,6 +1035,22 @@ object GraphOps {
       .orderBy(col("v"))
   }
 
+  /** Adamic-Adar link prediction over the same capped undirected edge view
+    * as [[nodeSimilarity]]: score(a,b) = Σ over shared neighbors c of
+    * 1/ln(deg(c)) — rare shared neighbors count for more than hubs (the
+    * Neo4j GDS `linkprediction.adamicAdar` scorer). Shared neighbors of
+    * degree 1 are excluded (ln 1 = 0 — no finite weight; on an undirected
+    * view a wedge center nearly always has deg ≥ 2 anyway).
+    *
+    * Determinism: each neighbor's inverse-log weight quantizes to a scaled
+    * long (round(10⁶/ln deg)) on the DEGREE TABLE (node-sized) before the
+    * per-pair sum, so pair scores are exact integer arithmetic and the
+    * per-anchor rank ties break on the exact s6, never a rounded double.
+    *
+    * Scale shape: identical to [[nodeSimilarity]] — `neighborCap`-bounded
+    * adjacency via the TopKPerKey operator, wedge equi-join (never
+    * all-pairs, ≤ anchors × cap² rows), one node-sized degree aggregate
+    * joined on the wedge CENTER, per-anchor rank window. */
   def adamicAdar(students: DataFrame, anchorMod: Int = 200, k: Int = 3,
       neighborCap: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding merge training over the corpus — the tokenizer-
   * induction step of a training-data pipeline (Sennrich et al.'s BPE:
-  * repeatedly merge the most frequent adjacent token pair), expressed as
-  * ONE declarative DAG with no driver-side loop: each iteration's winning
-  * pair is a 1-row aggregate broadcast into a string `replace` over the
-  * word table, and the next iteration's pair counts read that result.
+  * repeatedly merge the most frequent adjacent token pair). No per-merge
+  * data ever lands on the driver (each iteration's winning pair is a
+  * 1-row aggregate broadcast into a string `replace` over the word
+  * table), but the merge chain IS one scheduled iteration per merge —
+  * see the [[MaxSteps]] contract for why that bounds this op to
+  * analysis-scale merge counts.
   *
   * Scale shape: BPE trains on the WORD HISTOGRAM, not the corpus — the one
   * corpus-sized operation is the (word, freq) groupBy, cached via
@@ -32,6 +34,20 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   val Steps = 5
+
+  /** EXPLICIT SCALE CONTRACT on the merge loop: each merge is one
+    * driver-scheduled iteration (a 1-row argmin broadcast + a
+    * vocabulary-sized replace), so driver-side job count grows LINEARLY
+    * with `steps` — unlike every other iterative op here, whose round
+    * count is a small fixed k (PPR, LPA, k-core) or data-bounded (SSSP
+    * fixpoint). This op is therefore scoped to ANALYSIS-scale merge
+    * counts (corpus audits, fertility studies, merge-table diffing); a
+    * production 32k-vocab tokenizer train would be 32k sequential Spark
+    * jobs and belongs in a batched top-m-merges-per-round variant, not
+    * here. The bound is enforced, not advisory — [[merges]]/[[encode]]/
+    * [[encodeFrozen]] refuse `steps` beyond it (BpeSpec pins the
+    * refusal). */
+  val MaxSteps = 64
 
   /** The trained merge table: (step, l, r, cnt) — one row per merge, the
     * artifact a tokenizer ships. Precondition: `steps` ≤ the number of
@@ -107,21 +123,26 @@ object Bpe {
   def encodeFrozen(trainDocs: DataFrame, deltaDocs: DataFrame,
       steps: Int = Steps): DataFrame = {
     val winners = chain(trainDocs, steps)._1
-    var t = graft.CacheScope.track(deltaDocs
+    var t = deltaDocs
       .select(explode(Dedup.words(col("text"))).as("word"))
       .filter(col("word") =!= "").distinct()
       .select(col("word"), concat(lit(" "),
         array_join(filter(split(col("word"), ""), c => c =!= ""), "  "),
-        lit(" ")).as("s")))
+        lit(" ")).as("s"))
     for (best <- winners) {
-      // cached per step: the state feeds the next replay step AND (on
-      // the last step) the encode join — the chain-cache rationale
-      t = graft.CacheScope.track(t.crossJoin(broadcast(best))
+      // NOT cached per step: unlike chain()'s branching states (winner k
+      // feeds both the output union and step k+1), each replay state here
+      // has exactly ONE consumer — the next replace — so the linear
+      // lineage evaluates once end-to-end either way
+      t = t.crossJoin(broadcast(best))
         .select(col("word"),
           expr("replace(s, concat(' ', l, '  ', r, ' '), concat(' ', l, r, ' '))")
-            .as("s")))
+            .as("s"))
     }
-    val perWord = t.select(col("word"),
+    // cache only the FINAL replay state: the word explode + full replay
+    // chain would otherwise re-run if the vocab join is re-evaluated
+    // (AQE re-optimization / broadcast sizing probe both of its sides)
+    val perWord = graft.CacheScope.track(t).select(col("word"),
       size(split(trim(col("s")), "  ")).as("word_tokens"),
       length(col("word")).as("word_chars"))
     deltaDocs.select(col("doc_id"), explode(Dedup.words(col("text"))).as("word"))
@@ -139,6 +160,10 @@ object Bpe {
   /** The shared merge chain: per-step winners plus the final token
     * state (word, freq, s). */
   private def chain(docs: DataFrame, steps: Int): (Seq[DataFrame], DataFrame) = {
+    require(steps <= MaxSteps,
+      s"Bpe: steps=$steps exceeds MaxSteps=$MaxSteps — the merge loop is " +
+        "one driver job per merge (see the MaxSteps contract); a " +
+        "vocab-scale train needs a batched variant, not a bigger bound")
     // the ONE corpus-sized operation: the word histogram
     val hist = graft.CacheScope.track(
       docs.select(explode(Dedup.words(col("text"))).as("word"))

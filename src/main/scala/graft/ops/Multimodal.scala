@@ -277,24 +277,31 @@ object Multimodal {
     * gray), and 2–8-pixel images collapse into a handful of grid
     * patterns — "similarity" between them is vacuous and the pattern
     * clusters pair quadratically (measured: 42k junk pairs at sf0.1
-    * without the floor). Real-world aHash assumes ≥8×8 sources; this is
-    * that assumption as an explicit, spec-visible constant. */
+    * without the floor). Real-world aHash assumes ≥8×8 (64-pixel)
+    * sources; this fixture corpus tops out at 7×5, so the floor is a
+    * fixture-scaled stand-in for that assumption — what it actually
+    * filters here is the pattern-degenerate sub-16-pixel grid images. */
   val MinPhashPixels = 16
 
   /** Perceptual near-dup pairs over an aHash table: the 64-bit hash is
-    * banded into 4 × 16-bit keys (a pair within hamming 6 of 64 bits
-    * must agree on ≥1 whole band when ≤3 bands carry all differing
-    * bits — the SimHash pigeonhole), candidates bucket-join on the
-    * band, and an exact 64-position hamming verify keeps pairs ≤
-    * `maxHamming`. Pairing applies only above the [[MinPhashPixels]]
-    * information floor. Never all-pairs: the join is keyed on
-    * (band, value). */
+    * banded into 8 × 8-bit keys — by pigeonhole, a pair within hamming
+    * 7 of 64 bits MUST agree on ≥1 whole band (≤7 differing bits can
+    * touch at most 7 of the 8 bands), so recall at `maxHamming` ≤ 7 is
+    * exact, not probabilistic (4 × 16-bit bands only guaranteed ≤ 3 —
+    * a 4–6-bit pair spread across all four bands was silently dropped).
+    * Candidates bucket-join on the band; an exact 64-position hamming
+    * verify keeps pairs ≤ `maxHamming`. Pairing applies only above the
+    * [[MinPhashPixels]] information floor. Never all-pairs: the join is
+    * keyed on (band, value). */
   def phashPairs(phash: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7,
+      s"phashPairs: 8-band pigeonhole guarantees recall only to hamming 7, " +
+        s"got maxHamming=$maxHamming")
     val informative = phash
       .filter(col("width") * col("height") >= MinPhashPixels)
     val bands = informative.select(col("doc_id"), col("ahash"),
         explode(expr(
-          "transform(sequence(0, 3), j -> struct(j AS j, substring(ahash, j * 16 + 1, 16) AS k))"))
+          "transform(sequence(0, 7), j -> struct(j AS j, substring(ahash, j * 8 + 1, 8) AS k))"))
           .as("b"))
       .select(col("doc_id"), col("ahash"), col("b.j").as("j"), col("b.k").as("k"))
     val hamming = (0 until 64)
@@ -311,6 +318,35 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("src"), col("dst"), col("hamming"))
       .orderBy(col("src"), col("dst"))
+  }
+
+  /** IDEMPOTENT per-micro-batch aHash ingest into a standing hash table
+    * — the multimodal near-dup family's streaming maintenance twin (the
+    * `stream_ann_ingest` pattern): decode + hash ONLY the arriving media
+    * batch, anti-join the standing table's keys so a replayed micro-batch
+    * is a no-op (at-least-once delivery must not duplicate hash rows —
+    * a doubled row would band-join itself into a phantom pair), append
+    * the survivors. The novel set is lineage-cut before the write (it
+    * derives from the table being appended to — the insert-time
+    * cache-invalidation trap the other ingest twins document). Work per
+    * batch ∝ batch size; the standing table is touched only through its
+    * key projection. */
+  def phashIngest(spark: SparkSession, table: String,
+      mediaBatch: DataFrame): Unit = {
+    val ph = perceptualHash(spark, mediaBatch)
+    val fresh = ph.join(spark.table(table).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (!fresh.isEmpty) {
+      fresh.write.mode("append").saveAsTable(table)
+      // the append runs through the BATCH frame's session (foreachBatch
+      // hands over a micro-batch clone) and invalidates only THAT
+      // session's file-listing cache — without an explicit refresh the
+      // outer session's next anti-join reads the stale listing, re-admits
+      // already-ingested keys, and the replay guard silently dies
+      // (observed: duplicate hash rows on disk behind a stale count)
+      spark.catalog.refreshTable(table)
+    }
   }
 
   def resizeImages(spark: SparkSession, media: DataFrame,

@@ -168,9 +168,10 @@ object Sampling {
     * the output is engine-reproducible.
     *
     * Scale shape: one 20-group count aggregate (map-side combined), a
-    * broadcast totals row, ONE source-partitioned window over the
-    * corpus for the rank (the only corpus shuffle — the
-    * `text_quality_rank` discipline), and a 20-row summary out. */
+    * broadcast totals row, the per-source rank via [[KeyedPrefix.rank]]
+    * (range-partition + metadata offsets — never a source-partitioned
+    * window, which would funnel each source through ONE reducer), and a
+    * 20-row summary out. */
   def temperatureMix(docs: DataFrame, salt: String = "tmix"): DataFrame = {
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
@@ -184,13 +185,10 @@ object Sampling {
       .withColumn("target",
         expr("(CAST(w6 AS DECIMAL(38,0)) * budget) div wtot"))
       .select(col("source"), col("n_docs"), col("w6"), col("target"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("h"), col("doc_id"))
-    val kept = docs.select(col("doc_id"), col("source"),
-        md5(concat(lit(salt + "|"), col("doc_id").cast("string"))
-          .cast("binary")).as("h"))
-      .withColumn("rk", row_number().over(w))
+    val hashed = docs.select(col("doc_id"), col("source"),
+      md5(concat(lit(salt + "|"), col("doc_id").cast("string"))
+        .cast("binary")).as("h"))
+    val kept = KeyedPrefix.rank(hashed, "source", Seq("h", "doc_id"), "rk")
       .join(broadcast(dim.select(col("source"), col("target"))), "source")
       .filter(col("rk") <= col("target"))
       .groupBy(col("source")).agg(count(lit(1)).as("kept_docs"))
@@ -240,20 +238,6 @@ object Sampling {
       .orderBy(col("source"), col("rk"))
   }
 
-  /** Token-budgeted mixture: real training recipes are specified in
-    * TOKENS per source, not documents. Each source's quota is
-    * keep_below/256 of its own token mass (the [[sourceWeights]] recipe
-    * applied to tokens); docs are admitted in doc_id order until the
-    * running token sum crosses the quota, with the crossing doc admitted
-    * (quotas are floors — mixtures over-fill, then trim at pack time).
-    * All arithmetic is integer (`div` 256, long sums), so the admission
-    * set is bit-stable across engines.
-    *
-    * Scale shape: token counts ride the scan; the running sum is a
-    * window PARTITIONED BY source — bounded by the largest single
-    * domain, the same per-domain bound [[stratifiedQuota]] documents,
-    * with the same sharding escape hatch if one domain dominates. The
-    * quota side is |sources| rows (a true dimension) and broadcasts. */
   /** The data-recipe COMPOSER — the query a pretraining run actually
     * issues, chaining the family's stages over one corpus in one DAG:
     *
@@ -276,10 +260,12 @@ object Sampling {
     * need (quality ratio, token count, epoch bucket, temperature hash)
     * rides a single cached projection (spec-asserted); everything above
     * it is per-source aggregates (map-side combined, |sources| rows),
-    * broadcast dims, and exactly two per-source windows (the temperature
-    * rank and the budget running sum — the same bounded-by-largest-domain
-    * shuffles the standalone rows price). Every number in the manifest is
-    * integer or pre-rounded — bit-reproducible cross-engine. */
+    * broadcast dims, and exactly two per-source ordered folds — the
+    * temperature rank and the budget running sum — both via
+    * [[KeyedPrefix]]'s range-partition + metadata-offset discipline, so
+    * neither funnels a dominant source through one reducer. Every number
+    * in the manifest is integer or pre-rounded — bit-reproducible
+    * cross-engine. */
   def recipe(docs: DataFrame, epochs: Seq[(String, Double)]): DataFrame = {
     require(epochs.forall { case (_, e) => e >= 0.0 && e <= 16.0 },
       s"recipe: epoch targets must be in [0, 16], got $epochs")
@@ -306,8 +292,8 @@ object Sampling {
       .withColumn("budget", floor(col("ntot").cast("double") * 0.5).cast("long"))
       .withColumn("target", expr("(CAST(w6 AS DECIMAL(38,0)) * budget) div wtot"))
       .select(col("source"), col("n_gated"), col("w6"), col("target"))
-    val tw = Window.partitionBy(col("source")).orderBy(col("th"), col("doc_id"))
-    val admittedTemp = gated.withColumn("rk", row_number().over(tw))
+    val admittedTemp = KeyedPrefix.rank(gated, "source",
+        Seq("th", "doc_id"), "rk")
       .join(broadcast(dim.select(col("source"), col("target"))), "source")
       .filter(col("rk") <= col("target"))
     // 3. epoch repetition: broadcast (whole, extra256) dim, explode copies
@@ -331,10 +317,8 @@ object Sampling {
       .agg(sum(col("n_tokens")).as("src_tokens"))
       .join(broadcast(weights), "source")
       .select(col("source"), expr("(keep_below * src_tokens) div 256").as("quota"))
-    val cw = Window.partitionBy(col("source"))
-      .orderBy(col("doc_id"), col("copy_idx"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val admitted = copies.withColumn("cum", sum(col("n_tokens")).over(cw))
+    val admitted = KeyedPrefix.prefixSum(copies, "source",
+        Seq("doc_id", "copy_idx"), "n_tokens", "cum")
       .join(broadcast(quota), "source")
       .filter(col("cum") - col("n_tokens") < col("quota"))
     // the manifest: per-source audited counts at every stage
@@ -399,6 +383,20 @@ object Sampling {
       .orderBy(col("stage"), col("source"))
   }
 
+  /** Token-budgeted mixture: real training recipes are specified in
+    * TOKENS per source, not documents. Each source's quota is
+    * keep_below/256 of its own token mass (the [[sourceWeights]] recipe
+    * applied to tokens); docs are admitted in doc_id order until the
+    * running token sum crosses the quota, with the crossing doc admitted
+    * (quotas are floors — mixtures over-fill, then trim at pack time).
+    * All arithmetic is integer (`div` 256, long sums), so the admission
+    * set is bit-stable across engines.
+    *
+    * Scale shape: token counts ride the scan; the running sum is
+    * [[KeyedPrefix.prefixSum]]'s range-partition + metadata-offset fold
+    * — a source that dominates the corpus spans many partitions instead
+    * of funneling through one reducer task. The quota side is |sources|
+    * rows (a true dimension) and broadcasts. */
   def tokenBudget(docs: DataFrame): DataFrame = {
     // the tokenized scan feeds both the quota aggregation and the
     // admission join — cache it once (same pattern as docDupSpans /
@@ -411,10 +409,9 @@ object Sampling {
       .join(broadcast(sourceWeights(docs)), "source")
       .select(col("source"),
         expr("(keep_below * src_tokens) div 256").as("quota"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks.join(broadcast(quota), "source")
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    KeyedPrefix.prefixSum(toks, "source", Seq("doc_id"), "n_tokens",
+        "cum_tokens")
+      .join(broadcast(quota), "source")
       .filter(col("cum_tokens") - col("n_tokens") < col("quota"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_tokens"), col("quota"))

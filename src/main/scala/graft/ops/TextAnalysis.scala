@@ -82,18 +82,43 @@ object TextAnalysis {
     * global quality threshold (a raw ratio cutoff tuned on web prose
     * guts code- or table-heavy sources wholesale; ranks are comparable
     * across sources by construction, the [[qualityGate]] rationale taken
-    * from one fixed percentile to the whole distribution). Shape at
-    * 100 TB: ONE window partitioned by source — per-source partitions
-    * shuffle once and rank locally; no global sort, no driver state.
-    * Ratios are rounded before ranking so both engines rank identical
-    * inputs; percent_rank's (rank-1)/(n-1) is tie-stable. */
+    * from one fixed percentile to the whole distribution).
+    *
+    * Shape at 100 TB: NOT a source-partitioned window over the corpus
+    * (that funnels each source through one reducer — the r18 verdict's
+    * Sampling finding, which this op used to share). percent_rank's
+    * tie-group semantics depend only on (how many rows rank below the
+    * tie group, source size), and the ratio domain is BOUNDED — 4-dp
+    * values in [0, 1], ≤ 10⁴ distinct per source — so the rank derives
+    * from a map-side-combined (source, ratio) count aggregate, a
+    * running sum over that metadata-sized grouped frame (the window is
+    * per-source but over ≤ 10⁴ rows per source by construction, never
+    * the corpus), and a broadcast join back onto the scan. Identical
+    * q_rank values: rank(tie group) = rows below it + 1, percent_rank =
+    * (rank−1)/(n−1), 0 for a single-row source (Spark's convention). */
   def qualityRank(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ratio = round(hits(stopwords).cast("double") / size(w).cast("double"), 4)
-    docs.select(col("doc_id"), col("source"), ratio.as("stopword_ratio"))
-      .withColumn("q_rank",
-        round(percent_rank().over(
-          Window.partitionBy(col("source")).orderBy(col("stopword_ratio"))), 4))
+    // cached: the tokenized ratio projection feeds the rank aggregate AND
+    // the final join back — one corpus scan (the lmScore discipline)
+    val base = graft.CacheScope.track(docs.select(col("doc_id"),
+      col("source"), ratio.as("stopword_ratio")))
+    val cw = Window.partitionBy(col("source")).orderBy(col("stopword_ratio"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nw = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranks = base.groupBy(col("source"), col("stopword_ratio"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cw))
+      .withColumn("n", sum(col("cnt")).over(nw))
+      .select(col("source"), col("stopword_ratio"),
+        (col("cum") - col("cnt") + 1).as("rk"), col("n"))
+    base.join(broadcast(ranks), Seq("source", "stopword_ratio"))
+      .withColumn("q_rank", round(when(col("n") === 1, lit(0.0))
+        .otherwise((col("rk") - 1).cast("double") /
+          (col("n") - 1).cast("double")), 4))
+      .select(col("doc_id"), col("source"), col("stopword_ratio"),
+        col("q_rank"))
       .orderBy(col("doc_id"))
   }
 

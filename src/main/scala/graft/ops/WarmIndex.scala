@@ -27,12 +27,21 @@ object WarmIndex {
     * `computeIfAbsent` runs the build AT MOST ONCE per key even under
     * concurrent first callers (a lock-free getOrElseUpdate would let two
     * racers both build into the same table name). */
-  private def ensure(spark: SparkSession, sfDir: String, kind: String)(
-      build: String => Unit): String =
-    built.computeIfAbsent(s"$kind|$sfDir", { _ =>
+  /** Database creation is the one catalog-global step — serialized so
+    * concurrent first-builders ([[prebuildAll]]'s pool) cannot race the
+    * IF-NOT-EXISTS check-then-create. */
+  private def ensureDb(spark: SparkSession, kind: String): Unit =
+    WarmIndex.synchronized {
       val wh = java.nio.file.Files.createTempDirectory(s"graft-warm-$kind")
         .toFile.getAbsolutePath
       spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_warm LOCATION '$wh'")
+      ()
+    }
+
+  private def ensure(spark: SparkSession, sfDir: String, kind: String)(
+      build: String => Unit): String =
+    built.computeIfAbsent(s"$kind|$sfDir", { _ =>
+      ensureDb(spark, kind)
       // table name = SANITIZED path (readable) + a digest of the RAW
       // path (collision-free): sanitization alone can collide (e.g.
       // `/data/sf0.001` and `/data/sf0_001` both sanitize to `sf0_001`),
@@ -101,8 +110,35 @@ object WarmIndex {
     * its band purely because it ran first). Idempotent: each build is
     * memoized per (kind, sfDir) per JVM. */
   def prebuildAll(spark: SparkSession, sfDir: String): Unit = {
-    ivf(spark, sfDir); ivfPq(spark, sfDir); ivfPqResidual(spark, sfDir)
-    ivfSq(spark, sfDir); bm25(spark, sfDir); positional(spark, sfDir)
-    fuzzy(spark, sfDir); fuzzySkip(spark, sfDir); graphAdjacency(spark, sfDir)
+    // The nine layouts are INDEPENDENT (distinct tables, distinct source
+    // frames) — build them as concurrent driver jobs instead of a serial
+    // chain: each build is a sequence of small stages that leaves most of
+    // the cluster idle between them, so overlapping builds fills the gaps
+    // (the standard multi-job Spark driver pattern; scheduling stays
+    // correct because Spark sessions are thread-safe for concurrent
+    // actions). Pool of 4: enough overlap to hide stage gaps without
+    // oversubscribing the one JVM's shuffle machinery. Memoization is
+    // untouched — each build still runs at most once per (kind, sfDir).
+    val builds: Seq[() => String] = Seq(
+      () => ivf(spark, sfDir), () => ivfPq(spark, sfDir),
+      () => ivfPqResidual(spark, sfDir), () => ivfSq(spark, sfDir),
+      () => bm25(spark, sfDir), () => positional(spark, sfDir),
+      () => fuzzy(spark, sfDir), () => fuzzySkip(spark, sfDir),
+      () => graphAdjacency(spark, sfDir))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = builds.map(b =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = b()
+        }))
+      // surface the FIRST build failure with its real cause, not the
+      // ExecutionException wrapper
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
   }
 }

@@ -129,6 +129,21 @@ class BpeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("MaxSteps contract is enforced: a vocab-scale steps ask is refused") {
+    import graft.model.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // the merge loop schedules one driver iteration per merge — the bound
+    // is the op's explicit scale contract, not a soft default
+    val e = intercept[IllegalArgumentException] {
+      Bpe.merges(docs, steps = Bpe.MaxSteps + 1)
+    }
+    assert(e.getMessage.contains("MaxSteps"))
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.encodeFrozen(docs, docs, steps = 32768)
+    }
+    assert(e2.getMessage.contains("MaxSteps"))
+  }
+
   test("five merges on sf0.001 documents are deterministic across reruns") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Bpe.merges(docs).collect().map(_.toSeq).toSeq

@@ -227,6 +227,128 @@ class GraphPathsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ppr_adj_spec2")
   }
 
+  private def studentsOf(rows: Seq[org.apache.spark.sql.Row]) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("name", StringType, false),
+      StructField("address", StringType, true),
+      StructField("college", StringType, true),
+      StructField("board", StringType, true),
+      StructField("stream", StringType, true),
+      StructField("interests", ArrayType(StringType), true)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  test("converged PPR: halts at the exact fixpoint before the bound; " +
+      "equals a plain-Scala fixpoint reference") {
+    import org.apache.spark.sql.Row
+    val students = studentsOf(Seq(
+      Row(1L, "a", "lalitpur", "xc", "nb", "sci", Seq("math")),
+      Row(2L, "b", "kathmandu", "xc", "nb", "sci", Seq("music")),
+      Row(3L, "c", "lalitpur", "tc", "nb", "mgmt", Seq("music")),
+      Row(4L, "d", "pokhara", "tc", null, "sci", Seq.empty[String]),
+      Row(5L, "e", null, null, null, null, Seq("math"))))
+    spark.sql("DROP TABLE IF EXISTS ppr_conv_spec")
+    GraphOps.buildAdjacencyTable(students, "ppr_conv_spec")
+    try {
+      val (df, rounds) = GraphOps.pprConvergedWithRounds(
+        spark.table("ppr_conv_spec"), 1L)
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // plain-Scala mirror at PprConvScale, iterated to ITS fixpoint with
+      // the same halt rule (the confirming round counts)
+      val und = spark.table("ppr_conv_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val scale = GraphOps.PprConvScale
+      var r = Map(1L -> scale)
+      var refRounds = 0
+      var fixed = false
+      while (!fixed && refRounds < GraphOps.PprConvMaxRounds) {
+        val next = (und.flatMap { case (u, v) =>
+            r.get(u).map(ru => v -> ru / deg(u) * 85 / 100)
+          } :+ (1L -> scale * 15 / 100))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+          .filter(_._2 > 0)
+        fixed = next == r
+        r = next
+        refRounds += 1
+      }
+      assert(fixed, "reference never converged — raise PprConvMaxRounds")
+      assert(rounds === refRounds,
+        s"engine halted at round $rounds, reference at $refRounds")
+      assert(rounds < GraphOps.PprConvMaxRounds,
+        "no early stop — the detector never fired")
+      assert(got === r, "converged ranks diverged from the fixpoint reference")
+    } finally spark.sql("DROP TABLE IF EXISTS ppr_conv_spec")
+  }
+
+  test("recommend served from the standing adjacency == the inline form") {
+    import org.apache.spark.sql.Row
+    val students = studentsOf(Seq(
+      Row(1L, "a", null, "ca", null, null, Seq.empty[String]),
+      Row(2L, "b", null, "ca", "bb", null, Seq.empty[String]),
+      Row(3L, "c", null, null, "bb", "sc", Seq.empty[String]),
+      Row(4L, "d", null, null, null, "sc", Seq.empty[String])))
+    spark.sql("DROP TABLE IF EXISTS ppr_rec_spec")
+    GraphOps.buildAdjacencyTable(students, "ppr_rec_spec")
+    try {
+      val inline = GraphOps.personalizedPageRankRecommend(students, 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val warm = GraphOps.personalizedPageRankRecommendIndexed(
+          spark, "ppr_rec_spec", students, 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(warm === inline, "warm-served recommend diverged from inline")
+    } finally spark.sql("DROP TABLE IF EXISTS ppr_rec_spec")
+  }
+
+  test("labelPropagationStudents: clique folds to its min label; " +
+      "isolated node keeps its own") {
+    import org.apache.spark.sql.Row
+    // K4 via shared college; node 9 connects to nobody
+    val students = studentsOf(
+      (0L to 3L).map(i =>
+        Row(i, s"s$i", s"a$i", "c1", s"b$i", s"st$i", Seq.empty[String])) :+
+      Row(9L, "s9", "a9", "c9", "b9", "st9", Seq.empty[String]))
+    val got = GraphOps.labelPropagationStudents(students)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-folded: round 1 — node 0 takes 1 (smallest neighbor label),
+    // everyone else takes 0; round 2 — everyone sees a 0-majority; stable
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 9L -> 9L))
+    // the standing-adjacency form reaches the identical fold
+    spark.sql("DROP TABLE IF EXISTS lpa_adj_spec")
+    GraphOps.buildAdjacencyTable(students, "lpa_adj_spec")
+    try {
+      val ix = GraphOps.labelPropagationStudentsIndexed(
+          spark, "lpa_adj_spec", students)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ix === got, "indexed LPA diverged from the inline fold")
+    } finally spark.sql("DROP TABLE IF EXISTS lpa_adj_spec")
+  }
+
+  test("kCoreStudents: pendant peels, clique core survives at k=3") {
+    import org.apache.spark.sql.Row
+    // K4 via college c1; node 4 hangs off node 0 alone via board bx
+    val students = studentsOf(Seq(
+      Row(0L, "s0", "a0", "c1", "bx", "st0", Seq.empty[String]),
+      Row(1L, "s1", "a1", "c1", "b1", "st1", Seq.empty[String]),
+      Row(2L, "s2", "a2", "c1", "b2", "st2", Seq.empty[String]),
+      Row(3L, "s3", "a3", "c1", "b3", "st3", Seq.empty[String]),
+      Row(4L, "s4", "a4", "c4", "bx", "st4", Seq.empty[String])))
+    val got = GraphOps.kCoreStudents(students, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      "expected the K4 core at residual degree 3 with the pendant peeled")
+    spark.sql("DROP TABLE IF EXISTS kcore_adj_spec")
+    GraphOps.buildAdjacencyTable(students, "kcore_adj_spec")
+    try {
+      val ix = GraphOps.kCoreStudentsIndexed(spark, "kcore_adj_spec", k = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ix === got, "indexed k-core diverged from the inline peel")
+    } finally spark.sql("DROP TABLE IF EXISTS kcore_adj_spec")
+  }
+
   test("adjacencyDelta == from-scratch post-insert slices (cap=2 exercised)") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row

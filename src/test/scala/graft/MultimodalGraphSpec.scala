@@ -167,6 +167,77 @@ class MultimodalGraphSpec extends SparkSpec {
     assert(pairs.forall(p => !small.contains(p._1) && !small.contains(p._2 % 1000000L)))
   }
 
+  test("phashPairs recall: differing bits spread across all four old " +
+      "16-bit quadrants still pair (the 8-band pigeonhole)") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val base = "0" * 64
+    // hamming-4 partner with one flipped bit in EACH 16-bit quadrant —
+    // under the old 4 x 16 banding these shared no band and were dropped
+    def flip(s: String, idxs: Seq[Int]): String =
+      s.zipWithIndex.map { case (c, i) =>
+        if (idxs.contains(i)) (if (c == '0') '1' else '0') else c
+      }.mkString
+    val other = flip(base, Seq(3, 19, 35, 51))
+    // and a hamming-6 pair spanning six DIFFERENT 8-bit bands
+    val six = flip(base, Seq(1, 9, 17, 25, 33, 41))
+    val ph = Seq(
+      (1L, 8, 8, base), (2L, 8, 8, other), (3L, 8, 8, six))
+      .toDF("doc_id", "width", "height", "ahash")
+    val pairs = Multimodal.phashPairs(ph).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 4)), s"hamming-4 cross-quadrant pair lost: $pairs")
+    assert(pairs.contains((1L, 3L, 6)), s"hamming-6 six-band pair lost: $pairs")
+    // threshold above the 8-band guarantee is refused, not silently lossy
+    intercept[IllegalArgumentException] {
+      Multimodal.phashPairs(ph, maxHamming = 8)
+    }
+  }
+
+  test("streaming phash ingest == batch pairs; replayed micro-batch is a no-op") {
+    import graft.ops.Multimodal
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.mediaTable(docs)
+    spark.sql("DROP TABLE IF EXISTS phash_stream_spec")
+    Multimodal.perceptualHash(spark, media)
+      .write.saveAsTable("phash_stream_spec")
+    val mirror = media.filter(col("kind") === "image")
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("kind"),
+        col("bytes"))
+    val feed = java.nio.file.Files.createTempDirectory("graft-phash-spec")
+      .toFile.getAbsolutePath + "/in"
+    mirror.filter(col("doc_id") % 2 === 0).repartition(1).write.parquet(feed)
+    // batch 2 replays batch 1's rows alongside the odd half
+    mirror.repartition(1).write.mode("append").parquet(feed)
+    try {
+      val q = spark.readStream.schema(mirror.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Multimodal.phashIngest(spark, "phash_stream_spec", batch); ()
+        }
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      // no duplicate hash rows despite the replay
+      val dups = spark.table("phash_stream_spec")
+        .groupBy(col("doc_id")).count().filter(col("count") > 1).count()
+      assert(dups === 0, "replayed micro-batch duplicated hash rows")
+      val streamed = Multimodal.phashPairs(spark.table("phash_stream_spec"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      // batch reference: the same union computed in one shot
+      val ph = Multimodal.perceptualHash(spark, media)
+      val batchPairs = Multimodal.phashPairs(ph.unionByName(
+          ph.select((col("doc_id") + 1000000L).as("doc_id"), col("width"),
+            col("height"), col("ahash"))))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(streamed === batchPairs, "stream != batch pairs")
+      assert(streamed.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS phash_stream_spec")
+      CacheScope.unpersistAll()
+    }
+  }
+
   test("embeddingOutliers flags the far vector, not the cluster body") {
     import spark.implicits._
     // label 0: nine vectors at the origin + one at all-ones (z ≈ 2.85);
