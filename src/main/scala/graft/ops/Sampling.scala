@@ -292,23 +292,31 @@ object Sampling {
       .withColumn("budget", floor(col("ntot").cast("double") * 0.5).cast("long"))
       .withColumn("target", expr("(CAST(w6 AS DECIMAL(38,0)) * budget) div wtot"))
       .select(col("source"), col("n_gated"), col("w6"), col("target"))
-    val admittedTemp = KeyedPrefix.rank(gated, "source",
-        Seq("th", "doc_id"), "rk")
-      .join(broadcast(dim.select(col("source"), col("target"))), "source")
-      .filter(col("rk") <= col("target"))
+    // cached: the temperature-admitted frame feeds the epoch explode AND
+    // the manifest's kept-count aggregate — with the KeyedPrefix rank in
+    // its lineage, an uncached second consumer would replay the range
+    // exchange + offset-broadcast chain
+    val admittedTemp = graft.CacheScope.track(
+      KeyedPrefix.rank(gated, "source", Seq("th", "doc_id"), "rk")
+        .join(broadcast(dim.select(col("source"), col("target"))), "source")
+        .filter(col("rk") <= col("target")))
     // 3. epoch repetition: broadcast (whole, extra256) dim, explode copies
     val edim = epochs.map { case (s, e) =>
       val whole = math.floor(e).toLong
       (s, whole, math.round((e - whole) * 256).toInt)
     }.toDF("source", "whole", "extra256")
-    val copies = admittedTemp.join(broadcast(edim), Seq("source"), "left_outer")
-      .withColumn("n_copies",
-        coalesce(col("whole"), lit(1L)) +
-          when(col("ebucket") < coalesce(col("extra256"), lit(0)), 1L)
-            .otherwise(0L))
-      .filter(col("n_copies") > 0)
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
+    // cached: the copy stream has FOUR consumers (the budget prefix sum's
+    // two range-exchange passes, the quota aggregate, and the manifest's
+    // copy aggregate) — the deepest frame in the DAG
+    val copies = graft.CacheScope.track(
+      admittedTemp.join(broadcast(edim), Seq("source"), "left_outer")
+        .withColumn("n_copies",
+          coalesce(col("whole"), lit(1L)) +
+            when(col("ebucket") < coalesce(col("extra256"), lit(0)), 1L)
+              .otherwise(0L))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx")))
     // 4. token budget on the post-epoch copy stream, crossing copy admitted
     val weights = base.select(col("source")).distinct()
       .withColumn("keep_below", lit(64) *
