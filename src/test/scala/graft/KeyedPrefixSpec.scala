@@ -63,6 +63,49 @@ class KeyedPrefixSpec extends SparkSpec {
     assert(cum === Map(1L -> 5L, 2L -> 8L))
   }
 
+  test("PROPERTY: rank and prefixSum equal a plain-Scala reference on " +
+      "random skewed frames") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // random key distributions (incl. one-key-dominates skew), random
+    // values, duplicate ORDER values allowed — (v, id) stays total via id
+    val gen = for {
+      n    <- Gen.chooseNum(1, 120)
+      keys <- Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.const("hot"), 2 -> Gen.const("warm"),
+        1 -> Gen.const("k3"), 1 -> Gen.const("k4")))
+      vs   <- Gen.listOfN(n, Gen.chooseNum(0L, 9L)) // heavy duplicates
+      np   <- Gen.chooseNum(1, 9)
+    } yield (keys, vs, np)
+    val prop = Prop.forAll(gen) { case (keys, vs, np) =>
+      val rows = keys.zip(vs).zipWithIndex.map { case ((k, v), i) =>
+        (i.toLong, k, v)
+      }
+      val df = rows.toDF("id", "source", "v").repartition(np, col("v"))
+      val gotRk = KeyedPrefix.rank(df, "source", Seq("v", "id"), "rk")
+        .select(col("id"), col("rk")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wantRk = rows.groupBy(_._2).flatMap { case (_, g) =>
+        g.sortBy(t => (t._3, t._1)).zipWithIndex
+          .map { case (t, i) => t._1 -> (i + 1).toLong }
+      }
+      val gotCum = KeyedPrefix
+        .prefixSum(df, "source", Seq("v", "id"), "v", "cum")
+        .select(col("id"), col("cum")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wantCum = rows.groupBy(_._2).flatMap { case (_, g) =>
+        val sorted = g.sortBy(t => (t._3, t._1))
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3).tail)
+          .map { case (t, c) => t._1 -> c }
+      }
+      gotRk == wantRk && gotCum == wantCum
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(40)
+      .withInitialSeed(org.scalacheck.rng.Seed(19L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sampling consumers carry no key-only WindowExec over the corpus") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
