@@ -110,7 +110,8 @@ object EntryFixtures {
     * derivation site for the single-anchor, recommend, batch, and
     * converged tails. `nRounds`/`scale` default to the fixed-k walk's
     * contract; the converged tail passes its own (and MATERIALIZED round
-    * CTEs — at 80 unrolled rounds DuckDB must not re-inline the chain). */
+    * CTEs — at `PprConvMaxRounds` unrolled rounds DuckDB must not
+    * re-inline the chain). */
   private def pprChain(anchors: Seq[Long], nRounds: Int = 3,
       scale: Long = graft.graph.GraphOps.PprScale,
       materialized: Boolean = false): String = {

@@ -366,6 +366,26 @@ object PipelineEntry {
     "x.exact_distinct FROM E e JOIN X x ON e.g = x.g ORDER BY l_returnflag"
   }
 
+  /** The banded phash near-dup pairs oracle — ONE literal shared by the
+    * batch row and its streaming-ingest twin (they answer identically by
+    * the stream==batch contract; a shared body makes a future banding or
+    * threshold change atomically consistent across both). 8 × 8-bit
+    * bands: pigeonhole-exact recall to hamming 7 ≥ the verify threshold
+    * 6, mirroring [[graft.ops.Multimodal.phashPairs]]. */
+  private val phashPairsOracle: String =
+    s"WITH $mmPhashCtes, " +
+    "U0 AS (SELECT doc_id, ahash FROM PH WHERE width * height >= " +
+    s"${graft.ops.Multimodal.MinPhashPixels}), " +
+    "U AS (SELECT doc_id, ahash FROM U0 UNION ALL SELECT doc_id + 1000000, ahash FROM U0), " +
+    "BD AS (SELECT doc_id, ahash, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j, " +
+    "unnest([substr(ahash, 1, 8), substr(ahash, 9, 8), substr(ahash, 17, 8), " +
+    "substr(ahash, 25, 8), substr(ahash, 33, 8), substr(ahash, 41, 8), " +
+    "substr(ahash, 49, 8), substr(ahash, 57, 8)]) AS k FROM U), " +
+    "C AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst, a.ahash AS ha, b.ahash AS hb " +
+    "FROM BD a JOIN BD b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id), " +
+    s"HM AS (SELECT src, dst, CAST(${OracleCtes.hammingSql("ha", "hb")} AS INT) AS hamming FROM C) " +
+    "SELECT src, dst, hamming FROM HM WHERE hamming <= 6 ORDER BY src, dst"
+
   def oracleSql: Map[String, String] = Map(
     "stream_decontam" -> decontamOverlapOracle,
     "mm_features" ->
@@ -390,35 +410,12 @@ object PipelineEntry {
     // pairs: re-keyed mirror slice union, 8 x 8-bit band bucket join
     // (pigeonhole-exact recall to hamming 7 >= the threshold 6),
     // exact 64-position hamming verify at threshold 6
-    "mm_phash_pairs" ->
-      (s"WITH $mmPhashCtes, " +
-       "U0 AS (SELECT doc_id, ahash FROM PH WHERE width * height >= " +
-       s"${graft.ops.Multimodal.MinPhashPixels}), " +
-       "U AS (SELECT doc_id, ahash FROM U0 UNION ALL SELECT doc_id + 1000000, ahash FROM U0), " +
-       "BD AS (SELECT doc_id, ahash, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j, " +
-       "unnest([substr(ahash, 1, 8), substr(ahash, 9, 8), substr(ahash, 17, 8), " +
-       "substr(ahash, 25, 8), substr(ahash, 33, 8), substr(ahash, 41, 8), " +
-       "substr(ahash, 49, 8), substr(ahash, 57, 8)]) AS k FROM U), " +
-       "C AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst, a.ahash AS ha, b.ahash AS hb " +
-       "FROM BD a JOIN BD b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id), " +
-       s"HM AS (SELECT src, dst, CAST(${OracleCtes.hammingSql("ha", "hb")} AS INT) AS hamming FROM C) " +
-       "SELECT src, dst, hamming FROM HM WHERE hamming <= 6 ORDER BY src, dst"),
+    "mm_phash_pairs" -> phashPairsOracle,
     // stream==batch: after the drain the standing hash table holds
     // exactly the originals + the mirror copies, so the banded pairs
-    // answer the batch row's oracle verbatim
-    "stream_phash_ingest" ->
-      (s"WITH $mmPhashCtes, " +
-       "U0 AS (SELECT doc_id, ahash FROM PH WHERE width * height >= " +
-       s"${graft.ops.Multimodal.MinPhashPixels}), " +
-       "U AS (SELECT doc_id, ahash FROM U0 UNION ALL SELECT doc_id + 1000000, ahash FROM U0), " +
-       "BD AS (SELECT doc_id, ahash, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j, " +
-       "unnest([substr(ahash, 1, 8), substr(ahash, 9, 8), substr(ahash, 17, 8), " +
-       "substr(ahash, 25, 8), substr(ahash, 33, 8), substr(ahash, 41, 8), " +
-       "substr(ahash, 49, 8), substr(ahash, 57, 8)]) AS k FROM U), " +
-       "C AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst, a.ahash AS ha, b.ahash AS hb " +
-       "FROM BD a JOIN BD b ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id), " +
-       s"HM AS (SELECT src, dst, CAST(${OracleCtes.hammingSql("ha", "hb")} AS INT) AS hamming FROM C) " +
-       "SELECT src, dst, hamming FROM HM WHERE hamming <= 6 ORDER BY src, dst"),
+    // answer the batch row's ORACLE VERBATIM — one shared literal, so a
+    // banding/threshold change cannot desynchronize the twins
+    "stream_phash_ingest" -> phashPairsOracle,
     // the resized top-left pixel: NN (0,0) maps to source (0,0), which in
     // the bottom-up 24-bit BMP sits at byte offset (h-1)*rowlen (B,G,R) of
     // the md5-cycled pixel data

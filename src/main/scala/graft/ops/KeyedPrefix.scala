@@ -36,13 +36,28 @@ import org.apache.spark.sql.functions._
   * Scale shape: one range shuffle of the frame, one metadata broadcast;
   * [[prefixSum]] adds one hash exchange on (partition, key) for its
   * local window — a key whose cardinality is partitions × |keys|, so it
-  * distributes regardless of key skew. No key-partitioned WindowExec
-  * over a corpus-sized frame anywhere (ScalePathSpec asserts this on
-  * every consumer).
+  * distributes regardless of key skew. KeyedPrefixSpec plan-guards the
+  * consumers (no key-only WindowExec) AND the one-scan reuse contract
+  * (the offsets side and the probe side must share the range exchange —
+  * if ReusedExchange ever stopped firing, each side would re-sample its
+  * own range boundaries and pid/mid would silently disagree).
   */
 object KeyedPrefix {
 
+  /** Work columns appended internally — the input frame must not carry
+    * them (withColumn would silently replace a caller's column and the
+    * offset join would resolve against the wrong attribute). */
+  private val Reserved =
+    Seq("_pid", "_mid", "_mid0", "_off", "_cnt", "_s", "_local")
+
   private def ranged(df: DataFrame, key: String, ord: Seq[String]): DataFrame = {
+    require(ord.nonEmpty,
+      "KeyedPrefix: `ord` must be non-empty — (key, ord...) has to be a " +
+        "total order or per-partition positions are not reproducible")
+    val clash = Reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"KeyedPrefix: input frame carries reserved work column(s) " +
+        s"${clash.mkString(", ")}")
     val parts =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sortCols = (key +: ord).map(col)

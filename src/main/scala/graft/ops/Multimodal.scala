@@ -333,7 +333,13 @@ object Multimodal {
     * key projection. */
   def phashIngest(spark: SparkSession, table: String,
       mediaBatch: DataFrame): Unit = {
-    val ph = perceptualHash(spark, mediaBatch)
+    // dropDuplicates BEFORE the guard: the anti-join only sees the
+    // standing table, so two copies of a doc WITHIN one micro-batch (an
+    // at-least-once source that packed the redelivery into the same
+    // trigger) would both survive it — the within-batch half of the
+    // replay contract; hash rows are deterministic, so keeping either
+    // copy is exact
+    val ph = perceptualHash(spark, mediaBatch).dropDuplicates("doc_id")
     val fresh = ph.join(spark.table(table).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
       .localCheckpoint()

@@ -29,19 +29,24 @@ object WarmIndex {
     * racers both build into the same table name). */
   /** Database creation is the one catalog-global step — serialized so
     * concurrent first-builders ([[prebuildAll]]'s pool) cannot race the
-    * IF-NOT-EXISTS check-then-create. */
-  private def ensureDb(spark: SparkSession, kind: String): Unit =
+    * IF-NOT-EXISTS check-then-create, and done ONCE per JVM (the
+    * database is global; minting a temp LOCATION per kind would orphan
+    * 8 empty dirs per run — only the first CREATE's location sticks). */
+  private var dbCreated = false
+  private def ensureDb(spark: SparkSession): Unit =
     WarmIndex.synchronized {
-      val wh = java.nio.file.Files.createTempDirectory(s"graft-warm-$kind")
-        .toFile.getAbsolutePath
-      spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_warm LOCATION '$wh'")
-      ()
+      if (!dbCreated) {
+        val wh = java.nio.file.Files.createTempDirectory("graft-warm")
+          .toFile.getAbsolutePath
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_warm LOCATION '$wh'")
+        dbCreated = true
+      }
     }
 
   private def ensure(spark: SparkSession, sfDir: String, kind: String)(
       build: String => Unit): String =
     built.computeIfAbsent(s"$kind|$sfDir", { _ =>
-      ensureDb(spark, kind)
+      ensureDb(spark)
       // table name = SANITIZED path (readable) + a digest of the RAW
       // path (collision-free): sanitization alone can collide (e.g.
       // `/data/sf0.001` and `/data/sf0_001` both sanitize to `sf0_001`),
@@ -132,11 +137,17 @@ object WarmIndex {
           def call(): String = b()
         }))
       // surface the FIRST build failure with its real cause, not the
-      // ExecutionException wrapper
+      // ExecutionException wrapper — and cancel everything still queued
+      // or in flight first: shutdown() alone would keep running builds
+      // (and START the queued ones) on non-daemon threads after the
+      // caller has already seen the throw
       futs.foreach { f =>
         try f.get()
         catch {
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
+          case e: java.util.concurrent.ExecutionException =>
+            futs.foreach(_.cancel(true))
+            pool.shutdownNow()
+            throw e.getCause
         }
       }
     } finally pool.shutdown()

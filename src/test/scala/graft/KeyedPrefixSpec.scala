@@ -106,6 +106,40 @@ class KeyedPrefixSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("offset side and probe side share ONE range exchange (one scan)") {
+    // the correctness of pid/mid-based offsets depends on the two (three
+    // for prefixSum) consumers of the range exchange reading IDENTICAL
+    // partition contents — ReusedExchange is what guarantees it (the
+    // equiDepth contract). If reuse ever stopped firing, each consumer
+    // would re-sample its own range boundaries and ranks would silently
+    // corrupt — so the source must be scanned exactly once.
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"))
+    for (df <- Seq(
+        KeyedPrefix.rank(docs, "source", Seq("doc_id"), "rk"),
+        KeyedPrefix.prefixSum(docs, "source", Seq("doc_id"), "doc_id",
+          "cum"))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val n = scans(plan).count(_.toString.contains("documents")) +
+        plan.subqueries.flatMap(scans).count(_.toString.contains("documents"))
+      assert(n === 1,
+        s"expected ONE documents scan shared via ReusedExchange, got $n:\n$plan")
+    }
+  }
+
+  test("preconditions fail fast: empty ord, reserved work columns") {
+    import spark.implicits._
+    val df = Seq((1L, "s0", 2L)).toDF("id", "source", "v")
+    intercept[IllegalArgumentException] {
+      KeyedPrefix.rank(df, "source", Seq.empty, "rk")
+    }
+    intercept[IllegalArgumentException] {
+      KeyedPrefix.prefixSum(df.withColumnRenamed("v", "_pid"), "source",
+        Seq("id"), "id", "cum")
+    }
+  }
+
   test("sampling consumers carry no key-only WindowExec over the corpus") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -232,6 +232,19 @@ class MultimodalGraphSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
       assert(streamed === batchPairs, "stream != batch pairs")
       assert(streamed.nonEmpty)
+      // WITHIN-batch duplicates must also collapse: a batch carrying the
+      // same doc twice (at-least-once redelivery packed into one trigger)
+      // only ever lands one hash row — the standing-table anti-join alone
+      // cannot catch this half of the replay contract. Fresh ids (not yet
+      // in the table) so the anti-join can't mask it.
+      val twice = mirror.limit(3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("kind"),
+          col("bytes"))
+      Multimodal.phashIngest(spark, "phash_stream_spec",
+        twice.unionByName(twice))
+      val dups2 = spark.table("phash_stream_spec")
+        .groupBy(col("doc_id")).count().filter(col("count") > 1).count()
+      assert(dups2 === 0, "within-batch duplicate produced doubled hash rows")
     } finally {
       spark.sql("DROP TABLE IF EXISTS phash_stream_spec")
       CacheScope.unpersistAll()
