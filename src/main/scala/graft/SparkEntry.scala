@@ -299,7 +299,12 @@ object SparkEntry {
     // the REAL capped student graph, and the phash streaming ingest twin
     "graph_ppr_recommend_query", "graph_ppr_converged",
     "graph_label_prop_students", "graph_kcore_students",
-    "stream_phash_ingest")
+    "stream_phash_ingest",
+    // round-20: the graph_ppr_query separation applied to the wedge
+    // audits (warm-served AA/CC twins — wedge work alone) + the batch
+    // fixpoint-walk frontend (N anchors, one round sequence)
+    "graph_adamic_adar_query", "graph_clustering_query",
+    "graph_ppr_converged_batch")
 
   // ---------------------------------------------------------------- oracle
 }

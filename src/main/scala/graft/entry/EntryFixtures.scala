@@ -168,6 +168,19 @@ object EntryFixtures {
       "ORDER BY rank_scaled DESC, node"
   }
 
+  /** Batch fixpoint-walk oracle: the SAME qid-keyed chain unrolled to the
+    * bound for ALL batch anchors at once — per qid the rounds past that
+    * anchor's fixpoint are no-ops, so this equals the engine's halt state
+    * whether the batch halted on the slowest anchor or ran the bound out
+    * (and the missing-anchor qid stays at its bare teleport row). */
+  val pprConvergedBatchOracleTail: String = {
+    val n = graft.graph.GraphOps.PprConvMaxRounds
+    pprChain(pprBatchAnchors, n, graft.graph.GraphOps.PprConvScale,
+      materialized = true) +
+      s" SELECT qid, node, r AS rank_scaled FROM R$n WHERE r > 0 " +
+      "ORDER BY qid, rank_scaled DESC, node"
+  }
+
   /** Student-graph LPA oracle: 3 sync mode-of-neighbor rounds unrolled
     * over the capped equi-rule adjacency (ties to the smallest label;
     * nodes with no update keep theirs) — the chain-fixture LPA oracle's

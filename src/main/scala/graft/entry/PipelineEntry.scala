@@ -309,10 +309,23 @@ object PipelineEntry {
     // wedge join as node similarity, integer-exact rank tiebreaks
     "graph_adamic_adar" -> ((s, d) =>
       graft.graph.GraphOps.adamicAdar(Tables.students(s, d))),
+    // the graph_ppr_query separation applied to AA: the wedge scorer
+    // served from the STANDING adjacency (the rule-join rebuild+persist
+    // is priced once by warm_index_build; this prices the wedge work
+    // alone — the amortized repeated-audit regime); same oracle as the
+    // inline build-pricing form, the hash match proving the standing
+    // table IS the capped view
+    "graph_adamic_adar_query" -> ((s, d) =>
+      graft.graph.GraphOps.adamicAdarIndexed(
+        s, graft.ops.WarmIndex.graphAdjacency(s, d))),
     // local clustering coefficient: neighbor-pair edge tests bounded by
     // cap² per anchor; community cores vs bridge nodes
     "graph_clustering_coeff" -> ((s, d) =>
       graft.graph.GraphOps.clusteringCoeff(Tables.students(s, d))),
+    // the warm-served clustering twin (the adamic_adar_query rationale)
+    "graph_clustering_query" -> ((s, d) =>
+      graft.graph.GraphOps.clusteringCoeffIndexed(
+        s, graft.ops.WarmIndex.graphAdjacency(s, d))),
     // training-data pipeline: sequence packing — concat-then-chunk slot
     // assignment over (lang, shard) prefix sums; shard = portable md5
     // bucket so the only shuffle's cardinality is a config knob

@@ -128,6 +128,15 @@ object StudentEntry {
     "graph_ppr_converged" -> ((s, d) =>
       graft.graph.GraphOps.personalizedPageRankConverged(
         s, WarmIndex.graphAdjacency(s, d), 1L)),
+    // the fixpoint walk's BATCH frontend (graph_ppr_batch's discipline
+    // applied to the converged twin): all anchors relax through ONE
+    // round sequence keyed by (qid, node), halting when the whole
+    // batch's change set is empty — N anchors cost the slowest anchor's
+    // fixpoint, not N × rounds; early convergers ride along as exact
+    // no-ops and the missing anchor stays at its teleport row
+    "graph_ppr_converged_batch" -> ((s, d) =>
+      graft.graph.GraphOps.personalizedPageRankConvergedBatch(
+        s, WarmIndex.graphAdjacency(s, d), pprBatchAnchors)),
     // community detection on the REFERENCE'S OWN graph (which student
     // cohorts exist): k sync LPA rounds over the capped equi-rule
     // adjacency — exercises the near-clique cap discipline the chain-
@@ -387,6 +396,45 @@ object StudentEntry {
     // §2.9 fuzzy search
   )
 
+  /** Adamic-Adar oracle tail — ONE literal shared by the inline
+    * build-pricing form and the warm-served `_query` twin (they answer
+    * identically: the standing adjacency IS the capped view). */
+  private val adamicAdarOracleTail: String =
+    s", e AS ($edgesSql), P AS (SELECT DISTINCT src, dst FROM e), " +
+    "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
+    "U AS (SELECT src, dst FROM (SELECT src, dst, " +
+    "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM U0) WHERE rn <= 32), " +
+    "D AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM U GROUP BY src), " +
+    "IV AS (SELECT src AS c, CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS inv6 " +
+    "FROM D WHERE deg >= 2), " +
+    "C AS (SELECT x.src AS a, x.dst AS b, u1.dst AS c " +
+    "FROM (SELECT src, dst FROM U WHERE src % 200 = 0) x " +
+    "JOIN U u1 ON u1.src = x.src JOIN U u2 ON u2.src = x.dst AND u2.dst = u1.dst), " +
+    "W AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS common, " +
+    "CAST(sum(iv.inv6) AS BIGINT) AS s6 FROM C c JOIN IV iv ON iv.c = c.c GROUP BY 1, 2), " +
+    "R AS (SELECT a, b, common, round(CAST(s6 AS DOUBLE) / 1000000.0, 4) AS aa_score, " +
+    "row_number() OVER (PARTITION BY a ORDER BY s6 DESC, b) AS rk FROM W) " +
+    "SELECT a, b, common, aa_score, CAST(rk AS INT) AS rank FROM R WHERE rk <= 3 " +
+    "ORDER BY a, rank"
+
+  /** Clustering-coefficient oracle tail — shared by the inline and
+    * `_query` forms (the [[adamicAdarOracleTail]] rationale). */
+  private val clusteringOracleTail: String =
+    s", e AS ($edgesSql), P AS (SELECT DISTINCT src, dst FROM e), " +
+    "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
+    "U AS (SELECT src, dst FROM (SELECT src, dst, " +
+    "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM U0) WHERE rn <= 32), " +
+    "A AS (SELECT src AS v, dst FROM U WHERE src % 200 = 0), " +
+    "NP AS (SELECT a1.v, a1.dst AS b, a2.dst AS c FROM A a1 " +
+    "JOIN A a2 ON a1.v = a2.v AND a1.dst < a2.dst), " +
+    "TRI AS (SELECT v, CAST(count(*) AS BIGINT) AS triangles FROM NP " +
+    "SEMI JOIN U ON U.src = NP.b AND U.dst = NP.c GROUP BY v), " +
+    "D AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM U GROUP BY src) " +
+    "SELECT d.v, d.deg, CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles, " +
+    "round(2.0 * coalesce(t.triangles, 0) / CAST(d.deg * (d.deg - 1) AS DOUBLE), 4) AS cc " +
+    "FROM D d LEFT JOIN TRI t ON t.v = d.v " +
+    "WHERE d.v % 200 = 0 AND d.deg >= 2 ORDER BY d.v"
+
   def oracleSql: Map[String, String] = Map(
     "s1_students_scan" -> withStudents("SELECT * FROM students ORDER BY id"),
     "s2_point_lookup" -> withStudents("SELECT * FROM students WHERE id = 42"),
@@ -513,40 +561,16 @@ object StudentEntry {
     // Adamic-Adar: same capped wedge join, shared neighbors weighted by
     // 1/ln(deg) quantized to scaled longs on the degree table (deg >= 2);
     // rank ties break on the exact integer s6, never the rounded double
-    "graph_adamic_adar" -> withStudents(
-      s", e AS ($edgesSql), P AS (SELECT DISTINCT src, dst FROM e), " +
-      "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
-      "U AS (SELECT src, dst FROM (SELECT src, dst, " +
-      "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM U0) WHERE rn <= 32), " +
-      "D AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM U GROUP BY src), " +
-      "IV AS (SELECT src AS c, CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS inv6 " +
-      "FROM D WHERE deg >= 2), " +
-      "C AS (SELECT x.src AS a, x.dst AS b, u1.dst AS c " +
-      "FROM (SELECT src, dst FROM U WHERE src % 200 = 0) x " +
-      "JOIN U u1 ON u1.src = x.src JOIN U u2 ON u2.src = x.dst AND u2.dst = u1.dst), " +
-      "W AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS common, " +
-      "CAST(sum(iv.inv6) AS BIGINT) AS s6 FROM C c JOIN IV iv ON iv.c = c.c GROUP BY 1, 2), " +
-      "R AS (SELECT a, b, common, round(CAST(s6 AS DOUBLE) / 1000000.0, 4) AS aa_score, " +
-      "row_number() OVER (PARTITION BY a ORDER BY s6 DESC, b) AS rk FROM W) " +
-      "SELECT a, b, common, aa_score, CAST(rk AS INT) AS rank FROM R WHERE rk <= 3 " +
-      "ORDER BY a, rank"),
+    "graph_adamic_adar" -> withStudents(adamicAdarOracleTail),
+    // the warm-served twin reaches the identical scores: the standing
+    // adjacency IS the capped view the inline form rebuilds — one shared
+    // oracle literal, the hash match proving the separation
+    "graph_adamic_adar_query" -> withStudents(adamicAdarOracleTail),
     // local clustering coefficient: same capped view; tri(v) = capped
     // directional edge tests over v's neighbor pairs (b < c)
-    "graph_clustering_coeff" -> withStudents(
-      s", e AS ($edgesSql), P AS (SELECT DISTINCT src, dst FROM e), " +
-      "U0 AS (SELECT src, dst FROM P UNION ALL SELECT dst AS src, src AS dst FROM P), " +
-      "U AS (SELECT src, dst FROM (SELECT src, dst, " +
-      "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM U0) WHERE rn <= 32), " +
-      "A AS (SELECT src AS v, dst FROM U WHERE src % 200 = 0), " +
-      "NP AS (SELECT a1.v, a1.dst AS b, a2.dst AS c FROM A a1 " +
-      "JOIN A a2 ON a1.v = a2.v AND a1.dst < a2.dst), " +
-      "TRI AS (SELECT v, CAST(count(*) AS BIGINT) AS triangles FROM NP " +
-      "SEMI JOIN U ON U.src = NP.b AND U.dst = NP.c GROUP BY v), " +
-      "D AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM U GROUP BY src) " +
-      "SELECT d.v, d.deg, CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles, " +
-      "round(2.0 * coalesce(t.triangles, 0) / CAST(d.deg * (d.deg - 1) AS DOUBLE), 4) AS cc " +
-      "FROM D d LEFT JOIN TRI t ON t.v = d.v " +
-      "WHERE d.v % 200 = 0 AND d.deg >= 2 ORDER BY d.v"),
+    "graph_clustering_coeff" -> withStudents(clusteringOracleTail),
+    // warm-served clustering twin: same identity as adamic_adar_query
+    "graph_clustering_query" -> withStudents(clusteringOracleTail),
     // personalized PageRank: the 3 power-iteration rounds UNROLLED (DuckDB
     // recursive CTEs forbid aggregation in the recursive term) — each
     // round mirrors the engine exactly: contribution ((r // deg) * 85) //
@@ -566,6 +590,10 @@ object StudentEntry {
     // rounds past the exact fixpoint are no-ops, so this equals the
     // engine's halt state at whatever round it detected convergence
     "graph_ppr_converged" -> withStudents(pprConvergedOracleTail),
+    // batch fixpoint: the same qid-keyed chain unrolled to the bound for
+    // all four anchors — per qid, rounds past that anchor's fixpoint are
+    // no-ops, so oracle and engine agree wherever the batch halted
+    "graph_ppr_converged_batch" -> withStudents(pprConvergedBatchOracleTail),
     // cohort detection over the real equi-rule graph (capped adjacency)
     "graph_label_prop_students" -> withStudents(lpaStudentsOracleTail),
     "graph_kcore_students" -> withStudents(kcoreStudentsOracleTail),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,7 +48,17 @@ object KeyedPrefix {
     * them (withColumn would silently replace a caller's column and the
     * offset join would resolve against the wrong attribute). */
   private val Reserved =
-    Seq("_pid", "_mid", "_mid0", "_off", "_cnt", "_s", "_local")
+    Seq("_pid", "_mid", "_mid0", "_mid1", "_off", "_cnt", "_s", "_local")
+
+  /** NULL keys form their own group (the semantics of the key-partitioned
+    * windows these folds replaced): every internal join on `key` is
+    * null-safe (`<=>`), so a null-keyed row ranks/sums within the null
+    * group instead of silently vanishing through a non-matching equi-join
+    * — a null `source` doc must still count against admission and
+    * manifest totals. */
+  private def nullSafeOn(left: DataFrame, right: DataFrame,
+      key: String): Column =
+    left("_pid") === right("_pid") && left(key) <=> right(key)
 
   private def ranged(df: DataFrame, key: String, ord: Seq[String]): DataFrame = {
     require(ord.nonEmpty,
@@ -72,15 +82,32 @@ object KeyedPrefix {
     val sorted = ranged(df, key, ord)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_mid", monotonically_increasing_id())
+    // The local position `_mid - _mid0` relies on monotonically_increasing_id
+    // being CONSECUTIVE within a task — true of current Spark but outside
+    // its documented contract ("increasing and unique, not consecutive").
+    // Guard the assumption on the metadata-sized counts frame: per
+    // (partition, key) the id span must equal the row count, or a Spark
+    // upgrade that broke consecutiveness would corrupt ranks SILENTLY.
     val counts = sorted.groupBy(col("_pid"), col(key))
-      .agg(count(lit(1)).as("_cnt"), min(col("_mid")).as("_mid0"))
+      .agg(count(lit(1)).as("_cnt"), min(col("_mid")).as("_mid0"),
+        max(col("_mid")).as("_mid1"))
+      .withColumn("_mid0",
+        when(col("_mid1") - col("_mid0") + lit(1L) === col("_cnt"),
+          col("_mid0"))
+          .otherwise(raise_error(lit(
+            "KeyedPrefix.rank: monotonically_increasing_id was not " +
+              "consecutive within a partition — the local-position " +
+              "derivation's implementation assumption no longer holds"))))
+      .drop("_mid1")
     val offsets = counts.as("a")
       .join(counts.as("b"),
-        col(s"b.$key") === col(s"a.$key") && col("b._pid") < col("a._pid"),
+        col(s"b.$key") <=> col(s"a.$key") && col("b._pid") < col("a._pid"),
         "left")
       .groupBy(col("a._pid"), col(s"a.$key"), col("a._mid0"))
       .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_off"))
-    sorted.join(broadcast(offsets), Seq("_pid", key))
+    val off = broadcast(offsets)
+    sorted.join(off, nullSafeOn(sorted, off, key))
+      .drop(off("_pid")).drop(off(key))
       .withColumn(out, col("_off") + (col("_mid") - col("_mid0")) + 1L)
       .drop("_pid", "_mid", "_mid0", "_off")
   }
@@ -96,15 +123,17 @@ object KeyedPrefix {
       .agg(sum(col(value)).as("_s"))
     val offsets = sums.as("a")
       .join(sums.as("b"),
-        col(s"b.$key") === col(s"a.$key") && col("b._pid") < col("a._pid"),
+        col(s"b.$key") <=> col(s"a.$key") && col("b._pid") < col("a._pid"),
         "left")
       .groupBy(col("a._pid"), col(s"a.$key"))
       .agg(coalesce(sum(col("b._s")), lit(0L)).as("_off"))
     val w = Window.partitionBy(col("_pid"), col(key))
       .orderBy(ord.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sorted.withColumn("_local", sum(col(value)).over(w))
-      .join(broadcast(offsets), Seq("_pid", key))
+    val local = sorted.withColumn("_local", sum(col(value)).over(w))
+    val off = broadcast(offsets)
+    local.join(off, nullSafeOn(local, off, key))
+      .drop(off("_pid")).drop(off(key))
       .withColumn(out, col("_off") + col("_local"))
       .drop("_pid", "_local", "_off")
   }

@@ -29,19 +29,33 @@ object WarmIndex {
     * racers both build into the same table name). */
   /** Database creation is the one catalog-global step — serialized so
     * concurrent first-builders ([[prebuildAll]]'s pool) cannot race the
-    * IF-NOT-EXISTS check-then-create, and done ONCE per JVM (the
-    * database is global; minting a temp LOCATION per kind would orphan
-    * 8 empty dirs per run — only the first CREATE's location sticks). */
-  private var dbCreated = false
+    * IF-NOT-EXISTS check-then-create. The temp LOCATION is minted ONCE
+    * per JVM (a location per kind would orphan 8 empty dirs per run),
+    * but the idempotent CREATE itself runs on EVERY ensure(): the
+    * database lives in a SESSION catalog, so a JVM-lifetime "created"
+    * boolean would skip the CREATE for a second SparkSession with a
+    * fresh metastore (or after anything dropped graft_warm) and every
+    * later build would die with NoSuchDatabase — the per-call CREATE is
+    * self-healing. */
+  private var dbLocation: Option[String] = None
   private def ensureDb(spark: SparkSession): Unit =
     WarmIndex.synchronized {
-      if (!dbCreated) {
-        val wh = java.nio.file.Files.createTempDirectory("graft-warm")
+      val wh = dbLocation.getOrElse {
+        val w = java.nio.file.Files.createTempDirectory("graft-warm")
           .toFile.getAbsolutePath
-        spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_warm LOCATION '$wh'")
-        dbCreated = true
+        dbLocation = Some(w)
+        w
       }
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_warm LOCATION '$wh'")
     }
+
+  /** How many builds have actually RUN in this JVM (memoized hits don't
+    * count) — lets WarmIndexSpec pin the bench pricing regime: after
+    * [[prebuildAll]], no benched `*_query` row may trigger an inline
+    * build (a failed prebuild silently shifting build cost into query
+    * rows would make every graph band meaningless). */
+  private[graft] val buildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def ensure(spark: SparkSession, sfDir: String, kind: String)(
       build: String => Unit): String =
@@ -56,6 +70,7 @@ object WarmIndex {
         .take(8).map("%02x".format(_)).mkString
       val t = s"graft_warm.${kind}_" +
         s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_$digest"
+      buildCount.incrementAndGet()
       build(t)
       t
     })
@@ -124,6 +139,15 @@ object WarmIndex {
     // actions). Pool of 4: enough overlap to hide stage gaps without
     // oversubscribing the one JVM's shuffle machinery. Memoization is
     // untouched — each build still runs at most once per (kind, sfDir).
+    //
+    // INVARIANT for this seq: builds run on POOL threads concurrently, so
+    // no build (or its Tables loader) may MUTATE shared session conf —
+    // today both loader sets (session.timeZone, parquet.nanosAsLong) are
+    // same-value idempotent, which is why this is safe. A build that needs
+    // a set/restore conf pair (the partitionOverwriteMode pattern in
+    // GraphOps.writePartitioned) or CacheScope.scopedConf would race the
+    // other three builds' reads and must NOT join this pool — run it
+    // serially before or after instead.
     val builds: Seq[() => String] = Seq(
       () => ivf(spark, sfDir), () => ivfPq(spark, sfDir),
       () => ivfPqResidual(spark, sfDir), () => ivfSq(spark, sfDir),
