@@ -304,7 +304,10 @@ object SparkEntry {
     // audits (warm-served AA/CC twins — wedge work alone) + the batch
     // fixpoint-walk frontend (N anchors, one round sequence)
     "graph_adamic_adar_query", "graph_clustering_query",
-    "graph_ppr_converged_batch")
+    "graph_ppr_converged_batch",
+    // round-20: the multimodal hash table's takedown lifecycle (the one
+    // standing layout that had ingest but no delete/compact path)
+    "mm_phash_delete", "mm_phash_lifecycle")
 
   // ---------------------------------------------------------------- oracle
 }

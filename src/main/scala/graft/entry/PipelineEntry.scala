@@ -67,6 +67,55 @@ object PipelineEntry {
     // no-op or doubled hash rows would band-join into phantom pairs);
     // after the drain, banded pairs over the standing table must answer
     // the same oracle as the batch mm_phash_pairs row
+    // TAKEDOWN reaches the standing hash table (the last standing layout
+    // without a delete path — and the corpus where DMCA/hash-list
+    // takedowns actually arrive): build originals + re-uploaded mirror
+    // copies, tombstone the mirror's even half, probe pairs through the
+    // live (sidecar-anti-joined) view — every pair touching a deleted
+    // image must vanish while the standing table stays byte-identical
+    "mm_phash_delete" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-phashdel")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      s.sql("DROP TABLE IF EXISTS graft_idx.phashdel")
+      s.sql(s"DROP TABLE IF EXISTS ${Tombstones.sidecar("graft_idx.phashdel")}")
+      val ph = graft.CacheScope.track(Multimodal.perceptualHash(
+        s, Multimodal.mediaTable(Tables.documents(s, d))))
+      val mirror = ph.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("width"), col("height"), col("ahash"))
+      ph.unionByName(mirror).write.saveAsTable("graft_idx.phashdel")
+      Multimodal.phashDelete(s, "graft_idx.phashdel",
+        s.table("graft_idx.phashdel")
+          .filter(col("doc_id") >= 1000000L && col("doc_id") % 2 === 0)
+          .select(col("doc_id")))
+      Multimodal.phashPairs(Multimodal.phashLive(s, "graft_idx.phashdel"))
+    }),
+    // full-CRUD hash-table capstone (the dedup_index_lifecycle shape for
+    // the multimodal layout): build originals -> ingest the mirror
+    // copies as a media delta through the idempotent guard -> tombstone
+    // the mirror's even half -> compact (swap rewrite + sidecar retire)
+    // -> probe; must answer the delete row's oracle VERBATIM (compaction
+    // is physical only — spec-gated row-identical)
+    "mm_phash_lifecycle" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-phashlife")
+        .toFile.getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
+      s.sql("DROP TABLE IF EXISTS graft_idx.phashlife")
+      s.sql(s"DROP TABLE IF EXISTS ${Tombstones.sidecar("graft_idx.phashlife")}")
+      val media = Multimodal.mediaTable(Tables.documents(s, d))
+      Multimodal.perceptualHash(s, media)
+        .write.saveAsTable("graft_idx.phashlife")
+      Multimodal.phashIngest(s, "graft_idx.phashlife",
+        media.filter(col("kind") === "image")
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("kind"),
+            col("bytes")))
+      Multimodal.phashDelete(s, "graft_idx.phashlife",
+        s.table("graft_idx.phashlife")
+          .filter(col("doc_id") >= 1000000L && col("doc_id") % 2 === 0)
+          .select(col("doc_id")))
+      Multimodal.phashCompact(s, "graft_idx.phashlife")
+      Multimodal.phashPairs(Multimodal.phashLive(s, "graft_idx.phashlife"))
+    }),
     "stream_phash_ingest" -> ((s, d) => {
       val wh = java.nio.file.Files.createTempDirectory("graft-phash-stream")
         .toFile.getAbsolutePath
@@ -385,11 +434,20 @@ object PipelineEntry {
     * threshold change atomically consistent across both). 8 × 8-bit
     * bands: pigeonhole-exact recall to hamming 7 ≥ the verify threshold
     * 6, mirroring [[graft.ops.Multimodal.phashPairs]]. */
-  private val phashPairsOracle: String =
+  private val phashPairsOracle: String = phashPairsOracleWhere("TRUE")
+
+  /** The pairs oracle with a LIVE-view predicate over the standing rows
+    * (originals ∪ re-keyed mirror): the delete/lifecycle rows pass the
+    * tombstone set's complement, the plain rows pass TRUE — one body, so
+    * a banding or threshold change stays atomically consistent across
+    * the whole phash family. */
+  private def phashPairsOracleWhere(live: String): String =
     s"WITH $mmPhashCtes, " +
     "U0 AS (SELECT doc_id, ahash FROM PH WHERE width * height >= " +
     s"${graft.ops.Multimodal.MinPhashPixels}), " +
-    "U AS (SELECT doc_id, ahash FROM U0 UNION ALL SELECT doc_id + 1000000, ahash FROM U0), " +
+    "U AS (SELECT doc_id, ahash FROM (SELECT doc_id, ahash FROM U0 " +
+    "UNION ALL SELECT doc_id + 1000000, ahash FROM U0) " +
+    s"WHERE $live), " +
     "BD AS (SELECT doc_id, ahash, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j, " +
     "unnest([substr(ahash, 1, 8), substr(ahash, 9, 8), substr(ahash, 17, 8), " +
     "substr(ahash, 25, 8), substr(ahash, 33, 8), substr(ahash, 41, 8), " +
@@ -424,6 +482,16 @@ object PipelineEntry {
     // (pigeonhole-exact recall to hamming 7 >= the threshold 6),
     // exact 64-position hamming verify at threshold 6
     "mm_phash_pairs" -> phashPairsOracle,
+    // takedown: pairs over the live view — the mirror's even half (the
+    // tombstoned ids; MinPhashPixels-filtered like the standing table)
+    // must contribute NO pairs, everything else is untouched
+    "mm_phash_delete" -> phashPairsOracleWhere(
+      "NOT (doc_id >= 1000000 AND doc_id % 2 = 0)"),
+    // compaction is physical only: the lifecycle capstone answers the
+    // delete row's oracle verbatim (delta-ingested mirror == built-in
+    // mirror by the stream==batch contract; post-compact live == table)
+    "mm_phash_lifecycle" -> phashPairsOracleWhere(
+      "NOT (doc_id >= 1000000 AND doc_id % 2 = 0)"),
     // stream==batch: after the drain the standing hash table holds
     // exactly the originals + the mirror copies, so the banded pairs
     // answer the batch row's ORACLE VERBATIM — one shared literal, so a

@@ -355,6 +355,52 @@ object Multimodal {
     }
   }
 
+  /** DELETE images from the standing hash table — takedown reaches
+    * DERIVED state (the [[DedupIndex.indexDelete]] contract for the
+    * multimodal layout, the one standing family that lacked it): a
+    * taken-down image's hash must stop surfacing as a near-dup partner,
+    * and image corpora are where takedown requests (DMCA, hash-list
+    * hits) actually arrive. Sidecar append only — never a table
+    * rewrite; [[phashLive]] anti-joins the broadcast sidecar above the
+    * standing scan; [[phashCompact]] folds physically. Unknown and
+    * already-deleted ids are ignored (presence confirms against the
+    * standing rows), so the op is idempotent under redelivery. */
+  def phashDelete(spark: SparkSession, table: String,
+      ids: DataFrame): Unit = {
+    require(spark.catalog.tableExists(table),
+      s"Multimodal.phashDelete: no standing hash table at $table — " +
+        "build first")
+    val victims = spark.table(table).select(col("doc_id"))
+      .join(broadcast(Tombstones.freshOnly(spark, table,
+        ids.select(col("doc_id").cast("long").as("doc_id")).distinct(),
+        "doc_id")), Seq("doc_id"), "left_semi")
+      .distinct().localCheckpoint()
+    if (!victims.isEmpty) Tombstones.append(spark, table, victims, "doc_id")
+  }
+
+  /** The LIVE (tombstone-filtered) view of a standing hash table — what
+    * [[phashPairs]] probes between a delete and its compaction. The
+    * anti-join's build side is the metadata-sized sidecar (broadcast);
+    * the standing scan itself is untouched. */
+  def phashLive(spark: SparkSession, table: String): DataFrame =
+    Tombstones.filter(spark, table, spark.table(table), "doc_id")
+
+  /** Compact the standing hash table: rewrite WITHOUT the tombstoned
+    * rows through the crash-recoverable unpartitioned swap ([[Swap]]),
+    * then retire the sidecar — row-identical to the pre-compact
+    * [[phashLive]] view (spec-gated), and a compacted-away doc becomes
+    * re-ingestable through [[phashIngest]]'s anti-join guard (its
+    * physical key row is gone). */
+  def phashCompact(spark: SparkSession, table: String): Unit = {
+    Swap.recoverUnpartitioned(spark, table)
+    Swap.stageThenSwap(spark, table,
+      Tombstones.filter(spark, table, spark.table(table), "doc_id")) {
+      (df, staged) =>
+        df.write.mode("overwrite").format("parquet").saveAsTable(staged)
+    }
+    Tombstones.drop(spark, table)
+  }
+
   def resizeImages(spark: SparkSession, media: DataFrame,
       maxDim: Int = 4): DataFrame = {
     import spark.implicits._

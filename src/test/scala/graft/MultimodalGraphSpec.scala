@@ -360,4 +360,67 @@ class MultimodalGraphSpec extends SparkSpec {
       .filter(_.getDouble(3) >= 0.2501).map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hn.forall { case (q, v, _, _) => !pos.contains((q, v)) })
   }
+
+  test("phash takedown lifecycle: delete anti-joins pairs, compaction is " +
+      "row-identical and retires the sidecar") {
+    import graft.ops.{Multimodal, Tombstones}
+    import spark.implicits._
+    val media = Multimodal.mediaTable(Tables.documents(spark, sfDir))
+    val table = "phash_life_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${Tombstones.sidecar(table)}")
+    val ph = Multimodal.perceptualHash(spark, media)
+    val mirror = ph.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("width"), col("height"), col("ahash"))
+    ph.unionByName(mirror).write.saveAsTable(table)
+    val preCount = spark.table(table).count()
+    def victims = spark.table(table)
+      .filter(col("doc_id") >= 1000000L && col("doc_id") % 2 === 0)
+      .select(col("doc_id"))
+    Multimodal.phashDelete(spark, table, victims)
+    // sidecar append only — the standing table itself is untouched
+    assert(spark.table(table).count() === preCount)
+    assert(spark.catalog.tableExists(Tombstones.sidecar(table)))
+    val tombCount = spark.table(Tombstones.sidecar(table)).count()
+    assert(tombCount > 0)
+    // a deleted image never surfaces as a pair partner
+    val pairs = Multimodal.phashPairs(Multimodal.phashLive(spark, table))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.nonEmpty)
+    def deleted(id: Long) = id >= 1000000L && id % 2 == 0
+    assert(pairs.forall { case (a, b, _) => !deleted(a) && !deleted(b) })
+    // and the delete really removed pairs the full table had
+    val fullPairs = Multimodal.phashPairs(spark.table(table)).count()
+    assert(pairs.length < fullPairs)
+    // re-delete (redelivered takedown) and unknown ids are no-ops
+    Multimodal.phashDelete(spark, table, victims)
+    Multimodal.phashDelete(spark, table, Seq(987654321L).toDF("doc_id"))
+    assert(spark.table(Tombstones.sidecar(table)).count() === tombCount)
+    // compaction is PHYSICAL only: post-compact rows == pre-compact live
+    // view rows, and the sidecar is retired
+    val liveRows = Multimodal.phashLive(spark, table).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sorted.toSeq
+    Multimodal.phashCompact(spark, table)
+    val postRows = spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sorted.toSeq
+    assert(postRows === liveRows)
+    assert(!spark.catalog.tableExists(Tombstones.sidecar(table)))
+    // pairs unchanged by compaction; live view == table with no sidecar
+    val postPairs = Multimodal.phashPairs(
+        Multimodal.phashLive(spark, table))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(postPairs === pairs)
+    // a compacted-away doc is re-ingestable: its physical key row is
+    // gone, so the ingest guard re-admits it
+    val back = media.filter(col("kind") === "image")
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("kind"),
+        col("bytes"))
+      .filter(col("doc_id") % 2 === 0).limit(1)
+    if (!back.isEmpty) {
+      Multimodal.phashIngest(spark, table, back)
+      assert(spark.table(table).count() === liveRows.length + 1)
+    }
+  }
 }
