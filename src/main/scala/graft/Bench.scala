@@ -3,8 +3,92 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries (SparkEntry.benchQueries) at
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver. */
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
+  *
+  * SELF-ADJUDICATING since round 20: three consecutive rounds of
+  * driver-bench disputes ("is this row a regression or a loud host
+  * window?") were settled by hand-run quiet-host sessions. Two artifacts
+  * make the JSON adjudicate alone:
+  *  - `controls`: the q1_agg control re-run every [[ControlEvery]] rows
+  *    (plus suite start/end) as [row_index, sec] pairs — a mid-suite
+  *    loud window shows up as a control spike ALIGNED with the over-band
+  *    rows; a genuine regression reads over band against a flat series.
+  *  - `io`: per-row Spark metrics deltas from a listener (shuffle
+  *    read/write, memory/disk SPILL, input/output bytes, RDD block
+  *    persist/checkpoint bytes to memory and disk, GC ms, task count) —
+  *    separates IO-pressure rows (persist/checkpoint/table-write heavy,
+  *    the r19 weak set's shared signature) from compute regressions
+  *    mechanically. Deltas span the row's full best-of-2 block.
+  */
 object Bench {
+
+  /** Re-run the q1 control after every this many timed rows. */
+  val ControlEvery = 25
+
+  /** Listener accumulating task-level IO totals; per-row numbers are
+    * snapshot deltas around each query's timed block. Block updates for
+    * RDD blocks capture what task metrics cannot: persist and
+    * localCheckpoint traffic (the r19 weak rows' dominant cost). */
+  private final class IoAccum extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shufRead, shufWrite, memSpill, diskSpill, input, output,
+      cacheMem, cacheDisk, gcMs, tasks = new AtomicLong()
+
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        output.addAndGet(m.outputMetrics.bytesWritten)
+        gcMs.addAndGet(m.jvmGCTime)
+        tasks.incrementAndGet()
+      }
+      ()
+    }
+
+    override def onBlockUpdated(
+        bu: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+      val info = bu.blockUpdatedInfo
+      if (info.blockId.isRDD) {
+        cacheMem.addAndGet(info.memSize)
+        cacheDisk.addAndGet(info.diskSize)
+      }
+      ()
+    }
+
+    def snapshot(): Map[String, Long] = Map(
+      "shuffle_read" -> shufRead.get(), "shuffle_write" -> shufWrite.get(),
+      "mem_spill" -> memSpill.get(), "disk_spill" -> diskSpill.get(),
+      "input" -> input.get(), "output" -> output.get(),
+      "cache_mem" -> cacheMem.get(), "cache_disk" -> cacheDisk.get(),
+      "gc_ms" -> gcMs.get(), "tasks" -> tasks.get())
+
+    /** The listener bus is ASYNC: poll until the counters go quiet so a
+      * row's tail events don't bleed into the next row's delta. Bounded
+      * — a busy bus only smears metrics, it must not hang the bench. */
+    def quiesce(): Map[String, Long] = {
+      var prev = snapshot()
+      var stable = false
+      var waited = 0
+      while (!stable && waited < 2000) {
+        Thread.sleep(50)
+        waited += 50
+        val cur = snapshot()
+        stable = cur == prev
+        prev = cur
+      }
+      prev
+    }
+  }
+
+  private val IoKeys = Seq("shuffle_read", "shuffle_write", "mem_spill",
+    "disk_spill", "input", "output", "cache_mem", "cache_disk", "gc_ms",
+    "tasks")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the documented local[32] bench target; the local[4]
@@ -20,6 +104,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val io = new IoAccum
+    spark.sparkContext.addSparkListener(io)
     // Warm up the session once (codegen compiler, parquet footer reader,
     // shuffle machinery) so the first timed query doesn't absorb one-time
     // JVM costs; steady-state is what BASELINE.md compares across rounds.
@@ -50,6 +136,29 @@ object Bench {
     val toRun =
       if (nameArgs.nonEmpty) SparkEntry.benchQueries.filter(nameArgs.toSet)
       else SparkEntry.benchQueries
+
+    def runOnce(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      // noop sink, not count(): count() lets Catalyst prune every unused
+      // column and eliminate final sorts, so it under-times the real query.
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // The interleaved control: one warm q1_agg run, recorded against the
+    // index of the NEXT timed row. q1 persists nothing, so the extra runs
+    // don't perturb neighbors beyond their own wall time.
+    val controls = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def control(atRow: Int): Unit = {
+      controls += ((atRow, runOnce("q1_agg")))
+      ()
+    }
+
+    val ioRows = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Long]]
+    def delta(before: Map[String, Long], after: Map[String, Long]): Map[String, Long] =
+      IoKeys.map(k => k -> (after(k) - before(k))).toMap
+
     // Build every warm standing index BEFORE the timed loop, priced as its
     // own row: previously the suite's FIRST toucher of a shared index paid
     // the build inside its own number, so a converted query-only row's
@@ -59,20 +168,20 @@ object Bench {
     // row still prices like its full-suite self via best-of-2's warm min.
     val warmBuildSec =
       if (nameArgs.isEmpty || sys.env.get("SPARK_GRAFT_PREWARM").contains("1")) {
+        val pre = io.quiesce()
         val t0 = System.nanoTime()
         graft.ops.WarmIndex.prebuildAll(spark, sfDir)
-        Some((System.nanoTime() - t0) / 1e9)
+        val sec = (System.nanoTime() - t0) / 1e9
+        ioRows += ("warm_index_build" -> delta(pre, io.quiesce()))
+        Some(sec)
       } else None
-    val results = toRun.map { name =>
-      val fn = SparkEntry.queries(name)
+    control(0)
+    val results = toRun.zipWithIndex.map { case (name, idx) =>
+      if (idx > 0 && idx % ControlEvery == 0) control(idx)
+      val pre = io.quiesce()
       val times = (1 to iterations).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink, not count(): count() lets Catalyst prune every unused
-        // column and eliminate final sorts, so it under-times the real query.
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
+        try runOnce(name)
+        catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             // failures are flagged as -1, never reported as a (bogus) fast time
@@ -84,10 +193,12 @@ object Bench {
       // BASELINE.md best-of-2 methodology), so queries don't accumulate
       // each other's cached blocks across the bench run.
       CacheScope.unpersistAll()
+      ioRows += (name -> delta(pre, io.quiesce()))
       (name,
         if (times.exists(_ < 0)) -1.0 else times.min,
         times.head) // iteration 1 = the cold number (-1 if it failed)
     }
+    control(toRun.size)
     // warm_index_build leads the queries map (single-shot time: the builds
     // are memoized per JVM, so a best-of-2 min would read ~0 and hide the
     // cost). It counts toward the headline total — the suite paid this
@@ -108,8 +219,17 @@ object Bench {
         ",\"cold\":" + results.map { case (k, _, c) => "\"" + k + "\":" + c }
           .mkString("{", ",", "}")
       else ""
+    val controlsField = ",\"controls\":" + controls
+      .map { case (i, s) => s"[$i,${math.rint(s * 1000) / 1000}]" }
+      .mkString("[", ",", "]")
+    val ioField = ",\"io\":" + ioRows
+      .map { case (name, m) =>
+        "\"" + name + "\":" +
+          IoKeys.map(k => "\"" + k + "\":" + m(k)).mkString("{", ",", "}")
+      }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$coldField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$coldField$controlsField$ioField,"sf":"$sfDir"}"""
     // stdout for a human; a file for the driver — sbt prefixes stdout with
     // "[info] " which made BENCH_r01 unparseable ("parsed": null). The path
     // is cwd-relative (= repo root under sbt) and overridable via argv.
