@@ -307,7 +307,9 @@ object SparkEntry {
     "graph_ppr_converged_batch",
     // round-20: the multimodal hash table's takedown lifecycle (the one
     // standing layout that had ingest but no delete/compact path)
-    "mm_phash_delete", "mm_phash_lifecycle")
+    "mm_phash_delete", "mm_phash_lifecycle",
+    // round-20: batched top-m BPE rounds (driver jobs grow as merges/m)
+    "bpe_merges_batched")
 
   // ---------------------------------------------------------------- oracle
 }

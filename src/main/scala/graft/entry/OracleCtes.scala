@@ -422,6 +422,50 @@ object OracleCtes {
       ") ORDER BY step"
   }
 
+  /** Batched-BPE oracle: per round — pair counts from the running state,
+    * the top-4m candidate prefix ranked (cnt DESC, l, r), the
+    * conflict-free survivors (NO shared token with any higher-ranked
+    * candidate — the engine's non-greedy rule verbatim), and the first m
+    * survivors applied in rank order as m unrolled null-tolerant LEFT
+    * JOIN replaces (a missing seq-j survivor is a no-op round step, the
+    * dried-corpus posture). State CTEs are MATERIALIZED: every SEL feeds
+    * m replaces plus the final union, and inlining would re-derive the
+    * pair aggregate per reference. */
+  val bpeBatchedOracleSql: String = {
+    val rounds = graft.ops.Bpe.BatchRounds
+    val m = graft.ops.Bpe.BatchM
+    val poolK = 4 * m
+    def pairSql(prev: String): String =
+      s"SELECT tk[i + 1] AS l, tk[i + 2] AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM " +
+        s"(SELECT freq, string_split(trim(s), '  ') AS tk, " +
+        s"unnest(range(len(string_split(trim(s), '  ')) - 1)) AS i FROM $prev) GROUP BY l, r"
+    val blocks = (1 to rounds).flatMap { k =>
+      val prev = if (k == 1) "T0" else s"TT${k - 1}_$m"
+      Seq(
+        s"P$k AS (${pairSql(prev)})",
+        s"C$k AS MATERIALIZED (SELECT l, r, cnt, " +
+          "row_number() OVER (ORDER BY cnt DESC, l, r) AS rn FROM " +
+          s"(SELECT l, r, cnt FROM P$k ORDER BY cnt DESC, l, r LIMIT $poolK))",
+        s"SEL$k AS MATERIALIZED (SELECT l, r, cnt, " +
+          s"row_number() OVER (ORDER BY rn) AS seq FROM C$k a " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM C$k b WHERE b.rn < a.rn AND " +
+          "(b.l = a.l OR b.l = a.r OR b.r = a.l OR b.r = a.r)) " +
+          s"QUALIFY seq <= $m)") ++
+        (1 to m).map { j =>
+          val st = if (j == 1) prev else s"TT${k}_${j - 1}"
+          s"TT${k}_$j AS MATERIALIZED (SELECT t.word, t.freq, " +
+            "CASE WHEN w.l IS NULL THEN t.s ELSE " +
+            "replace(t.s, ' ' || w.l || '  ' || w.r || ' ', ' ' || w.l || w.r || ' ') END AS s " +
+            s"FROM $st t LEFT JOIN (SELECT l, r FROM SEL$k WHERE seq = $j) w ON TRUE)"
+        }
+    }
+    "WITH " + (bpeChainBlocks(0) ++ blocks).mkString(", ") +
+      " SELECT CAST(round AS INT) AS round, CAST(seq AS INT) AS seq, l, r, cnt FROM (" +
+      (1 to rounds).map(k => s"SELECT $k AS round, seq, l, r, cnt FROM SEL$k")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY round, seq"
+  }
+
   /** Encode oracle: the same chain, then per-word token counts from the
     * final state joined back to the document word explosion. */
   val bpeEncodeOracleSql: String = {

@@ -45,6 +45,11 @@ object TextEntry {
     // ONE declarative DAG (each winner = 1-row aggregate broadcast into a
     // boundary-anchored replace; no driver loop)
     "bpe_merges" -> ((s, d) => Bpe.merges(Tables.documents(s, d))),
+    // the production-shaped batched train: top-m token-disjoint merges
+    // per round (driver jobs grow as rounds = merges/m, the scale path
+    // the sequential form's MaxSteps contract names)
+    "bpe_merges_batched" -> ((s, d) =>
+      Bpe.mergesBatched(Tables.documents(s, d))),
     // encode under the trained vocab: replace chain runs once per
     // DISTINCT word; documents join the vocab-sized encode table
     "bpe_encode" -> ((s, d) => Bpe.encode(Tables.documents(s, d))),
@@ -201,6 +206,7 @@ object TextEntry {
        "GROUP BY sh ORDER BY df DESC, gram LIMIT 20"),
   ) ++ Map(
     "bpe_merges" -> bpeOracleSql,
+    "bpe_merges_batched" -> bpeBatchedOracleSql,
     "bpe_encode" -> bpeEncodeOracleSql,
     "text_fertility" -> bpeFertilityOracleSql,
     "bpe_encode_frozen" -> bpeEncodeFrozenOracleSql,

@@ -157,6 +157,100 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** Batched-train contract knobs ([[mergesBatched]]): rounds × m merges
+    * with driver jobs growing as ROUNDS, not merges — the production
+    * shape the [[MaxSteps]] contract names (a 32k vocab at m = 256 is
+    * 125 rounds, not 32k sequential jobs). The candidate pool is a fixed
+    * top-`4·m` prefix of the (cnt DESC, l, r) ranking — prefix pools are
+    * EXACT for the conflict rule below, because conflicts only ever look
+    * UP the ranking. */
+  val BatchRounds = 2
+  val BatchM = 4
+
+  /** Batched top-m merges per round — the scale sibling of [[merges]]:
+    * each round takes the top-`4·m` pair candidates, keeps those that
+    * share NO token with any higher-ranked candidate (token-disjoint
+    * merges commute: merging (a,b) cannot change the adjacency count of
+    * any pair disjoint from {a,b}, so the round's counts stay exact for
+    * every survivor), and applies the first `m` survivors in rank order
+    * in ONE vocabulary-sized pass (an `aggregate` fold over the
+    * broadcast merge list).
+    *
+    * Semantics vs the sequential chain: where merges don't interact —
+    * no token sharing among the round's top picks and no freshly-created
+    * pair (x, ab) out-counting them — batched(rounds·m) EQUALS the first
+    * rounds·m sequential merges (BpeSpec pins this on the golden
+    * fixture). They legitimately diverge when (1) a conflicting pair is
+    * postponed to the next round (sequential would re-rank it
+    * immediately), or (2) a pair CREATED by this round's merge would
+    * have out-counted a lower survivor — batched BPE's standard
+    * approximation (Sennrich's reference implementation batches the
+    * same way for its fast path). A round whose pair table dries up
+    * emits no merges and leaves the state fixed — a no-op, mirrored
+    * exactly by the oracle's null-tolerant replay (unlike [[merges]],
+    * whose mid-CHAIN null winner would poison later steps and so fails
+    * fast instead). */
+  def mergesBatched(docs: DataFrame, rounds: Int = BatchRounds,
+      m: Int = BatchM): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds <= MaxSteps,
+      s"Bpe: rounds=$rounds exceeds MaxSteps=$MaxSteps — raise m, not the " +
+        "round count (driver jobs grow with rounds)")
+    require(m >= 1, s"Bpe: m must be >= 1, got $m")
+    val poolK = 4 * m
+    val hist = graft.CacheScope.track(
+      docs.select(explode(Dedup.words(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("freq")))
+    var t = hist.select(col("word"), col("freq"),
+      concat(lit(" "),
+        array_join(filter(split(col("word"), ""), c => c =!= ""), "  "),
+        lit(" ")).as("s"))
+    var winners = Seq.empty[DataFrame]
+    for (rd <- 1 to rounds) {
+      val tk = t.select(col("freq"), split(trim(col("s")), "  ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("freq"), col("tk"),
+          explode(sequence(lit(0), size(col("tk")) - 2)).as("i"))
+        .select(col("tk")(col("i")).as("l"), col("tk")(col("i") + 1).as("r"),
+          col("freq"))
+      val pairs = tk.groupBy(col("l"), col("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      // top-poolK prefix via TakeOrderedAndProject (bounded heaps, never
+      // a global sort); the rank window then runs over ≤ poolK rows —
+      // metadata-sized by construction, not a key-less window smell
+      val cand = pairs.orderBy(desc("cnt"), col("l"), col("r")).limit(poolK)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(desc("cnt"), col("l"), col("r"))))
+      // survivor = shares no token with ANY higher-ranked candidate
+      // (non-greedy: a pair dropped by a dropped pair stays dropped —
+      // deterministic and oracle-replicable, and a postponed pair simply
+      // wins a later round)
+      val surv = graft.CacheScope.track(
+        cand.as("a").join(cand.as("b"),
+          col("b.rn") < col("a.rn") &&
+            (col("b.l") === col("a.l") || col("b.l") === col("a.r") ||
+              col("b.r") === col("a.l") || col("b.r") === col("a.r")),
+          "left_anti")
+          .withColumn("seq", row_number().over(Window.orderBy(col("rn"))))
+          .filter(col("seq") <= m))
+      winners = winners :+ surv.select(lit(rd).as("round"),
+        col("seq").cast("int").as("seq"), col("l"), col("r"), col("cnt"))
+      // ONE pass applies the whole round: token-disjoint merges cannot
+      // overlap in the string, so the seq-ordered fold equals sequential
+      // application
+      val msel = surv.agg(sort_array(collect_list(
+        struct(col("seq"), col("l"), col("r")))).as("ms"))
+      t = graft.CacheScope.track(t.crossJoin(broadcast(msel))
+        .select(col("word"), col("freq"),
+          expr("aggregate(ms, s, (acc, x) -> replace(acc, " +
+            "concat(' ', x.l, '  ', x.r, ' '), concat(' ', x.l, x.r, ' ')))")
+            .as("s")))
+    }
+    winners.reduce(_ unionByName _).orderBy(col("round"), col("seq"))
+  }
+
   /** The shared merge chain: per-step winners plus the final token
     * state (word, freq, s). */
   private def chain(docs: DataFrame, steps: Int): (Seq[DataFrame], DataFrame) = {

@@ -153,4 +153,67 @@ class BpeSpec extends SparkSpec {
     assert(a === b) // partition layout cannot change the merge table
     assert(a.size === Bpe.Steps)
   }
+
+  test("batched merges == sequential where the round's picks don't interact") {
+    import spark.implicits._
+    // pairs (a,b):3 and (c,d):2 are token-disjoint and no created pair
+    // can out-count them — one batched round of 2 must equal the first
+    // 2 sequential merges exactly
+    val docs = Seq((0L, "ab ab ab"), (1L, "cd cd")).toDF("doc_id", "text")
+    val seqm = Bpe.merges(docs, steps = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    CacheScope.unpersistAll()
+    val bat = Bpe.mergesBatched(docs, rounds = 1, m = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    CacheScope.unpersistAll()
+    assert(bat === Seq((1, 1, "a", "b", 3L), (1, 2, "c", "d", 2L)))
+    assert(bat.map(t => (t._3, t._4, t._5)) === seqm)
+  }
+
+  test("batched merges postpone token-sharing picks to the next round " +
+      "(the documented divergence from the sequential chain)") {
+    import spark.implicits._
+    // pairs (a,b):3 and (b,c):2 share token b: round 1 keeps only the
+    // higher-ranked (a,b); (b,c) is postponed and wins round 2 — the
+    // sequential chain would have merged both in steps 1-2
+    val docs = Seq((0L, "ab ab ab"), (1L, "bc bc")).toDF("doc_id", "text")
+    val bat = Bpe.mergesBatched(docs, rounds = 2, m = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    CacheScope.unpersistAll()
+    assert(bat === Seq((1, 1, "a", "b", 3L), (2, 1, "b", "c", 2L)))
+    // the conflict rule is NON-greedy: within one word ' a  b  c  d ',
+    // (b,c) is dropped by (a,b), and (c,d) is dropped by the DROPPED
+    // (b,c) — deterministic and oracle-replicable; (c,d)'s chance comes
+    // next round, where (ab,c) outranks it on the l tiebreak
+    val chain = Seq((0L, "abcd abcd")).toDF("doc_id", "text")
+    val bat2 = Bpe.mergesBatched(chain, rounds = 2, m = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    CacheScope.unpersistAll()
+    assert(bat2 === Seq((1, 1, "a", "b", 2L), (2, 1, "ab", "c", 2L)))
+  }
+
+  test("a dried-up batched round is a no-op, not a poison") {
+    import spark.implicits._
+    // two merges exhaust this corpus; the remaining rounds emit nothing
+    // and leave the state fixed (unlike the sequential chain, which
+    // fails fast — a mid-CHAIN null winner would poison later steps,
+    // but a batched round composes through an empty merge list safely)
+    val docs = Seq((0L, "aa ab"), (1L, "ab ab")).toDF("doc_id", "text")
+    val bat = Bpe.mergesBatched(docs, rounds = 3, m = 1).collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getString(3))).toSeq
+    CacheScope.unpersistAll()
+    assert(bat === Seq((1, "a", "b"), (2, "a", "a")))
+  }
+
+  test("batched rounds bound is enforced like MaxSteps") {
+    import spark.implicits._
+    val docs = Seq((0L, "ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.mergesBatched(docs, rounds = Bpe.MaxSteps + 1)
+    }
+    assert(e.getMessage.contains("MaxSteps"))
+  }
 }
