@@ -198,9 +198,13 @@ class MultimodalGraphSpec extends SparkSpec {
     import graft.ops.Multimodal
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.mediaTable(docs)
-    spark.sql("DROP TABLE IF EXISTS phash_stream_spec")
+    // temp-located DB — see the lifecycle test's stale-warehouse note
+    val wh = java.nio.file.Files.createTempDirectory("graft-phash-spec-db")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_spec LOCATION '$wh'")
+    spark.sql("DROP TABLE IF EXISTS graft_spec.phash_stream_spec")
     Multimodal.perceptualHash(spark, media)
-      .write.saveAsTable("phash_stream_spec")
+      .write.saveAsTable("graft_spec.phash_stream_spec")
     val mirror = media.filter(col("kind") === "image")
       .select((col("doc_id") + 1000000L).as("doc_id"), col("kind"),
         col("bytes"))
@@ -214,15 +218,15 @@ class MultimodalGraphSpec extends SparkSpec {
         .option("maxFilesPerTrigger", 1).parquet(feed)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          Multimodal.phashIngest(spark, "phash_stream_spec", batch); ()
+          Multimodal.phashIngest(spark, "graft_spec.phash_stream_spec", batch); ()
         }
         .outputMode("append").start()
       q.processAllAvailable(); q.stop()
       // no duplicate hash rows despite the replay
-      val dups = spark.table("phash_stream_spec")
+      val dups = spark.table("graft_spec.phash_stream_spec")
         .groupBy(col("doc_id")).count().filter(col("count") > 1).count()
       assert(dups === 0, "replayed micro-batch duplicated hash rows")
-      val streamed = Multimodal.phashPairs(spark.table("phash_stream_spec"))
+      val streamed = Multimodal.phashPairs(spark.table("graft_spec.phash_stream_spec"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
       // batch reference: the same union computed in one shot
       val ph = Multimodal.perceptualHash(spark, media)
@@ -240,13 +244,13 @@ class MultimodalGraphSpec extends SparkSpec {
       val twice = mirror.limit(3)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("kind"),
           col("bytes"))
-      Multimodal.phashIngest(spark, "phash_stream_spec",
+      Multimodal.phashIngest(spark, "graft_spec.phash_stream_spec",
         twice.unionByName(twice))
-      val dups2 = spark.table("phash_stream_spec")
+      val dups2 = spark.table("graft_spec.phash_stream_spec")
         .groupBy(col("doc_id")).count().filter(col("count") > 1).count()
       assert(dups2 === 0, "within-batch duplicate produced doubled hash rows")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS phash_stream_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_spec.phash_stream_spec")
       CacheScope.unpersistAll()
     }
   }
@@ -366,7 +370,15 @@ class MultimodalGraphSpec extends SparkSpec {
     import graft.ops.{Multimodal, Tombstones}
     import spark.implicits._
     val media = Multimodal.mediaTable(Tables.documents(spark, sfDir))
-    val table = "phash_life_spec"
+    // temp-LOCATED database (the entry-row pattern): the default
+    // warehouse dir survives the JVM while the in-memory catalog does
+    // not, so a default-DB managed table left by a previous test run
+    // makes the next run's CTAS die with LOCATION_ALREADY_EXISTS even
+    // after DROP TABLE IF EXISTS (observed on this very test)
+    val wh = java.nio.file.Files.createTempDirectory("graft-phash-spec-db")
+      .toFile.getAbsolutePath
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_spec LOCATION '$wh'")
+    val table = "graft_spec.phash_life_spec"
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${Tombstones.sidecar(table)}")
     val ph = Multimodal.perceptualHash(spark, media)
