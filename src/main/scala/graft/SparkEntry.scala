@@ -309,7 +309,10 @@ object SparkEntry {
     // standing layout that had ingest but no delete/compact path)
     "mm_phash_delete", "mm_phash_lifecycle",
     // round-20: batched top-m BPE rounds (driver jobs grow as merges/m)
-    "bpe_merges_batched")
+    "bpe_merges_batched",
+    // round-20: incremental near-dup component maintenance (contracted
+    // delta graph + affected-components-only relabel)
+    "dedup_components_delta")
 
   // ---------------------------------------------------------------- oracle
 }

@@ -137,6 +137,19 @@ object DedupEntry {
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0))
     }),
+    // INCREMENTAL component maintenance: the 20% delta folds into the
+    // 80% standing assignment through a delta-sized CONTRACTED graph
+    // (delta ids + touched component labels — index-index edges can't
+    // change, so touched components collapse to their label vertex);
+    // affected-components-only relabel. The oracle recomputes components
+    // FROM SCRATCH over the whole corpus (the dedup_components literal
+    // verbatim) — the hash match re-proves the maintenance identity
+    "dedup_components_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.componentsDelta(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+    }),
     // DELETION from the standing band index — right-to-erasure reaches
     // DERIVED state: an erased doc's minhash signatures must stop
     // matching future deltas or the pipeline keeps naming it as a
@@ -180,6 +193,24 @@ object DedupEntry {
     // base once, read folds the additive generations; bit-exact DECIMAL
     // sums (the money-math discipline)
   )
+
+  /** From-scratch component assignment over the full corpus — shared by
+    * the one-shot row and the incremental-maintenance twin (whose
+    * hash-match against it proves the contracted-graph identity). */
+  private val componentsOracle: String =
+    s"WITH RECURSIVE $shingleCtes, " +
+    "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
+    "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
+    "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
+    "GROUP BY p.src, p.dst), " +
+    "NEAR AS (SELECT c.src, c.dst FROM COMMONS c " +
+    "JOIN SIZES sa ON sa.doc_id = c.src JOIN SIZES sb ON sb.doc_id = c.dst " +
+    "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5), " +
+    "UND AS (SELECT src AS a, dst AS b FROM NEAR UNION ALL SELECT dst, src FROM NEAR), " +
+    "REACH(a, b) AS (SELECT doc_id, doc_id FROM documents " +
+    "UNION SELECT r.a, u.b FROM REACH r JOIN UND u ON u.a = r.b) " +
+    "SELECT a AS doc_id, min(b) AS component, " +
+    "CAST(a = min(b) AS INT) AS is_keeper FROM REACH GROUP BY a ORDER BY doc_id"
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -380,20 +411,10 @@ object DedupEntry {
     // Transitive closure of the verified near-dup pairs (UNION-dedup
     // recursion; components are near-dup chains — tiny — so the closure
     // stays small even though reachability is quadratic per component).
-    "dedup_components" ->
-      (s"WITH RECURSIVE $shingleCtes, " +
-       "SIZES AS (SELECT doc_id, count(*) AS nsh FROM SH GROUP BY doc_id), " +
-       "COMMONS AS (SELECT p.src, p.dst, count(*) AS ncommon FROM PAIRS p " +
-       "JOIN SH a ON a.doc_id = p.src JOIN SH b ON b.doc_id = p.dst AND b.sh = a.sh " +
-       "GROUP BY p.src, p.dst), " +
-       "NEAR AS (SELECT c.src, c.dst FROM COMMONS c " +
-       "JOIN SIZES sa ON sa.doc_id = c.src JOIN SIZES sb ON sb.doc_id = c.dst " +
-       "WHERE round(CAST(ncommon AS DOUBLE) / CAST(sa.nsh + sb.nsh - ncommon AS DOUBLE), 4) >= 0.5), " +
-       "UND AS (SELECT src AS a, dst AS b FROM NEAR UNION ALL SELECT dst, src FROM NEAR), " +
-       "REACH(a, b) AS (SELECT doc_id, doc_id FROM documents " +
-       "UNION SELECT r.a, u.b FROM REACH r JOIN UND u ON u.a = r.b) " +
-       "SELECT a AS doc_id, min(b) AS component, " +
-       "CAST(a = min(b) AS INT) AS is_keeper FROM REACH GROUP BY a ORDER BY doc_id"),
+    "dedup_components" -> componentsOracle,
+    // the incrementally-maintained assignment must equal the from-scratch
+    // one EXACTLY — one shared literal, the maintenance-identity proof
+    "dedup_components_delta" -> componentsOracle,
     // Per-vertex triangle counts over the verified near-dup pairs: pairs
     // (b, c) of a's neighbors that are themselves an edge, counted once
     // per unordered pair (b < c).

@@ -381,6 +381,74 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** INCREMENTAL maintenance of the near-dup COMPONENT assignment — the
+    * continuous-ingest shape of [[nearDupComponents]] (the one derived
+    * dedup artifact that still required a full-corpus recompute per crawl
+    * batch). New edges can only merge EXISTING components THROUGH delta
+    * docs (index-index pairs are unchanged by ingest), so the affected
+    * graph CONTRACTS each touched index component to its label vertex:
+    * vertices = delta ids ∪ touched component labels, edges =
+    * delta↔component(index) pairs (banded probe + sliver verify,
+    * [[incrementalNearDup]]) ∪ delta↔delta pairs — delta-sized, never
+    * corpus-sized. Exactness: a component's label IS its min member id,
+    * so min over a contracted CC's vertex ids = min over the union of its
+    * old members and delta ids = the from-scratch label; the relabel map
+    * (old label → new) touches only components whose label actually
+    * changed, and the corpus-side rewrite is affected-components-only.
+    * Returns the full post-delta assignment; the oracle recomputes it
+    * FROM SCRATCH over index ∪ delta (the `dedup_components` literal,
+    * shared verbatim), so the hash match re-proves the maintenance
+    * identity every run — the [[graft.graph.GraphOps.adjacencyDelta]]
+    * discipline for the dedup family. */
+  def componentsDelta(index: DataFrame, delta: DataFrame,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph, VertexId}
+    val spark = index.sparkSession
+    // the standing state (in production: a maintained table; derived here
+    // so the DuckDB oracle can reproduce the whole chain). Two consumers:
+    // the contraction join and the corpus-side relabel.
+    val standing = graft.CacheScope.track(
+      nearDupComponents(index, jaccardThreshold)
+        .select(col("doc_id"), col("component")))
+    val di = incrementalNearDup(index, delta, jaccardThreshold)
+      .select(col("delta_id"), col("index_id"))
+    val dd = ngramJaccard(delta).filter(col("jaccard") >= jaccardThreshold)
+      .select(col("src"), col("dst"))
+    val contracted = di.join(standing, di("index_id") === standing("doc_id"))
+      .select(col("delta_id").as("src"), col("component").as("dst"))
+      .unionByName(dd)
+    val vtx = delta.select(col("doc_id"))
+      .unionByName(contracted.select(col("src").as("doc_id")))
+      .unionByName(contracted.select(col("dst").as("doc_id")))
+      .distinct()
+    val cc = Graph(
+      vtx.rdd.map(r => (r.getLong(0): VertexId, r.getLong(0))),
+      contracted.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1)))
+      .connectedComponents().vertices
+    val newLabels = graft.CacheScope.track(
+      spark.createDataFrame(cc.map { case (id, comp) => (id, comp) })
+        .toDF("node", "newcomp"))
+    // relabel only the old components whose label CHANGED (merged with a
+    // sibling, or a smaller delta id took the min) — broadcast-sized: the
+    // map is bounded by the touched-component count
+    val relabel = broadcast(newLabels
+      .join(standing.select(col("component")).distinct(),
+        newLabels("node") === col("component"))
+      .filter(col("newcomp") =!= col("node"))
+      .select(col("node").as("component"), col("newcomp")))
+    val updatedIndex = standing
+      .join(relabel, Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newcomp"), col("component")).as("component"))
+    val deltaLabels = delta.select(col("doc_id"))
+      .join(newLabels, col("doc_id") === newLabels("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newcomp"), col("doc_id")).as("component"))
+    updatedIndex.unionByName(deltaLabels)
+      .withColumn("is_keeper", (col("doc_id") === col("component")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental near-dup check: a DELTA batch of new documents against an
     * already-INDEXED corpus — the continuous-ingest shape of the pipeline.
     * Candidates come from a band equi-join of the delta's (map-side)

@@ -61,4 +61,37 @@ class MinHashSpec extends SparkSpec {
         org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$i|$sh")).min)
     assert(got === expected)
   }
+
+  test("componentsDelta: label takeover relabels old members; maintained " +
+      "== from-scratch on the real corpus") {
+    import spark.implicits._
+    // standing corpus: docs 1 and 2 are exact dups (component 1), 7 is
+    // unique; delta: doc 0 is another copy — its SMALLER id must take
+    // over the component label, relabeling the old members 1 and 2
+    // (the affected-components-only rewrite path); 5 joins the same
+    // component; 8 is a singleton
+    val dup = "alpha beta gamma delta epsilon"
+    val index = Seq((1L, dup), (2L, dup), (7L, "seven unique words here now"))
+      .toDF("doc_id", "text")
+    val delta = Seq((0L, dup), (5L, dup), (8L, "eight other words live here"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.componentsDelta(index, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    CacheScope.unpersistAll()
+    assert(got === Seq((0L, 0L, 1), (1L, 0L, 0), (2L, 0L, 0), (5L, 0L, 0),
+      (7L, 7L, 1), (8L, 8L, 1)))
+    // the maintenance identity on real documents: maintained assignment
+    // over the 80/20 split == nearDupComponents from scratch on the
+    // whole corpus (the shared-oracle contract, asserted engine-side too)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val maintained = graft.ops.Dedup.componentsDelta(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+      .collect().map(_.toSeq).toSeq
+    CacheScope.unpersistAll()
+    val scratch = graft.ops.Dedup.nearDupComponents(docs)
+      .collect().map(_.toSeq).toSeq
+    CacheScope.unpersistAll()
+    assert(maintained === scratch)
+  }
 }
