@@ -284,6 +284,38 @@ class GraphPathsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ppr_conv_spec")
   }
 
+  test("batch converged walk == per-anchor single walks; missing anchor " +
+      "keeps its teleport row") {
+    import org.apache.spark.sql.Row
+    val students = studentsOf(Seq(
+      Row(1L, "a", "lalitpur", "xc", "nb", "sci", Seq("math")),
+      Row(2L, "b", "kathmandu", "xc", "nb", "sci", Seq("music")),
+      Row(3L, "c", "lalitpur", "tc", "nb", "mgmt", Seq("music")),
+      Row(4L, "d", "pokhara", "tc", null, "sci", Seq.empty[String]),
+      Row(5L, "e", null, null, null, null, Seq("math"))))
+    spark.sql("DROP TABLE IF EXISTS ppr_convb_spec")
+    GraphOps.buildAdjacencyTable(students, "ppr_convb_spec")
+    try {
+      val batch = GraphOps.personalizedPageRankConvergedBatch(
+          spark, "ppr_convb_spec", Seq(1L, 3L, 999L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // per-qid results equal N independent single-anchor fixpoints: an
+      // anchor that converged before the batch's slowest one rides the
+      // remaining rounds as exact no-ops (the idempotent-at-fixpoint
+      // identity the operator's contract rests on)
+      val singles = Seq(1L, 3L).flatMap { a =>
+        GraphOps.pprConvergedWithRounds(spark.table("ppr_convb_spec"), a)._1
+          .collect().map(r => (a, r.getLong(0), r.getLong(1)))
+      }
+      assert(batch.filterNot(_._1 == 999L).toSet === singles.toSet,
+        "batch fixpoint diverged from the single-anchor walks")
+      // the negative case: a missing anchor stabilizes at its bare
+      // teleport row and must not leak mass anywhere else
+      assert(batch.filter(_._1 == 999L).toSeq ===
+        Seq((999L, 999L, GraphOps.PprConvScale * 15 / 100)))
+    } finally spark.sql("DROP TABLE IF EXISTS ppr_convb_spec")
+  }
+
   test("recommend served from the standing adjacency == the inline form") {
     import org.apache.spark.sql.Row
     val students = studentsOf(Seq(
