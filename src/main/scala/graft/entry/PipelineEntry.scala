@@ -79,7 +79,10 @@ object PipelineEntry {
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
       s.sql("DROP TABLE IF EXISTS graft_idx.phashdel")
       s.sql(s"DROP TABLE IF EXISTS ${Tombstones.sidecar("graft_idx.phashdel")}")
-      val ph = graft.CacheScope.track(Multimodal.perceptualHash(
+      // unordered hash for the BUILD: a presentation sort before a table
+      // write is a useless range exchange whose sampling pass would run
+      // the decode twice (the cache then stores one clean pass)
+      val ph = graft.CacheScope.track(Multimodal.phashOf(
         s, Multimodal.mediaTable(Tables.documents(s, d))))
       val mirror = ph.select((col("doc_id") + 1000000L).as("doc_id"),
         col("width"), col("height"), col("ahash"))
@@ -103,7 +106,7 @@ object PipelineEntry {
       s.sql("DROP TABLE IF EXISTS graft_idx.phashlife")
       s.sql(s"DROP TABLE IF EXISTS ${Tombstones.sidecar("graft_idx.phashlife")}")
       val media = Multimodal.mediaTable(Tables.documents(s, d))
-      Multimodal.perceptualHash(s, media)
+      Multimodal.phashOf(s, media)
         .write.saveAsTable("graft_idx.phashlife")
       Multimodal.phashIngest(s, "graft_idx.phashlife",
         media.filter(col("kind") === "image")
@@ -122,7 +125,7 @@ object PipelineEntry {
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_idx LOCATION '$wh'")
       s.sql("DROP TABLE IF EXISTS graft_idx.phashs")
       val media = Multimodal.mediaTable(Tables.documents(s, d))
-      Multimodal.perceptualHash(s, media)
+      Multimodal.phashOf(s, media)
         .write.saveAsTable("graft_idx.phashs")
       val mirror = media.filter(col("kind") === "image")
         .select((col("doc_id") + 1000000L).as("doc_id"), col("kind"),

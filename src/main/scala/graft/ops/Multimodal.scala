@@ -242,7 +242,15 @@ object Multimodal {
     * float mean could straddle a ulp). 64 bits out as a '0'/'1' string.
     * The image/near-dup analogue of SimHash: re-encoded or
     * slightly-retouched copies land within a few bits. */
-  def perceptualHash(spark: SparkSession, media: DataFrame): DataFrame = {
+  def perceptualHash(spark: SparkSession, media: DataFrame): DataFrame =
+    phashOf(spark, media).orderBy(col("doc_id"))
+
+  /** The hash computation WITHOUT the presentation sort — what the
+    * ingest path consumes: a trailing global orderBy is not just a
+    * useless exchange before an append, its range-boundary sampling
+    * pass evaluates the decode-heavy mapPartitions TWICE (the
+    * repartitionByRange double-eval trap). */
+  private[graft] def phashOf(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.filter(col("kind") === "image").as[MediaRow]
       .mapPartitions { it =>
@@ -269,7 +277,6 @@ object Multimodal {
         })
       }
       .toDF()
-      .orderBy(col("doc_id"))
   }
 
   /** aHash carries information only above a pixel floor: a 1-pixel image
@@ -339,7 +346,7 @@ object Multimodal {
     // trigger) would both survive it — the within-batch half of the
     // replay contract; hash rows are deterministic, so keeping either
     // copy is exact
-    val ph = perceptualHash(spark, mediaBatch).dropDuplicates("doc_id")
+    val ph = phashOf(spark, mediaBatch).dropDuplicates("doc_id")
     val fresh = ph.join(spark.table(table).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
       .localCheckpoint()

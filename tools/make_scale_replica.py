@@ -33,22 +33,30 @@ CUST_COPIES = 4
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 
-docs = " UNION ALL ".join(
-    f"SELECT * REPLACE (doc_id + {k * 2_000_000} AS doc_id, "
-    f"text || ' c{k}' AS text) "
-    f"FROM read_parquet('{SRC}/documents.parquet')"
-    for k in range(DOC_COPIES))
-con.execute(f"COPY ({docs}) TO '{DST}/documents.parquet' (FORMAT PARQUET)")
+# One FILE PER COPY inside a directory-style table: a single merged file
+# is one Spark partition (one ~20MB row group < maxPartitionBytes), which
+# serializes every mapPartitions-heavy op onto one core and measures the
+# scheduler, not the operator (observed: mm_phash_lifecycle 47s at x10
+# with 32 tasks and idle executors). A real 10x corpus arrives as ~10x
+# the files — per-copy files are the representative layout.
+os.makedirs(f"{DST}/documents.parquet", exist_ok=True)
+for k in range(DOC_COPIES):
+    con.execute(
+        f"COPY (SELECT * REPLACE (doc_id + {k * 2_000_000} AS doc_id, "
+        f"text || ' c{k}' AS text) "
+        f"FROM read_parquet('{SRC}/documents.parquet')) "
+        f"TO '{DST}/documents.parquet/part-{k:03d}.parquet' (FORMAT PARQUET)")
 
-cust = " UNION ALL ".join(
-    f"SELECT * REPLACE (c_custkey + {k * 10_000_000} AS c_custkey, "
-    f"c_name || '#{k}' AS c_name, "
-    f"c_mktsegment || '#{k}' AS c_mktsegment, "
-    f"c_nationkey + {k * 100} AS c_nationkey, "
-    f"c_acctbal + {k * 100_000} AS c_acctbal) "
-    f"FROM read_parquet('{SRC}/customer.parquet')"
-    for k in range(CUST_COPIES))
-con.execute(f"COPY ({cust}) TO '{DST}/customer.parquet' (FORMAT PARQUET)")
+os.makedirs(f"{DST}/customer.parquet", exist_ok=True)
+for k in range(CUST_COPIES):
+    con.execute(
+        f"COPY (SELECT * REPLACE (c_custkey + {k * 10_000_000} AS c_custkey, "
+        f"c_name || '#{k}' AS c_name, "
+        f"c_mktsegment || '#{k}' AS c_mktsegment, "
+        f"c_nationkey + {k * 100} AS c_nationkey, "
+        f"c_acctbal + {k * 100_000} AS c_acctbal) "
+        f"FROM read_parquet('{SRC}/customer.parquet')) "
+        f"TO '{DST}/customer.parquet/part-{k:03d}.parquet' (FORMAT PARQUET)")
 
 for t in ["region", "nation", "supplier", "part", "orders", "lineitem",
           "events", "embeddings"]:
@@ -61,6 +69,7 @@ for t in ["region", "nation", "supplier", "part", "orders", "lineitem",
 
 for t in ["documents", "customer"]:
     n = con.execute(
-        f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
+        f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet/*.parquet')"
+    ).fetchone()[0]
     print(f"{t}: {n} rows")
 print(f"replica at {DST}")
