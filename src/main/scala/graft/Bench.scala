@@ -69,12 +69,15 @@ object Bench {
 
     /** The listener bus is ASYNC: poll until the counters go quiet so a
       * row's tail events don't bleed into the next row's delta. Bounded
-      * — a busy bus only smears metrics, it must not hang the bench. */
+      * — a busy bus only smears metrics, it must not hang the bench.
+      * r21: cap 2000→500 ms (VERDICT r20 item 1b): two polls bracket every
+      * row, so the worst case added 4 s/row of pure sleep to the suite
+      * wall; a late event past 500 ms only smears one row's IO delta. */
     def quiesce(): Map[String, Long] = {
       var prev = snapshot()
       var stable = false
       var waited = 0
-      while (!stable && waited < 2000) {
+      while (!stable && waited < 500) {
         Thread.sleep(50)
         waited += 50
         val cur = snapshot()
@@ -148,12 +151,31 @@ object Bench {
 
     // The interleaved control: one warm q1_agg run, recorded against the
     // index of the NEXT timed row. q1 persists nothing, so the extra runs
-    // don't perturb neighbors beyond their own wall time.
+    // don't perturb neighbors beyond their own wall time. Exception-guarded
+    // (r20 ADVICE): a transient failure inside a control run must degrade
+    // to a -1 control point, not abort the suite and lose every row.
     val controls = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     def control(atRow: Int): Unit = {
-      controls += ((atRow, runOnce("q1_agg")))
+      val sec =
+        try runOnce("q1_agg")
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] control at $atRow failed: ${e.getMessage}")
+            -1.0
+        }
+      controls += ((atRow, sec))
       ()
     }
+
+    // r21 (VERDICT r20 item 1b): skip iteration 2 when iteration 1 exceeds
+    // this many seconds. The rows this fires on are the write/lifecycle/
+    // fixpoint rows whose warm min is the same regime as cold (they persist
+    // tables or checkpoint state; nothing useful stays cached), so the
+    // reported number barely moves while the suite wall drops by the sum of
+    // their second iterations (~230 s at the r20 close). Override with
+    // SPARK_GRAFT_BENCH_SKIP2_OVER; set it huge to restore pure best-of-2.
+    val skip2Over =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP2_OVER", "5.0").toDouble
 
     val ioRows = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Long]]
     def delta(before: Map[String, Long], after: Map[String, Long]): Map[String, Long] =
@@ -176,10 +198,58 @@ object Bench {
         Some(sec)
       } else None
     control(0)
-    val results = toRun.zipWithIndex.map { case (name, idx) =>
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+
+    // Render the FULL artifact JSON from whatever has completed so far.
+    // r21 (VERDICT r20 item 1a): the artifact is re-written after every row
+    // so that a driver-side timeout leaves a parseable prefix — BENCH_r20
+    // was rc=124 with zero numbers because the JSON was built only after
+    // the whole suite. Intermediate writes carry "partial":true; the final
+    // write drops it.
+    def renderJson(partial: Boolean): String = {
+      // warm_index_build leads the queries map (single-shot time: the
+      // builds are memoized per JVM, so a best-of-2 min would read ~0 and
+      // hide the cost). It counts toward the headline total — the suite
+      // paid this work before too, just smeared into first-toucher rows.
+      val qs = (warmBuildSec.map("\"warm_index_build\":" + _).toSeq ++
+          results.map { case (k, v, _) => "\"" + k + "\":" + v })
+        .mkString("{", ",", "}")
+      // A failed query (-1 marker) must not DEFLATE the headline total —
+      // sum only successes and surface the failure count alongside.
+      val failed = results.count(_._2 < 0)
+      val total = results.map(_._2).filter(_ >= 0).sum + warmBuildSec.getOrElse(0.0)
+      // Cold-run reporting (SPARK_GRAFT_BENCH_COLD=1): iteration-1 times as
+      // a SIBLING key, so warm-cache rows (q15's revenue view, the shingle
+      // views, the WarmIndex query twins) get an honest first-run number
+      // without touching the "queries" min the regression gate reads.
+      val coldField =
+        if (sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1"))
+          ",\"cold\":" + results.map { case (k, _, c) => "\"" + k + "\":" + c }
+            .mkString("{", ",", "}")
+        else ""
+      val controlsField = ",\"controls\":" + controls
+        .map { case (i, s) => s"[$i,${math.rint(s * 1000) / 1000}]" }
+        .mkString("[", ",", "]")
+      val ioField = ",\"io\":" + ioRows
+        .map { case (name, m) =>
+          "\"" + name + "\":" +
+            IoKeys.map(k => "\"" + k + "\":" + m(k)).mkString("{", ",", "}")
+        }
+        .mkString("{", ",", "}")
+      val partialField = if (partial) ",\"partial\":true" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$coldField$controlsField$ioField$partialField,"sf":"$sfDir"}"""
+    }
+    def writeArtifact(partial: Boolean): String = {
+      val json = renderJson(partial)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outPath), json + "\n")
+      json
+    }
+
+    toRun.zipWithIndex.foreach { case (name, idx) =>
       if (idx > 0 && idx % ControlEvery == 0) control(idx)
       val pre = io.quiesce()
-      val times = (1 to iterations).map { _ =>
+      val t1 =
         try runOnce(name)
         catch {
           case e: Throwable =>
@@ -187,6 +257,20 @@ object Bench {
             // failures are flagged as -1, never reported as a (bogus) fast time
             -1.0
         }
+      // Iteration 2+ runs only when iteration 1 came in under the skip
+      // threshold (see skip2Over above) — for the slow write/lifecycle rows
+      // the cold number IS the reported number from r21 on.
+      val times = Seq(t1) ++ {
+        if (t1 >= 0 && t1 < skip2Over)
+          (2 to iterations).map { _ =>
+            try runOnce(name)
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                -1.0
+            }
+          }
+        else Seq.empty
       }
       // Free operator-persisted views AFTER the query's iterations (not
       // between them: iteration 2 deliberately times the warm cache, see
@@ -194,49 +278,20 @@ object Bench {
       // each other's cached blocks across the bench run.
       CacheScope.unpersistAll()
       ioRows += (name -> delta(pre, io.quiesce()))
-      (name,
-        if (times.exists(_ < 0)) -1.0 else times.min,
-        times.head) // iteration 1 = the cold number (-1 if it failed)
+      val sec = if (times.exists(_ < 0)) -1.0 else times.min
+      results += ((name, sec, t1))
+      writeArtifact(partial = true)
+      // Per-row sentinel on stdout (distinct prefix from the summary's
+      // BENCHJSON so a grep for either is deterministic): even a truncated
+      // stdout log carries every completed row's number.
+      println(s"""BENCHROW:{"name":"$name","sec":$sec,"cold":$t1}""")
     }
     control(toRun.size)
-    // warm_index_build leads the queries map (single-shot time: the builds
-    // are memoized per JVM, so a best-of-2 min would read ~0 and hide the
-    // cost). It counts toward the headline total — the suite paid this
-    // work before too, just smeared into first-toucher rows.
-    val qs = (warmBuildSec.map("\"warm_index_build\":" + _).toSeq ++
-        results.map { case (k, v, _) => "\"" + k + "\":" + v })
-      .mkString("{", ",", "}")
-    // A failed query (-1 marker) must not DEFLATE the headline total — sum
-    // only successes and surface the failure count alongside.
-    val failed = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum + warmBuildSec.getOrElse(0.0)
-    // Cold-run reporting (SPARK_GRAFT_BENCH_COLD=1): iteration-1 times as
-    // a SIBLING key, so warm-cache rows (q15's revenue view, the shingle
-    // views, the WarmIndex query twins) get an honest first-run number
-    // without touching the "queries" min the regression gate reads.
-    val coldField =
-      if (sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1"))
-        ",\"cold\":" + results.map { case (k, _, c) => "\"" + k + "\":" + c }
-          .mkString("{", ",", "}")
-      else ""
-    val controlsField = ",\"controls\":" + controls
-      .map { case (i, s) => s"[$i,${math.rint(s * 1000) / 1000}]" }
-      .mkString("[", ",", "]")
-    val ioField = ",\"io\":" + ioRows
-      .map { case (name, m) =>
-        "\"" + name + "\":" +
-          IoKeys.map(k => "\"" + k + "\":" + m(k)).mkString("{", ",", "}")
-      }
-      .mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$coldField$controlsField$ioField,"sf":"$sfDir"}"""
     // stdout for a human; a file for the driver — sbt prefixes stdout with
     // "[info] " which made BENCH_r01 unparseable ("parsed": null). The path
     // is cwd-relative (= repo root under sbt) and overridable via argv.
+    val json = writeArtifact(partial = false)
     println(json)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath),
-      json + "\n")
     spark.stop()
     // Sentinel-prefixed copy as the very LAST stdout line (after
     // spark.stop(), so no shutdown chatter can follow it): BENCH_r17.json
