@@ -49,6 +49,12 @@ object CacheScope {
       spark.conf.set(k, v)
     }
 
+  /** How many tracked views are currently live — read by Bench BEFORE its
+    * query-boundary [[unpersistAll]]: a row that left tracked persists is
+    * a warm-cache row (its committed band is the warm best-of-2 min), so
+    * the slow-row iteration-2 skip must not fire for it. */
+  def liveCount: Int = live.size
+
   /** Unpersist every tracked view (non-blocking) and restore every scoped
     * conf; returns how many views were freed. */
   def unpersistAll(): Int = {

@@ -268,6 +268,7 @@ object GraphOps {
     * final empty round is the convergence proof). */
   private[graft] def shortestPathsConvergedWithRounds(edges: DataFrame,
       anchorId: Long, maxRounds: Int): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel
     val und = truncated(edges.select(col("src"), col("dst"), col("w"))
       .unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst"), col("w"))))
@@ -276,22 +277,48 @@ object GraphOps {
       .select(lit(anchorId).as("node"), lit(0L).as("dist")))
     var frontier = dist
     var rounds = 0
+    // r21 (the pprConvergedBatchWithRounds discipline): the old loop
+    // eagerly localCheckpointed BOTH per-round frames — 3 driver actions
+    // per relax round for node-sized data. Intermediates now persist
+    // MEMORY_ONLY (the frontier `isEmpty` halt probe materializes them —
+    // zero extra jobs) and only the settled map localCheckpoints, every
+    // [[PprCpEvery]] rounds, bounding recompute depth. Cached handles are
+    // freed at exit, not leaked past the query boundary.
+    var persisted: List[DataFrame] = Nil
     while (rounds < maxRounds && !frontier.isEmpty) {
-      val relaxed = frontier.join(und, frontier("node") === und("src"))
-        .select(und("dst").as("node"), (col("dist") + col("w")).as("dist"))
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      // fused relax round (r21): the settled map rides the relax
+      // aggregate's exchange with an `old` tag, so ONE shuffle computes
+      // the candidate minimum AND echoes the settled distance per node —
+      // the former separate left-outer probe join and union-fold
+      // aggregate (two more node-frame exchanges) are gone.
+      val fused = frontier.join(und, col("node") === col("src"))
+        .select(col("dst").as("node"),
+          (col("dist") + col("w")).as("dist"), lit(false).as("old"))
+        .unionByName(dist.select(col("node"), col("dist"),
+          lit(true).as("old")))
+        .groupBy(col("node"))
+        .agg(min(when(not(col("old")), col("dist"))).as("nd"),
+          min(when(col("old"), col("dist"))).as("od"))
+        .persist(StorageLevel.MEMORY_ONLY)
+      persisted = fused :: persisted
       // improved = strictly better than (or absent from) the settled map —
       // next round's frontier; empty improved = the Bellman-Ford fixpoint
-      val improved = truncated(
-        relaxed.join(dist.select(col("node"), col("dist").as("old")),
-            Seq("node"), "left_outer")
-          .filter(col("old").isNull || col("dist") < col("old"))
-          .select(col("node"), col("dist")))
-      dist = truncated(dist.unionByName(improved)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
-      frontier = improved
+      val improved = fused
+        .filter(col("od").isNull || col("nd") < col("od"))
+        .select(col("node"), col("nd").as("dist"))
+      val nextDist = fused
+        .select(col("node"), least(coalesce(col("nd"), col("od")),
+          coalesce(col("od"), col("nd"))).as("dist"))
       rounds += 1
+      dist =
+        if (rounds % PprCpEvery == 0) truncated(nextDist)
+        else nextDist
+      frontier = improved
     }
+    // free every cached round; the caller consumes the result once, and
+    // replaying ≤ PprCpEvery union-folds from the last checkpoint is
+    // cheaper than leaking persisted views past the query boundary
+    persisted.foreach(_.unpersist(false))
     (dist.orderBy(col("node")), rounds)
   }
 
@@ -337,43 +364,71 @@ object GraphOps {
       graft.CacheScope.track(cappedAdjacency(students, neighborCap)),
       Seq(anchorId), iters))
 
-  /** The capped undirected adjacency the walk family runs on (src, dst).
-    * Cap BEFORE dedup: a (src,dst) pair appears at most once per rule
-    * type (4 rules), so the 4·cap smallest rows by dst are a superset of
-    * every copy of the cap smallest DISTINCT dsts (copies of smaller
-    * dsts form a prefix of the dst-sorted multiset). The bounded heaps
-    * replace a 45M-pair corpus-wide DISTINCT shuffle with ≤ 4·cap rows
-    * per node per partition; the exact distinct + final cap then run on
-    * the ≤ 4·cap·|V| survivor frame. */
+  /** Candidate edges that provably cover every capped slice WITHOUT the
+    * pairwise rule join (r21): under one equi rule, a node's neighbors
+    * are exactly the other members of its key group, so the cap smallest
+    * ids OF THE GROUP serve every member — one bounded-heap pass over
+    * |V| keyed rows per rule plus a members × top-(cap+1) join replaces
+    * the quadratic pair explosion (45M pairs at sf0.1) the old path
+    * capped after the fact.
+    *
+    * Exactness (covers [[cappedAdjacency]] AND the weighted twin): let
+    * (v,u) be any pair of the final capped slice of v, i.e. u is among
+    * the cap smallest distinct neighbors of v across all rules. For
+    * EVERY rule R connecting (v,u), each group_R member smaller than u
+    * is itself a neighbor of v smaller than u — there are < cap of
+    * those — so u sits within the (cap+1) smallest ids of group_R
+    * (the +1 absorbs v itself). Hence every kept pair appears here once
+    * per connecting rule: the distinct-union is a superset of the final
+    * slice, and the per-pair candidate multiplicity IS the exact rule
+    * count for kept pairs. Candidates are a subset of the true rule
+    * pairs (each candidate shares its rule's key), so no false edges. */
+  private[graft] def ruleCandidates(students: DataFrame,
+      neighborCap: Int): DataFrame = {
+    import graft.functions.Norm
+    graft.ops.EdgeRules.AllEquiRules.map { case (attr, _) =>
+      val keyed = students
+        .filter(col(attr).isNotNull && Norm.norm(col(attr)) =!= "")
+        .select(col("id"), Norm.norm(col(attr)).as("k"))
+      val tops = graft.plans.TopK.perKeyMin(
+        keyed.select(col("k"), col("id").as("nid")),
+        Seq("k"), "nid", "nid", neighborCap + 1)
+      // tops is |distinct keys| × (cap+1) rows — broadcast-sized at any
+      // corpus scale with bounded rule-key vocabularies; the join output
+      // is |V| × (cap+1) per rule, never quadratic
+      keyed.join(tops, Seq("k"))
+        .filter(col("nid") =!= col("id"))
+        .select(col("id").as("src"), col("nid").as("dst"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The capped undirected adjacency the walk family runs on (src, dst):
+    * the cap smallest distinct neighbors per node across the four equi
+    * rules — served from [[ruleCandidates]]' per-group bounded heaps
+    * (≤ 4·(cap+1) candidate rows per node), never the pairwise rule
+    * join. Output identical to capping the full backfill (the
+    * [[ruleCandidates]] covering lemma; oracle-gated per consumer). */
   private[graft] def cappedAdjacency(students: DataFrame,
       neighborCap: Int = 32): DataFrame = {
-    val raw = graft.ops.EdgeRules.backfill(students)
-      .select(col("src"), col("dst"))
-    val undFull = raw.unionByName(
-      raw.select(col("dst").as("src"), col("src").as("dst")))
-    val preCap = graft.plans.TopK.perKeyMin(undFull, Seq("src"), "dst",
-      "dst", 4 * neighborCap).distinct()
-    graft.plans.TopK.perKeyMin(preCap, Seq("src"), "dst", "dst", neighborCap)
+    val cands = ruleCandidates(students, neighborCap).distinct()
+    graft.plans.TopK.perKeyMin(cands, Seq("src"), "dst", "dst", neighborCap)
   }
 
   /** WEIGHTED capped adjacency (src, dst, w): w = how many of the 4 equi
     * rules connect the pair (1..4) — the reference's own EP2 scoring unit
     * (student_service.py:146-162 sums one point per matching attribute).
-    * Same cap-before-dedup discipline as [[cappedAdjacency]], and the
-    * same lemma makes the WEIGHTS exact: every copy of the cap smallest
-    * distinct dsts sits inside the first 4·cap rows of the dst-sorted
-    * multiset (≤ 4 copies each), so the bounded-heap survivors contain
-    * the full rule multiset of every kept pair and the post-cap count
-    * is the true rule count. */
+    * Served from [[ruleCandidates]]' per-group bounded heaps (r21), whose
+    * covering lemma makes the WEIGHTS exact: every rule connecting a kept
+    * pair places the pair in that rule's group-top-(cap+1) candidates, so
+    * the candidate multiplicity of every pair surviving the final cap is
+    * its true rule count. */
   private[graft] def weightedCappedAdjacency(students: DataFrame,
       neighborCap: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val raw = graft.ops.EdgeRules.backfill(students)
-      .select(col("src"), col("dst"))
-    val undFull = raw.unionByName(
-      raw.select(col("dst").as("src"), col("src").as("dst")))
-    val pre = graft.plans.TopK.perKeyMin(undFull, Seq("src"), "dst",
-      "dst", 4 * neighborCap)
+    // each kept pair's candidate multiplicity is its exact rule count
+    // (the [[ruleCandidates]] covering lemma — every connecting rule's
+    // group-top-(cap+1) contains the pair)
+    val pre = ruleCandidates(students, neighborCap)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
     val wn = Window.partitionBy(col("src")).orderBy(col("dst"))
     pre.withColumn("rn", row_number().over(wn))
@@ -681,10 +736,17 @@ object GraphOps {
         .select(col("src"), col("dst"))
     }.reduce(_.unionByName(_))
     val pre = graft.plans.TopK.perKeyMin(incident, Seq("src"), "dst", "dst",
-      4 * neighborCap).distinct()
-    val w = Window.partitionBy(col("src")).orderBy(col("dst"))
-    pre.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= neighborCap).drop("rn")
+      4 * neighborCap)
+    // r21: one hash aggregate replaces the former distinct + row_number
+    // window — collect_set dedups the ≤ 4·cap heap rows per key, the
+    // sorted slice keeps the cap smallest (identical rows to
+    // distinct→rank≤cap, re-proved by the unchanged oracle). The TopK
+    // final exec already leaves the frame hash-partitioned by src, so the
+    // aggregate is exchange-free where the old tail paid two more
+    // exchanges ((src,dst) for distinct, then src for the window).
+    pre.groupBy(col("src"))
+      .agg(slice(array_sort(collect_set(col("dst"))), 1, neighborCap).as("ds"))
+      .select(col("src"), explode(col("ds")).as("dst"))
       .orderBy(col("src"), col("dst"))
   }
 
@@ -1027,12 +1089,12 @@ object GraphOps {
   def nodeSimilarity(students: DataFrame, anchorMod: Int = 200,
       k: Int = 3, neighborCap: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = graft.ops.EdgeRules.backfill(students)
-      .select(col("src"), col("dst")).distinct()
-    val undFull = pairs.unionByName(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val und = graft.CacheScope.track(
-      graft.plans.TopK.perKeyMin(undFull, Seq("src"), "dst", "dst", neighborCap))
+    // r21: the capped slice IS cappedAdjacency's output (cap smallest
+    // distinct neighbors per node), now served from the per-group
+    // bounded-heap candidates instead of the quadratic pairwise backfill
+    // + corpus-wide distinct this row used to pay (ruleCandidates lemma;
+    // oracle unchanged).
+    val und = graft.CacheScope.track(cappedAdjacency(students, neighborCap))
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val common = und.filter(col("src") % anchorMod === 0)
       .select(col("src").as("a"), col("dst").as("b"))
@@ -1066,12 +1128,12 @@ object GraphOps {
     * are excluded (the GDS convention). */
   def clusteringCoeff(students: DataFrame, anchorMod: Int = 200,
       neighborCap: Int = 32): DataFrame = {
-    val pairs = graft.ops.EdgeRules.backfill(students)
-      .select(col("src"), col("dst")).distinct()
-    val undFull = pairs.unionByName(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val und = graft.CacheScope.track(
-      graft.plans.TopK.perKeyMin(undFull, Seq("src"), "dst", "dst", neighborCap))
+    // r21: the capped slice IS cappedAdjacency's output (cap smallest
+    // distinct neighbors per node), now served from the per-group
+    // bounded-heap candidates instead of the quadratic pairwise backfill
+    // + corpus-wide distinct this row used to pay (ruleCandidates lemma;
+    // oracle unchanged).
+    val und = graft.CacheScope.track(cappedAdjacency(students, neighborCap))
     clusteringCoeffFrom(und, anchorMod)
   }
 
@@ -1125,12 +1187,12 @@ object GraphOps {
     * joined on the wedge CENTER, per-anchor rank window. */
   def adamicAdar(students: DataFrame, anchorMod: Int = 200, k: Int = 3,
       neighborCap: Int = 32): DataFrame = {
-    val pairs = graft.ops.EdgeRules.backfill(students)
-      .select(col("src"), col("dst")).distinct()
-    val undFull = pairs.unionByName(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val und = graft.CacheScope.track(
-      graft.plans.TopK.perKeyMin(undFull, Seq("src"), "dst", "dst", neighborCap))
+    // r21: the capped slice IS cappedAdjacency's output (cap smallest
+    // distinct neighbors per node), now served from the per-group
+    // bounded-heap candidates instead of the quadratic pairwise backfill
+    // + corpus-wide distinct this row used to pay (ruleCandidates lemma;
+    // oracle unchanged).
+    val und = graft.CacheScope.track(cappedAdjacency(students, neighborCap))
     adamicAdarFrom(und, anchorMod, k)
   }
 

@@ -241,6 +241,39 @@ class GraphPathsSpec extends SparkSpec {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  test("converged PPR: the probe stride clamps at maxRounds — an odd " +
+      "bound runs exactly maxRounds relax rounds, matching the mirror") {
+    import org.apache.spark.sql.Row
+    val students = studentsOf(Seq(
+      Row(1L, "a", "lalitpur", "xc", "nb", "sci", Seq("math")),
+      Row(2L, "b", "kathmandu", "xc", "nb", "sci", Seq("music")),
+      Row(3L, "c", "lalitpur", "tc", "nb", "mgmt", Seq("music")),
+      Row(4L, "d", "pokhara", "tc", null, "sci", Seq.empty[String]),
+      Row(5L, "e", null, null, null, null, Seq("math"))))
+    spark.sql("DROP TABLE IF EXISTS ppr_clamp_spec")
+    GraphOps.buildAdjacencyTable(students, "ppr_clamp_spec")
+    try {
+      val (df, rounds) = GraphOps.pprConvergedWithRounds(
+        spark.table("ppr_clamp_spec"), 1L, maxRounds = 3)
+      assert(rounds <= 3, s"stride overran the bound: $rounds")
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // plain-Scala mirror run for exactly the engine's relax count
+      val und = spark.table("ppr_clamp_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val scale = GraphOps.PprConvScale
+      var r = Map(1L -> scale)
+      for (_ <- 1 to rounds)
+        r = (und.flatMap { case (u, v) =>
+            r.get(u).map(ru => v -> ru / deg(u) * 85 / 100)
+          } :+ (1L -> scale * 15 / 100))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+          .filter(_._2 > 0)
+      assert(got === r,
+        s"bound-clamped run diverged from the $rounds-round mirror")
+    } finally spark.sql("DROP TABLE IF EXISTS ppr_clamp_spec")
+  }
+
   test("converged PPR: halts at the exact fixpoint before the bound; " +
       "equals a plain-Scala fixpoint reference") {
     import org.apache.spark.sql.Row
