@@ -131,10 +131,23 @@ object Multimodal {
     * would replace the md5 frame-hash stub with a real decoder call inside
     * [[extractFeatures]]'s batching. Resize preserves aspect ratio with
     * integer math (engine-portable, no float rounding). */
+  /** Spread a small-but-CPU-heavy media frame across the session's shuffle
+    * parallelism before a decode/explode-heavy chain (r21, guide §2.5
+    * input-skew form): these tables arrive as one or two BYTE-sized input
+    * splits, so the per-ROW decode work under-parallelizes — measured:
+    * `mm_audio_frames` ran its whole sample-explode chain in ONE task,
+    * twice (the trailing orderBy's range sampler re-evaluates the chain).
+    * The round-robin exchange moves slim pre-decode rows once and is
+    * scale-adaptive (the session's shuffle-partition count, never a local
+    * core constant); at real scale multi-split inputs make it a cheap
+    * no-op-ish rebalance. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   def frameSample(media: DataFrame, stride: Int = 8, maxDim: Int = 64): DataFrame = {
     def hexPair(pos: Int) =
       conv(substring(lower(hex(col("bytes"))), pos, 2), 16, 10).cast("int")
-    media.filter(col("kind") === "video")
+    spread(media.filter(col("kind") === "video"))
       .withColumn("w", greatest(hexPair(1), lit(1)))
       .withColumn("h", greatest(hexPair(3), lit(1)))
       .withColumn("n_frames", hexPair(5) + 1)
@@ -179,7 +192,7 @@ object Multimodal {
       (element_at(col("bs"), pmod(j * 2, lit(16)).cast("int") + 1) * 256
         + element_at(col("bs"), pmod(j * 2 + 1, lit(16)).cast("int") + 1)
         + j.cast("long") * lit(2654435761L)) % 65536 - 32768
-    media.filter(col("kind") === "audio")
+    spread(media.filter(col("kind") === "audio"))
       .withColumn("hx", lower(hex(col("bytes"))))
       .withColumn("bs", transform(sequence(lit(0), lit(15)), k => hexByteAt(k)))
       // stream length from the header byte: 256..1152 samples → 1..8 frames
@@ -214,7 +227,7 @@ object Multimodal {
     * in [[BatchSize]] chunks. Runs fully parallel per partition; no shuffle. */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.as[MediaRow]
+    spread(media).as[MediaRow]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           // batch boundary = where a heavier decoder would run vectorized
@@ -252,7 +265,7 @@ object Multimodal {
     * repartitionByRange double-eval trap). */
   private[graft] def phashOf(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.filter(col("kind") === "image").as[MediaRow]
+    spread(media.filter(col("kind") === "image")).as[MediaRow]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap(_.map { m =>
           imageIoInMemory
@@ -411,7 +424,7 @@ object Multimodal {
   def resizeImages(spark: SparkSession, media: DataFrame,
       maxDim: Int = 4): DataFrame = {
     import spark.implicits._
-    media.filter(col("kind") === "image").as[MediaRow]
+    spread(media.filter(col("kind") === "image")).as[MediaRow]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap(_.map { m =>
           imageIoInMemory
